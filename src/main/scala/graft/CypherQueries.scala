@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.api.GraftSession
+import graft.sources.TpchGraph
+
+/** Cypher-engine-routed operator queries for the driver's correctness gate.
+  * Every entry runs through parse → plan → DataFrame (the full engine) and
+  * has an equivalent DuckDB SQL oracle over the raw tables.
+  *
+  * Exactness note: aggregate targets are chosen so both engines produce
+  * bit-identical doubles — counts, min/max, and sums/avgs of integer-valued
+  * doubles (order-independent in fp64). Money sums (fractional doubles) are
+  * gated via the decimal-cast direct queries in SparkEntry instead.
+  */
+object CypherQueries {
+
+  private val sessions = scala.collection.concurrent.TrieMap.empty[SparkSession, GraftSession]
+  private val graphs = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.graph.PropertyGraph]
+
+  private def run(s: SparkSession, dir: String, q: String,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val gs = sessions.getOrElseUpdate(s, GraftSession(s))
+    val g = graphs.getOrElseUpdate((s, dir), TpchGraph.load(s, dir))
+    gs.cypher(g, q, params)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PatternScan + Filter + Select (§2.2 PatternScan, §2.1 Filter/Select)
+    "c1_node_scan" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer) WHERE c.c_acctbal > 5000.0
+        |RETURN c.c_custkey AS ck, c.c_name AS name, c.c_acctbal AS bal
+        |ORDER BY ck""".stripMargin)),
+    // Expand (§2.2): one hop over PLACED
+    "c2_expand" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, o.o_orderkey AS ok
+        |ORDER BY ok""".stripMargin)),
+    // Expand chain + rel-property predicate
+    "c3_expand2" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[li:CONTAINS]->(p:Part)
+        |WHERE li.l_quantity > 47.0
+        |RETURN o.o_orderkey AS ok, p.p_partkey AS pk, li.l_quantity AS qty,
+        |       li.l_linenumber AS ln
+        |ORDER BY ok, ln""".stripMargin)),
+    // Aggregate with grouping (§2.1 Aggregate; count/sum/min/max/avg §2.4)
+    "c4_agg" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(*) AS n,
+        |       min(o.o_totalprice) AS lo, max(o.o_totalprice) AS hi
+        |ORDER BY ck""".stripMargin)),
+    // global aggregation (no keys) + countDistinct
+    "c5_global_agg" -> ((s, dir) => run(s, dir,
+      """MATCH (:Order)-[li:CONTAINS]->(p:Part)
+        |RETURN count(*) AS n, count(DISTINCT p) AS parts,
+        |       sum(li.l_quantity) AS qty, avg(li.l_quantity) AS avg_qty""".stripMargin)),
+    // Optional (§2.2): left-outer + aggregation over null rel ids
+    "c6_optional" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(o) AS n
+        |ORDER BY ck""".stripMargin)),
+    // ExistsSubQuery (§2.2): pattern predicate → semi join
+    "c7_exists" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer) WHERE (c)-[:PLACED]->()
+        |RETURN c.c_custkey AS ck ORDER BY ck""".stripMargin)),
+    // negated pattern predicate (with rel property map) → anti join
+    "c8_not_exists" -> ((s, dir) => run(s, dir,
+      """MATCH (o:Order) WHERE NOT (o)-[:CONTAINS {l_quantity: 50.0}]->()
+        |RETURN o.o_orderkey AS ok ORDER BY ok""".stripMargin)),
+    // Distinct (§2.1)
+    "c9_distinct" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg
+        |ORDER BY seg""".stripMargin)),
+    // OrderBy + Skip + Limit (§2.1)
+    "c10_order_skip_limit" -> ((s, dir) => run(s, dir,
+      """MATCH (o:Order) RETURN o.o_orderkey AS ok, o.o_totalprice AS price
+        |ORDER BY price DESC, ok ASC SKIP 10 LIMIT 25""".stripMargin)),
+    // TabularUnionAll + UNION distinct (§2.1)
+    "c11_union" -> ((s, dir) => run(s, dir,
+      """MATCH (n:Nation) RETURN n.n_name AS name
+        |UNION ALL MATCH (r:Region) RETURN r.r_name AS name""".stripMargin)
+      .orderBy("name")),
+    // Unwind (§2.2) + parameter baking
+    "c12_unwind" -> ((s, dir) => run(s, dir,
+      """UNWIND [1, 2, 3, 5, 8] AS x
+        |RETURN x, x * x AS sq ORDER BY x""".stripMargin)),
+    // BoundedVarLengthExpand (§2.2): 1..2 hops over heterogeneous rels
+    "c13_varlength" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN c.c_custkey AS ck, coalesce(x.n_name, x.r_name) AS xname
+        |ORDER BY ck, xname""".stripMargin)),
+    // expressions: CASE / substring / toUpper / arithmetic (§2.3)
+    "c14_expressions" -> ((s, dir) => run(s, dir,
+      """MATCH (p:Part)
+        |RETURN p.p_partkey AS pk, toUpper(substring(p.p_name, 0, 5)) AS pfx,
+        |       CASE WHEN p.p_size < 25 THEN 'small' ELSE 'big' END AS bucket,
+        |       p.p_retailprice * 2.0 + 1.0 AS calc
+        |ORDER BY pk""".stripMargin)),
+    // WITH chaining + aggregation + post-agg filter (HAVING shape)
+    "c15_with_having" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c.c_custkey AS ck, count(*) AS n
+        |WHERE n >= 12
+        |RETURN ck, n ORDER BY n DESC, ck""".stripMargin)),
+    // undirected expand (§2.2 Expand Undirected)
+    "c16_undirected" -> ((s, dir) => run(s, dir,
+      """MATCH (n:Nation)-[:IN_REGION]-(x)
+        |RETURN n.n_name AS nn, coalesce(x.r_name, x.n_name) AS xn
+        |ORDER BY nn, xn""".stripMargin))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_node_scan" ->
+      """SELECT c_custkey AS ck, c_name AS name, c_acctbal AS bal
+        |FROM customer WHERE c_acctbal > 5000.0 ORDER BY ck""".stripMargin,
+    "c2_expand" ->
+      """SELECT c_custkey AS ck, o_orderkey AS ok
+        |FROM customer JOIN orders ON o_custkey = c_custkey ORDER BY ok""".stripMargin,
+    "c3_expand2" ->
+      """SELECT l_orderkey AS ok, l_partkey AS pk, l_quantity AS qty,
+        |       CAST(l_linenumber AS BIGINT) AS ln
+        |FROM lineitem WHERE l_quantity > 47.0 ORDER BY ok, ln""".stripMargin,
+    "c4_agg" ->
+      """SELECT o_custkey AS ck, count(*) AS n,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin,
+    "c5_global_agg" ->
+      """SELECT count(*) AS n, count(DISTINCT l_partkey) AS parts,
+        |       sum(l_quantity) AS qty, avg(l_quantity) AS avg_qty
+        |FROM lineitem""".stripMargin,
+    "c6_optional" ->
+      """SELECT c_custkey AS ck, count(o_orderkey) AS n
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY ck""".stripMargin,
+    "c7_exists" ->
+      """SELECT c_custkey AS ck FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY ck""".stripMargin,
+    "c8_not_exists" ->
+      """SELECT o_orderkey AS ok FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity = 50.0)
+        |ORDER BY ok""".stripMargin,
+    "c9_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "c10_order_skip_limit" ->
+      """SELECT o_orderkey AS ok, o_totalprice AS price FROM orders
+        |ORDER BY price DESC, ok ASC LIMIT 25 OFFSET 10""".stripMargin,
+    "c11_union" ->
+      """SELECT name FROM (
+        |  SELECT n_name AS name FROM nation
+        |  UNION ALL SELECT r_name AS name FROM region
+        |) ORDER BY name""".stripMargin,
+    "c12_unwind" ->
+      """SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq
+        |FROM (SELECT UNNEST([1, 2, 3, 5, 8]) AS x) ORDER BY x""".stripMargin,
+    "c13_varlength" ->
+      """SELECT ck, xname FROM (
+        |  SELECT c_custkey AS ck, n_name AS xname
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT c_custkey AS ck, r_name AS xname
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |) ORDER BY ck, xname""".stripMargin,
+    "c14_expressions" ->
+      """SELECT p_partkey AS pk, upper(substring(p_name, 1, 5)) AS pfx,
+        |       CASE WHEN p_size < 25 THEN 'small' ELSE 'big' END AS bucket,
+        |       p_retailprice * 2.0 + 1.0 AS calc
+        |FROM part ORDER BY pk""".stripMargin,
+    "c15_with_having" ->
+      """SELECT o_custkey AS ck, count(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY n DESC, ck""".stripMargin,
+    "c16_undirected" ->
+      """SELECT n_name AS nn, r_name AS xn
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nn, xn""".stripMargin
+  )
+}

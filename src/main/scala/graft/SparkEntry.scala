@@ -16,14 +16,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    queries("q1_agg")(spark, dir)
-  }
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full Cypher path (parse → plan → DataFrame) with a two-hop expand. */
+  def entry(spark: SparkSession): DataFrame =
+    CypherQueries.queries("c3_expand2")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = CypherQueries.queries ++ Map(
     // Aggregate (§2.1 Aggregate): group-by + sum/avg/count, TPC-H Q1 shape.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -95,7 +94,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = CypherQueries.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,43 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cypher.CypherParser
+import graft.graph.PropertyGraph
+import graft.plans.Planner
+
+/** User-facing session: a catalog of named property graphs + the Cypher
+  * entry point (role of the reference's MorpheusSession,
+  * morpheus-spark-cypher/.../api/MorpheusSession.scala:55).
+  */
+class GraftSession(val spark: SparkSession) {
+
+  private val catalog = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+
+  def register(name: String, graph: PropertyGraph): Unit = catalog(name) = graph
+  def graph(name: String): PropertyGraph = catalog.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"graph `$name` not in catalog (have: ${catalog.keys.mkString(", ")})"))
+  def graphNames: Seq[String] = catalog.keys.toSeq.sorted
+
+  /** Run a Cypher read query against a graph; result is a plain DataFrame
+    * (lazily planned — nothing executes until an action). */
+  def cypher(g: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val ast = CypherParser.parse(query)
+    new Planner(spark, params, graph, g).plan(ast)
+  }
+
+  def cypher(graphName: String, query: String): DataFrame =
+    cypher(graph(graphName), query, Map.empty[String, Any])
+
+  def cypher(graphName: String, query: String, params: Map[String, Any]): DataFrame =
+    cypher(graph(graphName), query, params)
+
+  /** Spark SQL pass-through (reference entry point 2,
+    * MorpheusSession.scala:84-86). */
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object GraftSession {
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+}

@@ -1,0 +1,124 @@
+package graft.cypher
+
+/** Cypher 9 abstract syntax. Shapes follow the openCypher grammar; the
+  * inventory of expression nodes mirrors the reference's IR surface
+  * (reference: okapi-ir/.../ir/api/expr/Expr.scala:86-1330) but is our own
+  * definition, sized to what the planner consumes.
+  */
+object Ast {
+
+  // ---------------------------------------------------------------- values
+  sealed trait Expr
+
+  case class Var(name: String) extends Expr
+  case class Param(name: String) extends Expr
+  case class IntLit(v: Long) extends Expr
+  case class FloatLit(v: Double) extends Expr
+  case class StringLit(v: String) extends Expr
+  case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  case class ListLit(items: Seq[Expr]) extends Expr
+  case class MapLit(items: Seq[(String, Expr)]) extends Expr
+
+  /** `e.key` — property access (or struct-field access on maps). */
+  case class Property(e: Expr, key: String) extends Expr
+  /** `n:Label1:Label2` label predicate. */
+  case class HasLabels(e: Expr, labels: Seq[String]) extends Expr
+  /** `list[i]` */
+  case class Index(e: Expr, idx: Expr) extends Expr
+  /** `list[from..to]` — either bound may be absent. */
+  case class Slice(e: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
+
+  // boolean
+  case class Not(e: Expr) extends Expr
+  case class And(l: Expr, r: Expr) extends Expr
+  case class Or(l: Expr, r: Expr) extends Expr
+  case class Xor(l: Expr, r: Expr) extends Expr
+
+  // comparison
+  case class Eq(l: Expr, r: Expr) extends Expr
+  case class Neq(l: Expr, r: Expr) extends Expr
+  case class Lt(l: Expr, r: Expr) extends Expr
+  case class Lte(l: Expr, r: Expr) extends Expr
+  case class Gt(l: Expr, r: Expr) extends Expr
+  case class Gte(l: Expr, r: Expr) extends Expr
+  case class IsNull(e: Expr) extends Expr
+  case class IsNotNull(e: Expr) extends Expr
+  case class In(l: Expr, list: Expr) extends Expr
+  case class StartsWith(l: Expr, r: Expr) extends Expr
+  case class EndsWith(l: Expr, r: Expr) extends Expr
+  case class Contains(l: Expr, r: Expr) extends Expr
+  case class RegexMatch(l: Expr, r: Expr) extends Expr
+
+  // arithmetic
+  case class Add(l: Expr, r: Expr) extends Expr
+  case class Sub(l: Expr, r: Expr) extends Expr
+  case class Mul(l: Expr, r: Expr) extends Expr
+  case class Div(l: Expr, r: Expr) extends Expr
+  case class Mod(l: Expr, r: Expr) extends Expr
+  case class Pow(l: Expr, r: Expr) extends Expr
+  case class Neg(e: Expr) extends Expr
+
+  /** Function invocation (scalar or aggregating, resolved at compile). */
+  case class Func(name: String, distinct: Boolean, args: Seq[Expr]) extends Expr
+  case object CountStar extends Expr
+
+  /** CASE — `operand` present for the simple form. */
+  case class CaseExpr(operand: Option[Expr], alternatives: Seq[(Expr, Expr)],
+      default: Option[Expr]) extends Expr
+
+  // list predicates / comprehensions
+  case class ListComprehension(variable: String, list: Expr,
+      predicate: Option[Expr], projection: Option[Expr]) extends Expr
+  case class Reduce(acc: String, init: Expr, variable: String, list: Expr,
+      step: Expr) extends Expr
+  /** quantifier ∈ {all, any, none, single} */
+  case class Quantified(quantifier: String, variable: String, list: Expr,
+      predicate: Expr) extends Expr
+
+  /** `exists((n)-[:T]->(m))` / pattern predicate `WHERE (n)-->(m)`. */
+  case class PatternPredicate(pattern: PatternPart, negated: Boolean = false)
+      extends Expr
+
+  // ---------------------------------------------------------------- pattern
+  sealed trait Direction
+  case object Outgoing extends Direction
+  case object Incoming extends Direction
+  case object Undirected extends Direction
+
+  case class NodePattern(variable: Option[String], labels: Seq[String],
+      properties: Seq[(String, Expr)])
+  case class RelPattern(variable: Option[String], types: Seq[String],
+      properties: Seq[(String, Expr)], direction: Direction,
+      varLength: Option[(Int, Option[Int])])
+
+  /** A single `(a)-[r]->(b)-...` chain, optionally named `p = ...`. */
+  case class PatternPart(pathName: Option[String], start: NodePattern,
+      chain: Seq[(RelPattern, NodePattern)])
+
+  case class Pattern(parts: Seq[PatternPart])
+
+  // ---------------------------------------------------------------- clauses
+  sealed trait Clause
+  case class MatchClause(optional: Boolean, pattern: Pattern,
+      where: Option[Expr]) extends Clause
+  case class UnwindClause(expr: Expr, variable: String) extends Clause
+  case class ReturnItem(expr: Expr, alias: Option[String], text: String)
+  case class SortItem(expr: Expr, ascending: Boolean)
+  case class WithClause(distinct: Boolean, items: Seq[ReturnItem],
+      star: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr], where: Option[Expr]) extends Clause
+  case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
+      star: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr]) extends Clause
+  /** Cypher-10-style: `FROM GRAPH name` switches the working graph. */
+  case class FromGraphClause(graphName: String) extends Clause
+  /** CONSTRUCT — multiple-graph extension (SURVEY §2.5). */
+  case class ConstructClause(clones: Seq[String], news: Seq[PatternPart],
+      onGraphs: Seq[String]) extends Clause
+
+  // ---------------------------------------------------------------- query
+  case class SingleQuery(clauses: Seq[Clause])
+  /** unions: (query, all?) pairs folded left-to-right. */
+  case class Query(first: SingleQuery, unions: Seq[(Boolean, SingleQuery)])
+}

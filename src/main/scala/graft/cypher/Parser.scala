@@ -1,0 +1,316 @@
+package graft.cypher
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/** Hand-built Cypher 9 parser (openCypher grammar shapes, own code).
+  *
+  * Covers the read-query surface the reference executes (SURVEY §0, §2.3):
+  * MATCH / OPTIONAL MATCH / WHERE / WITH / UNWIND / RETURN / ORDER BY /
+  * SKIP / LIMIT / UNION [ALL] / FROM GRAPH / CONSTRUCT, the full operator
+  * precedence chain, var-length relationship patterns, CASE, list
+  * comprehensions, reduce, and the all/any/none/single quantifiers.
+  */
+object CypherParser extends RegexParsers {
+
+  override protected val whiteSpace = """(\s|//[^\n]*)+""".r
+
+  // ------------------------------------------------------------- lexical
+  private def K(w: String): Parser[String] = ("""(?i)""" + w + """\b""").r
+  private val keywords = Set(
+    "match", "optional", "where", "with", "return", "unwind", "as",
+    "order", "by", "skip", "limit", "distinct", "and", "or", "xor", "not",
+    "in", "starts", "ends", "contains", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "union", "all", "any", "none",
+    "single", "exists", "from", "graph", "construct", "clone", "new", "on",
+    "desc", "asc", "descending", "ascending", "create")
+
+  private val identRe = """[a-zA-Z_][a-zA-Z0-9_]*""".r
+  def ident: Parser[String] =
+    ("`" ~> """[^`]+""".r <~ "`") |
+    regex(identRe) ^? ({ case s if !keywords.contains(s.toLowerCase) => s },
+      s => s"keyword '$s' not allowed as identifier")
+  /** identifier where keywords ARE allowed (property keys, labels). */
+  def anyIdent: Parser[String] = ("`" ~> """[^`]+""".r <~ "`") | identRe
+
+  def stringLit: Parser[String] =
+    ("'" ~> """(\\.|[^'\\])*""".r <~ "'" | "\"" ~> """(\\.|[^"\\])*""".r <~ "\"")
+      .map(unescape)
+  private def unescape(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; case 't' => b += '\t'; case 'r' => b += '\r'
+          case 'b' => b += '\b'; case 'f' => b += '\f'
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 4
+          case o => b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  def floatLit: Parser[Double] =
+    """-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ (_.toDouble)
+  def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
+
+  // ----------------------------------------------------------- expressions
+  def expression: Parser[Expr] = orExpr
+
+  def orExpr: Parser[Expr] = xorExpr * (K("or") ^^^ (Or(_, _)))
+  def xorExpr: Parser[Expr] = andExpr * (K("xor") ^^^ (Xor(_, _)))
+  def andExpr: Parser[Expr] = notExpr * (K("and") ^^^ (And(_, _)))
+  def notExpr: Parser[Expr] =
+    rep(K("not")) ~ comparison ^^ { case nots ~ e =>
+      nots.foldLeft(e)((acc, _) => Not(acc)) }
+
+  /** Chained comparisons `a < b <= c` → conjunction (openCypher semantics). */
+  def comparison: Parser[Expr] =
+    addSub ~ rep(("=" | "<>" | "<=" | ">=" | "<" | ">") ~ addSub) ^^ {
+      case first ~ Nil => first
+      case first ~ rest =>
+        val (conds, _) = rest.foldLeft((List.empty[Expr], first)) {
+          case ((acc, prev), op ~ next) =>
+            val c = op match {
+              case "=" => Eq(prev, next);  case "<>" => Neq(prev, next)
+              case "<" => Lt(prev, next);  case "<=" => Lte(prev, next)
+              case ">" => Gt(prev, next);  case ">=" => Gte(prev, next)
+            }
+            (c :: acc, next)
+        }
+        conds.reduceLeft(And(_, _))
+    }
+
+  def addSub: Parser[Expr] = mulDiv * (
+    "+" ^^^ (Add(_, _)) | "-" ^^^ (Sub(_, _)))
+  def mulDiv: Parser[Expr] = power * (
+    "*" ^^^ (Mul(_, _)) | "/" ^^^ (Div(_, _)) | "%" ^^^ (Mod(_, _)))
+  def power: Parser[Expr] = unary ~ rep("^" ~> unary) ^^ { case b ~ es =>
+    // right-associative
+    (b +: es).reduceRight(Pow(_, _)) }
+
+  def unary: Parser[Expr] =
+    ("-" ~> unary ^^ Neg.apply) | ("+" ~> unary) | stringListNullOps
+
+  /** postfix predicates: IN, STARTS/ENDS WITH, CONTAINS, =~, IS [NOT] NULL,
+    * list index / slice, labels predicate. */
+  def stringListNullOps: Parser[Expr] =
+    propertyOrLabels ~ rep(postfixOp) ^^ { case e ~ ops => ops.foldLeft(e)((a, f) => f(a)) }
+
+  private def postfixOp: Parser[Expr => Expr] =
+    (K("in") ~> propertyOrLabels ^^ (l => (e: Expr) => In(e, l))) |
+    (K("starts") ~> K("with") ~> propertyOrLabels ^^ (l => (e: Expr) => StartsWith(e, l))) |
+    (K("ends") ~> K("with") ~> propertyOrLabels ^^ (l => (e: Expr) => EndsWith(e, l))) |
+    (K("contains") ~> propertyOrLabels ^^ (l => (e: Expr) => Contains(e, l))) |
+    ("=~" ~> propertyOrLabels ^^ (l => (e: Expr) => RegexMatch(e, l))) |
+    (K("is") ~> K("not") ~> K("null") ^^^ ((e: Expr) => IsNotNull(e))) |
+    (K("is") ~> K("null") ^^^ ((e: Expr) => IsNull(e)))
+
+  def propertyOrLabels: Parser[Expr] =
+    atom ~ rep(propLookup | indexOrSlice | labelsPredicate) ^^ {
+      case e ~ ops => ops.foldLeft(e)((a, f) => f(a)) }
+
+  private def propLookup: Parser[Expr => Expr] =
+    "." ~> anyIdent ^^ (k => (e: Expr) => Property(e, k))
+  private def indexOrSlice: Parser[Expr => Expr] =
+    ("[" ~> opt(expression) ~ opt(".." ~> opt(expression)) <~ "]") ^^ {
+      case Some(i) ~ None => (e: Expr) => Index(e, i)
+      case from ~ Some(to) => (e: Expr) => Slice(e, from, to)
+      case None ~ None => (e: Expr) => e // cannot happen grammatically
+    }
+  private def labelsPredicate: Parser[Expr => Expr] =
+    rep1(":" ~> anyIdent) ^^ (ls => (e: Expr) => HasLabels(e, ls))
+
+  def atom: Parser[Expr] =
+    caseExpr |
+    countStar |
+    quantifiedExpr |
+    reduceExpr |
+    existsFn |
+    patternPredicateExpr |
+    funcCall |
+    mapLit |
+    listComprehension |
+    listLit |
+    paramRef |
+    literal |
+    (K("null") ^^^ NullLit) | (K("true") ^^^ BoolLit(true)) | (K("false") ^^^ BoolLit(false)) |
+    ("(" ~> expression <~ ")") |
+    (ident ^^ Var.apply)
+
+  def literal: Parser[Expr] =
+    floatLit ^^ FloatLit.apply | intLit ^^ IntLit.apply | stringLit ^^ StringLit.apply
+
+  def paramRef: Parser[Expr] = "$" ~> anyIdent ^^ Param.apply
+
+  def countStar: Parser[Expr] =
+    K("count") ~> "(" ~> "*" <~ ")" ^^^ CountStar
+
+  def funcCall: Parser[Expr] =
+    anyIdent ~ ("(" ~> opt(K("distinct")) ~ repsep(expression, ",") <~ ")") ^^ {
+      case name ~ (dist ~ args) => Func(name.toLowerCase, dist.isDefined, args) }
+
+  def existsFn: Parser[Expr] =
+    K("exists") ~> "(" ~> (patternPart ^^ (p => PatternPredicate(p)) |
+      expression ^^ IsNotNull.apply) <~ ")"
+
+  /** bare pattern used as predicate: `(n)-[:T]->(m)` — needs ≥1 hop. */
+  def patternPredicateExpr: Parser[Expr] =
+    nodePattern ~ rep1(relPattern ~ nodePattern) ^^ { case n ~ chain =>
+      PatternPredicate(PatternPart(None, n, chain.map(c => (c._1, c._2)))) }
+
+  def listLit: Parser[Expr] =
+    "[" ~> repsep(expression, ",") <~ "]" ^^ ListLit.apply
+
+  def listComprehension: Parser[Expr] =
+    "[" ~> ident ~ (K("in") ~> expression) ~ opt(K("where") ~> expression) ~
+      opt("|" ~> expression) <~ "]" ^^ {
+      case v ~ l ~ w ~ p => ListComprehension(v, l, w, p) }
+
+  def mapLit: Parser[Expr] =
+    "{" ~> repsep((anyIdent <~ ":") ~ expression, ",") <~ "}" ^^ { items =>
+      MapLit(items.map { case k ~ v => (k, v) }) }
+
+  def caseExpr: Parser[Expr] =
+    K("case") ~> opt(not(K("when")) ~> expression) ~
+      rep1(K("when") ~> expression ~ (K("then") ~> expression)) ~
+      opt(K("else") ~> expression) <~ K("end") ^^ {
+      case op ~ alts ~ dflt =>
+        CaseExpr(op, alts.map { case w ~ t => (w, t) }, dflt) }
+
+  def quantifiedExpr: Parser[Expr] =
+    (K("all") | K("any") | K("none") | K("single")) ~
+      ("(" ~> ident) ~ (K("in") ~> expression) ~ (K("where") ~> expression) <~ ")" ^^ {
+      case q ~ v ~ l ~ p => Quantified(q.toLowerCase, v, l, p) }
+
+  def reduceExpr: Parser[Expr] =
+    K("reduce") ~> "(" ~> ident ~ ("=" ~> expression) ~ ("," ~> ident) ~
+      (K("in") ~> expression) ~ ("|" ~> expression) <~ ")" ^^ {
+      case acc ~ init ~ v ~ l ~ step => Reduce(acc, init, v, l, step) }
+
+  // ------------------------------------------------------------- patterns
+  def nodePattern: Parser[NodePattern] =
+    "(" ~> opt(ident) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
+      case v ~ ls ~ props => NodePattern(v, ls, props.getOrElse(Nil)) }
+
+  def propMap: Parser[Seq[(String, Expr)]] =
+    "{" ~> repsep((anyIdent <~ ":") ~ expression, ",") <~ "}" ^^ {
+      _.map { case k ~ v => (k, v) } }
+
+  def varLength: Parser[(Int, Option[Int])] =
+    "*" ~> opt(intLit) ~ opt(".." ~> opt(intLit)) ^^ {
+      case lo ~ None => (lo.map(_.toInt).getOrElse(1),
+                         lo.map(_.toInt).orElse(Some(1)).filter(_ => lo.isDefined))
+      case lo ~ Some(hi) => (lo.map(_.toInt).getOrElse(1), hi.map(_.toInt))
+    } ^^ { case (lo, hi) => (lo, hi) }
+
+  def relDetail: Parser[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])])] =
+    "[" ~> opt(ident) ~ (":" ~> rep1sep(anyIdent, "|" ~ opt(":"))) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
+      case v ~ ts ~ vl ~ props => (v, ts, props.getOrElse(Nil), vl) } |
+    "[" ~> opt(ident) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
+      case v ~ vl ~ props => (v, Nil, props.getOrElse(Nil), vl) }
+
+  def relPattern: Parser[RelPattern] =
+    ("<-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Incoming)) |
+    ("-" ~> opt(relDetail) <~ "->") ^^ (d => mk(d, Outgoing)) |
+    ("-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Undirected))
+
+  private def mk(d: Option[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])])],
+      dir: Direction): RelPattern = d match {
+    case Some((v, ts, props, vl)) => RelPattern(v, ts, props, dir, vl)
+    case None => RelPattern(None, Nil, Nil, dir, None)
+  }
+
+  def patternPart: Parser[PatternPart] =
+    opt(ident <~ "=") ~ nodePattern ~ rep(relPattern ~ nodePattern) ^^ {
+      case name ~ n ~ chain =>
+        PatternPart(name, n, chain.map(c => (c._1, c._2))) }
+
+  def pattern: Parser[Pattern] =
+    rep1sep(patternPart, ",") ^^ Pattern.apply
+
+  // -------------------------------------------------------------- clauses
+  def matchClause: Parser[Clause] =
+    opt(K("optional")) ~ (K("match") ~> pattern) ~ opt(K("where") ~> expression) ^^ {
+      case optl ~ p ~ w => MatchClause(optl.isDefined, p, w) }
+
+  def unwindClause: Parser[Clause] =
+    K("unwind") ~> expression ~ (K("as") ~> ident) ^^ {
+      case e ~ v => UnwindClause(e, v) }
+
+  def returnItem: Parser[ReturnItem] =
+    expression ~ opt(K("as") ~> anyIdent) ^^ {
+      case e ~ a => ReturnItem(e, a, exprText(e)) }
+
+  /** Default output name when no alias given (matches Cypher's rendering
+    * closely enough for our result columns). */
+  private def exprText(e: Expr): String = e match {
+    case Var(n) => n
+    case Property(b, k) => exprText(b) + "." + k
+    case CountStar => "count(*)"
+    case Func(n, d, args) =>
+      n + "(" + (if (d) "DISTINCT " else "") + args.map(exprText).mkString(", ") + ")"
+    case IntLit(v) => v.toString
+    case StringLit(v) => v
+    case other => other.toString.take(40)
+  }
+
+  def sortItem: Parser[SortItem] =
+    expression ~ opt(K("descending") | K("desc") | K("ascending") | K("asc")) ^^ {
+      case e ~ d => SortItem(e, !d.exists(_.toLowerCase.startsWith("desc"))) }
+
+  private def orderSkipLimit: Parser[(Seq[SortItem], Option[Expr], Option[Expr])] =
+    opt(K("order") ~> K("by") ~> rep1sep(sortItem, ",")) ~
+      opt(K("skip") ~> expression) ~ opt(K("limit") ~> expression) ^^ {
+      case o ~ s ~ l => (o.getOrElse(Nil), s, l) }
+
+  def withClause: Parser[Clause] =
+    K("with") ~> opt(K("distinct")) ~ ("*" ^^^ (Nil, true) | rep1sep(returnItem, ",") ^^ (i => (i, false))) ~
+      orderSkipLimit ~ opt(K("where") ~> expression) ^^ {
+      case d ~ items ~ ((o, s, l)) ~ w =>
+        WithClause(d.isDefined, items._1, items._2, o, s, l, w) }
+
+  def returnClause: Parser[Clause] =
+    K("return") ~> opt(K("distinct")) ~ ("*" ^^^ (Nil, true) | rep1sep(returnItem, ",") ^^ (i => (i, false))) ~
+      orderSkipLimit ^^ {
+      case d ~ items ~ ((o, s, l)) =>
+        ReturnClause(d.isDefined, items._1, items._2, o, s, l) }
+
+  def fromGraphClause: Parser[Clause] =
+    K("from") ~> opt(K("graph")) ~> anyIdent ^^ FromGraphClause.apply
+
+  def constructClause: Parser[Clause] =
+    K("construct") ~> opt(K("on") ~> rep1sep(anyIdent, ",")) ~
+      rep(K("clone") ~> rep1sep(ident, ",")) ~
+      rep((K("new") | K("create")) ~> patternPart) ^^ {
+      case on ~ clones ~ news =>
+        ConstructClause(clones.flatten, news, on.getOrElse(Nil)) }
+
+  def clause: Parser[Clause] =
+    matchClause | unwindClause | withClause | fromGraphClause |
+      constructClause | returnClause
+
+  def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
+
+  def query: Parser[Query] =
+    singleQuery ~ rep((K("union") ~> opt(K("all"))) ~ singleQuery) ^^ {
+      case first ~ rest =>
+        Query(first, rest.map { case all ~ q => (all.isDefined, q) }) }
+
+  // ---------------------------------------------------------------- entry
+  def parse(text: String): Query = parseAll(query, text) match {
+    case Success(q, _) => q
+    case f: NoSuccess =>
+      throw new IllegalArgumentException(
+        s"Cypher parse error at line ${f.next.pos.line}, col ${f.next.pos.column}: ${f.msg}\n${f.next.pos.longString}")
+  }
+
+  def parseExpression(text: String): Expr = parseAll(expression, text) match {
+    case Success(e, _) => e
+    case f: NoSuccess =>
+      throw new IllegalArgumentException(s"expression parse error: ${f.msg} at ${f.next.pos}")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Element tables: one DataFrame per node-label-combination / rel type.
+  * (Data model follows the reference's ScanGraph —
+  * okapi-relational/.../impl/graph/ScanGraph.scala:43 — re-expressed for
+  * Spark: LongType ids everywhere, no binary encoding; see SURVEY §1.5.)
+  *
+  * Contract: node ids are globally unique across ALL node tables of the
+  * graph; rel ids across all rel tables. Builders that derive graphs from
+  * foreign keys (e.g. [[graft.sources.TpchGraph]]) guarantee this with
+  * tag-bits in the upper byte of the id.
+  */
+case class NodeTable(labels: Set[String], df: DataFrame, idCol: String,
+    propCols: Map[String, String])
+
+case class RelTable(relType: String, df: DataFrame, idCol: String,
+    srcCol: String, dstCol: String, propCols: Map[String, String])
+
+object SparkTypes {
+  /** Cypher-compatible normalization: integers widen to Long, Float to
+    * Double (reference: SparkConversions.scala:164-169). */
+  def normalize(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType => LongType
+    case FloatType => DoubleType
+    case other => other
+  }
+
+  /** join of two Spark types for union alignment. */
+  def widen(a: DataType, b: DataType): DataType = (normalize(a), normalize(b)) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (_: DecimalType, DoubleType) => DoubleType
+    case (DoubleType, _: DecimalType) => DoubleType
+    case _ => StringType
+  }
+}
+
+class PropertyGraph(
+    val nodeTables: Seq[NodeTable],
+    val relTables: Seq[RelTable],
+    val spark: SparkSession) {
+
+  import SparkTypes._
+
+  def allLabels: Set[String] = nodeTables.flatMap(_.labels).toSet
+  def allRelTypes: Set[String] = relTables.map(_.relType).toSet
+
+  private def dtOf(df: DataFrame, col: String): DataType =
+    df.schema(col).dataType
+
+  /** union of property keys → widened Spark type over a set of tables. */
+  private def unifiedProps(tables: Seq[(DataFrame, Map[String, String])])
+      : Seq[(String, DataType)] = {
+    val keyTypes = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    tables.foreach { case (df, props) =>
+      props.foreach { case (k, c) =>
+        val t = normalize(dtOf(df, c))
+        keyTypes(k) = keyTypes.get(k).map(widen(_, t)).getOrElse(t)
+      }
+    }
+    keyTypes.toSeq
+  }
+
+  /** Node scan aligned to a canonical layout:
+    * one id col, one boolean col per possible label, one col per property.
+    * Returns (df, labelCol-by-label, propCol-by-key) with caller-supplied
+    * column names from `naming`.
+    */
+  def nodeScan(requiredLabels: Set[String],
+      naming: ScanNaming): ScanResult = {
+    val tables = nodeTables.filter(t => requiredLabels.subsetOf(t.labels))
+    val scanLabels = if (tables.isEmpty) requiredLabels else tables.flatMap(_.labels).toSet
+    val props = unifiedProps(tables.map(t => (t.df, t.propCols)))
+    val labelCols = scanLabels.toSeq.sorted.map(l => l -> naming.labelCol(l)).toMap
+    val propColNames = props.map { case (k, _) => k -> naming.propCol(k) }.toMap
+
+    if (tables.isEmpty) {
+      val fields = StructField(naming.idCol, LongType) +:
+        (labelCols.toSeq.sortBy(_._1).map(lc => StructField(lc._2, BooleanType)) ++
+          props.map { case (k, t) => StructField(propColNames(k), t) })
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+      return ScanResult(empty, naming.idCol, labelCols, propColNames, scanLabels)
+    }
+
+    val aligned = tables.map { t =>
+      val idC = t.df.col(t.idCol).cast(LongType).as(naming.idCol)
+      val lblCs = labelCols.toSeq.sortBy(_._1).map { case (l, cName) =>
+        lit(t.labels.contains(l)).as(cName) }
+      val propCs = props.map { case (k, dt) =>
+        t.propCols.get(k) match {
+          case Some(c) => t.df.col(c).cast(dt).as(propColNames(k))
+          case None => lit(null).cast(dt).as(propColNames(k))
+        }
+      }
+      t.df.select((idC +: lblCs) ++ propCs: _*)
+    }
+    ScanResult(aligned.reduce(_ unionByName _), naming.idCol, labelCols,
+      propColNames, scanLabels)
+  }
+
+  /** Relationship scan aligned to id/src/dst/type + unified props. */
+  def relScan(types: Seq[String], naming: ScanNaming): RelScanResult = {
+    val tables =
+      if (types.isEmpty) relTables
+      else relTables.filter(t => types.contains(t.relType))
+    val props = unifiedProps(tables.map(t => (t.df, t.propCols)))
+    val propColNames = props.map { case (k, _) => k -> naming.propCol(k) }.toMap
+
+    if (tables.isEmpty) {
+      val fields = Seq(
+        StructField(naming.idCol, LongType), StructField(naming.srcCol, LongType),
+        StructField(naming.dstCol, LongType), StructField(naming.typCol, StringType)) ++
+        props.map { case (k, t) => StructField(propColNames(k), t) }
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+      return RelScanResult(empty, naming.idCol, naming.srcCol, naming.dstCol,
+        naming.typCol, propColNames, types.toSet)
+    }
+
+    val aligned = tables.map { t =>
+      val base = Seq(
+        t.df.col(t.idCol).cast(LongType).as(naming.idCol),
+        t.df.col(t.srcCol).cast(LongType).as(naming.srcCol),
+        t.df.col(t.dstCol).cast(LongType).as(naming.dstCol),
+        lit(t.relType).as(naming.typCol))
+      val propCs = props.map { case (k, dt) =>
+        t.propCols.get(k) match {
+          case Some(c) => t.df.col(c).cast(dt).as(propColNames(k))
+          case None => lit(null).cast(dt).as(propColNames(k))
+        }
+      }
+      t.df.select(base ++ propCs: _*)
+    }
+    RelScanResult(aligned.reduce(_ unionByName _), naming.idCol, naming.srcCol,
+      naming.dstCol, naming.typCol, propColNames, tables.map(_.relType).toSet)
+  }
+
+  /** property keys a node with these labels may carry (for `keys()` etc). */
+  def nodePropertyKeys(requiredLabels: Set[String]): Seq[String] =
+    unifiedProps(nodeTables.filter(t => requiredLabels.subsetOf(t.labels))
+      .map(t => (t.df, t.propCols))).map(_._1)
+
+  /** Union of two graphs (GraphUnionAll, SURVEY §2.1). Ids must already be
+    * disjoint — use [[PropertyGraph.withIdSpace]] tags when they are not. */
+  def unionAll(other: PropertyGraph): PropertyGraph =
+    new PropertyGraph(nodeTables ++ other.nodeTables,
+      relTables ++ other.relTables, spark)
+}
+
+/** Caller-chosen column naming for one scan (keeps generated names unique
+  * across the whole plan — the planner owns the counter). */
+case class ScanNaming(idCol: String, srcCol: String, dstCol: String,
+    typCol: String, propCol: String => String, labelCol: String => String)
+
+case class ScanResult(df: DataFrame, idCol: String,
+    labelCols: Map[String, String], propCols: Map[String, String],
+    possibleLabels: Set[String])
+
+case class RelScanResult(df: DataFrame, idCol: String, srcCol: String,
+    dstCol: String, typCol: String, propCols: Map[String, String],
+    types: Set[String])

@@ -1,0 +1,426 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cypher.Ast._
+
+/** Cypher expression → Catalyst Column (analogue of the reference's
+  * SparkSQLExprMapper.scala:90, re-derived over public functions._ only —
+  * Spark's ternary boolean logic and null-propagating comparisons line up
+  * with Cypher's, so no CaseWhen wrapping layer is needed for the ops used
+  * here; see SURVEY §2.3).
+  *
+  * @param probe used to resolve expression types at plan time (driver-side
+  *              schema-only analysis; never triggers a job).
+  */
+class ExprCompiler(header: Header, params: Map[String, Any],
+    probe: () => DataFrame, lambdaEnv: Map[String, Column] = Map.empty) {
+
+  private def sub(env: Map[String, Column]) =
+    new ExprCompiler(header, params, probe, lambdaEnv ++ env)
+
+  /** plan-time type resolution via schema-only analysis. Inside lambda
+    * scopes (list comprehensions, reduce) the lambda variable can't be
+    * probed against the input — fall back to NullType, which routes
+    * operators to their default numeric behavior. */
+  def typeOf(e: Expr): DataType =
+    try probe().select(compile(e)).schema.head.dataType
+    catch { case _: Exception => NullType }
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  def litAny(v: Any): Column = v match {
+    case null => lit(null)
+    case s: Seq[_] => array(s.map(litAny): _*)
+    case m: Map[_, _] =>
+      struct(m.toSeq.map { case (k, x) => litAny(x).as(k.toString) }: _*)
+    case other => lit(other)
+  }
+
+  def compile(e: Expr): Column = e match {
+    case Var(n) if lambdaEnv.contains(n) => lambdaEnv(n)
+    case Var(n) => header(n) match {
+      case ValueBinding(c) => col(s"`$c`")
+      case nb: NodeBinding => col(s"`${nb.idCol}`")
+      case rb: RelBinding => col(s"`${rb.idCol}`")
+      case rl: RelListBinding => col(s"`${rl.col}`")
+    }
+    case Param(n) => litAny(params.getOrElse(n,
+      throw new IllegalArgumentException(s"missing parameter $$$n")))
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StringLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case NullLit => lit(null)
+    case ListLit(items) => array(items.map(compile): _*)
+    case MapLit(items) => struct(items.map { case (k, v) => compile(v).as(k) }: _*)
+
+    case Property(Var(n), key) if !lambdaEnv.contains(n) => header(n) match {
+      case nb: NodeBinding =>
+        nb.propCols.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
+      case rb: RelBinding =>
+        rb.propCols.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
+      case ValueBinding(c) => extractField(col(s"`$c`"), key)
+      case _: RelListBinding =>
+        throw new IllegalArgumentException(
+          s"property access on var-length relationship list `$n`")
+    }
+    case Property(b, key) => extractField(compile(b), key)
+
+    case HasLabels(b, labels) => b match {
+      case Var(n) => header(n) match {
+        case nb: NodeBinding =>
+          labels.map(l => nb.labelCols.get(l).map(c => col(s"`$c`"))
+            .getOrElse(lit(false))).reduce(_ && _)
+        case _ => lit(false)
+      }
+      case _ => lit(false)
+    }
+
+    case Index(b, i) =>
+      val c = compile(b)
+      val t = typeOf(b)
+      t match {
+        case _: MapType | _: StructType => extractFieldDyn(c, compile(i), i)
+        case _ =>
+          val idx = compile(i)
+          // Cypher lists are 0-based; element_at is 1-based with negative
+          // indices counting from the end (matches Cypher's l[-1]).
+          element_at(c, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
+      }
+    case Slice(b, from, to) =>
+      val c = compile(b)
+      val f = from.map(compile).getOrElse(lit(0L))
+      val t = to.map(compile).getOrElse(size(c).cast(LongType))
+      slice(c, (f + 1).cast(IntegerType), greatest(t - f, lit(0)).cast(IntegerType))
+
+    case Not(x) => !compile(x)
+    case And(l, r) => compile(l) && compile(r)
+    case Or(l, r) => compile(l) || compile(r)
+    case Xor(l, r) =>
+      val (a, b) = (compile(l), compile(r))
+      (a && !b) || (!a && b)
+
+    case Eq(l, r) => compile(l) === compile(r)
+    case Neq(l, r) => compile(l) =!= compile(r)
+    case Lt(l, r) => compile(l) < compile(r)
+    case Lte(l, r) => compile(l) <= compile(r)
+    case Gt(l, r) => compile(l) > compile(r)
+    case Gte(l, r) => compile(l) >= compile(r)
+    case IsNull(x) => compile(x).isNull
+    case IsNotNull(x) => compile(x).isNotNull
+    case In(x, list) => array_contains(compile(list), compile(x))
+    case StartsWith(l, r) => compile(l).startsWith(compile(r))
+    case EndsWith(l, r) => compile(l).endsWith(compile(r))
+    case Contains(l, r) => compile(l).contains(compile(r))
+    case RegexMatch(l, r) => regexp_like(compile(l), compile(r))
+
+    case Add(l, r) =>
+      val (lc, rc) = (compile(l), compile(r))
+      (typeOf(l), typeOf(r)) match {
+        case (StringType, _) | (_, StringType) =>
+          concat(lc.cast(StringType), rc.cast(StringType))
+        case (_: ArrayType, _: ArrayType) => concat(lc, rc)
+        case (_: ArrayType, _) => concat(lc, array(rc))
+        case (_, _: ArrayType) => concat(array(lc), rc)
+        case _ => lc + rc
+      }
+    case Sub(l, r) => compile(l) - compile(r)
+    case Mul(l, r) => compile(l) * compile(r)
+    case Div(l, r) =>
+      val (lc, rc) = (compile(l), compile(r))
+      if (isIntegral(typeOf(l)) && isIntegral(typeOf(r)))
+        (lc.cast(DoubleType) / rc).cast(LongType) // Cypher int/int truncates
+      else lc / rc
+    case Mod(l, r) => compile(l) % compile(r)
+    case Pow(l, r) => pow(compile(l), compile(r))
+    case Neg(x) => negate(compile(x))
+
+    case CaseExpr(operand, alts, default) =>
+      val branches = operand match {
+        case Some(op) => alts.map { case (w, t) => (compile(Eq(op, w)), compile(t)) }
+        case None => alts.map { case (w, t) => (compile(w), compile(t)) }
+      }
+      val first = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
+      default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
+
+    case ListComprehension(v, list, pred, proj) =>
+      val base = compile(list)
+      val filtered = pred match {
+        case Some(p) => filter(base, x => sub(Map(v -> x)).compile(p))
+        case None => base
+      }
+      proj match {
+        case Some(pr) => transform(filtered, x => sub(Map(v -> x)).compile(pr))
+        case None => filtered
+      }
+
+    case Reduce(acc, init, v, list, step) =>
+      aggregate(compile(list), compile(init),
+        (a, x) => sub(Map(acc -> a, v -> x)).compile(step))
+
+    case Quantified(q, v, list, pred) =>
+      val c = compile(list)
+      def p(x: Column) = sub(Map(v -> x)).compile(pred)
+      q match {
+        case "all" => forall(c, p)
+        case "any" => exists(c, p)
+        case "none" => !exists(c, p)
+        case "single" => size(filter(c, p(_))) === 1
+      }
+
+    case CountStar =>
+      throw new IllegalArgumentException("count(*) is only valid as an aggregate")
+    case _: PatternPredicate =>
+      throw new IllegalArgumentException(
+        "pattern predicate must be planned as a subquery (planner bug)")
+
+    case f: Func => compileFunction(f)
+  }
+
+  // ------------------------------------------------------------ functions
+  private def extractField(c: Column, key: String): Column = {
+    // temporal accessors (date.year etc., reference TemporalUdfs.scala:93)
+    // resolved structurally: if the base is date/timestamp use extractors.
+    c.getField(key) // struct/map lookup; temporal handled in compileFunction
+  }
+
+  private def extractFieldDyn(c: Column, key: Column, keyExpr: Expr): Column =
+    keyExpr match {
+      case StringLit(s) => c.getField(s)
+      case _ => element_at(c, key)
+    }
+
+  /** scalar function dispatch (SURVEY §2.3 inventory). */
+  private def compileFunction(f: Func): Column = {
+    def a(i: Int) = compile(f.args(i))
+    lazy val a0 = a(0)
+    f.name match {
+      case "toupper" | "upper" => upper(a0)
+      case "tolower" | "lower" => lower(a0)
+      case "trim" => trim(a0)
+      case "ltrim" => ltrim(a0)
+      case "rtrim" => rtrim(a0)
+      case "reverse" => reverse(a0)
+      case "replace" => // replace(str, search, repl) — literal, not regex
+        when(a0.isNull || a(1).isNull || a(2).isNull, lit(null))
+          .otherwise(expr_replace(a0, a(1), a(2)))
+      case "split" => split_literal(a0, f.args(1))
+      case "substring" =>
+        val start = a(1) + 1 // Cypher 0-based
+        if (f.args.size > 2) a0.substr(start.cast(IntegerType), a(2).cast(IntegerType))
+        else a0.substr(start.cast(IntegerType), length(a0))
+      case "left" => a0.substr(lit(1), a(1).cast(IntegerType))
+      case "right" => a0.substr(length(a0) - a(1).cast(IntegerType) + 1, a(1).cast(IntegerType))
+      case "tostring" => a0.cast(StringType)
+      case "tointeger" => typeOf(f.args(0)) match {
+        case StringType => a0.cast(DoubleType).cast(LongType)
+        case _ => a0.cast(LongType)
+      }
+      case "tofloat" => a0.cast(DoubleType)
+      case "toboolean" => a0.cast(BooleanType)
+
+      case "abs" => abs(a0)
+      case "ceil" => ceil(a0).cast(DoubleType)
+      case "floor" => floor(a0).cast(DoubleType)
+      case "round" => round(a0, 0).cast(DoubleType)
+      case "sign" => signum(a0).cast(LongType)
+      case "sqrt" => sqrt(a0)
+      case "exp" => exp(a0)
+      case "log" => log(a0)
+      case "log10" => log10(a0)
+      case "sin" => sin(a0)
+      case "cos" => cos(a0)
+      case "tan" => tan(a0)
+      case "cot" => lit(1.0) / tan(a0)
+      case "asin" => asin(a0)
+      case "acos" => acos(a0)
+      case "atan" => atan(a0)
+      case "atan2" => atan2(a0, a(1))
+      case "haversin" => (lit(1.0) - cos(a0)) / 2
+      case "degrees" => degrees(a0)
+      case "radians" => radians(a0)
+      case "e" => lit(math.E)
+      case "pi" => lit(math.Pi)
+      case "rand" => rand()
+      case "timestamp" => (unix_timestamp() * 1000).cast(LongType)
+
+      case "size" | "length" => typeOf(f.args(0)) match {
+        case StringType => length(a0).cast(LongType)
+        case _ => size(a0).cast(LongType)
+      }
+      case "head" => element_at(a0, 1)
+      case "last" => element_at(a0, -1)
+      case "tail" => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
+      case "range" =>
+        val step = if (f.args.size > 2) a(2) else lit(1L)
+        sequence(a0, a(1), step)
+      case "coalesce" => coalesce(f.args.map(compile): _*)
+
+      case "id" => a0 // entity vars compile to their id column
+      case "type" => f.args(0) match {
+        case Var(n) => header(n) match {
+          case rb: RelBinding => col(s"`${rb.typCol}`")
+          case _ => throw new IllegalArgumentException("type() expects a relationship")
+        }
+        case _ => throw new IllegalArgumentException("type() expects a relationship variable")
+      }
+      case "labels" => f.args(0) match {
+        case Var(n) => header(n) match {
+          case nb: NodeBinding =>
+            val entries = nb.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
+              when(col(s"`$c`"), lit(l)) }
+            if (entries.isEmpty) array()
+            else filter(array(entries: _*), x => x.isNotNull)
+          case _ => throw new IllegalArgumentException("labels() expects a node")
+        }
+        case _ => throw new IllegalArgumentException("labels() expects a node variable")
+      }
+      case "keys" => f.args(0) match {
+        case Var(n) =>
+          val props = header(n) match {
+            case nb: NodeBinding => nb.propCols
+            case rb: RelBinding => rb.propCols
+            case _ => throw new IllegalArgumentException("keys() expects an entity")
+          }
+          val entries = props.toSeq.sortBy(_._1).map { case (k, c) =>
+            when(col(s"`$c`").isNotNull, lit(k)) }
+          if (entries.isEmpty) array()
+          else filter(array(entries: _*), x => x.isNotNull)
+        case _ => throw new IllegalArgumentException("keys() expects an entity variable")
+      }
+      case "properties" => f.args(0) match {
+        case Var(n) =>
+          val props = header(n) match {
+            case nb: NodeBinding => nb.propCols
+            case rb: RelBinding => rb.propCols
+            case _ => throw new IllegalArgumentException("properties() expects an entity")
+          }
+          struct(props.toSeq.sortBy(_._1).map { case (k, c) => col(s"`$c`").as(k) }: _*)
+        case _ => throw new IllegalArgumentException("properties() expects an entity variable")
+      }
+      case "startnode" => f.args(0) match {
+        case Var(n) => header(n) match {
+          case rb: RelBinding => col(s"`${rb.srcCol}`")
+          case _ => throw new IllegalArgumentException("startNode() expects a relationship")
+        }
+        case _ => throw new IllegalArgumentException("startNode() expects a relationship variable")
+      }
+      case "endnode" => f.args(0) match {
+        case Var(n) => header(n) match {
+          case rb: RelBinding => col(s"`${rb.dstCol}`")
+          case _ => throw new IllegalArgumentException("endNode() expects a relationship")
+        }
+        case _ => throw new IllegalArgumentException("endNode() expects a relationship variable")
+      }
+
+      // temporal constructors + accessors (subset; SURVEY §2.3 temporal)
+      case "date" => to_date(a0)
+      case "localdatetime" => to_timestamp(a0)
+      case "year" => year(a0).cast(LongType)
+      case "month" => month(a0).cast(LongType)
+      case "day" => dayofmonth(a0).cast(LongType)
+      case "hour" => hour(a0).cast(LongType)
+      case "minute" => minute(a0).cast(LongType)
+      case "second" => second(a0).cast(LongType)
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported function: $other")
+    }
+  }
+
+  /** literal (non-regex) replace — Spark's regexp-free translate doesn't fit,
+    * so quote the pattern. */
+  private def expr_replace(src: Column, search: Column, repl: Column): Column =
+    replace(src, search, repl) // Spark 3.5+ functions.replace: literal semantics
+
+  private def split_literal(src: Column, sep: Expr): Column = sep match {
+    case StringLit(s) => split(src, java.util.regex.Pattern.quote(s))
+    case _ => split(src, java.util.regex.Pattern.quote(" ")) // dynamic sep unsupported
+  }
+
+  // ----------------------------------------------------------- aggregates
+  def isAggregate(e: Expr): Boolean = e match {
+    case CountStar => true
+    case Func(n, _, _) if ExprCompiler.aggregateNames(n) => true
+    case _ => false
+  }
+
+  def containsAggregate(e: Expr): Boolean = e match {
+    case e0 if isAggregate(e0) => true
+    case Not(x) => containsAggregate(x)
+    case And(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Or(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Eq(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Add(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Sub(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Mul(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Div(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Func(_, _, args) => args.exists(containsAggregate)
+    case Property(b, _) => containsAggregate(b)
+    case CaseExpr(op, alts, d) =>
+      op.exists(containsAggregate) ||
+        alts.exists { case (w, t) => containsAggregate(w) || containsAggregate(t) } ||
+        d.exists(containsAggregate)
+    case _ => false
+  }
+
+  /** compile an aggregate expression (possibly with scalar wrapping around
+    * the aggregate call, e.g. `sum(x) / 100`). */
+  def compileAggregate(e: Expr): Column = e match {
+    case CountStar => count(lit(1))
+    case Func("count", true, args) => count_distinct(compile(args.head))
+    case Func("count", false, args) => count(compile(args.head))
+    case Func("sum", _, args) => sum(compile(args.head))
+    case Func("avg", _, args) => avg(compile(args.head))
+    case Func("min", _, args) => min(compile(args.head))
+    case Func("max", _, args) => max(compile(args.head))
+    case Func("collect", true, args) => collect_set(compile(args.head))
+    case Func("collect", false, args) => collect_list(compile(args.head))
+    case Func("stdev", _, args) => coalesce(stddev_samp(compile(args.head)), lit(0.0))
+    case Func("stdevp", _, args) => coalesce(stddev_pop(compile(args.head)), lit(0.0))
+    case Func("percentilecont", _, args) =>
+      percentile_approx(compile(args.head), compile(args(1)), lit(1000000))
+    case Func("percentiledisc", _, args) =>
+      percentile_approx(compile(args.head), compile(args(1)), lit(1000000))
+    // scalar wrappers around aggregates
+    case Add(l, r) => wrapAgg(l) + wrapAgg(r)
+    case Sub(l, r) => wrapAgg(l) - wrapAgg(r)
+    case Mul(l, r) => wrapAgg(l) * wrapAgg(r)
+    case Div(l, r) => wrapAgg(l) / wrapAgg(r)
+    case Func(name, d, args) if !ExprCompiler.aggregateNames(name) =>
+      // scalar function over aggregate args, e.g. round(avg(x))
+      compileFunctionOver(Func(name, d, args))
+    case other =>
+      throw new IllegalArgumentException(s"not an aggregate expression: $other")
+  }
+
+  private def wrapAgg(e: Expr): Column =
+    if (containsAggregate(e)) compileAggregate(e) else compile(e)
+
+  private def compileFunctionOver(f: Func): Column = {
+    // rebuild with aggregate-aware arg compilation via a tiny shim
+    val cols = f.args.map(wrapAgg)
+    f.name match {
+      case "round" => round(cols.head, 0).cast(DoubleType)
+      case "abs" => abs(cols.head)
+      case "tofloat" => cols.head.cast(DoubleType)
+      case "tointeger" => cols.head.cast(LongType)
+      case "sqrt" => sqrt(cols.head)
+      case "coalesce" => coalesce(cols: _*)
+      case "size" => size(cols.head).cast(LongType)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported function over aggregate: $other")
+    }
+  }
+}
+
+object ExprCompiler {
+  val aggregateNames: Set[String] = Set("count", "sum", "avg", "min", "max",
+    "collect", "stdev", "stdevp", "percentilecont", "percentiledisc")
+}

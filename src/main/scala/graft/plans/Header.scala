@@ -1,0 +1,52 @@
+package graft.plans
+
+import scala.collection.immutable.ListMap
+
+/** The expr→column bookkeeping that makes "entity = group of columns" work
+  * in a flat DataFrame (idea from the reference's RecordHeader,
+  * okapi-relational/.../impl/table/RecordHeader.scala:62 — our own, simpler
+  * formulation: a binding per visible variable, each owning its columns).
+  */
+sealed trait Binding { def columns: Seq[String] }
+
+/** plain value (projected expression, unwound item, ...). */
+case class ValueBinding(col: String) extends Binding {
+  def columns: Seq[String] = Seq(col)
+}
+
+/** node variable: id column + one boolean column per possible label + one
+  * column per possible property. `labels` = labels known true. */
+case class NodeBinding(idCol: String, labelCols: Map[String, String],
+    propCols: Map[String, String], labels: Set[String]) extends Binding {
+  def columns: Seq[String] =
+    idCol +: (labelCols.toSeq.sortBy(_._1).map(_._2) ++
+      propCols.toSeq.sortBy(_._1).map(_._2))
+}
+
+/** relationship variable: id/src/dst/type + property columns. */
+case class RelBinding(idCol: String, srcCol: String, dstCol: String,
+    typCol: String, propCols: Map[String, String], types: Set[String])
+    extends Binding {
+  def columns: Seq[String] =
+    Seq(idCol, srcCol, dstCol, typCol) ++ propCols.toSeq.sortBy(_._1).map(_._2)
+}
+
+/** var-length relationship variable: a list-of-rel-ids column. */
+case class RelListBinding(col: String, types: Set[String]) extends Binding {
+  def columns: Seq[String] = Seq(col)
+}
+
+case class Header(bindings: ListMap[String, Binding]) {
+  def apply(v: String): Binding = bindings.getOrElse(v,
+    throw new IllegalArgumentException(
+      s"Variable `$v` not defined. In scope: ${bindings.keys.mkString(", ")}"))
+  def get(v: String): Option[Binding] = bindings.get(v)
+  def contains(v: String): Boolean = bindings.contains(v)
+  def columns: Seq[String] = bindings.values.flatMap(_.columns).toSeq.distinct
+  def +(kv: (String, Binding)): Header = Header(bindings + kv)
+  def vars: Seq[String] = bindings.keys.toSeq
+}
+
+object Header {
+  val empty: Header = Header(ListMap.empty)
+}

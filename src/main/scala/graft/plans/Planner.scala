@@ -1,0 +1,641 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cypher.Ast._
+import graft.graph.{PropertyGraph, ScanNaming}
+
+import scala.collection.immutable.ListMap
+
+/** Compiles a parsed Cypher query straight to a DataFrame plan.
+  *
+  * Single lowering layer (the reference splits this across logical +
+  * relational planners, okapi-logical/.../LogicalPlanner.scala:47 and
+  * okapi-relational/.../RelationalPlanner.scala:52; we have exactly one
+  * backend so we emit Catalyst-optimizable DataFrame transformations
+  * directly — SURVEY §7.1). All graph navigation becomes equi-joins and
+  * union-alls; Catalyst + AQE pick physical strategies.
+  */
+class Planner(spark: SparkSession, params: Map[String, Any],
+    catalog: String => PropertyGraph, initialGraph: PropertyGraph,
+    maxVarLength: Int = 10) {
+
+  private val counter = new AtomicLong()
+  private def fresh(prefix: String): String =
+    s"${prefix}#${counter.incrementAndGet()}"
+  private def naming(v: String): ScanNaming = ScanNaming(
+    idCol = fresh(s"${v}_id"), srcCol = fresh(s"${v}_src"),
+    dstCol = fresh(s"${v}_dst"), typCol = fresh(s"${v}_type"),
+    propCol = k => fresh(s"${v}_p_$k"), labelCol = l => fresh(s"${v}_l_$l"))
+
+  case class PState(df: DataFrame, header: Header, isUnit: Boolean = false)
+
+  private def unitState: PState =
+    PState(spark.range(1).toDF().select(), Header.empty, isUnit = true)
+
+  private def compiler(st: PState) =
+    new ExprCompiler(st.header, params, () => st.df)
+
+  /** internal (anonymous) vars are excluded from `*` expansion. */
+  private def isInternal(v: String): Boolean = v.startsWith("@")
+
+  // ================================================================ entry
+  def plan(q: Query): DataFrame = {
+    val first = planSingle(q.first)
+    q.unions.foldLeft(first) { case (acc, (all, sq)) =>
+      val next = planSingle(sq)
+      val u = acc.unionByName(next)
+      if (all) u else u.dropDuplicates()
+    }
+  }
+
+  def planSingle(sq: SingleQuery): DataFrame = {
+    var graph = initialGraph
+    var state = unitState
+    var finalDf: Option[DataFrame] = None
+    sq.clauses.foreach {
+      case FromGraphClause(name) => graph = catalog(name)
+      case m: MatchClause => state = planMatch(graph, state, m)
+      case UnwindClause(e, v) => state = planUnwind(state, e, v)
+      case w: WithClause =>
+        state = planProjection(state, w.items, w.star, w.distinct, w.orderBy,
+          w.skip, w.limit, isReturn = false)
+        w.where.foreach { pred =>
+          state = applyWhere(graph, state, pred)
+        }
+      case r: ReturnClause =>
+        val st = planProjection(state, r.items, r.star, r.distinct, r.orderBy,
+          r.skip, r.limit, isReturn = true)
+        finalDf = Some(finalizeReturn(st, r))
+      case c: ConstructClause =>
+        throw new IllegalArgumentException(
+          "CONSTRUCT must be executed via GraftSession.cypherGraph")
+    }
+    finalDf.getOrElse(throw new IllegalArgumentException(
+      "query must end in RETURN"))
+  }
+
+  // ================================================================ MATCH
+  /** per-MATCH context: relationship id columns for uniqueness filtering. */
+  private case class RelId(col: String, isList: Boolean, types: Set[String])
+
+  def planMatch(graph: PropertyGraph, state: PState, m: MatchClause): PState = {
+    if (m.optional) return planOptionalMatch(graph, state, m)
+    val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
+    var st = state
+    m.pattern.parts.foreach { part => st = planPart(graph, st, part, relIds) }
+    st = applyRelUniqueness(st, relIds.toSeq)
+    m.where.foreach { pred => st = applyWhere(graph, st, pred) }
+    st
+  }
+
+  /** Cypher demands pairwise-distinct relationships within one MATCH
+    * (relationship isomorphism). Reference does this per var-length expand
+    * (VarLengthExpandPlanner.scala:178); we apply it across the clause. */
+  private def applyRelUniqueness(st: PState, relIds: Seq[RelId]): PState = {
+    val conds = for {
+      i <- relIds.indices; j <- (i + 1) until relIds.size
+      a = relIds(i); b = relIds(j)
+      if a.types.isEmpty || b.types.isEmpty || (a.types & b.types).nonEmpty
+    } yield (a, b) match {
+      case (RelId(x, false, _), RelId(y, false, _)) =>
+        !(col(s"`$x`") <=> col(s"`$y`"))
+      case (RelId(x, true, _), RelId(y, false, _)) =>
+        !coalesce(array_contains(col(s"`$x`"), col(s"`$y`")), lit(false))
+      case (RelId(x, false, _), RelId(y, true, _)) =>
+        !coalesce(array_contains(col(s"`$y`"), col(s"`$x`")), lit(false))
+      case (RelId(x, true, _), RelId(y, true, _)) =>
+        !coalesce(arrays_overlap(col(s"`$x`"), col(s"`$y`")), lit(false))
+    }
+    if (conds.isEmpty) st else st.copy(df = st.df.where(conds.reduce(_ && _)))
+  }
+
+  private def planPart(graph: PropertyGraph, state: PState, part: PatternPart,
+      relIds: scala.collection.mutable.ArrayBuffer[RelId]): PState = {
+    val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
+
+    def nodeVarName(np: NodePattern): String =
+      np.variable.getOrElse(fresh("@n"))
+
+    // start node
+    val startVar = nodeVarName(part.start)
+    var st = bindNode(graph, state, startVar, part.start, propPreds)
+
+    // chain
+    var prevVar = startVar
+    part.chain.foreach { case (rel, node) =>
+      val relVar = rel.variable.getOrElse(fresh("@r"))
+      val dstVar = nodeVarName(node)
+      st = rel.varLength match {
+        case None =>
+          val st2 = expandOne(graph, st, prevVar, relVar, rel, dstVar, node, propPreds)
+          relIds += RelId(st2.header(relVar).asInstanceOf[RelBinding].idCol,
+            isList = false,
+            types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
+          st2
+        case Some((lo, hi)) =>
+          val st2 = expandVarLength(graph, st, prevVar, relVar, rel, dstVar,
+            node, lo, hi.getOrElse(maxVarLength), propPreds)
+          relIds += RelId(st2.header(relVar).asInstanceOf[RelListBinding].col,
+            isList = true,
+            types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
+          st2
+      }
+      prevVar = dstVar
+    }
+
+    // inline property predicates ({k: v} maps) + label predicates on bound vars
+    propPreds.foldLeft(st) { (s, pred) =>
+      s.copy(df = s.df.where(compiler(s).compile(pred)))
+    }
+  }
+
+  /** bind a node pattern's variable: scan + cross/filter as appropriate. */
+  private def bindNode(graph: PropertyGraph, state: PState, v: String,
+      np: NodePattern, propPreds: scala.collection.mutable.ArrayBuffer[Expr])
+      : PState = {
+    np.properties.foreach { case (k, e) => propPreds += Eq(Property(Var(v), k), e) }
+    state.header.get(v) match {
+      case Some(_: NodeBinding) =>
+        if (np.labels.nonEmpty) propPreds += HasLabels(Var(v), np.labels)
+        state
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$v already bound to $other, not a node")
+      case None =>
+        val scan = graph.nodeScan(np.labels.toSet, naming(v))
+        val binding = NodeBinding(scan.idCol, scan.labelCols, scan.propCols,
+          np.labels.toSet)
+        val df =
+          if (state.isUnit) scan.df
+          else state.df.crossJoin(scan.df)
+        PState(df, state.header + (v -> binding))
+    }
+  }
+
+  /** one-hop expand: (prev)-[rel]->(dst); handles Expand and ExpandInto
+    * (reference lowering: RelationalPlanner.scala:130-189). */
+  private def expandOne(graph: PropertyGraph, state: PState, srcVar: String,
+      relVar: String, rel: RelPattern, dstVar: String, dstNp: NodePattern,
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
+    rel.properties.foreach { case (k, e) =>
+      propPreds += Eq(Property(Var(relVar), k), e) }
+
+    val (relDf, rb, travSrc, travDst) = orientedRelScan(graph, rel, relVar)
+    val srcId = col(s"`${state.header(srcVar).asInstanceOf[NodeBinding].idCol}`")
+
+    state.header.get(dstVar) match {
+      case Some(dstB: NodeBinding) => // ExpandInto: join rel on BOTH endpoints
+        if (dstNp.labels.nonEmpty) propPreds += HasLabels(Var(dstVar), dstNp.labels)
+        dstNp.properties.foreach { case (k, e) =>
+          propPreds += Eq(Property(Var(dstVar), k), e) }
+        val cond = (srcId === col(s"`$travSrc`")) &&
+          (col(s"`${dstB.idCol}`") === col(s"`$travDst`"))
+        val df = state.df.join(relDf, cond, "inner")
+          .drop(travSrc, travDst)
+        PState(df, state.header + (relVar -> rb))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$dstVar bound to $other, not a node")
+      case None =>
+        val withRel = state.df.join(relDf, srcId === col(s"`$travSrc`"), "inner")
+        val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
+        dstNp.properties.foreach { case (k, e) =>
+          propPreds += Eq(Property(Var(dstVar), k), e) }
+        val dstB = NodeBinding(scan.idCol, scan.labelCols, scan.propCols,
+          dstNp.labels.toSet)
+        val df = withRel
+          .join(scan.df, col(s"`$travDst`") === col(s"`${scan.idCol}`"), "inner")
+          .drop(travSrc, travDst)
+        PState(df, state.header + (relVar -> rb) + (dstVar -> dstB))
+    }
+  }
+
+  /** rel scan with traversal orientation columns. Storage src/dst stay in
+    * the binding (startNode/endNode return storage direction); traversal
+    * uses trav columns, which the caller drops. Undirected = union of both
+    * orientations (reference: RelationalPlanner.scala:154-164). */
+  private def orientedRelScan(graph: PropertyGraph, rel: RelPattern,
+      relVar: String): (DataFrame, RelBinding, String, String) = {
+    val scan = graph.relScan(rel.types, naming(relVar))
+    val rb = RelBinding(scan.idCol, scan.srcCol, scan.dstCol, scan.typCol,
+      scan.propCols, scan.types)
+    val travSrc = fresh(s"${relVar}_tsrc")
+    val travDst = fresh(s"${relVar}_tdst")
+    val base = scan.df
+    val df = rel.direction match {
+      case Outgoing => base
+        .withColumn(travSrc, col(s"`${scan.srcCol}`"))
+        .withColumn(travDst, col(s"`${scan.dstCol}`"))
+      case Incoming => base
+        .withColumn(travSrc, col(s"`${scan.dstCol}`"))
+        .withColumn(travDst, col(s"`${scan.srcCol}`"))
+      case Undirected =>
+        base.withColumn(travSrc, col(s"`${scan.srcCol}`"))
+          .withColumn(travDst, col(s"`${scan.dstCol}`"))
+          .unionByName(base
+            .withColumn(travSrc, col(s"`${scan.dstCol}`"))
+            .withColumn(travDst, col(s"`${scan.srcCol}`")))
+    }
+    (df, rb, travSrc, travDst)
+  }
+
+  /** `[*lo..hi]` — unrolled union over path lengths with per-path edge
+    * uniqueness and a rel-id-list binding (reference strategy:
+    * VarLengthExpandPlanner.scala; ours unions aligned branches). */
+  private def expandVarLength(graph: PropertyGraph, state: PState,
+      srcVar: String, relVar: String, rel: RelPattern, dstVar: String,
+      dstNp: NodePattern, lo: Int, hi: Int,
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
+    require(lo >= 0 && hi >= lo, s"invalid var-length bounds [*$lo..$hi]")
+    require(hi <= 30, s"var-length upper bound $hi too large (cap 30)")
+
+    val srcB = state.header(srcVar).asInstanceOf[NodeBinding]
+    val dstBound = state.header.get(dstVar).map {
+      case nb: NodeBinding => nb
+      case other => throw new IllegalArgumentException(
+        s"$dstVar bound to $other, not a node")
+    }
+
+    // canonical output: state cols + list col + (dst binding cols if new)
+    val listCol = fresh(s"${relVar}_ids")
+    val dstScan0 =
+      if (dstBound.isEmpty) Some(graph.nodeScan(dstNp.labels.toSet, naming(dstVar)))
+      else None
+    val dstB = dstBound.getOrElse {
+      val s0 = dstScan0.get
+      NodeBinding(s0.idCol, s0.labelCols, s0.propCols, dstNp.labels.toSet)
+    }
+    val outCols: Seq[String] =
+      state.header.columns ++ (listCol +:
+        (if (dstBound.isEmpty) dstB.columns else Seq.empty))
+
+    def branch(k: Int): DataFrame = {
+      if (k == 0) {
+        // zero-length: dst == src (copy bindings / filter when bound)
+        val base = dstBound match {
+          case Some(b) =>
+            state.df.where(col(s"`${srcB.idCol}`") === col(s"`${b.idCol}`"))
+          case None =>
+            // dst binding columns = copies of src columns where present,
+            // null for labels/props src lacks
+            val withDst = dstB.columns.foldLeft(state.df) { (df, c) => df }
+            // build copies explicitly below
+            withDst
+        }
+        dstBound match {
+          case Some(_) =>
+            base.withColumn(listCol, array().cast(ArrayType(LongType, false)))
+              .select(outCols.map(c => col(s"`$c`")): _*)
+          case None =>
+            // align: copy src id; labels: src label cols when same label else false;
+            // props: src prop col when same key else null
+            val copies: Seq[Column] =
+              col(s"`${srcB.idCol}`").as(dstB.idCol) +:
+                (dstB.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
+                  srcB.labelCols.get(l).map(sc => col(s"`$sc`"))
+                    .getOrElse(lit(false)).as(c) } ++
+                  dstB.propCols.toSeq.sortBy(_._1).map { case (k2, c) =>
+                    srcB.propCols.get(k2).map(sc => col(s"`$sc`"))
+                      .getOrElse(lit(null)).as(c) })
+            val dstLabelFilter: Column = dstNp.labels.toSeq
+              .map(l => srcB.labelCols.get(l).map(sc => col(s"`$sc`"))
+                .getOrElse(lit(false)))
+              .foldLeft(lit(true))(_ && _)
+            state.df.where(dstLabelFilter)
+              .select(state.df.columns.map(c => col(s"`$c`")) ++ copies: _*)
+              .withColumn(listCol, array().cast(ArrayType(LongType, false)))
+              .select(outCols.map(c => col(s"`$c`")): _*)
+        }
+      } else {
+        var df = state.df
+        var prevOut: Column = col(s"`${srcB.idCol}`")
+        val stepIds = scala.collection.mutable.ArrayBuffer.empty[String]
+        (1 to k).foreach { _ =>
+          val (relDf, rb2, tSrc, tDst) = orientedRelScan(graph, rel, relVar)
+          df = df.join(relDf, prevOut === col(s"`$tSrc`"), "inner")
+          stepIds += rb2.idCol
+          prevOut = col(s"`$tDst`")
+        }
+        // per-path edge uniqueness
+        for (i <- stepIds.indices; j <- (i + 1) until stepIds.size)
+          df = df.where(col(s"`${stepIds(i)}`") =!= col(s"`${stepIds(j)}`"))
+        df = df.withColumn(listCol, array(stepIds.toSeq.map(c => col(s"`$c`")): _*))
+        // terminal node
+        dstBound match {
+          case Some(b) =>
+            df.where(prevOut === col(s"`${b.idCol}`"))
+              .select(outCols.map(c => col(s"`$c`")): _*)
+          case None =>
+            val scanK = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
+            val joined = df.join(scanK.df, prevOut === col(s"`${scanK.idCol}`"), "inner")
+            // rename this branch's dst cols to the canonical dst col names
+            val renames: Seq[(String, String)] =
+              (scanK.idCol -> dstB.idCol) +:
+                (dstB.labelCols.toSeq.map { case (l, c) => scanK.labelCols(l) -> c } ++
+                  dstB.propCols.toSeq.map { case (p, c) => scanK.propCols(p) -> c })
+            val renameMap = renames.toMap
+            val sel = outCols.map { c =>
+              val srcCol = renames.collectFirst { case (from, to) if to == c => from }
+                .getOrElse(c)
+              col(s"`$srcCol`").as(c)
+            }
+            joined.select(sel: _*)
+        }
+      }
+    }
+
+    val lo1 = math.max(lo, 0)
+    val dfs = (lo1 to hi).map(branch)
+    val unioned = dfs.reduce(_ unionByName _)
+    dstNp.properties.foreach { case (k, e) =>
+      propPreds += Eq(Property(Var(dstVar), k), e) }
+    PState(unioned,
+      state.header + (relVar -> RelListBinding(listCol,
+        if (rel.types.isEmpty) Set.empty else rel.types.toSet)) +
+        (dstVar -> dstB))
+  }
+
+  // ===================================================== OPTIONAL / WHERE
+  /** OPTIONAL MATCH: plan rhs from the distinct projection of shared vars,
+    * rename its copies, left-outer join back (reference recipe:
+    * RelationalPlanner.planOptional :298-329). */
+  private def planOptionalMatch(graph: PropertyGraph, state: PState,
+      m: MatchClause): PState = {
+    val patternVars = collectPatternVars(m.pattern)
+    val shared = patternVars.filter(state.header.contains)
+
+    if (state.isUnit || shared.isEmpty) {
+      val rhs = planMatch(graph, unitState, m.copy(optional = false))
+      if (state.isUnit) return rhs
+      // no shared vars: left-outer on constant condition keeps lhs rows
+      // (single all-null row when rhs is empty)
+      val df = state.df.join(rhs.df, lit(true), "left_outer")
+      return PState(df, Header(state.header.bindings ++ rhs.header.bindings))
+    }
+
+    // seed rhs with the distinct shared bindings
+    val sharedBindings = shared.map(v => v -> state.header(v))
+    val seedCols = sharedBindings.flatMap(_._2.columns).distinct
+    val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
+    val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
+    val rhs = planMatch(graph, seed, m.copy(optional = false))
+
+    // rename ALL seed-visible columns in rhs to fresh names before joining
+    val renameMap = seedCols.map(c => c -> fresh("opt")).toMap
+    val rhsDf = renameMap.foldLeft(rhs.df) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to) }
+
+    // join on the id columns of shared bindings (null-safe not needed:
+    // Cypher null ids never match)
+    val joinCond = sharedBindings.map { case (v, b) =>
+      val idc = b match {
+        case nb: NodeBinding => nb.idCol
+        case rb: RelBinding => rb.idCol
+        case ValueBinding(c) => c
+        case rl: RelListBinding => rl.col
+      }
+      col(s"`$idc`") === col(s"`${renameMap(idc)}`")
+    }.reduce(_ && _)
+
+    val joined = state.df.join(rhsDf, joinCond, "left_outer")
+      .drop(renameMap.values.toSeq.map(c => c): _*)
+
+    // header: lhs bindings + rhs-new bindings (shared vars stay lhs-bound)
+    val newBindings = rhs.header.bindings.filterNot { case (v, _) =>
+      state.header.contains(v) }
+    PState(joined, Header(state.header.bindings ++ newBindings))
+  }
+
+  private def collectPatternVars(p: Pattern): Seq[String] =
+    p.parts.flatMap { part =>
+      (part.start.variable.toSeq ++
+        part.chain.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq })
+    }.distinct
+
+  /** WHERE: splits conjuncts; pattern predicates become semi/anti joins
+    * (reference: ExistsSubQuery lowering, RelationalPlanner.scala:224-246),
+    * the rest compile to a Column filter. */
+  def applyWhere(graph: PropertyGraph, state: PState, pred: Expr): PState = {
+    val conjuncts = splitAnds(pred)
+    var st = state
+    conjuncts.foreach {
+      case PatternPredicate(part, neg) =>
+        st = planPatternPredicate(graph, st, part, anti = neg)
+      case Not(PatternPredicate(part, neg)) =>
+        st = planPatternPredicate(graph, st, part, anti = !neg)
+      case other =>
+        st = st.copy(df = st.df.where(compiler(st).compile(other)))
+    }
+    st
+  }
+
+  private def splitAnds(e: Expr): Seq[Expr] = e match {
+    case And(l, r) => splitAnds(l) ++ splitAnds(r)
+    case other => Seq(other)
+  }
+
+  private def planPatternPredicate(graph: PropertyGraph, state: PState,
+      part: PatternPart, anti: Boolean): PState = {
+    val patVars = collectPatternVars(Pattern(Seq(part)))
+    val shared = patVars.filter(state.header.contains)
+    require(shared.nonEmpty,
+      "pattern predicate must reference at least one bound variable")
+
+    val sharedBindings = shared.map(v => v -> state.header(v))
+    val seedCols = sharedBindings.flatMap(_._2.columns).distinct
+    val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
+    val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
+    val rhs = planMatch(graph, seed,
+      MatchClause(optional = false, Pattern(Seq(part)), None))
+
+    val renameMap = seedCols.map(c => c -> fresh("ex")).toMap
+    val rhsDf = renameMap.foldLeft(rhs.df) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to) }
+      .select(renameMap.values.toSeq.map(c => col(s"`$c`")): _*)
+      .distinct()
+
+    val joinCond = sharedBindings.map { case (v, b) =>
+      val idc = b match {
+        case nb: NodeBinding => nb.idCol
+        case rb: RelBinding => rb.idCol
+        case ValueBinding(c) => c
+        case rl: RelListBinding => rl.col
+      }
+      col(s"`$idc`") === col(s"`${renameMap(idc)}`")
+    }.reduce(_ && _)
+
+    val joined = state.df.join(rhsDf, joinCond,
+      if (anti) "left_anti" else "left_semi")
+    state.copy(df = joined)
+  }
+
+  // =========================================================== projection
+  private def planUnwind(state: PState, e: Expr, v: String): PState = {
+    val c = compiler(state).compile(e)
+    val newCol = fresh(s"${v}_val")
+    val df = state.df.select(
+      state.header.columns.map(cn => col(s"`$cn`")) :+ explode(c).as(newCol): _*)
+    PState(df, state.header + (v -> ValueBinding(newCol)))
+  }
+
+  private def evalStaticInt(e: Expr): Long = e match {
+    case IntLit(v) => v
+    case Param(n) => params(n) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"SKIP/LIMIT parameter must be integer, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"SKIP/LIMIT must be a literal or parameter, got $other")
+  }
+
+  private case class OutItem(name: String, expr: Expr, binding: Binding)
+
+  def planProjection(state: PState, items0: Seq[ReturnItem], star: Boolean,
+      distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr], isReturn: Boolean): PState = {
+    val starItems =
+      if (!star) Seq.empty
+      else state.header.vars.filterNot(isInternal).map(v =>
+        ReturnItem(Var(v), None, v))
+    val items = starItems ++ items0
+    require(items.nonEmpty, "empty projection")
+
+    val comp = compiler(state)
+    val hasAgg = items.exists(i => comp.containsAggregate(i.expr))
+
+    if (hasAgg) planAggregation(state, items, distinct, orderBy, skip, limit)
+    else planSimpleProjection(state, items, distinct, orderBy, skip, limit)
+  }
+
+  private def outName(i: ReturnItem): String = i.alias.getOrElse(i.text)
+
+  private def planSimpleProjection(state: PState, items: Seq[ReturnItem],
+      distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr]): PState = {
+    val comp = compiler(state)
+
+    // each item → binding in the NEW header (entity bindings pass through)
+    var df = state.df
+    val newBindings: Seq[(String, Binding)] = items.map { i =>
+      i.expr match {
+        case Var(v) if state.header.contains(v) =>
+          outName(i) -> state.header(v)
+        case e =>
+          val c = fresh(s"proj_${outName(i).take(20).replaceAll("[^A-Za-z0-9_]", "_")}")
+          df = df.withColumn(c, comp.compile(e))
+          outName(i) -> ValueBinding(c)
+      }
+    }
+    val newHeader = Header(ListMap(newBindings: _*))
+
+    if (distinct) {
+      // DISTINCT on projected values, then order/skip/limit over new header
+      df = df.select(newHeader.columns.map(c => col(s"`$c`")): _*).dropDuplicates()
+      val ordered = applyOrder(df, newHeader, orderBy, state)
+      val sliced = applySkipLimit(ordered, skip, limit)
+      PState(sliced, newHeader)
+    } else {
+      // order may reference pre-projection vars too: combined header
+      val combined = Header(state.header.bindings ++ newHeader.bindings)
+      val ordered = applyOrder(df, combined, orderBy, state)
+      val sliced = applySkipLimit(ordered, skip, limit)
+      PState(sliced.select(newHeader.columns.map(c => col(s"`$c`")): _*), newHeader)
+    }
+  }
+
+  private def planAggregation(state: PState, items: Seq[ReturnItem],
+      distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr]): PState = {
+    val comp = compiler(state)
+    val (aggItems, keyItems) = items.partition(i => comp.containsAggregate(i.expr))
+
+    var df = state.df
+    // group keys: entity vars keep all their columns (reference groups by
+    // every owned column, SparkTable.scala:134-159); other exprs materialize
+    val keyBindings: Seq[(String, Binding)] = keyItems.map { i =>
+      i.expr match {
+        case Var(v) if state.header.contains(v) => outName(i) -> state.header(v)
+        case e =>
+          val c = fresh(s"key_${outName(i).take(20).replaceAll("[^A-Za-z0-9_]", "_")}")
+          df = df.withColumn(c, comp.compile(e))
+          outName(i) -> ValueBinding(c)
+      }
+    }
+    val groupCols = keyBindings.flatMap(_._2.columns).distinct
+
+    val aggCols: Seq[(String, Column)] = aggItems.map { i =>
+      val c = fresh(s"agg_${outName(i).take(20).replaceAll("[^A-Za-z0-9_]", "_")}")
+      c -> comp.compileAggregate(i.expr).as(c)
+    }
+    val aggBindings: Seq[(String, Binding)] = aggItems.zip(aggCols).map {
+      case (i, (c, _)) => outName(i) -> ValueBinding(c) }
+
+    val agged =
+      if (groupCols.isEmpty) df.agg(aggCols.head._2, aggCols.tail.map(_._2): _*)
+      else df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+        .agg(aggCols.head._2, aggCols.tail.map(_._2): _*)
+
+    // restore item order in the header
+    val ordered = items.map { i =>
+      val name = outName(i)
+      (keyBindings ++ aggBindings).find(_._1 == name).get
+    }
+    val newHeader = Header(ListMap(ordered: _*))
+    var out = agged
+    if (distinct) out = out.dropDuplicates(newHeader.columns)
+    val sorted = applyOrder(out, newHeader, orderBy, PState(out, newHeader))
+    PState(applySkipLimit(sorted, skip, limit), newHeader)
+  }
+
+  private def applyOrder(df: DataFrame, header: Header,
+      orderBy: Seq[SortItem], typeState: PState): DataFrame = {
+    if (orderBy.isEmpty) return df
+    val comp = new ExprCompiler(header, params, () => df)
+    val cols = orderBy.map { si =>
+      val c = comp.compile(si.expr)
+      if (si.ascending) c.asc_nulls_last else c.desc_nulls_last
+    }
+    df.orderBy(cols: _*)
+  }
+
+  private def applySkipLimit(df: DataFrame, skip: Option[Expr],
+      limit: Option[Expr]): DataFrame = {
+    val skipped = skip.map(e => df.offset(evalStaticInt(e).toInt)).getOrElse(df)
+    limit.map(e => skipped.limit(evalStaticInt(e).toInt)).getOrElse(skipped)
+  }
+
+  /** RETURN: map bindings to user-facing columns. Entities render as a
+    * struct of id + properties (records stay a plain DataFrame, SURVEY §1.1
+    * item 4). */
+  private def finalizeReturn(state: PState, r: ReturnClause): DataFrame = {
+    val cols = state.header.bindings.toSeq.map { case (name, b) =>
+      (b match {
+        case ValueBinding(c) => col(s"`$c`")
+        case nb: NodeBinding =>
+          val props = nb.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+            col(s"`$c`").as(k) }
+          val lbls = nb.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
+            when(col(s"`$c`"), lit(l)) }
+          val labelArr =
+            if (lbls.isEmpty) array().cast(ArrayType(StringType))
+            else filter(array(lbls: _*), x => x.isNotNull)
+          when(col(s"`${nb.idCol}`").isNotNull,
+            struct((col(s"`${nb.idCol}`").as("@id") +: labelArr.as("@labels") +: props): _*))
+        case rb: RelBinding =>
+          val props = rb.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+            col(s"`$c`").as(k) }
+          when(col(s"`${rb.idCol}`").isNotNull,
+            struct((col(s"`${rb.idCol}`").as("@id") +: col(s"`${rb.srcCol}`").as("@src") +:
+              col(s"`${rb.dstCol}`").as("@dst") +: col(s"`${rb.typCol}`").as("@type") +:
+              props): _*))
+        case rl: RelListBinding => col(s"`${rl.col}`")
+      }).as(name)
+    }
+    state.df.select(cols: _*)
+  }
+}

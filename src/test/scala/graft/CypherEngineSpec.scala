@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.sources.TpchGraph
+
+class CypherEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val gs = GraftSession(spark)
+  lazy val g = TpchGraph.load(spark, dir)
+  lazy val customer = spark.read.parquet(s"$dir/customer.parquet")
+  lazy val orders = spark.read.parquet(s"$dir/orders.parquet")
+  lazy val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+
+  test("node scan with label and filter") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer) WHERE c.c_acctbal > 9000.0 RETURN c.c_custkey AS k, c.c_name AS name")
+    val expected = customer.where(col("c_acctbal") > 9000.0).count()
+    assert(df.count() == expected)
+    assert(df.columns.toSeq == Seq("k", "name"))
+  }
+
+  test("expand one hop matches FK join") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.c_custkey AS ck, o.o_orderkey AS ok")
+    assert(df.count() == orders.count())
+  }
+
+  test("two-hop expand with rel properties") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[li:CONTAINS]->(p:Part)
+        |WHERE li.l_quantity > 45.0
+        |RETURN c.c_custkey AS ck, o.o_orderkey AS ok, p.p_partkey AS pk, li.l_quantity AS qty""".stripMargin)
+    val expected = lineitem.where(col("l_quantity") > 45.0).count()
+    assert(df.count() == expected)
+  }
+
+  test("aggregation with grouping") {
+    val df = gs.cypher(g,
+      "MATCH (o:Order) RETURN o.o_orderstatus AS st, count(*) AS n, sum(o.o_totalprice) AS total")
+    val exp = orders.groupBy(col("o_orderstatus")).count().count()
+    assert(df.count() == exp)
+    val total = df.agg(sum(col("n"))).head.getLong(0)
+    assert(total == orders.count())
+  }
+
+  test("global aggregation") {
+    val df = gs.cypher(g, "MATCH (c:Customer) RETURN count(*) AS n, avg(c.c_acctbal) AS a")
+    val row = df.head
+    assert(row.getLong(0) == customer.count())
+  }
+
+  test("order by / skip / limit") {
+    val df = gs.cypher(g,
+      "MATCH (o:Order) RETURN o.o_orderkey AS k, o.o_totalprice AS p ORDER BY p DESC, k ASC SKIP 5 LIMIT 10")
+    val exp = orders.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).slice(5, 15)
+    assert(df.collect().map(_.getLong(0)).toSeq == exp.toSeq)
+  }
+
+  test("optional match keeps all lhs rows") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:IN_NATION]->(n)
+        |RETURN n.n_name AS nation, count(c) AS members""".stripMargin)
+    assert(df.count() == 25)
+  }
+
+  test("exists pattern predicate (semi-join)") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer) WHERE (c)-[:PLACED]->() RETURN c.c_custkey AS k")
+    val expected = orders.select("o_custkey").distinct().count()
+    assert(df.count() == expected)
+  }
+
+  test("negated pattern predicate (anti-join)") {
+    val withO = orders.select("o_custkey").distinct().count()
+    val df = gs.cypher(g,
+      "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->() RETURN c.c_custkey AS k")
+    assert(df.count() == customer.count() - withO)
+  }
+
+  test("var-length expand 1..2") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN c.c_custkey AS k, x""".stripMargin)
+    // each customer reaches exactly its nation (1 hop) and region (2 hops)
+    assert(df.count() == 2 * customer.count())
+  }
+
+  test("undirected expand") {
+    val df = gs.cypher(g,
+      "MATCH (n:Nation)-[:IN_REGION]-(r:Region) RETURN n.n_name AS nn, r.r_name AS rn")
+    assert(df.count() == 25)
+  }
+
+  test("unwind + params + with-chain") {
+    val df = gs.cypher(g,
+      """UNWIND $ks AS k
+        |MATCH (c:Customer) WHERE c.c_custkey = k
+        |WITH c.c_name AS name, k AS k ORDER BY k
+        |RETURN k, name""".stripMargin,
+      Map("ks" -> Seq(1L, 2L, 3L)))
+    assert(df.count() == 3)
+  }
+
+  test("case expression + string functions") {
+    val df = gs.cypher(g,
+      """MATCH (r:Region)
+        |RETURN r.r_name AS name, toLower(r.r_name) AS lo,
+        |       CASE WHEN r.r_regionkey < 2 THEN 'low' ELSE 'high' END AS bucket""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getString(1) == r.getString(0).toLowerCase))
+  }
+
+  test("distinct projection") {
+    val df = gs.cypher(g, "MATCH (o:Order) RETURN DISTINCT o.o_orderstatus AS st")
+    assert(df.count() == orders.select("o_orderstatus").distinct().count())
+  }
+
+  test("union all and union distinct") {
+    val all = gs.cypher(g,
+      "MATCH (r:Region) RETURN r.r_name AS name UNION ALL MATCH (r:Region) RETURN r.r_name AS name")
+    assert(all.count() == 10)
+    val dist = gs.cypher(g,
+      "MATCH (r:Region) RETURN r.r_name AS name UNION MATCH (r:Region) RETURN r.r_name AS name")
+    assert(dist.count() == 5)
+  }
+
+  test("list expressions, comprehension, reduce") {
+    val df = gs.cypher(g,
+      """RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS evens,
+        |       reduce(acc = 0, x IN [1,2,3] | acc + x) AS total,
+        |       size([1,2,3]) AS sz, head([7,8]) AS h, last([7,8]) AS l""".stripMargin)
+    val r = df.head
+    assert(r.getSeq[Long](0) == Seq(20L, 40L))
+    assert(r.getLong(1) == 6L)
+    assert(r.getLong(2) == 3L)
+    assert(r.getLong(3) == 7L && r.getLong(4) == 8L)
+  }
+
+  test("expand into (cycle-free bound-endpoints join)") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation), (c)-[:PLACED]->(o:Order)
+        |RETURN count(*) AS n""".stripMargin)
+    assert(df.head.getLong(0) == orders.count())
+  }
+
+  test("labels/id/type/keys functions") {
+    val df = gs.cypher(g,
+      "MATCH (n:Nation)-[r:IN_REGION]->() RETURN labels(n) AS ls, type(r) AS t LIMIT 1")
+    val row = df.head
+    assert(row.getSeq[String](0) == Seq("Nation"))
+    assert(row.getString(1) == "IN_REGION")
+  }
+}
