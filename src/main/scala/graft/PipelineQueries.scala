@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline._
+
+/** Training-data pipeline operators as driver-gate queries. Oracles are
+  * provided wherever DuckDB can express the same computation; hash-based
+  * ops (minhash/simhash/LSH/fingerprints) are engine-specific and get the
+  * driver's rows-only check instead.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as a Long of epoch-nanos (exact — no double round
+    * trip) and derive seconds with integer division. */
+  private def events(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact deduplication: representative id + group size per distinct text
+    "p1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", Seq("text"))
+        .select(col("keep_id"), col("n_dupes")).orderBy("keep_id")),
+    // token counting (whitespace + BPE-ish regex)
+    "p2_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // quality scoring signals
+    "p3_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("digit_ratio")).orderBy("doc_id")),
+    // brute-force cosine top-k (exact ANN baseline)
+    "p4_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))),
+    // language ID (heuristic, engine-specific → rows-only)
+    "p5_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // MinHash LSH near-dup candidate pairs (rows-only)
+    "p6_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+    // SimHash fingerprints (rows-only)
+    "p7_simhash" -> ((s, dir) =>
+      Dedup.withSimhash(docs(s, dir), "doc_id", "text").orderBy("id")),
+    // n-gram Jaccard near-dup pairs (rows-only)
+    "p8_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.3, maxDocFreq = 5000).orderBy("id_a", "id_b")),
+    // winnowing fingerprints (rows-only)
+    "p9_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprint")).as("fp_size"))
+        .orderBy("doc_id")),
+    // LSH-bucketed ANN (scale path; rows-only)
+    "p10_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", dim = 64,
+        k = 5, bits = 4, tables = 16).orderBy(col("qid"), col("rank"))),
+    // multimodal plumbing: frame sampling over fake media (rows-only)
+    "p11_media_frames" -> ((s, dir) => {
+      val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.frameSample(media, 4)
+        .select(col("doc_id"), col("frame_idx"), col("frame_ts_ms"),
+          length(col("frame_payload")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+    // event-stream shaping: per-user/type daily counts
+    "e1_event_counts" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy("user_id", "event_type")),
+    // sessionization via window functions (30-minute inactivity gap)
+    "e2_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val secs = expr("ts div 1000000000")
+      events(s, dir)
+        .withColumn("gap", secs - lag(secs, 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "p2_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]'))::BIGINT AS bpe_tokens,
+        |  length(text)::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p3_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                x -> len(x) > 0) AS t,
+        |    length(text) AS nc,
+        |    len(regexp_extract_all(text, '[0-9]')) AS digits
+        |  FROM documents)
+        |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  round(CASE WHEN len(t) > 0
+        |    THEN list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)
+        |    ELSE 0.0 END, 4) AS mean_token_len,
+        |  round(CASE WHEN nc > 0 THEN digits::DOUBLE / nc ELSE 0.0 END, 4)
+        |    AS digit_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "p4_ann_topk" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+        |                b.vec_id) AS INT) AS rank
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id <> b.vec_id
+        |QUALIFY rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "e1_event_counts" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "e2_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) // 1000000000 - lag(epoch_ns(ts) // 1000000000) OVER
+        |      (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -22,7 +22,8 @@ object SparkEntry {
     CypherQueries.queries("c3_expand2")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = CypherQueries.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CypherQueries.queries ++ PipelineQueries.queries ++ Map(
     // Aggregate (§2.1 Aggregate): group-by + sum/avg/count, TPC-H Q1 shape.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -94,7 +95,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CypherQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    CypherQueries.oracleSql ++ PipelineQueries.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

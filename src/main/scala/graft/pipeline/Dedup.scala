@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import TextOps._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale design notes (target: 100 TB on 1000 executors):
+  *  - exact dedup is one hash-partitioned aggregation — Spark's map-side
+  *    partial aggregation means only (key, min, count) triples shuffle;
+  *  - MinHash/SimHash signatures are computed columnar per-document with
+  *    NO shuffle; the only shuffles are the band-bucket self-joins, which
+  *    move (band_hash, id, signature)-sized rows, never full documents;
+  *  - candidate verification joins texts back by id (hash join on Long).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical keys, keep the minimum id as the
+    * representative. Map-side combine makes the shuffle proportional to
+    * the number of DISTINCT keys, not rows. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Exact dedup by content hash (xxhash64) — avoids shuffling wide text
+    * columns: only the 8-byte hash + id move. Collision probability at
+    * 2^64 is negligible for dedup purposes. */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), xxhash64(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** MinHash signature: k hash functions over character shingles, computed
+    * in ONE pass over the shingle array via aggregate+zip_with (columnar,
+    * codegen'd, shuffle-free). */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = charShingles(text, shingleSize)
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(1), lit(numHashes)), j => xxhash64(s, j)),
+        (a, h) => least(a, h)))
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * signatures → b bands of r rows → band-hash buckets → self-join within
+    * buckets → exact shingle-Jaccard verification. Classic
+    * (Broder 1997 / MMDS ch.3) banding: P(candidate) = 1-(1-s^r)^b.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).cast(LongType).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+
+    // explode to (band_idx, band_hash, id): band hash = hash of the slice
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .toDF("id", "band_idx", "band_hash")
+
+    // candidates: pairs sharing at least one band bucket
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // verification: exact Jaccard over shingle sets
+    val shingled = df.select(col(idCol).cast(LongType).as("id"),
+      charShingles(col(textCol), shingleSize).as("sh"))
+    candidates
+      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** corpus → (id, simhash) — 64-bit SimHash fingerprints (Charikar 2002). */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+      simhashColumn(col(textCol)).as("simhash"))
+
+  /** Builds the 64-bit simhash: for bit i the vote is
+    * sum over tokens of sign(bit_i(hash(token))). Bits are extracted
+    * statically (i is a Scala Int at plan time, so shiftrightunsigned's
+    * Int-typed shift is fine) — the 64-way expansion is unrolled into the
+    * plan once, not per row. */
+  def simhashColumn(text: Column): Column = {
+    val toks = tokens(text)
+    // one xxhash64 per token, reused across 64 bit extractions
+    val votes: Seq[Column] = (0 until 64).map { i =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(
+          shiftrightunsigned(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+    }
+    // Horner msb-first over bits 62..0; bit 63 (the Long sign bit) is set
+    // by adding Long.MinValue — ANSI-safe, no overflow.
+    val low63 = votes.slice(0, 63).reverse.foldLeft(lit(0L)) { (acc, v) =>
+      acc * 2 + when(v > 0, 1L).otherwise(0L)
+    }
+    when(votes(63) > 0, lit(Long.MinValue)).otherwise(lit(0L)) + low63
+  }
+
+  /** near-duplicate pairs by SimHash Hamming distance: 16-bit bands bucket
+    * candidates (Hamming <= 3 guarantees a shared band), then exact
+    * bit_count verification. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = withSimhash(df, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "simhash", "band_idx", "band_val")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** word n-gram Jaccard near-dup pairs: inverted-index join on shared
+    * n-grams (rare-gram pruning keeps the index skew-free at scale), then
+    * exact Jaccard verification.
+    *
+    * @param maxDocFreq n-grams appearing in more than this many docs are
+    *                   dropped from the index (stopword-gram pruning) —
+    *                   bounds the self-join fan-out under skew. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 1000): DataFrame = {
+    val grams = df.select(col(idCol).cast(LongType).as("id"),
+      wordNgrams(tokens(col(textCol)), n).as("grams"))
+    val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val pruned = inverted.join(rare.select("gram"), Seq("gram"))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    val candidates = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(grams.toDF("id_a", "grams_a"), "id_a")
+      .join(grams.toDF("id_b", "grams_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import TextOps._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, language identification, document fingerprinting. All columnar
+  * — each op is a per-row expression (no shuffle, survives any scale-up
+  * that the scan itself survives).
+  */
+object TextAnalysis {
+
+  /** whitespace tokens + a BPE-ish regex count (letter runs, digits, and
+    * individual punctuation marks approximate subword-tokenizer counts). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(filter(split(t, "\\s+"), x => length(x) > 0)).cast(LongType)
+        .as("ws_tokens"),
+      regexp_count(t, lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]")).cast(LongType)
+        .as("bpe_tokens"),
+      length(t).cast(LongType).as("n_chars"))
+  }
+
+  /** heuristic quality signals + a composite score in [0,1]:
+    * long-enough docs with normal word lengths, low punctuation/digit
+    * noise and some stopword mass score high. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast(DoubleType)
+    val nChars = length(t).cast(DoubleType)
+    val meanTokLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).cast(DoubleType) / nTok)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      regexp_count(t, lit("[^\\p{L}0-9\\s]")).cast(DoubleType) / nChars)
+      .otherwise(lit(0.0))
+    val digitRatio = when(nChars > 0,
+      regexp_count(t, lit("[0-9]")).cast(DoubleType) / nChars).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      size(array_intersect(toks, array(EN_STOPWORDS.map(lit): _*)))
+        .cast(DoubleType) / size(array_distinct(toks)).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+    val lengthScore = least(nTok / 100.0, lit(1.0))
+    val wordLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+    val noiseScore = greatest(lit(0.0), lit(1.0) - punctRatio * 5 - digitRatio * 3)
+    val score = (lengthScore * 0.3 + wordLenScore * 0.2 + noiseScore * 0.3 +
+      least(stopRatio * 4, lit(1.0)) * 0.2)
+
+    df.select(col(idCol),
+      nTok.cast(LongType).as("n_tokens"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(digitRatio, 4).as("digit_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(score, 4).as("quality"))
+  }
+
+  // compact per-language stopword profiles (top function words)
+  val EN_STOPWORDS: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as", "was", "at",
+    "by", "be", "this", "are", "from", "not", "but", "have", "has")
+  val DE_STOPWORDS: Seq[String] = Seq("der", "die", "das", "und", "oder",
+    "von", "zu", "in", "ist", "es", "dass", "für", "auf", "mit", "als",
+    "war", "bei", "sein", "nicht", "aber", "ein", "eine", "den", "dem")
+  val FR_STOPWORDS: Seq[String] = Seq("le", "la", "les", "et", "ou", "de",
+    "à", "dans", "est", "il", "que", "pour", "sur", "avec", "comme",
+    "était", "par", "être", "pas", "mais", "un", "une", "des", "du")
+  val ES_STOPWORDS: Seq[String] = Seq("el", "la", "los", "las", "y", "o",
+    "de", "a", "en", "es", "que", "para", "sobre", "con", "como", "era",
+    "por", "ser", "no", "pero", "un", "una", "del", "se")
+  val IT_STOPWORDS: Seq[String] = Seq("il", "la", "i", "le", "e", "o",
+    "di", "a", "in", "è", "che", "per", "su", "con", "come", "era", "da",
+    "essere", "non", "ma", "un", "una", "dei", "si")
+
+  private val PROFILES: Seq[(String, Seq[String])] = Seq(
+    "en" -> EN_STOPWORDS, "de" -> DE_STOPWORDS, "fr" -> FR_STOPWORDS,
+    "es" -> ES_STOPWORDS, "it" -> IT_STOPWORDS)
+
+  /** n-gram/stopword-profile language ID: score = |tokens ∩ profile| per
+    * language, argmax wins ("und" = unknown when no profile matches).
+    * Argmax via array_max over (score, lang) structs — deterministic
+    * tie-break on language code. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = array_distinct(tokens(col(textCol)))
+    val scored = array(PROFILES.map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    df.select(col(idCol),
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("detected_lang"),
+      best.getField("score").cast(LongType).as("lang_score"))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al. 2003): k-gram hashes,
+    * sliding-window minima, distinct + sorted. Robust to small edits;
+    * output is a compact sketch column usable for containment joins. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, window: Int = 4): DataFrame = {
+    val hashes = transform(
+      sequence(lit(0), greatest(length(col(textCol)) - k, lit(0))),
+      i => xxhash64(col(textCol).substr(i + 1, lit(k))))
+    val minima = transform(
+      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(window))))
+    df.select(col(idCol),
+      array_sort(array_distinct(minima)).as("fingerprint"))
+  }
+}

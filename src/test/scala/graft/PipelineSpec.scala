@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** corpus with planted exact + near duplicates. */
+  lazy val planted = {
+    val base = docs.select($"doc_id", $"text").limit(50)
+    val exactDup = base.limit(5)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val nearDup = base.limit(5)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" tiny edit suffix")).as("text"))
+    base.union(exactDup).union(nearDup)
+  }
+
+  test("exact dedup finds planted exact duplicates") {
+    val out = Dedup.exact(planted, "doc_id", Seq("text"))
+    assert(out.count() == 55) // 50 distinct texts + 5 near-dup variants
+    assert(out.where($"n_dupes" === 2).count() == 5)
+    // representative is the min id (the original, not the 10000+ copy)
+    assert(out.where($"n_dupes" === 2 && $"keep_id" >= 10000).count() == 0)
+    val byHash = Dedup.exactByHash(planted, "doc_id", "text")
+    assert(byHash.count() == 55)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5).collect()
+    // every planted near-dup (20000+x) must pair with its original x
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedNear = planted.where($"doc_id" >= 20000)
+      .select(($"doc_id" - 20000).as("a"), $"doc_id".as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expectedNear.subsetOf(found),
+      s"missing near-dup pairs: ${expectedNear -- found}")
+    // exact dups too (jaccard 1.0)
+    assert(pairs.count(_.getDouble(2) >= 0.999) >= 5)
+  }
+
+  test("simhash near-dup detection") {
+    val pairs = Dedup.simhashNearDup(planted, "doc_id", "text", maxHamming = 6)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact duplicates have identical simhash (hamming 0)
+    val expectedExact = (0 until 5).map(i => (i.toLong, i + 10000L)).toSet
+    assert(expectedExact.subsetOf(found))
+    assert(pairs.filter(r => expectedExact((r.getLong(0), r.getLong(1))))
+      .forall(_.getInt(2) == 0))
+  }
+
+  test("ngram jaccard near-dup pairs") {
+    val pairs = Dedup.ngramJaccard(planted, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 100).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedExact = (0 until 5).map(i => (i.toLong, i + 10000L)).toSet
+    assert(expectedExact.subsetOf(found))
+  }
+
+  test("brute-force cosine top-k is sane and symmetric on identical vectors") {
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+    val n = emb.count()
+    assert(topk.count() == n * 3)
+    val sims = topk.select(max($"sim"), min($"sim")).head
+    assert(sims.getDouble(0) <= 1.0001 && sims.getDouble(1) >= -1.0001)
+  }
+
+  test("LSH top-k recalls most brute-force neighbors") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64,
+      k = 5, bits = 4, tables = 16)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    assert(recall > 0.5, s"LSH recall@top1 too low: $recall")
+  }
+
+  test("token stats") {
+    val st = TextAnalysis.tokenStats(docs, "doc_id", "text")
+    val r = st.agg(min($"ws_tokens"), max($"bpe_tokens")).head
+    assert(r.getLong(0) > 0)
+    assert(st.count() == docs.count())
+  }
+
+  test("quality score in [0,1]") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val mm = q.agg(min($"quality"), max($"quality")).head
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("language id on clear samples") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy with this"),
+      (2L, "der hund und die katze sind mit dem ball für das kind"),
+      (3L, "le chat est dans la maison avec les enfants et il est content"),
+      (4L, "el perro y el gato es que para en la casa con una bola"))
+      .toDF("id", "text")
+    val out = TextAnalysis.languageId(samples, "id", "text")
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "de", "fr", "es"))
+  }
+
+  test("winnowing fingerprint is edit-robust") {
+    val fp = TextAnalysis.fingerprint(planted, "doc_id", "text")
+    val a = fp.where($"doc_id" === 0).head.getSeq[Long](1).toSet
+    val b = fp.where($"doc_id" === 20000).head.getSeq[Long](1).toSet
+    val containment = (a & b).size.toDouble / a.size
+    assert(containment > 0.9, s"fingerprint containment too low: $containment")
+  }
+
+  test("multimodal plumbing: attach, decode stub, resize, frame sample") {
+    val media = Multimodal.attachMedia(docs.limit(30), "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeaturesStub(media, featDim = 8,
+      decodeParallelism = 4)
+    val f = feats.collect()
+    assert(f.length == 30 && f.forall(_.features.length == 8))
+    // determinism: same input → same features
+    val f2 = Multimodal.decodeFeaturesStub(media, featDim = 8).collect()
+    assert(f.sortBy(_.doc_id).zip(f2.sortBy(_.doc_id))
+      .forall { case (x, y) => x.features.sameElements(y.features) })
+    val resized = Multimodal.resize(media, 64, 64)
+    assert(resized.where($"width" =!= 64).count() == 0)
+    val frames = Multimodal.frameSample(media, 4)
+    val vids = media.where($"kind" === "video").count()
+    assert(frames.count() == vids * 4)
+  }
+}
