@@ -106,7 +106,45 @@ object CypherQueries {
     "c16_undirected" -> ((s, dir) => run(s, dir,
       """MATCH (n:Nation)-[:IN_REGION]-(x)
         |RETURN n.n_name AS nn, coalesce(x.r_name, x.n_name) AS xn
-        |ORDER BY nn, xn""".stripMargin))
+        |ORDER BY nn, xn""".stripMargin)),
+    // ExpandInto (§2.2): second pattern part rebinds n → join on both ends
+    "c17_expand_into" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation), (sp:Supplier)-[:IN_NATION]->(n)
+        |RETURN n.n_name AS nn, count(*) AS pairs
+        |ORDER BY nn""".stripMargin)),
+    // CartesianProduct (§2.2): disconnected pattern parts
+    "c18_cartesian" -> ((s, dir) => run(s, dir,
+      """MATCH (r:Region), (n:Nation)
+        |RETURN r.r_name AS rn, n.n_name AS nn ORDER BY rn, nn""".stripMargin)),
+    // list expressions (§2.3): comprehension, reduce, quantifiers
+    "c19_listops" -> ((s, dir) => run(s, dir,
+      """UNWIND [[1, 2, 3], [4, 5], [6]] AS xs
+        |RETURN size(xs) AS n,
+        |       reduce(acc = 0, x IN xs | acc + x) AS total,
+        |       size([x IN xs WHERE x % 2 = 0]) AS evens,
+        |       CASE WHEN all(x IN xs WHERE x > 0) THEN 1 ELSE 0 END AS allpos,
+        |       CASE WHEN any(x IN xs WHERE x > 4) THEN 1 ELSE 0 END AS hasbig
+        |ORDER BY n""".stripMargin)),
+    // percentileCont / stDev aggregators (§2.4)
+    "c20_percentile" -> ((s, dir) => run(s, dir,
+      """MATCH (:Order)-[li:CONTAINS]->()
+        |RETURN li.l_returnflag AS rf,
+        |       percentileCont(li.l_quantity, 0.5) AS med,
+        |       round(stDev(li.l_quantity) * 1000.0) / 1000.0 AS sd
+        |ORDER BY rf""".stripMargin)),
+    // CONSTRUCT (§2.5): derived graph queried back through the engine
+    "c21_construct" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, GraftSession(s))
+      val g = graphs.getOrElseUpdate((s, dir), TpchGraph.load(s, dir))
+      val derived = gs.cypherGraph(g,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |CONSTRUCT NEW (c)-[:HAS_ORDER {price: o.o_totalprice}]->(o)
+          |RETURN GRAPH""".stripMargin)
+      gs.cypher(derived,
+        """MATCH (c:Customer)-[h:HAS_ORDER]->(:Order)
+          |RETURN c.c_custkey AS ck, count(*) AS n, min(h.price) AS lo
+          |ORDER BY ck""".stripMargin)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -175,6 +213,31 @@ object CypherQueries {
     "c16_undirected" ->
       """SELECT n_name AS nn, r_name AS xn
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY nn, xn""".stripMargin
+        |ORDER BY nn, xn""".stripMargin,
+    "c17_expand_into" ->
+      """SELECT n_name AS nn, count(*) AS pairs
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nn""".stripMargin,
+    "c18_cartesian" ->
+      """SELECT r_name AS rn, n_name AS nn
+        |FROM region CROSS JOIN nation ORDER BY rn, nn""".stripMargin,
+    "c19_listops" ->
+      """SELECT len(xs)::BIGINT AS n,
+        |  list_sum(xs)::BIGINT AS total,
+        |  len(list_filter(xs, x -> x % 2 = 0))::BIGINT AS evens,
+        |  (CASE WHEN len(list_filter(xs, x -> x > 0)) = len(xs)
+        |        THEN 1 ELSE 0 END)::BIGINT AS allpos,
+        |  (CASE WHEN len(list_filter(xs, x -> x > 4)) > 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS hasbig
+        |FROM (SELECT unnest([[1, 2, 3], [4, 5], [6]]) AS xs) ORDER BY n""".stripMargin,
+    "c20_percentile" ->
+      """SELECT l_returnflag AS rf,
+        |  quantile_cont(l_quantity, 0.5) AS med,
+        |  round(stddev_samp(l_quantity) * 1000.0) / 1000.0 AS sd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    "c21_construct" ->
+      """SELECT o_custkey AS ck, count(*) AS n, min(o_totalprice) AS lo
+        |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin
   )
 }

@@ -67,6 +67,10 @@ object PipelineQueries {
     "p10_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", dim = 64,
         k = 5, bits = 4, tables = 16).orderBy(col("qid"), col("rank"))),
+    // embedding-cosine near-duplicate pairs (exact baseline)
+    "p12_embedding_dedup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -131,6 +135,13 @@ object PipelineQueries {
         |WHERE a.vec_id <> b.vec_id
         |QUALIFY rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "p12_embedding_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "e1_event_counts" ->
       """SELECT user_id, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -90,6 +90,28 @@ object SparkEntry {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_custkey"))
+    }),
+    // collect aggregator (§2.4 collect → collect_list), order-normalized.
+    "q9_collect" -> ((s, dir) => {
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name"))
+    }),
+    // window functions (scale extension; not in reference — SURVEY §2.1 note)
+    "q10_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
     })
   )
 
@@ -133,6 +155,17 @@ object SparkEntry {
     "q8_optional" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT OUTER JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q9_collect" ->
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q10_window" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
   )
 }

@@ -33,6 +33,20 @@ class GraftSession(val spark: SparkSession) {
   def cypher(graphName: String, query: String, params: Map[String, Any]): DataFrame =
     cypher(graph(graphName), query, params)
 
+  /** Run a graph-returning query (`... CONSTRUCT ... [RETURN GRAPH]`) —
+    * multiple-graph extension (reference: ConstructGraphPlanner.scala:52,
+    * RelationalCypherSession.scala:171-196). The result graph is lazy (its
+    * element tables are unexecuted DataFrame plans) and can be registered
+    * in the catalog and queried like any other. */
+  def cypherGraph(g: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): PropertyGraph = {
+    val ast = CypherParser.parse(query)
+    new Planner(spark, params, graph, g).planGraph(ast)
+  }
+
+  def cypherGraph(graphName: String, query: String): PropertyGraph =
+    cypherGraph(graph(graphName), query, Map.empty[String, Any])
+
   /** Spark SQL pass-through (reference entry point 2,
     * MorpheusSession.scala:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)

@@ -116,6 +116,8 @@ object Ast {
   /** CONSTRUCT — multiple-graph extension (SURVEY §2.5). */
   case class ConstructClause(clones: Seq[String], news: Seq[PatternPart],
       onGraphs: Seq[String]) extends Clause
+  /** `RETURN GRAPH` — the query's result is the constructed graph. */
+  case object ReturnGraphClause extends Clause
 
   // ---------------------------------------------------------------- query
   case class SingleQuery(clauses: Seq[Clause])

@@ -289,9 +289,12 @@ object CypherParser extends RegexParsers {
       case on ~ clones ~ news =>
         ConstructClause(clones.flatten, news, on.getOrElse(Nil)) }
 
+  def returnGraphClause: Parser[Clause] =
+    K("return") ~> K("graph") ^^^ ReturnGraphClause
+
   def clause: Parser[Clause] =
     matchClause | unwindClause | withClause | fromGraphClause |
-      constructClause | returnClause
+      constructClause | returnGraphClause | returnClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

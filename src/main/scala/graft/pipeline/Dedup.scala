@@ -93,6 +93,25 @@ object Dedup {
     df.select(col(idCol).cast(LongType).as("id"),
       graft.functions.VectorFunctions.simhash64(col(textCol)).as("simhash"))
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
+    * similarity at or above `threshold`. The self-join shuffles on nothing
+    * (broadcast-able at dim×n sizes that fit; AQE decides) and the fused
+    * [[graft.functions.CosineSimilarity]] keeps scoring in codegen. At
+    * 100 TB the LSH path ([[graft.pipeline.Similarity.lshTopK]]) replaces
+    * the quadratic join; this is the exactness baseline. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val v = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+    val a = v.toDF("id_a", "vec_a"); val b = v.toDF("id_b", "vec_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosine_similarity(
+          col("vec_a"), col("vec_b")), roundTo).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** near-duplicate pairs by SimHash Hamming distance: 16-bit bands bucket
     * candidates (Hamming <= 3 guarantees a shared band), then exact
     * bit_count verification. */

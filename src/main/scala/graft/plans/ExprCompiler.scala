@@ -384,10 +384,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("collect", false, args) => collect_list(compile(args.head))
     case Func("stdev", _, args) => coalesce(stddev_samp(compile(args.head)), lit(0.0))
     case Func("stdevp", _, args) => coalesce(stddev_pop(compile(args.head)), lit(0.0))
+    // exact interpolated percentile (reference buffers all values in a
+    // custom UDAF, PercentileUdafs.scala:39-96 — Spark ≥3.5 has it native)
     case Func("percentilecont", _, args) =>
-      percentile_approx(compile(args.head), compile(args(1)), lit(1000000))
+      percentile(compile(args.head), compile(args(1)))
+    // discrete percentile = smallest value at-or-above the rank
     case Func("percentiledisc", _, args) =>
-      percentile_approx(compile(args.head), compile(args(1)), lit(1000000))
+      percentile_approx(compile(args.head), compile(args(1)), lit(10000000))
     // scalar wrappers around aggregates
     case Add(l, r) => wrapAgg(l) + wrapAgg(r)
     case Sub(l, r) => wrapAgg(l) - wrapAgg(r)

@@ -74,9 +74,231 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case c: ConstructClause =>
         throw new IllegalArgumentException(
           "CONSTRUCT must be executed via GraftSession.cypherGraph")
+      case ReturnGraphClause =>
+        throw new IllegalArgumentException(
+          "RETURN GRAPH must be executed via GraftSession.cypherGraph")
     }
     finalDf.getOrElse(throw new IllegalArgumentException(
       "query must end in RETURN"))
+  }
+
+  // ============================================================ CONSTRUCT
+  /** Plans a graph-returning query: clauses up to CONSTRUCT bind a driving
+    * table; CONSTRUCT emits a new [[PropertyGraph]] (reference:
+    * ConstructGraphPlanner.scala:52-160, SURVEY §2.5).
+    */
+  def planGraph(q: Query): PropertyGraph = {
+    require(q.unions.isEmpty, "a graph-returning query cannot use UNION")
+    var graph = initialGraph
+    var state = unitState
+    q.first.clauses.foreach {
+      case FromGraphClause(name) => graph = catalog(name)
+      case m: MatchClause => state = planMatch(graph, state, m)
+      case UnwindClause(e, v) => state = planUnwind(state, e, v)
+      case w: WithClause =>
+        state = planProjection(state, w.items, w.star, w.distinct, w.orderBy,
+          w.skip, w.limit, isReturn = false)
+        w.where.foreach { pred => state = applyWhere(graph, state, pred) }
+      case c: ConstructClause => return buildGraph(state, c)
+      case ReturnGraphClause => // no-op: graph already built by CONSTRUCT
+      case _: ReturnClause => throw new IllegalArgumentException(
+        "a graph-returning query must end in CONSTRUCT [RETURN GRAPH], not RETURN")
+    }
+    throw new IllegalArgumentException("graph query needs a CONSTRUCT clause")
+  }
+
+  /** CLONE = dedup-by-id carry-over of matched entities; NEW = one fresh
+    * element per driving row (bound endpoint vars are implicit clones); ON =
+    * union in whole catalog graphs. Fresh ids live in the negative Long
+    * space — `-((k+1) << 56) - monotonically_increasing_id()` — disjoint
+    * from any source id-space tag (positive) and from each other; valid up
+    * to 2^23 partitions (reference generates partition-offset ids the same
+    * way, MorpheusFunctions.scala partitioned_id_assignment).
+    */
+  private def buildGraph(state: PState, c: ConstructClause): PropertyGraph = {
+    val nodeTables = scala.collection.mutable.ArrayBuffer.empty[graft.graph.NodeTable]
+    val relTables = scala.collection.mutable.ArrayBuffer.empty[graft.graph.RelTable]
+
+    // entities referenced by NEW patterns that are bound → implicit CLONE
+    val newPatternVars = c.news.flatMap(p => collectPatternVars(Pattern(Seq(p))))
+    val cloneVars = (c.clones ++ newPatternVars.filter(state.header.contains)).distinct
+
+    cloneVars.foreach { v =>
+      state.header(v) match {
+        case nb: NodeBinding => nodeTables ++= cloneNodeTables(state, nb)
+        case rb: RelBinding => relTables ++= cloneRelTables(state, rb)
+        case other => throw new IllegalArgumentException(
+          s"CLONE $v: expected node or relationship, got $other")
+      }
+    }
+
+    // NEW: extend the driving table with fresh-id columns first so rels can
+    // reference their endpoints' ids from the same row.
+    var df = state.df
+    var freshCount = 0
+    val comp = compiler(state)
+    // var → (idCol, labels, props(key → col))
+    val created = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Set[String], Map[String, String])]
+
+    def freshIdCol(prefix: String): String = {
+      val cName = fresh(s"new_${prefix}_id")
+      val k = freshCount; freshCount += 1
+      require(k < 127, "too many NEW elements in one CONSTRUCT")
+      df = df.withColumn(cName,
+        lit(-((k + 1).toLong << 56)) - monotonically_increasing_id())
+      cName
+    }
+
+    def bindNewNode(np: NodePattern): String = {
+      val v = np.variable.getOrElse(fresh("@cn"))
+      state.header.get(v) match {
+        case Some(nb: NodeBinding) => return nb.idCol // implicit clone
+        case Some(other) => throw new IllegalArgumentException(
+          s"NEW endpoint $v bound to $other, not a node")
+        case None =>
+      }
+      created.get(v) match {
+        case Some((idCol, _, _)) => idCol
+        case None =>
+          val idCol = freshIdCol(v.replaceAll("[^A-Za-z0-9_]", ""))
+          val props = np.properties.map { case (k2, e) =>
+            val cName = fresh(s"new_${v}_p_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+            df = df.withColumn(cName, comp.compile(e))
+            k2 -> cName
+          }.toMap
+          created(v) = (idCol, np.labels.toSet, props)
+          idCol
+      }
+    }
+
+    c.news.foreach { part =>
+      var prevIdCol = bindNewNode(part.start)
+      part.chain.foreach { case (rel, node) =>
+        require(rel.varLength.isEmpty, "NEW cannot use var-length patterns")
+        require(rel.types.size == 1,
+          s"NEW relationship needs exactly one type, got ${rel.types}")
+        val dstIdCol = bindNewNode(node)
+        val relIdCol = freshIdCol("r")
+        val relProps = rel.properties.map { case (k2, e) =>
+          val cName = fresh(s"new_r_p_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+          df = df.withColumn(cName, comp.compile(e))
+          k2 -> cName
+        }.toMap
+        val (srcC, dstC) = rel.direction match {
+          case Incoming => (dstIdCol, prevIdCol)
+          case _ => (prevIdCol, dstIdCol)
+        }
+        val propSel = relProps.toSeq.sortBy(_._1)
+        relTables += graft.graph.RelTable(rel.types.head,
+          df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))
+            .map(cn => col(s"`$cn`")): _*),
+          relIdCol, srcC, dstC, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
+        prevIdCol = dstIdCol
+      }
+    }
+
+    created.foreach { case (_, (idCol, labels, props)) =>
+      val propSel = props.toSeq.sortBy(_._1)
+      nodeTables += graft.graph.NodeTable(labels,
+        df.select((idCol +: propSel.map(_._2)).map(cn => col(s"`$cn`")): _*),
+        idCol, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
+    }
+
+    val constructed = new PropertyGraph(
+      mergeNodeTables(nodeTables.toSeq), mergeRelTables(relTables.toSeq), spark)
+    c.onGraphs.map(catalog).foldLeft(constructed)(_ unionAll _)
+  }
+
+  /** One backing table per label combination (the reference's ScanGraph
+    * invariant, ScanGraph.scala:115-143): merge same-combo tables, align
+    * property columns, dedup by id — the same entity cloned through two
+    * variables must appear once. */
+  private def mergeNodeTables(tables: Seq[graft.graph.NodeTable])
+      : Seq[graft.graph.NodeTable] =
+    tables.groupBy(_.labels).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (labels, ts) =>
+        if (ts.size == 1) ts.head
+        else {
+          val keys = ts.flatMap(_.propCols.keys).distinct.sorted
+          val aligned = ts.map { t =>
+            t.df.select(col(s"`${t.idCol}`").cast(LongType).as("_gid") +:
+              keys.map { k => t.propCols.get(k)
+                .map(c => col(s"`$c`")).getOrElse(lit(null)).as(s"_p_$k") }: _*)
+          }
+          graft.graph.NodeTable(labels,
+            aligned.reduce(_ unionByName _).dropDuplicates("_gid"),
+            "_gid", keys.map(k => k -> s"_p_$k").toMap)
+        }
+      }
+
+  /** one backing table per relationship type, id-deduped. */
+  private def mergeRelTables(tables: Seq[graft.graph.RelTable])
+      : Seq[graft.graph.RelTable] =
+    tables.groupBy(_.relType).toSeq.sortBy(_._1).map { case (tpe, ts) =>
+      if (ts.size == 1) ts.head
+      else {
+        val keys = ts.flatMap(_.propCols.keys).distinct.sorted
+        val aligned = ts.map { t =>
+          t.df.select(Seq(
+            col(s"`${t.idCol}`").cast(LongType).as("_gid"),
+            col(s"`${t.srcCol}`").cast(LongType).as("_src"),
+            col(s"`${t.dstCol}`").cast(LongType).as("_dst")) ++
+            keys.map { k => t.propCols.get(k)
+              .map(c => col(s"`$c`")).getOrElse(lit(null)).as(s"_p_$k") }: _*)
+        }
+        graft.graph.RelTable(tpe,
+          aligned.reduce(_ unionByName _).dropDuplicates("_gid"),
+          "_gid", "_src", "_dst", keys.map(k => k -> s"_p_$k").toMap)
+      }
+    }
+
+  /** Cloned node var → one element table per distinct label combination
+    * (label columns are data, the table layout needs them static — a tiny
+    * driver-side distinct over ≤2^labels boolean columns). */
+  private def cloneNodeTables(state: PState, nb: NodeBinding)
+      : Seq[graft.graph.NodeTable] = {
+    val propSel = nb.propCols.toSeq.sortBy(_._1)
+    def table(labels: Set[String], filtered: DataFrame) =
+      graft.graph.NodeTable(labels,
+        filtered.select((nb.idCol +: propSel.map(_._2)).map(cn => col(s"`$cn`")): _*)
+          .dropDuplicates(nb.idCol),
+        nb.idCol, propSel.map { case (k, cn) => k -> cn }.toMap)
+
+    if (nb.labelCols.isEmpty) return Seq(table(nb.labels, state.df))
+    val lblSel = nb.labelCols.toSeq.sortBy(_._1)
+    val combos = state.df
+      .select(lblSel.map { case (_, cn) => col(s"`$cn`") }: _*).distinct()
+      .collect()
+    combos.toSeq.map { row =>
+      val labels = lblSel.zipWithIndex.collect {
+        case ((l, _), i) if !row.isNullAt(i) && row.getBoolean(i) => l
+      }.toSet
+      val cond = lblSel.zipWithIndex.map { case ((_, cn), i) =>
+        if (!row.isNullAt(i) && row.getBoolean(i)) col(s"`$cn`") === lit(true)
+        else !(col(s"`$cn`") <=> lit(true))
+      }.reduce(_ && _)
+      table(labels, state.df.where(cond))
+    }
+  }
+
+  /** Cloned rel var → one table per relationship type present. */
+  private def cloneRelTables(state: PState, rb: RelBinding)
+      : Seq[graft.graph.RelTable] = {
+    val propSel = rb.propCols.toSeq.sortBy(_._1)
+    val types: Seq[String] =
+      if (rb.types.nonEmpty) rb.types.toSeq.sorted
+      else state.df.select(col(s"`${rb.typCol}`")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    types.map { t =>
+      graft.graph.RelTable(t,
+        state.df.where(col(s"`${rb.typCol}`") === lit(t))
+          .select((Seq(rb.idCol, rb.srcCol, rb.dstCol) ++ propSel.map(_._2))
+            .map(cn => col(s"`$cn`")): _*)
+          .dropDuplicates(rb.idCol),
+        rb.idCol, rb.srcCol, rb.dstCol,
+        propSel.map { case (k, cn) => k -> cn }.toMap)
+    }
   }
 
   // ================================================================ MATCH

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.graph.{NodeTable, PropertyGraph, RelTable}
+
+/** Filesystem property-graph source/sink: one directory per
+  * node-label-combination and per relationship type, plus a JSON schema
+  * sidecar (role of the reference's FSGraphSource,
+  * morpheus-spark-cypher/.../api/io/fs/FSGraphSource.scala:55-221 and
+  * GraphDirectoryStructure.scala — layout re-derived, not copied).
+  *
+  * Formats: parquet (default), orc, csv, json — csv/json round-trip types
+  * via the Spark DDL string stored in the sidecar. Paths may be local,
+  * HDFS, or object-store URIs; everything goes through `spark.read` /
+  * `df.write`, so partitioning and pushdown behave like any Spark table.
+  */
+object FsGraphSource {
+
+  private case class TableMeta(dir: String, labelsOrType: Seq[String],
+      id: String, src: String, dst: String, props: Map[String, String],
+      ddl: String)
+
+  def save(graph: PropertyGraph, path: String, format: String = "parquet",
+      mode: String = "error"): Unit = {
+    def writer(df: DataFrame) = {
+      val w = df.write.format(format).mode(mode)
+      if (format == "csv") w.option("header", "true") else w
+    }
+
+    val nodeMetas = graph.nodeTables.zipWithIndex.map { case (t, i) =>
+      val dir = s"nodes/${i}_${t.labels.toSeq.sorted.mkString("_")}"
+      // only persist the columns the graph actually uses
+      val cols = (t.idCol +: t.propCols.values.toSeq.distinct)
+      val df = t.df.selectExpr(cols.map(c => s"`$c`"): _*)
+      writer(df).save(s"$path/$dir")
+      TableMeta(dir, t.labels.toSeq.sorted, t.idCol, "", "", t.propCols,
+        df.schema.toDDL)
+    }
+    val relMetas = graph.relTables.zipWithIndex.map { case (t, i) =>
+      val dir = s"rels/${i}_${t.relType}"
+      val cols = (Seq(t.idCol, t.srcCol, t.dstCol) ++ t.propCols.values.toSeq).distinct
+      val df = t.df.selectExpr(cols.map(c => s"`$c`"): _*)
+      writer(df).save(s"$path/$dir")
+      TableMeta(dir, Seq(t.relType), t.idCol, t.srcCol, t.dstCol, t.propCols,
+        df.schema.toDDL)
+    }
+
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    def metaJson(m: TableMeta) =
+      ("dir" -> m.dir) ~ ("labelsOrType" -> m.labelsOrType) ~
+        ("id" -> m.id) ~ ("src" -> m.src) ~ ("dst" -> m.dst) ~
+        ("props" -> m.props) ~ ("ddl" -> m.ddl)
+    val json = JsonMethods.pretty(JsonMethods.render(
+      ("version" -> 1) ~ ("format" -> format) ~
+        ("nodes" -> nodeMetas.map(metaJson)) ~
+        ("rels" -> relMetas.map(metaJson))))
+
+    // write the sidecar through Hadoop FS so s3a/hdfs paths work too
+    val hadoopPath = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
+    val fs = hadoopPath.getFileSystem(graph.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hadoopPath, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): PropertyGraph = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hadoopPath)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val format = (root \ "format").extract[String]
+
+    def read(m: JValue): (TableMeta, DataFrame) = {
+      val meta = TableMeta(
+        (m \ "dir").extract[String], (m \ "labelsOrType").extract[Seq[String]],
+        (m \ "id").extract[String], (m \ "src").extract[String],
+        (m \ "dst").extract[String], (m \ "props").extract[Map[String, String]],
+        (m \ "ddl").extract[String])
+      val reader = spark.read.format(format)
+        .schema(StructType.fromDDL(meta.ddl))
+      val withOpts = if (format == "csv") reader.option("header", "true") else reader
+      (meta, withOpts.load(s"$path/${meta.dir}"))
+    }
+
+    val nodes = (root \ "nodes").children.map { m =>
+      val (meta, df) = read(m)
+      NodeTable(meta.labelsOrType.toSet, df, meta.id, meta.props)
+    }
+    val rels = (root \ "rels").children.map { m =>
+      val (meta, df) = read(m)
+      RelTable(meta.labelsOrType.head, df, meta.id, meta.src, meta.dst, meta.props)
+    }
+    new PropertyGraph(nodes, rels, spark)
+  }
+}

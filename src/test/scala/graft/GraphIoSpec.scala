@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.graph.{NodeTable, PropertyGraph, RelTable}
+import graft.sources.{EdgeListSource, FsGraphSource}
+
+/** CONSTRUCT / multiple-graph + graph I/O coverage (SURVEY §2.5, §2.6). */
+class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var gs: GraftSession = _
+  private var g: PropertyGraph = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-graphio-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    gs = GraftSession(spark)
+    g = teamGraph()
+    gs.register("team", g)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** tiny social graph (shape of the reference's TeamDataFixture). */
+  private def teamGraph(): PropertyGraph = {
+    val s = spark
+    import s.implicits._
+    val people = Seq(
+      (1L, "Alice", 23L), (2L, "Bob", 42L), (3L, "Carol", 31L))
+      .toDF("id", "name", "age")
+    val cities = Seq((10L, "Berlin"), (11L, "Aachen")).toDF("id", "city")
+    val knows = Seq((100L, 1L, 2L, 2016L), (101L, 2L, 3L, 2017L))
+      .toDF("rid", "src", "dst", "since")
+    val livesIn = Seq((200L, 1L, 10L), (201L, 2L, 10L), (202L, 3L, 11L))
+      .toDF("rid", "src", "dst")
+    new PropertyGraph(
+      Seq(NodeTable(Set("Person"), people, "id",
+        Map("name" -> "name", "age" -> "age")),
+        NodeTable(Set("City"), cities, "id", Map("city" -> "city"))),
+      Seq(RelTable("KNOWS", knows, "rid", "src", "dst", Map("since" -> "since")),
+        RelTable("LIVES_IN", livesIn, "rid", "src", "dst", Map.empty)),
+      spark)
+  }
+
+  test("CONSTRUCT NEW from matched bindings creates per-row elements") {
+    val friendsGraph = gs.cypherGraph(g,
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+        |CONSTRUCT NEW (a)-[:FRIEND {since: k.since}]->(b)
+        |RETURN GRAPH""".stripMargin)
+    gs.register("friends", friendsGraph)
+
+    val rows = gs.cypher(friendsGraph,
+      """MATCH (x:Person)-[f:FRIEND]->(y:Person)
+        |RETURN x.name AS xn, y.name AS yn, f.since AS since
+        |ORDER BY since""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("Alice", "Bob", 2016L), ("Bob", "Carol", 2017L)))
+  }
+
+  test("CONSTRUCT CLONE carries entities; fresh nodes are one-per-row") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (p:Person)
+        |CONSTRUCT CLONE p
+        |NEW (p)-[:HAS]->(:Badge {kind: 'member'})
+        |RETURN GRAPH""".stripMargin)
+    val n = gs.cypher(g2,
+      "MATCH (:Person)-[:HAS]->(b:Badge) RETURN b.kind AS k").collect()
+    assert(n.length === 3 && n.forall(_.getString(0) == "member"))
+  }
+
+  test("CONSTRUCT ON unions catalog graphs into the result") {
+    val merged = gs.cypherGraph(g,
+      """CONSTRUCT ON team
+        |RETURN GRAPH""".stripMargin)
+    val names = gs.cypher(merged,
+      "MATCH (p:Person) RETURN p.name AS n ORDER BY n").collect().map(_.getString(0))
+    assert(names.toSeq === Seq("Alice", "Bob", "Carol"))
+  }
+
+  test("FROM GRAPH switches the working graph mid-query") {
+    val extra = gs.cypherGraph(g,
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+        |CONSTRUCT NEW (a)-[:FRIEND]->(b) RETURN GRAPH""".stripMargin)
+    gs.register("extra", extra)
+    val rows = gs.cypher(g,
+      """FROM GRAPH extra
+        |MATCH (x:Person)-[:FRIEND]->(y:Person)
+        |RETURN x.name AS xn ORDER BY xn""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("Alice", "Bob"))
+  }
+
+  test("fs round-trip: parquet and csv preserve graph semantics") {
+    for (fmt <- Seq("parquet", "csv")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_fs_$fmt").toString + "/g"
+      FsGraphSource.save(g, dir, fmt)
+      val loaded = FsGraphSource.load(spark, dir)
+      val rows = gs.cypher(loaded,
+        """MATCH (a:Person)-[k:KNOWS]->(b:Person) WHERE a.age > 40
+          |RETURN a.name AS an, b.name AS bn, k.since AS since""".stripMargin)
+        .collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+        Seq(("Bob", "Carol", 2017L)), s"format $fmt")
+    }
+  }
+
+  test("edge list source: SNAP format → V/E graph") {
+    val f = java.nio.file.Files.createTempFile("graft_edges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# comment line\n1 2\n2 3\n3 1\n3 4\n")
+    val eg = EdgeListSource.load(spark, f.toString)
+    val deg = gs.cypher(eg,
+      """MATCH (v:V)-[:E]->(w:V)
+        |RETURN id(v) AS src, count(*) AS outdeg
+        |ORDER BY src""".stripMargin).collect()
+    assert(deg.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+}
