@@ -63,10 +63,11 @@ object PipelineQueries {
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), size(col("fingerprint")).as("fp_size"))
         .orderBy("doc_id")),
-    // LSH-bucketed ANN (scale path; rows-only)
+    // LSH-bucketed ANN (scale path; rows-only). 8 bits → 256 buckets per
+    // table keeps candidate fan-out ~n²/256 per table instead of ~n²/16.
     "p10_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", dim = 64,
-        k = 5, bits = 4, tables = 16).orderBy(col("qid"), col("rank"))),
+        k = 5, bits = 8, tables = 8).orderBy(col("qid"), col("rank"))),
     // embedding-cosine near-duplicate pairs (exact baseline)
     "p12_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", threshold = 0.4)

@@ -102,14 +102,43 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // same dense-kernel shape as Similarity.bruteForceTopK: broadcast the
+    // matrix, stream the upper triangle per partition — no O(n²) pair rows
+    val bc = spark.sparkContext.broadcast(
+      Similarity.collectMatrix(emb, idCol, vecCol))
     val v = emb.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
-    val a = v.toDF("id_a", "vec_a"); val b = v.toDF("id_b", "vec_b")
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.VectorFunctions.cosine_similarity(
-          col("vec_a"), col("vec_b")), roundTo).as("sim"))
-      .where(col("sim") >= threshold)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Double])]
+    val th = threshold; val rt = roundTo
+    v.mapPartitions { it =>
+      val (ids, mat, sqrtNorms, dim) = bc.value
+      val n = ids.length
+      it.flatMap { case (qid, qv) =>
+        var qnorm = 0.0
+        var j = 0
+        while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
+        val qsqrt = math.sqrt(qnorm)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < n) {
+          if (ids(i) > qid) {
+            var dot = 0.0
+            var j2 = 0
+            val off = i * dim
+            while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
+            val denom = qsqrt * sqrtNorms(i)
+            val sim = Similarity.roundHalfUp(
+              if (denom == 0.0) 0.0 else dot / denom, rt)
+            if (sim >= th) out += ((qid, ids(i), sim))
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "sim")
   }
 
   /** near-duplicate pairs by SimHash Hamming distance: 16-bit bands bucket

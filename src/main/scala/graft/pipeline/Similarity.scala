@@ -28,23 +28,98 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine_similarity(a, b)
 
-  /** Exact top-k cosine neighbors for every vector (self-join, excludes
-    * self-matches). Ranking uses the rounded similarity (stable across
-    * engines/accumulation orders) with id tiebreak, so results are
-    * deterministic. */
+  /** raw vectors (flattened), ids, and per-row √(Σx²) — broadcast-ready.
+    * Raw + explicit norms keeps the cosine formula `dot / (√na · √nb)`
+    * bit-identical to the column-expression / oracle formulation. */
+  private[pipeline] def collectMatrix(emb: DataFrame, idCol: String,
+      vecCol: String): (Array[Long], Array[Double], Array[Double], Int) = {
+    val rows = emb.select(col(idCol).cast(LongType),
+      col(vecCol).cast(ArrayType(DoubleType))).collect()
+    val n = rows.length
+    val dim = if (n == 0) 0 else rows(0).getSeq[Double](1).length
+    val ids = new Array[Long](n)
+    val mat = new Array[Double](n * dim)
+    val sqrtNorms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      val v = rows(i).getSeq[Double](1)
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { val x = v(j); mat(i * dim + j) = x; norm += x * x; j += 1 }
+      sqrtNorms(i) = math.sqrt(norm)
+      i += 1
+    }
+    (ids, mat, sqrtNorms, dim)
+  }
+
+  /** round-half-up matching Spark's / DuckDB's `round(double, n)`. */
+  @inline private[pipeline] def roundHalfUp(v: Double, digits: Int): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(digits, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Exact top-k cosine neighbors for every vector (excludes self-matches).
+    * Ranking uses the rounded similarity (stable across engines/accumulation
+    * orders) with id tiebreak, so results are deterministic.
+    *
+    * Implementation: the normalized candidate matrix is broadcast and each
+    * partition streams its queries through a dense dot-product loop with a
+    * bounded top-k buffer. A relational formulation (self-join + window or
+    * top-k aggregate) materializes O(n²) pair rows each carrying two d-dim
+    * arrays — tens of GB of row copying that dwarfs the O(n²·d) FLOPs.
+    * Catalyst has no tiled-matrix-product operator, so this is the
+    * documented `mapPartitions` last resort; brute force is inherently the
+    * small-n baseline (the 100 TB path is [[lshTopK]]). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, roundTo: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectMatrix(emb, idCol, vecCol))
+    // spread queries across all cores: a small corpus often arrives as one
+    // file split, which would serialize the O(n²·d) loop
     val v = emb.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
-    val a = v.toDF("qid", "qvec"); val b = v.toDF("nid", "nvec")
-    val scored = a.join(b, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        round(cosine(col("qvec"), col("nvec")), roundTo).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Double])]
+    val kk = k; val rt = roundTo
+    v.mapPartitions { it =>
+      val (ids, mat, sqrtNorms, dim) = bc.value
+      val n = ids.length
+      it.flatMap { case (qid, qv) =>
+        var qnorm = 0.0
+        var j = 0
+        while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
+        val qsqrt = math.sqrt(qnorm)
+        // best-first buffer of (sim, nid), size ≤ k — same ordering as the
+        // TopKAggregator: sim desc, nid asc
+        val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
+        var filled = 0
+        var i = 0
+        while (i < n) {
+          if (ids(i) != qid) {
+            var dot = 0.0
+            var j2 = 0
+            val off = i * dim
+            while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
+            val denom = qsqrt * sqrtNorms(i)
+            val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
+            val nid = ids(i)
+            if (filled < kk || sim > simBuf(filled - 1) ||
+                (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
+              var p = math.min(filled, kk - 1)
+              while (p > 0 && (sim > simBuf(p - 1) ||
+                  (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
+                simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
+              }
+              simBuf(p) = sim; nidBuf(p) = nid
+              if (filled < kk) filled += 1
+            }
+          }
+          i += 1
+        }
+        (0 until filled).map(r => (qid, nidBuf(r), simBuf(r), r + 1))
+      }
+    }.toDF("qid", "nid", "sim", "rank")
   }
 
   /** deterministic pseudo-random hyperplanes (seeded, plan-time literals). */
@@ -81,13 +156,15 @@ object Similarity {
         col("vec"), dim, bits, tables, seed)))
       .toDF("id", "table_idx", "bucket")
 
+    // no distinct here: a pair surfacing from several tables reaches the
+    // top-k aggregator more than once, which ignores duplicates — saves a
+    // full shuffle of the candidate stream
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.table_idx") === col("b.table_idx") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"))
-      .dropDuplicates("qid", "nid")
 
     // re-attach vectors only after candidate dedup (broadcast the narrow
     // id→vec side when small; AQE decides otherwise)
@@ -96,10 +173,10 @@ object Similarity {
       .join(v.toDF("nid", "nvec"), "nid")
       .select(col("qid"), col("nid"),
         round(cosine(col("qvec"), col("nvec")), roundTo).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("nid"), col("col._1").as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 }
