@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the event stream.
+  *
+  * The reference has no streaming surface at all (SURVEY §2.7 — verified
+  * absence); this module is the scale extension: the same event-shaping
+  * ops the batch gate runs (e1 counts, e2 sessionization) expressed as
+  * incremental computations with watermarks and typed state, so a 100 TB/day
+  * event feed folds continuously instead of re-scanning.
+  *
+  * All transforms are source-agnostic: they accept any DataFrame
+  * (`readStream` from kafka/files/rate or a batch frame for testing — the
+  * logical plan is identical either way).
+  */
+object EventStreams {
+
+  /** Tumbling/sliding windowed counts + sums per key with a watermark:
+    * late events beyond `watermarkDelay` are dropped, window state is
+    * evicted once the watermark passes — bounded state at any volume. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      windowDuration: String = "1 hour", slideDuration: Option[String] = None,
+      watermarkDelay: String = "10 minutes",
+      valueCol: Option[String] = None): DataFrame = {
+    val withWm = events.withWatermark(tsCol, watermarkDelay)
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None => window(col(tsCol), windowDuration)
+    }
+    val grouped = withWm.groupBy(win +: keyCols.map(c => col(s"`$c`")): _*)
+    valueCol match {
+      case Some(v) => grouped.agg(count(lit(1)).as("n"),
+        sum(col(s"`$v`")).as("total"))
+      case None => grouped.agg(count(lit(1)).as("n"))
+    }
+  }
+
+  case class SessionEvent(userId: Long, ts: Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Incremental sessionization: per-user inactivity-gap sessions via
+    * [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapGroupsWithState]]
+    * with an event-time timeout — the streaming twin of the batch
+    * lag-over-window recipe (PipelineQueries e2_sessions). A session is
+    * emitted when the watermark passes its close (gap elapsed). */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, evts: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.end), s.n))
+      }
+      val sorted = evts.map(_.ts.getTime).toArray.sorted
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+          case Some(s) =>
+            out ::= SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming exact-dedup by content hash within the watermark horizon:
+    * `dropDuplicates` keyed on the hash with event-time watermark bounds
+    * the state — the streaming counterpart of Dedup.exact. */
+  def streamingDedup(docs: DataFrame, tsCol: String, contentCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash",
+        xxhash64(contentCols.map(c => col(s"`$c`")): _*))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("content_hash")
+}

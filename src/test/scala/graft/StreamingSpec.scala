@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionOut}
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("windowedCounts: tumbling window counts with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val counts = EventStreams.windowedCounts(events, "ts", Seq("user_id"),
+      windowDuration = "10 minutes", watermarkDelay = "5 minutes",
+      valueCol = Some("value"))
+
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, 2.0), (ts(2), 1L, 3.0), (ts(3), 2L, 1.0))
+      q.processAllAvailable()
+      // watermark must pass the first window before append emits it
+      input.addData((ts(30), 9L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n, total FROM wc ORDER BY user_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        === Seq((1L, 2L, 5.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: inactivity gap splits sessions, emitted on watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 600,
+      watermarkDelay = "1 minute")
+
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at t=1,5 (one session), then t=40 (new session)
+      input.addData(SessionEvent(1L, ts(1)), SessionEvent(1L, ts(5)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(40)))
+      q.processAllAvailable()
+      // push watermark far ahead so the second session times out too
+      input.addData(SessionEvent(99L, ts(500)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(98L, ts(1000)))
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        """SELECT user_id, session_start, session_end, n_events FROM sess
+          |WHERE user_id = 1 ORDER BY session_start""".stripMargin).collect()
+      assert(rows.length === 2)
+      assert(rows(0).getTimestamp(1) === ts(1))
+      assert(rows(0).getTimestamp(2) === ts(5))
+      assert(rows(0).getLong(3) === 2L)
+      assert(rows(1).getTimestamp(1) === ts(40))
+      assert(rows(1).getLong(3) === 1L)
+    } finally q.stop()
+  }
+
+  test("streamingDedup keeps first occurrence per content hash") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val deduped = EventStreams.streamingDedup(docs, "ts", Seq("text"))
+
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "alpha"), (ts(2), "alpha"), (ts(3), "beta"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT text FROM dd ORDER BY text").collect()
+      assert(rows.map(_.getString(0)).toSeq === Seq("alpha", "beta"))
+    } finally q.stop()
+  }
+}
