@@ -132,6 +132,13 @@ object CypherQueries {
         |       percentileCont(li.l_quantity, 0.5) AS med,
         |       round(stDev(li.l_quantity) * 1000.0) / 1000.0 AS sd
         |ORDER BY rf""".stripMargin)),
+    // temporal expressions (§2.3): timestamp literal compare + accessors
+    "c22_temporal" -> ((s, dir) => run(s, dir,
+      """MATCH (:Order)-[li:CONTAINS]->()
+        |WHERE li.l_shipdate >= localdatetime('2000-01-01T00:00:00')
+        |RETURN year(li.l_shipdate) AS y, month(li.l_shipdate) AS m,
+        |       count(*) AS n
+        |ORDER BY y, m""".stripMargin)),
     // CONSTRUCT (§2.5): derived graph queried back through the engine
     "c21_construct" -> ((s, dir) => {
       val gs = sessions.getOrElseUpdate(s, GraftSession(s))
@@ -238,6 +245,11 @@ object CypherQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "c21_construct" ->
       """SELECT o_custkey AS ck, count(*) AS n, min(o_totalprice) AS lo
-        |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin,
+    "c22_temporal" ->
+      """SELECT year(l_shipdate)::BIGINT AS y, month(l_shipdate)::BIGINT AS m,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin
   )
 }

@@ -47,6 +47,15 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(graphName: String, query: String): PropertyGraph =
     cypherGraph(graph(graphName), query, Map.empty[String, Any])
 
+  /** Graph DDL entry point (reference: graph-ddl module + catalog DDL,
+    * RelationalCypherSession.scala:171-196): parses a `CREATE GRAPH ...`
+    * mapping over Spark tables/views, registers and returns the graph. */
+  def createGraph(ddl: String): PropertyGraph = {
+    val (name, g) = graft.sources.GraphDdl.createGraph(spark, ddl)
+    register(name, g)
+    g
+  }
+
   /** Spark SQL pass-through (reference entry point 2,
     * MorpheusSession.scala:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)

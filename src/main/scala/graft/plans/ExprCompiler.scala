@@ -322,6 +322,19 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // temporal constructors + accessors (subset; SURVEY §2.3 temporal)
       case "date" => to_date(a0)
       case "localdatetime" => to_timestamp(a0)
+      // duration({days: 1, hours: 2, ...}) → DayTimeIntervalType, which is
+      // natively comparable/summable in Spark 3.3+ — the reference needed
+      // four custom UDAFs for CalendarInterval (TemporalUdafs.scala:39-116);
+      // ANSI intervals make those unnecessary (SURVEY §7.1).
+      case "duration" => f.args.head match {
+        case MapLit(items) =>
+          val m = items.toMap
+          def part(k: String) = m.get(k).map(compile).getOrElse(lit(0L))
+          make_dt_interval(part("days"), part("hours"), part("minutes"),
+            part("seconds"))
+        case _ => throw new IllegalArgumentException(
+          "duration() expects a map like {days: 1, hours: 2}")
+      }
       case "year" => year(a0).cast(LongType)
       case "month" => month(a0).cast(LongType)
       case "day" => dayofmonth(a0).cast(LongType)

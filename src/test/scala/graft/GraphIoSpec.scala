@@ -113,6 +113,39 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph DDL maps tables/views to a property graph") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "Ann", 30L), (2L, "Ben", 40L)).toDF("pid", "name", "age")
+      .createOrReplaceTempView("ddl_people")
+    Seq((7L, 1L, 2L, "golf")).toDF("fid", "a", "b", "topic")
+      .createOrReplaceTempView("ddl_friends")
+    val g2 = gs.createGraph(
+      """CREATE GRAPH ddlG (
+        |  NODE Person FROM ddl_people (pid AS id),
+        |  REL FRIEND FROM ddl_friends (fid AS id, a AS source, b AS target)
+        |)""".stripMargin)
+    val rows = gs.cypher("ddlG",
+      """MATCH (x:Person)-[f:FRIEND]->(y:Person)
+        |RETURN x.name AS xn, y.name AS yn, f.topic AS t""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq(("Ann", "Ben", "golf")))
+  }
+
+  test("duration arithmetic and aggregation over ANSI intervals") {
+    val rows = gs.cypher(g,
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+        |WITH duration({days: k.since - 2015, hours: 1}) AS d
+        |RETURN sum(d) AS total, max(d) AS longest""".stripMargin).collect()
+    // since 2016 → 1d1h, 2017 → 2d1h; sum = 3d2h, max = 2d1h
+    assert(rows.length === 1)
+    val total = rows(0).get(0).asInstanceOf[java.time.Duration]
+    val longest = rows(0).get(1).asInstanceOf[java.time.Duration]
+    assert(total === java.time.Duration.ofDays(3).plusHours(2))
+    assert(longest === java.time.Duration.ofDays(2).plusHours(1))
+  }
+
   test("edge list source: SNAP format → V/E graph") {
     val f = java.nio.file.Files.createTempFile("graft_edges", ".txt")
     java.nio.file.Files.writeString(f,
