@@ -80,6 +80,14 @@ object Ast {
   case class PatternPredicate(pattern: PatternPart, negated: Boolean = false)
       extends Expr
 
+  /** map projection `n {.prop, key: expr, var, .*}`. */
+  sealed trait MapProjItem
+  case object AllPropsItem extends MapProjItem
+  case class PropItem(key: String) extends MapProjItem
+  case class ExprItem(key: String, value: Expr) extends MapProjItem
+  case class MapProjection(variable: String, items: Seq[MapProjItem])
+      extends Expr
+
   // ---------------------------------------------------------------- pattern
   sealed trait Direction
   case object Outgoing extends Direction

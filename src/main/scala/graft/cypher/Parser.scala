@@ -139,7 +139,18 @@ object CypherParser extends RegexParsers {
     literal |
     (K("null") ^^^ NullLit) | (K("true") ^^^ BoolLit(true)) | (K("false") ^^^ BoolLit(false)) |
     ("(" ~> expression <~ ")") |
+    mapProjection |
     (ident ^^ Var.apply)
+
+  def mapProjection: Parser[Expr] =
+    ident ~ ("{" ~> repsep(mapProjItem, ",") <~ "}") ^^ {
+      case v ~ items => MapProjection(v, items) }
+
+  private def mapProjItem: Parser[MapProjItem] =
+    (".*" ^^^ AllPropsItem) |
+    ("." ~> anyIdent ^^ PropItem.apply) |
+    ((anyIdent <~ ":") ~ expression ^^ { case k ~ e => ExprItem(k, e) }) |
+    (ident ^^ (n => ExprItem(n, Var(n))))
 
   def literal: Parser[Expr] =
     floatLit ^^ FloatLit.apply | intLit ^^ IntLit.apply | stringLit ^^ StringLit.apply
@@ -267,14 +278,19 @@ object CypherParser extends RegexParsers {
       opt(K("skip") ~> expression) ~ opt(K("limit") ~> expression) ^^ {
       case o ~ s ~ l => (o.getOrElse(Nil), s, l) }
 
+  /** `*` | `*, items` | `items` — star may carry extra items. */
+  private def projectionItems: Parser[(Seq[ReturnItem], Boolean)] =
+    ("*" ~> opt("," ~> rep1sep(returnItem, ","))) ^^ (i => (i.getOrElse(Nil), true)) |
+    rep1sep(returnItem, ",") ^^ (i => (i, false))
+
   def withClause: Parser[Clause] =
-    K("with") ~> opt(K("distinct")) ~ ("*" ^^^ (Nil, true) | rep1sep(returnItem, ",") ^^ (i => (i, false))) ~
+    K("with") ~> opt(K("distinct")) ~ projectionItems ~
       orderSkipLimit ~ opt(K("where") ~> expression) ^^ {
       case d ~ items ~ ((o, s, l)) ~ w =>
         WithClause(d.isDefined, items._1, items._2, o, s, l, w) }
 
   def returnClause: Parser[Clause] =
-    K("return") ~> opt(K("distinct")) ~ ("*" ^^^ (Nil, true) | rep1sep(returnItem, ",") ^^ (i => (i, false))) ~
+    K("return") ~> opt(K("distinct")) ~ projectionItems ~
       orderSkipLimit ^^ {
       case d ~ items ~ ((o, s, l)) =>
         ReturnClause(d.isDefined, items._1, items._2, o, s, l) }

@@ -148,10 +148,42 @@ class PropertyGraph(
       .map(t => (t.df, t.propCols))).map(_._1)
 
   /** Union of two graphs (GraphUnionAll, SURVEY §2.1). Ids must already be
-    * disjoint — use [[PropertyGraph.withIdSpace]] tags when they are not. */
+    * disjoint — tag-bit id spaces (see class doc) or [[prefixIdSpace]]
+    * when they are not. */
   def unionAll(other: PropertyGraph): PropertyGraph =
     new PropertyGraph(nodeTables ++ other.nodeTables,
       relTables ++ other.relTables, spark)
+
+  /** Re-tag every element id into a disjoint space: `(prefix << 56) | id`
+    * (role of the reference's PrefixedGraph byte prefix,
+    * okapi-relational/.../impl/graph/PrefixedGraph.scala:40-64). Ids must
+    * fit 56 bits; prefix 1..127. */
+  def prefixIdSpace(prefix: Int): PropertyGraph = {
+    require(prefix > 0 && prefix < 128, "prefix must be in 1..127")
+    val p = lit(prefix.toLong << 56)
+    def retag(df: DataFrame, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, p + col(s"`$c`").cast(LongType)))
+    new PropertyGraph(
+      nodeTables.map(t => t.copy(df = retag(t.df, Seq(t.idCol)))),
+      relTables.map(t => t.copy(df = retag(t.df, Seq(t.idCol, t.srcCol, t.dstCol)))),
+      spark)
+  }
+
+  /** Materialize all element tables (reference: Cache operator +
+    * CachedDataSource, RelationalOptimizer.scala:35-92 — shared-subtree
+    * reuse; repeated pattern scans hit memory instead of re-reading). */
+  def cache(storageLevel: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): PropertyGraph = {
+    nodeTables.foreach(_.df.persist(storageLevel))
+    relTables.foreach(_.df.persist(storageLevel))
+    this
+  }
+
+  def unpersist(): PropertyGraph = {
+    nodeTables.foreach(_.df.unpersist())
+    relTables.foreach(_.df.unpersist())
+    this
+  }
 }
 
 /** Caller-chosen column naming for one scan (keeps generated names unique

@@ -174,6 +174,24 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case "single" => size(filter(c, p(_))) === 1
       }
 
+    case MapProjection(v, items) =>
+      // later entries override earlier ones (openCypher semantics)
+      val entries = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      def allProps: Seq[(String, String)] = header(v) match {
+        case nb: NodeBinding => nb.propCols.toSeq.sortBy(_._1)
+        case rb: RelBinding => rb.propCols.toSeq.sortBy(_._1)
+        case _ => throw new IllegalArgumentException(
+          s"map projection `$v {.*}` needs an entity variable")
+      }
+      items.foreach {
+        case AllPropsItem =>
+          allProps.foreach { case (k, c) => entries(k) = col(s"`$c`") }
+        case PropItem(k) => entries(k) = compile(Property(Var(v), k))
+        case ExprItem(k, e) => entries(k) = compile(e)
+      }
+      require(entries.nonEmpty, s"empty map projection on `$v`")
+      struct(entries.toSeq.map { case (k, c) => c.as(k) }: _*)
+
     case CountStar =>
       throw new IllegalArgumentException("count(*) is only valid as an aggregate")
     case _: PatternPredicate =>

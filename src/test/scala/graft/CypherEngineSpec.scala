@@ -164,4 +164,25 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(row.getSeq[String](0) == Seq("Nation"))
     assert(row.getString(1) == "IN_REGION")
   }
+
+  test("map projection with props, overrides, and .*") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation) WHERE n.n_name = 'NATION_0'
+        |RETURN n {.n_name, lowered: toLower(n.n_name), nk: n.n_nationkey} AS m""".stripMargin)
+    val m = df.head.getStruct(0)
+    assert(m.getAs[String]("n_name") == "NATION_0")
+    assert(m.getAs[String]("lowered") == "nation_0")
+    val all = gs.cypher(g,
+      "MATCH (r:Region) RETURN r {.*} AS m LIMIT 1").head.getStruct(0)
+    assert(all.schema.fieldNames.contains("r_name"))
+  }
+
+  test("WITH * plus extra items keeps scope and adds bindings") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation)
+        |WITH *, n.n_name AS nm
+        |RETURN n.n_nationkey AS k, nm ORDER BY k LIMIT 2""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 2 && rows(0).getString(1) == "NATION_0")
+  }
 }
