@@ -68,6 +68,10 @@ object PipelineQueries {
     "p10_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", dim = 64,
         k = 5, bits = 8, tables = 8).orderBy(col("qid"), col("rank"))),
+    // SimHash near-dup pairs by banded Hamming distance (rows-only)
+    "p13_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")),
     // embedding-cosine near-duplicate pairs (exact baseline)
     "p12_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", threshold = 0.4)

@@ -266,6 +266,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         nb.idCol, propSel.map { case (k, cn) => k -> cn }.toMap)
 
     if (nb.labelCols.isEmpty) return Seq(table(nb.labels, state.df))
+    // fast path: when the pattern pins every possible label (single-combo
+    // scan), the combination is static — no distinct job needed
+    if (nb.labels == nb.labelCols.keySet) return Seq(table(nb.labels, state.df))
     val lblSel = nb.labelCols.toSeq.sortBy(_._1)
     val combos = state.df
       .select(lblSel.map { case (_, cn) => col(s"`$cn`") }: _*).distinct()

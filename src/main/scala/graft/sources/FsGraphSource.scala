@@ -65,6 +65,63 @@ object FsGraphSource {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Mirror the graph into catalog tables (Hive when enabled, the session
+    * catalog otherwise — reference: FSGraphSource's Hive mirror,
+    * FSGraphSource.scala:151-168): `<prefix>_node<i>` / `<prefix>_rel<i>`
+    * plus a one-row `<prefix>_meta` table holding the JSON mapping. */
+  def saveAsTables(graph: PropertyGraph, prefix: String,
+      format: String = "parquet"): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+
+    val nodeMetas = graph.nodeTables.zipWithIndex.map { case (t, i) =>
+      val tbl = s"${prefix}_node$i"
+      val cols = (t.idCol +: t.propCols.values.toSeq.distinct)
+      t.df.selectExpr(cols.map(c => s"`$c`"): _*)
+        .write.format(format).mode("overwrite").saveAsTable(tbl)
+      TableMeta(tbl, t.labels.toSeq.sorted, t.idCol, "", "", t.propCols, "")
+    }
+    val relMetas = graph.relTables.zipWithIndex.map { case (t, i) =>
+      val tbl = s"${prefix}_rel$i"
+      val cols = (Seq(t.idCol, t.srcCol, t.dstCol) ++ t.propCols.values.toSeq).distinct
+      t.df.selectExpr(cols.map(c => s"`$c`"): _*)
+        .write.format(format).mode("overwrite").saveAsTable(tbl)
+      TableMeta(tbl, Seq(t.relType), t.idCol, t.srcCol, t.dstCol, t.propCols, "")
+    }
+    def metaJson(m: TableMeta) =
+      ("dir" -> m.dir) ~ ("labelsOrType" -> m.labelsOrType) ~
+        ("id" -> m.id) ~ ("src" -> m.src) ~ ("dst" -> m.dst) ~
+        ("props" -> m.props) ~ ("ddl" -> m.ddl)
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("version" -> 1) ~ ("nodes" -> nodeMetas.map(metaJson)) ~
+        ("rels" -> relMetas.map(metaJson))))
+    import graph.spark.implicits._
+    Seq(json).toDF("meta").write.mode("overwrite")
+      .saveAsTable(s"${prefix}_meta")
+  }
+
+  def loadFromTables(spark: SparkSession, prefix: String): PropertyGraph = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val json = spark.table(s"${prefix}_meta").head.getString(0)
+    val root = JsonMethods.parse(json)
+    def meta(m: JValue) = TableMeta(
+      (m \ "dir").extract[String], (m \ "labelsOrType").extract[Seq[String]],
+      (m \ "id").extract[String], (m \ "src").extract[String],
+      (m \ "dst").extract[String], (m \ "props").extract[Map[String, String]], "")
+    val nodes = (root \ "nodes").children.map { j =>
+      val m = meta(j)
+      NodeTable(m.labelsOrType.toSet, spark.table(m.dir), m.id, m.props)
+    }
+    val rels = (root \ "rels").children.map { j =>
+      val m = meta(j)
+      RelTable(m.labelsOrType.head, spark.table(m.dir), m.id, m.src, m.dst,
+        m.props)
+    }
+    new PropertyGraph(nodes, rels, spark)
+  }
+
   def load(spark: SparkSession, path: String): PropertyGraph = {
     val hadoopPath = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -146,6 +146,63 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(longest === java.time.Duration.ofDays(2).plusHours(1))
   }
 
+  test("catalog-table mirror round-trips the graph") {
+    // unique prefix: saveAsTable can't reuse an orphaned warehouse dir
+    val prefix = s"tmirror_${System.nanoTime()}"
+    FsGraphSource.saveAsTables(g, prefix)
+    val loaded = FsGraphSource.loadFromTables(spark, prefix)
+    val rows = gs.cypher(loaded,
+      """MATCH (p:Person)-[:LIVES_IN]->(c:City)
+        |RETURN c.city AS city, count(*) AS n ORDER BY city""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("Aachen", 1L), ("Berlin", 2L)))
+  }
+
+  test("JDBC tables (Derby) flow through Graph DDL views") {
+    // reference SQL PGDS shape: spark.read.jdbc per mapped table
+    // (api/io/sql/SqlPropertyGraphDataSource.scala) — here via temp views
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people (pid BIGINT, name VARCHAR(32))")
+      st.execute("INSERT INTO people VALUES (1, 'Ann'), (2, 'Ben')")
+      st.execute(
+        "CREATE TABLE likes (lid BIGINT, a BIGINT, b BIGINT)")
+      st.execute("INSERT INTO likes VALUES (5, 1, 2)")
+      st.close()
+    } finally conn.close()
+
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "people").load().createOrReplaceTempView("jdbc_people")
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "likes").load().createOrReplaceTempView("jdbc_likes")
+
+    gs.createGraph(
+      """CREATE GRAPH jdbcG (
+        |  NODE Person FROM jdbc_people (PID AS id),
+        |  REL LIKES FROM jdbc_likes (LID AS id, A AS source, B AS target)
+        |)""".stripMargin)
+    val rows = gs.cypher("jdbcG",
+      "MATCH (x:Person)-[:LIKES]->(y:Person) RETURN x.NAME AS xn, y.NAME AS yn")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Ann", "Ben")))
+  }
+
+  test("salted join spreads hot keys and preserves results") {
+    val s = spark
+    import s.implicits._
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) 7L else i.toLong, i))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (3L, "cold")).toDF("k", "name")
+    val out = graft.operators.SkewJoin.saltedJoin(large, small, "k", salts = 8)
+    val plain = large.join(small, "k")
+    assert(out.count() === plain.count())
+    assert(out.columns.count(_ == "k") === 1)
+  }
+
   test("edge list source: SNAP format → V/E graph") {
     val f = java.nio.file.Files.createTempFile("graft_edges", ".txt")
     java.nio.file.Files.writeString(f,
