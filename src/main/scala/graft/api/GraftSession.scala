@@ -56,6 +56,25 @@ class GraftSession(val spark: SparkSession) {
     g
   }
 
+  /** Records as maps — the reference's `toCypherMaps` surface
+    * (MorpheusRecords.scala:138) without a boxed value hierarchy: each row
+    * becomes name→JVM value (structs → nested maps, arrays → Seq). */
+  def cypherMaps(g: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty)
+      : org.apache.spark.sql.Dataset[Map[String, Any]] = {
+    val df = cypher(g, query, params)
+    implicit val enc: org.apache.spark.sql.Encoder[Map[String, Any]] =
+      org.apache.spark.sql.Encoders.kryo[Map[String, Any]]
+    def convert(v: Any): Any = v match {
+      case r: org.apache.spark.sql.Row =>
+        r.schema.fieldNames.zip(r.toSeq.map(convert)).toMap
+      case s: Seq[_] => s.map(convert)
+      case other => other
+    }
+    val names = df.columns
+    df.map(row => names.zip(row.toSeq.map(convert)).toMap)
+  }
+
   /** Spark SQL pass-through (reference entry point 2,
     * MorpheusSession.scala:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)

@@ -22,22 +22,33 @@ case class RelTable(relType: String, df: DataFrame, idCol: String,
 
 object SparkTypes {
   /** Cypher-compatible normalization: integers widen to Long, Float to
-    * Double (reference: SparkConversions.scala:164-169). */
+    * Double, array elements recursively (reference:
+    * SparkConversions.scala:164-169). */
   def normalize(dt: DataType): DataType = dt match {
     case ByteType | ShortType | IntegerType => LongType
     case FloatType => DoubleType
+    case ArrayType(e, n) => ArrayType(normalize(e), n)
     case other => other
   }
 
-  /** join of two Spark types for union alignment. */
+  /** Join of two Spark types for union alignment — a proper (associative,
+    * commutative) lattice with NullType as bottom and StringType as top;
+    * laws checked exhaustively in TypeLatticeSpec. */
   def widen(a: DataType, b: DataType): DataType = (normalize(a), normalize(b)) match {
     case (x, y) if x == y => x
     case (NullType, y) => y
     case (x, NullType) => x
-    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
-    case (_: DecimalType, DoubleType) => DoubleType
-    case (DoubleType, _: DecimalType) => DoubleType
+    // numeric join: any two distinct numeric types meet at Double
+    // (mixed-precision decimals included — exactness is already gone)
+    case (x, y) if isNumeric(x) && isNumeric(y) => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (ArrayType(x, nx), ArrayType(y, ny)) => ArrayType(widen(x, y), nx || ny)
     case _ => StringType
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case LongType | DoubleType | _: DecimalType => true
+    case _ => false
   }
 }
 
@@ -183,6 +194,26 @@ class PropertyGraph(
     nodeTables.foreach(_.df.unpersist())
     relTables.foreach(_.df.unpersist())
     this
+  }
+
+  /** Schema summary — label combinations, relationship types, and property
+    * key→type maps (role of the reference's PropertyGraphSchema,
+    * okapi-api/.../api/schema/PropertyGraphSchema.scala:62; ours is derived
+    * from the element tables instead of being declared separately, so it
+    * can never drift from the data). One row per element table. */
+  def describe(): DataFrame = {
+    import spark.implicits._
+    val rows =
+      nodeTables.map { t =>
+        ("node", t.labels.toSeq.sorted.mkString(":"),
+          t.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+            s"$k: ${normalize(dtOf(t.df, c)).simpleString}" }.mkString(", "))
+      } ++ relTables.map { t =>
+        ("relationship", t.relType,
+          t.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+            s"$k: ${normalize(dtOf(t.df, c)).simpleString}" }.mkString(", "))
+      }
+    rows.toDF("kind", "labels_or_type", "properties")
   }
 }
 

@@ -203,6 +203,17 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.count(_ == "k") === 1)
   }
 
+  test("schema introspection and record-maps surface") {
+    val d = g.describe().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d.contains(("node", "Person")) && d.contains(("relationship", "KNOWS")))
+
+    val maps = gs.cypherMaps(g,
+      "MATCH (p:Person) RETURN p.name AS name, p.age AS age").collect()
+    assert(maps.map(_("name")).toSet === Set("Alice", "Bob", "Carol"))
+    assert(maps.forall(_("age").isInstanceOf[Long]))
+  }
+
   test("edge list source: SNAP format → V/E graph") {
     val f = java.nio.file.Files.createTempFile("graft_edges", ".txt")
     java.nio.file.Files.writeString(f,
