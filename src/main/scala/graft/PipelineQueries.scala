@@ -91,6 +91,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy("user_id", "event_type")),
+    // as-of join: each purchase picks the user's latest preceding click
+    "e3_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin
+        .asofBackward(purchases, clicks, "ts", Seq("user_id"))
+        .select(col("event_id").as("pid"), col("asof_event_id").as("cid"))
+        .orderBy("pid")
+    }),
     // sessionization via window functions (30-minute inactivity gap)
     "e2_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -152,6 +164,14 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "e3_asof" ->
+      """SELECT l.event_id AS pid, r.event_id AS cid
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY pid""".stripMargin,
     "e2_sessions" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -191,6 +191,23 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("Ann", "Ben")))
   }
 
+  test("as-of join: inclusive ties, backward pick, null when no match") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 5L, 50.0))
+      .toDF("sym", "ts", "px")
+    val trades = Seq((1L, 10L, 7L), (1L, 25L, 8L), (2L, 3L, 9L), (3L, 9L, 10L))
+      .toDF("sym", "ts", "tid")
+    val out = graft.operators.AsOfJoin
+      .asofBackward(trades, quotes, "ts", Seq("sym"))
+      .select("tid", "asof_px").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(7L) === Some(100.0)) // tie ts=10 is inclusive
+    assert(out(8L) === Some(101.0)) // latest preceding
+    assert(out(9L) === None)        // quote is later than trade
+    assert(out(10L) === None)       // no quotes for sym 3
+  }
+
   test("salted join spreads hot keys and preserves results") {
     val s = spark
     import s.implicits._
