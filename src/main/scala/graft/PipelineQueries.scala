@@ -103,6 +103,19 @@ object PipelineQueries {
         .select(col("event_id").as("pid"), col("asof_event_id").as("cid"))
         .orderBy("pid")
     }),
+    // banded range join: click-purchase pairs within 30 min per user
+    "e4_range" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.RangeJoin
+        .withinJoin(clicks, purchases, "ts", Seq("user_id"),
+          tolerance = 1800L * 1000 * 1000 * 1000) // 30 min in nanos
+        .select(col("event_id").as("cid"), col("r_event_id").as("pid"))
+        .orderBy("cid", "pid")
+    }),
     // sessionization via window functions (30-minute inactivity gap)
     "e2_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -172,6 +185,15 @@ object PipelineQueries {
         |      WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY pid""".stripMargin,
+    "e4_range" ->
+      """SELECT l.event_id AS cid, r.event_id AS pid
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') l
+        |JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND abs(epoch_ns(l.ts) - epoch_ns(r.ts)) <= 1800000000000
+        |ORDER BY cid, pid""".stripMargin,
     "e2_sessions" ->
       """WITH g AS (
         |  SELECT user_id,
