@@ -139,6 +139,12 @@ object CypherQueries {
         |RETURN year(li.l_shipdate) AS y, month(li.l_shipdate) AS m,
         |       count(*) AS n
         |ORDER BY y, m""".stripMargin)),
+    // pattern comprehension (§2.3): per-row collected sub-match
+    "c23_pattern_comprehension" -> ((s, dir) => run(s, dir,
+      """MATCH (n:Nation)
+        |RETURN n.n_name AS nn,
+        |       size([(c:Customer)-[:IN_NATION]->(n) | c.c_custkey]) AS n_cust
+        |ORDER BY nn""".stripMargin)),
     // CONSTRUCT (§2.5): derived graph queried back through the engine
     "c21_construct" -> ((s, dir) => {
       val gs = sessions.getOrElseUpdate(s, GraftSession(s))
@@ -246,6 +252,11 @@ object CypherQueries {
     "c21_construct" ->
       """SELECT o_custkey AS ck, count(*) AS n, min(o_totalprice) AS lo
         |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin,
+    "c23_pattern_comprehension" ->
+      """SELECT n_name AS nn,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey = n_nationkey)::BIGINT AS n_cust
+        |FROM nation ORDER BY nn""".stripMargin,
     "c22_temporal" ->
       """SELECT year(l_shipdate)::BIGINT AS y, month(l_shipdate)::BIGINT AS m,
         |       count(*) AS n

@@ -80,6 +80,11 @@ object Ast {
   case class PatternPredicate(pattern: PatternPart, negated: Boolean = false)
       extends Expr
 
+  /** pattern comprehension `[(n)-[:R]->(m) WHERE p | expr]` — collects the
+    * projection over every match of the pattern, per driving row. */
+  case class PatternComprehension(pattern: PatternPart, where: Option[Expr],
+      projection: Expr) extends Expr
+
   /** map projection `n {.prop, key: expr, var, .*}`. */
   sealed trait MapProjItem
   case object AllPropsItem extends MapProjItem

@@ -133,6 +133,7 @@ object CypherParser extends RegexParsers {
     patternPredicateExpr |
     funcCall |
     mapLit |
+    patternComprehension |
     listComprehension |
     listLit |
     paramRef |
@@ -180,6 +181,13 @@ object CypherParser extends RegexParsers {
     "[" ~> ident ~ (K("in") ~> expression) ~ opt(K("where") ~> expression) ~
       opt("|" ~> expression) <~ "]" ^^ {
       case v ~ l ~ w ~ p => ListComprehension(v, l, w, p) }
+
+  def patternComprehension: Parser[Expr] =
+    "[" ~> nodePattern ~ rep1(relPattern ~ nodePattern) ~
+      opt(K("where") ~> expression) ~ ("|" ~> expression) <~ "]" ^^ {
+      case n ~ chain ~ w ~ proj =>
+        PatternComprehension(
+          PatternPart(None, n, chain.map(c => (c._1, c._2))), w, proj) }
 
   def mapLit: Parser[Expr] =
     "{" ~> repsep((anyIdent <~ ":") ~ expression, ",") <~ "}" ^^ { items =>

@@ -197,6 +197,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _: PatternPredicate =>
       throw new IllegalArgumentException(
         "pattern predicate must be planned as a subquery (planner bug)")
+    case _: PatternComprehension =>
+      throw new IllegalArgumentException(
+        "pattern comprehension must be planned as a sub-match (planner bug)")
 
     case f: Func => compileFunction(f)
   }

@@ -62,14 +62,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case m: MatchClause => state = planMatch(graph, state, m)
       case UnwindClause(e, v) => state = planUnwind(state, e, v)
       case w: WithClause =>
-        state = planProjection(state, w.items, w.star, w.distinct, w.orderBy,
-          w.skip, w.limit, isReturn = false)
+        state = planProjection(graph, state, w.items, w.star, w.distinct,
+          w.orderBy, w.skip, w.limit, isReturn = false)
         w.where.foreach { pred =>
           state = applyWhere(graph, state, pred)
         }
       case r: ReturnClause =>
-        val st = planProjection(state, r.items, r.star, r.distinct, r.orderBy,
-          r.skip, r.limit, isReturn = true)
+        val st = planProjection(graph, state, r.items, r.star, r.distinct,
+          r.orderBy, r.skip, r.limit, isReturn = true)
         finalDf = Some(finalizeReturn(st, r))
       case c: ConstructClause =>
         throw new IllegalArgumentException(
@@ -96,8 +96,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case m: MatchClause => state = planMatch(graph, state, m)
       case UnwindClause(e, v) => state = planUnwind(state, e, v)
       case w: WithClause =>
-        state = planProjection(state, w.items, w.star, w.distinct, w.orderBy,
-          w.skip, w.limit, isReturn = false)
+        state = planProjection(graph, state, w.items, w.star, w.distinct,
+          w.orderBy, w.skip, w.limit, isReturn = false)
         w.where.foreach { pred => state = applyWhere(graph, state, pred) }
       case c: ConstructClause => return buildGraph(state, c)
       case ReturnGraphClause => // no-op: graph already built by CONSTRUCT
@@ -652,7 +652,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case Not(PatternPredicate(part, neg)) =>
         st = planPatternPredicate(graph, st, part, anti = !neg)
       case other =>
-        st = st.copy(df = st.df.where(compiler(st).compile(other)))
+        val (st2, rewritten) = rewriteComprehensions(graph, st, Seq(other))
+        st = st2.copy(df = st2.df.where(compiler(st2).compile(rewritten.head)))
     }
     st
   }
@@ -697,6 +698,116 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     state.copy(df = joined)
   }
 
+  // ============================================== pattern comprehensions
+  /** Rewrites every [[PatternComprehension]] (and `size(pattern)`) in
+    * `exprs` into a planned sub-match: seed from the distinct shared
+    * bindings, match the pattern, collect the projection per seed id,
+    * left-join the list column back (missing → empty list). The reference
+    * reaches the same shape through its exists-subquery machinery
+    * (extractSubqueryFromPatternExpression + RelationalPlanner:224). */
+  private def rewriteComprehensions(graph: PropertyGraph, state0: PState,
+      exprs: Seq[Expr]): (PState, Seq[Expr]) = {
+    var st = state0
+    def walk(x: Expr): Expr = x match {
+      case pc: PatternComprehension =>
+        val (st2, v) = planPatternComprehension(graph, st, pc)
+        st = st2
+        Var(v)
+      // size((n)-[:T]->()) — degree counting via a bare pattern argument
+      case Func("size", d, Seq(PatternPredicate(part, false))) =>
+        walk(Func("size", d, Seq(PatternComprehension(part, None, IntLit(1)))))
+      case other => mapChildren(other)(walk)
+    }
+    val out = exprs.map(walk)
+    (st, out)
+  }
+
+  private def mapChildren(e: Expr)(f: Expr => Expr): Expr = e match {
+    case Not(x) => Not(f(x))
+    case And(l, r) => And(f(l), f(r))
+    case Or(l, r) => Or(f(l), f(r))
+    case Xor(l, r) => Xor(f(l), f(r))
+    case Eq(l, r) => Eq(f(l), f(r))
+    case Neq(l, r) => Neq(f(l), f(r))
+    case Lt(l, r) => Lt(f(l), f(r))
+    case Lte(l, r) => Lte(f(l), f(r))
+    case Gt(l, r) => Gt(f(l), f(r))
+    case Gte(l, r) => Gte(f(l), f(r))
+    case IsNull(x) => IsNull(f(x))
+    case IsNotNull(x) => IsNotNull(f(x))
+    case In(l, r) => In(f(l), f(r))
+    case StartsWith(l, r) => StartsWith(f(l), f(r))
+    case EndsWith(l, r) => EndsWith(f(l), f(r))
+    case Contains(l, r) => Contains(f(l), f(r))
+    case RegexMatch(l, r) => RegexMatch(f(l), f(r))
+    case Add(l, r) => Add(f(l), f(r))
+    case Sub(l, r) => Sub(f(l), f(r))
+    case Mul(l, r) => Mul(f(l), f(r))
+    case Div(l, r) => Div(f(l), f(r))
+    case Mod(l, r) => Mod(f(l), f(r))
+    case Pow(l, r) => Pow(f(l), f(r))
+    case Neg(x) => Neg(f(x))
+    case Func(n, d, args) => Func(n, d, args.map(f))
+    case ListLit(items) => ListLit(items.map(f))
+    case MapLit(items) => MapLit(items.map { case (k, v) => (k, f(v)) })
+    case Property(b, k) => Property(f(b), k)
+    case HasLabels(b, ls) => HasLabels(f(b), ls)
+    case Index(b, i) => Index(f(b), f(i))
+    case Slice(b, from, to) => Slice(f(b), from.map(f), to.map(f))
+    case CaseExpr(op, alts, d) =>
+      CaseExpr(op.map(f), alts.map { case (w, t) => (f(w), f(t)) }, d.map(f))
+    case ListComprehension(v, l, p, pr) =>
+      ListComprehension(v, f(l), p.map(f), pr.map(f))
+    case Reduce(a, i, v, l, s) => Reduce(a, f(i), v, f(l), f(s))
+    case Quantified(q, v, l, p) => Quantified(q, v, f(l), f(p))
+    case MapProjection(v, items) => MapProjection(v, items.map {
+      case ExprItem(k, x) => ExprItem(k, f(x))
+      case other => other
+    })
+    case leaf => leaf
+  }
+
+  private def bindingIdCol(b: Binding): String = b match {
+    case nb: NodeBinding => nb.idCol
+    case rb: RelBinding => rb.idCol
+    case ValueBinding(c) => c
+    case rl: RelListBinding => rl.col
+  }
+
+  private def planPatternComprehension(graph: PropertyGraph, state: PState,
+      pc: PatternComprehension): (PState, String) = {
+    val patVars = collectPatternVars(Pattern(Seq(pc.pattern)))
+    val shared = patVars.filter(state.header.contains)
+    require(shared.nonEmpty,
+      "pattern comprehension must reference at least one bound variable")
+    val sharedBindings = shared.map(v => v -> state.header(v))
+    val seedCols = sharedBindings.flatMap(_._2.columns).distinct
+    val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
+    val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
+    val rhs = planMatch(graph, seed,
+      MatchClause(optional = false, Pattern(Seq(pc.pattern)), pc.where))
+
+    val itemCol = fresh("pc_item")
+    val rhsDf = rhs.df.withColumn(itemCol, compiler(rhs).compile(pc.projection))
+    val keyCols = sharedBindings.map(x => bindingIdCol(x._2)).distinct
+    val outCol = fresh("pc_list")
+    val agged = rhsDf.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(collect_list(col(s"`$itemCol`")).as(outCol))
+    val listType = agged.schema(outCol).dataType
+
+    val renames = keyCols.map(c => c -> fresh("pck")).toMap
+    val aggRenamed = renames.foldLeft(agged) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+    val cond = keyCols.map(c =>
+      col(s"`$c`") === col(s"`${renames(c)}`")).reduce(_ && _)
+    val joined = state.df.join(aggRenamed, cond, "left_outer")
+      .drop(renames.values.toSeq: _*)
+      .withColumn(outCol, coalesce(col(s"`$outCol`"), array().cast(listType)))
+
+    val v = fresh("@pc")
+    (PState(joined, state.header + (v -> ValueBinding(outCol))), v)
+  }
+
   // =========================================================== projection
   private def planUnwind(state: PState, e: Expr, v: String): PState = {
     val c = compiler(state).compile(e)
@@ -720,15 +831,21 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   private case class OutItem(name: String, expr: Expr, binding: Binding)
 
-  def planProjection(state: PState, items0: Seq[ReturnItem], star: Boolean,
+  def planProjection(graph: PropertyGraph, state0: PState,
+      items0: Seq[ReturnItem], star: Boolean,
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr], isReturn: Boolean): PState = {
     val starItems =
       if (!star) Seq.empty
-      else state.header.vars.filterNot(isInternal).map(v =>
+      else state0.header.vars.filterNot(isInternal).map(v =>
         ReturnItem(Var(v), None, v))
-    val items = starItems ++ items0
-    require(items.nonEmpty, "empty projection")
+    val preItems = starItems ++ items0
+    require(preItems.nonEmpty, "empty projection")
+
+    // pattern comprehensions join their list columns into the state first
+    val (state, rewritten) =
+      rewriteComprehensions(graph, state0, preItems.map(_.expr))
+    val items = preItems.zip(rewritten).map { case (i, e) => i.copy(expr = e) }
 
     val comp = compiler(state)
     val hasAgg = items.exists(i => comp.containsAggregate(i.expr))

@@ -177,6 +177,30 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(all.schema.fieldNames.contains("r_name"))
   }
 
+  test("pattern comprehension collects per-row matches") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation)
+        |RETURN n.n_name AS nn,
+        |       size([(c:Customer)-[:IN_NATION]->(n) | c.c_custkey]) AS n_cust
+        |ORDER BY nn""".stripMargin)
+    val viaJoin = customer.groupBy(col("c_nationkey")).count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    val nations = spark.read.parquet(s"$dir/nation.parquet").collect()
+      .map(r => (r.getString(1), r.get(0).toString.toLong)).toMap
+    df.collect().foreach { r =>
+      val expect = viaJoin.getOrElse(nations(r.getString(0)), 0L)
+      assert(r.getLong(1) === expect, r.getString(0))
+    }
+  }
+
+  test("size(pattern) degree predicate in WHERE") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation) WHERE size((:Customer)-[:IN_NATION]->(n)) >= 1
+        |RETURN count(*) AS nations""".stripMargin)
+    val expected = customer.select("c_nationkey").distinct().count()
+    assert(df.head.getLong(0) === expected)
+  }
+
   test("WITH * plus extra items keeps scope and adds bindings") {
     val df = gs.cypher(g,
       """MATCH (n:Nation)
