@@ -497,6 +497,45 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       state.header.columns ++ (listCol +:
         (if (dstBound.isEmpty) dstB.columns else Seq.empty))
 
+    // One physical relationship scan shared by every unrolled step: the
+    // plan references it 1+2+…+k times, so persist once (the reference's
+    // shared-subtree Cache pass, RelationalOptimizer.scala:35-92) and give
+    // each step a fresh-named projection over the SAME DataFrame object —
+    // its InMemoryRelation lineage makes every step a cache read.
+    val baseScan = graph.relScan(rel.types, naming(relVar))
+    val baseDf =
+      if (hi - math.max(lo, 1) >= 1 || hi >= 2)
+        baseScan.df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else baseScan.df
+
+    def orientedStep(rel2: RelPattern, rv: String)
+        : (DataFrame, RelBinding, String, String) = {
+      val id = fresh(s"${rv}_id"); val src = fresh(s"${rv}_src")
+      val dst = fresh(s"${rv}_dst"); val typ = fresh(s"${rv}_type")
+      val propRename = baseScan.propCols.map { case (k2, _) =>
+        k2 -> fresh(s"${rv}_p_$k2") }
+      val sel: Seq[Column] = Seq(
+        col(s"`${baseScan.idCol}`").as(id), col(s"`${baseScan.srcCol}`").as(src),
+        col(s"`${baseScan.dstCol}`").as(dst), col(s"`${baseScan.typCol}`").as(typ)) ++
+        baseScan.propCols.toSeq.map { case (k2, c) =>
+          col(s"`$c`").as(propRename(k2)) }
+      val renamed = baseDf.select(sel: _*)
+      val rb = RelBinding(id, src, dst, typ, propRename, baseScan.types)
+      val tSrc = fresh(s"${rv}_tsrc"); val tDst = fresh(s"${rv}_tdst")
+      val oriented = rel2.direction match {
+        case Outgoing => renamed
+          .withColumn(tSrc, col(s"`$src`")).withColumn(tDst, col(s"`$dst`"))
+        case Incoming => renamed
+          .withColumn(tSrc, col(s"`$dst`")).withColumn(tDst, col(s"`$src`"))
+        case Undirected => renamed
+          .withColumn(tSrc, col(s"`$src`")).withColumn(tDst, col(s"`$dst`"))
+          .unionByName(renamed
+            .withColumn(tSrc, col(s"`$dst`")).withColumn(tDst, col(s"`$src`")))
+      }
+      (oriented, rb, tSrc, tDst)
+    }
+
     def branch(k: Int): DataFrame = {
       if (k == 0) {
         // zero-length: dst == src (copy bindings / filter when bound)
@@ -539,7 +578,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         var prevOut: Column = col(s"`${srcB.idCol}`")
         val stepIds = scala.collection.mutable.ArrayBuffer.empty[String]
         (1 to k).foreach { _ =>
-          val (relDf, rb2, tSrc, tDst) = orientedRelScan(graph, rel, relVar)
+          val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
           df = df.join(relDf, prevOut === col(s"`$tSrc`"), "inner")
           stepIds += rb2.idCol
           prevOut = col(s"`$tDst`")

@@ -99,7 +99,7 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("fs round-trip: parquet and csv preserve graph semantics") {
-    for (fmt <- Seq("parquet", "csv")) {
+    for (fmt <- Seq("parquet", "csv", "orc", "json")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_fs_$fmt").toString + "/g"
       FsGraphSource.save(g, dir, fmt)
