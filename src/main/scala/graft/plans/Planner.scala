@@ -569,7 +569,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
                 .getOrElse(lit(false)))
               .foldLeft(lit(true))(_ && _)
             state.df.where(dstLabelFilter)
-              .select(state.df.columns.map(c => col(s"`$c`")) ++ copies: _*)
+              .select(state.df.columns.toSeq.map(c => col(s"`$c`")) ++ copies: _*)
               .withColumn(listCol, array().cast(ArrayType(LongType, false)))
               .select(outCols.map(c => col(s"`$c`")): _*)
         }

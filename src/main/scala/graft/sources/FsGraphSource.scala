@@ -104,7 +104,7 @@ object FsGraphSource {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val json = spark.table(s"${prefix}_meta").head.getString(0)
+    val json = spark.table(s"${prefix}_meta").head().getString(0)
     val root = JsonMethods.parse(json)
     def meta(m: JValue) = TableMeta(
       (m \ "dir").extract[String], (m \ "labelsOrType").extract[Seq[String]],

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.sources.TpchGraph
+
+/** Physical-plan invariants the engine relies on at scale (SURVEY §7.2
+  * step 8: optimization work ships with a plan test). These assert on the
+  * explain output, so a regression in how we emit DataFrame plans —
+  * e.g. a filter that stops reaching the parquet scan — fails fast even
+  * while results stay correct.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val gs = GraftSession(spark)
+  lazy val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("property predicate pushes to the parquet scan") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer) WHERE c.c_acctbal > 5000.0 RETURN c.c_custkey AS ck")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000.0)]"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("scans prune to referenced columns only") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer) RETURN c.c_custkey AS ck")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint>"),
+      s"scan reads more than the projected column:\n$plan")
+  }
+
+  test("cartesian + equality filter becomes a hash join, not a product") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer), (o:Order) WHERE c.c_custkey = o.o_custkey
+        |RETURN count(*) AS n""".stripMargin)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian survived:\n$plan")
+    assert(plan.contains("HashJoin"), s"no hash join chosen:\n$plan")
+  }
+
+  test("expands execute as equi hash joins") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.c_custkey AS ck")
+    val plan = planOf(df)
+    assert(plan.contains("HashJoin"), s"expected hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("var-length expand reuses one cached relationship scan") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN count(*) AS n""".stripMargin)
+    val plan = planOf(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"shared rel scan not cached:\n$plan")
+  }
+}
