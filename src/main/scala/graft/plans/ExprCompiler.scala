@@ -90,7 +90,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           val idx = compile(i)
           // Cypher lists are 0-based; element_at is 1-based with negative
           // indices counting from the end (matches Cypher's l[-1]).
-          element_at(c, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
+          // try_: out-of-bounds is null in Cypher, not an ANSI error.
+          try_element_at(c, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
       }
     case Slice(b, from, to) =>
       val c = compile(b)
@@ -214,7 +215,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private def extractFieldDyn(c: Column, key: Column, keyExpr: Expr): Column =
     keyExpr match {
       case StringLit(s) => c.getField(s)
-      case _ => element_at(c, key)
+      case _ => try_element_at(c, key)
     }
 
   /** scalar function dispatch (SURVEY §2.3 inventory). */
@@ -275,8 +276,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case StringType => length(a0).cast(LongType)
         case _ => size(a0).cast(LongType)
       }
-      case "head" => element_at(a0, 1)
-      case "last" => element_at(a0, -1)
+      case "head" => try_element_at(a0, lit(1))
+      case "last" => try_element_at(a0, lit(-1))
       case "tail" => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "range" =>
         val step = if (f.args.size > 2) a(2) else lit(1L)

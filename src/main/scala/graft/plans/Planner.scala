@@ -60,7 +60,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     sq.clauses.foreach {
       case FromGraphClause(name) => graph = catalog(name)
       case m: MatchClause => state = planMatch(graph, state, m)
-      case UnwindClause(e, v) => state = planUnwind(state, e, v)
+      case UnwindClause(e, v) => state = planUnwind(graph, state, e, v)
       case w: WithClause =>
         state = planProjection(graph, state, w.items, w.star, w.distinct,
           w.orderBy, w.skip, w.limit, isReturn = false)
@@ -94,7 +94,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     q.first.clauses.foreach {
       case FromGraphClause(name) => graph = catalog(name)
       case m: MatchClause => state = planMatch(graph, state, m)
-      case UnwindClause(e, v) => state = planUnwind(state, e, v)
+      case UnwindClause(e, v) => state = planUnwind(graph, state, e, v)
       case w: WithClause =>
         state = planProjection(graph, state, w.items, w.star, w.distinct,
           w.orderBy, w.skip, w.limit, isReturn = false)
@@ -848,8 +848,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   }
 
   // =========================================================== projection
-  private def planUnwind(state: PState, e: Expr, v: String): PState = {
-    val c = compiler(state).compile(e)
+  private def planUnwind(graph: PropertyGraph, state0: PState, e0: Expr,
+      v: String): PState = {
+    val (state, rewritten) = rewriteComprehensions(graph, state0, Seq(e0))
+    val c = compiler(state).compile(rewritten.head)
     val newCol = fresh(s"${v}_val")
     val df = state.df.select(
       state.header.columns.map(cn => col(s"`$cn`")) :+ explode(c).as(newCol): _*)
