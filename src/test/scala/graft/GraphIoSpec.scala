@@ -220,6 +220,28 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.count(_ == "k") === 1)
   }
 
+  test("multi-label nodes: subset scans and label predicates") {
+    val s = spark
+    import s.implicits._
+    val admins = Seq((100L, "Root")).toDF("id", "name")
+    val multi = new PropertyGraph(
+      g.nodeTables :+ NodeTable(Set("Person", "Admin"), admins, "id",
+        Map("name" -> "name")),
+      g.relTables, spark)
+    // :Person scan includes the Person+Admin table
+    val all = gs.cypher(multi,
+      "MATCH (p:Person) RETURN p.name AS n ORDER BY n").collect()
+    assert(all.map(_.getString(0)).toSeq ===
+      Seq("Alice", "Bob", "Carol", "Root"))
+    // narrowing by second label via WHERE
+    val onlyAdmins = gs.cypher(multi,
+      "MATCH (p:Person) WHERE p:Admin RETURN p.name AS n, labels(p) AS ls")
+      .collect()
+    assert(onlyAdmins.length === 1)
+    assert(onlyAdmins.head.getString(0) === "Root")
+    assert(onlyAdmins.head.getSeq[String](1).toSet === Set("Admin", "Person"))
+  }
+
   test("schema introspection and record-maps surface") {
     val d = g.describe().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
