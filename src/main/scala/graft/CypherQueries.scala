@@ -125,12 +125,14 @@ object CypherQueries {
         |       CASE WHEN all(x IN xs WHERE x > 0) THEN 1 ELSE 0 END AS allpos,
         |       CASE WHEN any(x IN xs WHERE x > 4) THEN 1 ELSE 0 END AS hasbig
         |ORDER BY n""".stripMargin)),
-    // percentileCont / stDev aggregators (§2.4)
+    // percentileCont/percentileDisc/stDev/sum DISTINCT aggregators (§2.4)
     "c20_percentile" -> ((s, dir) => run(s, dir,
       """MATCH (:Order)-[li:CONTAINS]->()
         |RETURN li.l_returnflag AS rf,
         |       percentileCont(li.l_quantity, 0.5) AS med,
-        |       round(stDev(li.l_quantity) * 1000.0) / 1000.0 AS sd
+        |       percentileDisc(li.l_quantity, 0.9) AS p90,
+        |       round(stDev(li.l_quantity) * 1000.0) / 1000.0 AS sd,
+        |       sum(DISTINCT li.l_quantity) AS dq
         |ORDER BY rf""".stripMargin)),
     // temporal expressions (§2.3): timestamp literal compare + accessors
     "c22_temporal" -> ((s, dir) => run(s, dir,
@@ -247,7 +249,9 @@ object CypherQueries {
     "c20_percentile" ->
       """SELECT l_returnflag AS rf,
         |  quantile_cont(l_quantity, 0.5) AS med,
-        |  round(stddev_samp(l_quantity) * 1000.0) / 1000.0 AS sd
+        |  quantile_disc(l_quantity, 0.9) AS p90,
+        |  round(stddev_samp(l_quantity) * 1000.0) / 1000.0 AS sd,
+        |  CAST(sum(DISTINCT l_quantity) AS DOUBLE) AS dq
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "c21_construct" ->
       """SELECT o_custkey AS ck, count(*) AS n, min(o_totalprice) AS lo

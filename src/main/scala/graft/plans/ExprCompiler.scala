@@ -411,8 +411,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case CountStar => count(lit(1))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
-    case Func("sum", _, args) => sum(compile(args.head))
-    case Func("avg", _, args) => avg(compile(args.head))
+    case Func("sum", true, args) => sum_distinct(compile(args.head))
+    case Func("sum", false, args) => sum(compile(args.head))
+    case Func("avg", true, args) =>
+      val c = compile(args.head)
+      sum_distinct(c) / count_distinct(c)
+    case Func("avg", false, args) => avg(compile(args.head))
     case Func("min", _, args) => min(compile(args.head))
     case Func("max", _, args) => max(compile(args.head))
     case Func("collect", true, args) => collect_set(compile(args.head))
@@ -423,9 +427,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // custom UDAF, PercentileUdafs.scala:39-96 — Spark ≥3.5 has it native)
     case Func("percentilecont", _, args) =>
       percentile(compile(args.head), compile(args(1)))
-    // discrete percentile = smallest value at-or-above the rank
+    // discrete percentile = the value at rank ⌈p·n⌉ — exact via a sorted
+    // group buffer (the reference's PercentileUdafs buffered the same way)
     case Func("percentiledisc", _, args) =>
-      percentile_approx(compile(args.head), compile(args(1)), lit(10000000))
+      val c = compile(args.head)
+      val p = compile(args(1))
+      try_element_at(array_sort(collect_list(c)),
+        greatest(ceil(p * count(c)), lit(1)).cast(IntegerType))
     // scalar wrappers around aggregates
     case Add(l, r) => wrapAgg(l) + wrapAgg(r)
     case Sub(l, r) => wrapAgg(l) - wrapAgg(r)
