@@ -272,6 +272,23 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "rand" => rand()
       case "timestamp" => (unix_timestamp() * 1000).cast(LongType)
 
+      // bitwise (reference IR surface, SparkSQLExprMapper.scala:306-309;
+      // exposed as functions since openCypher has no operator syntax)
+      case "bitwiseand" => a0.bitwiseAND(a(1))
+      case "bitwiseor" => a0.bitwiseOR(a(1))
+      case "bitwisexor" => a0.bitwiseXOR(a(1))
+      case "shiftleft" => shiftleft(a0.cast(LongType), f.args(1) match {
+        case IntLit(v) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"shiftLeft amount must be a literal, got $other")
+      })
+      case "shiftrightunsigned" => shiftrightunsigned(a0.cast(LongType),
+        f.args(1) match {
+          case IntLit(v) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"shiftRightUnsigned amount must be a literal, got $other")
+        })
+
       case "size" | "length" => typeOf(f.args(0)) match {
         case StringType => length(a0).cast(LongType)
         case _ => size(a0).cast(LongType)

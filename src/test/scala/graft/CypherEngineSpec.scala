@@ -201,6 +201,22 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(df.head.getLong(0) === expected)
   }
 
+  test("scan of a nonexistent label yields empty records") {
+    val df = gs.cypher(g, "MATCH (x:NoSuchLabel) RETURN count(*) AS n")
+    assert(df.head.getLong(0) === 0L)
+    assert(gs.cypher(g,
+      "MATCH (x:NoSuchLabel)-[:PLACED]->(o:Order) RETURN id(o) AS i").count() === 0L)
+  }
+
+  test("bitwise functions") {
+    val r = gs.cypher(g,
+      """RETURN bitwiseAnd(12, 10) AS a, bitwiseOr(12, 10) AS o,
+        |       bitwiseXor(12, 10) AS x, shiftLeft(1, 4) AS sl,
+        |       shiftRightUnsigned(-1, 56) AS sr""".stripMargin).head
+    assert(r.getLong(0) === 8L && r.getLong(1) === 14L && r.getLong(2) === 6L)
+    assert(r.getLong(3) === 16L && r.getLong(4) === 255L)
+  }
+
   test("WITH * plus extra items keeps scope and adds bindings") {
     val df = gs.cypher(g,
       """MATCH (n:Nation)
