@@ -65,7 +65,10 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
       .toDF("id", "band_idx", "band_hash")
 
-    // candidates: pairs sharing at least one band bucket
+    // candidates: pairs sharing at least one band bucket, deduped BEFORE
+    // the verification join — true near-dups share many bands (up to all
+    // b of them), and letting those duplicates fan out a join that carries
+    // shingle arrays costs more than this shuffle (measured at sf0.1).
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -158,8 +161,8 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** word n-gram Jaccard near-dup pairs: inverted-index join on shared
