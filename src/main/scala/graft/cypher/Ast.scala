@@ -126,9 +126,11 @@ object Ast {
       limit: Option[Expr]) extends Clause
   /** Cypher-10-style: `FROM GRAPH name` switches the working graph. */
   case class FromGraphClause(graphName: String) extends Clause
-  /** CONSTRUCT — multiple-graph extension (SURVEY §2.5). */
+  /** CONSTRUCT — multiple-graph extension (SURVEY §2.5).
+    * `sets`: (variable, propertyKey, value) from `SET v.k = expr`. */
   case class ConstructClause(clones: Seq[String], news: Seq[PatternPart],
-      onGraphs: Seq[String]) extends Clause
+      onGraphs: Seq[String],
+      sets: Seq[(String, String, Expr)] = Seq.empty) extends Clause
   /** `RETURN GRAPH` — the query's result is the constructed graph. */
   case object ReturnGraphClause extends Clause
 

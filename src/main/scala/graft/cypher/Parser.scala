@@ -306,12 +306,18 @@ object CypherParser extends RegexParsers {
   def fromGraphClause: Parser[Clause] =
     K("from") ~> opt(K("graph")) ~> anyIdent ^^ FromGraphClause.apply
 
+  private def setItem: Parser[(String, String, Expr)] =
+    ident ~ ("." ~> anyIdent) ~ ("=" ~> expression) ^^ {
+      case v ~ k ~ e => (v, k, e) }
+
   def constructClause: Parser[Clause] =
     K("construct") ~> opt(K("on") ~> rep1sep(anyIdent, ",")) ~
       rep(K("clone") ~> rep1sep(ident, ",")) ~
-      rep((K("new") | K("create")) ~> patternPart) ^^ {
-      case on ~ clones ~ news =>
-        ConstructClause(clones.flatten, news, on.getOrElse(Nil)) }
+      rep((K("new") | K("create")) ~> patternPart) ~
+      rep(K("set") ~> rep1sep(setItem, ",")) ^^ {
+      case on ~ clones ~ news ~ sets =>
+        ConstructClause(clones.flatten, news, on.getOrElse(Nil),
+          sets.flatten) }
 
   def returnGraphClause: Parser[Clause] =
     K("return") ~> K("graph") ^^^ ReturnGraphClause

@@ -123,10 +123,39 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val newPatternVars = c.news.flatMap(p => collectPatternVars(Pattern(Seq(p))))
     val cloneVars = (c.clones ++ newPatternVars.filter(state.header.contains)).distinct
 
+    val setsByVar: Map[String, Seq[(String, Expr)]] =
+      c.sets.groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    c.sets.foreach { case (v, _, _) =>
+      require(cloneVars.contains(v) ||
+        c.news.exists(_.start.variable.contains(v)) ||
+        c.news.exists(_.chain.exists(_._2.variable.contains(v))),
+        s"SET $v.…: `$v` is not cloned or created by this CONSTRUCT")
+    }
+
+    // SET on cloned vars: materialize the value per driving row and extend
+    // the binding's property map BEFORE dedup-by-id
+    var cloneState = state
+    val setBindings: Map[String, Binding] = cloneVars.flatMap { v =>
+      setsByVar.get(v).map { kvs =>
+        val extra = kvs.map { case (k2, e) =>
+          val cName = fresh(s"set_${v}_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+          cloneState = cloneState.copy(
+            df = cloneState.df.withColumn(cName, compiler(cloneState).compile(e)))
+          k2 -> cName
+        }.toMap
+        v -> (state.header(v) match {
+          case nb: NodeBinding => nb.copy(propCols = nb.propCols ++ extra)
+          case rb: RelBinding => rb.copy(propCols = rb.propCols ++ extra)
+          case other => throw new IllegalArgumentException(
+            s"SET $v: expected node or relationship, got $other")
+        })
+      }
+    }.toMap
+
     cloneVars.foreach { v =>
-      state.header(v) match {
-        case nb: NodeBinding => nodeTables ++= cloneNodeTables(state, nb)
-        case rb: RelBinding => relTables ++= cloneRelTables(state, rb)
+      setBindings.getOrElse(v, state.header(v)) match {
+        case nb: NodeBinding => nodeTables ++= cloneNodeTables(cloneState, nb)
+        case rb: RelBinding => relTables ++= cloneRelTables(cloneState, rb)
         case other => throw new IllegalArgumentException(
           s"CLONE $v: expected node or relationship, got $other")
       }
@@ -195,6 +224,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             .map(cn => col(s"`$cn`")): _*),
           relIdCol, srcC, dstC, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
         prevIdCol = dstIdCol
+      }
+    }
+
+    // SET on NEW node vars: additional computed properties
+    created.keys.toSeq.foreach { v =>
+      setsByVar.get(v).foreach { kvs =>
+        val (idCol, labels, props) = created(v)
+        val extra = kvs.map { case (k2, e) =>
+          val cName = fresh(s"set_${v}_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+          df = df.withColumn(cName, comp.compile(e))
+          k2 -> cName
+        }.toMap
+        created(v) = (idCol, labels, props ++ extra)
       }
     }
 

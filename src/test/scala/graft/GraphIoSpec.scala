@@ -77,6 +77,22 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.length === 3 && n.forall(_.getString(0) == "member"))
   }
 
+  test("CONSTRUCT SET adds properties to cloned and new elements") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (p:Person)
+        |CONSTRUCT CLONE p
+        |NEW (p)-[:HAS]->(b:Badge {kind: 'basic'})
+        |SET p.greeting = 'hi ' + p.name, b.level = p.age / 10
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g2,
+      """MATCH (p:Person)-[:HAS]->(b:Badge)
+        |RETURN p.greeting AS gr, b.kind AS k, b.level AS lv
+        |ORDER BY gr""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("hi Alice", "basic", 2L), ("hi Bob", "basic", 4L),
+        ("hi Carol", "basic", 3L)))
+  }
+
   test("CONSTRUCT ON unions catalog graphs into the result") {
     val merged = gs.cypherGraph(g,
       """CONSTRUCT ON team
