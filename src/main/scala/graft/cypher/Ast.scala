@@ -76,9 +76,10 @@ object Ast {
   case class Quantified(quantifier: String, variable: String, list: Expr,
       predicate: Expr) extends Expr
 
-  /** `exists((n)-[:T]->(m))` / pattern predicate `WHERE (n)-->(m)`. */
-  case class PatternPredicate(pattern: PatternPart, negated: Boolean = false)
-      extends Expr
+  /** `exists((n)-[:T]->(m))` / pattern predicate `WHERE (n)-->(m)` /
+    * `EXISTS { MATCH … WHERE … }` — `where` carries the subquery filter. */
+  case class PatternPredicate(pattern: PatternPart, negated: Boolean = false,
+      where: Option[Expr] = None) extends Expr
 
   /** pattern comprehension `[(n)-[:R]->(m) WHERE p | expr]` — collects the
     * projection over every match of the pattern, per driving row. */

@@ -166,8 +166,11 @@ object CypherParser extends RegexParsers {
       case name ~ (dist ~ args) => Func(name.toLowerCase, dist.isDefined, args) }
 
   def existsFn: Parser[Expr] =
-    K("exists") ~> "(" ~> (patternPart ^^ (p => PatternPredicate(p)) |
-      expression ^^ IsNotNull.apply) <~ ")"
+    (K("exists") ~> "{" ~> opt(K("match")) ~> patternPart ~
+      opt(K("where") ~> expression) <~ "}" ^^ {
+      case p ~ w => PatternPredicate(p, where = w) }) |
+    (K("exists") ~> "(" ~> (patternPart ^^ (p => PatternPredicate(p)) |
+      expression ^^ IsNotNull.apply) <~ ")")
 
   /** bare pattern used as predicate: `(n)-[:T]->(m)` — needs ≥1 hop. */
   def patternPredicateExpr: Parser[Expr] =

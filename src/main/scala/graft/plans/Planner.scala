@@ -728,10 +728,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val conjuncts = splitAnds(pred)
     var st = state
     conjuncts.foreach {
-      case PatternPredicate(part, neg) =>
-        st = planPatternPredicate(graph, st, part, anti = neg)
-      case Not(PatternPredicate(part, neg)) =>
-        st = planPatternPredicate(graph, st, part, anti = !neg)
+      case PatternPredicate(part, neg, where) =>
+        st = planPatternPredicate(graph, st, part, anti = neg, where = where)
+      case Not(PatternPredicate(part, neg, where)) =>
+        st = planPatternPredicate(graph, st, part, anti = !neg, where = where)
       case other =>
         val (st2, rewritten) = rewriteComprehensions(graph, st, Seq(other))
         st = st2.copy(df = st2.df.where(compiler(st2).compile(rewritten.head)))
@@ -745,7 +745,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   }
 
   private def planPatternPredicate(graph: PropertyGraph, state: PState,
-      part: PatternPart, anti: Boolean): PState = {
+      part: PatternPart, anti: Boolean,
+      where: Option[Expr] = None): PState = {
     val patVars = collectPatternVars(Pattern(Seq(part)))
     val shared = patVars.filter(state.header.contains)
     require(shared.nonEmpty,
@@ -756,7 +757,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
     val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
     val rhs = planMatch(graph, seed,
-      MatchClause(optional = false, Pattern(Seq(part)), None))
+      MatchClause(optional = false, Pattern(Seq(part)), where))
 
     val renameMap = seedCols.map(c => c -> fresh("ex")).toMap
     val rhsDf = renameMap.foldLeft(rhs.df) { case (df, (from, to)) =>
@@ -795,7 +796,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         st = st2
         Var(v)
       // size((n)-[:T]->()) — degree counting via a bare pattern argument
-      case Func("size", d, Seq(PatternPredicate(part, false))) =>
+      case Func("size", d, Seq(PatternPredicate(part, false, None))) =>
         walk(Func("size", d, Seq(PatternComprehension(part, None, IntLit(1)))))
       case other => mapChildren(other)(walk)
     }

@@ -201,6 +201,17 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(df.head.getLong(0) === expected)
   }
 
+  test("EXISTS { MATCH ... WHERE ... } subquery form") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)
+        |WHERE EXISTS { MATCH (c)-[:PLACED]->(o:Order)
+        |               WHERE o.o_totalprice > 100000.0 }
+        |RETURN count(*) AS n""".stripMargin)
+    val expected = orders.where(col("o_totalprice") > 100000.0)
+      .select("o_custkey").distinct().count()
+    assert(df.head.getLong(0) === expected)
+  }
+
   test("scan of a nonexistent label yields empty records") {
     val df = gs.cypher(g, "MATCH (x:NoSuchLabel) RETURN count(*) AS n")
     assert(df.head.getLong(0) === 0L)
