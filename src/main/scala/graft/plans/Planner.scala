@@ -796,8 +796,15 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         st = st2
         Var(v)
       // size((n)-[:T]->()) — degree counting via a bare pattern argument
-      case Func("size", d, Seq(PatternPredicate(part, false, None))) =>
-        walk(Func("size", d, Seq(PatternComprehension(part, None, IntLit(1)))))
+      case Func("size", d, Seq(PatternPredicate(part, false, w))) =>
+        walk(Func("size", d, Seq(PatternComprehension(part, w, IntLit(1)))))
+      // pattern predicate used as a VALUE (RETURN exists(...), CASE, …) —
+      // WHERE-position predicates are intercepted by applyWhere first and
+      // keep their semi/anti-join plan; only nested uses reach here
+      case PatternPredicate(part, neg, w) =>
+        val sz = walk(Func("size", distinct = false,
+          Seq(PatternComprehension(part, w, IntLit(1)))))
+        if (neg) Lte(sz, IntLit(0)) else Gt(sz, IntLit(0))
       case other => mapChildren(other)(walk)
     }
     val out = exprs.map(walk)
@@ -926,16 +933,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val preItems = starItems ++ items0
     require(preItems.nonEmpty, "empty projection")
 
-    // pattern comprehensions join their list columns into the state first
-    val (state, rewritten) =
-      rewriteComprehensions(graph, state0, preItems.map(_.expr))
+    // pattern comprehensions (in items AND sort keys) join their list
+    // columns into the state first
+    val (state, rewrittenAll) = rewriteComprehensions(graph, state0,
+      preItems.map(_.expr) ++ orderBy.map(_.expr))
+    val (rewritten, sortRewritten) = rewrittenAll.splitAt(preItems.size)
     val items = preItems.zip(rewritten).map { case (i, e) => i.copy(expr = e) }
+    val orderBy2 = orderBy.zip(sortRewritten).map { case (s, e) =>
+      s.copy(expr = e) }
 
     val comp = compiler(state)
     val hasAgg = items.exists(i => comp.containsAggregate(i.expr))
 
-    if (hasAgg) planAggregation(state, items, distinct, orderBy, skip, limit)
-    else planSimpleProjection(state, items, distinct, orderBy, skip, limit)
+    if (hasAgg) planAggregation(state, items, distinct, orderBy2, skip, limit)
+    else planSimpleProjection(state, items, distinct, orderBy2, skip, limit)
   }
 
   private def outName(i: ReturnItem): String = i.alias.getOrElse(i.text)

@@ -212,6 +212,26 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(df.head.getLong(0) === expected)
   }
 
+  test("pattern predicate as a value and in ORDER BY") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation)
+        |RETURN n.n_name AS nn, exists((:Customer)-[:IN_NATION]->(n)) AS has_cust
+        |ORDER BY size((:Customer)-[:IN_NATION]->(n)) DESC, nn
+        |LIMIT 3""".stripMargin).collect()
+    assert(df.length === 3)
+    assert(df.forall(_.getBoolean(1)))
+    // top-3 by customer count must match a direct aggregation
+    val top = customer.groupBy(col("c_nationkey")).count()
+      .orderBy(col("count").desc).limit(3)
+      .collect().map(_.getLong(1)).toSet
+    val topNames = gs.cypher(g,
+      """MATCH (n:Nation)
+        |RETURN size([(c:Customer)-[:IN_NATION]->(n) | c]) AS cnt
+        |ORDER BY cnt DESC LIMIT 3""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(topNames === top)
+  }
+
   test("scan of a nonexistent label yields empty records") {
     val df = gs.cypher(g, "MATCH (x:NoSuchLabel) RETURN count(*) AS n")
     assert(df.head.getLong(0) === 0L)
