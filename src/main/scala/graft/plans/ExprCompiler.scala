@@ -250,7 +250,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "abs" => abs(a0)
       case "ceil" => ceil(a0).cast(DoubleType)
       case "floor" => floor(a0).cast(DoubleType)
-      case "round" => round(a0, 0).cast(DoubleType)
+      case "round" =>
+        if (f.args.size > 1) f.args(1) match {
+          case IntLit(d) => round(a0, d.toInt)
+          case other => throw new IllegalArgumentException(
+            s"round() precision must be a literal, got $other")
+        }
+        else round(a0, 0).cast(DoubleType)
       case "sign" => signum(a0).cast(LongType)
       case "sqrt" => sqrt(a0)
       case "exp" => exp(a0)
@@ -321,17 +327,24 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case _ => throw new IllegalArgumentException("labels() expects a node variable")
       }
       case "keys" => f.args(0) match {
-        case Var(n) =>
+        case Var(n) if !lambdaEnv.contains(n) && header.get(n).exists {
+            case _: NodeBinding | _: RelBinding => true; case _ => false } =>
           val props = header(n) match {
             case nb: NodeBinding => nb.propCols
             case rb: RelBinding => rb.propCols
-            case _ => throw new IllegalArgumentException("keys() expects an entity")
+            case _ => Map.empty[String, String]
           }
           val entries = props.toSeq.sortBy(_._1).map { case (k, c) =>
             when(col(s"`$c`").isNotNull, lit(k)) }
           if (entries.isEmpty) array()
           else filter(array(entries: _*), x => x.isNotNull)
-        case _ => throw new IllegalArgumentException("keys() expects an entity variable")
+        // keys of a map/struct value
+        case e => typeOf(e) match {
+          case s: StructType => array(s.fieldNames.sorted.map(lit): _*)
+          case _: MapType => array_sort(map_keys(a0))
+          case other => throw new IllegalArgumentException(
+            s"keys() expects an entity or map, got $other")
+        }
       }
       case "properties" => f.args(0) match {
         case Var(n) =>

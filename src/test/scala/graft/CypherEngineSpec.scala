@@ -239,6 +239,15 @@ class CypherEngineSpec extends AnyFunSuite {
       "MATCH (x:NoSuchLabel)-[:PLACED]->(o:Order) RETURN id(o) AS i").count() === 0L)
   }
 
+  test("keys over map literals; round with precision") {
+    val r = gs.cypher(g,
+      """RETURN keys({b: 1, a: 2}) AS ks, round(3.14159, 2) AS r2,
+        |       round(2.5) AS r0""".stripMargin).head
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getDouble(1) === 3.14)
+    assert(r.getDouble(2) === 3.0)
+  }
+
   test("bitwise functions") {
     val r = gs.cypher(g,
       """RETURN bitwiseAnd(12, 10) AS a, bitwiseOr(12, 10) AS o,
