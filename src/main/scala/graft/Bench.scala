@@ -21,7 +21,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // machine-readable twice over: a bare stdout line (build.sbt routes
+    // forked output through StdoutOutput, so no sbt log prefix) and a file.
+    println(json)
+    val pw = new java.io.PrintWriter("BENCH_LOCAL.json")
+    try pw.println(json) finally pw.close()
     spark.stop()
   }
 }

@@ -339,4 +339,10 @@ object VectorFunctions {
     ColumnBridge.column(SortedJaccard(a.toExpr, b.toExpr))
   def lsh_buckets(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long): Column =
     ColumnBridge.column(LshBuckets(vec.toExpr, dim, bits, tables, seed))
+  /** exact integer division (SQL `div`): truncates toward zero on longs
+    * without a double round-trip (which is wrong above 2^53). Division by
+    * zero raises under Spark 4's default ANSI mode — matching Cypher's
+    * "/ by zero" runtime error. */
+  def integral_divide(a: Column, b: Column): Column =
+    ColumnBridge.column(IntegralDivide(a.toExpr, b.toExpr))
 }

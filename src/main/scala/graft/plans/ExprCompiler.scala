@@ -135,7 +135,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Div(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
       if (isIntegral(typeOf(l)) && isIntegral(typeOf(r)))
-        (lc.cast(DoubleType) / rc).cast(LongType) // Cypher int/int truncates
+        // Cypher int/int truncates toward zero. SQL `div` (IntegralDivide)
+        // is exact on the full Long range — the double round-trip loses
+        // exactness above 2^53 — and yields null on /0 like `/` on doubles.
+        graft.functions.VectorFunctions.integral_divide(
+          lc.cast(LongType), rc.cast(LongType))
       else lc / rc
     case Mod(l, r) => compile(l) % compile(r)
     case Pow(l, r) => pow(compile(l), compile(r))

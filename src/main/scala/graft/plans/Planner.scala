@@ -580,38 +580,22 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     def branch(k: Int): DataFrame = {
       if (k == 0) {
-        // zero-length: dst == src (copy bindings / filter when bound)
-        val base = dstBound match {
+        // zero-length: dst == src. No relationship is traversed, so an
+        // inline rel property map is vacuously satisfied (openCypher;
+        // reference: VarLengthExpandPlanner lower-bound-0 case).
+        dstBound match {
           case Some(b) =>
             state.df.where(col(s"`${srcB.idCol}`") === col(s"`${b.idCol}`"))
-          case None =>
-            // dst binding columns = copies of src columns where present,
-            // null for labels/props src lacks
-            val withDst = dstB.columns.foldLeft(state.df) { (df, c) => df }
-            // build copies explicitly below
-            withDst
-        }
-        dstBound match {
-          case Some(_) =>
-            base.withColumn(listCol, array().cast(ArrayType(LongType, false)))
+              .withColumn(listCol, array().cast(ArrayType(LongType, false)))
               .select(outCols.map(c => col(s"`$c`")): _*)
           case None =>
-            // align: copy src id; labels: src label cols when same label else false;
-            // props: src prop col when same key else null
-            val copies: Seq[Column] =
-              col(s"`${srcB.idCol}`").as(dstB.idCol) +:
-                (dstB.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
-                  srcB.labelCols.get(l).map(sc => col(s"`$sc`"))
-                    .getOrElse(lit(false)).as(c) } ++
-                  dstB.propCols.toSeq.sortBy(_._1).map { case (k2, c) =>
-                    srcB.propCols.get(k2).map(sc => col(s"`$sc`"))
-                      .getOrElse(lit(null)).as(c) })
-            val dstLabelFilter: Column = dstNp.labels.toSeq
-              .map(l => srcB.labelCols.get(l).map(sc => col(s"`$sc`"))
-                .getOrElse(lit(false)))
-              .foldLeft(lit(true))(_ && _)
-            state.df.where(dstLabelFilter)
-              .select(state.df.columns.toSeq.map(c => col(s"`$c`")) ++ copies: _*)
+            // join the dst node scan on id equality so dst carries its FULL
+            // property/label set — copying the (label-restricted) src scan's
+            // columns would null out properties the node actually has.
+            val s0 = dstScan0.get
+            state.df
+              .join(s0.df, col(s"`${srcB.idCol}`") === col(s"`${s0.idCol}`"),
+                "inner")
               .withColumn(listCol, array().cast(ArrayType(LongType, false)))
               .select(outCols.map(c => col(s"`$c`")): _*)
         }
@@ -622,6 +606,18 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         (1 to k).foreach { _ =>
           val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
           df = df.join(relDf, prevOut === col(s"`$tSrc`"), "inner")
+          // inline {k: v} property map applies to EVERY traversed step
+          // (reference: VarLengthExpandPlanner.scala:107-135). Compiled
+          // against this step's rel binding; Catalyst pushes literal
+          // predicates below the join into the shared cached scan.
+          if (rel.properties.nonEmpty) {
+            val stepHeader = state.header + (relVar -> rb2)
+            val probeDf = df
+            val stepComp = new ExprCompiler(stepHeader, params, () => probeDf)
+            rel.properties.foreach { case (k2, e) =>
+              df = df.where(stepComp.compile(Eq(Property(Var(relVar), k2), e)))
+            }
+          }
           stepIds += rb2.idCol
           prevOut = col(s"`$tDst`")
         }
@@ -675,9 +671,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     if (state.isUnit || shared.isEmpty) {
       val rhs = planMatch(graph, unitState, m.copy(optional = false))
-      if (state.isUnit) return rhs
-      // no shared vars: left-outer on constant condition keeps lhs rows
-      // (single all-null row when rhs is empty)
+      // left-outer on constant condition keeps lhs rows: a non-matching
+      // OPTIONAL MATCH yields one all-null row — also when it is the FIRST
+      // clause (openCypher: the unit table has exactly one empty row).
       val df = state.df.join(rhs.df, lit(true), "left_outer")
       return PState(df, Header(state.header.bindings ++ rhs.header.bindings))
     }
@@ -1012,10 +1008,31 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val aggBindings: Seq[(String, Binding)] = aggItems.zip(aggCols).map {
       case (i, (c, _)) => outName(i) -> ValueBinding(c) }
 
+    // ORDER BY over an (un-aliased) aggregate or key expression: rewrite the
+    // sort expression to the projected item's output column when it matches
+    // structurally (`ORDER BY count(*)` after `RETURN n, count(*)`); an
+    // aggregate that is NOT projected gets a hidden agg column, sorted on
+    // and dropped after the slice (openCypher allows both shapes).
+    val hiddenAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    val orderBy2 = orderBy.map { si =>
+      items.find(i => i.expr == si.expr || i.alias.contains(si.expr match {
+        case Var(n) => n; case _ => ""
+      })) match {
+        case Some(i) => si.copy(expr = Var(outName(i)))
+        case None if comp.containsAggregate(si.expr) =>
+          val c = fresh("sortagg")
+          hiddenAggs += c -> comp.compileAggregate(si.expr).as(c)
+          si.copy(expr = Var(c))
+        case None => si
+      }
+    }
+
+    val allAggCols = aggCols ++ hiddenAggs
     val agged =
-      if (groupCols.isEmpty) df.agg(aggCols.head._2, aggCols.tail.map(_._2): _*)
+      if (groupCols.isEmpty)
+        df.agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
       else df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
-        .agg(aggCols.head._2, aggCols.tail.map(_._2): _*)
+        .agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
 
     // restore item order in the header
     val ordered = items.map { i =>
@@ -1023,10 +1040,16 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       (keyBindings ++ aggBindings).find(_._1 == name).get
     }
     val newHeader = Header(ListMap(ordered: _*))
+    val orderHeader = Header(newHeader.bindings ++
+      hiddenAggs.map { case (c, _) => c -> ValueBinding(c) })
     var out = agged
     if (distinct) out = out.dropDuplicates(newHeader.columns)
-    val sorted = applyOrder(out, newHeader, orderBy, PState(out, newHeader))
-    PState(applySkipLimit(sorted, skip, limit), newHeader)
+    val sorted = applyOrder(out, orderHeader, orderBy2, PState(out, orderHeader))
+    val sliced = applySkipLimit(sorted, skip, limit)
+    val finalDf =
+      if (hiddenAggs.isEmpty) sliced
+      else sliced.select(newHeader.columns.map(c => col(s"`$c`")): _*)
+    PState(finalDf, newHeader)
   }
 
   private def applyOrder(df: DataFrame, header: Header,

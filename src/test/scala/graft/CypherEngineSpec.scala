@@ -265,4 +265,65 @@ class CypherEngineSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.length == 2 && rows(0).getString(1) == "NATION_0")
   }
+
+  test("var-length expand applies inline property map on every step") {
+    // one-hop: must match exactly the lineitem rows with quantity 50
+    val df1 = gs.cypher(g,
+      """MATCH (o:Order)-[:CONTAINS*1..1 {l_quantity: 50.0}]->(p:Part)
+        |RETURN o.o_orderkey AS ok""".stripMargin)
+    val exp1 = lineitem.where(col("l_quantity") === 50.0).count()
+    assert(df1.count() === exp1)
+
+    // two-hop over CONTAINS then SUPPLIED_BY: both steps filtered
+    val df2 = gs.cypher(g,
+      """MATCH (o:Order)-[:CONTAINS|SUPPLIED_BY*2..2 {l_quantity: 50.0}]->(x)
+        |RETURN o.o_orderkey AS ok""".stripMargin)
+    val l1 = lineitem.where(col("l_quantity") === 50.0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val l2 = lineitem.where(col("l_quantity") === 50.0)
+      .select(col("l_partkey").as("pk2"), col("l_suppkey"))
+    val exp2 = l1.join(l2, col("l_partkey") === col("pk2")).count()
+    assert(df2.count() === exp2)
+  }
+
+  test("zero-length var-length binds dst with full properties") {
+    val rows = gs.cypher(g,
+      """MATCH (c:Customer)-[:PLACED*0..1]->(x)
+        |WHERE c.c_custkey = 1
+        |RETURN id(c) AS ci, id(x) AS xi, x.c_name AS xname
+        |ORDER BY xi""".stripMargin).collect()
+    // length-0 row: x = c with c's own properties present
+    val self = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length === 1)
+    assert(self.head.getString(2) != null)
+  }
+
+  test("OPTIONAL MATCH as first clause yields one null row when empty") {
+    val rows = gs.cypher(g,
+      "OPTIONAL MATCH (n:NoSuchLabel) RETURN n").collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(0))
+  }
+
+  test("ORDER BY un-aliased aggregate and hidden aggregate") {
+    val rows = gs.cypher(g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(*)
+        |ORDER BY count(*) DESC, ck ASC LIMIT 3""".stripMargin).collect()
+    val exp = orders.groupBy(col("o_custkey")).count()
+      .orderBy(col("count").desc, col("o_custkey").asc)
+      .limit(3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === exp.toSeq)
+
+    // aggregate in ORDER BY that is not projected → hidden sort column
+    val rows2 = gs.cypher(g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(*) AS n
+        |ORDER BY sum(o.o_totalprice) DESC LIMIT 3""".stripMargin).collect()
+    val exp2 = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("s"))
+      .orderBy(col("s").desc).limit(3).collect().map(_.getLong(0))
+    assert(rows2.map(_.getLong(0)).toSeq === exp2.toSeq)
+    assert(rows2.head.schema.fieldNames.toSeq === Seq("ck", "n"))
+  }
 }

@@ -78,6 +78,18 @@ class NullSemanticsSpec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("integer division is exact beyond 2^53 and errors on zero divisor") {
+    // 2^62 + 1 is not representable in a double; the old double round-trip
+    // returned an off-by-one quotient here
+    val big = (1L << 62) + 1L
+    val r = one(s"RETURN $big / 3 AS q, $big / 1 AS idq")
+    assert(r.getLong(0) === big / 3)
+    assert(r.getLong(1) === big)
+    // Cypher: integer division by zero is a runtime error ("/ by zero");
+    // Spark 4's ANSI mode raises the same way
+    intercept[Exception] { one("RETURN 5 / 0 AS dz") }
+  }
+
   test("boolean ternary logic: null AND false = false, null OR true = true") {
     val r = one(
       """RETURN (null AND false) AS a, (null OR true) AS b,
