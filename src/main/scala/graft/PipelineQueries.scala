@@ -38,9 +38,10 @@ object PipelineQueries {
       TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
           col("digit_ratio")).orderBy("doc_id")),
-    // brute-force cosine top-k (exact ANN baseline)
+    // exact cosine top-k via the distributed tiled kernel (no driver
+    // collect; bruteForceTopK remains the test-only single-node baseline)
     "p4_ann_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", k = 5)
+      Similarity.blockTopK(emb(s, dir), "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))),
     // language ID (heuristic, engine-specific → rows-only)
     "p5_lang_id" -> ((s, dir) =>

@@ -97,13 +97,20 @@ object Dedup {
       graft.functions.VectorFunctions.simhash64(col(textCol)).as("simhash"))
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
-    * similarity at or above `threshold`. The self-join shuffles on nothing
-    * (broadcast-able at dim×n sizes that fit; AQE decides) and the fused
-    * [[graft.functions.CosineSimilarity]] keeps scoring in codegen. At
-    * 100 TB the LSH path ([[graft.pipeline.Similarity.lshTopK]]) replaces
-    * the quadratic join; this is the exactness baseline. */
+    * similarity at or above `threshold`, computed with the distributed
+    * tiled kernel — no driver collect, scales with executor count. The
+    * sublinear path at 100 TB remains LSH bucketing
+    * ([[graft.pipeline.Similarity.lshTopK]]); this exact path bounds its
+    * recall. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, roundTo: Int = 4): DataFrame = {
+      threshold: Double, roundTo: Int = 4, blocks: Int = 8): DataFrame =
+    Similarity.blockNearDupPairs(emb, idCol, vecCol, threshold, roundTo, blocks)
+
+  /** Single-machine baseline of [[embeddingNearDup]]: collects the whole
+    * embedding matrix to the driver and broadcasts it. Kept ONLY as a
+    * test oracle for the distributed kernel — do not point at real data. */
+  private[graft] def embeddingNearDupBroadcast(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, roundTo: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val spark = emb.sparkSession
     import spark.implicits._

@@ -68,8 +68,9 @@ object Similarity {
     * top-k aggregate) materializes O(n²) pair rows each carrying two d-dim
     * arrays — tens of GB of row copying that dwarfs the O(n²·d) FLOPs.
     * Catalyst has no tiled-matrix-product operator, so this is the
-    * documented `mapPartitions` last resort; brute force is inherently the
-    * small-n baseline (the 100 TB path is [[lshTopK]]). */
+    * documented `mapPartitions` last resort; the driver collect makes it a
+    * TEST-ONLY baseline — production paths are [[blockTopK]] (exact,
+    * distributed) and [[lshTopK]] (sublinear). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, roundTo: Int = 4): DataFrame = {
     val spark = emb.sparkSession
@@ -120,6 +121,150 @@ object Similarity {
         (0 until filled).map(r => (qid, nidBuf(r), simBuf(r), r + 1))
       }
     }.toDF("qid", "nid", "sim", "rank")
+  }
+
+  /** One tile's dense candidate block: ids, row-major matrix, √norms. */
+  private def packBlock(rows: Array[(Long, Array[Double])])
+      : (Array[Long], Array[Double], Array[Double], Int) = {
+    val n = rows.length
+    val dim = if (n == 0) 0 else rows(0)._2.length
+    val ids = new Array[Long](n)
+    val mat = new Array[Double](n * dim)
+    val sqrtNorms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i)._1
+      val v = rows(i)._2
+      var norm = 0.0; var j = 0
+      while (j < dim) { val x = v(j); mat(i * dim + j) = x; norm += x * x; j += 1 }
+      sqrtNorms(i) = math.sqrt(norm)
+      i += 1
+    }
+    (ids, mat, sqrtNorms, dim)
+  }
+
+  /** (tileKey, id, vec) replicas for the tiled all-pairs join: each query
+    * block meets each candidate block in exactly one tile, so per-tile
+    * results partition the pair space — partial top-k lists merge exactly
+    * and threshold pairs emit exactly once. */
+  private def tiled(v: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      blocks: Int, asQuery: Boolean)
+      : org.apache.spark.sql.Dataset[(Int, Long, Array[Double])] = {
+    import v.sparkSession.implicits._
+    val b = blocks
+    v.flatMap { case (id, vec) =>
+      val own = ((id % b + b) % b).toInt
+      if (asQuery) (0 until b).map(cb => (own * b + cb, id, vec))
+      else (0 until b).map(qb => (qb * b + own, id, vec))
+    }
+  }
+
+  /** Exact distributed top-k cosine neighbors — the 100 TB-safe twin of
+    * [[bruteForceTopK]]: no driver collect, no O(n²) pair rows.
+    *
+    * Tiled block-nested-loop: ids hash into `blocks` blocks; tile (i, j)
+    * cogroups query block i with candidate block j and runs the same dense
+    * kernel over the materialized candidate block, emitting a bounded
+    * per-query top-k. Candidate blocks partition the candidate set, so the
+    * per-tile partials merge exactly through [[graft.functions.TopKAggregator]].
+    * Shuffle volume: 2·blocks·n vector rows + n·blocks·k partial triples.
+    * Size `blocks` so one block (n/blocks · dim doubles) fits an executor.
+    * Results are bit-identical to [[bruteForceTopK]] (same rounding, same
+    * sim-desc/id-asc ordering). */
+  def blockTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5,
+      roundTo: Int = 4, blocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .as[(Long, Array[Double])]
+    val kk = k; val rt = roundTo
+    val partials = tiled(v, blocks, asQuery = true).groupByKey(_._1)
+      .cogroup(tiled(v, blocks, asQuery = false).groupByKey(_._1)) {
+        (_, qIt, cIt) =>
+          val (ids, mat, sqrtNorms, dim) = packBlock(
+            cIt.map(t => (t._2, t._3)).toArray)
+          val n = ids.length
+          if (n == 0) Iterator.empty
+          else qIt.flatMap { case (_, qid, qv) =>
+            var qnorm = 0.0; var j = 0
+            while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
+            val qsqrt = math.sqrt(qnorm)
+            val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
+            var filled = 0
+            var i = 0
+            while (i < n) {
+              if (ids(i) != qid) {
+                var dot = 0.0; var j2 = 0
+                val off = i * dim
+                while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
+                val denom = qsqrt * sqrtNorms(i)
+                val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
+                val nid = ids(i)
+                if (filled < kk || sim > simBuf(filled - 1) ||
+                    (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
+                  var p = math.min(filled, kk - 1)
+                  while (p > 0 && (sim > simBuf(p - 1) ||
+                      (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
+                    simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
+                  }
+                  simBuf(p) = sim; nidBuf(p) = nid
+                  if (filled < kk) filled += 1
+                }
+              }
+              i += 1
+            }
+            (0 until filled).map(r => (qid, nidBuf(r), simBuf(r)))
+          }
+      }
+    partials.toDF("qid", "nid", "sim")
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("nid"), col("col._1").as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** Exact distributed near-duplicate pairs (cosine ≥ threshold) — the
+    * 100 TB-safe twin of the broadcast kernel. Same tiling as [[blockTopK]];
+    * each unordered pair (a < b) scores in exactly one tile, so no dedup
+    * pass is needed. */
+  def blockNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 4, blocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .as[(Long, Array[Double])]
+    val th = threshold; val rt = roundTo
+    val pairs = tiled(v, blocks, asQuery = true).groupByKey(_._1)
+      .cogroup(tiled(v, blocks, asQuery = false).groupByKey(_._1)) {
+        (_, qIt, cIt) =>
+          val (ids, mat, sqrtNorms, dim) = packBlock(
+            cIt.map(t => (t._2, t._3)).toArray)
+          val n = ids.length
+          if (n == 0) Iterator.empty
+          else qIt.flatMap { case (_, qid, qv) =>
+            var qnorm = 0.0; var j = 0
+            while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
+            val qsqrt = math.sqrt(qnorm)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var i = 0
+            while (i < n) {
+              if (ids(i) > qid) {
+                var dot = 0.0; var j2 = 0
+                val off = i * dim
+                while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
+                val denom = qsqrt * sqrtNorms(i)
+                val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
+                if (sim >= th) out += ((qid, ids(i), sim))
+              }
+              i += 1
+            }
+            out
+          }
+      }
+    pairs.toDF("id_a", "id_b", "sim")
   }
 
   /** deterministic pseudo-random hyperplanes (seeded, plan-time literals). */

@@ -82,6 +82,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sims.getDouble(0) <= 1.0001 && sims.getDouble(1) >= -1.0001)
   }
 
+  test("distributed block top-k is bit-identical to the broadcast baseline") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val blk = Similarity.blockTopK(emb, "vec_id", "embedding", k = 3, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(blk.toSeq === bf.toSeq)
+  }
+
+  test("distributed near-dup pairs match the broadcast baseline") {
+    val bc = Dedup.embeddingNearDupBroadcast(emb, "vec_id", "embedding",
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blk = Similarity.blockNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blk === bc)
+    assert(blk.nonEmpty)
+  }
+
   test("LSH top-k recalls most brute-force neighbors") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
       .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
