@@ -141,6 +141,15 @@ object CypherQueries {
         |RETURN year(li.l_shipdate) AS y, month(li.l_shipdate) AS m,
         |       count(*) AS n
         |ORDER BY y, m""".stripMargin)),
+    // temporal arithmetic + property-style accessors (§2.3): month-bearing
+    // duration added to a timestamp, `.year`/`.quarter` accessors
+    "c25_temporal2" -> ((s, dir) => run(s, dir,
+      """MATCH (:Order)-[li:CONTAINS]->()
+        |WHERE li.l_shipdate >= localdatetime('1995-06-01T00:00:00')
+        |                       + duration({months: 7, days: 10})
+        |RETURN li.l_shipdate.year AS y, li.l_shipdate.quarter AS q,
+        |       count(*) AS n
+        |ORDER BY y, q""".stripMargin)),
     // pattern comprehension (§2.3): per-row collected sub-match
     "c23_pattern_comprehension" -> ((s, dir) => run(s, dir,
       """MATCH (n:Nation)
@@ -267,6 +276,13 @@ object CypherQueries {
         |  (SELECT count(*) FROM customer
         |   WHERE c_nationkey = n_nationkey)::BIGINT AS n_cust
         |FROM nation ORDER BY nn""".stripMargin,
+    "c25_temporal2" ->
+      """SELECT year(l_shipdate)::BIGINT AS y, quarter(l_shipdate)::BIGINT AS q,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |                    + INTERVAL 7 MONTH + INTERVAL 10 DAY
+        |GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
     "c24_varlength_props" ->
       """SELECT ok, xname FROM (
         |  SELECT l_orderkey AS ok, p_name AS xname

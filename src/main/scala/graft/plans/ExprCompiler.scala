@@ -33,6 +33,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _ => false
   }
 
+  private def isIntervalType(t: DataType): Boolean = t match {
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case t2 => t2 == org.apache.spark.sql.types.CalendarIntervalType
+  }
+
   def litAny(v: Any): Column = v match {
     case null => lit(null)
     case s: Seq[_] => array(s.map(litAny): _*)
@@ -64,12 +69,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         nb.propCols.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
       case rb: RelBinding =>
         rb.propCols.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
-      case ValueBinding(c) => extractField(col(s"`$c`"), key)
+      case ValueBinding(c) => extractField(col(s"`$c`"), key, typeOfCol(c))
       case _: RelListBinding =>
         throw new IllegalArgumentException(
           s"property access on var-length relationship list `$n`")
     }
-    case Property(b, key) => extractField(compile(b), key)
+    case Property(b, key) => extractField(compile(b), key, typeOf(b))
 
     case HasLabels(b, labels) => b match {
       case Var(n) => header(n) match {
@@ -128,9 +133,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case (_: ArrayType, _: ArrayType) => concat(lc, rc)
         case (_: ArrayType, _) => concat(lc, array(rc))
         case (_, _: ArrayType) => concat(array(lc), rc)
+        // Cypher: Date + Duration = Date (sub-day components are dropped);
+        // Spark widens date+interval to timestamp, so cast back
+        case (DateType, t) if isIntervalType(t) => (lc + rc).cast(DateType)
+        case (t, DateType) if isIntervalType(t) => (lc + rc).cast(DateType)
         case _ => lc + rc
       }
-    case Sub(l, r) => compile(l) - compile(r)
+    case Sub(l, r) =>
+      val (lc, rc) = (compile(l), compile(r))
+      (typeOf(l), typeOf(r)) match {
+        case (DateType, t) if isIntervalType(t) => (lc - rc).cast(DateType)
+        case _ => lc - rc
+      }
     case Mul(l, r) => compile(l) * compile(r)
     case Div(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
@@ -210,10 +224,54 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   }
 
   // ------------------------------------------------------------ functions
-  private def extractField(c: Column, key: String): Column = {
-    // temporal accessors (date.year etc., reference TemporalUdfs.scala:93)
-    // resolved structurally: if the base is date/timestamp use extractors.
-    c.getField(key) // struct/map lookup; temporal handled in compileFunction
+  private def typeOfCol(c: String): DataType =
+    try probe().select(col(s"`$c`")).schema.head.dataType
+    catch { case _: Exception => NullType }
+
+  /** `.key` access: struct/map field lookup, or — when the base is a
+    * temporal value — a property-style accessor (`d.year`, `ts.minute`,
+    * `dur.days`; reference TemporalUdfs.scala:93-158). */
+  private def extractField(c: Column, key: String, baseType: DataType): Column =
+    baseType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        temporalAccessor(c, key)
+      case _: DayTimeIntervalType | _: YearMonthIntervalType =>
+        durationAccessor(c, key, baseType)
+      case _ => c.getField(key) // struct/map lookup
+    }
+
+  private def temporalAccessor(c: Column, key: String): Column =
+    key.toLowerCase match {
+      case "year" => year(c).cast(LongType)
+      case "quarter" => quarter(c).cast(LongType)
+      case "month" => month(c).cast(LongType)
+      case "week" => weekofyear(c).cast(LongType)
+      case "day" => dayofmonth(c).cast(LongType)
+      case "ordinalday" => dayofyear(c).cast(LongType)
+      case "dayofweek" | "weekday" =>
+        // ISO: Monday = 1 … Sunday = 7 (Spark's dayofweek: Sunday = 1)
+        (pmod(dayofweek(c) + lit(5), lit(7)) + 1).cast(LongType)
+      case "hour" => hour(c).cast(LongType)
+      case "minute" => minute(c).cast(LongType)
+      case "second" => second(c).cast(LongType)
+      case "millisecond" =>
+        (date_part(lit("SECOND"), c) * 1000 % 1000).cast(LongType)
+      case "epochseconds" => unix_timestamp(c.cast(TimestampType))
+      case "epochmillis" => unix_millis(c.cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"unknown temporal accessor .$other")
+    }
+
+  private def durationAccessor(c: Column, key: String,
+      t: DataType): Column = key.toLowerCase match {
+    case "years" => date_part(lit("YEAR"), c).cast(LongType)
+    case "months" => date_part(lit("MONTH"), c).cast(LongType)
+    case "days" => date_part(lit("DAY"), c).cast(LongType)
+    case "hours" => date_part(lit("HOUR"), c).cast(LongType)
+    case "minutes" => date_part(lit("MINUTE"), c).cast(LongType)
+    case "seconds" => date_part(lit("SECOND"), c).cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"unknown duration accessor .$other on $t")
   }
 
   private def extractFieldDyn(c: Column, key: Column, keyExpr: Expr): Column =
@@ -375,21 +433,65 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case _ => throw new IllegalArgumentException("endNode() expects a relationship variable")
       }
 
-      // temporal constructors + accessors (subset; SURVEY §2.3 temporal)
-      case "date" => to_date(a0)
-      case "localdatetime" => to_timestamp(a0)
-      // duration({days: 1, hours: 2, ...}) → DayTimeIntervalType, which is
-      // natively comparable/summable in Spark 3.3+ — the reference needed
-      // four custom UDAFs for CalendarInterval (TemporalUdafs.scala:39-116);
-      // ANSI intervals make those unnecessary (SURVEY §7.1).
+      // temporal constructors + accessors (SURVEY §2.3 temporal)
+      case "date" =>
+        if (f.args.isEmpty) current_date()
+        else f.args.head match {
+          case MapLit(items) =>
+            val m = items.toMap
+            def part(k: String, dflt: Int) =
+              m.get(k).map(e => compile(e).cast(IntegerType))
+                .getOrElse(lit(dflt))
+            make_date(part("year", 1), part("month", 1), part("day", 1))
+          case _ => to_date(a0)
+        }
+      case "localdatetime" | "datetime" =>
+        if (f.args.isEmpty) current_timestamp()
+        else f.args.head match {
+          case MapLit(items) =>
+            val m = items.toMap
+            def part(k: String, dflt: Int) =
+              m.get(k).map(e => compile(e).cast(IntegerType))
+                .getOrElse(lit(dflt))
+            make_timestamp(part("year", 1), part("month", 1), part("day", 1),
+              part("hour", 0), part("minute", 0),
+              m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
+                .getOrElse(lit(java.math.BigDecimal.ZERO)))
+          case _ => to_timestamp(a0)
+        }
+      // duration({...}) / duration('P1Y2M3DT4H5M6S').
+      // Day-scale-only durations → DayTimeIntervalType (natively
+      // comparable/summable in Spark 3.3+ — the reference needed four
+      // custom UDAFs for CalendarInterval, TemporalUdafs.scala:39-116).
+      // Durations with year/month components → CalendarIntervalType
+      // (month lengths vary, so such durations are NOT orderable; they
+      // support date/timestamp ± duration arithmetic, which is what
+      // month-durations are for — reference Duration.scala semantics).
       case "duration" => f.args.head match {
         case MapLit(items) =>
           val m = items.toMap
           def part(k: String) = m.get(k).map(compile).getOrElse(lit(0L))
-          make_dt_interval(part("days"), part("hours"), part("minutes"),
-            part("seconds"))
+          if (m.contains("years") || m.contains("months"))
+            make_interval(part("years").cast(IntegerType),
+              part("months").cast(IntegerType),
+              part("weeks").cast(IntegerType), part("days").cast(IntegerType),
+              part("hours").cast(IntegerType),
+              part("minutes").cast(IntegerType),
+              part("seconds").cast(DecimalType(18, 6)))
+          else
+            make_dt_interval(part("days") + part("weeks") * 7, part("hours"),
+              part("minutes"), part("seconds"))
+        case StringLit(s) =>
+          val p = IsoDuration.parse(s)
+          if (p.years != 0 || p.months != 0)
+            make_interval(lit(p.years), lit(p.months), lit(0),
+              lit(p.days), lit(p.hours), lit(p.minutes),
+              lit(p.seconds).cast(DecimalType(18, 6)))
+          else
+            make_dt_interval(lit(p.days), lit(p.hours), lit(p.minutes),
+              lit(p.seconds).cast(DecimalType(18, 6)))
         case _ => throw new IllegalArgumentException(
-          "duration() expects a map like {days: 1, hours: 2}")
+          "duration() expects a map like {months: 1, days: 2} or an ISO-8601 string")
       }
       case "year" => year(a0).cast(LongType)
       case "month" => month(a0).cast(LongType)
@@ -503,4 +605,22 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 object ExprCompiler {
   val aggregateNames: Set[String] = Set("count", "sum", "avg", "min", "max",
     "collect", "stdev", "stdevp", "percentilecont", "percentiledisc")
+}
+
+/** Plan-time ISO-8601 duration parser (`P1Y2M3W4DT5H6M7.5S`) — own
+  * implementation of the standard grammar (reference parses the same form
+  * in okapi-api/.../temporal/Duration.scala). */
+object IsoDuration {
+  case class Parts(years: Int, months: Int, days: Int, hours: Int,
+      minutes: Int, seconds: Double)
+  private val Re =
+    """P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+  def parse(s: String): Parts = s match {
+    case Re(y, mo, w, d, h, mi, sec) =>
+      def i(x: String) = Option(x).map(_.toInt).getOrElse(0)
+      Parts(i(y), i(mo), i(w) * 7 + i(d), i(h), i(mi),
+        Option(sec).map(_.toDouble).getOrElse(0.0))
+    case _ => throw new IllegalArgumentException(
+      s"invalid ISO-8601 duration: $s")
+  }
 }

@@ -298,6 +298,46 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(self.head.getString(2) != null)
   }
 
+  test("temporal: month durations, ISO strings, date/timestamp arithmetic") {
+    val r = gs.cypher(g,
+      """RETURN date('2020-01-31') + duration({months: 1}) AS leap,
+        |       date('2000-01-01') + duration('P1Y6M10D') AS iso,
+        |       date('2020-03-15') - duration({days: 20}) AS back,
+        |       localdatetime('2020-01-01T10:30:00') + duration({hours: 26}) AS ts,
+        |       date({year: 2021, month: 7, day: 4}) AS made""".stripMargin).head
+    assert(r.getDate(0).toString === "2020-02-29")
+    assert(r.getDate(1).toString === "2001-07-11")
+    assert(r.getDate(2).toString === "2020-02-24")
+    assert(r.getTimestamp(3).toString.startsWith("2020-01-02 12:30:00"))
+    assert(r.getDate(4).toString === "2021-07-04")
+  }
+
+  test("temporal: property-style accessors on dates, timestamps, durations") {
+    val r = gs.cypher(g,
+      """WITH date('2021-03-15') AS d,
+        |     localdatetime('2021-03-15T13:45:30') AS ts,
+        |     duration({days: 3, hours: 5, minutes: 7}) AS dur
+        |RETURN d.year AS y, d.month AS m, d.day AS dom, d.quarter AS q,
+        |       d.week AS w, d.dayOfWeek AS dow, d.ordinalDay AS od,
+        |       ts.hour AS h, ts.minute AS mi, ts.second AS sec,
+        |       dur.days AS dd, dur.hours AS dh, dur.minutes AS dm""".stripMargin).head
+    assert(r.getLong(0) === 2021L && r.getLong(1) === 3L && r.getLong(2) === 15L)
+    assert(r.getLong(3) === 1L) // Q1
+    assert(r.getLong(4) === 11L) // ISO week 11
+    assert(r.getLong(5) === 1L) // 2021-03-15 is a Monday
+    assert(r.getLong(6) === 74L)
+    assert(r.getLong(7) === 13L && r.getLong(8) === 45L && r.getLong(9) === 30L)
+    assert(r.getLong(10) === 3L && r.getLong(11) === 5L && r.getLong(12) === 7L)
+  }
+
+  test("day-scale durations remain comparable and summable") {
+    val r = gs.cypher(g,
+      """WITH duration({days: 1, hours: 2}) AS a, duration('PT3H') AS b
+        |RETURN a > b AS cmp, a + b AS total""".stripMargin).head
+    assert(r.getBoolean(0))
+    assert(r.get(1) != null)
+  }
+
   test("OPTIONAL MATCH as first clause yields one null row when empty") {
     val rows = gs.cypher(g,
       "OPTIONAL MATCH (n:NoSuchLabel) RETURN n").collect()
