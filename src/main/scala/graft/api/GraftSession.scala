@@ -56,6 +56,12 @@ class GraftSession(val spark: SparkSession) {
     g
   }
 
+  /** Build an in-memory graph from openCypher `CREATE` statements (the
+    * TCK fixture form; reference: okapi-testing CreateGraphFactory).
+    * Property values must be literals. */
+  def createGraphFromCypher(createStatements: String): PropertyGraph =
+    graft.sources.CypherCreateGraph(spark, createStatements)
+
   /** Records as maps — the reference's `toCypherMaps` surface
     * (MorpheusRecords.scala:138) without a boxed value hierarchy: each row
     * becomes name→JVM value (structs → nested maps, arrays → Seq). */

@@ -54,7 +54,8 @@ object CypherParser extends RegexParsers {
   }
 
   def floatLit: Parser[Double] =
-    """-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ (_.toDouble)
+    // (?!\.) keeps `1..3` range syntax out of the float token (`1.` + `.`)
+    """-?(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ (_.toDouble)
   def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
 
   // ----------------------------------------------------------- expressions
@@ -337,6 +338,19 @@ object CypherParser extends RegexParsers {
         Query(first, rest.map { case all ~ q => (all.isDefined, q) }) }
 
   // ---------------------------------------------------------------- entry
+  /** One or more `CREATE <pattern>` statements (the openCypher TCK fixture
+    * form) → a single merged Pattern; variables are shared across
+    * statements. */
+  def parseCreate(text: String): Pattern = parseAll(createStmts, text) match {
+    case Success(p, _) => p
+    case f: NoSuccess => throw new IllegalArgumentException(
+      s"CREATE parse error at line ${f.next.pos.line}, col ${f.next.pos.column}: ${f.msg}")
+  }
+
+  private def createStmts: Parser[Pattern] =
+    rep1(opt(";") ~> K("create") ~> rep1sep(patternPart, ",")) <~ opt(";") ^^
+      (ps => Pattern(ps.flatten))
+
   def parse(text: String): Query = parseAll(query, text) match {
     case Success(q, _) => q
     case f: NoSuccess =>

@@ -1,0 +1,157 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.cypher.CypherParser
+import graft.cypher.Ast._
+import graft.graph.{NodeTable, PropertyGraph, RelTable, SparkTypes}
+
+/** Builds an in-memory [[PropertyGraph]] from openCypher `CREATE`
+  * statements — the fixture format of the openCypher TCK (the reference
+  * builds its TCK graphs the same way: okapi-testing
+  * CreateGraphFactory/CreateQueryParser). Property values must be
+  * literals; variables are shared across statements, so
+  * `CREATE (a:A) CREATE (a)-[:R]->(b:B)` wires one edge between two nodes.
+  *
+  * Data lands as one DataFrame per label combination / relationship type
+  * (the engine's ScanGraph layout) with schema inferred through the same
+  * type lattice the scans use — so fixture graphs behave exactly like
+  * source-loaded ones.
+  */
+object CypherCreateGraph {
+
+  def apply(spark: SparkSession, createText: String): PropertyGraph = {
+    if (createText.trim.isEmpty)
+      return new PropertyGraph(Seq.empty, Seq.empty, spark)
+    val pattern = CypherParser.parseCreate(createText)
+
+    // ---- walk the parts, assigning ids
+    case class Node(id: Long, var labels: Set[String],
+        props: scala.collection.mutable.LinkedHashMap[String, Any])
+    val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Node]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
+    val rels = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String, Map[String, Any])]
+    var nextNodeId = 0L
+    var nextRelId = 1L << 40 // disjoint from node ids
+
+    def bindNode(np: NodePattern): Node = {
+      val existing = np.variable.flatMap(byVar.get)
+      existing match {
+        case Some(n) =>
+          n.labels ++= np.labels
+          np.properties.foreach { case (k, e) => n.props(k) = literal(e) }
+          n
+        case None =>
+          nextNodeId += 1
+          val n = Node(nextNodeId, np.labels.toSet,
+            scala.collection.mutable.LinkedHashMap(
+              np.properties.map { case (k, e) => k -> literal(e) }: _*))
+          np.variable.foreach(v => byVar(v) = n)
+          nodes += n
+          n
+      }
+    }
+
+    pattern.parts.foreach { part =>
+      var prev = bindNode(part.start)
+      part.chain.foreach { case (rel, nodePat) =>
+        require(rel.varLength.isEmpty, "CREATE cannot use var-length patterns")
+        require(rel.types.size == 1,
+          s"CREATE relationship needs exactly one type, got ${rel.types}")
+        require(rel.direction != Undirected,
+          "CREATE relationships must be directed")
+        val next = bindNode(nodePat)
+        val (src, dst) = rel.direction match {
+          case Incoming => (next.id, prev.id)
+          case _ => (prev.id, next.id)
+        }
+        nextRelId += 1
+        rels += ((nextRelId, src, dst, rel.types.head,
+          rel.properties.map { case (k, e) => k -> literal(e) }.toMap))
+        prev = next
+      }
+    }
+
+    // ---- node tables: one per label combination
+    val nodeTables = nodes.groupBy(_.labels).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (labels, ns) =>
+        val keys = ns.flatMap(_.props.keys).distinct.sorted.toList
+        val schema = StructType(StructField("_gid", LongType, nullable = false) +:
+          keys.map(k => StructField(s"_p_$k",
+            inferType(ns.flatMap(_.props.get(k)).toSeq), nullable = true)))
+        val rows = ns.map { n =>
+          Row.fromSeq(n.id +: keys.map(k =>
+            convert(n.props.get(k).orNull,
+              schema(s"_p_$k").dataType)))
+        }
+        NodeTable(labels, spark.createDataFrame(rows.asJava, schema),
+          "_gid", keys.map(k => k -> s"_p_$k").toMap)
+      }
+
+    // ---- rel tables: one per type
+    val relTables = rels.groupBy(_._4).toSeq.sortBy(_._1).map { case (tpe, rs) =>
+      val keys = rs.flatMap(_._5.keys).distinct.sorted.toList
+      val schema = StructType(Seq(
+        StructField("_gid", LongType, nullable = false),
+        StructField("_src", LongType, nullable = false),
+        StructField("_dst", LongType, nullable = false)) ++
+        keys.map(k => StructField(s"_p_$k",
+          inferType(rs.flatMap(_._5.get(k)).toSeq), nullable = true)))
+      val rows = rs.map { case (id, src, dst, _, props) =>
+        Row.fromSeq(Seq(id, src, dst) ++ keys.map(k =>
+          convert(props.get(k).orNull, schema(s"_p_$k").dataType)))
+      }
+      RelTable(tpe, spark.createDataFrame(rows.asJava, schema),
+        "_gid", "_src", "_dst", keys.map(k => k -> s"_p_$k").toMap)
+    }
+
+    new PropertyGraph(nodeTables, relTables, spark)
+  }
+
+  /** literal evaluator for CREATE property values. */
+  private def literal(e: Expr): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StringLit(v) => v
+    case BoolLit(v) => v
+    case NullLit => null
+    case ListLit(items) => items.map(literal)
+    case Neg(IntLit(v)) => -v
+    case Neg(FloatLit(v)) => -v
+    case other => throw new IllegalArgumentException(
+      s"CREATE property values must be literals, got $other")
+  }
+
+  private def typeOfValue(v: Any): DataType = v match {
+    case null => NullType
+    case _: Long => LongType
+    case _: Double => DoubleType
+    case _: String => StringType
+    case _: Boolean => BooleanType
+    case s: Seq[_] =>
+      ArrayType(s.map(typeOfValue).reduceOption(SparkTypes.widen)
+        .getOrElse(NullType))
+    case other => throw new IllegalArgumentException(
+      s"unsupported CREATE literal: $other (${other.getClass})")
+  }
+
+  private def inferType(values: Seq[Any]): DataType = {
+    val t = values.map(typeOfValue).reduceOption(SparkTypes.widen)
+      .getOrElse(NullType)
+    if (t == NullType) StringType
+    else t match { case ArrayType(NullType, n) => ArrayType(StringType, n); case x => x }
+  }
+
+  /** align a literal to the widened column type (Long → Double etc.). */
+  private def convert(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _) => null
+    case (l: Long, DoubleType) => l.toDouble
+    case (s: Seq[_], ArrayType(et, _)) => s.map(convert(_, et))
+    case (x, _) => x
+  }
+}

@@ -1,0 +1,552 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.graph.PropertyGraph
+
+/** TCK-style acceptance corpus (SURVEY §5: the openCypher TCK is the
+  * reference's primary correctness oracle — morpheus-tck/.../
+  * TckSparkCypherTest.scala:40-120). The real TCK feature files are not
+  * vendored here (zero-egress build), so this suite reproduces its shape:
+  * each scenario is (given CREATE-fixture graph, query, expected rows,
+  * unordered unless stated), run through the full parse → plan → collect
+  * path, with a blacklist file (src/test/resources/tck_blacklist.txt)
+  * mirroring the reference's scenario blacklists.
+  */
+class TckStyleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val gs = GraftSession(spark)
+
+  private val graphCache =
+    scala.collection.mutable.HashMap.empty[String, PropertyGraph]
+  private def graphFor(create: String): PropertyGraph = synchronized {
+    graphCache.getOrElseUpdate(create, gs.createGraphFromCypher(create))
+  }
+
+  case class Scenario(name: String, given: String, query: String,
+      expect: Seq[Map[String, Any]], ordered: Boolean = false,
+      params: Map[String, Any] = Map.empty)
+
+  private def row(kvs: (String, Any)*): Map[String, Any] = Map(kvs: _*)
+
+  // ---------------------------------------------------------- fixtures
+  val social: String = """
+    CREATE (a:Person {name: 'Alice', age: 30, city: 'Berlin'})
+    CREATE (b:Person {name: 'Bob', age: 25, city: 'Paris'})
+    CREATE (c:Person {name: 'Carol', age: 35})
+    CREATE (d:Person:Admin {name: 'Dave', age: 40, city: 'Berlin'})
+    CREATE (r:Robot {name: 'R2'})
+    CREATE (a)-[:KNOWS {since: 2010}]->(b)
+    CREATE (b)-[:KNOWS {since: 2015}]->(c)
+    CREATE (a)-[:KNOWS {since: 2012}]->(c)
+    CREATE (c)-[:KNOWS {since: 2020}]->(d)
+    CREATE (a)-[:LIKES]->(r)
+  """
+  val chain: String =
+    "CREATE (:N {v: 1})-[:R {w: 1}]->(:N {v: 2})-[:R {w: 2}]->(:N {v: 3})-[:R {w: 3}]->(:N {v: 4})"
+  val nulls: String = """
+    CREATE (:X {k: 1, s: 'a'})
+    CREATE (:X {k: 2})
+    CREATE (:X {s: 'b'})
+  """
+  val empty: String = ""
+
+  // --------------------------------------------------------- normalize
+  /** canonical JVM form: integers → Long, fp → Double, structs → sorted
+    * maps, temporal → ISO string, arrays → List. */
+  private def norm(v: Any): Any = v match {
+    case null => null
+    case b: Boolean => b
+    case n: Byte => n.toLong
+    case n: Short => n.toLong
+    case n: Int => n.toLong
+    case n: Long => n
+    case f: Float => f.toDouble
+    case d: Double => d
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: BigDecimal => d.doubleValue
+    case s: String => s
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Timestamp => t.toString
+    case t: java.time.LocalDateTime => t.toString
+    case t: java.time.LocalDate => t.toString
+    case r: Row =>
+      r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
+    case m: Map[_, _] =>
+      m.map { case (k, x) => k.toString -> norm(x) }
+    case s: scala.collection.Seq[_] => s.map(norm).toList
+    case a: Array[_] => a.map(norm).toList
+    case other => other.toString
+  }
+
+  private def render(v: Any): String = v match {
+    case null => "null"
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+      .map { case (k, x) => s"$k: ${render(x)}" }.mkString("{", ", ", "}")
+    case s: List[_] => s.map(render).mkString("[", ", ", "]")
+    case d: Double => BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
+    case other => other.toString
+  }
+
+  private def check(sc: Scenario): Unit = {
+    val g = graphFor(sc.given)
+    val df = gs.cypher(g, sc.query, sc.params)
+    val cols = df.columns
+    val actual = df.collect().toSeq
+      .map(r => render(cols.zip(r.toSeq.map(norm)).toMap))
+    val expected = sc.expect
+      .map(m => render(m.map { case (k, v) => k -> norm(v) }))
+    if (sc.ordered)
+      assert(actual === expected, s"\nquery: ${sc.query}")
+    else
+      assert(actual.sorted === expected.sorted, s"\nquery: ${sc.query}")
+  }
+
+  // --------------------------------------------------------- scenarios
+  val scenarios: Seq[Scenario] = Seq(
+    // ---- MATCH basics
+    Scenario("match-all-nodes-count", social,
+      "MATCH (n) RETURN count(*) AS n", Seq(row("n" -> 5))),
+    Scenario("match-label-scan", social,
+      "MATCH (p:Person) RETURN count(*) AS n", Seq(row("n" -> 4))),
+    Scenario("match-multi-label", social,
+      "MATCH (p:Person:Admin) RETURN p.name AS name",
+      Seq(row("name" -> "Dave"))),
+    Scenario("match-inline-prop-map", social,
+      "MATCH (p:Person {city: 'Berlin'}) RETURN p.name AS name",
+      Seq(row("name" -> "Alice"), row("name" -> "Dave"))),
+    Scenario("match-missing-prop-is-null", social,
+      "MATCH (p:Person) WHERE p.city IS NULL RETURN p.name AS name",
+      Seq(row("name" -> "Carol"))),
+    Scenario("match-labels-function", social,
+      "MATCH (p:Admin) RETURN labels(p) AS ls",
+      Seq(row("ls" -> List("Admin", "Person")))),
+    Scenario("match-rel-type-filter", social,
+      "MATCH ()-[r:LIKES]->() RETURN count(*) AS n", Seq(row("n" -> 1))),
+    Scenario("match-type-function", social,
+      "MATCH (:Person {name: 'Alice'})-[r]->(:Robot) RETURN type(r) AS t",
+      Seq(row("t" -> "LIKES"))),
+    Scenario("match-incoming-direction", social,
+      """MATCH (p:Person)<-[:KNOWS]-(q:Person) WHERE p.name = 'Carol'
+        |RETURN q.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Bob"))),
+    Scenario("match-undirected", social,
+      "MATCH (:Person {name: 'Bob'})-[:KNOWS]-(x) RETURN x.name AS name",
+      Seq(row("name" -> "Alice"), row("name" -> "Carol"))),
+    Scenario("match-two-hop", social,
+      """MATCH (:Person {name: 'Alice'})-[:KNOWS]->()-[:KNOWS]->(c)
+        |RETURN c.name AS name""".stripMargin,
+      Seq(row("name" -> "Carol"), row("name" -> "Dave"))),
+    Scenario("match-cartesian-product", social,
+      "MATCH (a:Robot), (b:Admin) RETURN a.name AS an, b.name AS bn",
+      Seq(row("an" -> "R2", "bn" -> "Dave"))),
+    Scenario("match-anonymous-everything", social,
+      "MATCH ()-[:KNOWS]->() RETURN count(*) AS n", Seq(row("n" -> 4))),
+    Scenario("match-shared-var-two-parts", social,
+      """MATCH (a:Person)-[:KNOWS]->(b:Person), (a)-[:LIKES]->(r:Robot)
+        |RETURN DISTINCT a.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"))),
+    Scenario("match-expand-into", social,
+      """MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(b), (a)-[:KNOWS]->(c)
+        |WHERE b.name < c.name RETURN b.name AS b, c.name AS c""".stripMargin,
+      Seq(row("b" -> "Bob", "c" -> "Carol"))),
+
+    // ---- WHERE predicates
+    Scenario("where-comparison", social,
+      "MATCH (p:Person) WHERE p.age > 28 RETURN p.name AS name",
+      Seq(row("name" -> "Alice"), row("name" -> "Carol"), row("name" -> "Dave"))),
+    Scenario("where-and-or-precedence", social,
+      """MATCH (p:Person)
+        |WHERE p.age > 28 AND p.city = 'Berlin' OR p.name = 'Bob'
+        |RETURN p.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Dave"), row("name" -> "Bob"))),
+    Scenario("where-in-list", social,
+      "MATCH (p:Person) WHERE p.name IN ['Alice', 'Bob', 'Zed'] RETURN count(*) AS n",
+      Seq(row("n" -> 2))),
+    Scenario("where-starts-with", social,
+      "MATCH (p:Person) WHERE p.name STARTS WITH 'Al' RETURN p.name AS name",
+      Seq(row("name" -> "Alice"))),
+    Scenario("where-ends-with-or-contains", social,
+      """MATCH (p:Person) WHERE p.name ENDS WITH 'e' OR p.name CONTAINS 'aro'
+        |RETURN p.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Dave"), row("name" -> "Carol"))),
+    Scenario("where-regex", social,
+      "MATCH (p:Person) WHERE p.name =~ 'B.*' RETURN p.name AS name",
+      Seq(row("name" -> "Bob"))),
+    Scenario("where-is-not-null", social,
+      "MATCH (p:Person) WHERE p.city IS NOT NULL RETURN count(*) AS n",
+      Seq(row("n" -> 3))),
+    Scenario("where-not", social,
+      "MATCH (p:Person) WHERE NOT p.age > 28 RETURN p.name AS name",
+      Seq(row("name" -> "Bob"))),
+    Scenario("where-null-comparison-drops-row", social,
+      "MATCH (p:Person) WHERE p.city > 'A' RETURN count(*) AS n",
+      Seq(row("n" -> 3))),
+    Scenario("where-rel-property", social,
+      """MATCH (a)-[k:KNOWS]->(b) WHERE k.since > 2011
+        |RETURN a.name AS a, b.name AS b""".stripMargin,
+      Seq(row("a" -> "Bob", "b" -> "Carol"),
+        row("a" -> "Alice", "b" -> "Carol"),
+        row("a" -> "Carol", "b" -> "Dave"))),
+    Scenario("where-xor", empty,
+      "RETURN true XOR false AS a, true XOR true AS b",
+      Seq(row("a" -> true, "b" -> false))),
+    Scenario("where-parameter", social,
+      "MATCH (p:Person) WHERE p.age = $a RETURN p.name AS name",
+      Seq(row("name" -> "Bob")), params = Map("a" -> 25)),
+    Scenario("where-exists-property", social,
+      "MATCH (p:Person) WHERE exists(p.city) RETURN count(*) AS n",
+      Seq(row("n" -> 3))),
+
+    // ---- OPTIONAL MATCH
+    Scenario("optional-no-match-gives-null", social,
+      """MATCH (r:Robot) OPTIONAL MATCH (r)-[:KNOWS]->(x)
+        |RETURN r.name AS rn, x.name AS xn""".stripMargin,
+      Seq(row("rn" -> "R2", "xn" -> null))),
+    Scenario("optional-match-present", social,
+      """MATCH (p:Person {name: 'Alice'}) OPTIONAL MATCH (p)-[:KNOWS]->(x)
+        |RETURN x.name AS name""".stripMargin,
+      Seq(row("name" -> "Bob"), row("name" -> "Carol"))),
+    Scenario("optional-count-zero", social,
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(x)
+        |RETURN p.name AS name, count(x) AS n""".stripMargin,
+      Seq(row("name" -> "Alice", "n" -> 2), row("name" -> "Bob", "n" -> 1),
+        row("name" -> "Carol", "n" -> 1), row("name" -> "Dave", "n" -> 0))),
+    Scenario("optional-first-clause-null-row", social,
+      "OPTIONAL MATCH (z:Zed) RETURN z", Seq(row("z" -> null))),
+    Scenario("optional-bound-var-no-expand", social,
+      """MATCH (a:Person {name: 'Dave'}) OPTIONAL MATCH (a)-[:KNOWS]->(b)
+        |RETURN b.name AS bn""".stripMargin,
+      Seq(row("bn" -> null))),
+
+    // ---- aggregation
+    Scenario("agg-count-star", social,
+      "MATCH (p:Person) RETURN count(*) AS n", Seq(row("n" -> 4))),
+    Scenario("agg-count-skips-null", social,
+      "MATCH (p:Person) RETURN count(p.city) AS n", Seq(row("n" -> 3))),
+    Scenario("agg-sum-avg", social,
+      "MATCH (p:Person) RETURN sum(p.age) AS s, avg(p.age) AS a",
+      Seq(row("s" -> 130, "a" -> 32.5))),
+    Scenario("agg-min-max", social,
+      "MATCH (p:Person) RETURN min(p.age) AS lo, max(p.age) AS hi",
+      Seq(row("lo" -> 25, "hi" -> 40))),
+    Scenario("agg-collect-size", social,
+      "MATCH (p:Person) WHERE p.city = 'Berlin' RETURN size(collect(p.name)) AS n",
+      Seq(row("n" -> 2))),
+    Scenario("agg-count-distinct", social,
+      "MATCH (a)-[:KNOWS]->() RETURN count(DISTINCT a.name) AS n",
+      Seq(row("n" -> 3))),
+    Scenario("agg-group-by-includes-null-key", social,
+      "MATCH (p:Person) RETURN p.city AS city, count(*) AS n",
+      Seq(row("city" -> "Berlin", "n" -> 2), row("city" -> "Paris", "n" -> 1),
+        row("city" -> null, "n" -> 1))),
+    Scenario("agg-avg-double", chain,
+      "MATCH (n:N) RETURN avg(n.v) AS a", Seq(row("a" -> 2.5))),
+    Scenario("agg-min-string", social,
+      "MATCH (p:Person) RETURN min(p.name) AS m", Seq(row("m" -> "Alice"))),
+    Scenario("agg-sum-distinct-intdiv", social,
+      "MATCH (p:Person) RETURN sum(DISTINCT p.age / 10) AS s",
+      Seq(row("s" -> 9))),
+    Scenario("agg-percentile-cont", social,
+      "MATCH (p:Person) RETURN percentileCont(p.age, 0.5) AS med",
+      Seq(row("med" -> 32.5))),
+    Scenario("agg-having-via-with", social,
+      """MATCH (a:Person)-[:KNOWS]->() WITH a.name AS name, count(*) AS c
+        |WHERE c > 1 RETURN name""".stripMargin,
+      Seq(row("name" -> "Alice"))),
+
+    // ---- WITH / ORDER BY / SKIP / LIMIT
+    Scenario("order-by-asc", social,
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age",
+      Seq(row("name" -> "Bob"), row("name" -> "Alice"),
+        row("name" -> "Carol"), row("name" -> "Dave")), ordered = true),
+    Scenario("order-by-desc-limit", social,
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age DESC LIMIT 2",
+      Seq(row("name" -> "Dave"), row("name" -> "Carol")), ordered = true),
+    Scenario("order-skip-limit", social,
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age SKIP 1 LIMIT 2",
+      Seq(row("name" -> "Alice"), row("name" -> "Carol")), ordered = true),
+    Scenario("order-by-nulls-last", social,
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY p.city, p.name",
+      Seq(row("name" -> "Alice"), row("name" -> "Dave"),
+        row("name" -> "Bob"), row("name" -> "Carol")), ordered = true),
+    Scenario("with-rename-filter", social,
+      """MATCH (p:Person) WITH p.name AS nm, p.age AS a WHERE a < 30
+        |RETURN nm""".stripMargin,
+      Seq(row("nm" -> "Bob"))),
+    Scenario("with-distinct", social,
+      "MATCH (p:Person) WITH DISTINCT p.city AS c RETURN count(*) AS n",
+      Seq(row("n" -> 3))),
+    Scenario("with-order-limit-then-match", social,
+      """MATCH (p:Person) WITH p ORDER BY p.age DESC LIMIT 1
+        |MATCH (p)<-[:KNOWS]-(y) RETURN y.name AS name""".stripMargin,
+      Seq(row("name" -> "Carol"))),
+    Scenario("return-distinct-expression", social,
+      "MATCH ()-[k:KNOWS]->() RETURN DISTINCT k.since >= 2015 AS recent",
+      Seq(row("recent" -> true), row("recent" -> false))),
+    Scenario("limit-zero", social,
+      "MATCH (p:Person) RETURN p.name AS name LIMIT 0", Seq.empty),
+    Scenario("order-by-unaliased-aggregate", social,
+      """MATCH (a:Person)-[:KNOWS]->() RETURN a.name AS name, count(*) AS c
+        |ORDER BY count(*) DESC, name LIMIT 1""".stripMargin,
+      Seq(row("name" -> "Alice", "c" -> 2)), ordered = true),
+
+    // ---- UNWIND
+    Scenario("unwind-literal-list", empty,
+      "UNWIND [1, 2, 3] AS x RETURN x",
+      Seq(row("x" -> 1), row("x" -> 2), row("x" -> 3))),
+    Scenario("unwind-expression", empty,
+      "UNWIND [1, 2, 3] AS x RETURN x * 2 AS d",
+      Seq(row("d" -> 2), row("d" -> 4), row("d" -> 6))),
+    Scenario("unwind-nested-lists", empty,
+      "UNWIND [[1, 2], [3]] AS xs RETURN size(xs) AS n",
+      Seq(row("n" -> 2), row("n" -> 1))),
+    Scenario("unwind-parameter", empty,
+      "UNWIND $xs AS x RETURN sum(x) AS s",
+      Seq(row("s" -> 6)), params = Map("xs" -> Seq(1L, 2L, 3L))),
+    Scenario("unwind-range", empty,
+      "UNWIND range(1, 5) AS x RETURN count(*) AS n", Seq(row("n" -> 5))),
+    Scenario("unwind-cross-product", empty,
+      "UNWIND [1, 2] AS x UNWIND ['a', 'b'] AS y RETURN x, y",
+      Seq(row("x" -> 1, "y" -> "a"), row("x" -> 1, "y" -> "b"),
+        row("x" -> 2, "y" -> "a"), row("x" -> 2, "y" -> "b"))),
+
+    // ---- lists
+    Scenario("list-index-positive-negative", empty,
+      "RETURN [1, 2, 3][0] AS h, [1, 2, 3][-1] AS l",
+      Seq(row("h" -> 1, "l" -> 3))),
+    Scenario("list-slice", empty,
+      "RETURN [1, 2, 3, 4][1..3] AS s", Seq(row("s" -> List(2, 3)))),
+    Scenario("list-head-last-tail", empty,
+      "RETURN head([5, 6, 7]) AS h, last([5, 6, 7]) AS l, tail([5, 6, 7]) AS t",
+      Seq(row("h" -> 5, "l" -> 7, "t" -> List(6, 7)))),
+    Scenario("list-range-with-step", empty,
+      "RETURN range(0, 10, 5) AS r", Seq(row("r" -> List(0, 5, 10)))),
+    Scenario("list-comprehension-filter-map", empty,
+      "RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS l",
+      Seq(row("l" -> List(20, 40)))),
+    Scenario("list-reduce", empty,
+      "RETURN reduce(acc = 1, x IN [2, 3, 4] | acc * x) AS p",
+      Seq(row("p" -> 24))),
+    Scenario("list-quantifiers", empty,
+      """RETURN all(x IN [1, 2] WHERE x > 0) AS a,
+        |       any(x IN [1, 2] WHERE x > 1) AS b,
+        |       none(x IN [1, 2] WHERE x > 5) AS c,
+        |       single(x IN [1, 2] WHERE x = 2) AS d""".stripMargin,
+      Seq(row("a" -> true, "b" -> true, "c" -> true, "d" -> true))),
+    Scenario("list-in-operator", empty,
+      "RETURN 2 IN [1, 2] AS a, 5 IN [1, 2] AS b",
+      Seq(row("a" -> true, "b" -> false))),
+    Scenario("list-concatenation", empty,
+      "RETURN [1, 2] + [3] AS a, [1] + 2 AS b",
+      Seq(row("a" -> List(1, 2, 3), "b" -> List(1, 2)))),
+    Scenario("list-size-vs-string-size", empty,
+      "RETURN size('hello') AS s, size([1, 2]) AS l",
+      Seq(row("s" -> 5, "l" -> 2))),
+
+    // ---- CASE
+    Scenario("case-simple-form", social,
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |       CASE p.city WHEN 'Berlin' THEN 'de' WHEN 'Paris' THEN 'fr'
+        |            ELSE 'unknown' END AS cc""".stripMargin,
+      Seq(row("name" -> "Alice", "cc" -> "de"), row("name" -> "Bob", "cc" -> "fr"),
+        row("name" -> "Carol", "cc" -> "unknown"),
+        row("name" -> "Dave", "cc" -> "de"))),
+    Scenario("case-searched-form", social,
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |       CASE WHEN p.age < 30 THEN 'young' ELSE 'old' END AS bucket""".stripMargin,
+      Seq(row("name" -> "Alice", "bucket" -> "old"),
+        row("name" -> "Bob", "bucket" -> "young"),
+        row("name" -> "Carol", "bucket" -> "old"),
+        row("name" -> "Dave", "bucket" -> "old"))),
+    Scenario("case-without-default-is-null", empty,
+      "RETURN CASE WHEN false THEN 1 END AS v", Seq(row("v" -> null))),
+    Scenario("case-in-where", social,
+      """MATCH (p:Person)
+        |WHERE CASE WHEN p.age > 30 THEN true ELSE false END
+        |RETURN p.name AS name""".stripMargin,
+      Seq(row("name" -> "Carol"), row("name" -> "Dave"))),
+
+    // ---- scalar functions
+    Scenario("fn-string-basics", empty,
+      """RETURN toUpper('ab') AS u, toLower('AB') AS lo, trim('  x ') AS t,
+        |       reverse('abc') AS r, replace('aaa', 'a', 'b') AS rp,
+        |       substring('hello', 1, 3) AS ss, left('hello', 2) AS le,
+        |       right('hello', 2) AS ri""".stripMargin,
+      Seq(row("u" -> "AB", "lo" -> "ab", "t" -> "x", "r" -> "cba",
+        "rp" -> "bbb", "ss" -> "ell", "le" -> "he", "ri" -> "lo"))),
+    Scenario("fn-split", empty,
+      "RETURN split('a,b,c', ',') AS parts",
+      Seq(row("parts" -> List("a", "b", "c")))),
+    Scenario("fn-numeric-basics", empty,
+      """RETURN abs(-3) AS a, sign(-2) AS sg, ceil(1.2) AS c, floor(1.8) AS f,
+        |       round(2.4) AS r, sqrt(16.0) AS q""".stripMargin,
+      Seq(row("a" -> 3, "sg" -> -1, "c" -> 2.0, "f" -> 1.0,
+        "r" -> 2.0, "q" -> 4.0))),
+    Scenario("fn-conversions", empty,
+      """RETURN toString(42) AS s, toInteger('7') AS i, toInteger('3.9') AS t,
+        |       toFloat('2.5') AS f, toBoolean('true') AS b""".stripMargin,
+      Seq(row("s" -> "42", "i" -> 7, "t" -> 3, "f" -> 2.5, "b" -> true))),
+    Scenario("fn-coalesce", empty,
+      "RETURN coalesce(null, 2) AS a, coalesce(null, null, 3) AS b",
+      Seq(row("a" -> 2, "b" -> 3))),
+    Scenario("fn-log-exp", empty,
+      "RETURN log(e()) AS l, exp(0) AS x", Seq(row("l" -> 1.0, "x" -> 1.0))),
+    Scenario("fn-trig", empty,
+      "RETURN sin(0) AS s, cos(0) AS c, atan2(0, 1) AS a",
+      Seq(row("s" -> 0.0, "c" -> 1.0, "a" -> 0.0))),
+    Scenario("fn-mod-pow", empty,
+      "RETURN 7 % 3 AS m, 2 ^ 10 AS p", Seq(row("m" -> 1, "p" -> 1024.0))),
+    Scenario("fn-keys-of-map", empty,
+      "RETURN keys({b: 1, a: 2}) AS ks", Seq(row("ks" -> List("a", "b")))),
+    Scenario("fn-element-identities", social,
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b {name: 'Bob'})
+        |RETURN id(a) <> id(b) AS diff, startNode(r) = id(a) AS s,
+        |       endNode(r) = id(b) AS e""".stripMargin,
+      Seq(row("diff" -> true, "s" -> true, "e" -> true))),
+    Scenario("fn-properties-map", social,
+      "MATCH (r:Robot) RETURN properties(r) AS p",
+      Seq(row("p" -> Map("name" -> "R2")))),
+    Scenario("fn-keys-of-entity", social,
+      "MATCH (p:Person {name: 'Carol'}) RETURN keys(p) AS ks",
+      Seq(row("ks" -> List("age", "name")))),
+
+    // ---- var-length paths
+    Scenario("varlength-1-to-2", chain,
+      "MATCH (:N {v: 1})-[:R*1..2]->(b) RETURN b.v AS v",
+      Seq(row("v" -> 2), row("v" -> 3))),
+    Scenario("varlength-exactly-2", chain,
+      "MATCH (:N {v: 1})-[:R*2..2]->(b) RETURN b.v AS v",
+      Seq(row("v" -> 3))),
+    Scenario("varlength-zero-to-1", chain,
+      "MATCH (:N {v: 1})-[:R*0..1]->(b) RETURN b.v AS v",
+      Seq(row("v" -> 1), row("v" -> 2))),
+    Scenario("varlength-unbounded", chain,
+      "MATCH (:N {v: 1})-[:R*]->(b) RETURN b.v AS v",
+      Seq(row("v" -> 2), row("v" -> 3), row("v" -> 4))),
+    Scenario("varlength-property-map-filters-steps", chain,
+      "MATCH (:N {v: 1})-[:R*1..3 {w: 1}]->(b) RETURN b.v AS v",
+      Seq(row("v" -> 2))),
+    Scenario("varlength-rel-list-size", chain,
+      "MATCH (:N {v: 1})-[rs:R*2..3]->(b) RETURN b.v AS v, size(rs) AS n",
+      Seq(row("v" -> 3, "n" -> 2), row("v" -> 4, "n" -> 3))),
+    Scenario("varlength-incoming", chain,
+      "MATCH (:N {v: 3})<-[:R*1..2]-(b) RETURN b.v AS v",
+      Seq(row("v" -> 2), row("v" -> 1))),
+
+    // ---- UNION
+    Scenario("union-all-keeps-duplicates", social,
+      """MATCH (p:Person {city: 'Berlin'}) RETURN p.name AS name
+        |UNION ALL MATCH (p:Admin) RETURN p.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Dave"), row("name" -> "Dave"))),
+    Scenario("union-distinct", social,
+      """MATCH (p:Person {city: 'Berlin'}) RETURN p.name AS name
+        |UNION MATCH (p:Admin) RETURN p.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Dave"))),
+    Scenario("union-of-literals", empty,
+      "RETURN 1 AS x UNION RETURN 1 AS x", Seq(row("x" -> 1))),
+
+    // ---- EXISTS / pattern predicates
+    Scenario("exists-pattern-predicate", social,
+      "MATCH (p:Person) WHERE (p)-[:LIKES]->() RETURN p.name AS name",
+      Seq(row("name" -> "Alice"))),
+    Scenario("not-exists-pattern-predicate", social,
+      "MATCH (p:Person) WHERE NOT (p)-[:KNOWS]->() RETURN p.name AS name",
+      Seq(row("name" -> "Dave"))),
+    Scenario("exists-subquery-with-where", social,
+      """MATCH (p:Person)
+        |WHERE EXISTS { MATCH (p)-[:KNOWS]->(x) WHERE x.age > 30 }
+        |RETURN p.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Bob"), row("name" -> "Carol"))),
+    Scenario("exists-as-return-value", social,
+      """MATCH (p:Person)
+        |RETURN p.name AS name, exists((p)-[:LIKES]->()) AS likes""".stripMargin,
+      Seq(row("name" -> "Alice", "likes" -> true),
+        row("name" -> "Bob", "likes" -> false),
+        row("name" -> "Carol", "likes" -> false),
+        row("name" -> "Dave", "likes" -> false))),
+    Scenario("pattern-comprehension-count", social,
+      """MATCH (p:Person)
+        |RETURN p.name AS name, size([(p)-[:KNOWS]->(x) | x.name]) AS n""".stripMargin,
+      Seq(row("name" -> "Alice", "n" -> 2), row("name" -> "Bob", "n" -> 1),
+        row("name" -> "Carol", "n" -> 1), row("name" -> "Dave", "n" -> 0))),
+
+    // ---- null semantics
+    Scenario("null-equals-null-is-null", empty,
+      "RETURN null = null AS a, null <> null AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("null-predicate-drops-row", nulls,
+      "MATCH (x:X) WHERE x.k > 0 RETURN count(*) AS n", Seq(row("n" -> 2))),
+    Scenario("null-arithmetic-propagates", empty,
+      "RETURN 1 + null AS a, null * 2 AS b", Seq(row("a" -> null, "b" -> null))),
+    Scenario("null-size-is-null", empty,
+      "RETURN size(null) AS s", Seq(row("s" -> null))),
+    Scenario("null-filter-is-null", nulls,
+      "MATCH (x:X) WHERE x.s IS NULL RETURN x.k AS k", Seq(row("k" -> 2))),
+    Scenario("null-ternary-logic", empty,
+      """RETURN (null AND false) AS a, (null OR true) AS b,
+        |       (null AND true) AS c""".stripMargin,
+      Seq(row("a" -> false, "b" -> true, "c" -> null))),
+
+    // ---- maps, strings, temporal odds and ends
+    Scenario("map-projection", social,
+      "MATCH (p:Person {name: 'Bob'}) RETURN p {.name, .age} AS m",
+      Seq(row("m" -> Map("name" -> "Bob", "age" -> 25)))),
+    Scenario("map-literal-field-access", empty,
+      "RETURN {a: 1, b: 'x'}.b AS v", Seq(row("v" -> "x"))),
+    Scenario("map-dynamic-index", empty,
+      "RETURN {a: 5}['a'] AS v", Seq(row("v" -> 5))),
+    Scenario("string-plus-number-concat", empty,
+      "RETURN 'a' + 1 AS s", Seq(row("s" -> "a1"))),
+    Scenario("temporal-accessor-on-literal-date", empty,
+      "RETURN date('2020-06-15').month AS m, date('2020-06-15').year AS y",
+      Seq(row("m" -> 6, "y" -> 2020))),
+    Scenario("temporal-date-plus-duration", empty,
+      "RETURN date('2020-01-01') + duration('P1M') AS d",
+      Seq(row("d" -> "2020-02-01"))),
+    Scenario("distinct-order-combo", chain,
+      "MATCH (n:N) RETURN DISTINCT n.v % 2 AS p ORDER BY p",
+      Seq(row("p" -> 0), row("p" -> 1)), ordered = true)
+  )
+
+  // --------------------------------------------------------- blacklist
+  private val blacklist: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/tck_blacklist.txt")
+    if (in == null) Map.empty
+    else scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\|", 2)
+        parts(0).trim -> (if (parts.length > 1) parts(1).trim else "no reason given")
+      }.toMap
+  }
+
+  test("scenario corpus is large enough to be meaningful") {
+    assert(scenarios.size >= 100, s"only ${scenarios.size} scenarios")
+    val dupes = scenarios.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
+    val staleBlacklist = blacklist.keySet -- scenarios.map(_.name).toSet
+    assert(staleBlacklist.isEmpty,
+      s"blacklist names not in the corpus: $staleBlacklist")
+  }
+
+  scenarios.foreach { sc =>
+    blacklist.get(sc.name) match {
+      case Some(reason) =>
+        ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }
+      case None =>
+        test(s"[tck] ${sc.name}") { check(sc) }
+    }
+  }
+}
