@@ -480,10 +480,23 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
   }
 
+  /** Shared-subtree cache insertion (reference: RelationalOptimizer.scala:
+    * 35-92 counts duplicate subtrees and persists the highest shared one).
+    * Applied wherever this planner emits a plan that reads the SAME
+    * DataFrame twice: undirected scans (union of both orientations),
+    * var-length unrolling, and the seed+join-back shape of optional /
+    * exists / comprehension subqueries. MEMORY_AND_DISK: spills rather
+    * than recomputes; Spark's CacheManager dedups by canonicalized plan,
+    * so repeated queries over the same scan share one materialization. */
+  private def cacheShared(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** rel scan with traversal orientation columns. Storage src/dst stay in
     * the binding (startNode/endNode return storage direction); traversal
     * uses trav columns, which the caller drops. Undirected = union of both
-    * orientations (reference: RelationalPlanner.scala:154-164). */
+    * orientations (reference: RelationalPlanner.scala:154-164) over ONE
+    * cached scan. */
   private def orientedRelScan(graph: PropertyGraph, rel: RelPattern,
       relVar: String): (DataFrame, RelBinding, String, String) = {
     val scan = graph.relScan(rel.types, naming(relVar))
@@ -491,7 +504,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       scan.propCols, scan.types)
     val travSrc = fresh(s"${relVar}_tsrc")
     val travDst = fresh(s"${relVar}_tdst")
-    val base = scan.df
+    val base =
+      if (rel.direction == Undirected) cacheShared(scan.df) else scan.df
     val df = rel.direction match {
       case Outgoing => base
         .withColumn(travSrc, col(s"`${scan.srcCol}`"))
@@ -678,10 +692,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       return PState(df, Header(state.header.bindings ++ rhs.header.bindings))
     }
 
-    // seed rhs with the distinct shared bindings
-    val sharedBindings = shared.map(v => v -> state.header(v))
+    // the lhs is read twice (seed projection + join-back): cache it once
+    val lhsDf = cacheShared(state.df)
+    // seed rhs with the distinct shared bindings, trimmed to the columns
+    // the optional pattern actually references (id-width distinct)
+    val sharedBindings = shared.map(v => v ->
+      trimmedSeedBinding(v, state.header(v), m.pattern.parts, m.where.toSeq))
     val seedCols = sharedBindings.flatMap(_._2.columns).distinct
-    val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
+    val seedDf = lhsDf.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
     val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
     val rhs = planMatch(graph, seed, m.copy(optional = false))
 
@@ -702,7 +720,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       col(s"`$idc`") === col(s"`${renameMap(idc)}`")
     }.reduce(_ && _)
 
-    val joined = state.df.join(rhsDf, joinCond, "left_outer")
+    val joined = lhsDf.join(rhsDf, joinCond, "left_outer")
       .drop(renameMap.values.toSeq.map(c => c): _*)
 
     // header: lhs bindings + rhs-new bindings (shared vars stay lhs-bound)
@@ -716,6 +734,64 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       (part.start.variable.toSeq ++
         part.chain.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq })
     }.distinct
+
+  /** Which columns of shared variable `v` a subquery actually reads —
+    * (needAll, property keys, labels). Seeding an exists/optional/
+    * comprehension subplan with ONLY these (plus the id, which is always
+    * kept) makes the seed's distinct shuffle id-width instead of
+    * full-scan-width; at 100 TB that is the difference between shuffling
+    * 8 bytes/row and the whole row. Conservative: any reference we can't
+    * prove id-only (bare `v` in an unknown function, a shared rel var)
+    * keeps every column. */
+  private def referencedKeys(v: String, parts: Seq[PatternPart],
+      exprs: Seq[Expr]): (Boolean, Set[String], Set[String]) = {
+    var needAll = false
+    val props = scala.collection.mutable.Set.empty[String]
+    val labels = scala.collection.mutable.Set.empty[String]
+
+    def walkPart(p: PatternPart): Unit = {
+      def np(n: NodePattern): Unit = {
+        if (n.variable.contains(v)) {
+          labels ++= n.labels
+          n.properties.foreach { case (k, _) => props += k }
+        }
+        n.properties.foreach { case (_, e) => walk(e) }
+      }
+      np(p.start)
+      p.chain.foreach { case (r, n) =>
+        if (r.variable.contains(v)) needAll = true // shared rel var: keep all
+        r.properties.foreach { case (_, e) => walk(e) }
+        np(n)
+      }
+    }
+    def walk(e: Expr): Unit = e match {
+      case Property(Var(`v`), k) => props += k
+      case HasLabels(Var(`v`), ls) => labels ++= ls
+      case Func("id", _, Seq(Var(`v`))) => ()
+      case Var(`v`) => needAll = true
+      case PatternPredicate(p, _, w) => walkPart(p); w.foreach(walk)
+      case PatternComprehension(p, w, proj) =>
+        walkPart(p); w.foreach(walk); walk(proj)
+      case other => mapChildren(other) { c => walk(c); c }
+    }
+    parts.foreach(walkPart); exprs.foreach(walk)
+    (needAll, props.toSet, labels.toSet)
+  }
+
+  /** seed binding restricted to the columns the subquery references. */
+  private def trimmedSeedBinding(v: String, b: Binding,
+      parts: Seq[PatternPart], exprs: Seq[Expr]): Binding = {
+    val (needAll, props, labels) = referencedKeys(v, parts, exprs)
+    if (needAll) b
+    else b match {
+      case nb: NodeBinding => nb.copy(
+        labelCols = nb.labelCols.view.filterKeys(labels).toMap,
+        propCols = nb.propCols.view.filterKeys(props).toMap)
+      case rb: RelBinding =>
+        rb.copy(propCols = rb.propCols.view.filterKeys(props).toMap)
+      case other => other
+    }
+  }
 
   /** WHERE: splits conjuncts; pattern predicates become semi/anti joins
     * (reference: ExistsSubQuery lowering, RelationalPlanner.scala:224-246),
@@ -748,9 +824,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     require(shared.nonEmpty,
       "pattern predicate must reference at least one bound variable")
 
-    val sharedBindings = shared.map(v => v -> state.header(v))
+    // the driving table is read twice (seed + semi/anti join): cache once;
+    // seed bindings trim to the columns the subquery references
+    val lhsDf = cacheShared(state.df)
+    val sharedBindings = shared.map(v => v ->
+      trimmedSeedBinding(v, state.header(v), Seq(part), where.toSeq))
     val seedCols = sharedBindings.flatMap(_._2.columns).distinct
-    val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
+    val seedDf = lhsDf.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
     val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
     val rhs = planMatch(graph, seed,
       MatchClause(optional = false, Pattern(Seq(part)), where))

@@ -59,6 +59,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("undirected expand reads one cached rel scan, not two") {
+    val df = gs.cypher(g,
+      "MATCH (c:Customer)-[:PLACED]-(o) RETURN count(*) AS n")
+    val plan = planOf(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"undirected orientation union not cached:\n$plan")
+  }
+
+  test("exists subquery caches the driving table it reads twice") {
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)
+        |WHERE (c)-[:PLACED]->(:Order) RETURN count(*) AS n""".stripMargin)
+    val plan = planOf(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"driving table re-scanned for exists seed:\n$plan")
+  }
+
   test("var-length expand reuses one cached relationship scan") {
     val df = gs.cypher(g,
       """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
