@@ -22,10 +22,19 @@ object FsGraphSource {
       id: String, src: String, dst: String, props: Map[String, String],
       ddl: String)
 
+  /** The "avro" short name resolves via the external spark-avro module's
+    * service registration; when only the built-in classes are on the
+    * classpath (as in a plain Spark 4 distribution), address the file
+    * format by class name instead (reference supports avro as a
+    * first-class FS format, StorageFormat.scala:41,67). */
+  private def resolveFormat(format: String): String =
+    if (format == "avro") "org.apache.spark.sql.avro.AvroFileFormat"
+    else format
+
   def save(graph: PropertyGraph, path: String, format: String = "parquet",
       mode: String = "error"): Unit = {
     def writer(df: DataFrame) = {
-      val w = df.write.format(format).mode(mode)
+      val w = df.write.format(resolveFormat(format)).mode(mode)
       if (format == "csv") w.option("header", "true") else w
     }
 
@@ -141,7 +150,7 @@ object FsGraphSource {
         (m \ "id").extract[String], (m \ "src").extract[String],
         (m \ "dst").extract[String], (m \ "props").extract[Map[String, String]],
         (m \ "ddl").extract[String])
-      val reader = spark.read.format(format)
+      val reader = spark.read.format(resolveFormat(format))
         .schema(StructType.fromDDL(meta.ddl))
       val withOpts = if (format == "csv") reader.option("header", "true") else reader
       (meta, withOpts.load(s"$path/${meta.dir}"))

@@ -114,8 +114,8 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSeq === Seq("Alice", "Bob"))
   }
 
-  test("fs round-trip: parquet and csv preserve graph semantics") {
-    for (fmt <- Seq("parquet", "csv", "orc", "json")) {
+  test("fs round-trip: parquet/csv/orc/json/avro preserve graph semantics") {
+    for (fmt <- Seq("parquet", "csv", "orc", "json", "avro")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_fs_$fmt").toString + "/g"
       FsGraphSource.save(g, dir, fmt)
