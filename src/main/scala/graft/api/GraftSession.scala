@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cypher.CypherParser
+import graft.cypher.Ast._
 import graft.graph.PropertyGraph
 import graft.plans.Planner
 
@@ -12,20 +13,72 @@ import graft.plans.Planner
 class GraftSession(val spark: SparkSession) {
 
   private val catalog = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+  private val views =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[String], Query)]
 
   def register(name: String, graph: PropertyGraph): Unit = catalog(name) = graph
   def graph(name: String): PropertyGraph = catalog.getOrElse(name,
     throw new IllegalArgumentException(
       s"graph `$name` not in catalog (have: ${catalog.keys.mkString(", ")})"))
   def graphNames: Seq[String] = catalog.keys.toSeq.sorted
+  def viewNames: Seq[String] = views.keys.toSeq.sorted
+
+  private def emptyGraph: PropertyGraph =
+    new PropertyGraph(Nil, Nil, spark)
+
+  /** Resolves a graph reference against the catalog. View invocations plan
+    * the view body lazily with `$param`s bound to the (recursively
+    * resolved) argument graphs — a view is a graph-valued function
+    * (reference: RelationalCypherSession.scala:171-196, ViewsExample). */
+  private def resolveRef(ref: GraphRef,
+      bound: Map[String, PropertyGraph]): PropertyGraph = ref match {
+    case GraphByName(n) => graph(n)
+    case GraphParamRef(p) => bound.getOrElse(p,
+      throw new IllegalArgumentException(s"unbound graph parameter $$$p"))
+    case ViewInvocation(n, args) =>
+      val (ps, body) = views.getOrElse(n, throw new IllegalArgumentException(
+        s"view `$n` not in catalog (have: ${views.keys.mkString(", ")})"))
+      require(ps.length == args.length,
+        s"view `$n` takes ${ps.length} graph argument(s), got ${args.length}")
+      val binds = ps.zip(args.map(a => resolveRef(a, bound))).toMap
+      new Planner(spark, Map.empty, r => resolveRef(r, binds), emptyGraph)
+        .planGraph(body)
+  }
+
+  private def resolver: GraphRef => PropertyGraph =
+    r => resolveRef(r, Map.empty)
 
   /** Run a Cypher read query against a graph; result is a plain DataFrame
     * (lazily planned — nothing executes until an action). */
   def cypher(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, graph, g).plan(ast)
+    new Planner(spark, params, resolver, g).plan(ast)
   }
+
+  /** Session-level entry point: catalog DDL statements
+    * (`CATALOG CREATE GRAPH g { ... }`, `CATALOG CREATE VIEW v($p) { ... }`,
+    * `CATALOG DROP GRAPH|VIEW g`) and queries that pick their graph via
+    * `FROM GRAPH` (reference: RelationalCypherSession.scala:171-196). DDL
+    * statements return an empty DataFrame. */
+  def cypher(query: String): DataFrame = cypherStatement(query, Map.empty)
+
+  def cypherStatement(query: String,
+      params: Map[String, Any]): DataFrame =
+    CypherParser.parseStatement(query) match {
+      case QueryStatement(q) =>
+        new Planner(spark, params, resolver, emptyGraph).plan(q)
+      case CreateGraphStatement(name, inner) =>
+        register(name,
+          new Planner(spark, params, resolver, emptyGraph).planGraph(inner))
+        spark.emptyDataFrame
+      case CreateViewStatement(name, ps, inner) =>
+        views(name) = (ps, inner); spark.emptyDataFrame
+      case DropGraphStatement(name) =>
+        catalog.remove(name); spark.emptyDataFrame
+      case DropViewStatement(name) =>
+        views.remove(name); spark.emptyDataFrame
+    }
 
   def cypher(graphName: String, query: String): DataFrame =
     cypher(graph(graphName), query, Map.empty[String, Any])
@@ -41,7 +94,7 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): PropertyGraph = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, graph, g).planGraph(ast)
+    new Planner(spark, params, resolver, g).planGraph(ast)
   }
 
   def cypherGraph(graphName: String, query: String): PropertyGraph =

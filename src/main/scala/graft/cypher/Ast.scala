@@ -125,8 +125,17 @@ object Ast {
   case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
       star: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr]) extends Clause
+  /** Reference to a catalog graph: by name, by view invocation
+    * (`viewName(arg, ...)`), or — inside a view body — by parameter
+    * (`$p`). Mirrors the reference's QualifiedGraphName + view machinery
+    * (okapi-ir CypherStatement.scala:64-79). */
+  sealed trait GraphRef
+  case class GraphByName(name: String) extends GraphRef
+  case class GraphParamRef(name: String) extends GraphRef
+  case class ViewInvocation(name: String, args: Seq[GraphRef]) extends GraphRef
+
   /** Cypher-10-style: `FROM GRAPH name` switches the working graph. */
-  case class FromGraphClause(graphName: String) extends Clause
+  case class FromGraphClause(ref: GraphRef) extends Clause
   /** CONSTRUCT — multiple-graph extension (SURVEY §2.5).
     * `sets`: (variable, propertyKey, value) from `SET v.k = expr`. */
   case class ConstructClause(clones: Seq[String], news: Seq[PatternPart],
@@ -139,4 +148,18 @@ object Ast {
   case class SingleQuery(clauses: Seq[Clause])
   /** unions: (query, all?) pairs folded left-to-right. */
   case class Query(first: SingleQuery, unions: Seq[(Boolean, SingleQuery)])
+
+  // ------------------------------------------------------------ statements
+  /** Top-level Cypher statement: a read/graph query or catalog DDL
+    * (reference: okapi-ir/.../api/CypherStatement.scala — CreateGraph,
+    * CreateView, DeleteGraph, DeleteView). */
+  sealed trait Statement
+  case class QueryStatement(query: Query) extends Statement
+  /** `CATALOG CREATE GRAPH name { <graph query> }` */
+  case class CreateGraphStatement(name: String, inner: Query) extends Statement
+  /** `CATALOG CREATE VIEW name($p1, ...) { <graph query over $p1...> }` */
+  case class CreateViewStatement(name: String, params: Seq[String],
+      inner: Query) extends Statement
+  case class DropGraphStatement(name: String) extends Statement
+  case class DropViewStatement(name: String) extends Statement
 }

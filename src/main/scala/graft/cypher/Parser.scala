@@ -307,8 +307,19 @@ object CypherParser extends RegexParsers {
       case d ~ items ~ ((o, s, l)) =>
         ReturnClause(d.isDefined, items._1, items._2, o, s, l) }
 
+  /** dotted qualified graph name (`ns.graph`) collapses to one string —
+    * the session catalog is flat (reference: QualifiedGraphName). */
+  private def graphName: Parser[String] =
+    rep1sep(anyIdent, ".") ^^ (_.mkString("."))
+
+  def graphRef: Parser[GraphRef] =
+    ("$" ~> anyIdent ^^ GraphParamRef.apply) |
+    (graphName ~ opt("(" ~> repsep(graphRef, ",") <~ ")") ^^ {
+      case n ~ Some(args) => ViewInvocation(n, args)
+      case n ~ None => GraphByName(n) })
+
   def fromGraphClause: Parser[Clause] =
-    K("from") ~> opt(K("graph")) ~> anyIdent ^^ FromGraphClause.apply
+    K("from") ~> opt(K("graph")) ~> graphRef ^^ FromGraphClause.apply
 
   private def setItem: Parser[(String, String, Expr)] =
     ident ~ ("." ~> anyIdent) ~ ("=" ~> expression) ^^ {
@@ -350,6 +361,33 @@ object CypherParser extends RegexParsers {
   private def createStmts: Parser[Pattern] =
     rep1(opt(";") ~> K("create") ~> rep1sep(patternPart, ",")) <~ opt(";") ^^
       (ps => Pattern(ps.flatten))
+
+  // ------------------------------------------------- catalog DDL statements
+  /** `CATALOG CREATE GRAPH g { ... }` / `CATALOG CREATE VIEW v($p) { ... }`
+    * / `CATALOG DROP GRAPH|VIEW g` (reference statement forms:
+    * okapi-ir CypherStatement.scala:64-79; session dispatch
+    * RelationalCypherSession.scala:171-196). The braced body is parsed
+    * structurally — brace-bearing expressions inside it are fine. */
+  def statement: Parser[Statement] =
+    (K("catalog") ~> K("create") ~> K("graph") ~> graphName ~
+      ("{" ~> query <~ "}") ^^ {
+        case n ~ q => CreateGraphStatement(n, q) }) |
+    (K("catalog") ~> K("create") ~> K("view") ~> graphName ~
+      ("(" ~> repsep("$" ~> anyIdent, ",") <~ ")") ~
+      ("{" ~> query <~ "}") ^^ {
+        case n ~ ps ~ q => CreateViewStatement(n, ps, q) }) |
+    (K("catalog") ~> K("drop") ~> K("graph") ~> graphName ^^
+      DropGraphStatement.apply) |
+    (K("catalog") ~> K("drop") ~> K("view") ~> graphName ^^
+      DropViewStatement.apply) |
+    (query ^^ QueryStatement.apply)
+
+  def parseStatement(text: String): Statement =
+    parseAll(statement, text) match {
+      case Success(s, _) => s
+      case f: NoSuccess => throw new IllegalArgumentException(
+        s"Cypher parse error at line ${f.next.pos.line}, col ${f.next.pos.column}: ${f.msg}\n${f.next.pos.longString}")
+    }
 
   def parse(text: String): Query = parseAll(query, text) match {
     case Success(q, _) => q

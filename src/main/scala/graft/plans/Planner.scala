@@ -21,7 +21,7 @@ import scala.collection.immutable.ListMap
   * union-alls; Catalyst + AQE pick physical strategies.
   */
 class Planner(spark: SparkSession, params: Map[String, Any],
-    catalog: String => PropertyGraph, initialGraph: PropertyGraph,
+    catalog: GraphRef => PropertyGraph, initialGraph: PropertyGraph,
     maxVarLength: Int = 10) {
 
   private val counter = new AtomicLong()
@@ -58,7 +58,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     var state = unitState
     var finalDf: Option[DataFrame] = None
     sq.clauses.foreach {
-      case FromGraphClause(name) => graph = catalog(name)
+      case FromGraphClause(ref) => graph = catalog(ref)
       case m: MatchClause => state = planMatch(graph, state, m)
       case UnwindClause(e, v) => state = planUnwind(graph, state, e, v)
       case w: WithClause =>
@@ -92,7 +92,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     var graph = initialGraph
     var state = unitState
     q.first.clauses.foreach {
-      case FromGraphClause(name) => graph = catalog(name)
+      case FromGraphClause(ref) => graph = catalog(ref)
       case m: MatchClause => state = planMatch(graph, state, m)
       case UnwindClause(e, v) => state = planUnwind(graph, state, e, v)
       case w: WithClause =>
@@ -249,7 +249,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     val constructed = new PropertyGraph(
       mergeNodeTables(nodeTables.toSeq), mergeRelTables(relTables.toSeq), spark)
-    c.onGraphs.map(catalog).foldLeft(constructed)(_ unionAll _)
+    c.onGraphs.map(n => catalog(GraphByName(n))).foldLeft(constructed)(_ unionAll _)
   }
 
   /** One backing table per label combination (the reference's ScanGraph

@@ -129,6 +129,47 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CATALOG CREATE GRAPH / DROP GRAPH statement forms") {
+    gs.cypher(
+      """CATALOG CREATE GRAPH sn {
+        |  CONSTRUCT
+        |    CREATE (a:Person {age: 18})
+        |    CREATE (b:Person {age: 25})
+        |    CREATE (a)-[:KNOWS]->(b)
+        |  RETURN GRAPH
+        |}""".stripMargin)
+    assert(gs.graphNames.contains("sn"))
+    val rows = gs.cypher(
+      """FROM GRAPH sn
+        |MATCH (p:Person)-[:KNOWS]->(q:Person)
+        |RETURN p.age AS pa, q.age AS qa""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((18L, 25L)))
+
+    gs.cypher("CATALOG DROP GRAPH sn")
+    assert(!gs.graphNames.contains("sn"))
+  }
+
+  test("CATALOG CREATE VIEW: graph-valued function applied in FROM GRAPH") {
+    gs.cypher(
+      """CATALOG CREATE VIEW adults($g) {
+        |  FROM $g
+        |  MATCH (p1:Person)-[r:KNOWS]->(p2:Person)
+        |  WHERE p1.age >= 30 AND p2.age >= 30
+        |  CONSTRUCT CLONE p1, p2, r
+        |  RETURN GRAPH
+        |}""".stripMargin)
+    assert(gs.viewNames.contains("adults"))
+    // team: Alice(23)-KNOWS->Bob(42)-KNOWS->Carol(31) — only Bob->Carol kept
+    val rows = gs.cypher(
+      """FROM GRAPH adults(team)
+        |MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN a.name AS an, b.name AS bn""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Bob", "Carol")))
+    gs.cypher("CATALOG DROP VIEW adults")
+    assert(!gs.viewNames.contains("adults"))
+  }
+
   test("graph DDL maps tables/views to a property graph") {
     val s = spark
     import s.implicits._
