@@ -55,4 +55,80 @@ object AsOfJoin {
       col("_m").getField(c).as(s"$rightPrefix$c"))
     merged.select(leftOut ++ rightOut: _*)
   }
+
+  /** Skew-resistant variant of [[asofBackward]] for hot keys: with few
+    * distinct keys (or one dominant key) the per-key window serializes an
+    * entire key's rows through one task. Here the time axis is split into
+    * `buckets` coarse ranges, the running-last window runs per
+    * (key, bucket) — parallelism = keys × buckets — and cross-bucket
+    * carry-in is resolved on a bucket-granularity summary (one row per
+    * key-bucket, thousands not billions) with a second window, then
+    * joined back. Segmented-scan shape; same result as [[asofBackward]].
+    *
+    * Costs one extra aggregation pass over the union for the summary and
+    * a min/max pass for bucket bounds — worth it exactly when key skew
+    * would otherwise serialize the big window.
+    */
+  def asofBackwardBucketed(left: DataFrame, right: DataFrame, tsCol: String,
+      keys: Seq[String], buckets: Int = 32,
+      rightPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    require(buckets > 1, "buckets must be > 1")
+    val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    val rStruct = struct(rPayloadCols.map(c => col(s"`$c`")): _*)
+    val rStructType = right.select(rStruct.as("_r")).schema("_r").dataType
+
+    val lStruct = struct(left.columns.toSeq.map(c => col(s"`$c`")): _*)
+    val lStructType = left.select(lStruct.as("_l")).schema("_l").dataType
+
+    val keyCols = keys.map(c => col(s"`$c`"))
+    val rightTagged = right.select(
+      keyCols :+ col(s"`$tsCol`").as("_ts") :+ rStruct.as("_r") :+
+        lit(null).cast(lStructType).as("_l") :+ lit(0).as("_side"): _*)
+    val leftTagged = left.select(
+      keyCols :+ col(s"`$tsCol`").as("_ts") :+
+        lit(null).cast(rStructType).as("_r") :+ lStruct.as("_l") :+
+        lit(1).as("_side"): _*)
+    val merged = rightTagged.unionByName(leftTagged)
+
+    // bucket bounds: two scalars off a column-pruned scan of both inputs
+    val bounds = merged.agg(
+      min(col("_ts").cast("double")), max(col("_ts").cast("double"))).head()
+    if (bounds.isNullAt(0))
+      return asofBackward(left, right, tsCol, keys, rightPrefix)
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((mx - mn) / buckets, Double.MinPositiveValue)
+    val bucketed = merged.withColumn("_b",
+      least(greatest(floor((col("_ts").cast("double") - lit(mn)) / lit(width)),
+        lit(0L)), lit(buckets.toLong - 1L)))
+
+    // intra-bucket running last — parallel across keys × buckets
+    val wIn = Window.partitionBy(keyCols :+ col("_b"): _*)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // bucket summary: latest right payload per (key, bucket); struct max
+    // orders by _ts first, ignores left rows (null when()); then the
+    // carry-in for bucket b = latest summary over buckets < b
+    val summary = bucketed
+      .groupBy(keyCols :+ col("_b"): _*)
+      .agg(max(when(col("_side") === 0,
+        struct(col("_ts"), col("_r")))).as("_bl"))
+    val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summary.withColumn("_carry",
+        last(col("_bl"), ignoreNulls = true).over(wCarry))
+      .select(keyCols ++ Seq(col("_b"), col("_carry._r").as("_cr")): _*)
+
+    val joined = bucketed
+      .withColumn("_m0", last(col("_r"), ignoreNulls = true).over(wIn))
+      .where(col("_side") === 1)
+      .join(carries, keys :+ "_b", "left")
+      .withColumn("_m", coalesce(col("_m0"), col("_cr")))
+
+    val leftOut = left.columns.toSeq.map(c => col("_l").getField(c).as(c))
+    val rightOut = rPayloadCols.map(c =>
+      col("_m").getField(c).as(s"$rightPrefix$c"))
+    joined.select(leftOut ++ rightOut: _*)
+  }
 }

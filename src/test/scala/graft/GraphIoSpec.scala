@@ -277,6 +277,57 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.count(_ == "k") === 1)
   }
 
+  test("adaptive join routes the 90%-hot key through the salted path") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows share key 7; tail spreads over 900 keys
+    val large = (1 to 10000).map(i =>
+      (if (i % 10 != 0) 7L else (i % 900).toLong + 100L, i)).toDF("k", "v")
+    val small = ((7L, "hot") +: (100L to 999L).map(k => (k, s"c$k")))
+      .toDF("k", "name")
+    val out = graft.operators.SkewJoin
+      .adaptiveJoin(large, small, "k", salts = 8, sampleFraction = 0.2)
+    val plain = large.join(small, "k")
+    assert(out.count() === plain.count())
+    // two-path shape: the salted hot path unions with the plain tail join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"expected two-path union:\n$plan")
+    assert("(?s)_salt".r.findFirstIn(plan).isDefined,
+      s"hot path not salted:\n$plan")
+  }
+
+  test("adaptive join without skew degenerates to one plain join") {
+    val s = spark
+    import s.implicits._
+    val large = (1 to 2000).map(i => (i.toLong % 500L, i)).toDF("k", "v")
+    val small = (0L to 499L).map(k => (k, s"c$k")).toDF("k", "name")
+    val out = graft.operators.SkewJoin
+      .adaptiveJoin(large, small, "k", sampleFraction = 0.5)
+    assert(out.count() === large.join(small, "k").count())
+    assert(!out.queryExecution.executedPlan.toString.contains("_salt"))
+  }
+
+  test("bucketed as-of matches the plain as-of on a hot key") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // one dominant key (0) + a few cold keys; duplicate-free timestamps
+    val quotes = (1 to 300).map { i =>
+      (if (i % 5 == 0) i.toLong % 3 + 1 else 0L, i.toLong * 7 % 1000, i * 1.0)
+    }.distinct.toDF("sym", "ts", "px")
+    val trades = (1 to 400).map { i =>
+      (if (i % 7 == 0) i.toLong % 3 + 1 else 0L, rnd.nextInt(1100).toLong, i.toLong)
+    }.toDF("sym", "ts", "tid")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("tid", "asof_px").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val plain = norm(graft.operators.AsOfJoin
+      .asofBackward(trades, quotes, "ts", Seq("sym")))
+    val bucketed = norm(graft.operators.AsOfJoin
+      .asofBackwardBucketed(trades, quotes, "ts", Seq("sym"), buckets = 8))
+    assert(bucketed === plain)
+  }
+
   test("multi-label nodes: subset scans and label predicates") {
     val s = spark
     import s.implicits._
