@@ -559,11 +559,35 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // each step a fresh-named projection over the SAME DataFrame object —
     // its InMemoryRelation lineage makes every step a cache read.
     val baseScan = graph.relScan(rel.types, naming(relVar))
+
+    // An inline {k: v} map holds at EVERY step, so when its values are
+    // self-contained (no variable references — literals/params), filter
+    // the scan BEFORE persisting: Catalyst cannot push predicates below
+    // an InMemoryRelation, so filtering first shrinks the cache itself
+    // and every unrolled join probes only qualifying edges.
+    def referencesVars(e: Expr): Boolean = e match {
+      case Var(_) => true
+      case _ =>
+        var found = false
+        mapChildren(e) { c => if (referencesVars(c)) found = true; c }
+        found
+    }
+    val prefilterProps =
+      rel.properties.nonEmpty && rel.properties.forall(p => !referencesVars(p._2))
+    val scanDf =
+      if (prefilterProps) {
+        val hdr = Header(ListMap(relVar -> RelBinding(baseScan.idCol,
+          baseScan.srcCol, baseScan.dstCol, baseScan.typCol,
+          baseScan.propCols, baseScan.types)))
+        val comp = new ExprCompiler(hdr, params, () => baseScan.df)
+        rel.properties.foldLeft(baseScan.df) { case (d, (k2, e)) =>
+          d.where(comp.compile(Eq(Property(Var(relVar), k2), e))) }
+      } else baseScan.df
     val baseDf =
       if (hi - math.max(lo, 1) >= 1 || hi >= 2)
-        baseScan.df.persist(
+        scanDf.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else baseScan.df
+      else scanDf
 
     def orientedStep(rel2: RelPattern, rv: String)
         : (DataFrame, RelBinding, String, String) = {
@@ -621,10 +645,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
           df = df.join(relDf, prevOut === col(s"`$tSrc`"), "inner")
           // inline {k: v} property map applies to EVERY traversed step
-          // (reference: VarLengthExpandPlanner.scala:107-135). Compiled
-          // against this step's rel binding; Catalyst pushes literal
-          // predicates below the join into the shared cached scan.
-          if (rel.properties.nonEmpty) {
+          // (reference: VarLengthExpandPlanner.scala:107-135). Already
+          // folded into the cached scan when self-contained; otherwise
+          // compiled against this step's rel binding.
+          if (rel.properties.nonEmpty && !prefilterProps) {
             val stepHeader = state.header + (relVar -> rb2)
             val probeDf = df
             val stepComp = new ExprCompiler(stepHeader, params, () => probeDf)
