@@ -162,6 +162,21 @@ object CypherQueries {
       """MATCH (o:Order)-[:CONTAINS|SUPPLIED_BY*1..2 {l_quantity: 50.0}]->(x)
         |RETURN o.o_orderkey AS ok, coalesce(x.p_name, x.s_name) AS xname
         |ORDER BY ok, xname""".stripMargin)),
+    // scan consolidation (§2.2 PatternScan over recognized patterns;
+    // reference LogicalOptimizer.scala:67-134): the same expand answered
+    // from a materialized triplet table — one probe, no rel+node joins
+    "c26_triplet" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, GraftSession(s))
+      val g = graphs.getOrElseUpdate((s, dir + "#triplet"),
+        TpchGraph.load(s, dir)
+          .withTriplet("PLACED", Set("Customer"), Set("Order")))
+      gs.cypher(g,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |WHERE o.o_totalprice > 100000.0
+          |RETURN c.c_mktsegment AS seg, count(*) AS n,
+          |       max(o.o_totalprice) AS hi
+          |ORDER BY seg""".stripMargin)
+    }),
     // CONSTRUCT (§2.5): derived graph queried back through the engine
     "c21_construct" -> ((s, dir) => {
       val gs = sessions.getOrElseUpdate(s, GraftSession(s))
@@ -271,6 +286,11 @@ object CypherQueries {
     "c21_construct" ->
       """SELECT o_custkey AS ck, count(*) AS n, min(o_totalprice) AS lo
         |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin,
+    "c26_triplet" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n, max(o_totalprice) AS hi
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000.0
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     "c23_pattern_comprehension" ->
       """SELECT n_name AS nn,
         |  (SELECT count(*) FROM customer

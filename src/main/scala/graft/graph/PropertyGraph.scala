@@ -20,6 +20,24 @@ case class NodeTable(labels: Set[String], df: DataFrame, idCol: String,
 case class RelTable(relType: String, df: DataFrame, idCol: String,
     srcCol: String, dstCol: String, propCols: Map[String, String])
 
+/** Materialized `(src)-[:REL]->(dst)` pattern table: the denormalized
+  * three-way join stored/persisted once, so every hot traversal over it
+  * costs ONE probe join instead of two (reference: NodeRelPattern /
+  * TripletPattern, okapi-api Pattern.scala:159-199, consumed by
+  * LogicalOptimizer.scala:67-134). Built by
+  * [[PropertyGraph.withTriplet]] or registered pre-built (e.g. loaded
+  * from parquet) via [[PropertyGraph.withTripletTable]].
+  *
+  * Label/prop column maps mirror the node/rel scans that defined it;
+  * `src*`/`dst*` follow storage direction (src → dst).
+  */
+case class TripletTable(relType: String, srcLabels: Set[String],
+    dstLabels: Set[String], df: DataFrame,
+    relIdCol: String, srcIdCol: String, dstIdCol: String,
+    relPropCols: Map[String, String],
+    srcPropCols: Map[String, String], dstPropCols: Map[String, String],
+    srcLabelCols: Map[String, String], dstLabelCols: Map[String, String])
+
 object SparkTypes {
   /** Cypher-compatible normalization: integers widen to Long, Float to
     * Double, array elements recursively (reference:
@@ -55,7 +73,8 @@ object SparkTypes {
 class PropertyGraph(
     val nodeTables: Seq[NodeTable],
     val relTables: Seq[RelTable],
-    val spark: SparkSession) {
+    val spark: SparkSession,
+    val tripletTables: Seq[TripletTable] = Nil) {
 
   import SparkTypes._
 
@@ -153,6 +172,42 @@ class PropertyGraph(
       naming.dstCol, naming.typCol, propColNames, tables.map(_.relType).toSet)
   }
 
+  /** Build and register the materialized `(:src)-[:relType]->(:dst)`
+    * pattern table (reference: recognized patterns consumed by
+    * LogicalOptimizer.replaceScansWithRecognizedPatterns). The planner
+    * then answers covered one-hop expands with a single probe join.
+    * Persisted MEMORY_AND_DISK by default; pass `persist = false` to
+    * keep it a lazy view (e.g. when writing it to parquet instead). */
+  def withTriplet(relType: String, srcLabels: Set[String],
+      dstLabels: Set[String], persist: Boolean = true): PropertyGraph = {
+    def nm(p: String) = ScanNaming(s"${p}_id", s"${p}_src", s"${p}_dst",
+      s"${p}_type", k => s"${p}_p_$k", l => s"${p}_l_$l")
+    val s = nodeScan(srcLabels, nm("src"))
+    val r = relScan(Seq(relType), nm("rel"))
+    val d = nodeScan(dstLabels, nm("dst"))
+    val joined = s.df
+      .join(r.df, col("src_id") === col(r.srcCol), "inner")
+      .join(d.df, col(r.dstCol) === col("dst_id"), "inner")
+      .drop(r.srcCol, r.dstCol, r.typCol)
+    val df = if (persist) joined.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else joined
+    withTripletTable(TripletTable(relType, srcLabels, dstLabels, df,
+      r.idCol, "src_id", "dst_id", r.propCols, s.propCols, d.propCols,
+      s.labelCols, d.labelCols))
+  }
+
+  def withTripletTable(t: TripletTable): PropertyGraph =
+    new PropertyGraph(nodeTables, relTables, spark, tripletTables :+ t)
+
+  /** A registered triplet covering `(src: guaranteed ⊇ t.srcLabels)
+    * -[:relType]->(dst: required == t.dstLabels)`: the src containment
+    * keeps every edge of the (narrower) bound side; the dst equality
+    * preserves the exact node-scan semantics of the unbound side. */
+  def findTriplet(relType: String, srcGuaranteed: Set[String],
+      dstRequired: Set[String]): Option[TripletTable] =
+    tripletTables.find(t => t.relType == relType &&
+      t.srcLabels.subsetOf(srcGuaranteed) && t.dstLabels == dstRequired)
+
   /** property keys a node with these labels may carry (for `keys()` etc). */
   def nodePropertyKeys(requiredLabels: Set[String]): Seq[String] =
     unifiedProps(nodeTables.filter(t => requiredLabels.subsetOf(t.labels))
@@ -162,6 +217,8 @@ class PropertyGraph(
     * disjoint — tag-bit id spaces (see class doc) or [[prefixIdSpace]]
     * when they are not. */
   def unionAll(other: PropertyGraph): PropertyGraph =
+    // triplets are NOT carried over: a union can add node tables that
+    // widen a label scan, invalidating a triplet's coverage claim
     new PropertyGraph(nodeTables ++ other.nodeTables,
       relTables ++ other.relTables, spark)
 
@@ -177,7 +234,9 @@ class PropertyGraph(
     new PropertyGraph(
       nodeTables.map(t => t.copy(df = retag(t.df, Seq(t.idCol)))),
       relTables.map(t => t.copy(df = retag(t.df, Seq(t.idCol, t.srcCol, t.dstCol)))),
-      spark)
+      spark,
+      tripletTables.map(t => t.copy(df =
+        retag(t.df, Seq(t.relIdCol, t.srcIdCol, t.dstIdCol)))))
   }
 
   /** Materialize all element tables (reference: Cache operator +
@@ -187,12 +246,14 @@ class PropertyGraph(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): PropertyGraph = {
     nodeTables.foreach(_.df.persist(storageLevel))
     relTables.foreach(_.df.persist(storageLevel))
+    tripletTables.foreach(_.df.persist(storageLevel))
     this
   }
 
   def unpersist(): PropertyGraph = {
     nodeTables.foreach(_.df.unpersist())
     relTables.foreach(_.df.unpersist())
+    tripletTables.foreach(_.df.unpersist())
     this
   }
 

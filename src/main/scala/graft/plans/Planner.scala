@@ -388,13 +388,34 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     def nodeVarName(np: NodePattern): String =
       np.variable.getOrElse(fresh("@n"))
 
-    // start node
+    // start node — a fresh start whose first hop is covered by a
+    // materialized triplet binds src+rel+dst from ONE scan (zero joins);
+    // otherwise scan the node table
     val startVar = nodeVarName(part.start)
-    var st = bindNode(graph, state, startVar, part.start, propPreds)
+    var rest = part.chain
+    var prevVar = startVar
+    var st = {
+      val viaTriplet =
+        if (!state.header.contains(startVar) && rest.nonEmpty &&
+            rest.head._1.varLength.isEmpty) {
+          val (rel0, node0) = rest.head
+          val relVar0 = rel0.variable.getOrElse(fresh("@r"))
+          val dstVar0 = nodeVarName(node0)
+          expandOneViaTriplet(graph, state, startVar, relVar0, rel0,
+            dstVar0, node0, Some(part.start), propPreds).map { st2 =>
+            relIds += RelId(st2.header(relVar0).asInstanceOf[RelBinding].idCol,
+              isList = false, types = rel0.types.toSet)
+            prevVar = dstVar0
+            rest = rest.tail
+            st2
+          }
+        } else None
+      viaTriplet.getOrElse(
+        bindNode(graph, state, startVar, part.start, propPreds))
+    }
 
     // chain
-    var prevVar = startVar
-    part.chain.foreach { case (rel, node) =>
+    rest.foreach { case (rel, node) =>
       val relVar = rel.variable.getOrElse(fresh("@r"))
       val dstVar = nodeVarName(node)
       st = rel.varLength match {
@@ -448,6 +469,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def expandOne(graph: PropertyGraph, state: PState, srcVar: String,
       relVar: String, rel: RelPattern, dstVar: String, dstNp: NodePattern,
       propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
+    expandOneViaTriplet(graph, state, srcVar, relVar, rel, dstVar, dstNp,
+      freshSrcNp = None, propPreds) match {
+      case Some(st) => return st
+      case None =>
+    }
     rel.properties.foreach { case (k, e) =>
       propPreds += Eq(Property(Var(relVar), k), e) }
 
@@ -477,6 +503,105 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           .join(scan.df, col(s"`$travDst`") === col(s"`${scan.idCol}`"), "inner")
           .drop(travSrc, travDst)
         PState(df, state.header + (relVar -> rb) + (dstVar -> dstB))
+    }
+  }
+
+  /** Scan-consolidated one-hop expand over a registered [[TripletTable]]:
+    * rel + dst node come from ONE materialized table, so the expand is a
+    * single probe join against the driving rows instead of rel-join +
+    * node-join (reference: LogicalOptimizer.scala:67-134
+    * replaceScansWithRecognizedPatterns). Applies when the rel has exactly
+    * one type, dst is unbound, and the graph provides a covering triplet
+    * in the traversal direction. */
+  private def expandOneViaTriplet(graph: PropertyGraph, state: PState,
+      srcVar: String, relVar: String, rel: RelPattern, dstVar: String,
+      dstNp: NodePattern, freshSrcNp: Option[NodePattern],
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr])
+      : Option[PState] = {
+    if (rel.types.size != 1 || state.header.get(dstVar).nonEmpty) return None
+    // bound src: the triplet's labels may be a subset of the guarantee;
+    // fresh src: exact equality, because the triplet replaces the scan
+    val (srcLabels, srcExact) = freshSrcNp match {
+      case Some(np) => (np.labels.toSet, true)
+      case None => state.header.get(srcVar) match {
+        case Some(nb: NodeBinding) => (nb.labels, false)
+        case _ => return None
+      }
+    }
+    def srcCovers(tl: Set[String]) =
+      if (srcExact) tl == srcLabels else tl.subsetOf(srcLabels)
+    val dstRequired = dstNp.labels.toSet
+    val relType = rel.types.head
+
+    // (src)-[:T]->(new) reads the triplet forward; (src)<-[:T]-(new)
+    // reads it backward (the triplet's src side becomes the new node)
+    val hit: Option[(graft.graph.TripletTable, Boolean)] = rel.direction match {
+      case Outgoing => graph.tripletTables.find(t => t.relType == relType &&
+        srcCovers(t.srcLabels) && t.dstLabels == dstRequired).map(_ -> true)
+      case Incoming => graph.tripletTables.find(t => t.relType == relType &&
+        srcCovers(t.dstLabels) && t.srcLabels == dstRequired).map(_ -> false)
+      case Undirected => None
+    }
+    hit.map { case (t, forward) =>
+      rel.properties.foreach { case (k, e) =>
+        propPreds += Eq(Property(Var(relVar), k), e) }
+      dstNp.properties.foreach { case (k, e) =>
+        propPreds += Eq(Property(Var(dstVar), k), e) }
+      freshSrcNp.foreach(_.properties.foreach { case (k, e) =>
+        propPreds += Eq(Property(Var(srcVar), k), e) })
+
+      val rn = naming(relVar); val dn = naming(dstVar)
+      val (newIdSrcCol, newLabelCols, newPropCols) =
+        if (forward) (t.dstIdCol, t.dstLabelCols, t.dstPropCols)
+        else (t.srcIdCol, t.srcLabelCols, t.srcPropCols)
+      val relProps = t.relPropCols.map { case (k, _) => k -> rn.propCol(k) }
+      val nodeLabels = newLabelCols.map { case (l, _) => l -> dn.labelCol(l) }
+      val nodeProps = newPropCols.map { case (k, _) => k -> dn.propCol(k) }
+
+      // storage direction is always src→dst regardless of traversal
+      var sel: Seq[Column] =
+        Seq(col(s"`${t.relIdCol}`").as(rn.idCol),
+          col(s"`${t.srcIdCol}`").as(rn.srcCol),
+          col(s"`${t.dstIdCol}`").as(rn.dstCol),
+          lit(t.relType).as(rn.typCol),
+          col(s"`$newIdSrcCol`").as(dn.idCol)) ++
+        t.relPropCols.toSeq.map { case (k, c) =>
+          col(s"`$c`").as(relProps(k)) } ++
+        newLabelCols.toSeq.map { case (l, c) =>
+          col(s"`$c`").as(nodeLabels(l)) } ++
+        newPropCols.toSeq.map { case (k, c) =>
+          col(s"`$c`").as(nodeProps(k)) }
+
+      // fresh src: its node binding also comes from the triplet scan
+      val srcBindingOpt: Option[NodeBinding] = freshSrcNp.map { _ =>
+        val sn = naming(srcVar)
+        val (sIdCol, sLabelCols, sPropCols) =
+          if (forward) (t.srcIdCol, t.srcLabelCols, t.srcPropCols)
+          else (t.dstIdCol, t.dstLabelCols, t.dstPropCols)
+        val sLabels = sLabelCols.map { case (l, _) => l -> sn.labelCol(l) }
+        val sProps = sPropCols.map { case (k, _) => k -> sn.propCol(k) }
+        sel = sel ++ (col(s"`$sIdCol`").as(sn.idCol) +:
+          (sLabelCols.toSeq.map { case (l, c) => col(s"`$c`").as(sLabels(l)) } ++
+            sPropCols.toSeq.map { case (k, c) => col(s"`$c`").as(sProps(k)) }))
+        NodeBinding(sn.idCol, sLabels, sProps, srcLabels)
+      }
+      val probe = t.df.select(sel: _*)
+
+      val df = srcBindingOpt match {
+        case Some(_) => if (state.isUnit) probe else state.df.crossJoin(probe)
+        case None =>
+          val joinKey = if (forward) rn.srcCol else rn.dstCol
+          val srcId =
+            col(s"`${state.header(srcVar).asInstanceOf[NodeBinding].idCol}`")
+          state.df.join(probe, srcId === col(s"`$joinKey`"), "inner")
+      }
+
+      val rb = RelBinding(rn.idCol, rn.srcCol, rn.dstCol, rn.typCol,
+        relProps, Set(t.relType))
+      val dstB = NodeBinding(dn.idCol, nodeLabels, nodeProps, dstRequired)
+      val header0 = srcBindingOpt.fold(state.header)(sb =>
+        state.header + (srcVar -> sb))
+      PState(df, header0 + (relVar -> rb) + (dstVar -> dstB))
     }
   }
 

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.graph.{NodeTable, PropertyGraph, RelTable}
+
+/** Scan consolidation via materialized pattern tables (reference:
+  * LogicalOptimizer.scala:67-134 replaceScansWithRecognizedPatterns +
+  * TripletPattern, Pattern.scala:159-199): a registered triplet answers a
+  * covered one-hop expand with a single probe — results must be identical
+  * to the three-way join, and the plan must actually shrink.
+  */
+class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var gs: GraftSession = _
+  private var plain: PropertyGraph = _
+  private var withT: PropertyGraph = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-triplet-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    gs = GraftSession(spark)
+    val s = spark
+    import s.implicits._
+    val people = Seq((1L, "Alice", 23L), (2L, "Bob", 42L), (3L, "Carol", 31L))
+      .toDF("id", "name", "age")
+    val cities = Seq((10L, "Berlin"), (11L, "Aachen")).toDF("id", "city")
+    val knows = Seq((100L, 1L, 2L, 2016L), (101L, 2L, 3L, 2017L))
+      .toDF("rid", "src", "dst", "since")
+    val livesIn = Seq((200L, 1L, 10L), (201L, 2L, 10L), (202L, 3L, 11L))
+      .toDF("rid", "src", "dst")
+    plain = new PropertyGraph(
+      Seq(NodeTable(Set("Person"), people, "id",
+        Map("name" -> "name", "age" -> "age")),
+        NodeTable(Set("City"), cities, "id", Map("city" -> "city"))),
+      Seq(RelTable("KNOWS", knows, "rid", "src", "dst", Map("since" -> "since")),
+        RelTable("LIVES_IN", livesIn, "rid", "src", "dst", Map.empty)),
+      spark)
+    withT = plain
+      .withTriplet("KNOWS", Set("Person"), Set("Person"))
+      .withTriplet("LIVES_IN", Set("Person"), Set("City"))
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(g: PropertyGraph, q: String): Seq[Seq[Any]] =
+    gs.cypher(g, q).collect().toSeq.map(_.toSeq)
+
+  private def sameResults(q: String): Unit =
+    assert(rows(withT, q) === rows(plain, q), s"triplet divergence for:\n$q")
+
+  test("fresh-start expand: identical results, zero-join plan") {
+    val q = """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+              |RETURN a.name AS an, k.since AS since, b.name AS bn
+              |ORDER BY an""".stripMargin
+    sameResults(q)
+    // the triplet's one-time build lineage (under InMemoryRelation) may
+    // contain joins; the QUERY plan above the cache read must not
+    val plan = gs.cypher(withT, q).queryExecution.executedPlan.toString
+    val aboveCache = plan.split("InMemoryRelation").head
+    assert(aboveCache.contains("InMemoryTableScan"),
+      s"expected triplet cache read:\n$plan")
+    assert(!aboveCache.contains("Join"),
+      s"expected join-free triplet scan:\n$plan")
+  }
+
+  test("bound-source forward expand probes the triplet once") {
+    val q = """MATCH (a:Person) WHERE a.age > 30
+              |MATCH (a)-[:LIVES_IN]->(c:City)
+              |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin
+    sameResults(q)
+  }
+
+  test("incoming expand reads the triplet backward") {
+    sameResults(
+      """MATCH (c:City)<-[:LIVES_IN]-(p:Person)
+        |RETURN c.city AS cc, p.name AS pn ORDER BY cc, pn""".stripMargin)
+    sameResults(
+      """MATCH (b:Person)<-[k:KNOWS]-(a:Person)
+        |RETURN b.name AS bn, a.name AS an, k.since AS s ORDER BY bn""".stripMargin)
+  }
+
+  test("element functions still work over triplet-bound vars") {
+    sameResults(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+        |RETURN id(a) AS ia, type(k) AS t, labels(b) AS lb, id(k) AS ik
+        |ORDER BY ia""".stripMargin)
+  }
+
+  test("inline property maps filter triplet hops") {
+    sameResults(
+      """MATCH (a:Person)-[:KNOWS {since: 2017}]->(b:Person)
+        |RETURN a.name AS an, b.name AS bn""".stripMargin)
+    sameResults(
+      """MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(b:Person)
+        |RETURN b.name AS bn""".stripMargin)
+  }
+
+  test("longer chains mix triplet hops and scan joins") {
+    sameResults(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)-[:LIVES_IN]->(c:City)
+        |RETURN a.name AS an, b.name AS bn, c.city AS cc ORDER BY an""".stripMargin)
+  }
+
+  test("uncovered shapes fall back to scans (no label, undirected, multi-type)") {
+    sameResults(
+      "MATCH (a:Person)-[r]->(x) RETURN a.name AS an, id(x) AS ix ORDER BY an, ix")
+    sameResults(
+      """MATCH (a:Person)-[:KNOWS]-(b:Person)
+        |RETURN a.name AS an, b.name AS bn ORDER BY an, bn""".stripMargin)
+    sameResults(
+      """MATCH (a:Person)-[r:KNOWS|LIVES_IN]->(x)
+        |RETURN a.name AS an, type(r) AS t ORDER BY an, t""".stripMargin)
+  }
+
+  test("rel uniqueness applies across triplet hops") {
+    // (a)-[k1]->(b)-[k2]->(c) with k1 <> k2: Alice->Bob->Carol only
+    sameResults(
+      """MATCH (a:Person)-[k1:KNOWS]->(b:Person)-[k2:KNOWS]->(c:Person)
+        |RETURN a.name AS an, c.name AS cn""".stripMargin)
+  }
+
+  test("exists/optional subqueries may consume triplets") {
+    sameResults(
+      """MATCH (a:Person) WHERE (a)-[:KNOWS]->(:Person)
+        |RETURN a.name AS an ORDER BY an""".stripMargin)
+    sameResults(
+      """MATCH (a:Person) OPTIONAL MATCH (a)-[:LIVES_IN]->(c:City)
+        |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin)
+  }
+}
