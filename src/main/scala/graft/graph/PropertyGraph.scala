@@ -56,8 +56,15 @@ object SparkTypes {
     case (x, y) if x == y => x
     case (NullType, y) => y
     case (x, NullType) => x
-    // numeric join: any two distinct numeric types meet at Double
-    // (mixed-precision decimals included — exactness is already gone)
+    // exact joins first (reference: CTBigDecimal, CypherType.scala:332 —
+    // money-typed properties must not silently lose exactness): two
+    // decimals, or a decimal and a long, meet at the smallest decimal
+    // that holds both; only a 38-digit overflow falls to Double
+    case (d1: DecimalType, d2: DecimalType) =>
+      decimalJoin(d1.precision, d1.scale, d2.precision, d2.scale)
+    case (LongType, d: DecimalType) => decimalJoin(20, 0, d.precision, d.scale)
+    case (d: DecimalType, LongType) => decimalJoin(20, 0, d.precision, d.scale)
+    // numeric join: any other two distinct numeric types meet at Double
     case (x, y) if isNumeric(x) && isNumeric(y) => DoubleType
     case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
     case (ArrayType(x, nx), ArrayType(y, ny)) => ArrayType(widen(x, y), nx || ny)
@@ -67,6 +74,14 @@ object SparkTypes {
   private def isNumeric(dt: DataType): Boolean = dt match {
     case LongType | DoubleType | _: DecimalType => true
     case _ => false
+  }
+
+  private def decimalJoin(p1: Int, s1: Int, p2: Int, s2: Int): DataType = {
+    val scale = math.max(s1, s2)
+    val intDigits = math.max(p1 - s1, p2 - s2)
+    if (intDigits + scale <= DecimalType.MAX_PRECISION)
+      DecimalType(intDigits + scale, scale)
+    else DoubleType
   }
 }
 

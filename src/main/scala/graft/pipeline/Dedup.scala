@@ -151,15 +151,26 @@ object Dedup {
     }.toDF("id_a", "id_b", "sim")
   }
 
-  /** near-duplicate pairs by SimHash Hamming distance: 16-bit bands bucket
-    * candidates (Hamming <= 3 guarantees a shared band), then exact
-    * bit_count verification. */
+  /** Near-duplicate pairs by SimHash Hamming distance: banded buckets
+    * generate candidates, exact bit_count verifies. The band count is
+    * derived from `maxHamming` (pigeonhole: maxHamming+1 bands guarantee
+    * any pair within the bound shares one identical band), so recall is
+    * exact for every setting — at the price of coarser bands and larger
+    * candidate sets as `maxHamming` grows. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming $maxHamming out of range 0..15 (bands would be < 4 bits)")
+    val nBands = maxHamming + 1
+    val baseW = 64 / nBands; val rem = 64 % nBands
+    val widths = Seq.tabulate(nBands)(i => baseW + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val fp = withSimhash(df, idCol, textCol)
     val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nBands).map { b =>
+        val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+        shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+      }: _*)))
       .toDF("id", "simhash", "band_idx", "band_val")
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,

@@ -308,6 +308,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       }
       case "tofloat" => a0.cast(DoubleType)
       case "toboolean" => a0.cast(BooleanType)
+      // exact decimal cast (reference: CTBigDecimal + bigdecimal(),
+      // SparkSQLExprMapper.scala:473) — precision/scale must be literals
+      case "bigdecimal" =>
+        (f.args(1), f.args(2)) match {
+          case (IntLit(p), IntLit(s)) => a0.cast(DecimalType(p.toInt, s.toInt))
+          case _ => throw new IllegalArgumentException(
+            "bigdecimal() precision and scale must be integer literals")
+        }
 
       case "abs" => abs(a0)
       case "ceil" => ceil(a0).cast(DoubleType)

@@ -312,9 +312,16 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // scan), the combination is static — no distinct job needed
     if (nb.labels == nb.labelCols.keySet) return Seq(table(nb.labels, state.df))
     val lblSel = nb.labelCols.toSeq.sortBy(_._1)
+    // schema-scale driver collect: bounded by distinct label combos, and
+    // guarded so a mis-modeled graph (labels used as data) fails loudly
+    // instead of materializing millions of rows on the driver
+    val maxCombos = 10000
     val combos = state.df
       .select(lblSel.map { case (_, cn) => col(s"`$cn`") }: _*).distinct()
-      .collect()
+      .limit(maxCombos + 1).collect()
+    require(combos.length <= maxCombos,
+      s"CONSTRUCT CLONE: > $maxCombos distinct label combinations — " +
+        "label columns look like data, not schema")
     combos.toSeq.map { row =>
       val labels = lblSel.zipWithIndex.collect {
         case ((l, _), i) if !row.isNullAt(i) && row.getBoolean(i) => l
@@ -331,10 +338,17 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def cloneRelTables(state: PState, rb: RelBinding)
       : Seq[graft.graph.RelTable] = {
     val propSel = rb.propCols.toSeq.sortBy(_._1)
+    val maxTypes = 10000
     val types: Seq[String] =
       if (rb.types.nonEmpty) rb.types.toSeq.sorted
-      else state.df.select(col(s"`${rb.typCol}`")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      else {
+        val t = state.df.select(col(s"`${rb.typCol}`")).distinct()
+          .limit(maxTypes + 1).collect().map(_.getString(0)).toSeq.sorted
+        require(t.length <= maxTypes,
+          s"CONSTRUCT CLONE: > $maxTypes distinct relationship types — " +
+            "the type column looks like data, not schema")
+        t
+      }
     types.map { t =>
       graft.graph.RelTable(t,
         state.df.where(col(s"`${rb.typCol}`") === lit(t))

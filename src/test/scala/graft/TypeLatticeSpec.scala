@@ -16,7 +16,18 @@ class TypeLatticeSpec extends AnyFunSuite {
   private val types: Seq[DataType] = Seq(
     ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
     StringType, BooleanType, DateType, TimestampType, NullType,
-    DecimalType(18, 4), ArrayType(LongType), ArrayType(DoubleType))
+    DecimalType(18, 4), DecimalType(38, 0), DecimalType(10, 2),
+    DecimalType(38, 30), ArrayType(LongType), ArrayType(DoubleType))
+
+  test("decimal joins stay exact until 38-digit overflow") {
+    assert(SparkTypes.widen(DecimalType(18, 4), DecimalType(10, 2)) ===
+      DecimalType(18, 4))
+    assert(SparkTypes.widen(DecimalType(18, 4), LongType) ===
+      DecimalType(24, 4))
+    assert(SparkTypes.widen(DecimalType(38, 0), DecimalType(10, 2)) ===
+      DoubleType) // 40 digits needed
+    assert(SparkTypes.widen(DecimalType(18, 4), DoubleType) === DoubleType)
+  }
 
   test("widen is commutative") {
     for (a <- types; b <- types)
