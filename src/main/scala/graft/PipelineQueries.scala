@@ -43,6 +43,12 @@ object PipelineQueries {
     "p4_ann_topk" -> ((s, dir) =>
       Similarity.blockTopK(emb(s, dir), "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))),
+    // IVF (k-means inverted-file) ANN — the data-adapted scale path next
+    // to LSH (rows-only: approximate by design)
+    "p15_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
+        nClusters = 32, nProbe = 4, trainSample = 5000)
+        .orderBy(col("qid"), col("rank"))),
     // language ID (heuristic, engine-specific → rows-only)
     "p5_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")

@@ -324,4 +324,143 @@ object Similarity {
       .select(col("qid"), col("col._2").as("nid"), col("col._1").as("sim"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
   }
+
+  // ----------------------------------------------------------------- IVF
+  /** Spherical k-means centroids trained with Lloyd's iterations on a
+    * bounded sample (classic IVF training: the sample, not the corpus,
+    * visits the driver — `trainSample` rows, schema-scale). Vectors are
+    * L2-normalized so cosine assignment = dot-product argmax; centroids
+    * are renormalized means. Deterministic for a fixed seed. */
+  private[pipeline] def trainCentroids(sample: Array[Array[Double]],
+      nClusters: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val dim = sample(0).length
+    def normalized(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var j = 0
+      while (j < dim) { n += v(j) * v(j); j += 1 }
+      val s = math.sqrt(n)
+      if (s == 0.0) v.clone() else v.map(_ / s)
+    }
+    val data = sample.map(normalized)
+    val k = math.min(nClusters, data.length)
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(data.indices.toVector).take(k)
+      .map(i => data(i).clone()).toArray
+
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      data.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += v(j) * centroids(c)(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) centroids(c) // empty cluster: keep previous
+        else normalized(sums(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** nearest `take` centroid indices by dot product (vectors need not be
+    * normalized — argmax over cosine equals argmax over dot/|v| and |v|
+    * is constant per row). */
+  private def nearestCentroids(v: Array[Double],
+      centroids: Array[Array[Double]], take: Int): Array[Int] = {
+    val dim = v.length
+    val scored = centroids.indices.map { c =>
+      var dot = 0.0; var j = 0
+      while (j < dim) { dot += v(j) * centroids(c)(j); j += 1 }
+      (c, dot)
+    }
+    scored.sortBy(-_._2).take(take).map(_._1).toArray
+  }
+
+  /** ANN via an IVF (inverted-file) index — the k-means twin of
+    * [[lshTopK]]: a coarse quantizer assigns every vector to its nearest
+    * of `nClusters` sample-trained centroids; each query probes its
+    * `nProbe` nearest cells and exact cosine re-ranks the candidates in a
+    * per-cell dense kernel. Shuffle volume: (1 + nProbe) narrow
+    * (cell, id, vec) rows — vectors meet only within probed cells,
+    * never all-pairs. Data-adapted cells beat LSH's random hyperplanes on
+    * clustered corpora (higher recall at equal probe cost); size
+    * `nClusters` ≈ √n so cells stay executor-resident. `nProbe =
+    * nClusters` degenerates to the exact answer of [[blockTopK]]. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5,
+      nClusters: Int = 64, nProbe: Int = 4, roundTo: Int = 4,
+      trainSample: Int = 10000, iters: Int = 8, seed: Long = 42L)
+      : DataFrame = {
+    require(nProbe >= 1 && nProbe <= nClusters, "need 1 <= nProbe <= nClusters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .as[(Long, Array[Double])]
+
+    // bounded training sample on the driver (limit caps the transfer)
+    val trainRows = v.limit(trainSample).collect().map(_._2)
+    val centroids = trainCentroids(trainRows, nClusters, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assigned = v.map { case (id, vec) =>
+      (nearestCentroids(vec, bc.value, 1)(0), id, vec) }
+    val probes = v.flatMap { case (id, vec) =>
+      nearestCentroids(vec, bc.value, nProbe).map(c => (c, id, vec)) }
+
+    val kk = k; val rt = roundTo
+    val partials = probes.groupByKey(_._1)
+      .cogroup(assigned.groupByKey(_._1)) { (_, qIt, cIt) =>
+        val (ids, mat, sqrtNorms, dim) = packBlock(
+          cIt.map(t => (t._2, t._3)).toArray)
+        val n = ids.length
+        if (n == 0) Iterator.empty
+        else qIt.flatMap { case (_, qid, qv) =>
+          var qnorm = 0.0; var j = 0
+          while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
+          val qsqrt = math.sqrt(qnorm)
+          val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
+          var filled = 0
+          var i = 0
+          while (i < n) {
+            if (ids(i) != qid) {
+              var dot = 0.0; var j2 = 0
+              val off = i * dim
+              while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
+              val denom = qsqrt * sqrtNorms(i)
+              val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
+              val nid = ids(i)
+              if (filled < kk || sim > simBuf(filled - 1) ||
+                  (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
+                var p = math.min(filled, kk - 1)
+                while (p > 0 && (sim > simBuf(p - 1) ||
+                    (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
+                  simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
+                }
+                simBuf(p) = sim; nidBuf(p) = nid
+                if (filled < kk) filled += 1
+              }
+            }
+            i += 1
+          }
+          (0 until filled).map(r => (qid, nidBuf(r), simBuf(r)))
+        }
+      }
+    partials.toDF("qid", "nid", "sim")
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("nid"), col("col._1").as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
 }

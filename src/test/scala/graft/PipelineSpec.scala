@@ -113,6 +113,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.5, s"LSH recall@top1 too low: $recall")
   }
 
+  test("IVF with full probe is exactly the block top-k answer") {
+    val exact = Similarity.blockTopK(emb, "vec_id", "embedding", k = 3, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+      nClusters = 6, nProbe = 6, trainSample = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ivf === exact)
+  }
+
+  test("IVF with partial probe recalls most brute-force neighbors") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 3, trainSample = 500)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall > 0.5, s"IVF recall@top1 too low: $recall")
+  }
+
   test("token stats") {
     val st = TextAnalysis.tokenStats(docs, "doc_id", "text")
     val r = st.agg(min($"ws_tokens"), max($"bpe_tokens")).head
