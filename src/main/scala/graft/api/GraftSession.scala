@@ -26,6 +26,24 @@ class GraftSession(val spark: SparkSession) {
   private def emptyGraph: PropertyGraph =
     new PropertyGraph(Nil, Nil, spark)
 
+  /** Planner-inserted shared-subtree caches (undirected scans, var-length
+    * rel scans, subquery seeds) registered per session. Spark's
+    * CacheManager dedups by canonicalized plan, so repeated queries over
+    * one graph share entries; [[releaseQueryCaches]] frees them all
+    * (long-running services call it between workloads instead of relying
+    * on LRU eviction). */
+  private val queryCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def trackCache(df: DataFrame): Unit = queryCaches.add(df)
+
+  def releaseQueryCaches(): Unit = {
+    var df = queryCaches.poll()
+    while (df != null) {
+      df.unpersist()
+      df = queryCaches.poll()
+    }
+  }
+
   /** Resolves a graph reference against the catalog. View invocations plan
     * the view body lazily with `$param`s bound to the (recursively
     * resolved) argument graphs — a view is a graph-valued function
@@ -41,7 +59,8 @@ class GraftSession(val spark: SparkSession) {
       require(ps.length == args.length,
         s"view `$n` takes ${ps.length} graph argument(s), got ${args.length}")
       val binds = ps.zip(args.map(a => resolveRef(a, bound))).toMap
-      new Planner(spark, Map.empty, r => resolveRef(r, binds), emptyGraph)
+      new Planner(spark, Map.empty, r => resolveRef(r, binds), emptyGraph,
+        onPersist = trackCache)
         .planGraph(body)
   }
 
@@ -53,7 +72,7 @@ class GraftSession(val spark: SparkSession) {
   def cypher(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, g).plan(ast)
+    new Planner(spark, params, resolver, g, onPersist = trackCache).plan(ast)
   }
 
   /** Session-level entry point: catalog DDL statements
@@ -67,10 +86,11 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any]): DataFrame =
     CypherParser.parseStatement(query) match {
       case QueryStatement(q) =>
-        new Planner(spark, params, resolver, emptyGraph).plan(q)
+        new Planner(spark, params, resolver, emptyGraph, onPersist = trackCache).plan(q)
       case CreateGraphStatement(name, inner) =>
         register(name,
-          new Planner(spark, params, resolver, emptyGraph).planGraph(inner))
+          new Planner(spark, params, resolver, emptyGraph,
+            onPersist = trackCache).planGraph(inner))
         spark.emptyDataFrame
       case CreateViewStatement(name, ps, inner) =>
         views(name) = (ps, inner); spark.emptyDataFrame
@@ -94,7 +114,7 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): PropertyGraph = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, g).planGraph(ast)
+    new Planner(spark, params, resolver, g, onPersist = trackCache).planGraph(ast)
   }
 
   def cypherGraph(graphName: String, query: String): PropertyGraph =

@@ -22,7 +22,8 @@ import scala.collection.immutable.ListMap
   */
 class Planner(spark: SparkSession, params: Map[String, Any],
     catalog: GraphRef => PropertyGraph, initialGraph: PropertyGraph,
-    maxVarLength: Int = 10) {
+    maxVarLength: Int = 10,
+    onPersist: DataFrame => Unit = _ => ()) {
 
   private val counter = new AtomicLong()
   private def fresh(prefix: String): String =
@@ -99,7 +100,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         state = planProjection(graph, state, w.items, w.star, w.distinct,
           w.orderBy, w.skip, w.limit, isReturn = false)
         w.where.foreach { pred => state = applyWhere(graph, state, pred) }
-      case c: ConstructClause => return buildGraph(state, c)
+      case c0: ConstructClause =>
+        // pattern comprehensions / size(pattern) inside NEW property maps
+        // and SET values join their list columns into the driving state
+        val (st2, c) = rewriteConstructComprehensions(graph, state, c0)
+        state = st2
+        return buildGraph(state, c)
       case ReturnGraphClause => // no-op: graph already built by CONSTRUCT
       case _: ReturnClause => throw new IllegalArgumentException(
         "a graph-returning query must end in CONSTRUCT [RETURN GRAPH], not RETURN")
@@ -629,7 +635,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * so repeated queries over the same scan share one materialization. */
   private def cacheShared(df: DataFrame): DataFrame =
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      onPersist(p)
+      p
+    }
 
   /** rel scan with traversal orientation columns. Storage src/dst stay in
     * the binding (startNode/endNode return storage direction); traversal
@@ -723,9 +733,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           d.where(comp.compile(Eq(Property(Var(relVar), k2), e))) }
       } else baseScan.df
     val baseDf =
-      if (hi - math.max(lo, 1) >= 1 || hi >= 2)
-        scanDf.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (hi - math.max(lo, 1) >= 1 || hi >= 2) cacheShared(scanDf)
       else scanDf
 
     def orientedStep(rel2: RelPattern, rv: String)
@@ -1026,6 +1034,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * left-join the list column back (missing → empty list). The reference
     * reaches the same shape through its exists-subquery machinery
     * (extractSubqueryFromPatternExpression + RelationalPlanner:224). */
+  /** rewrite comprehensions inside CONSTRUCT's NEW property maps and SET
+    * values (same seeded-subquery lowering as projection items). */
+  private def rewriteConstructComprehensions(graph: PropertyGraph,
+      state0: PState, c: ConstructClause): (PState, ConstructClause) = {
+    var st = state0
+    def rw(e: Expr): Expr = {
+      val (s2, out) = rewriteComprehensions(graph, st, Seq(e))
+      st = s2; out.head
+    }
+    def rwProps(ps: Seq[(String, Expr)]) = ps.map { case (k, e) => k -> rw(e) }
+    def rwNode(np: NodePattern) = np.copy(properties = rwProps(np.properties))
+    val news = c.news.map(p => p.copy(
+      start = rwNode(p.start),
+      chain = p.chain.map { case (r, n) =>
+        r.copy(properties = rwProps(r.properties)) -> rwNode(n) }))
+    val sets = c.sets.map { case (v, k, e) => (v, k, rw(e)) }
+    (st, c.copy(news = news, sets = sets))
+  }
+
   private def rewriteComprehensions(graph: PropertyGraph, state0: PState,
       exprs: Seq[Expr]): (PState, Seq[Expr]) = {
     var st = state0

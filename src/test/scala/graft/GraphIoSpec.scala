@@ -93,6 +93,30 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("hi Carol", "basic", 3L)))
   }
 
+  test("CONSTRUCT property maps evaluate pattern comprehensions") {
+    val derived = gs.cypherGraph(g,
+      """MATCH (p:Person)
+        |CONSTRUCT NEW (s:Summary {name: p.name,
+        |                          degree: size((p)-[:KNOWS]->())})
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(derived,
+      "MATCH (s:Summary) RETURN s.name AS n, s.degree AS d ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("Alice", 1L), ("Bob", 1L), ("Carol", 0L)))
+  }
+
+  test("CONSTRUCT SET values evaluate pattern comprehensions") {
+    val derived = gs.cypherGraph(g,
+      """MATCH (p:Person)
+        |CONSTRUCT CLONE p
+        |SET p.friends = size((p)-[:KNOWS]->(:Person))
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(derived,
+      "MATCH (p:Person) RETURN p.name AS n, p.friends AS f ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("Alice", 1L), ("Bob", 1L), ("Carol", 0L)))
+  }
+
   test("CONSTRUCT ON unions catalog graphs into the result") {
     val merged = gs.cypherGraph(g,
       """CONSTRUCT ON team

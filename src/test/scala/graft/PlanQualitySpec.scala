@@ -76,6 +76,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"driving table re-scanned for exists seed:\n$plan")
   }
 
+  test("releaseQueryCaches frees planner-inserted caches; queries re-cache") {
+    gs.cypher(g, "MATCH (c:Customer)-[:PLACED]-(o) RETURN count(*) AS n")
+      .collect()
+    gs.releaseQueryCaches()
+    val again = gs.cypher(g,
+      "MATCH (c:Customer)-[:PLACED]-(o) RETURN count(*) AS n").collect()
+    assert(again.head.getLong(0) > 0)
+  }
+
   test("var-length expand reuses one cached relationship scan") {
     val df = gs.cypher(g,
       """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
