@@ -517,7 +517,167 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("d" -> "2020-02-01"))),
     Scenario("distinct-order-combo", chain,
       "MATCH (n:N) RETURN DISTINCT n.v % 2 AS p ORDER BY p",
-      Seq(row("p" -> 0), row("p" -> 1)), ordered = true)
+      Seq(row("p" -> 0), row("p" -> 1)), ordered = true),
+
+    // ---- null propagation edge cases
+    Scenario("null-in-list-membership", empty,
+      "RETURN (3 IN [3, null]) AS hit, (3 IN [1, null]) AS miss",
+      Seq(row("hit" -> true, "miss" -> null))),
+    Scenario("null-in-where-drops-row", nulls,
+      "MATCH (x:X) WHERE x.k IN [2, null] RETURN x.k AS k",
+      Seq(row("k" -> 2))),
+    Scenario("null-string-ops-propagate", empty,
+      """RETURN (null STARTS WITH 'a') AS sw, ('abc' CONTAINS null) AS ct,
+        |       toUpper(null) AS up""".stripMargin,
+      Seq(row("sw" -> null, "ct" -> null, "up" -> null))),
+    Scenario("null-case-operand-falls-through", empty,
+      "RETURN CASE null WHEN 1 THEN 'one' ELSE 'other' END AS v",
+      Seq(row("v" -> "other"))),
+    Scenario("coalesce-chain", nulls,
+      "MATCH (x:X) RETURN coalesce(x.s, toString(x.k), 'none') AS v",
+      Seq(row("v" -> "a"), row("v" -> "2"), row("v" -> "b"))),
+    Scenario("count-prop-skips-nulls", social,
+      "MATCH (p:Person) RETURN count(p.city) AS cc, count(*) AS all",
+      Seq(row("cc" -> 3, "all" -> 4))),
+    Scenario("collect-skips-nulls", social,
+      "MATCH (p:Person) RETURN size(collect(p.city)) AS n",
+      Seq(row("n" -> 3))),
+    Scenario("avg-ignores-nulls", nulls,
+      "MATCH (x:X) RETURN avg(x.k) AS a", Seq(row("a" -> 1.5))),
+    Scenario("quantifier-over-null-elements", empty,
+      "RETURN all(x IN [1, 2] WHERE x > 0) AS a, any(x IN [] WHERE x > 0) AS b",
+      Seq(row("a" -> true, "b" -> false))),
+
+    // ---- WITH pipelines: aggregate then filter/continue
+    Scenario("with-aggregate-then-where", social,
+      """MATCH (p:Person) WITH p.city AS c, count(*) AS n WHERE n > 1
+        |RETURN c""".stripMargin,
+      Seq(row("c" -> "Berlin"))),
+    Scenario("with-aggregate-then-match-on", social,
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |WITH a, count(b) AS outdeg WHERE outdeg >= 2
+        |MATCH (a)-[:KNOWS]->(f:Person)
+        |RETURN a.name AS n, count(f) AS again""".stripMargin,
+      Seq(row("n" -> "Alice", "again" -> 2))),
+    Scenario("with-order-limit-then-expand", social,
+      """MATCH (p:Person) WITH p ORDER BY p.age DESC LIMIT 1
+        |OPTIONAL MATCH (p)-[:KNOWS]->(q)
+        |RETURN p.name AS n, q.name AS q""".stripMargin,
+      Seq(row("n" -> "Dave", "q" -> null))),
+    Scenario("with-alias-shadowing", social,
+      """MATCH (p:Person {name: 'Alice'}) WITH p.age AS p
+        |RETURN p + 1 AS v""".stripMargin,
+      Seq(row("v" -> 31))),
+    Scenario("with-distinct-counts-once", social,
+      """MATCH (a:Person)-[:KNOWS]->(:Person)
+        |WITH DISTINCT a RETURN count(*) AS n""".stripMargin,
+      Seq(row("n" -> 3))),
+
+    // ---- UNION
+    Scenario("union-distinct-dedups-across-branches", social,
+      """MATCH (p:Person {city: 'Berlin'}) RETURN p.name AS n
+        |UNION
+        |MATCH (p:Admin) RETURN p.name AS n""".stripMargin,
+      Seq(row("n" -> "Alice"), row("n" -> "Dave"))),
+    Scenario("union-all-same-branch-twice", social,
+      """MATCH (p:Admin) RETURN p.name AS n
+        |UNION ALL
+        |MATCH (p:Admin) RETURN p.name AS n""".stripMargin,
+      Seq(row("n" -> "Dave"), row("n" -> "Dave"))),
+    Scenario("union-three-branches", empty,
+      """RETURN 1 AS v UNION RETURN 2 AS v UNION RETURN 1 AS v""",
+      Seq(row("v" -> 1), row("v" -> 2))),
+
+    // ---- UNWIND edge cases
+    Scenario("unwind-empty-list-no-rows", empty,
+      "UNWIND [] AS x RETURN x", Seq.empty),
+    Scenario("unwind-range-step", empty,
+      "UNWIND range(0, 10, 3) AS x RETURN x ORDER BY x",
+      Seq(row("x" -> 0), row("x" -> 3), row("x" -> 6), row("x" -> 9)),
+      ordered = true),
+    Scenario("unwind-nested", empty,
+      """UNWIND [[1, 2], [3]] AS xs UNWIND xs AS x
+        |RETURN sum(x) AS s""".stripMargin,
+      Seq(row("s" -> 6))),
+    Scenario("unwind-then-aggregate-distinct", empty,
+      "UNWIND [1, 1, 2, 2, 3] AS x RETURN count(DISTINCT x) AS n",
+      Seq(row("n" -> 3))),
+
+    // ---- list functions
+    Scenario("head-last-on-empty-is-null", empty,
+      "RETURN head([]) AS h, last([]) AS l",
+      Seq(row("h" -> null, "l" -> null))),
+    Scenario("tail-and-slice", empty,
+      "RETURN tail([1, 2, 3]) AS t, [1, 2, 3, 4][1..3] AS s",
+      Seq(row("t" -> List(2, 3), "s" -> List(2, 3)))),
+    Scenario("reduce-sum", empty,
+      "RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS s",
+      Seq(row("s" -> 6))),
+    Scenario("list-comprehension-filter-project", empty,
+      "RETURN [x IN range(1, 6) WHERE x % 2 = 0 | x * 10] AS l",
+      Seq(row("l" -> List(20, 40, 60)))),
+    Scenario("reverse-string-and-list", empty,
+      "RETURN reverse('abc') AS s, reverse([1, 2, 3]) AS l",
+      Seq(row("s" -> "cba", "l" -> List(3, 2, 1)))),
+
+    // ---- ORDER BY semantics
+    Scenario("order-by-asc-nulls-last", nulls,
+      "MATCH (x:X) RETURN x.k AS k ORDER BY k ASC",
+      Seq(row("k" -> 1), row("k" -> 2), row("k" -> null)), ordered = true),
+    Scenario("order-by-aggregate-unaliased", social,
+      """MATCH (p:Person) RETURN p.city AS c, count(*) AS n
+        |ORDER BY count(*) DESC, c ASC""".stripMargin,
+      Seq(row("c" -> "Berlin", "n" -> 2), row("c" -> "Paris", "n" -> 1),
+        row("c" -> null, "n" -> 1)), ordered = true),
+    Scenario("order-by-expression-of-alias", chain,
+      "MATCH (n:N) RETURN n.v AS v ORDER BY -v LIMIT 2",
+      Seq(row("v" -> 4), row("v" -> 3)), ordered = true),
+
+    // ---- var-length extras
+    Scenario("varlength-zero-includes-self", chain,
+      """MATCH (a:N {v: 1})-[:R*0..1]->(b)
+        |RETURN b.v AS v""".stripMargin,
+      Seq(row("v" -> 1), row("v" -> 2))),
+    Scenario("varlength-exact-two", chain,
+      "MATCH (a:N {v: 1})-[:R*2]->(b) RETURN b.v AS v",
+      Seq(row("v" -> 3))),
+    Scenario("varlength-incoming-from-end", chain,
+      "MATCH (a:N {v: 4})<-[:R*1..2]-(b) RETURN b.v AS v",
+      Seq(row("v" -> 3), row("v" -> 2))),
+
+    // ---- EXISTS forms
+    Scenario("exists-block-with-where", social,
+      """MATCH (p:Person)
+        |WHERE EXISTS { MATCH (p)-[k:KNOWS]->(:Person) WHERE k.since > 2014 }
+        |RETURN p.name AS n""".stripMargin,
+      Seq(row("n" -> "Bob"), row("n" -> "Carol"))),
+    Scenario("exists-as-value", social,
+      """MATCH (p:Person {name: 'Dave'})
+        |RETURN exists((p)-[:KNOWS]->()) AS out,
+        |       exists(()-[:KNOWS]->(p)) AS in""".stripMargin,
+      Seq(row("out" -> false, "in" -> true))),
+
+    // ---- coercions and scalars
+    Scenario("type-coercion-functions", empty,
+      """RETURN toInteger('42') AS i, toFloat('3.5') AS f,
+        |       toBoolean('true') AS b, toInteger(3.9) AS t""".stripMargin,
+      Seq(row("i" -> 42, "f" -> 3.5, "b" -> true, "t" -> 3))),
+    Scenario("min-max-over-strings", social,
+      "MATCH (p:Person) RETURN min(p.name) AS lo, max(p.name) AS hi",
+      Seq(row("lo" -> "Alice", "hi" -> "Dave"))),
+    Scenario("sign-and-abs", empty,
+      "RETURN sign(-5) AS s, abs(-2.5) AS a, sign(0) AS z",
+      Seq(row("s" -> -1, "a" -> 2.5, "z" -> 0))),
+    Scenario("integer-division-truncates", empty,
+      "RETURN 7 / 2 AS q, -7 / 2 AS nq, 7.0 / 2 AS f",
+      Seq(row("q" -> 3, "nq" -> -3, "f" -> 3.5))),
+    Scenario("parameter-in-property-map", social,
+      "MATCH (p:Person {name: $who}) RETURN p.age AS a",
+      Seq(row("a" -> 25)), params = Map("who" -> "Bob")),
+    Scenario("case-searched-with-null-branch", nulls,
+      """MATCH (x:X)
+        |RETURN CASE WHEN x.k IS NULL THEN 'nk' ELSE toString(x.k) END AS v""".stripMargin,
+      Seq(row("v" -> "1"), row("v" -> "2"), row("v" -> "nk")))
   )
 
   // --------------------------------------------------------- blacklist
