@@ -554,37 +554,64 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val relType = rel.types.head
 
     // (src)-[:T]->(new) reads the triplet forward; (src)<-[:T]-(new)
-    // reads it backward (the triplet's src side becomes the new node)
-    val hit: Option[(graft.graph.TripletTable, Boolean)] = rel.direction match {
-      case Outgoing => graph.tripletTables.find(t => t.relType == relType &&
-        srcCovers(t.srcLabels) && t.dstLabels == dstRequired).map(_ -> true)
-      case Incoming => graph.tripletTables.find(t => t.relType == relType &&
-        srcCovers(t.dstLabels) && t.srcLabels == dstRequired).map(_ -> false)
-      case Undirected => None
+    // reads it backward (the triplet's src side becomes the new node);
+    // undirected unions both orientations of ONE symmetric table
+    def findFwd = graph.tripletTables.find(t => t.relType == relType &&
+      srcCovers(t.srcLabels) && t.dstLabels == dstRequired)
+    def findBwd = graph.tripletTables.find(t => t.relType == relType &&
+      srcCovers(t.dstLabels) && t.srcLabels == dstRequired)
+    val hits: Seq[(graft.graph.TripletTable, Boolean)] = rel.direction match {
+      case Outgoing => findFwd.map(_ -> true).toSeq
+      case Incoming => findBwd.map(_ -> false).toSeq
+      case Undirected => (findFwd, findBwd) match {
+        case (Some(f), Some(b)) if f == b => Seq(f -> true, f -> false)
+        case _ => Seq.empty
+      }
     }
-    hit.map { case (t, forward) =>
-      rel.properties.foreach { case (k, e) =>
-        propPreds += Eq(Property(Var(relVar), k), e) }
-      dstNp.properties.foreach { case (k, e) =>
-        propPreds += Eq(Property(Var(dstVar), k), e) }
-      freshSrcNp.foreach(_.properties.foreach { case (k, e) =>
-        propPreds += Eq(Property(Var(srcVar), k), e) })
+    if (hits.isEmpty) return None
 
-      val rn = naming(relVar); val dn = naming(dstVar)
+    rel.properties.foreach { case (k, e) =>
+      propPreds += Eq(Property(Var(relVar), k), e) }
+    dstNp.properties.foreach { case (k, e) =>
+      propPreds += Eq(Property(Var(dstVar), k), e) }
+    freshSrcNp.foreach(_.properties.foreach { case (k, e) =>
+      propPreds += Eq(Property(Var(srcVar), k), e) })
+
+    val rn = naming(relVar); val dn = naming(dstVar)
+    val sn = naming(srcVar)
+    val joinKeyCol = fresh(s"${relVar}_probekey")
+
+    // output column names are fixed ONCE (the naming functions mint fresh
+    // names per call), so the undirected orientation pair unions cleanly;
+    // for a symmetric table both sides carry the same label/prop keys
+    val t0 = hits.head._1
+    val (h0LabelCols, h0PropCols) =
+      if (hits.head._2) (t0.dstLabelCols, t0.dstPropCols)
+      else (t0.srcLabelCols, t0.srcPropCols)
+    val relProps = t0.relPropCols.map { case (k, _) => k -> rn.propCol(k) }
+    val nodeLabels = h0LabelCols.map { case (l, _) => l -> dn.labelCol(l) }
+    val nodeProps = h0PropCols.map { case (k, _) => k -> dn.propCol(k) }
+    val srcNames: Option[(Map[String, String], Map[String, String])] =
+      freshSrcNp.map { _ =>
+        val (sLabelCols, sPropCols) =
+          if (hits.head._2) (t0.srcLabelCols, t0.srcPropCols)
+          else (t0.dstLabelCols, t0.dstPropCols)
+        (sLabelCols.map { case (l, _) => l -> sn.labelCol(l) },
+          sPropCols.map { case (k, _) => k -> sn.propCol(k) })
+      }
+
+    def probeFor(t: graft.graph.TripletTable, forward: Boolean): DataFrame = {
       val (newIdSrcCol, newLabelCols, newPropCols) =
         if (forward) (t.dstIdCol, t.dstLabelCols, t.dstPropCols)
         else (t.srcIdCol, t.srcLabelCols, t.srcPropCols)
-      val relProps = t.relPropCols.map { case (k, _) => k -> rn.propCol(k) }
-      val nodeLabels = newLabelCols.map { case (l, _) => l -> dn.labelCol(l) }
-      val nodeProps = newPropCols.map { case (k, _) => k -> dn.propCol(k) }
-
       // storage direction is always src→dst regardless of traversal
       var sel: Seq[Column] =
         Seq(col(s"`${t.relIdCol}`").as(rn.idCol),
           col(s"`${t.srcIdCol}`").as(rn.srcCol),
           col(s"`${t.dstIdCol}`").as(rn.dstCol),
           lit(t.relType).as(rn.typCol),
-          col(s"`$newIdSrcCol`").as(dn.idCol)) ++
+          col(s"`$newIdSrcCol`").as(dn.idCol),
+          col(s"`${if (forward) t.srcIdCol else t.dstIdCol}`").as(joinKeyCol)) ++
         t.relPropCols.toSeq.map { case (k, c) =>
           col(s"`$c`").as(relProps(k)) } ++
         newLabelCols.toSeq.map { case (l, c) =>
@@ -593,36 +620,40 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           col(s"`$c`").as(nodeProps(k)) }
 
       // fresh src: its node binding also comes from the triplet scan
-      val srcBindingOpt: Option[NodeBinding] = freshSrcNp.map { _ =>
-        val sn = naming(srcVar)
+      srcNames.foreach { case (sLabels, sProps) =>
         val (sIdCol, sLabelCols, sPropCols) =
           if (forward) (t.srcIdCol, t.srcLabelCols, t.srcPropCols)
           else (t.dstIdCol, t.dstLabelCols, t.dstPropCols)
-        val sLabels = sLabelCols.map { case (l, _) => l -> sn.labelCol(l) }
-        val sProps = sPropCols.map { case (k, _) => k -> sn.propCol(k) }
         sel = sel ++ (col(s"`$sIdCol`").as(sn.idCol) +:
           (sLabelCols.toSeq.map { case (l, c) => col(s"`$c`").as(sLabels(l)) } ++
             sPropCols.toSeq.map { case (k, c) => col(s"`$c`").as(sProps(k)) }))
-        NodeBinding(sn.idCol, sLabels, sProps, srcLabels)
       }
-      val probe = t.df.select(sel: _*)
-
-      val df = srcBindingOpt match {
-        case Some(_) => if (state.isUnit) probe else state.df.crossJoin(probe)
-        case None =>
-          val joinKey = if (forward) rn.srcCol else rn.dstCol
-          val srcId =
-            col(s"`${state.header(srcVar).asInstanceOf[NodeBinding].idCol}`")
-          state.df.join(probe, srcId === col(s"`$joinKey`"), "inner")
-      }
-
-      val rb = RelBinding(rn.idCol, rn.srcCol, rn.dstCol, rn.typCol,
-        relProps, Set(t.relType))
-      val dstB = NodeBinding(dn.idCol, nodeLabels, nodeProps, dstRequired)
-      val header0 = srcBindingOpt.fold(state.header)(sb =>
-        state.header + (srcVar -> sb))
-      PState(df, header0 + (relVar -> rb) + (dstVar -> dstB))
+      t.df.select(sel: _*)
     }
+
+    val probe = hits.map { case (t, fwd) => probeFor(t, fwd) }
+      .reduce(_ unionByName _)
+    val srcBindingOpt: Option[NodeBinding] = srcNames.map {
+      case (sLabels, sProps) => NodeBinding(sn.idCol, sLabels, sProps, srcLabels)
+    }
+
+    val df = srcBindingOpt match {
+      case Some(_) =>
+        val p = probe.drop(joinKeyCol)
+        if (state.isUnit) p else state.df.crossJoin(p)
+      case None =>
+        val srcId =
+          col(s"`${state.header(srcVar).asInstanceOf[NodeBinding].idCol}`")
+        state.df.join(probe, srcId === col(s"`$joinKeyCol`"), "inner")
+          .drop(joinKeyCol)
+    }
+
+    val rb = RelBinding(rn.idCol, rn.srcCol, rn.dstCol, rn.typCol,
+      relProps, Set(relType))
+    val dstB = NodeBinding(dn.idCol, nodeLabels, nodeProps, dstRequired)
+    val header0 = srcBindingOpt.fold(state.header)(sb =>
+      state.header + (srcVar -> sb))
+    Some(PState(df, header0 + (relVar -> rb) + (dstVar -> dstB)))
   }
 
   /** Shared-subtree cache insertion (reference: RelationalOptimizer.scala:

@@ -111,15 +111,25 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
         |RETURN a.name AS an, b.name AS bn, c.city AS cc ORDER BY an""".stripMargin)
   }
 
-  test("uncovered shapes fall back to scans (no label, undirected, multi-type)") {
-    sameResults(
-      "MATCH (a:Person)-[r]->(x) RETURN a.name AS an, id(x) AS ix ORDER BY an, ix")
+  test("undirected expand unions both orientations of a symmetric triplet") {
     sameResults(
       """MATCH (a:Person)-[:KNOWS]-(b:Person)
         |RETURN a.name AS an, b.name AS bn ORDER BY an, bn""".stripMargin)
     sameResults(
+      """MATCH (a:Person {name: 'Bob'})-[k:KNOWS]-(b:Person)
+        |RETURN b.name AS bn, k.since AS s ORDER BY bn""".stripMargin)
+  }
+
+  test("uncovered shapes fall back to scans (no label, multi-type, asym undirected)") {
+    sameResults(
+      "MATCH (a:Person)-[r]->(x) RETURN a.name AS an, id(x) AS ix ORDER BY an, ix")
+    sameResults(
       """MATCH (a:Person)-[r:KNOWS|LIVES_IN]->(x)
         |RETURN a.name AS an, type(r) AS t ORDER BY an, t""".stripMargin)
+    // LIVES_IN triplet is Person→City (asymmetric): undirected stays on scans
+    sameResults(
+      """MATCH (p:Person)-[:LIVES_IN]-(c:City)
+        |RETURN p.name AS pn, c.city AS cc ORDER BY pn""".stripMargin)
   }
 
   test("rel uniqueness applies across triplet hops") {
