@@ -240,6 +240,29 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("Aachen", 1L), ("Berlin", 2L)))
   }
 
+  test("bucketed catalog tables answer expands with fewer exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // unique prefixes: managed-table locations survive in the warehouse
+      // dir across JVMs even when the in-memory catalog starts empty
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      FsGraphSource.saveAsTables(g, s"pln_$tag")
+      FsGraphSource.saveAsTables(g, s"bkt_$tag", buckets = 4)
+      val q = """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+                |RETURN a.name AS an, b.name AS bn ORDER BY an""".stripMargin
+      def exchanges(p: graft.graph.PropertyGraph): Int =
+        "Exchange".r.findAllIn(
+          gs.cypher(p, q).queryExecution.executedPlan.toString).size
+      val plain = FsGraphSource.loadFromTables(spark, s"pln_$tag")
+      val bucketed = FsGraphSource.loadFromTables(spark, s"bkt_$tag")
+      assert(exchanges(bucketed) < exchanges(plain),
+        "bucketed rel.src = node.id join should avoid a shuffle")
+      assert(gs.cypher(bucketed, q).collect().map(_.toSeq).toSeq ===
+        gs.cypher(plain, q).collect().map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("JDBC tables (Derby) flow through Graph DDL views") {
     // reference SQL PGDS shape: spark.read.jdbc per mapped table
     // (api/io/sql/SqlPropertyGraphDataSource.scala) — here via temp views
