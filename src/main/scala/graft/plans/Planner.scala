@@ -514,6 +514,18 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         throw new IllegalArgumentException(s"$dstVar bound to $other, not a node")
       case None =>
         val withRel = state.df.join(relDf, srcId === col(s"`$travSrc`"), "inner")
+        // anonymous, unconstrained target: in a valid property graph every
+        // relationship endpoint exists, so the all-node-tables existence
+        // join proves nothing — bind the node as an id carried by the rel
+        // (reference guarantees endpoint presence via ScanGraph
+        // validation, ScanGraph.scala:115-143)
+        if (dstNp.labels.isEmpty && dstNp.properties.isEmpty &&
+            isInternal(dstVar)) {
+          val idc = fresh(s"${dstVar}_id")
+          val df = withRel.withColumnRenamed(travDst, idc).drop(travSrc)
+          return PState(df, state.header + (relVar -> rb) +
+            (dstVar -> NodeBinding(idc, Map.empty, Map.empty, Set.empty)))
+        }
         val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
         dstNp.properties.foreach { case (k, e) =>
           propPreds += Eq(Property(Var(dstVar), k), e) }
