@@ -49,6 +49,11 @@ object PipelineQueries {
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         nClusters = 32, nProbe = 4, trainSample = 5000)
         .orderBy(col("qid"), col("rank"))),
+    // PII redaction: typed placeholder tokens + per-class audit counts —
+    // RE2-compatible patterns so the DuckDB oracle reproduces byte-for-byte
+    "p16_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // language ID (heuristic, engine-specific → rows-only)
     "p5_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
@@ -149,6 +154,19 @@ object PipelineQueries {
     "p1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "p16_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b(\+?[0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b', '<PHONE>', 'g')
+        |    AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+        |  len(regexp_extract_all(text, '\b(\+?[0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b'))::BIGINT AS n_phone
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p2_token_stats" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens,

@@ -25,6 +25,30 @@ object TextAnalysis {
       length(t).cast(LongType).as("n_chars"))
   }
 
+  /** PII scrubbing for training corpora: regex-redact emails, IPv4
+    * addresses, phone-shaped digit runs, and SSN-shaped triples with
+    * typed placeholder tokens, plus per-class hit counts for audit
+    * stats. Purely columnar (codegen regexp_replace — no UDF, no
+    * shuffle); patterns are RE2-compatible so external engines (audit
+    * oracles, DuckDB) reproduce the transform byte-for-byte. Order
+    * matters: SSN before phone so `123-45-6789` does not half-match the
+    * phone pattern. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\b(\\+?[0-9]{1,3}[ .-]?)?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b",
+      "<PHONE>"))
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast(LongType).as(s"n_$name") }
+    df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+
   /** heuristic quality signals + a composite score in [0,1]:
     * long-enough docs with normal word lengths, low punctuation/digit
     * noise and some stopword mass score high. */

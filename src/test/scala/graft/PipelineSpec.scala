@@ -157,6 +157,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("en", "de", "fr", "es"))
   }
 
+  test("PII redaction replaces all classes and counts hits") {
+    val pii = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com or bob@ex.org thanks"),
+      (2L, "server 10.0.42.7 rebooted; call 555-123-4567 or (415) 555-0142"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(pii, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L)._1 === "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(1L)._2 === 2) // n_email
+    assert(out(2L)._1.contains("<IP>") && out(2L)._1.contains("<PHONE>"))
+    assert(out(2L)._3 === 1 && out(2L)._5 === 2)
+    assert(out(3L)._1 === "ssn <SSN> on file" && out(3L)._4 === 1)
+    assert(out(4L)._1 === "nothing sensitive here")
+  }
+
   test("winnowing fingerprint is edit-robust") {
     val fp = TextAnalysis.fingerprint(planted, "doc_id", "text")
     val a = fp.where($"doc_id" === 0).head.getSeq[Long](1).toSet
