@@ -88,6 +88,15 @@ object PipelineQueries {
     "p12_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // near-dup pairs → dedup clusters via distributed label propagation;
+    // oracle = recursive-CTE transitive closure over the same pair list
+    "p18_dedup_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pairs = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        threshold = 0.4)
+      Dedup.connectedComponents(e, "vec_id", pairs, "id_a", "id_b")
+        .orderBy("id")
+    }),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -198,6 +207,22 @@ object PipelineQueries {
         |WHERE a.vec_id <> b.vec_id
         |QUALIFY rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "p18_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+        |), edges AS (
+        |  SELECT ia AS s, ib AS d FROM pairs
+        |  UNION SELECT ib AS s, ia AS d FROM pairs
+        |), reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+        |)
+        |SELECT id, min(r)::BIGINT AS cluster
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "p12_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

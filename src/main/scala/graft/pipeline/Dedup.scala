@@ -151,6 +151,50 @@ object Dedup {
     }.toDF("id_a", "id_b", "sim")
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise matches into dedup CLUSTERS (keep one doc per
+    * component). Iterative label propagation: every node adopts the
+    * minimum label in its closed neighborhood until fixpoint, so the
+    * component label is the component's minimum id. O(diameter)
+    * iterations — near-dup components are shallow (stars/cliques), so
+    * this converges in a handful of rounds; each round is one narrow
+    * (id, label) shuffle, nothing fans out. `ids` supplies the node
+    * universe so singletons keep their own label.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast(LongType).as("s"), col(bCol).cast(LongType).as("d"))
+      .union(pairs.select(col(bCol).cast(LongType).as("s"),
+        col(aCol).cast(LongType).as("d")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).cast(LongType).as("id"))
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label over the closed neighborhood
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "d2"), col("d") === col("d2"))
+        .groupBy(col("s").as("id")).agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance: banded buckets
     * generate candidates, exact bit_count verifies. The band count is
     * derived from `maxHamming` (pigeonhole: maxHamming+1 bands guarantee
