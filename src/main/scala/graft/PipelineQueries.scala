@@ -54,6 +54,11 @@ object PipelineQueries {
     "p16_pii_redact" -> ((s, dir) =>
       TextAnalysis.redactPii(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // deterministic train/val/test split (md5-bucketed: stable across
+    // engines and input order — contamination control at scale)
+    "p17_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
     // language ID (heuristic, engine-specific → rows-only)
     "p5_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
@@ -207,6 +212,14 @@ object PipelineQueries {
         |WHERE a.vec_id <> b.vec_id
         |QUALIFY rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "p17_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 'e6' THEN 'train'
+        |       WHEN b < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, substring(md5(doc_id::VARCHAR), 1, 2) AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "p18_dedup_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS ia, b.vec_id AS ib

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting and sampling for training-data pipelines.
+  *
+  * Both operators assign by hashing the RECORD ID, not by position or
+  * RNG state: the assignment is stable across runs, engines, cluster
+  * sizes, and input order, so a document never migrates between train
+  * and test when the corpus is re-partitioned or appended to — the
+  * property that matters for contamination control at 100 TB. md5 is
+  * used (not Spark's xxhash64) precisely so ANY engine can reproduce
+  * the split from the id alone.
+  */
+object Sampling {
+
+  /** first hex byte of md5(id) → 256 deterministic buckets. */
+  private def bucket(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 2)
+
+  private def hexThreshold(pct: Double): String =
+    f"${math.round(256 * pct / 100.0)}%02x"
+
+  /** Deterministic train/val/test assignment with 1/256 granularity.
+    * Purely columnar — zero shuffle, survives any scale. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      trainPct: Double = 90.0, valPct: Double = 5.0): DataFrame = {
+    require(trainPct + valPct <= 100.0, "train + val must be <= 100")
+    val b = bucket(col(idCol))
+    df.withColumn("split",
+      when(b < lit(hexThreshold(trainPct)), "train")
+        .when(b < lit(hexThreshold(trainPct + valPct)), "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic subsample: keeps ids whose hash bucket falls under
+    * `pct` percent. Same id set every run on every engine. */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Double): DataFrame =
+    df.where(bucket(col(idCol)) < lit(hexThreshold(pct)))
+
+  /** Exact stratified sample: per-stratum fractions without a full
+    * shuffle (thin wrapper over Spark's stratified sampling; seeded). */
+  def stratified(df: DataFrame, strataCol: String,
+      fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

@@ -157,6 +157,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("en", "de", "fr", "es"))
   }
 
+  test("deterministic split is stable and roughly proportioned") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Sampling.deterministicSplit(ids, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1("train") > 1650 && s1("train") < 1950, s1)
+    assert(s1.getOrElse("val", 0L) > 30, s1)
+    assert(s1.getOrElse("test", 0L) > 30, s1)
+    // stability: same assignment under re-partitioning and reordering
+    val a = Sampling.deterministicSplit(ids.repartition(7), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.deterministicSplit(ids.orderBy(col("id").desc), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // deterministic sample is a subset keyed only by id
+    val n = Sampling.deterministicSample(ids, "id", 25.0).count()
+    assert(n > 350 && n < 650, s"sample size $n")
+  }
+
   test("connected components: chains, cliques, singletons") {
     val nodes = (1L to 9L).toDF("id")
     // chain 3-1-2 (min 1), clique 4-5-6 (min 4), edge 8-9 (min 8), 7 alone
