@@ -163,14 +163,18 @@ object Dedup {
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    // eager localCheckpoint (not persist): iterative plans otherwise
+    // carry the whole lineage, and per-round analysis cost compounds
+    // into minutes by iteration ~10. Checkpointing flattens each round
+    // to a scan of the previous round's blocks.
     val edges = pairs
       .select(col(aCol).cast(LongType).as("s"), col(bCol).cast(LongType).as("d"))
       .union(pairs.select(col(bCol).cast(LongType).as("s"),
         col(aCol).cast(LongType).as("d")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = ids.select(col(idCol).cast(LongType).as("id"))
       .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -178,11 +182,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "d2"), col("d") === col("d2"))
         .groupBy(col("s").as("id")).agg(min(col("cluster")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val afterNeighbors = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: also adopt the label OF my label, halving the
+      // remaining path every round — O(log diameter) convergence instead
+      // of O(diameter), which is what makes long thin chains tractable
+      val byId = afterNeighbors
+        .select(col("id").as("cid"), col("cluster").as("ccluster"))
+      val updated = afterNeighbors
+        .join(byId, col("cluster") === col("cid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ccluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
       val changed = updated
         .join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).limit(1).count()
