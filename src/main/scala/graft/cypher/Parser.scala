@@ -13,7 +13,8 @@ import Ast._
   */
 object CypherParser extends RegexParsers {
 
-  override protected val whiteSpace = """(\s|//[^\n]*)+""".r
+  override protected val whiteSpace =
+    """(\s|//[^\n]*|/\*([^*]|\*(?!/))*\*/)+""".r
 
   // ------------------------------------------------------------- lexical
   private def K(w: String): Parser[String] = ("""(?i)""" + w + """\b""").r

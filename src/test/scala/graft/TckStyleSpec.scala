@@ -674,6 +674,24 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("parameter-in-property-map", social,
       "MATCH (p:Person {name: $who}) RETURN p.age AS a",
       Seq(row("a" -> 25)), params = Map("who" -> "Bob")),
+    Scenario("comments-line-and-block", social,
+      """MATCH (p:Person) // line comment
+        |/* block
+        |   comment */ WHERE p.age > 35 /* inline */ RETURN p.name AS n""".stripMargin,
+      Seq(row("n" -> "Dave"))),
+    Scenario("with-star-plus-item", social,
+      """MATCH (p:Person {name: 'Bob'}) WITH *, p.age * 2 AS dbl
+        |RETURN p.name AS n, dbl""".stripMargin,
+      Seq(row("n" -> "Bob", "dbl" -> 50))),
+    Scenario("arithmetic-over-aggregate", social,
+      "MATCH (p:Person) RETURN count(*) * 2 + 1 AS n",
+      Seq(row("n" -> 9))),
+    Scenario("aggregate-of-expression", social,
+      "MATCH (p:Person) RETURN sum(p.age * 2) AS s",
+      Seq(row("s" -> 260))),
+    Scenario("two-aggregates-combined", social,
+      "MATCH (p:Person) RETURN max(p.age) - min(p.age) AS spread",
+      Seq(row("spread" -> 15))),
     Scenario("case-searched-with-null-branch", nulls,
       """MATCH (x:X)
         |RETURN CASE WHEN x.k IS NULL THEN 'nk' ELSE toString(x.k) END AS v""".stripMargin,
