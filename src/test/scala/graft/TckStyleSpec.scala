@@ -692,6 +692,21 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("two-aggregates-combined", social,
       "MATCH (p:Person) RETURN max(p.age) - min(p.age) AS spread",
       Seq(row("spread" -> 15))),
+    Scenario("unwind-collected-roundtrip", social,
+      """MATCH (p:Person) WITH collect(p.age) AS ages
+        |UNWIND ages AS a RETURN count(a) AS n, sum(a) AS s""".stripMargin,
+      Seq(row("n" -> 4, "s" -> 130))),
+    Scenario("correlated-rematch-via-with", social,
+      """MATCH (a:Person {name: 'Alice'}) WITH a.city AS city
+        |MATCH (b:Person {city: city}) RETURN b.name AS n ORDER BY n""".stripMargin,
+      Seq(row("n" -> "Alice"), row("n" -> "Dave"))),
+    Scenario("nested-list-indexing", empty,
+      "RETURN [[1, 2], [3]][0][1] AS v, [[1, 2], [3]][1][0] AS w",
+      Seq(row("v" -> 2, "w" -> 3))),
+    Scenario("distinct-entity-ids", social,
+      """MATCH (a:Person)-[:KNOWS]->(:Person)
+        |RETURN count(DISTINCT id(a)) AS n""".stripMargin,
+      Seq(row("n" -> 3))),
     Scenario("case-searched-with-null-branch", nulls,
       """MATCH (x:X)
         |RETURN CASE WHEN x.k IS NULL THEN 'nk' ELSE toString(x.k) END AS v""".stripMargin,
