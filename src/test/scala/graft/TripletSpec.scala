@@ -120,6 +120,20 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
         |RETURN b.name AS bn, k.since AS s ORDER BY bn""".stripMargin)
   }
 
+  test("empty-dst-label triplet covers unlabeled targets (NodeRel role)") {
+    // reference's NodeRelPattern (node+rel consolidation) is subsumed:
+    // a triplet materialized against the any-label node scan answers
+    // (a:Person)-[:KNOWS]->(x) with one probe
+    val g2 = plain.withTriplet("KNOWS", Set("Person"), Set.empty)
+    val q = """MATCH (a:Person)-[k:KNOWS]->(x)
+              |RETURN a.name AS an, k.since AS s, id(x) AS ix
+              |ORDER BY an""".stripMargin
+    assert(rows(g2, q) === rows(plain, q))
+    val plan = gs.cypher(g2, q).queryExecution.executedPlan.toString
+    assert(plan.split("InMemoryRelation").head.contains("InMemoryTableScan"),
+      s"triplet not used:\n$plan")
+  }
+
   test("uncovered shapes fall back to scans (no label, multi-type, asym undirected)") {
     sameResults(
       "MATCH (a:Person)-[r]->(x) RETURN a.name AS an, id(x) AS ix ORDER BY an, ix")
