@@ -75,4 +75,81 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vals = ranks.collect().map(_.getDouble(1))
     assert(vals.max - vals.min < 1e-6)
   }
+
+  test("CaseClassExample: graphs from typed Datasets") {
+    import ExamplesSpec.{Bought, Product}
+    val s = spark
+    import s.implicits._
+    val products = Seq(Product(100L, "book", 12.5), Product(101L, "pen", 1.5))
+      .toDS().toDF()
+    val bought = Seq(Bought(200L, 1L, 100L, 2L), Bought(201L, 2L, 101L, 5L))
+      .toDS().toDF()
+    val shop = social.unionAll(new PropertyGraph(
+      Seq(NodeTable(Set("Product"), products, "id",
+        Map("title" -> "title", "price" -> "price"))),
+      Seq(RelTable("BOUGHT", bought, "rid", "src", "dst", Map("qty" -> "qty"))),
+      spark))
+    val rows = gs.cypher(shop,
+      """MATCH (p:Person)-[b:BOUGHT]->(x:Product)
+        |RETURN p.name AS who, x.title AS what, b.qty * x.price AS paid
+        |ORDER BY who""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq(("Alice", "book", 25.0), ("Bob", "pen", 7.5)))
+  }
+
+  test("CatalogExample + ViewsExample: statement-level catalog management") {
+    gs.cypher(
+      """CATALOG CREATE GRAPH demo.tiny {
+        |  CONSTRUCT CREATE (:Tag {name: 'spark'})-[:ON]->(:Post {score: 7})
+        |  RETURN GRAPH
+        |}""".stripMargin)
+    gs.cypher(
+      """CATALOG CREATE VIEW highScore($g) {
+        |  FROM $g MATCH (t:Tag)-[o:ON]->(p:Post) WHERE p.score > 5
+        |  CONSTRUCT CLONE t, p, o RETURN GRAPH
+        |}""".stripMargin)
+    val n = gs.cypher(
+      """FROM GRAPH highScore(demo.tiny)
+        |MATCH (:Tag)-[:ON]->(p:Post) RETURN count(*) AS n""".stripMargin)
+      .head.getLong(0)
+    assert(n === 1L)
+    gs.cypher("CATALOG DROP VIEW highScore")
+    gs.cypher("CATALOG DROP GRAPH demo.tiny")
+  }
+
+  test("DataFrameOutputExample: results are plain DataFrames") {
+    val df = gs.cypher(social,
+      "MATCH (p:Person) RETURN p.name AS name, id(p) AS pid")
+    // full Spark surface available on the result
+    val out = df.where(org.apache.spark.sql.functions.col("name") =!= "Eve")
+      .groupBy().count().head.getLong(0)
+    assert(out === 2L)
+    assert(df.schema.fieldNames.toSeq === Seq("name", "pid"))
+  }
+
+  test("UpdateExample: enrich a graph via CONSTRUCT SET") {
+    val enriched = gs.cypherGraph(social,
+      """MATCH (p:Person)
+        |CONSTRUCT CLONE p SET p.outdeg = size((p)-[:KNOWS]->())
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(enriched,
+      "MATCH (p:Person) RETURN p.name AS n, p.outdeg AS d ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("Alice", 1L), ("Bob", 1L), ("Eve", 1L)))
+  }
+
+  test("RecommendationExample: multi-hop suggestion query") {
+    // recommend people known by your connections that you don't know yet
+    val recs = gs.cypher(social,
+      """MATCH (me:Person {name: 'Alice'})-[:KNOWS]->(f:Person)-[:KNOWS]->(fof:Person)
+        |WHERE NOT (me)-[:KNOWS]->(fof) AND fof.name <> 'Alice'
+        |RETURN DISTINCT fof.name AS rec""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(recs === Seq("Eve"))
+  }
+}
+
+object ExamplesSpec {
+  case class Product(id: Long, title: String, price: Double)
+  case class Bought(rid: Long, src: Long, dst: Long, qty: Long)
 }
