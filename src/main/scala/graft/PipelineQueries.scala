@@ -137,6 +137,34 @@ object PipelineQueries {
         .select(col("event_id").as("pid"), col("asof_event_id").as("cid"))
         .orderBy("pid")
     }),
+    // the skew-resistant as-of variant against the SAME oracle: time
+    // bucketing must not change a single row
+    "e5_asof_bucketed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin
+        .asofBackwardBucketed(purchases, clicks, "ts", Seq("user_id"),
+          buckets = 16)
+        .select(col("event_id").as("pid"), col("asof_event_id").as("cid"))
+        .orderBy("pid")
+    }),
+    // sampled two-path skew join — result must be exactly the plain join
+    "e6_adaptive_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin
+        .adaptiveJoin(li, sup, "suppkey", salts = 8, minShare = 0.001)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("qty"))
+        .orderBy("nk")
+    }),
     // banded range join: click-purchase pairs within 30 min per user
     "e4_range" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -256,6 +284,19 @@ object PipelineQueries {
         |      WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY pid""".stripMargin,
+    "e5_asof_bucketed" ->
+      """SELECT l.event_id AS pid, r.event_id AS cid
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY pid""".stripMargin,
+    "e6_adaptive_join" ->
+      """SELECT s_nationkey AS nk, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY nk""".stripMargin,
     "e4_range" ->
       """SELECT l.event_id AS cid, r.event_id AS pid
         |FROM (SELECT user_id, ts, event_id FROM events
