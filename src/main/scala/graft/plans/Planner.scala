@@ -759,6 +759,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // and every unrolled join probes only qualifying edges.
     def referencesVars(e: Expr): Boolean = e match {
       case Var(_) => true
+      case _: MapProjection => true // references its variable by name
       case _ =>
         var found = false
         mapChildren(e) { c => if (referencesVars(c)) found = true; c }
@@ -983,6 +984,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case HasLabels(Var(`v`), ls) => labels ++= ls
       case Func("id", _, Seq(Var(`v`))) => ()
       case Var(`v`) => needAll = true
+      // map projection references its variable by NAME, not as a child
+      // Expr — without this case `v {.x}` would silently over-trim
+      case MapProjection(v2, items) =>
+        if (v2 == v) needAll = true
+        items.foreach { case ExprItem(_, x) => walk(x); case _ => () }
       case PatternPredicate(p, _, w) => walkPart(p); w.foreach(walk)
       case PatternComprehension(p, w, proj) =>
         walkPart(p); w.foreach(walk); walk(proj)

@@ -707,6 +707,12 @@ class TckStyleSpec extends AnyFunSuite {
       """MATCH (a:Person)-[:KNOWS]->(:Person)
         |RETURN count(DISTINCT id(a)) AS n""".stripMargin,
       Seq(row("n" -> 3))),
+    Scenario("map-projection-in-exists-where", social,
+      """MATCH (p:Person)
+        |WHERE EXISTS { MATCH (p)-[:KNOWS]->(:Person)
+        |               WHERE p {.city}.city = 'Berlin' }
+        |RETURN p.name AS n""".stripMargin,
+      Seq(row("n" -> "Alice"))),
     Scenario("case-searched-with-null-branch", nulls,
       """MATCH (x:X)
         |RETURN CASE WHEN x.k IS NULL THEN 'nk' ELSE toString(x.k) END AS v""".stripMargin,
