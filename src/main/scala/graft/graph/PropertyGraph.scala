@@ -214,15 +214,6 @@ class PropertyGraph(
   def withTripletTable(t: TripletTable): PropertyGraph =
     new PropertyGraph(nodeTables, relTables, spark, tripletTables :+ t)
 
-  /** A registered triplet covering `(src: guaranteed ⊇ t.srcLabels)
-    * -[:relType]->(dst: required == t.dstLabels)`: the src containment
-    * keeps every edge of the (narrower) bound side; the dst equality
-    * preserves the exact node-scan semantics of the unbound side. */
-  def findTriplet(relType: String, srcGuaranteed: Set[String],
-      dstRequired: Set[String]): Option[TripletTable] =
-    tripletTables.find(t => t.relType == relType &&
-      t.srcLabels.subsetOf(srcGuaranteed) && t.dstLabels == dstRequired)
-
   /** property keys a node with these labels may carry (for `keys()` etc). */
   def nodePropertyKeys(requiredLabels: Set[String]): Seq[String] =
     unifiedProps(nodeTables.filter(t => requiredLabels.subsetOf(t.labels))

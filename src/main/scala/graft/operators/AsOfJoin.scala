@@ -67,7 +67,10 @@ object AsOfJoin {
     *
     * Costs one extra aggregation pass over the union for the summary and
     * a min/max pass for bucket bounds — worth it exactly when key skew
-    * would otherwise serialize the big window.
+    * would otherwise serialize the big window. One input restriction the
+    * plain variant does not have: the right payload struct must be
+    * ORDERABLE (no map-typed columns) because the bucket summary takes a
+    * struct max; use [[asofBackward]] for unorderable payloads.
     */
   def asofBackwardBucketed(left: DataFrame, right: DataFrame, tsCol: String,
       keys: Seq[String], buckets: Int = 32,
@@ -120,10 +123,17 @@ object AsOfJoin {
         last(col("_bl"), ignoreNulls = true).over(wCarry))
       .select(keyCols ++ Seq(col("_b"), col("_carry._r").as("_cr")): _*)
 
+    // null-SAFE key equality: the window variant groups null keys into
+    // one partition and matches them, so the carry join must too
+    val renamedCarries = keys.foldLeft(carries) { (d, k) =>
+      d.withColumnRenamed(k, s"_ck_$k") }
+    val carryCond = keys.map(k =>
+      col(s"`$k`") <=> col(s"`_ck_$k`")).reduce(_ && _) &&
+      col("_b") === col("_cb")
     val joined = bucketed
       .withColumn("_m0", last(col("_r"), ignoreNulls = true).over(wIn))
       .where(col("_side") === 1)
-      .join(carries, keys :+ "_b", "left")
+      .join(renamedCarries.withColumnRenamed("_b", "_cb"), carryCond, "left")
       .withColumn("_m", coalesce(col("_m0"), col("_cr")))
 
     val leftOut = left.columns.toSeq.map(c => col("_l").getField(c).as(c))

@@ -19,8 +19,13 @@ object Sampling {
   private def bucket(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 2)
 
-  private def hexThreshold(pct: Double): String =
-    f"${math.round(256 * pct / 100.0)}%02x"
+  private def hexThreshold(pct: Double): String = {
+    val v = math.round(256 * pct / 100.0)
+    // 256 formats as the 3-char "100", which sorts BELOW "10".."ff" in
+    // the 2-char lexicographic bucket comparison — return a sentinel
+    // above every bucket instead so pct ≈ 100 keeps everything
+    if (v >= 256) "g0" else f"$v%02x"
+  }
 
   /** Deterministic train/val/test assignment with 1/256 granularity.
     * Purely columnar — zero shuffle, survives any scale. */

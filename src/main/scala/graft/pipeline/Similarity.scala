@@ -143,6 +143,44 @@ object Similarity {
     (ids, mat, sqrtNorms, dim)
   }
 
+  /** Per-query exact top-k scan over a packed candidate block — ONE
+    * implementation shared by [[blockTopK]] and [[ivfTopK]] so their
+    * bit-identical-degeneracy guarantee is structural, not maintained by
+    * hand: same rounding, same sim-desc/id-asc tie-break. */
+  private def topKScan(qid: Long, qv: Array[Double], ids: Array[Long],
+      mat: Array[Double], sqrtNorms: Array[Double], dim: Int, kk: Int,
+      rt: Int): Seq[(Long, Long, Double)] = {
+    var qnorm = 0.0; var j = 0
+    while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
+    val qsqrt = math.sqrt(qnorm)
+    val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
+    var filled = 0
+    val n = ids.length
+    var i = 0
+    while (i < n) {
+      if (ids(i) != qid) {
+        var dot = 0.0; var j2 = 0
+        val off = i * dim
+        while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
+        val denom = qsqrt * sqrtNorms(i)
+        val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
+        val nid = ids(i)
+        if (filled < kk || sim > simBuf(filled - 1) ||
+            (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
+          var p = math.min(filled, kk - 1)
+          while (p > 0 && (sim > simBuf(p - 1) ||
+              (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
+            simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
+          }
+          simBuf(p) = sim; nidBuf(p) = nid
+          if (filled < kk) filled += 1
+        }
+      }
+      i += 1
+    }
+    (0 until filled).map(r => (qid, nidBuf(r), simBuf(r)))
+  }
+
   /** (tileKey, id, vec) replicas for the tiled all-pairs join: each query
     * block meets each candidate block in exactly one tile, so per-tile
     * results partition the pair space — partial top-k lists merge exactly
@@ -184,38 +222,9 @@ object Similarity {
         (_, qIt, cIt) =>
           val (ids, mat, sqrtNorms, dim) = packBlock(
             cIt.map(t => (t._2, t._3)).toArray)
-          val n = ids.length
-          if (n == 0) Iterator.empty
+          if (ids.isEmpty) Iterator.empty
           else qIt.flatMap { case (_, qid, qv) =>
-            var qnorm = 0.0; var j = 0
-            while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
-            val qsqrt = math.sqrt(qnorm)
-            val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
-            var filled = 0
-            var i = 0
-            while (i < n) {
-              if (ids(i) != qid) {
-                var dot = 0.0; var j2 = 0
-                val off = i * dim
-                while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
-                val denom = qsqrt * sqrtNorms(i)
-                val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
-                val nid = ids(i)
-                if (filled < kk || sim > simBuf(filled - 1) ||
-                    (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
-                  var p = math.min(filled, kk - 1)
-                  while (p > 0 && (sim > simBuf(p - 1) ||
-                      (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
-                    simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
-                  }
-                  simBuf(p) = sim; nidBuf(p) = nid
-                  if (filled < kk) filled += 1
-                }
-              }
-              i += 1
-            }
-            (0 until filled).map(r => (qid, nidBuf(r), simBuf(r)))
-          }
+            topKScan(qid, qv, ids, mat, sqrtNorms, dim, kk, rt) }
       }
     partials.toDF("qid", "nid", "sim")
       .groupBy(col("qid"))
@@ -410,6 +419,10 @@ object Similarity {
 
     // bounded training sample on the driver (limit caps the transfer)
     val trainRows = v.limit(trainSample).collect().map(_._2)
+    if (trainRows.isEmpty) // empty corpus → empty result, like blockTopK
+      return spark.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"),
+          lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
     val centroids = trainCentroids(trainRows, nClusters, iters, seed)
     val bc = spark.sparkContext.broadcast(centroids)
 
@@ -423,38 +436,9 @@ object Similarity {
       .cogroup(assigned.groupByKey(_._1)) { (_, qIt, cIt) =>
         val (ids, mat, sqrtNorms, dim) = packBlock(
           cIt.map(t => (t._2, t._3)).toArray)
-        val n = ids.length
-        if (n == 0) Iterator.empty
+        if (ids.isEmpty) Iterator.empty
         else qIt.flatMap { case (_, qid, qv) =>
-          var qnorm = 0.0; var j = 0
-          while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
-          val qsqrt = math.sqrt(qnorm)
-          val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
-          var filled = 0
-          var i = 0
-          while (i < n) {
-            if (ids(i) != qid) {
-              var dot = 0.0; var j2 = 0
-              val off = i * dim
-              while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
-              val denom = qsqrt * sqrtNorms(i)
-              val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
-              val nid = ids(i)
-              if (filled < kk || sim > simBuf(filled - 1) ||
-                  (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
-                var p = math.min(filled, kk - 1)
-                while (p > 0 && (sim > simBuf(p - 1) ||
-                    (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
-                  simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
-                }
-                simBuf(p) = sim; nidBuf(p) = nid
-                if (filled < kk) filled += 1
-              }
-            }
-            i += 1
-          }
-          (0 until filled).map(r => (qid, nidBuf(r), simBuf(r)))
-        }
+          topKScan(qid, qv, ids, mat, sqrtNorms, dim, kk, rt) }
       }
     partials.toDF("qid", "nid", "sim")
       .groupBy(col("qid"))

@@ -28,8 +28,12 @@ object TextAnalysis {
   /** PII scrubbing for training corpora: regex-redact emails, IPv4
     * addresses, phone-shaped digit runs, and SSN-shaped triples with
     * typed placeholder tokens, plus per-class hit counts for audit
-    * stats. Purely columnar (codegen regexp_replace — no UDF, no
-    * shuffle); patterns are RE2-compatible so external engines (audit
+    * stats. Counts are pattern occurrences in the ORIGINAL text, counted
+    * independently per class — a string matching two classes (an email
+    * whose local part is phone-shaped) counts once in each, while the
+    * redaction applies the classes sequentially so exactly one
+    * placeholder wins. Purely columnar (codegen regexp_replace — no UDF,
+    * no shuffle); patterns are RE2-compatible so external engines (audit
     * oracles, DuckDB) reproduce the transform byte-for-byte. Order
     * matters: SSN before phone so `123-45-6789` does not half-match the
     * phone pattern. */

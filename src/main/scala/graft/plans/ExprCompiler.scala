@@ -311,6 +311,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // exact decimal cast (reference: CTBigDecimal + bigdecimal(),
       // SparkSQLExprMapper.scala:473) — precision/scale must be literals
       case "bigdecimal" =>
+        require(f.args.size == 3,
+          "bigdecimal(expr, precision, scale) takes exactly 3 arguments")
         (f.args(1), f.args(2)) match {
           case (IntLit(p), IntLit(s)) => a0.cast(DecimalType(p.toInt, s.toInt))
           case _ => throw new IllegalArgumentException(

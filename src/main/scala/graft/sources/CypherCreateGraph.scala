@@ -147,11 +147,15 @@ object CypherCreateGraph {
     else t match { case ArrayType(NullType, n) => ArrayType(StringType, n); case x => x }
   }
 
-  /** align a literal to the widened column type (Long → Double etc.). */
+  /** align a literal to the widened column type (Long → Double, anything
+    * → String when the lattice fell back to StringType — without the
+    * string case a mixed-type property key, legal in a TCK fixture,
+    * places a Long in a StringType column and crashes at evaluation). */
   private def convert(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
     case (l: Long, DoubleType) => l.toDouble
     case (s: Seq[_], ArrayType(et, _)) => s.map(convert(_, et))
+    case (x, StringType) if !x.isInstanceOf[String] => x.toString
     case (x, _) => x
   }
 }

@@ -354,6 +354,24 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.queryExecution.executedPlan.toString.contains("_salt"))
   }
 
+  test("bucketed as-of matches plain as-of for null equality keys") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq((Option(1L), 10L, 100.0), (Option.empty[Long], 5L, 50.0),
+      (Option.empty[Long], 20L, 60.0)).toDF("sym", "ts", "px")
+    val trades = Seq((Option(1L), 15L, 7L), (Option.empty[Long], 25L, 8L),
+      (Option.empty[Long], 3L, 9L)).toDF("sym", "ts", "tid")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("tid", "asof_px").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val plain = norm(graft.operators.AsOfJoin
+      .asofBackward(trades, quotes, "ts", Seq("sym")))
+    val bucketed = norm(graft.operators.AsOfJoin
+      .asofBackwardBucketed(trades, quotes, "ts", Seq("sym"), buckets = 4))
+    assert(bucketed === plain)
+    assert(plain(8L) === Some(60.0)) // null keys match each other
+  }
+
   test("bucketed as-of matches the plain as-of on a hot key") {
     val s = spark
     import s.implicits._

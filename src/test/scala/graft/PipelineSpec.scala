@@ -174,6 +174,18 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic sample is a subset keyed only by id
     val n = Sampling.deterministicSample(ids, "id", 25.0).count()
     assert(n > 350 && n < 650, s"sample size $n")
+    // boundary: pct 100 keeps everything; train+val = 100 leaves no test
+    assert(Sampling.deterministicSample(ids, "id", 100.0).count() === 2000L)
+    val full = Sampling.deterministicSplit(ids, "id", 90.0, 10.0)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!full.contains("test"), full)
+    assert(full.getOrElse("val", 0L) > 100, full)
+  }
+
+  test("IVF on an empty corpus returns an empty frame") {
+    val none = emb.where(lit(false))
+    assert(Similarity.ivfTopK(none, "vec_id", "embedding", k = 3).count() === 0L)
   }
 
   test("connected components: chains, cliques, singletons") {
