@@ -59,6 +59,22 @@ object PipelineQueries {
     "p17_split" -> ((s, dir) =>
       Sampling.deterministicSplit(docs(s, dir), "doc_id")
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    // benchmark decontamination: docs from src0 act as the held-out eval
+    // corpus; every other doc is checked for any shared word 4-gram
+    "p19_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.decontaminate(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+        "doc_id", "text", n = 4).orderBy("id")
+    }),
+    // Gopher-style repetition filter signals (token + 2-gram dup/top fracs)
+    "p20_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // sequence packing: concat-and-chunk into 512-token bins per source
+    "p21_pack" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id", "text",
+        "source", capacity = 512).orderBy("doc_id")),
     // language ID (heuristic, engine-specific → rows-only)
     "p5_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
@@ -71,7 +87,7 @@ object PipelineQueries {
     // SimHash fingerprints (rows-only)
     "p7_simhash" -> ((s, dir) =>
       Dedup.withSimhash(docs(s, dir), "doc_id", "text").orderBy("id")),
-    // n-gram Jaccard near-dup pairs (rows-only)
+    // n-gram Jaccard near-dup pairs (DuckDB string-gram oracle)
     "p8_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.3, maxDocFreq = 5000).orderBy("id_a", "id_b")),
@@ -193,9 +209,99 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Jaccard over DISTINCT word 3-grams. The engine hashes grams to 64
+    // bits (word_ngram_hashes) purely as a bandwidth optimization —
+    // distinct-hash-set Jaccard equals distinct-gram-set Jaccard absent
+    // collisions (~1e-15 at this scale), so string grams oracle it
+    // exactly. maxDocFreq=5000 never prunes at sf0.01 (500 docs), so the
+    // candidate stage reduces to "shares >= 1 gram".
+    "p8_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(isz AS DOUBLE) / CAST(sa.sz + sb.sz - isz AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(isz AS DOUBLE) / CAST(sa.sz + sb.sz - isz AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "p1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "p19_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w)-3)) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS hits FROM grams
+        |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+        |  GROUP BY 1),
+        |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams
+        |           WHERE source <> 'src0' GROUP BY 1)
+        |SELECT t.doc_id AS id, coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(h.hits, 0)::BIGINT AS contaminated_grams,
+        |  coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM toks t
+        |LEFT JOIN counts c ON c.doc_id = t.doc_id
+        |LEFT JOIN hits h ON h.doc_id = t.doc_id
+        |WHERE t.source <> 'src0'
+        |ORDER BY id""".stripMargin,
+    "p20_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(w) AS g FROM toks),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+        |s1 AS (SELECT doc_id, sum(c)::BIGINT AS total, count(*)::BIGINT AS dist,
+        |       max(c)::BIGINT AS top FROM c1 GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |       FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, sum(c)::BIGINT AS total, count(*)::BIGINT AS dist,
+        |       max(c)::BIGINT AS top FROM c2 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(s1.total, 0) AS n_tokens,
+        |  CASE WHEN s1.total > 0 THEN (s1.total - s1.dist)::DOUBLE / s1.total::DOUBLE ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN s1.total > 0 THEN s1.top::DOUBLE / s1.total::DOUBLE ELSE 0.0 END AS top_token_frac,
+        |  coalesce(s2.total, 0) AS n_2grams,
+        |  CASE WHEN s2.total > 0 THEN (s2.total - s2.dist)::DOUBLE / s2.total::DOUBLE ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN s2.total > 0 THEN s2.top::DOUBLE / s2.total::DOUBLE ELSE 0.0 END AS top_2gram_frac
+        |FROM toks t
+        |LEFT JOIN s1 ON s1.doc_id = t.doc_id
+        |LEFT JOIN s2 ON s2.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "p21_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> len(x) > 0))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  (sum(n_tokens) OVER w)::BIGINT - n_tokens AS tok_offset,
+        |  ((sum(n_tokens) OVER w)::BIGINT - n_tokens) // 512 AS bin
+        |FROM t
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
     "p16_pii_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,

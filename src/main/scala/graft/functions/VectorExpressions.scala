@@ -245,6 +245,56 @@ case class WordNgramHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-document n-gram repetition statistics in one pass (the Gopher /
+  * MassiveText repetition-filter family): total n-gram count, fraction
+  * of n-gram occurrences that are repeats of an earlier occurrence, and
+  * the most frequent n-gram's share. Tokenization matches
+  * [[WordNgramHashes]] (lowercase, split on non-alphanumeric runs) so
+  * the two operators agree on what a token is. Counting is a single
+  * hash-map pass over gram hashes — O(tokens) per row, not the
+  * O(tokens * distinct) a `transform`+`filter` higher-order-function
+  * formulation would cost on long documents. */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false),
+    StructField("top_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = s.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val total = toks.length - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0.0, 0.0))
+    val counts = new java.util.HashMap[Long, Int](total * 2)
+    var i = 0
+    var top = 0
+    while (i < total) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = Hashing.avalanche(h ^ Hashing.hashChars(toks(i + j), 0, toks(i + j).length, j.toLong))
+        j += 1
+      }
+      val c = counts.merge(h, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val distinct = counts.size
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      total.toLong,
+      (total - distinct).toDouble / total,
+      top.toDouble / total))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Jaccard similarity of two SORTED distinct long arrays via merge-walk —
   * no allocation, O(|a|+|b|). */
 case class SortedJaccard(left: Expression, right: Expression)
@@ -337,6 +387,8 @@ object VectorFunctions {
     ColumnBridge.column(WordNgramHashes(text.toExpr, n))
   def sorted_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(a.toExpr, b.toExpr))
+  def repetition_stats(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStats(text.toExpr, n))
   def lsh_buckets(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long): Column =
     ColumnBridge.column(LshBuckets(vec.toExpr, dim, bits, tables, seed))
   /** exact integer division (SQL `div`): truncates toward zero on longs

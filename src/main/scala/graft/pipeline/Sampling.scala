@@ -49,4 +49,29 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
       fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Sequence packing for training: documents are concatenated in id
+    * order within each `partitionCol` stream and cut into fixed
+    * `capacity`-token context windows — each document gets the bin of
+    * its starting token offset (exactly how concat-and-chunk pretraining
+    * packing shards a corpus). Packing per partition keeps the window
+    * sort embarrassingly parallel: a single global order would serialize
+    * 100 TB through one sorted partition, while per-source streams scale
+    * with the source count and keep bins reproducible when other sources
+    * are added or removed. Bin ids are exact long division (no double
+    * round-trip) so offsets beyond 2^53 still bin correctly. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      partitionCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    import graft.functions.VectorFunctions.integral_divide
+    import org.apache.spark.sql.expressions.Window
+    val nTokens =
+      size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
+        .cast("long")
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(partitionCol), nTokens.as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) - col("n_tokens"))
+      .withColumn("bin", integral_divide(col("tok_offset"), lit(capacity)))
+  }
 }

@@ -142,4 +142,51 @@ object TextAnalysis {
     df.select(col(idCol),
       array_sort(array_distinct(minima)).as("fingerprint"))
   }
+
+  /** Gopher/MassiveText-style repetition signals: per document, the
+    * total token and 2-gram counts, the fraction of occurrences that
+    * repeat an earlier one (`1 - distinct/total`), and the most frequent
+    * gram's share. High values mark boilerplate / degenerate generations
+    * that repetition filters drop before training. One custom-expression
+    * pass per n (O(tokens) each), zero shuffle. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.repetition_stats
+    val s1 = repetition_stats(col(textCol), 1)
+    val s2 = repetition_stats(col(textCol), 2)
+    df.select(col(idCol),
+      s1.getField("n_grams").as("n_tokens"),
+      s1.getField("dup_frac").as("dup_token_frac"),
+      s1.getField("top_frac").as("top_token_frac"),
+      s2.getField("n_grams").as("n_2grams"),
+      s2.getField("dup_frac").as("dup_2gram_frac"),
+      s2.getField("top_frac").as("top_2gram_frac"))
+  }
+
+  /** Benchmark decontamination: flags training documents that share any
+    * word n-gram with an evaluation corpus (the standard guard against
+    * eval leakage into a training set). Scale shape: the benchmark gram
+    * set is distinct-projected and broadcast — training-side grams are
+    * joined map-side and never shuffle; output is one row per training
+    * document with the contaminated-gram count. A benchmark too large to
+    * broadcast degrades gracefully to a shuffled semi-join of (id, gram)
+    * pairs — still narrow, never the document bodies. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.word_ngram_hashes
+    val trainGrams = train.select(col(idCol).cast(LongType).as("id"),
+      word_ngram_hashes(col(textCol), n).as("grams"))
+    val benchGrams = bench
+      .select(explode(word_ngram_hashes(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = trainGrams.select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    trainGrams
+      .select(col("id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("contaminated_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

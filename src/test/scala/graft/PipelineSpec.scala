@@ -242,4 +242,54 @@ class PipelineSpec extends AnyFunSuite {
     val vids = media.where($"kind" === "video").count()
     assert(frames.count() == vids * 4)
   }
+
+  test("repetition stats flag degenerate documents") {
+    val data = Seq(
+      (1L, "spam spam spam spam"),                 // one token repeated
+      (2L, "all words here are fully distinct"),   // no repetition
+      (3L, "ab cd ab cd ab cd"),                   // repeated 2-gram
+      (4L, ""),                                    // empty
+      (5L, "single")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getDouble(2) == 0.75 &&
+      out(1L).getDouble(3) == 1.0) // 4 tokens, 1 distinct, top=4/4
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getDouble(3) == 1.0 / 6)
+    // "ab cd" appears 3x of 5 2-grams; "cd ab" 2x
+    assert(out(3L).getLong(4) == 5 && out(3L).getDouble(6) == 0.6)
+    assert(out(4L).getLong(1) == 0 && out(4L).getDouble(2) == 0.0)
+    assert(out(5L).getLong(4) == 0) // one token → no 2-grams
+  }
+
+  test("decontamination flags docs sharing n-grams with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material only"),
+      (3L, "ends with quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 shares "quick brown fox jumps"; doc 3 too; doc 2 clean
+    assert(out(1L).getBoolean(3) && out(3L).getBoolean(3))
+    assert(!out(2L).getBoolean(3) && out(2L).getLong(2) == 0)
+    assert(out(1L).getLong(2) == 1) // exactly one shared distinct 4-gram
+    // every doc appears, including the clean one (left join, not inner)
+    assert(out.size == 3)
+  }
+
+  test("sequence packing: per-partition greedy offset binning") {
+    val data = Seq(
+      (1L, "a " * 300, "s1"), (2L, "b " * 300, "s1"), (3L, "c " * 300, "s1"),
+      (4L, "d " * 100, "s2")
+    ).map { case (id, t, src) => (id, t.trim, src) }
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.packSequences(data, "doc_id", "text", "source", 512)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(3) == 0 && out(1L).getLong(4) == 0)   // offset 0 → bin 0
+    assert(out(2L).getLong(3) == 300 && out(2L).getLong(4) == 0) // starts at 300
+    assert(out(3L).getLong(3) == 600 && out(3L).getLong(4) == 1) // crosses capacity
+    assert(out(4L).getLong(3) == 0 && out(4L).getLong(4) == 0)   // own stream
+  }
 }
