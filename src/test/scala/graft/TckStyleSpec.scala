@@ -58,6 +58,12 @@ class TckStyleSpec extends AnyFunSuite {
     CREATE (:X {k: 2})
     CREATE (:X {s: 'b'})
   """
+  val loops: String = """
+    CREATE (a:L {v: 1})
+    CREATE (b:L {v: 2})
+    CREATE (a)-[:S]->(a)
+    CREATE (a)-[:S]->(b)
+  """
   val empty: String = ""
 
   // --------------------------------------------------------- normalize
@@ -716,7 +722,124 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("case-searched-with-null-branch", nulls,
       """MATCH (x:X)
         |RETURN CASE WHEN x.k IS NULL THEN 'nk' ELSE toString(x.k) END AS v""".stripMargin,
-      Seq(row("v" -> "1"), row("v" -> "2"), row("v" -> "nk")))
+      Seq(row("v" -> "1"), row("v" -> "2"), row("v" -> "nk"))),
+
+    // ---- structural: shared vars across pattern parts, loops, uniqueness
+    Scenario("triangle-via-pattern-parts", social,
+      """MATCH (a)-[:KNOWS]->(b), (b)-[:KNOWS]->(c), (a)-[:KNOWS]->(c)
+        |RETURN a.name AS a, b.name AS b, c.name AS c""".stripMargin,
+      Seq(row("a" -> "Alice", "b" -> "Bob", "c" -> "Carol"))),
+    Scenario("self-loop-match", loops,
+      "MATCH (x)-[:S]->(x) RETURN x.v AS v", Seq(row("v" -> 1))),
+    Scenario("self-loop-not-matched-by-two-node-pattern", loops,
+      // (a)->(a) and (a)->(b): the two-distinct-var pattern still matches
+      // the loop (vars may bind the same node in openCypher)
+      "MATCH (x)-[:S]->(y) RETURN x.v AS x, y.v AS y",
+      Seq(row("x" -> 1, "y" -> 1), row("x" -> 1, "y" -> 2))),
+    Scenario("undirected-two-hop-rel-uniqueness", chain,
+      // without relationship isomorphism, bounce-backs like 1-2-1 leak in
+      """MATCH (x)-[r1:R]-(y)-[r2:R]-(z)
+        |RETURN x.v AS x, y.v AS y, z.v AS z""".stripMargin,
+      Seq(row("x" -> 1, "y" -> 2, "z" -> 3), row("x" -> 3, "y" -> 2, "z" -> 1),
+        row("x" -> 2, "y" -> 3, "z" -> 4), row("x" -> 4, "y" -> 3, "z" -> 2))),
+    Scenario("where-label-predicate-expression", social,
+      "MATCH (n) WHERE n:Admin RETURN n.name AS name",
+      Seq(row("name" -> "Dave"))),
+    Scenario("optional-match-with-inner-where", social,
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[k:KNOWS]->(q) WHERE k.since > 2014
+        |RETURN p.name AS p, q.name AS q""".stripMargin,
+      Seq(row("p" -> "Alice", "q" -> null), row("p" -> "Bob", "q" -> "Carol"),
+        row("p" -> "Carol", "q" -> "Dave"), row("p" -> "Dave", "q" -> null))),
+
+    // ---- expression edge cases
+    Scenario("int-float-equality", empty,
+      "RETURN 1 = 1.0 AS a, 2 = 2.5 AS b", Seq(row("a" -> true, "b" -> false))),
+    Scenario("exponent-and-parenthesized-base", empty,
+      "RETURN 2 ^ 10 AS p, (-3) ^ 2 AS q",
+      Seq(row("p" -> 1024.0, "q" -> 9.0))),
+    Scenario("modulo-negative-operands", empty,
+      "RETURN 7 % 3 AS a, -7 % 3 AS b, 7 % -3 AS c",
+      Seq(row("a" -> 1, "b" -> -1, "c" -> 1))),
+    Scenario("round-half-away-from-zero", empty,
+      "RETURN round(2.5) AS a, round(-2.5) AS b, round(2.4) AS c",
+      Seq(row("a" -> 3.0, "b" -> -3.0, "c" -> 2.0))),
+    Scenario("substring-beyond-length", empty,
+      "RETURN substring('abc', 1, 10) AS a, left('ab', 5) AS b, right('ab', 5) AS c",
+      Seq(row("a" -> "bc", "b" -> "ab", "c" -> "ab"))),
+    Scenario("tostring-of-scalars", empty,
+      "RETURN toString(true) AS b, toString(3.5) AS d, toString(7) AS i",
+      Seq(row("b" -> "true", "d" -> "3.5", "i" -> "7"))),
+    Scenario("string-escape-quote", empty,
+      "RETURN 'it\\'s' AS a, \"qu\\\"ote\" AS b",
+      Seq(row("a" -> "it's", "b" -> "qu\"ote"))),
+    Scenario("nested-case-expressions", social,
+      """MATCH (p:Person) RETURN p.name AS name,
+        |CASE WHEN p.age >= 40 THEN 'senior'
+        |     ELSE CASE WHEN p.age >= 30 THEN 'mid' ELSE 'junior' END
+        |END AS band""".stripMargin,
+      Seq(row("name" -> "Alice", "band" -> "mid"),
+        row("name" -> "Bob", "band" -> "junior"),
+        row("name" -> "Carol", "band" -> "mid"),
+        row("name" -> "Dave", "band" -> "senior"))),
+
+    // ---- projection / paging edges
+    Scenario("skip-beyond-rowcount", social,
+      "MATCH (p:Person) RETURN p.name AS name SKIP 100", Seq.empty),
+    Scenario("limit-beyond-rowcount", social,
+      "MATCH (p:Person) RETURN count(*) AS n LIMIT 10", Seq(row("n" -> 4))),
+    Scenario("order-by-two-keys-mixed-direction", social,
+      """MATCH (p:Person) WHERE p.city IS NOT NULL
+        |RETURN p.city AS city, p.name AS name
+        |ORDER BY city ASC, name DESC""".stripMargin,
+      Seq(row("city" -> "Berlin", "name" -> "Dave"),
+        row("city" -> "Berlin", "name" -> "Alice"),
+        row("city" -> "Paris", "name" -> "Bob")), ordered = true),
+    Scenario("return-star-after-with-projection", social,
+      """MATCH (p:Person) WITH p.name AS name, p.age AS age
+        |WHERE age < 31 RETURN * ORDER BY age""".stripMargin,
+      Seq(row("name" -> "Bob", "age" -> 25), row("name" -> "Alice", "age" -> 30)),
+      ordered = true),
+
+    // ---- parameters
+    Scenario("parameter-list-in-membership", social,
+      "MATCH (p:Person) WHERE p.name IN $names RETURN p.age AS age",
+      Seq(row("age" -> 30), row("age" -> 25)),
+      params = Map("names" -> List("Alice", "Bob"))),
+    Scenario("parameter-in-limit", social,
+      "MATCH (p:Person) RETURN p.name AS n ORDER BY n LIMIT $lim",
+      Seq(row("n" -> "Alice"), row("n" -> "Bob")), ordered = true,
+      params = Map("lim" -> 2)),
+
+    // ---- aggregation edges
+    Scenario("count-distinct-vs-plain", social,
+      """MATCH (p:Person)
+        |RETURN count(p.city) AS plain, count(DISTINCT p.city) AS dist""".stripMargin,
+      Seq(row("plain" -> 3, "dist" -> 2))),
+    Scenario("collect-distinct-size", social,
+      "MATCH (p:Person) RETURN size(collect(DISTINCT p.city)) AS n",
+      Seq(row("n" -> 2))),
+    Scenario("stdev-of-known-values", empty,
+      "UNWIND [2, 4, 4, 4, 5, 5, 7, 9] AS x RETURN stDevP(x) AS sd",
+      Seq(row("sd" -> 2.0))),
+    Scenario("percentile-disc-picks-member", empty,
+      "UNWIND [10, 20, 30, 40] AS x RETURN percentileDisc(x, 0.5) AS p",
+      Seq(row("p" -> 20))),
+    Scenario("aggregate-grouped-by-two-keys", social,
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN a.city AS city, b.city IS NULL AS dst_nocity, count(*) AS n""".stripMargin,
+      Seq(row("city" -> "Berlin", "dst_nocity" -> false, "n" -> 1),
+        row("city" -> "Berlin", "dst_nocity" -> true, "n" -> 1),
+        row("city" -> "Paris", "dst_nocity" -> true, "n" -> 1),
+        row("city" -> null, "dst_nocity" -> false, "n" -> 1))),
+
+    // ---- lists / maps edges
+    Scenario("distinct-over-map-values", empty,
+      "UNWIND [{a: 1}, {a: 1}, {a: 2}] AS m RETURN DISTINCT m",
+      Seq(row("m" -> Map("a" -> 1)), row("m" -> Map("a" -> 2)))),
+    Scenario("in-over-list-of-lists", empty,
+      "RETURN [1, 2] IN [[1, 2], [3]] AS a, [1] IN [[1, 2]] AS b",
+      Seq(row("a" -> true, "b" -> false)))
   )
 
   // --------------------------------------------------------- blacklist
