@@ -839,7 +839,60 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("m" -> Map("a" -> 1)), row("m" -> Map("a" -> 2)))),
     Scenario("in-over-list-of-lists", empty,
       "RETURN [1, 2] IN [[1, 2], [3]] AS a, [1] IN [[1, 2]] AS b",
-      Seq(row("a" -> true, "b" -> false)))
+      Seq(row("a" -> true, "b" -> false))),
+
+    // ---- harder shapes: var-length composition, scope-order projection
+    Scenario("varlength-undirected", chain,
+      "MATCH (a {v: 2})-[:R*1..1]-(b) RETURN b.v AS v",
+      Seq(row("v" -> 1), row("v" -> 3))),
+    Scenario("varlength-alternate-types", social,
+      "MATCH (a {name: 'Alice'})-[:KNOWS|LIKES*1..1]->(b) RETURN b.name AS n",
+      Seq(row("n" -> "Bob"), row("n" -> "Carol"), row("n" -> "R2"))),
+    Scenario("two-varlength-hops-in-one-pattern", chain,
+      """MATCH (a {v: 1})-[:R*1..2]->(b)-[:R*1..2]->(c)
+        |RETURN b.v AS b, c.v AS c""".stripMargin,
+      Seq(row("b" -> 2, "c" -> 3), row("b" -> 2, "c" -> 4),
+        row("b" -> 3, "c" -> 4))),
+    Scenario("optional-varlength-no-match", chain,
+      """MATCH (a {v: 4}) OPTIONAL MATCH (a)-[:R*1..2]->(b)
+        |RETURN a.v AS a, b.v AS b""".stripMargin,
+      Seq(row("a" -> 4, "b" -> null))),
+    Scenario("exists-with-varlength-pattern", chain,
+      "MATCH (a) WHERE (a)-[:R*2..2]->() RETURN a.v AS v",
+      Seq(row("v" -> 1), row("v" -> 2))),
+    Scenario("pattern-predicate-with-prop-map", social,
+      "MATCH (a) WHERE (a)-[:KNOWS]->({name: 'Bob'}) RETURN a.name AS n",
+      Seq(row("n" -> "Alice"))),
+    Scenario("order-by-non-projected-variable", social,
+      "MATCH (p:Person) RETURN p.age AS age ORDER BY p.name DESC",
+      Seq(row("age" -> 40), row("age" -> 35), row("age" -> 25),
+        row("age" -> 30)), ordered = true),
+    Scenario("count-distinct-nodes", social,
+      """MATCH (a:Person)-[:KNOWS]->(b)
+        |RETURN count(DISTINCT a) AS n""".stripMargin,
+      Seq(row("n" -> 3))),
+    Scenario("unwind-then-varlength-match", chain,
+      """UNWIND [1, 3] AS start
+        |MATCH (a {v: start})-[:R*1..1]->(b)
+        |RETURN start AS s, b.v AS b""".stripMargin,
+      Seq(row("s" -> 1, "b" -> 2), row("s" -> 3, "b" -> 4))),
+    Scenario("with-skip-and-limit-window", social,
+      """MATCH (p:Person) WITH p ORDER BY p.age SKIP 1 LIMIT 2
+        |RETURN p.name AS n ORDER BY n""".stripMargin,
+      Seq(row("n" -> "Alice"), row("n" -> "Carol")), ordered = true),
+    Scenario("return-distinct-whole-node", social,
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN count(*) AS n
+        |UNION
+        |MATCH (x) RETURN count(DISTINCT x) AS n""".stripMargin,
+      Seq(row("n" -> 4), row("n" -> 5))),
+    Scenario("long-with-pipeline", social,
+      """MATCH (p:Person) WITH p WHERE p.age > 24
+        |WITH p.name AS name, p.age AS age WHERE age < 40
+        |WITH name, age ORDER BY age DESC LIMIT 2
+        |RETURN name, age ORDER BY name""".stripMargin,
+      Seq(row("name" -> "Alice", "age" -> 30),
+        row("name" -> "Carol", "age" -> 35)), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
