@@ -177,6 +177,15 @@ object CypherQueries {
           |       max(o.o_totalprice) AS hi
           |ORDER BY seg""".stripMargin)
     }),
+    // named paths (extension; reference blacklists paths in its TCK run):
+    // length/nodes/relationships over a var-length traversal — all pure
+    // column combinations over ids the pattern already carries
+    "c27_named_path" -> ((s, dir) => run(s, dir,
+      """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN c.c_custkey AS ck, length(p) AS len, size(nodes(p)) AS nn,
+        |       size(relationships(p)) AS nr,
+        |       coalesce(x.n_name, x.r_name) AS xname
+        |ORDER BY ck, xname""".stripMargin)),
     // CONSTRUCT (§2.5): derived graph queried back through the engine
     "c21_construct" -> ((s, dir) => {
       val gs = sessions.getOrElseUpdate(s, GraftSession(s))
@@ -319,6 +328,17 @@ object CypherQueries {
       """SELECT year(l_shipdate)::BIGINT AS y, month(l_shipdate)::BIGINT AS m,
         |       count(*) AS n
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "c27_named_path" ->
+      """SELECT ck, len, nn, nr, xname FROM (
+        |  SELECT c_custkey AS ck, CAST(1 AS BIGINT) AS len,
+        |         CAST(2 AS BIGINT) AS nn, CAST(1 AS BIGINT) AS nr,
+        |         n_name AS xname
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 3, 2, r_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |) ORDER BY ck, xname""".stripMargin
   )
 }

@@ -53,6 +53,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case nb: NodeBinding => col(s"`${nb.idCol}`")
       case rb: RelBinding => col(s"`${rb.idCol}`")
       case rl: RelListBinding => col(s"`${rl.col}`")
+      case pb: PathBinding => ExprCompiler.pathStruct(pb)
     }
     case Param(n) => litAny(params.getOrElse(n,
       throw new IllegalArgumentException(s"missing parameter $$$n")))
@@ -73,6 +74,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _: RelListBinding =>
         throw new IllegalArgumentException(
           s"property access on var-length relationship list `$n`")
+      case _: PathBinding =>
+        throw new IllegalArgumentException(s"property access on path `$n`")
     }
     case Property(b, key) => extractField(compile(b), key, typeOf(b))
 
@@ -281,6 +284,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     }
 
   /** scalar function dispatch (SURVEY §2.3 inventory). */
+  private def pathBindingOf(e: Expr): Option[PathBinding] = e match {
+    case Var(n) if !lambdaEnv.contains(n) =>
+      header.get(n).collect { case pb: PathBinding => pb }
+    case _ => None
+  }
+
   private def compileFunction(f: Func): Column = {
     def a(i: Int) = compile(f.args(i))
     lazy val a0 = a(0)
@@ -367,6 +376,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             s"shiftRightUnsigned amount must be a literal, got $other")
         })
 
+      // path functions (extension beyond the reference, which blacklists
+      // paths in its TCK run): all three are pure column combinations over
+      // ids the pattern already carries — no extra scan or join.
+      case "length" | "size" if pathBindingOf(f.args(0)).isDefined =>
+        ExprCompiler.pathLength(pathBindingOf(f.args(0)).get)
+      case "nodes" =>
+        val pb = pathBindingOf(f.args(0)).getOrElse(throw
+          new IllegalArgumentException("nodes() expects a named path variable"))
+        ExprCompiler.pathNodes(pb)
+      case "relationships" | "rels" =>
+        val pb = pathBindingOf(f.args(0)).getOrElse(throw
+          new IllegalArgumentException(
+            "relationships() expects a named path variable"))
+        ExprCompiler.pathRels(pb)
       case "size" | "length" => typeOf(f.args(0)) match {
         case StringType => length(a0).cast(LongType)
         case _ => size(a0).cast(LongType)
@@ -615,6 +638,62 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 object ExprCompiler {
   val aggregateNames: Set[String] = Set("count", "sum", "avg", "min", "max",
     "collect", "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  // ------------------------------------------------------- named paths
+  // A path is rendered from id columns the pattern already carries:
+  // nodes(p)/relationships(p)/length(p) are pure column combinations —
+  // no extra scan, join, or shuffle.
+  private def emptyIds: Column = array().cast(ArrayType(LongType, false))
+
+  /** a path is null (OPTIONAL MATCH non-match) iff any of its element ids
+    * is: on a non-match the unshared rel/node columns come back null from
+    * the left-outer join (a matched zero-length segment is an EMPTY list,
+    * never null, so this misfires on no real path). */
+  private def nullGuard(pb: PathBinding, c: Column): Column = {
+    val ids = pb.nodeIdCols.map(n => col(s"`$n`")) ++ pb.segs.map {
+      case SingleSeg(r) => col(s"`$r`")
+      case VarSeg(l, _) => col(s"`$l`")
+    }
+    when(ids.map(_.isNull).reduce(_ || _), lit(null)).otherwise(c)
+  }
+
+  /** ordered node ids: [n0] ++ innerNodes(seg0) ++ [n1] ++ ... A
+    * zero-length var segment traverses nothing (dst IS src), so it
+    * contributes no node — openCypher: a length-0 path has one node. */
+  def pathNodes(pb: PathBinding): Column = {
+    val head = array(col(s"`${pb.nodeIdCols.head}`"))
+    val pieces = pb.segs.zipWithIndex.map { case (seg, i) =>
+      val dst = array(col(s"`${pb.nodeIdCols(i + 1)}`"))
+      seg match {
+        case _: SingleSeg => dst
+        case VarSeg(l, inner) =>
+          when(size(col(s"`$l`")) === 0, emptyIds)
+            .otherwise(concat(col(s"`$inner`"), dst))
+      }
+    }
+    nullGuard(pb, if (pieces.isEmpty) head else concat(head +: pieces: _*))
+  }
+
+  /** ordered relationship ids across all segments. */
+  def pathRels(pb: PathBinding): Column =
+    nullGuard(pb,
+      if (pb.segs.isEmpty) emptyIds
+      else concat(pb.segs.map {
+        case SingleSeg(r) => array(col(s"`$r`"))
+        case VarSeg(l, _) => col(s"`$l`")
+      }: _*))
+
+  /** length(p) = number of relationships. */
+  def pathLength(pb: PathBinding): Column =
+    nullGuard(pb, pb.segs.map {
+      case SingleSeg(_) => lit(1L)
+      case VarSeg(l, _) => size(col(s"`$l`")).cast(LongType)
+    }.foldLeft(lit(0L))(_ + _))
+
+  /** a path value rendered as a struct of its node and rel id lists. */
+  def pathStruct(pb: PathBinding): Column =
+    nullGuard(pb,
+      struct(pathNodes(pb).as("@nodes"), pathRels(pb).as("@rels")))
 }
 
 /** Plan-time ISO-8601 duration parser (`P1Y2M3W4DT5H6M7.5S`) — own

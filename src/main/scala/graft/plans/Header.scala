@@ -36,6 +36,28 @@ case class RelListBinding(col: String, types: Set[String]) extends Binding {
   def columns: Seq[String] = Seq(col)
 }
 
+/** one relationship segment of a named path. */
+sealed trait PathSeg { def columns: Seq[String] }
+/** single-hop segment: the relationship's id column. */
+case class SingleSeg(relIdCol: String) extends PathSeg {
+  def columns: Seq[String] = Seq(relIdCol)
+}
+/** var-length segment: traversed rel ids + interior node ids, in order. */
+case class VarSeg(relListCol: String, innerNodesCol: String) extends PathSeg {
+  def columns: Seq[String] = Seq(relListCol, innerNodesCol)
+}
+
+/** named path (`p = (a)-[r]->(b)`): ordered node-id columns interleaved
+  * with relationship segments. Columns are shared with the pattern-element
+  * bindings (Header.columns dedups); a projection that keeps only the path
+  * therefore keeps exactly the id/list columns it needs — no payload.
+  * The reference blacklists paths in its TCK run; this engine supports
+  * length/nodes/relationships and path rendering as an extension. */
+case class PathBinding(nodeIdCols: Seq[String], segs: Seq[PathSeg])
+    extends Binding {
+  def columns: Seq[String] = (nodeIdCols ++ segs.flatMap(_.columns)).distinct
+}
+
 case class Header(bindings: ListMap[String, Binding]) {
   def apply(v: String): Binding = bindings.getOrElse(v,
     throw new IllegalArgumentException(

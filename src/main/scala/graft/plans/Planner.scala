@@ -404,6 +404,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def planPart(graph: PropertyGraph, state: PState, part: PatternPart,
       relIds: scala.collection.mutable.ArrayBuffer[RelId]): PState = {
     val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
+    // named path (`p = ...`): record node vars and rel segments in order
+    val named = part.pathName.isDefined
+    val pathNodes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pathSegs = scala.collection.mutable.ArrayBuffer.empty[PathSeg]
 
     def nodeVarName(np: NodePattern): String =
       np.variable.getOrElse(fresh("@n"))
@@ -412,6 +416,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // materialized triplet binds src+rel+dst from ONE scan (zero joins);
     // otherwise scan the node table
     val startVar = nodeVarName(part.start)
+    if (named) pathNodes += startVar
     var rest = part.chain
     var prevVar = startVar
     var st = {
@@ -425,6 +430,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             dstVar0, node0, Some(part.start), propPreds).map { st2 =>
             relIds += RelId(st2.header(relVar0).asInstanceOf[RelBinding].idCol,
               isList = false, types = rel0.types.toSet)
+            if (named) {
+              pathSegs += SingleSeg(
+                st2.header(relVar0).asInstanceOf[RelBinding].idCol)
+              pathNodes += dstVar0
+            }
             prevVar = dstVar0
             rest = rest.tail
             st2
@@ -444,21 +454,35 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           relIds += RelId(st2.header(relVar).asInstanceOf[RelBinding].idCol,
             isList = false,
             types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
+          if (named)
+            pathSegs += SingleSeg(
+              st2.header(relVar).asInstanceOf[RelBinding].idCol)
           st2
         case Some((lo, hi)) =>
+          val innerCol = if (named) Some(fresh(s"${relVar}_inner")) else None
           val st2 = expandVarLength(graph, st, prevVar, relVar, rel, dstVar,
-            node, lo, hi.getOrElse(maxVarLength), propPreds)
-          relIds += RelId(st2.header(relVar).asInstanceOf[RelListBinding].col,
-            isList = true,
+            node, lo, hi.getOrElse(maxVarLength), propPreds, innerCol)
+          val listCol = st2.header(relVar).asInstanceOf[RelListBinding].col
+          relIds += RelId(listCol, isList = true,
             types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
+          innerCol.foreach(ic => pathSegs += VarSeg(listCol, ic))
           st2
       }
+      if (named) pathNodes += dstVar
       prevVar = dstVar
     }
 
     // inline property predicates ({k: v} maps) + label predicates on bound vars
-    propPreds.foldLeft(st) { (s, pred) =>
+    val filtered = propPreds.foldLeft(st) { (s, pred) =>
       s.copy(df = s.df.where(compiler(s).compile(pred)))
+    }
+    part.pathName match {
+      case Some(pn) =>
+        val nodeIds = pathNodes.toSeq.map(v =>
+          filtered.header(v).asInstanceOf[NodeBinding].idCol)
+        filtered.copy(header = filtered.header +
+          (pn -> PathBinding(nodeIds, pathSegs.toSeq)))
+      case None => filtered
     }
   }
 
@@ -721,7 +745,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def expandVarLength(graph: PropertyGraph, state: PState,
       srcVar: String, relVar: String, rel: RelPattern, dstVar: String,
       dstNp: NodePattern, lo: Int, hi: Int,
-      propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr],
+      innerCol: Option[String] = None): PState = {
     require(lo >= 0 && hi >= lo, s"invalid var-length bounds [*$lo..$hi]")
     require(hi <= 30, s"var-length upper bound $hi too large (cap 30)")
 
@@ -742,8 +767,18 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       NodeBinding(s0.idCol, s0.labelCols, s0.propCols, dstNp.labels.toSet)
     }
     val outCols: Seq[String] =
-      state.header.columns ++ (listCol +:
-        (if (dstBound.isEmpty) dstB.columns else Seq.empty))
+      state.header.columns ++ (listCol +: innerCol.toSeq) ++
+        (if (dstBound.isEmpty) dstB.columns else Seq.empty)
+
+    // named-path support: interior node ids per branch (dst of every step
+    // but the last) as an extra list column
+    def withInner(df: DataFrame, ids: Seq[Column]): DataFrame =
+      innerCol match {
+        case Some(c) if ids.nonEmpty => df.withColumn(c, array(ids: _*))
+        case Some(c) =>
+          df.withColumn(c, array().cast(ArrayType(LongType, false)))
+        case None => df
+      }
 
     // One physical relationship scan shared by every unrolled step: the
     // plan references it 1+2+…+k times, so persist once (the reference's
@@ -814,27 +849,32 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         // reference: VarLengthExpandPlanner lower-bound-0 case).
         dstBound match {
           case Some(b) =>
-            state.df.where(col(s"`${srcB.idCol}`") === col(s"`${b.idCol}`"))
-              .withColumn(listCol, array().cast(ArrayType(LongType, false)))
+            withInner(state.df
+              .where(col(s"`${srcB.idCol}`") === col(s"`${b.idCol}`"))
+              .withColumn(listCol, array().cast(ArrayType(LongType, false))),
+              Seq.empty)
               .select(outCols.map(c => col(s"`$c`")): _*)
           case None =>
             // join the dst node scan on id equality so dst carries its FULL
             // property/label set — copying the (label-restricted) src scan's
             // columns would null out properties the node actually has.
             val s0 = dstScan0.get
-            state.df
+            withInner(state.df
               .join(s0.df, col(s"`${srcB.idCol}`") === col(s"`${s0.idCol}`"),
                 "inner")
-              .withColumn(listCol, array().cast(ArrayType(LongType, false)))
+              .withColumn(listCol, array().cast(ArrayType(LongType, false))),
+              Seq.empty)
               .select(outCols.map(c => col(s"`$c`")): _*)
         }
       } else {
         var df = state.df
         var prevOut: Column = col(s"`${srcB.idCol}`")
         val stepIds = scala.collection.mutable.ArrayBuffer.empty[String]
+        val stepDsts = scala.collection.mutable.ArrayBuffer.empty[String]
         (1 to k).foreach { _ =>
           val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
           df = df.join(relDf, prevOut === col(s"`$tSrc`"), "inner")
+          stepDsts += tDst
           // inline {k: v} property map applies to EVERY traversed step
           // (reference: VarLengthExpandPlanner.scala:107-135). Already
           // folded into the cached scan when self-contained; otherwise
@@ -854,6 +894,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         for (i <- stepIds.indices; j <- (i + 1) until stepIds.size)
           df = df.where(col(s"`${stepIds(i)}`") =!= col(s"`${stepIds(j)}`"))
         df = df.withColumn(listCol, array(stepIds.toSeq.map(c => col(s"`$c`")): _*))
+        df = withInner(df,
+          stepDsts.toSeq.dropRight(1).map(c => col(s"`$c`")))
         // terminal node
         dstBound match {
           case Some(b) =>
@@ -1413,6 +1455,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
               col(s"`${rb.dstCol}`").as("@dst") +: col(s"`${rb.typCol}`").as("@type") +:
               props): _*))
         case rl: RelListBinding => col(s"`${rl.col}`")
+        case pb: PathBinding => ExprCompiler.pathStruct(pb)
       }).as(name)
     }
     state.df.select(cols: _*)
