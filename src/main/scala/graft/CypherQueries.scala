@@ -186,6 +186,16 @@ object CypherQueries {
         |       size(relationships(p)) AS nr,
         |       coalesce(x.n_name, x.r_name) AS xname
         |ORDER BY ck, xname""".stripMargin)),
+    // shortestPath (extension): endpoint-pair window + min-length filter.
+    // The TPC-H FK graph is layered, so every reachable pair here has a
+    // unique path — this gates the full plumbing (expand → window →
+    // filter → path length) end to end; ShortestPathSpec's diamond
+    // fixtures cover the non-vacuous min/tie semantics.
+    "c28_shortest" -> ((s, dir) => run(s, dir,
+      """MATCH p = shortestPath((c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x))
+        |RETURN c.c_custkey AS ck, length(p) AS len,
+        |       coalesce(x.n_name, x.r_name) AS xname
+        |ORDER BY ck, xname""".stripMargin)),
     // CONSTRUCT (§2.5): derived graph queried back through the engine
     "c21_construct" -> ((s, dir) => {
       val gs = sessions.getOrElseUpdate(s, GraftSession(s))
@@ -337,6 +347,15 @@ object CypherQueries {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL
         |  SELECT c_custkey, 2, 3, 2, r_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |) ORDER BY ck, xname""".stripMargin,
+    "c28_shortest" ->
+      """SELECT ck, len, xname FROM (
+        |  SELECT c_custkey AS ck, CAST(1 AS BIGINT) AS len, n_name AS xname
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT c_custkey, 2, r_name
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |                JOIN region ON n_regionkey = r_regionkey
         |) ORDER BY ck, xname""".stripMargin

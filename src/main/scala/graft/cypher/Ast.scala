@@ -106,9 +106,16 @@ object Ast {
       properties: Seq[(String, Expr)], direction: Direction,
       varLength: Option[(Int, Option[Int])])
 
-  /** A single `(a)-[r]->(b)-...` chain, optionally named `p = ...`. */
+  /** shortestPath(...) / allShortestPaths(...) wrapper mode. */
+  sealed trait ShortestMode
+  case object ShortestOne extends ShortestMode
+  case object ShortestAll extends ShortestMode
+
+  /** A single `(a)-[r]->(b)-...` chain, optionally named `p = ...` and
+    * optionally wrapped in shortestPath()/allShortestPaths(). */
   case class PatternPart(pathName: Option[String], start: NodePattern,
-      chain: Seq[(RelPattern, NodePattern)])
+      chain: Seq[(RelPattern, NodePattern)],
+      shortest: Option[ShortestMode] = None)
 
   case class Pattern(parts: Seq[PatternPart])
 

@@ -248,10 +248,19 @@ object CypherParser extends RegexParsers {
     case None => RelPattern(None, Nil, Nil, dir, None)
   }
 
+  private def patternBody: Parser[(NodePattern, Seq[(RelPattern, NodePattern)])] =
+    nodePattern ~ rep(relPattern ~ nodePattern) ^^ {
+      case n ~ chain => (n, chain.map(c => (c._1, c._2))) }
+
   def patternPart: Parser[PatternPart] =
-    opt(ident <~ "=") ~ nodePattern ~ rep(relPattern ~ nodePattern) ^^ {
-      case name ~ n ~ chain =>
-        PatternPart(name, n, chain.map(c => (c._1, c._2))) }
+    opt(ident <~ "=") ~ (
+      (K("allshortestpaths") ~> "(" ~> patternBody <~ ")" ^^ {
+        b => (b, Some(ShortestAll: ShortestMode)) }) |
+      (K("shortestpath") ~> "(" ~> patternBody <~ ")" ^^ {
+        b => (b, Some(ShortestOne: ShortestMode)) }) |
+      (patternBody ^^ { b => (b, None: Option[ShortestMode]) })
+    ) ^^ { case name ~ ((body, mode)) =>
+      PatternPart(name, body._1, body._2, mode) }
 
   def pattern: Parser[Pattern] =
     rep1sep(patternPart, ",") ^^ Pattern.apply

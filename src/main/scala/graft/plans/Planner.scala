@@ -3,6 +3,7 @@ package graft.plans
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -408,6 +409,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val named = part.pathName.isDefined
     val pathNodes = scala.collection.mutable.ArrayBuffer.empty[String]
     val pathSegs = scala.collection.mutable.ArrayBuffer.empty[PathSeg]
+    var lastVarList: Option[String] = None
 
     def nodeVarName(np: NodePattern): String =
       np.variable.getOrElse(fresh("@n"))
@@ -466,6 +468,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           relIds += RelId(listCol, isList = true,
             types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
           innerCol.foreach(ic => pathSegs += VarSeg(listCol, ic))
+          lastVarList = Some(listCol)
           st2
       }
       if (named) pathNodes += dstVar
@@ -473,8 +476,40 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
 
     // inline property predicates ({k: v} maps) + label predicates on bound vars
-    val filtered = propPreds.foldLeft(st) { (s, pred) =>
+    val preShortest = propPreds.foldLeft(st) { (s, pred) =>
       s.copy(df = s.df.where(compiler(s).compile(pred)))
+    }
+    // shortestPath()/allShortestPaths() (extension beyond the reference):
+    // keep, per (start, end) pair, only the minimum-length paths. One
+    // window shuffle keyed by the endpoint ids — the grouping any shortest
+    // path formulation needs; the var-length expand above bounds search
+    // depth. shortestPath picks ONE deterministic winner per pair
+    // (tie-break: lexicographically smallest rel-id list).
+    val filtered = part.shortest match {
+      case None => preShortest
+      case Some(mode) =>
+        require(part.chain.size == 1 && part.chain.head._1.varLength.isDefined,
+          "shortestPath() requires a single var-length relationship pattern")
+        val listC = col(s"`${lastVarList.get}`")
+        val srcId = col(
+          s"`${preShortest.header(startVar).asInstanceOf[NodeBinding].idCol}`")
+        val dstId = col(
+          s"`${preShortest.header(prevVar).asInstanceOf[NodeBinding].idCol}`")
+        val lenC = size(listC)
+        val df = mode match {
+          case ShortestAll =>
+            val minC = fresh("@minlen")
+            preShortest.df
+              .withColumn(minC, min(lenC).over(Window.partitionBy(srcId, dstId)))
+              .where(lenC === col(s"`$minC`")).drop(minC)
+          case ShortestOne =>
+            val rnC = fresh("@rn")
+            preShortest.df
+              .withColumn(rnC, row_number().over(
+                Window.partitionBy(srcId, dstId).orderBy(lenC.asc, listC.asc)))
+              .where(col(s"`$rnC`") === 1).drop(rnC)
+        }
+        preShortest.copy(df = df)
     }
     part.pathName match {
       case Some(pn) =>

@@ -65,6 +65,14 @@ class TckStyleSpec extends AnyFunSuite {
     CREATE (a)-[:S]->(b)
   """
   val empty: String = ""
+  // two equal-length routes a→d (via b, via c): shortest-path tie
+  val tie: String = """
+    CREATE (a:T {n: 'a'}), (b:T {n: 'b'}), (c:T {n: 'c'}), (d:T {n: 'd'})
+    CREATE (a)-[:E]->(b)
+    CREATE (a)-[:E]->(c)
+    CREATE (b)-[:E]->(d)
+    CREATE (c)-[:E]->(d)
+  """
 
   // --------------------------------------------------------- normalize
   /** canonical JVM form: integers → Long, fp → Double, structs → sorted
@@ -892,7 +900,61 @@ class TckStyleSpec extends AnyFunSuite {
         |WITH name, age ORDER BY age DESC LIMIT 2
         |RETURN name, age ORDER BY name""".stripMargin,
       Seq(row("name" -> "Alice", "age" -> 30),
-        row("name" -> "Carol", "age" -> 35)), ordered = true)
+        row("name" -> "Carol", "age" -> 35)), ordered = true),
+
+    // ---- named paths & shortest paths (extension; the reference
+    // blacklists path scenarios in its TCK run)
+    Scenario("path-length-single-hop", social,
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)
+        |RETURN b.name AS name, length(p) AS len""".stripMargin,
+      Seq(row("name" -> "Bob", "len" -> 1), row("name" -> "Carol", "len" -> 1))),
+    Scenario("path-varlength-lengths", social,
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(x)
+        |RETURN x.name AS name, length(p) AS len""".stripMargin,
+      Seq(row("name" -> "Bob", "len" -> 1), row("name" -> "Carol", "len" -> 1),
+        row("name" -> "Carol", "len" -> 2), row("name" -> "Dave", "len" -> 2))),
+    Scenario("path-nodes-size-filter", social,
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(x)
+        |WHERE size(nodes(p)) = 3 RETURN x.name AS name""".stripMargin,
+      Seq(row("name" -> "Carol"), row("name" -> "Dave"))),
+    Scenario("path-relationships-equals-length", social,
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(x)
+        |RETURN size(relationships(p)) = length(p) AS same""".stripMargin,
+      Seq(row("same" -> true), row("same" -> true),
+        row("same" -> true), row("same" -> true))),
+    Scenario("path-zero-length", loops,
+      """MATCH p = (a:L {v: 1})-[:S*0..0]->(x)
+        |RETURN length(p) AS len, x.v AS v""".stripMargin,
+      Seq(row("len" -> 0, "v" -> 1))),
+    Scenario("path-self-loop", loops,
+      "MATCH p = (a:L {v: 1})-[:S*1..1]->(a) RETURN length(p) AS len",
+      Seq(row("len" -> 1))),
+    Scenario("path-optional-null", social,
+      """MATCH (r:Robot) OPTIONAL MATCH p = (r)-[:KNOWS]->(x)
+        |RETURN r.name AS rn, length(p) AS len""".stripMargin,
+      Seq(row("rn" -> "R2", "len" -> null))),
+    Scenario("path-multi-segment", chain,
+      """MATCH p = (a:N {v: 1})-[:R]->(b)-[:R*1..2]->(c)
+        |RETURN c.v AS v, length(p) AS len""".stripMargin,
+      Seq(row("v" -> 3, "len" -> 2), row("v" -> 4, "len" -> 3))),
+    Scenario("shortestpath-prefers-direct-edge", social,
+      """MATCH p = shortestPath(
+        |  (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(c:Person {name: 'Carol'}))
+        |RETURN length(p) AS len""".stripMargin,
+      Seq(row("len" -> 1))),
+    Scenario("allshortestpaths-keeps-ties", tie,
+      """MATCH p = allShortestPaths((a:T {n: 'a'})-[:E*1..3]->(d:T {n: 'd'}))
+        |RETURN length(p) AS len""".stripMargin,
+      Seq(row("len" -> 2), row("len" -> 2))),
+    Scenario("shortestpath-one-winner-among-ties", tie,
+      """MATCH p = shortestPath((a:T {n: 'a'})-[:E*1..3]->(d:T {n: 'd'}))
+        |RETURN length(p) AS len""".stripMargin,
+      Seq(row("len" -> 2))),
+    Scenario("shortestpath-per-endpoint-pair", tie,
+      """MATCH p = shortestPath((a:T {n: 'a'})-[:E*1..3]->(x:T))
+        |RETURN x.n AS n, length(p) AS len""".stripMargin,
+      Seq(row("n" -> "b", "len" -> 1), row("n" -> "c", "len" -> 1),
+        row("n" -> "d", "len" -> 2)))
   )
 
   // --------------------------------------------------------- blacklist
