@@ -118,6 +118,22 @@ object PipelineQueries {
       Dedup.connectedComponents(e, "vec_id", pairs, "id_a", "id_b")
         .orderBy("id")
     }),
+    // unbounded BFS hop counts via GraphX Pregel (the interop scale path
+    // past the Cypher shortestPath()'s bounded unroll): distance from
+    // every customer to its region over the TPC-H FK graph. Landmarks
+    // are a driver-side list by design (schema-scale: one per region).
+    "p22_graph_distances" -> ((s, dir) => {
+      val g = graft.sources.TpchGraph.load(s, dir)
+      val regions = g.nodeTables.find(_.labels == Set("Region")).get
+      val landmarks = regions.df.select(col(regions.idCol))
+        .collect().map(_.getLong(0)).toSeq
+      val dists = graft.interop.GraphXExport.shortestPathLengths(g, landmarks,
+        relTypes = Set("IN_NATION", "IN_REGION"))
+      val cust = g.nodeTables.find(_.labels == Set("Customer")).get
+      dists.join(cust.df, dists("id") === col(cust.idCol))
+        .select(col("c_custkey").as("ck"), col("dist"))
+        .orderBy("ck")
+    }),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -370,6 +386,9 @@ object PipelineQueries {
         |)
         |SELECT id, min(r)::BIGINT AS cluster
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "p22_graph_distances" ->
+      """SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS dist
+        |FROM customer ORDER BY ck""".stripMargin,
     "p12_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

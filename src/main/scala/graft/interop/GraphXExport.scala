@@ -38,4 +38,42 @@ object GraphXExport {
     import spark.implicits._
     toGraphX(graph).pageRank(tol).vertices.toDF("id", "rank")
   }
+
+  /** Unbounded BFS shortest-path hop counts to landmark nodes via Pregel
+    * (`graphx.lib.ShortestPaths`) — the scale path when the Cypher-level
+    * `shortestPath()`'s bounded unroll would be too deep: each Pregel
+    * round is one join-shaped shuffle and only frontier deltas
+    * propagate, so depth costs rounds, not an exponential path union.
+    * Returns (id, landmark, dist) rows for every vertex that reaches a
+    * landmark following edge direction (or either way if `undirected`).
+    */
+  def shortestPathLengths(graph: PropertyGraph, landmarks: Seq[Long],
+      undirected: Boolean = false,
+      relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    // build from ONLY the selected relationship tables: node tables are
+    // never scanned (vertices derive from edge endpoints), so a
+    // type-restricted BFS over a 100 TB graph reads just the relevant
+    // edge lists. Vertices on no selected edge are unreachable by
+    // construction and are omitted from the result.
+    val tables =
+      if (relTypes.isEmpty) graph.relTables
+      else graph.relTables.filter(t => relTypes.contains(t.relType))
+    require(tables.nonEmpty, s"no relationship tables match $relTypes")
+    val edges: RDD[Edge[String]] = tables.map { t =>
+      val tpe = t.relType
+      t.df.select(t.srcCol, t.dstCol).rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), tpe))
+    }.reduce(_ union _)
+    val oriented =
+      if (!undirected) edges
+      else edges.union(edges.map(e => Edge(e.dstId, e.srcId, e.attr)))
+    val g = XGraph.fromEdges(oriented, Set.empty[String])
+    org.apache.spark.graphx.lib.ShortestPaths.run(g, landmarks)
+      .vertices
+      .flatMap { case (id, spMap) =>
+        spMap.map { case (landmark, dist) => (id, landmark, dist.toLong) } }
+      .toDF("id", "landmark", "dist")
+  }
 }

@@ -75,6 +75,30 @@ class ShortestPathSpec extends AnyFunSuite {
       Seq(("a", "d")))
   }
 
+  test("GraphX landmark BFS agrees with the bounded shortestPath") {
+    import graft.interop.GraphXExport
+    val ids = gs.cypher(diamond, "MATCH (n:P) RETURN n.name AS name, id(n) AS i")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dists = GraphXExport.shortestPathLengths(diamond, Seq(ids("d")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dists(ids("d")) == 0)
+    assert(dists(ids("b")) == 1)
+    assert(dists(ids("a")) == 1, "direct edge must beat the 2-hop route")
+  }
+
+  test("GraphX landmark BFS undirected reaches against edge direction") {
+    import graft.interop.GraphXExport
+    val ids = gs.cypher(twin, "MATCH (n:P) RETURN n.name AS name, id(n) AS i")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directed = GraphXExport.shortestPathLengths(twin, Seq(ids("a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(directed.get(ids("d")).isEmpty, "d cannot reach a along edges")
+    val undirected = GraphXExport
+      .shortestPathLengths(twin, Seq(ids("a")), undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(undirected(ids("d")) == 2)
+  }
+
   test("zero-length lower bound: shortest to self is the empty path") {
     val df = gs.cypher(diamond,
       """MATCH p = shortestPath((a:P {name: 'a'})-[:E*0..3]->(x:P {name: 'a'}))
