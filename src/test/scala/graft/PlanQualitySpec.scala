@@ -93,4 +93,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"),
       s"shared rel scan not cached:\n$plan")
   }
+
+  test("path functions add no joins over the unnamed pattern plan") {
+    val unnamed = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |RETURN c.c_custkey AS ck""".stripMargin)
+    val named = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation)
+        |RETURN c.c_custkey AS ck, length(p) AS len""".stripMargin)
+    def joins(p: String) = "Join".r.findAllIn(p).size
+    assert(joins(planOf(named)) == joins(planOf(unnamed)),
+      "naming a path must not add joins — it is column bookkeeping only")
+  }
+
+  test("shortestPath adds exactly one window exchange, no extra joins") {
+    val plain = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN count(*) AS n""".stripMargin)
+    val shortest = gs.cypher(g,
+      """MATCH p = shortestPath((c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x))
+        |RETURN count(*) AS n""".stripMargin)
+    def joins(p: String) = "Join".r.findAllIn(p).size
+    val sp = planOf(shortest)
+    assert(sp.contains("Window"), s"expected a window operator:\n$sp")
+    assert(joins(sp) == joins(planOf(plain)),
+      "shortestPath must reuse the var-length expand's joins")
+  }
 }
