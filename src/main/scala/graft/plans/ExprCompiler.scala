@@ -103,8 +103,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       }
     case Slice(b, from, to) =>
       val c = compile(b)
-      val f = from.map(compile).getOrElse(lit(0L))
-      val t = to.map(compile).getOrElse(size(c).cast(LongType))
+      val n = size(c).cast(LongType)
+      val f0 = from.map(compile).getOrElse(lit(0L))
+      val t0 = to.map(compile).getOrElse(n)
+      // Cypher: negative indices count from the end, clamped at 0
+      val f = when(f0 < 0, greatest(n + f0, lit(0L))).otherwise(f0)
+      val t = when(t0 < 0, greatest(n + t0, lit(0L))).otherwise(t0)
       slice(c, (f + 1).cast(IntegerType), greatest(t - f, lit(0)).cast(IntegerType))
 
     case Not(x) => !compile(x)
@@ -114,15 +118,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val (a, b) = (compile(l), compile(r))
       (a && !b) || (!a && b)
 
-    case Eq(l, r) => compile(l) === compile(r)
-    case Neq(l, r) => compile(l) =!= compile(r)
-    case Lt(l, r) => compile(l) < compile(r)
-    case Lte(l, r) => compile(l) <= compile(r)
-    case Gt(l, r) => compile(l) > compile(r)
-    case Gte(l, r) => compile(l) >= compile(r)
+    // comparisons: openCypher cross-type-family semantics (equality of
+    // incomparable values is false, ordering is null — never a cast
+    // error; Spark under ANSI would throw on e.g. 'a' < 1)
+    case Eq(l, r) => compileCmp(l, r, _ === _, mismatch = Some(false))
+    case Neq(l, r) => compileCmp(l, r, _ =!= _, mismatch = Some(true))
+    case Lt(l, r) => compileCmp(l, r, _ < _, mismatch = None)
+    case Lte(l, r) => compileCmp(l, r, _ <= _, mismatch = None)
+    case Gt(l, r) => compileCmp(l, r, _ > _, mismatch = None)
+    case Gte(l, r) => compileCmp(l, r, _ >= _, mismatch = None)
     case IsNull(x) => compile(x).isNull
     case IsNotNull(x) => compile(x).isNotNull
-    case In(x, list) => array_contains(compile(list), compile(x))
+    case In(x, list) => compileIn(x, list)
     case StartsWith(l, r) => compile(l).startsWith(compile(r))
     case EndsWith(l, r) => compile(l).endsWith(compile(r))
     case Contains(l, r) => compile(l).contains(compile(r))
@@ -171,6 +178,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
 
+    case ListComprehension(_, list, _, _) if typeOf(list) == NullType =>
+      lit(null) // [x IN null | ...] is null, not a type error
     case ListComprehension(v, list, pred, proj) =>
       val base = compile(list)
       val filtered = pred match {
@@ -182,10 +191,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case None => filtered
       }
 
+    case Reduce(_, _, _, list, _) if typeOf(list) == NullType => lit(null)
     case Reduce(acc, init, v, list, step) =>
       aggregate(compile(list), compile(init),
         (a, x) => sub(Map(acc -> a, v -> x)).compile(step))
 
+    case Quantified(_, _, list, _) if typeOf(list) == NullType =>
+      lit(null).cast(BooleanType)
     case Quantified(q, v, list, pred) =>
       val c = compile(list)
       def p(x: Column) = sub(Map(v -> x)).compile(pred)
@@ -284,6 +296,67 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     }
 
   /** scalar function dispatch (SURVEY §2.3 inventory). */
+  /** openCypher comparability family: values from different families are
+    * never equal (`1 = 'a'` → false) and never ordered (`'a' < 1` → null);
+    * numeric widths/date-vs-timestamp compare within their family. */
+  private def family(t: DataType): String = t match {
+    case _: NumericType => "num"
+    case StringType => "str"
+    case BooleanType => "bool"
+    case DateType | TimestampType | TimestampNTZType => "temporal"
+    case _: ArrayType => "array"
+    case _: StructType | _: MapType => "map"
+    case t2 if isIntervalType(t2) => "interval"
+    case NullType => "null"
+    case _ => "other"
+  }
+
+  /** cross-family comparison: `mismatch` Some(v) → constant v unless an
+    * operand VALUE is null (then null, Cypher 3VL); None → always null. */
+  private def compileCmp(l: Expr, r: Expr, op: (Column, Column) => Column,
+      mismatch: Option[Boolean]): Column = {
+    val (fl, fr) = (family(typeOf(l)), family(typeOf(r)))
+    if (fl == fr || fl == "null" || fr == "null" || fl == "other" || fr == "other")
+      op(compile(l), compile(r))
+    else mismatch match {
+      case Some(v) =>
+        when(compile(l).isNull || compile(r).isNull, lit(null))
+          .otherwise(lit(v))
+      case None => lit(null).cast(BooleanType)
+    }
+  }
+
+  /** Cypher IN: membership with 3VL — `x IN []` is false even for null x;
+    * a not-found result over a list containing null is null; elements of
+    * a different type family never match (but null elements still poison). */
+  private def compileIn(x: Expr, list: Expr): Column = {
+    val tl = typeOf(list)
+    val fx = family(typeOf(x))
+    tl match {
+      case NullType => lit(null).cast(BooleanType)
+      case ArrayType(et, _) =>
+        val lc = compile(list)
+        val fe = family(et)
+        if (fx == "null")
+          when(lc.isNull, lit(null))
+            .when(size(lc) === 0, lit(false)).otherwise(lit(null))
+        else if (fe == "null")
+          when(lc.isNull, lit(null))
+            .when(size(lc) === 0, lit(false))
+            .when(compile(x).isNull, lit(null))
+            .otherwise(when(exists(lc, e => e.isNull), lit(null))
+              .otherwise(lit(false)))
+        else if (fx == fe || fx == "other" || fe == "other")
+          array_contains(lc, compile(x))
+        else // family mismatch: no element can match; nulls still poison
+          when(lc.isNull || compile(x).isNull, lit(null))
+            .when(size(lc) === 0, lit(false))
+            .otherwise(when(exists(lc, e => e.isNull), lit(null))
+              .otherwise(lit(false)))
+      case _ => array_contains(compile(list), compile(x))
+    }
+  }
+
   private def pathBindingOf(e: Expr): Option[PathBinding] = e match {
     case Var(n) if !lambdaEnv.contains(n) =>
       header.get(n).collect { case pb: PathBinding => pb }
@@ -399,7 +472,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "tail" => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "range" =>
         val step = if (f.args.size > 2) a(2) else lit(1L)
-        sequence(a0, a(1), step)
+        // Cypher: an empty range (start past stop for the step's sign) is
+        // [], where Spark's sequence() raises
+        when((step > 0 && a0 <= a(1)) || (step < 0 && a0 >= a(1)),
+          sequence(a0, a(1), step))
+          .otherwise(array().cast(ArrayType(LongType)))
       case "coalesce" => coalesce(f.args.map(compile): _*)
 
       case "id" => a0 // entity vars compile to their id column

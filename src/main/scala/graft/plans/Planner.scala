@@ -1293,8 +1293,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def planUnwind(graph: PropertyGraph, state0: PState, e0: Expr,
       v: String): PState = {
     val (state, rewritten) = rewriteComprehensions(graph, state0, Seq(e0))
-    val c = compiler(state).compile(rewritten.head)
+    val comp = compiler(state)
     val newCol = fresh(s"${v}_val")
+    // UNWIND null produces no rows (openCypher), not a type error
+    if (comp.typeOf(rewritten.head) == NullType) {
+      val df = state.df.where(lit(false)).withColumn(newCol, lit(null))
+      return PState(df, state.header + (v -> ValueBinding(newCol)))
+    }
+    val c = comp.compile(rewritten.head)
     val df = state.df.select(
       state.header.columns.map(cn => col(s"`$cn`")) :+ explode(c).as(newCol): _*)
     PState(df, state.header + (v -> ValueBinding(newCol)))

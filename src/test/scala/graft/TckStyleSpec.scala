@@ -954,7 +954,50 @@ class TckStyleSpec extends AnyFunSuite {
       """MATCH p = shortestPath((a:T {n: 'a'})-[:E*1..3]->(x:T))
         |RETURN x.n AS n, length(p) AS len""".stripMargin,
       Seq(row("n" -> "b", "len" -> 1), row("n" -> "c", "len" -> 1),
-        row("n" -> "d", "len" -> 2)))
+        row("n" -> "d", "len" -> 2))),
+
+    // ---- cross-type-family comparison semantics (openCypher: equality
+    // of incomparable values is false, ordering is null — never an error)
+    Scenario("cross-type-equality-is-false", empty,
+      "RETURN '1' = 1 AS a, 1 = true AS b, 1 <> '1' AS c",
+      Seq(row("a" -> false, "b" -> false, "c" -> true))),
+    Scenario("cross-type-ordering-is-null", empty,
+      "RETURN 'a' < 1 AS a, true > 0 AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("same-family-widths-compare", empty,
+      "RETURN 1 = 1.0 AS a, 1 < 2.5 AS b, false < true AS c",
+      Seq(row("a" -> true, "b" -> true, "c" -> true))),
+    Scenario("null-comparison-stays-null-on-mismatch", nulls,
+      """MATCH (x:X) WHERE x.k = 1
+        |RETURN x.s = 1 AS a""".stripMargin,
+      Seq(row("a" -> false))), // s='a': cross-family false, not error
+    // ---- IN edge cases (3VL membership)
+    Scenario("in-empty-list-false-even-for-null", empty,
+      "RETURN null IN [] AS a, 1 IN [] AS b",
+      Seq(row("a" -> false, "b" -> false))),
+    Scenario("in-null-poisons-miss", empty,
+      "RETURN 2 IN [1, null, 3] AS a, 3 IN [1, null, 3] AS b",
+      Seq(row("a" -> null, "b" -> true))),
+    Scenario("in-cross-family-never-matches", empty,
+      "RETURN 1 IN ['a'] AS a, 1 IN ['a', null] AS b, 1 IN [1.0] AS c",
+      Seq(row("a" -> false, "b" -> null, "c" -> true))),
+    // ---- null-input list operations
+    Scenario("comprehension-over-null-is-null", empty,
+      "RETURN [x IN null | x] AS a, size(null) AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("unwind-null-no-rows", empty,
+      "UNWIND null AS x RETURN x",
+      Seq.empty),
+    Scenario("unwind-empty-no-rows", empty,
+      "UNWIND [] AS x RETURN x",
+      Seq.empty),
+    // ---- negative list indices and empty ranges
+    Scenario("negative-slice-counts-from-end", empty,
+      "RETURN [1,2,3][-2..] AS a, [1,2,3][..-1] AS b, [1,2,3][1..-1] AS c",
+      Seq(row("a" -> List(2, 3), "b" -> List(1, 2), "c" -> List(2)))),
+    Scenario("range-wrong-direction-is-empty", empty,
+      "RETURN range(3, 1) AS a, range(3, 1, -1) AS b",
+      Seq(row("a" -> List(), "b" -> List(3, 2, 1))))
   )
 
   // --------------------------------------------------------- blacklist
