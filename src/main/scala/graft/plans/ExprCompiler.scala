@@ -28,6 +28,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     try probe().select(compile(e)).schema.head.dataType
     catch { case _: Exception => NullType }
 
+  /** result type of an aggregate column (schema-only global-agg probe). */
+  private def typeOfAgg(c: Column): DataType =
+    try probe().select(c).schema.head.dataType
+    catch { case _: Exception => LongType }
+
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
@@ -384,12 +389,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "left" => a0.substr(lit(1), a(1).cast(IntegerType))
       case "right" => a0.substr(length(a0) - a(1).cast(IntegerType) + 1, a(1).cast(IntegerType))
       case "tostring" => a0.cast(StringType)
+      // to*(): unconvertible input is null in Cypher, never an ANSI error
       case "tointeger" => typeOf(f.args(0)) match {
-        case StringType => a0.cast(DoubleType).cast(LongType)
-        case _ => a0.cast(LongType)
+        case StringType => a0.try_cast(DoubleType).try_cast(LongType)
+        case _ => a0.try_cast(LongType)
       }
-      case "tofloat" => a0.cast(DoubleType)
-      case "toboolean" => a0.cast(BooleanType)
+      case "tofloat" => a0.try_cast(DoubleType)
+      case "toboolean" => a0.try_cast(BooleanType)
       // exact decimal cast (reference: CTBigDecimal + bigdecimal(),
       // SparkSQLExprMapper.scala:473) — precision/scale must be literals
       case "bigdecimal" =>
@@ -657,8 +663,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case CountStar => count(lit(1))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
-    case Func("sum", true, args) => sum_distinct(compile(args.head))
-    case Func("sum", false, args) => sum(compile(args.head))
+    // Cypher sum() over no (non-null) input is 0, not SQL's null
+    case Func("sum", true, args) =>
+      val c = compile(args.head)
+      val s = sum_distinct(c)
+      coalesce(s, lit(0).cast(typeOfAgg(s)))
+    case Func("sum", false, args) =>
+      val c = compile(args.head)
+      val s = sum(c)
+      coalesce(s, lit(0).cast(typeOfAgg(s)))
     case Func("avg", true, args) =>
       val c = compile(args.head)
       sum_distinct(c) / count_distinct(c)

@@ -1460,7 +1460,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val comp = new ExprCompiler(header, params, () => df)
     val cols = orderBy.map { si =>
       val c = comp.compile(si.expr)
-      if (si.ascending) c.asc_nulls_last else c.desc_nulls_last
+      // openCypher: null is the LARGEST value — last under ASC, first
+      // under DESC (Spark's desc default is nulls-last, which diverges)
+      if (si.ascending) c.asc_nulls_last else c.desc_nulls_first
     }
     df.orderBy(cols: _*)
   }

@@ -997,7 +997,22 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("a" -> List(2, 3), "b" -> List(1, 2), "c" -> List(2)))),
     Scenario("range-wrong-direction-is-empty", empty,
       "RETURN range(3, 1) AS a, range(3, 1, -1) AS b",
-      Seq(row("a" -> List(), "b" -> List(3, 2, 1))))
+      Seq(row("a" -> List(), "b" -> List(3, 2, 1)))),
+    // ---- aggregate and conversion edge semantics
+    Scenario("sum-over-no-rows-is-zero", social,
+      """MATCH (p:Person) WHERE p.age > 999
+        |RETURN sum(p.age) AS s, count(p) AS c, min(p.age) AS mn""".stripMargin,
+      Seq(row("s" -> 0, "c" -> 0, "mn" -> null))),
+    Scenario("conversion-of-invalid-input-is-null", empty,
+      """RETURN toInteger('abc') AS a, toFloat('x') AS b,
+        |       toBoolean('nope') AS c, toInteger('42') AS d""".stripMargin,
+      Seq(row("a" -> null, "b" -> null, "c" -> null, "d" -> 42))),
+    Scenario("order-by-desc-puts-nulls-first", nulls,
+      "MATCH (x:X) RETURN x.k AS k ORDER BY k DESC",
+      Seq(row("k" -> null), row("k" -> 2), row("k" -> 1)), ordered = true),
+    Scenario("order-by-asc-puts-nulls-last", nulls,
+      "MATCH (x:X) RETURN x.k AS k ORDER BY k ASC",
+      Seq(row("k" -> 1), row("k" -> 2), row("k" -> null)), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
