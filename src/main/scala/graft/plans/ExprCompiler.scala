@@ -82,7 +82,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _: PathBinding =>
         throw new IllegalArgumentException(s"property access on path `$n`")
     }
-    case Property(b, key) => extractField(compile(b), key, typeOf(b))
+    case Property(b, key) =>
+      typeOf(b) match {
+        case NullType => lit(null) // null.prop is null, not a type error
+        case t => extractField(compile(b), key, t)
+      }
 
     case HasLabels(b, labels) => b match {
       case Var(n) => header(n) match {
@@ -98,6 +102,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val c = compile(b)
       val t = typeOf(b)
       t match {
+        case NullType => lit(null) // null[k] is null, not a type error
         case _: MapType | _: StructType => extractFieldDyn(c, compile(i), i)
         case _ =>
           val idx = compile(i)
@@ -368,9 +373,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _ => None
   }
 
+  /** entity/path functions where a null (NullType) argument must yield
+    * null rather than a plan-time type error. */
+  private val nullPropagating = Set("keys", "labels", "properties", "type",
+    "startnode", "endnode", "nodes", "relationships")
+
   private def compileFunction(f: Func): Column = {
     def a(i: Int) = compile(f.args(i))
     lazy val a0 = a(0)
+    if (nullPropagating(f.name) && f.args.nonEmpty &&
+        typeOf(f.args(0)) == NullType) return lit(null)
     f.name match {
       case "toupper" | "upper" => upper(a0)
       case "tolower" | "lower" => lower(a0)
@@ -498,8 +510,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case nb: NodeBinding =>
             val entries = nb.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
               when(col(s"`$c`"), lit(l)) }
-            if (entries.isEmpty) array()
-            else filter(array(entries: _*), x => x.isNotNull)
+            val arr =
+              if (entries.isEmpty) array()
+              else filter(array(entries: _*), x => x.isNotNull)
+            // a null node (OPTIONAL MATCH non-match) has null labels, not []
+            when(col(s"`${nb.idCol}`").isNull, lit(null)).otherwise(arr)
           case _ => throw new IllegalArgumentException("labels() expects a node")
         }
         case _ => throw new IllegalArgumentException("labels() expects a node variable")
@@ -507,15 +522,17 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "keys" => f.args(0) match {
         case Var(n) if !lambdaEnv.contains(n) && header.get(n).exists {
             case _: NodeBinding | _: RelBinding => true; case _ => false } =>
-          val props = header(n) match {
-            case nb: NodeBinding => nb.propCols
-            case rb: RelBinding => rb.propCols
-            case _ => Map.empty[String, String]
+          val (idc, props) = header(n) match {
+            case nb: NodeBinding => (nb.idCol, nb.propCols)
+            case rb: RelBinding => (rb.idCol, rb.propCols)
+            case _ => throw new IllegalStateException("unreachable")
           }
           val entries = props.toSeq.sortBy(_._1).map { case (k, c) =>
             when(col(s"`$c`").isNotNull, lit(k)) }
-          if (entries.isEmpty) array()
-          else filter(array(entries: _*), x => x.isNotNull)
+          val arr =
+            if (entries.isEmpty) array()
+            else filter(array(entries: _*), x => x.isNotNull)
+          when(col(s"`$idc`").isNull, lit(null)).otherwise(arr)
         // keys of a map/struct value
         case e => typeOf(e) match {
           case s: StructType => array(s.fieldNames.sorted.map(lit): _*)
@@ -526,12 +543,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       }
       case "properties" => f.args(0) match {
         case Var(n) =>
-          val props = header(n) match {
-            case nb: NodeBinding => nb.propCols
-            case rb: RelBinding => rb.propCols
+          val (idc, props) = header(n) match {
+            case nb: NodeBinding => (nb.idCol, nb.propCols)
+            case rb: RelBinding => (rb.idCol, rb.propCols)
             case _ => throw new IllegalArgumentException("properties() expects an entity")
           }
-          struct(props.toSeq.sortBy(_._1).map { case (k, c) => col(s"`$c`").as(k) }: _*)
+          when(col(s"`$idc`").isNull, lit(null)).otherwise(
+            struct(props.toSeq.sortBy(_._1).map { case (k, c) =>
+              col(s"`$c`").as(k) }: _*))
         case _ => throw new IllegalArgumentException("properties() expects an entity variable")
       }
       case "startnode" => f.args(0) match {

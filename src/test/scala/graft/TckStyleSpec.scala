@@ -1012,7 +1012,26 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("k" -> null), row("k" -> 2), row("k" -> 1)), ordered = true),
     Scenario("order-by-asc-puts-nulls-last", nulls,
       "MATCH (x:X) RETURN x.k AS k ORDER BY k ASC",
-      Seq(row("k" -> 1), row("k" -> 2), row("k" -> null)), ordered = true)
+      Seq(row("k" -> 1), row("k" -> 2), row("k" -> null)), ordered = true),
+    // ---- null-input entity/value functions and accessors
+    Scenario("entity-functions-of-null-are-null", empty,
+      """RETURN keys(null) AS a, labels(null) AS b, properties(null) AS c,
+        |       id(null) AS d, nodes(null) AS e, relationships(null) AS f""".stripMargin,
+      Seq(row("a" -> null, "b" -> null, "c" -> null, "d" -> null,
+        "e" -> null, "f" -> null))),
+    Scenario("null-property-and-index-access", empty,
+      "RETURN null.a AS a, null['a'] AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("labels-of-unmatched-optional-node-is-null", social,
+      """MATCH (r:Robot) OPTIONAL MATCH (r)-[:KNOWS]->(m:Person)
+        |RETURN labels(m) AS l, keys(m) AS k""".stripMargin,
+      Seq(row("l" -> null, "k" -> null))),
+    Scenario("chained-comparisons-are-conjunctions", empty,
+      "RETURN 1 < 2 < 3 AS a, 1 < 2 > 3 AS b",
+      Seq(row("a" -> true, "b" -> false))),
+    Scenario("map-literal-access-forms", empty,
+      "RETURN ({a: 1}).a AS a, {a: 1}['a'] AS b",
+      Seq(row("a" -> 1, "b" -> 1)))
   )
 
   // --------------------------------------------------------- blacklist
