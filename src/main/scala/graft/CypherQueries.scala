@@ -177,6 +177,21 @@ object CypherQueries {
           |       max(o.o_totalprice) AS hi
           |ORDER BY seg""".stripMargin)
     }),
+    // scan consolidation over a 2-element NodeRel pattern table
+    // (reference: NodeRelPattern, Pattern.scala:159-176): the pattern
+    // start binds Customer + PLACED from ONE materialized scan, saving the
+    // src-node join; the Order side joins normally
+    "c29_noderel" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, GraftSession(s))
+      val g = graphs.getOrElseUpdate((s, dir + "#noderel"),
+        TpchGraph.load(s, dir)
+          .withNodeRel("IN_NATION", Set("Customer"), nodeOnSrc = true))
+      gs.cypher(g,
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+          |WHERE c.c_acctbal > 5000.0
+          |RETURN n.n_name AS nn, count(*) AS n, max(c.c_acctbal) AS hi
+          |ORDER BY nn""".stripMargin)
+    }),
     // named paths (extension; reference blacklists paths in its TCK run):
     // length/nodes/relationships over a var-length traversal — all pure
     // column combinations over ids the pattern already carries
@@ -310,6 +325,11 @@ object CypherQueries {
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |WHERE o_totalprice > 100000.0
         |GROUP BY 1 ORDER BY seg""".stripMargin,
+    "c29_noderel" ->
+      """SELECT n_name AS nn, count(*) AS n, max(c_acctbal) AS hi
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 5000.0
+        |GROUP BY 1 ORDER BY nn""".stripMargin,
     "c23_pattern_comprehension" ->
       """SELECT n_name AS nn,
         |  (SELECT count(*) FROM customer

@@ -38,6 +38,20 @@ case class TripletTable(relType: String, srcLabels: Set[String],
     srcPropCols: Map[String, String], dstPropCols: Map[String, String],
     srcLabelCols: Map[String, String], dstLabelCols: Map[String, String])
 
+/** Materialized 2-element pattern table — node + relationship denormalized
+  * into one scan (reference: NodeRelPattern, okapi-api Pattern.scala:159-176).
+  * `nodeOnSrc = true` stores `(n:labels)-[:relType]->`; `false` stores
+  * `-[:relType]->(n:labels)`. Cheaper to build and hold than a full
+  * [[TripletTable]] (no second node join, no far-side property columns) and
+  * still removes one join from covered traversals: a pattern start binds
+  * node + rel from ONE scan, a mid-chain hop binds rel + target node with a
+  * single probe. The far endpoint travels as a bare id column. */
+case class NodeRelTable(relType: String, nodeLabels: Set[String],
+    nodeOnSrc: Boolean, df: DataFrame,
+    relIdCol: String, srcIdCol: String, dstIdCol: String,
+    relPropCols: Map[String, String],
+    nodeLabelCols: Map[String, String], nodePropCols: Map[String, String])
+
 object SparkTypes {
   /** Cypher-compatible normalization: integers widen to Long, Float to
     * Double, array elements recursively (reference:
@@ -89,7 +103,8 @@ class PropertyGraph(
     val nodeTables: Seq[NodeTable],
     val relTables: Seq[RelTable],
     val spark: SparkSession,
-    val tripletTables: Seq[TripletTable] = Nil) {
+    val tripletTables: Seq[TripletTable] = Nil,
+    val nodeRelTables: Seq[NodeRelTable] = Nil) {
 
   import SparkTypes._
 
@@ -212,7 +227,35 @@ class PropertyGraph(
   }
 
   def withTripletTable(t: TripletTable): PropertyGraph =
-    new PropertyGraph(nodeTables, relTables, spark, tripletTables :+ t)
+    new PropertyGraph(nodeTables, relTables, spark, tripletTables :+ t,
+      nodeRelTables)
+
+  /** Build and register a materialized [[NodeRelTable]]: the node scan for
+    * `nodeLabels` pre-joined onto the `relType` scan's source
+    * (`nodeOnSrc = true`) or target side. Same consolidation idea as
+    * [[withTriplet]] at roughly half the storage cost — use it when only
+    * one side of a hot traversal benefits from denormalization. */
+  def withNodeRel(relType: String, nodeLabels: Set[String],
+      nodeOnSrc: Boolean = true, persist: Boolean = true): PropertyGraph = {
+    def nm(p: String) = ScanNaming(s"${p}_id", s"${p}_src", s"${p}_dst",
+      s"${p}_type", k => s"${p}_p_$k", l => s"${p}_l_$l")
+    val n = nodeScan(nodeLabels, nm("nr"))
+    val r = relScan(Seq(relType), nm("rel"))
+    val nearEnd = if (nodeOnSrc) r.srcCol else r.dstCol
+    val joined = n.df
+      .join(r.df, col("nr_id") === col(nearEnd), "inner")
+      .drop(nearEnd, r.typCol)
+    val df = if (persist) joined.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else joined
+    val (srcId, dstId) =
+      if (nodeOnSrc) ("nr_id", r.dstCol) else (r.srcCol, "nr_id")
+    withNodeRelTable(NodeRelTable(relType, nodeLabels, nodeOnSrc, df,
+      r.idCol, srcId, dstId, r.propCols, n.labelCols, n.propCols))
+  }
+
+  def withNodeRelTable(t: NodeRelTable): PropertyGraph =
+    new PropertyGraph(nodeTables, relTables, spark, tripletTables,
+      nodeRelTables :+ t)
 
   /** property keys a node with these labels may carry (for `keys()` etc). */
   def nodePropertyKeys(requiredLabels: Set[String]): Seq[String] =
@@ -223,8 +266,8 @@ class PropertyGraph(
     * disjoint — tag-bit id spaces (see class doc) or [[prefixIdSpace]]
     * when they are not. */
   def unionAll(other: PropertyGraph): PropertyGraph =
-    // triplets are NOT carried over: a union can add node tables that
-    // widen a label scan, invalidating a triplet's coverage claim
+    // triplet/node-rel tables are NOT carried over: a union can add node
+    // tables that widen a label scan, invalidating a coverage claim
     new PropertyGraph(nodeTables ++ other.nodeTables,
       relTables ++ other.relTables, spark)
 
@@ -242,6 +285,8 @@ class PropertyGraph(
       relTables.map(t => t.copy(df = retag(t.df, Seq(t.idCol, t.srcCol, t.dstCol)))),
       spark,
       tripletTables.map(t => t.copy(df =
+        retag(t.df, Seq(t.relIdCol, t.srcIdCol, t.dstIdCol)))),
+      nodeRelTables.map(t => t.copy(df =
         retag(t.df, Seq(t.relIdCol, t.srcIdCol, t.dstIdCol)))))
   }
 
@@ -253,6 +298,7 @@ class PropertyGraph(
     nodeTables.foreach(_.df.persist(storageLevel))
     relTables.foreach(_.df.persist(storageLevel))
     tripletTables.foreach(_.df.persist(storageLevel))
+    nodeRelTables.foreach(_.df.persist(storageLevel))
     this
   }
 
@@ -260,6 +306,7 @@ class PropertyGraph(
     nodeTables.foreach(_.df.unpersist())
     relTables.foreach(_.df.unpersist())
     tripletTables.foreach(_.df.unpersist())
+    nodeRelTables.foreach(_.df.unpersist())
     this
   }
 

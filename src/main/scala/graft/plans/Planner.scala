@@ -429,7 +429,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           val relVar0 = rel0.variable.getOrElse(fresh("@r"))
           val dstVar0 = nodeVarName(node0)
           expandOneViaTriplet(graph, state, startVar, relVar0, rel0,
-            dstVar0, node0, Some(part.start), propPreds).map { st2 =>
+            dstVar0, node0, Some(part.start), propPreds)
+            .orElse(expandOneViaNodeRel(graph, state, startVar, relVar0,
+              rel0, dstVar0, node0, Some(part.start), propPreds)).map { st2 =>
             relIds += RelId(st2.header(relVar0).asInstanceOf[RelBinding].idCol,
               isList = false, types = rel0.types.toSet)
             if (named) {
@@ -549,7 +551,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       relVar: String, rel: RelPattern, dstVar: String, dstNp: NodePattern,
       propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
     expandOneViaTriplet(graph, state, srcVar, relVar, rel, dstVar, dstNp,
-      freshSrcNp = None, propPreds) match {
+      freshSrcNp = None, propPreds)
+      .orElse(expandOneViaNodeRel(graph, state, srcVar, relVar, rel, dstVar,
+        dstNp, freshSrcNp = None, propPreds)) match {
       case Some(st) => return st
       case None =>
     }
@@ -725,6 +729,134 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val header0 = srcBindingOpt.fold(state.header)(sb =>
       state.header + (srcVar -> sb))
     Some(PState(df, header0 + (relVar -> rb) + (dstVar -> dstB)))
+  }
+
+  /** Scan-consolidated one-hop expand over a registered [[NodeRelTable]]
+    * (reference: NodeRelPattern, okapi-api Pattern.scala:159-176). Two
+    * covered shapes:
+    *  - pattern START (`freshSrcNp` defined): source node + rel bind from
+    *    the table in one scan; the target is joined afterwards (or, for an
+    *    anonymous unconstrained target, carried as the far-end id — the
+    *    whole hop then costs ZERO joins);
+    *  - MID-CHAIN fresh target: rel + target node bind from the table with
+    *    a single probe join against the driving rows.
+    * Tried after [[expandOneViaTriplet]]: a covering triplet consolidates
+    * both endpoints and is strictly stronger. */
+  private def expandOneViaNodeRel(graph: PropertyGraph, state: PState,
+      srcVar: String, relVar: String, rel: RelPattern, dstVar: String,
+      dstNp: NodePattern, freshSrcNp: Option[NodePattern],
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr])
+      : Option[PState] = {
+    if (rel.types.size != 1 || rel.direction == Undirected) return None
+    if (state.header.get(dstVar).nonEmpty) return None
+    val relType = rel.types.head
+
+    def relSelect(t: graft.graph.NodeRelTable, rn: ScanNaming)
+        : (Seq[Column], Map[String, String]) = {
+      val relProps = t.relPropCols.map { case (k, _) => k -> rn.propCol(k) }
+      (Seq(col(s"`${t.relIdCol}`").as(rn.idCol),
+        col(s"`${t.srcIdCol}`").as(rn.srcCol),
+        col(s"`${t.dstIdCol}`").as(rn.dstCol),
+        lit(t.relType).as(rn.typCol)) ++
+        t.relPropCols.toSeq.map { case (k, c) => col(s"`$c`").as(relProps(k)) },
+        relProps)
+    }
+
+    freshSrcNp match {
+      case Some(srcNp) =>
+        // the attached node must sit on the traversal-SOURCE side of the
+        // stored rel: (n)-[:T]->(x) reads a nodeOnSrc table, (n)<-[:T]-(x)
+        // a nodeOnDst one. Exact label equality — the table replaces the scan.
+        val wantOnSrc = rel.direction == Outgoing
+        graph.nodeRelTables.find(t => t.relType == relType &&
+          t.nodeOnSrc == wantOnSrc &&
+          t.nodeLabels == srcNp.labels.toSet).map { t =>
+          srcNp.properties.foreach { case (k, e) =>
+            propPreds += Eq(Property(Var(srcVar), k), e) }
+          rel.properties.foreach { case (k, e) =>
+            propPreds += Eq(Property(Var(relVar), k), e) }
+          val rn = naming(relVar); val sn = naming(srcVar)
+          val (relCols, relProps) = relSelect(t, rn)
+          val srcLabels = t.nodeLabelCols.map { case (l, _) => l -> sn.labelCol(l) }
+          val srcProps = t.nodePropCols.map { case (k, _) => k -> sn.propCol(k) }
+          val nodeIdSrcCol = if (wantOnSrc) t.srcIdCol else t.dstIdCol
+          val farIdSrcCol = if (wantOnSrc) t.dstIdCol else t.srcIdCol
+          val farCol = fresh(s"${dstVar}_far")
+          val sel = relCols ++ Seq(
+            col(s"`$nodeIdSrcCol`").as(sn.idCol),
+            col(s"`$farIdSrcCol`").as(farCol)) ++
+            t.nodeLabelCols.toSeq.map { case (l, c) =>
+              col(s"`$c`").as(srcLabels(l)) } ++
+            t.nodePropCols.toSeq.map { case (k, c) =>
+              col(s"`$c`").as(srcProps(k)) }
+          val scanDf = t.df.select(sel: _*)
+          val srcB = NodeBinding(sn.idCol, srcLabels, srcProps,
+            srcNp.labels.toSet)
+          val rb = RelBinding(rn.idCol, rn.srcCol, rn.dstCol, rn.typCol,
+            relProps, Set(relType))
+          val (hopDf, dstB) =
+            if (dstNp.labels.isEmpty && dstNp.properties.isEmpty &&
+                isInternal(dstVar)) {
+              val idc = fresh(s"${dstVar}_id")
+              (scanDf.withColumnRenamed(farCol, idc),
+                NodeBinding(idc, Map.empty, Map.empty, Set.empty))
+            } else {
+              dstNp.properties.foreach { case (k, e) =>
+                propPreds += Eq(Property(Var(dstVar), k), e) }
+              val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
+              (scanDf.join(scan.df,
+                col(s"`$farCol`") === col(s"`${scan.idCol}`"), "inner")
+                .drop(farCol),
+                NodeBinding(scan.idCol, scan.labelCols, scan.propCols,
+                  dstNp.labels.toSet))
+            }
+          val df = if (state.isUnit) hopDf else state.df.crossJoin(hopDf)
+          PState(df, state.header + (srcVar -> srcB) + (relVar -> rb) +
+            (dstVar -> dstB))
+        }
+      case None =>
+        state.header.get(srcVar) match {
+          case Some(srcB: NodeBinding) =>
+            // fresh target binds from a table whose node sits on the
+            // traversal-TARGET side: -[:T]->(m) wants nodeOnDst,
+            // <-[:T]-(m) wants nodeOnSrc
+            val wantOnSrc = rel.direction == Incoming
+            graph.nodeRelTables.find(t => t.relType == relType &&
+              t.nodeOnSrc == wantOnSrc &&
+              t.nodeLabels == dstNp.labels.toSet).map { t =>
+              rel.properties.foreach { case (k, e) =>
+                propPreds += Eq(Property(Var(relVar), k), e) }
+              dstNp.properties.foreach { case (k, e) =>
+                propPreds += Eq(Property(Var(dstVar), k), e) }
+              val rn = naming(relVar); val dn = naming(dstVar)
+              val (relCols, relProps) = relSelect(t, rn)
+              val dstLabels = t.nodeLabelCols.map { case (l, _) =>
+                l -> dn.labelCol(l) }
+              val dstProps = t.nodePropCols.map { case (k, _) =>
+                k -> dn.propCol(k) }
+              val nodeIdSrcCol = if (wantOnSrc) t.srcIdCol else t.dstIdCol
+              val nearIdSrcCol = if (wantOnSrc) t.dstIdCol else t.srcIdCol
+              val probeKey = fresh(s"${relVar}_probekey")
+              val sel = relCols ++ Seq(
+                col(s"`$nodeIdSrcCol`").as(dn.idCol),
+                col(s"`$nearIdSrcCol`").as(probeKey)) ++
+                t.nodeLabelCols.toSeq.map { case (l, c) =>
+                  col(s"`$c`").as(dstLabels(l)) } ++
+                t.nodePropCols.toSeq.map { case (k, c) =>
+                  col(s"`$c`").as(dstProps(k)) }
+              val probe = t.df.select(sel: _*)
+              val df = state.df.join(probe,
+                col(s"`${srcB.idCol}`") === col(s"`$probeKey`"), "inner")
+                .drop(probeKey)
+              val rb = RelBinding(rn.idCol, rn.srcCol, rn.dstCol, rn.typCol,
+                relProps, Set(relType))
+              val dstB = NodeBinding(dn.idCol, dstLabels, dstProps,
+                dstNp.labels.toSet)
+              PState(df, state.header + (relVar -> rb) + (dstVar -> dstB))
+            }
+          case _ => None
+        }
+    }
   }
 
   /** Shared-subtree cache insertion (reference: RelationalOptimizer.scala:
