@@ -1031,7 +1031,98 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("a" -> true, "b" -> false))),
     Scenario("map-literal-access-forms", empty,
       "RETURN ({a: 1}).a AS a, {a: 1}['a'] AS b",
-      Seq(row("a" -> 1, "b" -> 1)))
+      Seq(row("a" -> 1, "b" -> 1))),
+
+    // ---- round-2 widening: quantifier edges, fn nulls, optional chains
+    Scenario("quantifier-empty-list-semantics", empty,
+      """RETURN any(x IN [] WHERE x > 0) AS a, all(x IN [] WHERE x > 0) AS b,
+        |none(x IN [] WHERE x > 0) AS c, single(x IN [] WHERE x > 0) AS d""".stripMargin,
+      Seq(row("a" -> false, "b" -> true, "c" -> true, "d" -> false))),
+    Scenario("single-true-exactly-once", empty,
+      """RETURN single(x IN [1,2,3] WHERE x = 2) AS s,
+        |single(x IN [2,2] WHERE x = 2) AS t""".stripMargin,
+      Seq(row("s" -> true, "t" -> false))),
+    Scenario("string-fn-null-propagation", empty,
+      "RETURN toUpper(null) AS u, replace(null, 'a', 'b') AS r, split(null, ',') AS s",
+      Seq(row("u" -> null, "r" -> null, "s" -> null))),
+    Scenario("left-right-of-string", empty,
+      "RETURN left('hello', 2) AS l, right('hello', 2) AS r",
+      Seq(row("l" -> "he", "r" -> "lo"))),
+    Scenario("replace-all-occurrences", empty,
+      "RETURN replace('aaa', 'a', 'bc') AS r", Seq(row("r" -> "bcbcbc"))),
+    Scenario("contains-empty-string-is-true", empty,
+      "RETURN 'abc' CONTAINS '' AS a, '' CONTAINS '' AS b",
+      Seq(row("a" -> true, "b" -> true))),
+    Scenario("optional-match-trailing-where-belongs-to-it", social,
+      """MATCH (a:Person {name: 'Alice'})
+        |OPTIONAL MATCH (a)-[:KNOWS]->(b) WHERE b.age > 100
+        |RETURN a.name AS an, b.name AS bn""".stripMargin,
+      Seq(row("an" -> "Alice", "bn" -> null))),
+    Scenario("chained-optional-match-null-seed", social,
+      """MATCH (r:Robot)
+        |OPTIONAL MATCH (r)-[:KNOWS]->(x)
+        |OPTIONAL MATCH (x)-[:KNOWS]->(y)
+        |RETURN r.name AS rn, x.name AS xn, y.name AS yn""".stripMargin,
+      Seq(row("rn" -> "R2", "xn" -> null, "yn" -> null))),
+    Scenario("with-aggregate-reused-in-arithmetic", social,
+      "MATCH (p:Person) WITH count(*) AS n RETURN n, n * 2 AS d",
+      Seq(row("n" -> 4, "d" -> 8))),
+    Scenario("parameter-in-skip", social,
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY name SKIP $s",
+      Seq(row("name" -> "Carol"), row("name" -> "Dave")),
+      ordered = true, params = Map("s" -> 2)),
+    Scenario("startnode-endnode-follow-storage-direction", social,
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b {name: 'Bob'})
+        |RETURN id(startNode(r)) = id(a) AS s, id(endNode(r)) = id(b) AS t""".stripMargin,
+      Seq(row("s" -> true, "t" -> true))),
+    Scenario("startnode-on-undirected-keeps-storage-order", social,
+      """MATCH (b:Person {name: 'Bob'})-[r:KNOWS]-(a {name: 'Alice'})
+        |RETURN id(startNode(r)) = id(a) AS s""".stripMargin,
+      Seq(row("s" -> true))),
+    Scenario("collect-into-membership-check", social,
+      """MATCH (p:Person) WITH collect(p.name) AS names
+        |RETURN size(names) AS n, 'Alice' IN names AS has""".stripMargin,
+      Seq(row("n" -> 4, "has" -> true))),
+    Scenario("percentile-cont-bounds", social,
+      """MATCH (p:Person)
+        |RETURN percentileCont(p.age, 0.0) AS lo,
+        |       percentileCont(p.age, 1.0) AS hi""".stripMargin,
+      Seq(row("lo" -> 25.0, "hi" -> 40.0))),
+    Scenario("list-equality-is-elementwise", empty,
+      "RETURN [1,2] = [1,2] AS a, [1,2] = [1,3] AS b, [[1],[2]] = [[1],[2]] AS c",
+      Seq(row("a" -> true, "b" -> false, "c" -> true))),
+    Scenario("toboolean-conversions", empty,
+      "RETURN toBoolean('true') AS t, toBoolean('FALSE') AS f, toBoolean('x') AS n",
+      Seq(row("t" -> true, "f" -> false, "n" -> null))),
+    Scenario("keys-of-relationship", social,
+      """MATCH (:Person {name: 'Alice'})-[r:KNOWS {since: 2010}]->(:Person {name: 'Bob'})
+        |RETURN keys(r) AS k""".stripMargin,
+      Seq(row("k" -> List("since")))),
+    Scenario("unwind-list-of-maps", empty,
+      "UNWIND [{a: 1}, {a: 2}] AS m RETURN m.a AS a",
+      Seq(row("a" -> 1), row("a" -> 2))),
+    Scenario("pattern-comprehension-in-order-by", social,
+      """MATCH (p:Person) RETURN p.name AS name
+        |ORDER BY size([(p)-[:KNOWS]->(x) | x]) DESC, name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Bob"),
+        row("name" -> "Carol"), row("name" -> "Dave")), ordered = true),
+    Scenario("date-plus-month-duration-clamps", empty,
+      "RETURN date('2020-01-31') + duration({months: 1}) AS d",
+      Seq(row("d" -> "2020-02-29"))),
+    Scenario("varlength-between-bound-endpoints", social,
+      """MATCH (a:Person {name: 'Alice'}), (d:Person {name: 'Dave'})
+        |MATCH (a)-[:KNOWS*2..3]->(d) RETURN count(*) AS n""".stripMargin,
+      Seq(row("n" -> 2))),
+    Scenario("rel-ids-are-distinct", social,
+      "MATCH ()-[r]->() RETURN count(DISTINCT id(r)) AS n",
+      Seq(row("n" -> 5))),
+    Scenario("conditional-sum-via-case", social,
+      """MATCH (p:Person)
+        |RETURN sum(CASE WHEN p.city = 'Berlin' THEN 1 ELSE 0 END) AS n""".stripMargin,
+      Seq(row("n" -> 2))),
+    Scenario("min-max-skip-nulls", nulls,
+      "MATCH (x:X) RETURN min(x.k) AS lo, max(x.k) AS hi",
+      Seq(row("lo" -> 1, "hi" -> 2)))
   )
 
   // --------------------------------------------------------- blacklist
