@@ -75,6 +75,20 @@ class GraftSession(val spark: SparkSession) {
     new Planner(spark, params, resolver, g, onPersist = trackCache).plan(ast)
   }
 
+  /** Entry point with a caller-supplied driving table (reference:
+    * MorpheusSession.cypher's `drivingTable` argument,
+    * RelationalCypherSession.scala:79-96): every column of `drivingTable`
+    * is in scope as a bound value variable, and the query's first MATCH /
+    * UNWIND extends its rows instead of starting from the one-row unit
+    * table. Lets callers thread an existing DataFrame (e.g. a batch of ids
+    * from another job) through a Cypher pattern without a temp graph. */
+  def cypher(g: PropertyGraph, query: String, params: Map[String, Any],
+      drivingTable: DataFrame): DataFrame = {
+    val ast = CypherParser.parse(query)
+    new Planner(spark, params, resolver, g, onPersist = trackCache,
+      driving = Some(drivingTable)).plan(ast)
+  }
+
   /** Session-level entry point: catalog DDL statements
     * (`CATALOG CREATE GRAPH g { ... }`, `CATALOG CREATE VIEW v($p) { ... }`,
     * `CATALOG DROP GRAPH|VIEW g`) and queries that pick their graph via

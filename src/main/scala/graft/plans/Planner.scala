@@ -24,7 +24,8 @@ import scala.collection.immutable.ListMap
 class Planner(spark: SparkSession, params: Map[String, Any],
     catalog: GraphRef => PropertyGraph, initialGraph: PropertyGraph,
     maxVarLength: Int = 10,
-    onPersist: DataFrame => Unit = _ => ()) {
+    onPersist: DataFrame => Unit = _ => (),
+    driving: Option[DataFrame] = None) {
 
   private val counter = new AtomicLong()
   private def fresh(prefix: String): String =
@@ -38,6 +39,22 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   private def unitState: PState =
     PState(spark.range(1).toDF().select(), Header.empty, isUnit = true)
+
+  /** Initial state for a query: the caller-supplied driving table (each
+    * column pre-bound as a value variable, reference:
+    * RelationalCypherSession.scala cypherOnGraph's drivingTable) or the
+    * one-empty-row unit table. Driving columns are renamed to planner-owned
+    * names so scan columns can never collide with user column names. */
+  private def startState: PState = driving match {
+    case None => unitState
+    case Some(df) =>
+      val renames = df.columns.toSeq.map(c => c -> fresh(c))
+      val projected = df.select(renames.map { case (orig, c) =>
+        df(orig).as(c) }: _*)
+      val header = Header(ListMap(renames.map { case (orig, c) =>
+        orig -> (ValueBinding(c): Binding) }: _*))
+      PState(projected, header)
+  }
 
   private def compiler(st: PState) =
     new ExprCompiler(st.header, params, () => st.df)
@@ -57,7 +74,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   def planSingle(sq: SingleQuery): DataFrame = {
     var graph = initialGraph
-    var state = unitState
+    var state = startState
     var finalDf: Option[DataFrame] = None
     sq.clauses.foreach {
       case FromGraphClause(ref) => graph = catalog(ref)
@@ -1104,8 +1121,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * RelationalPlanner.planOptional :298-329). */
   private def planOptionalMatch(graph: PropertyGraph, state: PState,
       m: MatchClause): PState = {
-    val patternVars = collectPatternVars(m.pattern)
-    val shared = patternVars.filter(state.header.contains)
+    val shared = correlatedVars(state, m.pattern.parts, m.where.toSeq)
 
     if (state.isUnit || shared.isEmpty) {
       val rhs = planMatch(graph, unitState, m.copy(optional = false))
@@ -1158,6 +1174,41 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       (part.start.variable.toSeq ++
         part.chain.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq })
     }.distinct
+
+  /** Every `Var` name mentioned anywhere inside an AST fragment (generic
+    * product walk). Over-approximates — locally-bound comprehension vars
+    * are included — which is safe for correlation detection: it can only
+    * widen a subquery seed, never miss a correlated outer variable. */
+  private def freeExprVars(e: Any): Set[String] = e match {
+    case Var(n) => Set(n)
+    case s: Seq[_] => s.iterator.flatMap(freeExprVars).toSet
+    case o: Option[_] => o.iterator.flatMap(freeExprVars).toSet
+    case m: Map[_, _] => m.valuesIterator.flatMap(freeExprVars).toSet
+    case p: Product => p.productIterator.flatMap(freeExprVars).toSet
+    case _ => Set.empty
+  }
+
+  /** Inline `{k: expr}` property-map expressions of a pattern (where
+    * outer-scope value vars may appear, e.g. `({key: outer})`). */
+  private def patternPropExprs(parts: Seq[PatternPart]): Seq[Expr] =
+    parts.flatMap { part =>
+      part.start.properties.map(_._2) ++ part.chain.flatMap { case (r, n) =>
+        r.properties.map(_._2) ++ n.properties.map(_._2) }
+    }
+
+  /** Correlation set for a subquery (optional match / pattern predicate):
+    * bound pattern vars PLUS outer value vars referenced from the WHERE or
+    * inline property maps — openCypher lets those predicates read the
+    * enclosing scope (e.g. `WITH 5 AS x OPTIONAL MATCH (b) WHERE b.y = x`,
+    * or a driving-table column). Pattern vars come first so entity-shaped
+    * bindings seed before plain values. */
+  private def correlatedVars(state: PState, parts: Seq[PatternPart],
+      where: Seq[Expr]): Seq[String] = {
+    val patVars = parts.flatMap(p => collectPatternVars(Pattern(Seq(p)))).distinct
+    val exprVars = (where ++ patternPropExprs(parts)).flatMap(freeExprVars)
+    (patVars ++ exprVars.filterNot(patVars.contains)).distinct
+      .filter(state.header.contains)
+  }
 
   /** Which columns of shared variable `v` a subquery actually reads —
     * (needAll, property keys, labels). Seeding an exists/optional/
@@ -1248,8 +1299,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def planPatternPredicate(graph: PropertyGraph, state: PState,
       part: PatternPart, anti: Boolean,
       where: Option[Expr] = None): PState = {
-    val patVars = collectPatternVars(Pattern(Seq(part)))
-    val shared = patVars.filter(state.header.contains)
+    val shared = correlatedVars(state, Seq(part), where.toSeq)
     require(shared.nonEmpty,
       "pattern predicate must reference at least one bound variable")
 
@@ -1389,8 +1439,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   private def planPatternComprehension(graph: PropertyGraph, state: PState,
       pc: PatternComprehension): (PState, String) = {
-    val patVars = collectPatternVars(Pattern(Seq(pc.pattern)))
-    val shared = patVars.filter(state.header.contains)
+    val shared = correlatedVars(state, Seq(pc.pattern),
+      pc.where.toSeq :+ pc.projection)
     require(shared.nonEmpty,
       "pattern comprehension must reference at least one bound variable")
     val sharedBindings = shared.map(v => v -> state.header(v))

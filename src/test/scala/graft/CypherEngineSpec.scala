@@ -366,4 +366,39 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(rows2.map(_.getLong(0)).toSeq === exp2.toSeq)
     assert(rows2.head.schema.fieldNames.toSeq === Seq("ck", "n"))
   }
+
+  test("driving table binds columns as variables") {
+    import spark.implicits._
+    val drive = Seq((1L, "a"), (3L, "b"), (9999L, "c"))
+      .toDF("want_key", "tag")
+    val df = gs.cypher(g,
+      """MATCH (c:Customer) WHERE c.c_custkey = want_key
+        |RETURN want_key, tag, c.c_name AS name ORDER BY want_key""".stripMargin,
+      Map.empty, drive)
+    val rows = df.collect()
+    // 9999 has no matching customer at sf0.001 → row drops (plain MATCH)
+    val present = customer.where(col("c_custkey").isin(1L, 3L, 9999L))
+      .select("c_custkey").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L, 9999L).filter(present))
+    assert(df.columns.toSeq === Seq("want_key", "tag", "name"))
+
+    // OPTIONAL MATCH keeps non-matching driving rows with nulls
+    val opt = gs.cypher(g,
+      """OPTIONAL MATCH (c:Customer) WHERE c.c_custkey = want_key
+        |RETURN want_key, c.c_name AS name ORDER BY want_key""".stripMargin,
+      Map.empty, drive).collect()
+    assert(opt.length == 3)
+    assert(opt.count(_.isNullAt(1)) == 3 - present.size)
+
+    // driving rows survive aggregation and UNWIND composition
+    val agg = gs.cypher(g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.c_custkey = want_key
+        |RETURN want_key, count(*) AS n ORDER BY want_key""".stripMargin,
+      Map.empty, drive).collect()
+    val expN = orders.where(col("o_custkey").isin(1L, 3L))
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.map(r => r.getLong(0) -> r.getLong(1)).toMap === expN)
+  }
 }

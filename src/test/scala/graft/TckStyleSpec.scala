@@ -1122,7 +1122,46 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("n" -> 2))),
     Scenario("min-max-skip-nulls", nulls,
       "MATCH (x:X) RETURN min(x.k) AS lo, max(x.k) AS hi",
-      Seq(row("lo" -> 1, "hi" -> 2)))
+      Seq(row("lo" -> 1, "hi" -> 2))),
+
+    // ------------------------- correlation through outer VALUE variables
+    // (optional/exists/comprehension subqueries may read enclosing-scope
+    // values from their WHERE, not just shared pattern variables)
+    Scenario("optional-match-correlated-value-var", social,
+      """WITH 'Berlin' AS town
+        |OPTIONAL MATCH (p:Person) WHERE p.city = town
+        |RETURN town, p.name AS name ORDER BY name""".stripMargin,
+      Seq(row("town" -> "Berlin", "name" -> "Alice"),
+        row("town" -> "Berlin", "name" -> "Dave")), ordered = true),
+    Scenario("optional-match-correlated-no-match-keeps-row", social,
+      """WITH 'Atlantis' AS town
+        |OPTIONAL MATCH (p:Person) WHERE p.city = town
+        |RETURN town, p.name AS name""".stripMargin,
+      Seq(row("town" -> "Atlantis", "name" -> null))),
+    Scenario("optional-match-correlated-per-row", social,
+      """MATCH (q:Person) WITH q.city AS town, q.name AS who
+        |OPTIONAL MATCH (p:Person) WHERE p.city = town AND p.name <> who
+        |RETURN who, p.name AS other ORDER BY who, other""".stripMargin,
+      Seq(row("who" -> "Alice", "other" -> "Dave"),
+        row("who" -> "Bob", "other" -> null),
+        row("who" -> "Carol", "other" -> null),
+        row("who" -> "Dave", "other" -> "Alice")), ordered = true),
+    Scenario("optional-match-correlated-inline-props", social,
+      """WITH 2015 AS y
+        |OPTIONAL MATCH (a)-[r:KNOWS {since: y}]->(b)
+        |RETURN y, a.name AS src, b.name AS dst""".stripMargin,
+      Seq(row("y" -> 2015, "src" -> "Bob", "dst" -> "Carol"))),
+    Scenario("exists-correlated-value-var-only", social,
+      """MATCH (p:Person) WITH p.city AS town, count(*) AS n
+        |WHERE exists((q:Person {city: town})-[:KNOWS]->())
+        |RETURN town, n ORDER BY town""".stripMargin,
+      Seq(row("town" -> "Berlin", "n" -> 2),
+        row("town" -> "Paris", "n" -> 1)), ordered = true),
+    Scenario("pattern-comprehension-outer-value", social,
+      """WITH 2011 AS cutoff
+        |MATCH (a:Person {name: 'Alice'})
+        |RETURN [(a)-[r:KNOWS]->(b) WHERE r.since > cutoff | b.name] AS names""".stripMargin,
+      Seq(row("names" -> Seq("Carol"))))
   )
 
   // --------------------------------------------------------- blacklist
