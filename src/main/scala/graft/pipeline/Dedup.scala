@@ -64,6 +64,9 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
       .toDF("id", "band_idx", "band_hash")
+      // both sides of the bucket self-join: persist the narrow
+      // (id, band, hash) rows so each document is shingled+hashed once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidates: pairs sharing at least one band bucket, deduped BEFORE
     // the verification join — true near-dups share many bands (up to all
@@ -80,8 +83,11 @@ object Dedup {
     // verification: exact Jaccard over sorted shingle-hash sets (compiled
     // merge-walk, no per-pair allocation)
     import graft.functions.VectorFunctions.{shingle_hashes, sorted_jaccard}
+    // read twice (id_a and id_b verification joins): persist so the
+    // shingle pass over every document runs once
     val shingled = df.select(col(idCol).cast(LongType).as("id"),
       shingle_hashes(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -254,6 +260,9 @@ object Dedup {
         shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
       }: _*)))
       .toDF("id", "simhash", "band_idx", "band_val")
+      // both sides of the bucket self-join: persist the narrow banded rows
+      // so the simhash token pass over every document runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -275,13 +284,21 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 200): DataFrame = {
     import graft.functions.VectorFunctions.{word_ngram_hashes, sorted_jaccard}
+    // persisted: read once for the index build and twice more by the
+    // verification joins — re-tokenizing every document 3× costs more
+    // than caching the (id, gram-hash array) table, which is the same
+    // order of size as the input corpus (MEMORY_AND_DISK spills at scale)
     val grams = df.select(col(idCol).cast(LongType).as("id"),
       word_ngram_hashes(col(textCol), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // inverted index over 8-byte gram hashes (narrow shuffle)
     val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
     val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
+    // the pruned index is the self-join's both sides: persist the narrow
+    // (gram, id) pairs so the doc-frequency aggregation runs once
     val pruned = inverted.join(rare.select("gram"), Seq("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pruned.as("a"); val b = pruned.as("b")
     val candidates = a.join(b,
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))

@@ -53,8 +53,17 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a_name, b.name AS b_name")
       .createOrReplaceTempView("friendships")
     val viaSql = gs.sql(
-      "SELECT a_name FROM friendships WHERE b_name = 'Bob'").collect()
-    assert(viaSql.map(_.getString(0)).toSeq === Seq("Alice"))
+      "SELECT a_name FROM friendships WHERE b_name = 'Bob'")
+    assert(viaSql.collect().map(_.getString(0)).toSeq === Seq("Alice"))
+
+    // …and feed the SQL result back in as a Cypher driving table
+    // (reference: CypherSQLRoundtripExample's full loop)
+    val back = gs.cypher(social,
+      """MATCH (p:Person)-[:KNOWS]->(q:Person) WHERE p.name = a_name
+        |RETURN a_name, q.name AS friend""".stripMargin,
+      Map.empty, viaSql).collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Alice", "Bob")))
   }
 
   test("MultipleGraphExample: construct, register, query across graphs") {
