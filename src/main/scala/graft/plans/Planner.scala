@@ -1140,8 +1140,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       trimmedSeedBinding(v, state.header(v), m.pattern.parts, m.where.toSeq))
     val seedCols = sharedBindings.flatMap(_._2.columns).distinct
     val seedDf = lhsDf.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
-    val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
-    val rhs = planMatch(graph, seed, m.copy(optional = false))
+    val entityShared = collectPatternVars(m.pattern).filter(state.header.contains)
+    val rhs =
+      if (entityShared.nonEmpty || varLengthReadsOuter(state, m.pattern)) {
+        // entity-correlated: the pattern starts FROM the bound ids — seed
+        // the match so expansion probes only the seed's rows
+        val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
+        planMatch(graph, seed, m.copy(optional = false))
+      } else {
+        // value-only correlation: plan the pattern once from the unit
+        // state, then bring the seed into scope ABOVE it and filter —
+        // Catalyst folds the correlated equalities into hash joins
+        // instead of a seed×scan product under the pattern
+        val (pat2, where2) = desugarOuterProps(state, m.pattern, m.where)
+        val r0 = planMatch(graph, unitState,
+          MatchClause(optional = false, pat2, where = None))
+        val crossed = PState(r0.df.crossJoin(seedDf),
+          Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
+        where2.map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
+      }
 
     // rename ALL seed-visible columns in rhs to fresh names before joining
     val renameMap = seedCols.map(c => c -> fresh("opt")).toMap
@@ -1209,6 +1226,55 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     (patVars ++ exprVars.filterNot(patVars.contains)).distinct
       .filter(state.header.contains)
   }
+
+  /** Moves inline property equalities that reference outer-scope variables
+    * out of the pattern into WHERE conjuncts (`(q {city: town})` →
+    * `(q) WHERE q.city = town`, anonymous elements get internal names), so
+    * a value-only-correlated subquery pattern can be planned once from the
+    * unit state and equi-joined to its seed — the correlated equality then
+    * sits ABOVE the pattern plan where Catalyst folds cross+filter into a
+    * hash join, instead of a seed×scan product below it. Var-length
+    * relationships keep their maps (per-step semantics; callers fall back
+    * to seed-first planning for those). */
+  private def desugarOuterProps(state: PState, pattern: Pattern,
+      where: Option[Expr]): (Pattern, Option[Expr]) = {
+    val conj = scala.collection.mutable.Buffer.empty[Expr]
+    def outer(e: Expr) = freeExprVars(e).exists(state.header.contains)
+    def doNode(np: NodePattern): NodePattern = {
+      val (mv, keep) = np.properties.partition(p => outer(p._2))
+      if (mv.isEmpty) np
+      else {
+        val v = np.variable.getOrElse(fresh("@corr"))
+        mv.foreach { case (k, e) => conj += Eq(Property(Var(v), k), e) }
+        np.copy(variable = Some(v), properties = keep)
+      }
+    }
+    def doRel(rp: RelPattern): RelPattern =
+      if (rp.varLength.isDefined) rp
+      else {
+        val (mv, keep) = rp.properties.partition(p => outer(p._2))
+        if (mv.isEmpty) rp
+        else {
+          val v = rp.variable.getOrElse(fresh("@corr"))
+          mv.foreach { case (k, e) => conj += Eq(Property(Var(v), k), e) }
+          rp.copy(variable = Some(v), properties = keep)
+        }
+      }
+    val parts2 = pattern.parts.map(p => p.copy(
+      start = doNode(p.start),
+      chain = p.chain.map { case (r, n) => (doRel(r), doNode(n)) }))
+    val w2 = (where.toSeq ++ conj).reduceOption(And.apply)
+    (Pattern(parts2), w2)
+  }
+
+  /** True when a var-length relationship's inline property map reads the
+    * outer scope — the one correlated shape that must keep seed-first
+    * planning (per-step props can't be desugared to a WHERE). */
+  private def varLengthReadsOuter(state: PState, pattern: Pattern): Boolean =
+    pattern.parts.exists(_.chain.exists { case (r, _) =>
+      r.varLength.isDefined &&
+        r.properties.exists(p => freeExprVars(p._2).exists(state.header.contains))
+    })
 
   /** Which columns of shared variable `v` a subquery actually reads —
     * (needAll, property keys, labels). Seeding an exists/optional/
@@ -1310,9 +1376,24 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       trimmedSeedBinding(v, state.header(v), Seq(part), where.toSeq))
     val seedCols = sharedBindings.flatMap(_._2.columns).distinct
     val seedDf = lhsDf.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
-    val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
-    val rhs = planMatch(graph, seed,
-      MatchClause(optional = false, Pattern(Seq(part)), where))
+    val entityShared =
+      collectPatternVars(Pattern(Seq(part))).filter(state.header.contains)
+    val rhs =
+      if (entityShared.nonEmpty ||
+          varLengthReadsOuter(state, Pattern(Seq(part)))) {
+        val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
+        planMatch(graph, seed,
+          MatchClause(optional = false, Pattern(Seq(part)), where))
+      } else {
+        // value-only correlation: pattern planned once, seed equi-joined
+        // above it (see planOptionalMatch)
+        val (pat2, where2) = desugarOuterProps(state, Pattern(Seq(part)), where)
+        val r0 = planMatch(graph, unitState,
+          MatchClause(optional = false, pat2, where = None))
+        val crossed = PState(r0.df.crossJoin(seedDf),
+          Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
+        where2.map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
+      }
 
     val renameMap = seedCols.map(c => c -> fresh("ex")).toMap
     val rhsDf = renameMap.foldLeft(rhs.df) { case (df, (from, to)) =>
@@ -1446,9 +1527,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val sharedBindings = shared.map(v => v -> state.header(v))
     val seedCols = sharedBindings.flatMap(_._2.columns).distinct
     val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
-    val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
-    val rhs = planMatch(graph, seed,
-      MatchClause(optional = false, Pattern(Seq(pc.pattern)), pc.where))
+    val entityShared =
+      collectPatternVars(Pattern(Seq(pc.pattern))).filter(state.header.contains)
+    val rhs =
+      if (entityShared.nonEmpty ||
+          varLengthReadsOuter(state, Pattern(Seq(pc.pattern)))) {
+        val seed = PState(seedDf, Header(ListMap(sharedBindings: _*)))
+        planMatch(graph, seed,
+          MatchClause(optional = false, Pattern(Seq(pc.pattern)), pc.where))
+      } else {
+        // value-only correlation: pattern planned once, seed equi-joined
+        // above it (see planOptionalMatch)
+        val (pat2, where2) =
+          desugarOuterProps(state, Pattern(Seq(pc.pattern)), pc.where)
+        val r0 = planMatch(graph, unitState,
+          MatchClause(optional = false, pat2, where = None))
+        val crossed = PState(r0.df.crossJoin(seedDf),
+          Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
+        where2.map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
+      }
 
     val itemCol = fresh("pc_item")
     val rhsDf = rhs.df.withColumn(itemCol, compiler(rhs).compile(pc.projection))

@@ -27,6 +27,10 @@ class PlanQualitySpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
 
   test("property predicate pushes to the parquet scan") {
+    // suites share one JVM-wide SparkSession; an earlier suite's shared-
+    // subtree cache would make this scan read an InMemoryRelation instead
+    // of the parquet file — clear so the pushdown invariant is observable
+    spark.catalog.clearCache()
     val df = gs.cypher(g,
       "MATCH (c:Customer) WHERE c.c_acctbal > 5000.0 RETURN c.c_custkey AS ck")
     val plan = planOf(df)
@@ -35,6 +39,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("scans prune to referenced columns only") {
+    spark.catalog.clearCache()
     val df = gs.cypher(g,
       "MATCH (c:Customer) RETURN c.c_custkey AS ck")
     val plan = planOf(df)
@@ -118,5 +123,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(sp.contains("Window"), s"expected a window operator:\n$sp")
     assert(joins(sp) == joins(planOf(plain)),
       "shortestPath must reuse the var-length expand's joins")
+  }
+
+  test("near-dup pair generators read persisted doc tables, not re-tokenized scans") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((name, df) <- Seq(
+        "ngramJaccard" -> Dedup.ngramJaccard(docs, "doc_id", "text"),
+        "minhashLsh" -> Dedup.minhashLsh(docs, "doc_id", "text"),
+        "simhashNearDup" -> Dedup.simhashNearDup(docs, "doc_id", "text"))) {
+      val plan = planOf(df)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name lost its persisted per-doc table:\n$plan")
+    }
+  }
+
+  test("value-correlated optional match joins on the value column, no cartesian") {
+    val df = gs.cypher(g,
+      """MATCH (n:Nation) WITH n.n_name AS nname
+        |OPTIONAL MATCH (c:Customer)-[:IN_NATION]->(m:Nation)
+        |WHERE m.n_name = nname
+        |RETURN nname, count(c) AS custs""".stripMargin)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated optional should equi-join on the correlated value:\n$plan")
   }
 }
