@@ -134,6 +134,17 @@ object PipelineQueries {
         .select(col("c_custkey").as("ck"), col("dist"))
         .orderBy("ck")
     }),
+    // deterministic global shuffle position (two-phase rank: per-bucket
+    // windows + bucket-cardinality prefix sum, no global single-partition
+    // window) — DuckDB reproduces the md5 order exactly
+    "p23_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("pos")).orderBy("doc_id")),
+    // token-budget-capped corpus prefix in deterministic-shuffle order
+    "p24_token_budget" -> ((s, dir) =>
+      Sampling.takeTokenBudget(docs(s, dir), "doc_id", "text",
+        budget = 15000L)
+        .select(col("doc_id"), col("n_tokens")).orderBy("doc_id")),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -389,6 +400,21 @@ object PipelineQueries {
     "p22_graph_distances" ->
       """SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS dist
         |FROM customer ORDER BY ck""".stripMargin,
+    "p23_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p24_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR || ':42') AS k
+        |  FROM documents)
+        |SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY k, doc_id) AS cum
+        |  FROM t)
+        |WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
     "p12_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

@@ -50,6 +50,72 @@ object Sampling {
       fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Deterministic global shuffle for training order: every row gets a
+    * stable position `pos` (0-based) in a pseudo-random permutation keyed
+    * by md5(id:seed) — reproducible on any engine from the id alone.
+    *
+    * Scales as a TWO-PHASE rank, not one global window: rows are bucketed
+    * by the first `bucketChars` hex chars of their shuffle key, bucket
+    * row-counts get an exclusive prefix sum (a window over ≤16^bucketChars
+    * bucket rows — bucket-cardinality work, independent of corpus size),
+    * and each bucket ranks its own rows in parallel. `pos` equals the rank
+    * in the global (key, id) order; a single `row_number() OVER (ORDER BY
+    * key)` would serialize 100 TB through one partition. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String = "42",
+      bucketChars: Int = 4): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8, "bucketChars out of range")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("@bucket", substring(col("shuffle_key"), 1, bucketChars))
+    val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
+    val wb = Window.orderBy("@bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("@off", coalesce(sum(col("@n")).over(wb), lit(0L)))
+      .select("@bucket", "@off")
+    val w = Window.partitionBy(col("@bucket"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(broadcast(offsets), "@bucket")
+      .withColumn("pos", col("@off") + row_number().over(w).cast("long") - 1)
+      .drop("@bucket", "@off")
+  }
+
+  /** Keeps the prefix of the [[deterministicShuffle]] order whose running
+    * token total stays within `budget` (the "sample N tokens for this
+    * training run" primitive; the document that would cross the budget is
+    * excluded). Same two-phase prefix-sum shape: per-bucket token totals
+    * are prefix-summed at bucket cardinality, each bucket accumulates its
+    * own rows in parallel, and a row survives iff its global running total
+    * (bucket offset + intra-bucket cumulative) fits. Deterministic across
+    * engines/runs/partitionings via the md5 shuffle key. */
+  def takeTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, seed: String = "42", bucketChars: Int = 4): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val nTokens =
+      size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
+        .cast("long")
+    val keyed = df
+      .withColumn("n_tokens", nTokens)
+      .withColumn("@key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
+    val totals = keyed.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
+    val wb = Window.orderBy("@bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("@off", coalesce(sum(col("@t")).over(wb), lit(0L)))
+      .select("@bucket", "@off")
+    val w = Window.partitionBy(col("@bucket"))
+      .orderBy(col("@key"), col(idCol))
+    keyed.join(broadcast(offsets), "@bucket")
+      .withColumn("@cum", col("@off") + sum(col("n_tokens")).over(w))
+      .where(col("@cum") <= budget)
+      .drop("@bucket", "@key", "@off", "@cum")
+  }
+
   /** Sequence packing for training: documents are concatenated in id
     * order within each `partitionCol` stream and cut into fixed
     * `capacity`-token context windows — each document gets the bin of

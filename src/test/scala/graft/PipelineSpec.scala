@@ -297,4 +297,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getLong(3) == 600 && out(3L).getLong(4) == 1) // crosses capacity
     assert(out(4L).getLong(3) == 0 && out(4L).getLong(4) == 0)   // own stream
   }
+
+  test("deterministic shuffle is a permutation matching the global key order") {
+    val out = Sampling.deterministicShuffle(docs, "doc_id", bucketChars = 2)
+    val rows = out.select("doc_id", "pos", "shuffle_key").collect()
+    val n = rows.length
+    // pos is a 0..n-1 permutation
+    assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until n))
+    // pos order == (shuffle_key, doc_id) lexicographic order
+    val byPos = rows.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getLong(0)))
+    assert(byPos.toSeq === byPos.sortBy(identity).toSeq)
+    // stable across bucket widths (two-phase rank is width-invariant)
+    val wide = Sampling.deterministicShuffle(docs, "doc_id", bucketChars = 3)
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => wide(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("token budget keeps exactly the affordable shuffle-order prefix") {
+    val budget = 20000L
+    val kept = Sampling.takeTokenBudget(docs, "doc_id", "text", budget,
+      bucketChars = 2).select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: single-pass cumulative over the same (md5 key, id) order
+    val ordered = Sampling.deterministicShuffle(docs, "doc_id", bucketChars = 2)
+      .withColumn("n",
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .cast("long"))
+      .select("doc_id", "pos", "n").collect().sortBy(_.getLong(1))
+    var cum = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    ordered.foreach { r =>
+      cum += r.getLong(2)
+      if (cum <= budget) expect(r.getLong(0)) = r.getLong(2)
+    }
+    assert(kept === expect)
+    assert(kept.values.sum <= budget)
+  }
 }
