@@ -162,6 +162,13 @@ object CypherQueries {
       """MATCH (o:Order)-[:CONTAINS|SUPPLIED_BY*1..2 {l_quantity: 50.0}]->(x)
         |RETURN o.o_orderkey AS ok, coalesce(x.p_name, x.s_name) AS xname
         |ORDER BY ok, xname""".stripMargin)),
+    // WHERE quantifier over the var-length rel list, pushed into the
+    // unroll (any → per-step match counter across branch lengths)
+    "c30_varlength_quantifier" -> ((s, dir) => run(s, dir,
+      """MATCH (o:Order)-[ls:CONTAINS|SUPPLIED_BY*1..2]->(x)
+        |WHERE any(l IN ls WHERE l.l_quantity >= 49.0)
+        |RETURN o.o_orderkey AS ok, coalesce(x.p_name, x.s_name) AS xname
+        |ORDER BY ok, xname""".stripMargin)),
     // scan consolidation (§2.2 PatternScan over recognized patterns;
     // reference LogicalOptimizer.scala:67-134): the same expand answered
     // from a materialized triplet table — one probe, no rel+node joins
@@ -353,6 +360,18 @@ object CypherQueries {
         |  JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
         |  JOIN supplier ON l2.l_suppkey = s_suppkey
         |  WHERE l1.l_quantity = 50.0 AND l2.l_quantity = 50.0
+        |) ORDER BY ok, xname""".stripMargin,
+    "c30_varlength_quantifier" ->
+      """SELECT ok, xname FROM (
+        |  SELECT l_orderkey AS ok, p_name AS xname
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity >= 49.0
+        |  UNION ALL
+        |  SELECT l1.l_orderkey AS ok, s_name AS xname
+        |  FROM lineitem l1
+        |  JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+        |  JOIN supplier ON l2.l_suppkey = s_suppkey
+        |  WHERE l1.l_quantity >= 49.0 OR l2.l_quantity >= 49.0
         |) ORDER BY ok, xname""".stripMargin,
     "c22_temporal" ->
       """SELECT year(l_shipdate)::BIGINT AS y, month(l_shipdate)::BIGINT AS m,

@@ -390,11 +390,31 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   def planMatch(graph: PropertyGraph, state: PState, m: MatchClause): PState = {
     if (m.optional) return planOptionalMatch(graph, state, m)
+    // WHERE quantifiers over a var-length rel list of THIS pattern push
+    // into the unroll (per-step filters / counters) when their predicate
+    // reads only the quantified relationship and already-bound outer vars
+    val varLenVars = m.pattern.parts.flatMap(_.chain.collect {
+      case (r, _) if r.varLength.isDefined && r.variable.isDefined =>
+        r.variable.get
+    }).toSet
+    val conjuncts = m.where.map(splitAnds).getOrElse(Seq.empty)
+    val (pushed, rest) = conjuncts.partition {
+      case Quantified(q, v, Var(rs), pred) if varLenVars(rs) &&
+          Set("all", "any", "none", "single")(q) =>
+        (freeExprVars(pred) - v).forall(state.header.contains)
+      case _ => false
+    }
+    val quantMap: Map[String, Seq[Quantified]] =
+      pushed.collect { case q @ Quantified(_, _, Var(rs), _) => rs -> q }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
     val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
     var st = state
-    m.pattern.parts.foreach { part => st = planPart(graph, st, part, relIds) }
+    m.pattern.parts.foreach { part =>
+      st = planPart(graph, st, part, relIds, quantMap) }
     st = applyRelUniqueness(st, relIds.toSeq)
-    m.where.foreach { pred => st = applyWhere(graph, st, pred) }
+    rest.reduceOption(And.apply).foreach { pred =>
+      st = applyWhere(graph, st, pred) }
     st
   }
 
@@ -420,7 +440,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   }
 
   private def planPart(graph: PropertyGraph, state: PState, part: PatternPart,
-      relIds: scala.collection.mutable.ArrayBuffer[RelId]): PState = {
+      relIds: scala.collection.mutable.ArrayBuffer[RelId],
+      quantPreds: Map[String, Seq[Quantified]] = Map.empty): PState = {
     val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
     // named path (`p = ...`): record node vars and rel segments in order
     val named = part.pathName.isDefined
@@ -482,7 +503,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case Some((lo, hi)) =>
           val innerCol = if (named) Some(fresh(s"${relVar}_inner")) else None
           val st2 = expandVarLength(graph, st, prevVar, relVar, rel, dstVar,
-            node, lo, hi.getOrElse(maxVarLength), propPreds, innerCol)
+            node, lo, hi.getOrElse(maxVarLength), propPreds, innerCol,
+            quants = quantPreds.getOrElse(relVar, Seq.empty))
           val listCol = st2.header(relVar).asInstanceOf[RelListBinding].col
           relIds += RelId(listCol, isList = true,
             types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
@@ -930,9 +952,30 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       srcVar: String, relVar: String, rel: RelPattern, dstVar: String,
       dstNp: NodePattern, lo: Int, hi: Int,
       propPreds: scala.collection.mutable.ArrayBuffer[Expr],
-      innerCol: Option[String] = None): PState = {
+      innerCol: Option[String] = None,
+      quants: Seq[Quantified] = Seq.empty): PState = {
     require(lo >= 0 && hi >= lo, s"invalid var-length bounds [*$lo..$hi]")
     require(hi <= 30, s"var-length upper bound $hi too large (cap 30)")
+
+    // WHERE-position quantifiers over this rel-list variable, pushed into
+    // the unroll (reference: VarLengthExpandPlanner applies rel predicates
+    // per step; Neo4j pushes all-rel predicates into the traversal):
+    //  - all:    every step must be definitively true  → per-step filter
+    //  - none:   every step must be definitively false → per-step filter
+    //    (a null predicate poisons the quantifier to null, which a WHERE
+    //    drops — so only definitive steps survive)
+    //  - any:    ≥1 definitively-true step → counter across steps
+    //  - single: exactly 1 true and 0 nulls → true+null counters
+    val stepFilterQuants = quants.filter(q =>
+      q.quantifier == "all" || q.quantifier == "none")
+    val countedQuants: Seq[(Quantified, String, Option[String])] =
+      quants.filter(q => q.quantifier == "any" || q.quantifier == "single")
+        .zipWithIndex.map { case (q, i) =>
+          (q, fresh(s"${relVar}_qt$i"),
+            if (q.quantifier == "single") Some(fresh(s"${relVar}_qn$i"))
+            else None)
+        }
+    val cntColNames = countedQuants.flatMap { case (_, t, n) => t +: n.toSeq }
 
     val srcB = state.header(srcVar).asInstanceOf[NodeBinding]
     val dstBound = state.header.get(dstVar).map {
@@ -952,7 +995,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
     val outCols: Seq[String] =
       state.header.columns ++ (listCol +: innerCol.toSeq) ++
-        (if (dstBound.isEmpty) dstB.columns else Seq.empty)
+        (if (dstBound.isEmpty) dstB.columns else Seq.empty) ++ cntColNames
 
     // named-path support: interior node ids per branch (dst of every step
     // but the last) as an extra list column
@@ -1026,6 +1069,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       (oriented, rb, tSrc, tDst)
     }
 
+    // zero traversed steps / branch prefix: every counter starts at 0
+    def withCnt0(df: DataFrame): DataFrame =
+      cntColNames.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
+
     def branch(k: Int): DataFrame = {
       if (k == 0) {
         // zero-length: dst == src. No relationship is traversed, so an
@@ -1033,9 +1080,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         // reference: VarLengthExpandPlanner lower-bound-0 case).
         dstBound match {
           case Some(b) =>
-            withInner(state.df
+            withInner(withCnt0(state.df
               .where(col(s"`${srcB.idCol}`") === col(s"`${b.idCol}`"))
-              .withColumn(listCol, array().cast(ArrayType(LongType, false))),
+              .withColumn(listCol, array().cast(ArrayType(LongType, false)))),
               Seq.empty)
               .select(outCols.map(c => col(s"`$c`")): _*)
           case None =>
@@ -1043,10 +1090,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             // property/label set — copying the (label-restricted) src scan's
             // columns would null out properties the node actually has.
             val s0 = dstScan0.get
-            withInner(state.df
+            withInner(withCnt0(state.df
               .join(s0.df, col(s"`${srcB.idCol}`") === col(s"`${s0.idCol}`"),
                 "inner")
-              .withColumn(listCol, array().cast(ArrayType(LongType, false))),
+              .withColumn(listCol, array().cast(ArrayType(LongType, false)))),
               Seq.empty)
               .select(outCols.map(c => col(s"`$c`")): _*)
         }
@@ -1055,6 +1102,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         var prevOut: Column = col(s"`${srcB.idCol}`")
         val stepIds = scala.collection.mutable.ArrayBuffer.empty[String]
         val stepDsts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cntAcc: Seq[Column] = countedQuants.flatMap { case (_, _, n) =>
+          lit(0L) +: n.map(_ => lit(0L)).toSeq }
         (1 to k).foreach { _ =>
           val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
           df = df.join(relDf, prevOut === col(s"`$tSrc`"), "inner")
@@ -1071,6 +1120,33 @@ class Planner(spark: SparkSession, params: Map[String, Any],
               df = df.where(stepComp.compile(Eq(Property(Var(relVar), k2), e)))
             }
           }
+          // pushed WHERE quantifiers: evaluate against this step's binding
+          def stepPred(q: Quantified): Column = {
+            val probeDf = df
+            new ExprCompiler(state.header + (q.variable -> rb2), params,
+              () => probeDf).compile(q.predicate)
+          }
+          stepFilterQuants.foreach { q =>
+            val p = stepPred(q)
+            df = df.where(
+              if (q.quantifier == "all") p <=> lit(true)
+              else p <=> lit(false)) // none
+          }
+          if (countedQuants.nonEmpty) {
+            var i = 0
+            cntAcc = countedQuants.flatMap { case (q, _, n) =>
+              val p = stepPred(q)
+              val t = cntAcc(i) +
+                when(p <=> lit(true), lit(1L)).otherwise(lit(0L))
+              val rest = n.map { _ =>
+                val nn = cntAcc(i + 1) +
+                  when(p.isNull, lit(1L)).otherwise(lit(0L))
+                nn
+              }.toSeq
+              i += 1 + rest.size
+              t +: rest
+            }
+          }
           stepIds += rb2.idCol
           prevOut = col(s"`$tDst`")
         }
@@ -1078,6 +1154,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         for (i <- stepIds.indices; j <- (i + 1) until stepIds.size)
           df = df.where(col(s"`${stepIds(i)}`") =!= col(s"`${stepIds(j)}`"))
         df = df.withColumn(listCol, array(stepIds.toSeq.map(c => col(s"`$c`")): _*))
+        df = cntColNames.zip(cntAcc).foldLeft(df) { case (d, (c, e)) =>
+          d.withColumn(c, e) }
         df = withInner(df,
           stepDsts.toSeq.dropRight(1).map(c => col(s"`$c`")))
         // terminal node
@@ -1107,9 +1185,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val lo1 = math.max(lo, 0)
     val dfs = (lo1 to hi).map(branch)
     val unioned = dfs.reduce(_ unionByName _)
+    // counted quantifiers decide per path, across all branch lengths
+    val quantFiltered = countedQuants.foldLeft(unioned) {
+      case (d, (q, t, n)) =>
+        val kept = q.quantifier match {
+          case "any" => d.where(col(s"`$t`") >= 1)
+          case "single" => // exactly one true and no null verdicts
+            d.where(col(s"`$t`") === 1 && col(s"`${n.get}`") === 0)
+        }
+        kept.drop(t +: n.toSeq: _*)
+    }
     dstNp.properties.foreach { case (k, e) =>
       propPreds += Eq(Property(Var(dstVar), k), e) }
-    PState(unioned,
+    PState(quantFiltered,
       state.header + (relVar -> RelListBinding(listCol,
         if (rel.types.isEmpty) Set.empty else rel.types.toSet)) +
         (dstVar -> dstB))

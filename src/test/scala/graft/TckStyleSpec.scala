@@ -1162,6 +1162,51 @@ class TckStyleSpec extends AnyFunSuite {
         |MATCH (a:Person {name: 'Alice'})
         |RETURN [(a)-[r:KNOWS]->(b) WHERE r.since > cutoff | b.name] AS names""".stripMargin,
       Seq(row("names" -> Seq("Carol"))))
+  ) ++ Seq(
+    // ------------- quantifiers over var-length relationship lists push
+    // into the unroll (per-step rel property predicates)
+    // chain edges: 1-[w:1]->2-[w:2]->3-[w:3]->4
+    Scenario("varlength-all-rel-props", chain,
+      """MATCH (a:N)-[rs:R*1..3]->(b:N)
+        |WHERE all(r IN rs WHERE r.w >= 2)
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 2, "bv" -> 3), row("av" -> 2, "bv" -> 4),
+        row("av" -> 3, "bv" -> 4)), ordered = true),
+    Scenario("varlength-any-rel-props", chain,
+      """MATCH (a:N)-[rs:R*1..3]->(b:N)
+        |WHERE any(r IN rs WHERE r.w = 3)
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 4), row("av" -> 2, "bv" -> 4),
+        row("av" -> 3, "bv" -> 4)), ordered = true),
+    Scenario("varlength-none-rel-props", chain,
+      """MATCH (a:N)-[rs:R*1..3]->(b:N)
+        |WHERE none(r IN rs WHERE r.w > 1)
+        |RETURN a.v AS av, b.v AS bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 2))),
+    Scenario("varlength-single-rel-props", chain,
+      """MATCH (a:N)-[rs:R*1..3]->(b:N)
+        |WHERE single(r IN rs WHERE r.w = 2)
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 3), row("av" -> 1, "bv" -> 4),
+        row("av" -> 2, "bv" -> 3), row("av" -> 2, "bv" -> 4)),
+      ordered = true),
+    Scenario("varlength-all-with-outer-value", chain,
+      """WITH 2 AS cutoff
+        |MATCH (a:N)-[rs:R*1..3]->(b:N)
+        |WHERE all(r IN rs WHERE r.w >= cutoff)
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 2, "bv" -> 3), row("av" -> 2, "bv" -> 4),
+        row("av" -> 3, "bv" -> 4)), ordered = true),
+    Scenario("varlength-all-zero-length-vacuous", chain,
+      """MATCH (a:N {v: 1})-[rs:R*0..2]->(b:N)
+        |WHERE all(r IN rs WHERE r.w > 99)
+        |RETURN b.v AS bv""".stripMargin,
+      Seq(row("bv" -> 1))),
+    Scenario("varlength-any-zero-length-fails", chain,
+      """MATCH (a:N {v: 1})-[rs:R*0..2]->(b:N)
+        |WHERE any(r IN rs WHERE r.w >= 1)
+        |RETURN b.v AS bv ORDER BY bv""".stripMargin,
+      Seq(row("bv" -> 2), row("bv" -> 3)), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
