@@ -39,6 +39,33 @@ object GraphXExport {
     toGraphX(graph).pageRank(tol).vertices.toDF("id", "rank")
   }
 
+  /** Per-vertex triangle counts (`graphx.lib.TriangleCount`) — the
+    * clustering-coefficient building block. GraphX requires canonical
+    * src<dst orientation and no self-loops/duplicates; normalized here so
+    * callers can pass any property graph. Returns (id, triangles). */
+  def triangleCount(graph: PropertyGraph): org.apache.spark.sql.DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val g = toGraphX(graph)
+      .subgraph(epred = e => e.srcId != e.dstId)
+      .convertToCanonicalEdges()
+    g.triangleCount().vertices.toDF("id", "triangles")
+  }
+
+  /** Community detection via label propagation
+    * (`graphx.lib.LabelPropagation`, synchronous Pregel): each vertex
+    * adopts its neighbors' most frequent community each round. Cheap and
+    * fully distributed; communities are ids of some member vertex.
+    * Returns (id, community). */
+  def labelPropagation(graph: PropertyGraph, maxSteps: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    org.apache.spark.graphx.lib.LabelPropagation
+      .run(toGraphX(graph), maxSteps)
+      .vertices.toDF("id", "community")
+  }
+
   /** Unbounded BFS shortest-path hop counts to landmark nodes via Pregel
     * (`graphx.lib.ShortestPaths`) — the scale path when the Cypher-level
     * `shortestPath()`'s bounded unroll would be too deep: each Pregel

@@ -15,18 +15,36 @@ import graft.cypher.Ast._
   *              schema-only analysis; never triggers a job).
   */
 class ExprCompiler(header: Header, params: Map[String, Any],
-    probe: () => DataFrame, lambdaEnv: Map[String, Column] = Map.empty) {
+    probe: () => DataFrame, lambdaEnv: Map[String, Column] = Map.empty,
+    lambdaTypes: Map[String, DataType] = Map.empty) {
 
-  private def sub(env: Map[String, Column]) =
-    new ExprCompiler(header, params, probe, lambdaEnv ++ env)
+  private def sub(env: Map[String, Column],
+      types: Map[String, DataType] = Map.empty) =
+    new ExprCompiler(header, params, probe, lambdaEnv ++ env,
+      lambdaTypes ++ types)
 
   /** plan-time type resolution via schema-only analysis. Inside lambda
-    * scopes (list comprehensions, reduce) the lambda variable can't be
-    * probed against the input — fall back to NullType, which routes
-    * operators to their default numeric behavior. */
+    * scopes (list comprehensions, reduce, quantifiers) the lambda variable
+    * can't be probed against the input directly — probe with a null
+    * literal cast to the element type recorded at lambda entry (NullType
+    * when unknown, which routes operators to their default behavior). */
   def typeOf(e: Expr): DataType =
-    try probe().select(compile(e)).schema.head.dataType
-    catch { case _: Exception => NullType }
+    try {
+      val stand = lambdaEnv.keysIterator.map { n =>
+        n -> lambdaTypes.get(n).map(t => lit(null).cast(t))
+          .getOrElse(lit(null))
+      }.toMap
+      val tc =
+        if (stand.isEmpty) this
+        else new ExprCompiler(header, params, probe, stand, lambdaTypes)
+      probe().select(tc.compile(e)).schema.head.dataType
+    } catch { case _: Exception => NullType }
+
+  /** element type of a list-typed expression (NullType when unknown). */
+  private def elemTypeOf(list: Expr): DataType = typeOf(list) match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
 
   /** result type of an aggregate column (schema-only global-agg probe). */
   private def typeOfAgg(c: Column): DataType =
@@ -57,7 +75,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case ValueBinding(c) => col(s"`$c`")
       case nb: NodeBinding => col(s"`${nb.idCol}`")
       case rb: RelBinding => col(s"`${rb.idCol}`")
-      case rl: RelListBinding => col(s"`${rl.col}`")
+      // value semantics when the unroll materialized (id, type, props…)
+      // structs (planner demand analysis); id list otherwise
+      case rl: RelListBinding =>
+        rl.structCol.map(c => col(s"`$c`")).getOrElse(col(s"`${rl.col}`"))
       case pb: PathBinding => ExprCompiler.pathStruct(pb)
     }
     case Param(n) => litAny(params.getOrElse(n,
@@ -192,25 +213,28 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       lit(null) // [x IN null | ...] is null, not a type error
     case ListComprehension(v, list, pred, proj) =>
       val base = compile(list)
+      val et = Map(v -> elemTypeOf(list))
       val filtered = pred match {
-        case Some(p) => filter(base, x => sub(Map(v -> x)).compile(p))
+        case Some(p) => filter(base, x => sub(Map(v -> x), et).compile(p))
         case None => base
       }
       proj match {
-        case Some(pr) => transform(filtered, x => sub(Map(v -> x)).compile(pr))
+        case Some(pr) => transform(filtered, x => sub(Map(v -> x), et).compile(pr))
         case None => filtered
       }
 
     case Reduce(_, _, _, list, _) if typeOf(list) == NullType => lit(null)
     case Reduce(acc, init, v, list, step) =>
+      val ts = Map(acc -> typeOf(init), v -> elemTypeOf(list))
       aggregate(compile(list), compile(init),
-        (a, x) => sub(Map(acc -> a, v -> x)).compile(step))
+        (a, x) => sub(Map(acc -> a, v -> x), ts).compile(step))
 
     case Quantified(_, _, list, _) if typeOf(list) == NullType =>
       lit(null).cast(BooleanType)
     case Quantified(q, v, list, pred) =>
       val c = compile(list)
-      def p(x: Column) = sub(Map(v -> x)).compile(pred)
+      val et = Map(v -> elemTypeOf(list))
+      def p(x: Column) = sub(Map(v -> x), et).compile(pred)
       q match {
         case "all" => forall(c, p)
         case "any" => exists(c, p)
@@ -497,13 +521,23 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           .otherwise(array().cast(ArrayType(LongType)))
       case "coalesce" => coalesce(f.args.map(compile): _*)
 
-      case "id" => a0 // entity vars compile to their id column
+      case "id" => typeOf(f.args(0)) match {
+        // relationship value struct (lambda over a var-length rel list)
+        case st: StructType if st.fieldNames.contains("id") => a0.getField("id")
+        case _ => a0 // entity vars compile to their id column
+      }
       case "type" => f.args(0) match {
-        case Var(n) => header(n) match {
+        case Var(n) if !lambdaEnv.contains(n) => header(n) match {
           case rb: RelBinding => col(s"`${rb.typCol}`")
           case _ => throw new IllegalArgumentException("type() expects a relationship")
         }
-        case _ => throw new IllegalArgumentException("type() expects a relationship variable")
+        case other => typeOf(other) match {
+          // relationship value struct carries its type as a field
+          case st: StructType if st.fieldNames.contains("type") =>
+            a0.getField("type")
+          case _ =>
+            throw new IllegalArgumentException("type() expects a relationship")
+        }
       }
       case "labels" => f.args(0) match {
         case Var(n) => header(n) match {

@@ -31,9 +31,15 @@ case class RelBinding(idCol: String, srcCol: String, dstCol: String,
     Seq(idCol, srcCol, dstCol, typCol) ++ propCols.toSeq.sortBy(_._1).map(_._2)
 }
 
-/** var-length relationship variable: a list-of-rel-ids column. */
-case class RelListBinding(col: String, types: Set[String]) extends Binding {
-  def columns: Seq[String] = Seq(col)
+/** var-length relationship variable: a list-of-rel-ids column, plus —
+  * when some expression in the query reads the relationships as VALUES
+  * (`[r IN rs | r.prop]`, `reduce`, `UNWIND rs`, returning `rs`) — a
+  * parallel list of (id, type, properties…) structs built during the
+  * unroll. The id list stays the uniqueness/path currency; the struct
+  * list is only materialized on demand (it widens every unrolled row). */
+case class RelListBinding(col: String, types: Set[String],
+    structCol: Option[String] = None) extends Binding {
+  def columns: Seq[String] = col +: structCol.toSeq
 }
 
 /** one relationship segment of a named path. */

@@ -72,7 +72,38 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
   }
 
+  /** Per-var count of expressions in the current query that read
+    * relationship VALUES — the list argument of a comprehension / reduce /
+    * quantifier, an UNWIND operand, or a bare projection item. size() is
+    * excluded (the id list answers it). Var-length expands materialize a
+    * parallel (id, type, props…) struct list for a var iff some demanding
+    * expression remains after WHERE-quantifier pushdown (a pushed
+    * quantifier evaluates per step and never touches the list). */
+  private var relValueDemand: Map[String, Int] = Map.empty
+
+  private def relValueDemandIn(x: Any): Seq[String] = {
+    val here = x match {
+      case ListComprehension(_, Var(n), _, _) => Seq(n)
+      case Reduce(_, _, _, Var(n), _) => Seq(n)
+      case Quantified(_, _, Var(n), _) => Seq(n)
+      case UnwindClause(Var(n), _) => Seq(n)
+      case ReturnItem(Var(n), _, _) => Seq(n)
+      case _ => Seq.empty[String]
+    }
+    val nested = x match {
+      case s: Seq[_] => s.iterator.flatMap(relValueDemandIn).toSeq
+      case o: Option[_] => o.iterator.flatMap(relValueDemandIn).toSeq
+      case p: Product => p.productIterator.flatMap(relValueDemandIn).toSeq
+      case _ => Seq.empty[String]
+    }
+    here ++ nested
+  }
+
+  private def countDemand(x: Any): Map[String, Int] =
+    relValueDemandIn(x).groupBy(identity).view.mapValues(_.size).toMap
+
   def planSingle(sq: SingleQuery): DataFrame = {
+    relValueDemand = countDemand(sq.clauses)
     var graph = initialGraph
     var state = startState
     var finalDf: Option[DataFrame] = None
@@ -108,6 +139,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     */
   def planGraph(q: Query): PropertyGraph = {
     require(q.unions.isEmpty, "a graph-returning query cannot use UNION")
+    relValueDemand = countDemand(q.first.clauses)
     var graph = initialGraph
     var state = unitState
     q.first.clauses.foreach {
@@ -407,11 +439,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val quantMap: Map[String, Seq[Quantified]] =
       pushed.collect { case q @ Quantified(_, _, Var(rs), _) => rs -> q }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // struct lists are needed only for demand NOT satisfied by pushdown
+    // (count just the pushed quantifier itself — demand nested inside its
+    // predicate still needs values at step-evaluation time)
+    val pushedCounts = pushed
+      .collect { case Quantified(_, _, Var(rs), _) => rs }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val structVars = relValueDemand.collect {
+      case (v, n) if n > pushedCounts.getOrElse(v, 0) => v
+    }.toSet
 
     val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
     var st = state
     m.pattern.parts.foreach { part =>
-      st = planPart(graph, st, part, relIds, quantMap) }
+      st = planPart(graph, st, part, relIds, quantMap, structVars) }
     st = applyRelUniqueness(st, relIds.toSeq)
     rest.reduceOption(And.apply).foreach { pred =>
       st = applyWhere(graph, st, pred) }
@@ -441,7 +482,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   private def planPart(graph: PropertyGraph, state: PState, part: PatternPart,
       relIds: scala.collection.mutable.ArrayBuffer[RelId],
-      quantPreds: Map[String, Seq[Quantified]] = Map.empty): PState = {
+      quantPreds: Map[String, Seq[Quantified]] = Map.empty,
+      structVars: Set[String] = Set.empty): PState = {
     val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
     // named path (`p = ...`): record node vars and rel segments in order
     val named = part.pathName.isDefined
@@ -504,7 +546,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           val innerCol = if (named) Some(fresh(s"${relVar}_inner")) else None
           val st2 = expandVarLength(graph, st, prevVar, relVar, rel, dstVar,
             node, lo, hi.getOrElse(maxVarLength), propPreds, innerCol,
-            quants = quantPreds.getOrElse(relVar, Seq.empty))
+            quants = quantPreds.getOrElse(relVar, Seq.empty),
+            needStructs = rel.variable.exists(structVars))
           val listCol = st2.header(relVar).asInstanceOf[RelListBinding].col
           relIds += RelId(listCol, isList = true,
             types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
@@ -953,7 +996,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       dstNp: NodePattern, lo: Int, hi: Int,
       propPreds: scala.collection.mutable.ArrayBuffer[Expr],
       innerCol: Option[String] = None,
-      quants: Seq[Quantified] = Seq.empty): PState = {
+      quants: Seq[Quantified] = Seq.empty,
+      needStructs: Boolean = false): PState = {
     require(lo >= 0 && hi >= lo, s"invalid var-length bounds [*$lo..$hi]")
     require(hi <= 30, s"var-length upper bound $hi too large (cap 30)")
 
@@ -986,6 +1030,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     // canonical output: state cols + list col + (dst binding cols if new)
     val listCol = fresh(s"${relVar}_ids")
+    // relationship-VALUE list on demand (planner demand analysis): a
+    // parallel array of (id, type, props…) structs so lambdas over the
+    // variable read properties; the id list stays the uniqueness/path
+    // currency. Cast to one explicit type so every branch unions cleanly.
+    val structCol = if (needStructs) Some(fresh(s"${relVar}_rels")) else None
     val dstScan0 =
       if (dstBound.isEmpty) Some(graph.nodeScan(dstNp.labels.toSet, naming(dstVar)))
       else None
@@ -994,7 +1043,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       NodeBinding(s0.idCol, s0.labelCols, s0.propCols, dstNp.labels.toSet)
     }
     val outCols: Seq[String] =
-      state.header.columns ++ (listCol +: innerCol.toSeq) ++
+      state.header.columns ++ (listCol +: (structCol.toSeq ++ innerCol.toSeq)) ++
         (if (dstBound.isEmpty) dstB.columns else Seq.empty) ++ cntColNames
 
     // named-path support: interior node ids per branch (dst of every step
@@ -1069,9 +1118,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       (oriented, rb, tSrc, tDst)
     }
 
-    // zero traversed steps / branch prefix: every counter starts at 0
-    def withCnt0(df: DataFrame): DataFrame =
-      cntColNames.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
+    val relStructType = StructType(
+      StructField("id", LongType) +:
+        StructField("type", StringType) +:
+        baseScan.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+          StructField(k, baseScan.df.schema(c).dataType) })
+
+    // zero traversed steps / branch prefix: every counter starts at 0 and
+    // the value list (when demanded) starts empty
+    def withCnt0(df: DataFrame): DataFrame = {
+      val base = cntColNames.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
+      structCol.fold(base)(c =>
+        base.withColumn(c, array().cast(ArrayType(relStructType))))
+    }
 
     def branch(k: Int): DataFrame = {
       if (k == 0) {
@@ -1102,6 +1161,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         var prevOut: Column = col(s"`${srcB.idCol}`")
         val stepIds = scala.collection.mutable.ArrayBuffer.empty[String]
         val stepDsts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val stepStructs = scala.collection.mutable.ArrayBuffer.empty[Column]
         var cntAcc: Seq[Column] = countedQuants.flatMap { case (_, _, n) =>
           lit(0L) +: n.map(_ => lit(0L)).toSeq }
         (1 to k).foreach { _ =>
@@ -1147,6 +1207,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
               t +: rest
             }
           }
+          if (structCol.isDefined)
+            stepStructs += struct(
+              col(s"`${rb2.idCol}`").as("id") +:
+                col(s"`${rb2.typCol}`").as("type") +:
+                rb2.propCols.toSeq.sortBy(_._1).map { case (k2, c) =>
+                  col(s"`$c`").as(k2) }: _*)
           stepIds += rb2.idCol
           prevOut = col(s"`$tDst`")
         }
@@ -1154,6 +1220,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         for (i <- stepIds.indices; j <- (i + 1) until stepIds.size)
           df = df.where(col(s"`${stepIds(i)}`") =!= col(s"`${stepIds(j)}`"))
         df = df.withColumn(listCol, array(stepIds.toSeq.map(c => col(s"`$c`")): _*))
+        structCol.foreach { c =>
+          df = df.withColumn(c,
+            array(stepStructs.toSeq: _*).cast(ArrayType(relStructType))) }
         df = cntColNames.zip(cntAcc).foldLeft(df) { case (d, (c, e)) =>
           d.withColumn(c, e) }
         df = withInner(df,
@@ -1199,7 +1268,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       propPreds += Eq(Property(Var(dstVar), k), e) }
     PState(quantFiltered,
       state.header + (relVar -> RelListBinding(listCol,
-        if (rel.types.isEmpty) Set.empty else rel.types.toSet)) +
+        if (rel.types.isEmpty) Set.empty else rel.types.toSet, structCol)) +
         (dstVar -> dstB))
   }
 

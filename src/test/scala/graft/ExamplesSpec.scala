@@ -85,6 +85,18 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals.max - vals.min < 1e-6)
   }
 
+  test("GraphX triangle count and label propagation") {
+    // the KNOWS 3-cycle is one undirected triangle: every vertex is in it
+    val tris = graft.interop.GraphXExport.triangleCount(social)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tris.values.toSeq === Seq(1, 1, 1))
+    // one connected cycle → label propagation yields ≤ 2 communities
+    // (3-cycle oscillation can split it; it must not isolate all three)
+    val comms = graft.interop.GraphXExport.labelPropagation(social)
+      .collect().map(_.getLong(1)).distinct
+    assert(comms.length <= 2)
+  }
+
   test("CaseClassExample: graphs from typed Datasets") {
     import ExamplesSpec.{Bought, Product}
     val s = spark

@@ -1206,7 +1206,33 @@ class TckStyleSpec extends AnyFunSuite {
       """MATCH (a:N {v: 1})-[rs:R*0..2]->(b:N)
         |WHERE any(r IN rs WHERE r.w >= 1)
         |RETURN b.v AS bv ORDER BY bv""".stripMargin,
-      Seq(row("bv" -> 2), row("bv" -> 3)), ordered = true)
+      Seq(row("bv" -> 2), row("bv" -> 3)), ordered = true),
+
+    // ------------- var-length rel lists as relationship VALUES
+    Scenario("varlength-rel-list-property-projection", chain,
+      """MATCH (a:N {v: 1})-[rs:R*3]->(b:N)
+        |RETURN [r IN rs | r.w] AS ws""".stripMargin,
+      Seq(row("ws" -> Seq(1, 2, 3)))),
+    Scenario("varlength-rel-list-reduce-props", chain,
+      """MATCH (a:N {v: 1})-[rs:R*3]->(b:N)
+        |RETURN reduce(acc = 0, r IN rs | acc + r.w) AS total""".stripMargin,
+      Seq(row("total" -> 6))),
+    Scenario("varlength-rel-list-type-in-lambda", chain,
+      """MATCH (a:N {v: 1})-[rs:R*2]->(b:N)
+        |RETURN [r IN rs | type(r)] AS ts""".stripMargin,
+      Seq(row("ts" -> Seq("R", "R")))),
+    Scenario("varlength-rel-list-filter-projection", chain,
+      """MATCH (a:N {v: 1})-[rs:R*1..3]->(b:N {v: 4})
+        |RETURN [r IN rs WHERE r.w >= 2 | r.w * 10] AS big""".stripMargin,
+      Seq(row("big" -> Seq(20, 30)))),
+    Scenario("varlength-rel-list-quantifier-on-dst", chain,
+      // predicate reads the (not-yet-bound) dst too → NOT pushed into the
+      // unroll; evaluated as a value over the struct list instead
+      """MATCH (a:N)-[rs:R*1..2]->(b:N)
+        |WHERE all(r IN rs WHERE r.w = b.v - 1)
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 2), row("av" -> 2, "bv" -> 3),
+        row("av" -> 3, "bv" -> 4)), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
