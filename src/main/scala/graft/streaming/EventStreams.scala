@@ -100,4 +100,74 @@ object EventStreams {
         xxhash64(contentCols.map(c => col(s"`$c`")): _*))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("content_hash")
+
+  case class BandedFingerprint(bandIdx: Int, bandVal: Long, docId: Long,
+      simhash: Long, ts: Timestamp)
+  case class BandEntries(entries: List[(Long, Long, Long)]) // (id, sim, tsMs)
+  case class NearDupHit(id_a: Long, id_b: Long, hamming: Int, ts: Timestamp)
+
+  /** Streaming NEAR-dup detection — the incremental twin of
+    * [[graft.pipeline.Dedup.simhashNearDup]]: each document's 64-bit
+    * SimHash splits into `maxHamming + 1` bands (pigeonhole: any pair
+    * within the bound shares one identical band), fingerprints group by
+    * band bucket, and per-bucket state keeps the last `horizonSeconds` of
+    * entries — a new document compares only against its own buckets, so
+    * state and work stay proportional to the horizon, never the stream's
+    * history. Emits (id_a, id_b, hamming) with id_a < id_b; a pair that
+    * collides in several bands is emitted once per band — run
+    * `.withWatermark("ts", …).dropDuplicates("id_a", "id_b")` downstream
+    * (or distinct in batch tests) for unique pairs. Idle buckets evict by
+    * event-time timeout. */
+  def streamingNearDup(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, maxHamming: Int = 3,
+      watermarkDelay: String = "10 minutes",
+      horizonSeconds: Long = 3600): Dataset[NearDupHit] = {
+    require(maxHamming >= 0 && maxHamming <= 15, "maxHamming out of 0..15")
+    import docs.sparkSession.implicits._
+    import graft.functions.VectorFunctions.simhash64
+    val nBands = maxHamming + 1
+    val baseW = 64 / nBands; val rem = 64 % nBands
+    val widths = Seq.tabulate(nBands)(i => baseW + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val horizonMs = horizonSeconds * 1000L
+
+    val banded = docs
+      .withColumn("@sim", simhash64(col(s"`$textCol`")))
+      .select(posexplode(array((0 until nBands).map { b =>
+          val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+          shiftrightunsigned(col("@sim"), offsets(b)).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("bandIdx", "bandVal")),
+        col(s"`$idCol`").cast("long").as("docId"),
+        col("@sim").as("simhash"), col(s"`$tsCol`").as("ts"))
+      .as[BandedFingerprint]
+
+    def update(key: (Int, Long), fps: Iterator[BandedFingerprint],
+        state: GroupState[BandEntries]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = fps.toArray.sortBy(_.ts.getTime)
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      var maxTs = entries.headOption.map(_._3).getOrElse(0L)
+      sorted.foreach { fp =>
+        val t = fp.ts.getTime
+        maxTs = math.max(maxTs, t)
+        entries = entries.filter(_._3 >= maxTs - horizonMs)
+        entries.foreach { case (oid, osim, _) =>
+          val h = java.lang.Long.bitCount(fp.simhash ^ osim)
+          if (h <= maxHamming && oid != fp.docId)
+            out += NearDupHit(math.min(oid, fp.docId),
+              math.max(oid, fp.docId), h, fp.ts)
+        }
+        entries = (fp.docId, fp.simhash, t) :: entries
+      }
+      state.update(BandEntries(entries))
+      state.setTimeoutTimestamp(maxTs + horizonMs)
+      out.iterator
+    }
+
+    banded.withWatermark("ts", watermarkDelay)
+      .groupByKey(fp => (fp.bandIdx, fp.bandVal))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

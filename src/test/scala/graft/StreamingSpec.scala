@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingNearDup flags same-bucket fingerprints within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+
+    val hits = EventStreams.streamingNearDup(docs, "ts", "doc_id", "text",
+      maxHamming = 3, horizonSeconds = 3600)
+    val q = hits.writeStream.format("memory").queryName("nd")
+      .outputMode("append").start()
+    try {
+      val same = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (ts(1), 1L, same),
+        (ts(2), 2L, same),
+        (ts(3), 3L, "completely different words entirely unrelated content stream"))
+      q.processAllAvailable()
+      // 200 min later: identical text but beyond the 60-min horizon
+      input.addData((ts(200), 4L, same))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b, hamming FROM nd")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs === Set((1L, 2L, 0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first occurrence per content hash") {
     val s = spark
     import s.implicits._
