@@ -1225,6 +1225,25 @@ class TckStyleSpec extends AnyFunSuite {
       """MATCH (a:N {v: 1})-[rs:R*1..3]->(b:N {v: 4})
         |RETURN [r IN rs WHERE r.w >= 2 | r.w * 10] AS big""".stripMargin,
       Seq(row("big" -> Seq(20, 30)))),
+    Scenario("varlength-unwind-rel-values", chain,
+      """MATCH (a:N {v: 1})-[rs:R*2]->(b:N)
+        |UNWIND rs AS r
+        |RETURN r.w AS w ORDER BY w""".stripMargin,
+      Seq(row("w" -> 1), row("w" -> 2)), ordered = true),
+    Scenario("varlength-quantifier-under-or-not-pushed", chain,
+      """MATCH (a:N)-[rs:R*1..2]->(b:N)
+        |WHERE all(r IN rs WHERE r.w >= 3) OR size(rs) = 2
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 3), row("av" -> 2, "bv" -> 4),
+        row("av" -> 3, "bv" -> 4)), ordered = true),
+    Scenario("varlength-pushed-quantifier-with-named-path", chain,
+      """MATCH p = (a:N)-[rs:R*1..3]->(b:N)
+        |WHERE all(r IN rs WHERE r.w <= 2)
+        |RETURN a.v AS av, b.v AS bv, length(p) AS len
+        |ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 2, "len" -> 1),
+        row("av" -> 1, "bv" -> 3, "len" -> 2),
+        row("av" -> 2, "bv" -> 3, "len" -> 1)), ordered = true),
     Scenario("varlength-rel-list-quantifier-on-dst", chain,
       // predicate reads the (not-yet-bound) dst too → NOT pushed into the
       // unroll; evaluated as a value over the struct list instead
