@@ -145,6 +145,17 @@ object PipelineQueries {
       Sampling.takeTokenBudget(docs(s, dir), "doc_id", "text",
         budget = 15000L)
         .select(col("doc_id"), col("n_tokens")).orderBy("doc_id")),
+    // HTML boilerplate removal (web-crawl → training text). The fixture
+    // corpus is plain text, so the query synthesizes deterministic markup
+    // around it — the oracle applies the identical wrapper.
+    "p25_clean_html" -> ((s, dir) => {
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(lit("<html><head><style>p{x}</style></head><body><h1>T</h1><p>"),
+          col("text"),
+          lit("</p><div>nav &amp; footer</div><script>var x=1;</script></body></html>"))
+          .as("html"))
+      TextAnalysis.cleanHtml(wrapped, "doc_id", "html").orderBy("doc_id")
+    }),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -405,6 +416,33 @@ object PipelineQueries {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) - 1 AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p25_clean_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{x}</style></head><body><h1>T</h1><p>' || text ||
+        |    '</p><div>nav &amp; footer</div><script>var x=1;</script></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |  regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'isg') AS t FROM h),
+        |c2 AS (SELECT doc_id,
+        |  regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'isg') AS t FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(t, '</(p|div|li|tr|h1|h2|h3|h4|h5|h6)>|<br[^>]*>', chr(10), 'isg') AS t FROM c2),
+        |c4 AS (SELECT doc_id,
+        |  regexp_replace(t, '<[^>]*>', ' ', 'sg') AS t FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM c4),
+        |k AS (SELECT doc_id,
+        |  list_filter(
+        |    list_transform(string_split(t, chr(10)),
+        |      l -> trim(regexp_replace(l, '[ \t]+', ' ', 'g'))),
+        |    l -> len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3) AS ls
+        |  FROM c5)
+        |SELECT doc_id, array_to_string(ls, chr(10)) AS clean_text,
+        |  len(ls)::BIGINT AS n_lines
+        |FROM k ORDER BY doc_id""".stripMargin,
     "p24_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -53,6 +53,33 @@ object TextAnalysis {
     df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
   }
 
+  /** HTML/web-crawl → training text: drops script/style blocks, turns
+    * block-element boundaries into newlines, strips the remaining tags,
+    * decodes the frequent entities (single-decode order: `&amp;` last),
+    * normalizes intra-line whitespace, and filters boilerplate-ish lines
+    * under `minLineWords` words (nav/footer fragments). Purely columnar —
+    * RE2-compatible patterns, no backreferences, no UDF — so any engine
+    * (the DuckDB oracle included) reproduces the output byte-for-byte. */
+  def cleanHtml(df: DataFrame, idCol: String, htmlCol: String,
+      minLineWords: Int = 3): DataFrame = {
+    val noScript =
+      regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?is)</(p|div|li|tr|h1|h2|h3|h4|h5|h6)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val normLines = transform(split(decoded, "\n"),
+      l => trim(regexp_replace(l, "[ \\t]+", " ")))
+    val kept = filter(normLines, l =>
+      size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords)
+    df.select(col(idCol), array_join(kept, "\n").as("clean_text"),
+      size(kept).cast(LongType).as("n_lines"))
+  }
+
   /** heuristic quality signals + a composite score in [0,1]:
     * long-enough docs with normal word lengths, low punctuation/digit
     * noise and some stopword mass score high. */

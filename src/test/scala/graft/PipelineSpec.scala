@@ -298,6 +298,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L).getLong(3) == 0 && out(4L).getLong(4) == 0)   // own stream
   }
 
+  test("cleanHtml strips markup, decodes entities, filters short lines") {
+    val html =
+      """<html><head><style>body { color: red }</style>
+        |<script type="text/javascript">var x = "<p>not text</p>";</script>
+        |</head><body>
+        |<h1>Title Of The Page</h1>
+        |<p>First real paragraph with enough words &amp; entities like &lt;tags&gt;.</p>
+        |<div>Home</div>
+        |<p>Second   paragraph with   irregular    spacing here.</p>
+        |<br><div>&copy; footer</div>
+        |</body></html>""".stripMargin
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val out = TextAnalysis.cleanHtml(df, "doc_id", "html").collect().head
+    val text = out.getString(1)
+    val lines = text.split("\n")
+    assert(out.getLong(2) == lines.length)
+    assert(lines.contains("Title Of The Page"))
+    assert(lines.exists(_.contains("enough words & entities like <tags>.")))
+    assert(lines.exists(_.contains("Second paragraph with irregular spacing here.")))
+    // script/style payloads and short boilerplate lines are gone
+    assert(!text.contains("var x") && !text.contains("color: red"))
+    assert(!lines.contains("Home") && !text.contains("footer"))
+  }
+
   test("deterministic shuffle is a permutation matching the global key order") {
     val out = Sampling.deterministicShuffle(docs, "doc_id", bucketChars = 2)
     val rows = out.select("doc_id", "pos", "shuffle_key").collect()
