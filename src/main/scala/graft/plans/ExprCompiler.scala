@@ -576,7 +576,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         }
       }
       case "properties" => f.args(0) match {
-        case Var(n) =>
+        case Var(n) if !lambdaEnv.contains(n) =>
           val (idc, props) = header(n) match {
             case nb: NodeBinding => (nb.idCol, nb.propCols)
             case rb: RelBinding => (rb.idCol, rb.propCols)
@@ -585,7 +585,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           when(col(s"`$idc`").isNull, lit(null)).otherwise(
             struct(props.toSeq.sortBy(_._1).map { case (k, c) =>
               col(s"`$c`").as(k) }: _*))
-        case _ => throw new IllegalArgumentException("properties() expects an entity variable")
+        case other => typeOf(other) match {
+          // relationship value struct (lambda over a var-length rel list):
+          // the properties are every field but the id/type bookkeeping
+          case st: StructType if st.fieldNames.contains("id") =>
+            val props = st.fieldNames.filterNot(f0 => f0 == "id" || f0 == "type")
+            when(a0.isNull, lit(null)).otherwise(
+              struct(props.sorted.map(k => a0.getField(k).as(k)): _*))
+          case _ =>
+            throw new IllegalArgumentException("properties() expects an entity")
+        }
       }
       case "startnode" => f.args(0) match {
         case Var(n) => header(n) match {

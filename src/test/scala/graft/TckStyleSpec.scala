@@ -1244,6 +1244,10 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("av" -> 1, "bv" -> 2, "len" -> 1),
         row("av" -> 1, "bv" -> 3, "len" -> 2),
         row("av" -> 2, "bv" -> 3, "len" -> 1)), ordered = true),
+    Scenario("varlength-rel-list-properties-in-lambda", chain,
+      """MATCH (a:N {v: 1})-[rs:R*2]->(b:N)
+        |RETURN [r IN rs | properties(r).w] AS ws""".stripMargin,
+      Seq(row("ws" -> Seq(1, 2)))),
     Scenario("varlength-rel-list-quantifier-on-dst", chain,
       // predicate reads the (not-yet-bound) dst too → NOT pushed into the
       // unroll; evaluated as a value over the struct list instead
