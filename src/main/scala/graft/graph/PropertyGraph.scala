@@ -271,6 +271,72 @@ class PropertyGraph(
     new PropertyGraph(nodeTables ++ other.nodeTables,
       relTables ++ other.relTables, spark)
 
+  /** Incremental merge (upsert) — the reference's Neo4jGraphMerge
+    * semantics (`sync/Neo4jGraphMerge.scala`), storage-agnostic: an
+    * element of `updates` REPLACES the existing element with the same id
+    * in the same label-combination / relationship-type table; existing
+    * elements not re-stated persist; tables new to `updates` are added.
+    * Property schemas union per table (a side missing a property
+    * contributes nulls of the other side's type). Each merged table is
+    * one anti-join + union-by-name: at 100 TB the shuffle is on the
+    * 8-byte id, and untouched tables aren't rewritten at all. */
+  def merge(updates: PropertyGraph): PropertyGraph = {
+    def nullOf(dt: org.apache.spark.sql.types.DataType) = lit(null).cast(dt)
+
+    def mergeTables[T](existing: Seq[T], updated: Seq[T], key: T => AnyRef,
+        ord: T => String, combine: (T, T) => T): Seq[T] = {
+      val e = existing.map(t => key(t) -> t).toMap
+      val u = updated.map(t => key(t) -> t).toMap
+      (e.keySet ++ u.keySet).toSeq.map(k => (e.get(k), u.get(k))).map {
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (Some(a), Some(b)) => combine(a, b)
+        case _ => throw new IllegalStateException("unreachable")
+      }.sortBy(ord)
+    }
+
+    def propType(t: DataFrame, propCols: Map[String, String], k: String) =
+      propCols.get(k).map(c => t.schema(c).dataType)
+
+    def mergeNode(a: NodeTable, b: NodeTable): NodeTable = {
+      val keys = (a.propCols.keySet ++ b.propCols.keySet).toSeq.sorted
+      def norm(t: NodeTable, other: NodeTable): DataFrame =
+        t.df.select(col(s"`${t.idCol}`").cast(LongType).as("@id") +:
+          keys.map { k =>
+            t.propCols.get(k).map(c => col(s"`$c`"))
+              .getOrElse(nullOf(propType(other.df, other.propCols, k).get))
+              .as(k)
+          }: _*)
+      val stay = norm(a, b).join(norm(b, a).select("@id"), Seq("@id"), "left_anti")
+      NodeTable(a.labels, norm(b, a).unionByName(stay), "@id",
+        keys.map(k => k -> k).toMap)
+    }
+
+    def mergeRel(a: RelTable, b: RelTable): RelTable = {
+      val keys = (a.propCols.keySet ++ b.propCols.keySet).toSeq.sorted
+      def norm(t: RelTable, other: RelTable): DataFrame =
+        t.df.select(col(s"`${t.idCol}`").cast(LongType).as("@id") +:
+          col(s"`${t.srcCol}`").cast(LongType).as("@src") +:
+          col(s"`${t.dstCol}`").cast(LongType).as("@dst") +:
+          keys.map { k =>
+            t.propCols.get(k).map(c => col(s"`$c`"))
+              .getOrElse(nullOf(propType(other.df, other.propCols, k).get))
+              .as(k)
+          }: _*)
+      val stay = norm(a, b).join(norm(b, a).select("@id"), Seq("@id"), "left_anti")
+      RelTable(a.relType, norm(b, a).unionByName(stay), "@id", "@src", "@dst",
+        keys.map(k => k -> k).toMap)
+    }
+
+    // derived pattern tables are dropped: a merge can invalidate them
+    new PropertyGraph(
+      mergeTables[NodeTable](nodeTables, updates.nodeTables,
+        _.labels, _.labels.toSeq.sorted.mkString(","), mergeNode),
+      mergeTables[RelTable](relTables, updates.relTables,
+        _.relType, _.relType, mergeRel),
+      spark)
+  }
+
   /** Re-tag every element id into a disjoint space: `(prefix << 56) | id`
     * (role of the reference's PrefixedGraph byte prefix,
     * okapi-relational/.../impl/graph/PrefixedGraph.scala:40-64). Ids must

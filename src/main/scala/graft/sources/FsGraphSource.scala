@@ -178,4 +178,26 @@ object FsGraphSource {
     }
     new PropertyGraph(nodes, rels, spark)
   }
+
+  /** Incremental merge into a stored graph (the reference's
+    * Neo4jGraphMerge role, re-homed on the FS source): upserts `updates`
+    * into the graph at `path` via [[PropertyGraph.merge]], materializes
+    * the merged graph NEXT TO the original (`<path>.__merge_tmp`), and
+    * only then swaps directories — a crash mid-write leaves the original
+    * intact, and the swap is two metadata operations. Returns the merged
+    * graph loaded from its final location. */
+  def mergeInto(spark: SparkSession, path: String, updates: PropertyGraph,
+      format: String = "parquet"): PropertyGraph = {
+    val merged = load(spark, path).merge(updates)
+    val tmp = s"$path.__merge_tmp"
+    save(merged, tmp, format, mode = "overwrite")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.__merge_old")
+    require(fs.rename(p, old), s"could not move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"could not move merged graph into $path")
+    fs.delete(old, true)
+    load(spark, path)
+  }
 }

@@ -153,6 +153,53 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental merge: updates win by id, untouched elements persist") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_merge").toString + "/g"
+    FsGraphSource.save(g, dir)
+
+    // Bob renamed + score added; Dave new; one new KNOWS edge; a whole
+    // new label table (Robot)
+    val updates = new PropertyGraph(
+      Seq(
+        NodeTable(Set("Person"),
+          Seq((2L, "Bobby", 43L, 9.5), (4L, "Dave", 51L, 1.0))
+            .toDF("id", "name", "age", "score"),
+          "id", Map("name" -> "name", "age" -> "age", "score" -> "score")),
+        NodeTable(Set("Robot"), Seq((20L, "R2")).toDF("id", "name"),
+          "id", Map("name" -> "name"))),
+      Seq(RelTable("KNOWS",
+        Seq((102L, 3L, 4L, 2026L)).toDF("rid", "src", "dst", "since"),
+        "rid", "src", "dst", Map("since" -> "since"))),
+      spark)
+
+    val merged = FsGraphSource.mergeInto(spark, dir, updates)
+
+    val people = gs.cypher(merged,
+      """MATCH (p:Person) RETURN p.name AS name, p.age AS age,
+        |p.score AS score ORDER BY name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(people.toSeq === Seq(
+      ("Alice", 23L, null), ("Bobby", 43L, 9.5),
+      ("Carol", 31L, null), ("Dave", 51L, 1.0)))
+
+    val knows = gs.cypher(merged,
+      "MATCH ()-[k:KNOWS]->() RETURN k.since AS y ORDER BY y").collect()
+      .map(_.getLong(0))
+    assert(knows.toSeq === Seq(2016L, 2017L, 2026L))
+
+    // untouched tables persisted; the new label table is present
+    assert(gs.cypher(merged, "MATCH (c:City) RETURN count(*) AS n")
+      .head.getLong(0) == 2L)
+    assert(gs.cypher(merged, "MATCH (r:Robot) RETURN r.name AS n")
+      .head.getString(0) == "R2")
+    assert(gs.cypher(merged, "MATCH ()-[:LIVES_IN]->() RETURN count(*) AS n")
+      .head.getLong(0) == 3L)
+  }
+
   test("CATALOG CREATE GRAPH / DROP GRAPH statement forms") {
     gs.cypher(
       """CATALOG CREATE GRAPH sn {
