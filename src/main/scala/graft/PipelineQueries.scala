@@ -145,6 +145,17 @@ object PipelineQueries {
       Sampling.takeTokenBudget(docs(s, dir), "doc_id", "text",
         budget = 15000L)
         .select(col("doc_id"), col("n_tokens")).orderBy("doc_id")),
+    // per-source document cap (anti-spam: at most N docs per source,
+    // deterministic md5-ranked subset)
+    "p26_source_cap" -> ((s, dir) =>
+      Sampling.capPerKey(docs(s, dir), "doc_id", "source", maxPerKey = 15)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+    // weighted corpus mixture (per-source keep probability, md5 buckets)
+    "p27_mixture" -> ((s, dir) =>
+      Sampling.mixture(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 100.0, "src1" -> 50.0, "src2" -> 25.0),
+        defaultPct = 10.0)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
     // HTML boilerplate removal (web-crawl → training text). The fixture
     // corpus is plain text, so the query synthesizes deterministic markup
     // around it — the oracle applies the identical wrapper.
@@ -416,6 +427,19 @@ object PipelineQueries {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) - 1 AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p26_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "p27_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(doc_id::VARCHAR), 1, 2) <
+        |  CASE source WHEN 'src0' THEN 'g0' WHEN 'src1' THEN '80'
+        |    WHEN 'src2' THEN '40' ELSE '1a' END
+        |ORDER BY doc_id""".stripMargin,
     "p25_clean_html" ->
       """WITH h AS (
         |  SELECT doc_id,

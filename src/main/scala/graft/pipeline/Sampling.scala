@@ -50,6 +50,38 @@ object Sampling {
       fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Caps each key's group at `maxPerKey` rows, keeping a deterministic
+    * pseudo-random subset (md5 rank within the key) — the "at most N
+    * documents per domain/source" anti-spam primitive. One shuffle on the
+    * key; per-key windows parallelize across keys (a single hot key
+    * serializes only its own group — cap-sized output regardless). */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      maxPerKey: Int, seed: String = "42"): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+        col(idCol))
+    df.withColumn("@rk", row_number().over(w))
+      .where(col("@rk") <= maxPerKey).drop("@rk")
+  }
+
+  /** Weighted mixture: keeps each source's rows with its configured
+    * probability, deterministically (md5 id bucket vs per-source
+    * threshold) — the corpus-mixing primitive ("web 80%, code 15%,
+    * papers 5%"). Zero shuffle, reproducible on any engine; sources
+    * absent from `weights` use `defaultPct`. Percentages quantize to
+    * 1/256 (the md5 bucket granularity). */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultPct: Double = 100.0): DataFrame = {
+    val b = bucket(col(idCol))
+    val threshold = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(defaultPct))) { case (acc, (src, pct)) =>
+        when(col(sourceCol) === src, lit(hexThreshold(pct))).otherwise(acc)
+      }
+    df.where(b < threshold)
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * stable position `pos` (0-based) in a pseudo-random permutation keyed
     * by md5(id:seed) — reproducible on any engine from the id alone.

@@ -298,6 +298,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L).getLong(3) == 0 && out(4L).getLong(4) == 0)   // own stream
   }
 
+  test("capPerKey keeps a deterministic per-key subset of bounded size") {
+    val capped = Sampling.capPerKey(docs, "doc_id", "source", maxPerKey = 7)
+    val sizes = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 7) && sizes.nonEmpty)
+    // deterministic: same subset both runs
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.capPerKey(docs, "doc_id", "source", maxPerKey = 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("mixture keeps sources at their configured rates") {
+    val out = Sampling.mixture(docs, "doc_id", "source",
+      Map("src0" -> 100.0, "src1" -> 0.0), defaultPct = 50.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.where(col("source") === "src0").count()
+    assert(bySrc("src0") == total)          // 100% kept
+    assert(!bySrc.contains("src1"))         // 0% kept
+    // ~50% default elsewhere (md5 quantization: just require 20-80%)
+    val others = bySrc.view.filterKeys(k => k != "src0").values.sum.toDouble
+    val othersTotal = docs.where(col("source") =!= "src0" &&
+      col("source") =!= "src1").count().toDouble
+    assert(others / othersTotal > 0.2 && others / othersTotal < 0.8)
+  }
+
   test("cleanHtml strips markup, decodes entities, filters short lines") {
     val html =
       """<html><head><style>body { color: red }</style>
