@@ -171,6 +171,26 @@ class GraftSession(val spark: SparkSession) {
   /** Spark SQL pass-through (reference entry point 2,
     * MorpheusSession.scala:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Registers a catalog graph's element tables as SQL temp views —
+    * `<graph>_node_<labels>` / `<graph>_rel_<type>` — so plain Spark SQL
+    * (entry point 2, reference: MorpheusSession.sql + the graph-ddl
+    * direction reversed) can query graph data without a Cypher hop.
+    * Returns the created view names. */
+  def registerSqlViews(graphName: String): Seq[String] = {
+    val g = graph(graphName)
+    val nodeViews = g.nodeTables.map { t =>
+      val v = s"${graphName}_node_${t.labels.toSeq.sorted.mkString("_")}"
+      t.df.createOrReplaceTempView(v)
+      v
+    }
+    val relViews = g.relTables.map { t =>
+      val v = s"${graphName}_rel_${t.relType}"
+      t.df.createOrReplaceTempView(v)
+      v
+    }
+    nodeViews ++ relViews
+  }
 }
 
 object GraftSession {

@@ -138,6 +138,17 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
     gs.cypher("CATALOG DROP GRAPH demo.tiny")
   }
 
+  test("SQL views over graph element tables") {
+    val views = gs.registerSqlViews("social")
+    assert(views.contains("social_node_Person") &&
+      views.contains("social_rel_KNOWS"))
+    val n = gs.sql(
+      """SELECT count(*) AS n FROM social_node_Person p
+        |JOIN social_rel_KNOWS k ON k.src = p.id""".stripMargin)
+      .head.getLong(0)
+    assert(n == 3L)
+  }
+
   test("DataFrameOutputExample: results are plain DataFrames") {
     val df = gs.cypher(social,
       "MATCH (p:Person) RETURN p.name AS name, id(p) AS pid")

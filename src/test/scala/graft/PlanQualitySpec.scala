@@ -138,6 +138,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase rank broadcasts bucket offsets; no full-data global sort") {
+    import graft.pipeline.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(Sampling.deterministicShuffle(docs, "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets should broadcast-join:\n$plan")
+    // the only single-partition exchange allowed is the bucket-count
+    // window (≤ 16^bucketChars rows) — the corpus itself must never
+    // funnel through one partition
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"full-data global sort crept in:\n$plan")
+  }
+
   test("value-correlated optional match joins on the value column, no cartesian") {
     val df = gs.cypher(g,
       """MATCH (n:Nation) WITH n.n_name AS nname
