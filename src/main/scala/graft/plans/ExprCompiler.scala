@@ -755,6 +755,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val p = compile(args(1))
       try_element_at(array_sort(collect_list(c)),
         greatest(ceil(p * count(c)), lit(1)).cast(IntegerType))
+    // sketch aggregates (extension — the 100 TB path where exact
+    // percentile/distinct would buffer or double-shuffle): HLL++ and
+    // fixed-error percentile approximation, both single-pass mergeable
+    case Func("approxcountdistinct", _, args) =>
+      approx_count_distinct(compile(args.head))
+    case Func("percentileapprox", _, args) =>
+      val acc = if (args.size > 2) compile(args(2)) else lit(10000)
+      percentile_approx(compile(args.head), compile(args(1)), acc)
     // scalar wrappers around aggregates
     case Add(l, r) => wrapAgg(l) + wrapAgg(r)
     case Sub(l, r) => wrapAgg(l) - wrapAgg(r)
@@ -789,7 +797,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
 object ExprCompiler {
   val aggregateNames: Set[String] = Set("count", "sum", "avg", "min", "max",
-    "collect", "stdev", "stdevp", "percentilecont", "percentiledisc")
+    "collect", "stdev", "stdevp", "percentilecont", "percentiledisc",
+    "approxcountdistinct", "percentileapprox")
 
   // ------------------------------------------------------- named paths
   // A path is rendered from id columns the pattern already carries:

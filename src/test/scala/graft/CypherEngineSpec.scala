@@ -367,6 +367,20 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(rows2.head.schema.fieldNames.toSeq === Seq("ck", "n"))
   }
 
+  test("sketch aggregates: approxCountDistinct and percentileApprox") {
+    val row = gs.cypher(g,
+      """MATCH (c:Customer)
+        |RETURN approxCountDistinct(c.c_nationkey) AS apx,
+        |       count(DISTINCT c.c_nationkey) AS exact,
+        |       percentileApprox(c.c_acctbal, 0.5) AS med_apx,
+        |       percentileCont(c.c_acctbal, 0.5) AS med""".stripMargin).head
+    val (apx, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(apx - exact).toDouble / exact < 0.1)
+    // percentile_approx default accuracy is within ~1 rank of exact here
+    assert(math.abs(row.getDouble(2) - row.getDouble(3)) <
+      0.05 * math.abs(row.getDouble(3)).max(1.0))
+  }
+
   test("driving table binds columns as variables") {
     import spark.implicits._
     val drive = Seq((1L, "a"), (3L, "b"), (9999L, "c"))
