@@ -192,7 +192,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       if (isIntegral(typeOf(l)) && isIntegral(typeOf(r)))
         // Cypher int/int truncates toward zero. SQL `div` (IntegralDivide)
         // is exact on the full Long range — the double round-trip loses
-        // exactness above 2^53 — and yields null on /0 like `/` on doubles.
+        // exactness above 2^53 — and raises on /0 under ANSI mode,
+        // matching Cypher's "/ by zero" runtime error.
         graft.functions.VectorFunctions.integral_divide(
           lc.cast(LongType), rc.cast(LongType))
       else lc / rc

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+
+/** Randomized property checks for the custom codegen kernels against
+  * plain-Scala references (fixed seed → reproducible; one Spark job per
+  * property, 1000 samples each). These are the expressions whole corpora
+  * flow through — a codegen bug here silently corrupts every dedup and
+  * similarity result, so they get reference-implementation parity checks
+  * beyond the example-based specs.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  test("integral_divide matches BigInt truncation-toward-zero, also past 2^53") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq.fill(1000) {
+      val a = rnd.nextLong()
+      val b = rnd.nextInt(4) match {
+        case 0 => rnd.nextLong() | (1L << 60) // huge divisor
+        case _ => rnd.nextLong() match { case 0 => 7L; case x => x }
+      }
+      (a, b)
+    }.filterNot { case (a, b) => a == Long.MinValue && b == -1L } ++
+      Seq((Long.MaxValue, 3L), ((1L << 60) + 7, 1000L), (-(1L << 59) - 3, 17L))
+    val out = cases.toDF("a", "b")
+      .select(col("a"), col("b"), integral_divide(col("a"), col("b")).as("q"))
+      .collect()
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val want = (BigInt(a) / BigInt(b)).toLong
+      assert(r.getLong(2) == want, s"$a / $b: got ${r.getLong(2)}, want $want")
+    }
+    // /0 raises (ANSI) — Cypher's "/ by zero" is a runtime error
+    val thrown = intercept[Exception] {
+      Seq((1L, 0L)).toDF("a", "b")
+        .select(integral_divide(col("a"), col("b"))).collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("zero"))
+  }
+
+  test("dot_product and cosine_similarity match manual math") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq.fill(500) {
+      val n = 1 + rnd.nextInt(16)
+      (Array.fill(n)(rnd.nextDouble() * 4 - 2),
+        Array.fill(n)(rnd.nextDouble() * 4 - 2))
+    }
+    val out = cases.toDF("a", "b")
+      .select(col("a"), col("b"), dot_product(col("a"), col("b")).as("dot"),
+        cosine_similarity(col("a"), col("b")).as("cos"))
+      .collect()
+    out.zip(cases).foreach { case (r, (a, b)) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      assert(math.abs(r.getDouble(2) - dot) < 1e-9)
+      if (na > 0 && nb > 0)
+        assert(math.abs(r.getDouble(3) - dot / (na * nb)) < 1e-9)
+    }
+  }
+
+  test("sorted_jaccard equals set Jaccard of the underlying hash sets") {
+    val s = spark
+    import s.implicits._
+    def arr() = Array.fill(1 + rnd.nextInt(30))(rnd.nextInt(40).toLong)
+      .distinct.sorted
+    val cases = Seq.fill(500)((arr(), arr()))
+    val out = cases.toDF("a", "b")
+      .select(col("a"), col("b"), sorted_jaccard(col("a"), col("b")).as("j"))
+      .collect()
+    out.zip(cases).foreach { case (r, (a, b)) =>
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val union = a.toSet.union(b.toSet).size.toDouble
+      val want = if (union == 0) 0.0 else inter / union
+      assert(math.abs(r.getDouble(2) - want) < 1e-12,
+        s"${a.toSeq} vs ${b.toSeq}: got ${r.getDouble(2)}, want $want")
+    }
+  }
+
+  test("text kernels are deterministic and shape-correct") {
+    val s = spark
+    import s.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val texts = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(20))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = texts.toDF("t")
+    val out = df.select(col("t"),
+        word_ngram_hashes(col("t"), 3).as("ng"),
+        minhash_signature(col("t"), 32, 4).as("sig"),
+        simhash64(col("t")).as("sh"))
+      .collect()
+    val out2 = df.select(col("t"),
+        word_ngram_hashes(col("t"), 3).as("ng"),
+        minhash_signature(col("t"), 32, 4).as("sig"),
+        simhash64(col("t")).as("sh"))
+      .collect()
+    out.zip(out2).foreach { case (r1, r2) =>
+      assert(r1.getSeq[Long](1) == r2.getSeq[Long](1))
+      assert(r1.getSeq[Long](2) == r2.getSeq[Long](2))
+      assert(r1.getLong(3) == r2.getLong(3))
+    }
+    out.foreach { r =>
+      val nWords = r.getString(0).split("\\s+").count(_.nonEmpty)
+      val nGrams = r.getSeq[Long](1).size
+      // distinct sorted n-grams: at most words-n+1, zero iff too short
+      assert(nGrams <= math.max(nWords - 2, 0))
+      assert((nGrams == 0) == (nWords < 3))
+      assert(r.getSeq[Long](2).size == 32)
+    }
+    // identical texts hash identically (cross-row)
+    val byText = out.groupBy(_.getString(0))
+    byText.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).distinct.size == 1)
+    }
+  }
+}
