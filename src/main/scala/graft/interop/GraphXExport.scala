@@ -52,6 +52,19 @@ object GraphXExport {
     g.triangleCount().vertices.toDF("id", "triangles")
   }
 
+  /** Strongly connected components (`graphx.lib.StronglyConnectedComponents`,
+    * direction-respecting — unlike the near-dup clustering's undirected
+    * components). Returns (id, component) with component = lowest vertex
+    * id in the SCC. */
+  def stronglyConnectedComponents(graph: PropertyGraph, numIter: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    org.apache.spark.graphx.lib.StronglyConnectedComponents
+      .run(toGraphX(graph), numIter)
+      .vertices.toDF("id", "component")
+  }
+
   /** Community detection via label propagation
     * (`graphx.lib.LabelPropagation`, synchronous Pregel): each vertex
     * adopts its neighbors' most frequent community each round. Cheap and

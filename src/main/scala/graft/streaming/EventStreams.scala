@@ -101,6 +101,21 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("content_hash")
 
+  /** Sessionization via Spark's native `session_window` (codegen'd,
+    * merge-on-overlap): one groupBy instead of typed state — preferred
+    * when only per-session aggregates are needed. Works identically on a
+    * batch frame and a watermarked stream (same logical plan). */
+  def sessionizeNative(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: Option[String] = None): DataFrame = {
+    val in = watermarkDelay.fold(events)(events.withWatermark(tsCol, _))
+    in.groupBy(col(s"`$keyCol`"), session_window(col(s"`$tsCol`"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(s"`$keyCol`"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   case class BandedFingerprint(bandIdx: Int, bandVal: Long, docId: Long,
       simhash: Long, ts: Timestamp)
   case class BandEntries(entries: List[(Long, Long, Long)]) // (id, sim, tsMs)

@@ -85,6 +85,13 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals.max - vals.min < 1e-6)
   }
 
+  test("GraphX strongly connected components") {
+    // KNOWS is a directed 3-cycle → one SCC containing all three vertices
+    val scc = graft.interop.GraphXExport.stronglyConnectedComponents(social)
+      .collect().map(_.getLong(1)).distinct
+    assert(scc.toSeq === Seq(1L))
+  }
+
   test("GraphX triangle count and label propagation") {
     // the KNOWS 3-cycle is one undirected triangle: every vertex is in it
     val tris = graft.interop.GraphXExport.triangleCount(social)

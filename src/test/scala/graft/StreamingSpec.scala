@@ -89,6 +89,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionizeNative matches the typed-state sessionizer on batch data") {
+    val s = spark
+    import s.implicits._
+    // two users; user 1 has two sessions split by a 20-min gap
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(2)), (1L, ts(5)),
+      (1L, ts(30)), (1L, ts(31)),
+      (2L, ts(10))).toDF("user_id", "ts")
+    val out = EventStreams.sessionizeNative(events, "ts", "user_id", "10 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, ts(0), 3L), (1L, ts(30), 2L), (2L, ts(10), 1L)))
+  }
+
   test("streamingNearDup flags same-bucket fingerprints within the horizon") {
     val s = spark
     import s.implicits._
