@@ -156,6 +156,31 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 3L)
   }
 
+  test("Customer360Example: integrate graphs from two sources, query across") {
+    val s = spark
+    import s.implicits._
+    // source A: CRM users; source B: web accounts — overlapping emails
+    val crm = new PropertyGraph(
+      Seq(NodeTable(Set("Customer"),
+        Seq((1L, "alice@x.com", "Alice A"), (2L, "bob@x.com", "Bob B"))
+          .toDF("id", "email", "name"),
+        "id", Map("email" -> "email", "name" -> "name"))),
+      Seq.empty, spark)
+    val web = new PropertyGraph(
+      Seq(NodeTable(Set("Account"),
+        Seq((1L, "alice@x.com", 42L), (9L, "carol@x.com", 7L))
+          .toDF("id", "email", "visits"),
+        "id", Map("email" -> "email", "visits" -> "visits"))),
+      Seq.empty, spark)
+    // disjoint id spaces, then one integrated graph (Customer360 recipe)
+    val integrated = crm.prefixIdSpace(1).unionAll(web.prefixIdSpace(2))
+    val joined = gs.cypher(integrated,
+      """MATCH (c:Customer), (a:Account) WHERE c.email = a.email
+        |RETURN c.name AS name, a.visits AS visits""".stripMargin).collect()
+    assert(joined.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("Alice A", 42L)))
+  }
+
   test("DataFrameOutputExample: results are plain DataFrames") {
     val df = gs.cypher(social,
       "MATCH (p:Person) RETURN p.name AS name, id(p) AS pid")
