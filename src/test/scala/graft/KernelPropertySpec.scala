@@ -91,6 +91,49 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature agreement estimates shingle Jaccard") {
+    val s = spark
+    import s.implicits._
+    val words = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    // pairs with varying overlap: prefix of A + fresh suffix
+    val base = Seq.fill(60)(words(rnd.nextInt(words.size))).mkString(" ")
+    val variants = Seq(1.0, 0.7, 0.4).map { keep =>
+      val toks = base.split(" ")
+      val kept = toks.take((toks.length * keep).toInt)
+      val fresh = Seq.fill(toks.length - kept.length)(
+        "zz" + rnd.nextInt(1000)).mkString(" ")
+      (base, (kept.mkString(" ") + " " + fresh).trim)
+    }
+    val df = variants.toDF("a", "b").select(
+      shingle_hashes(col("a"), 4).as("sa"),
+      shingle_hashes(col("b"), 4).as("sb"),
+      minhash_signature(col("a"), 128, 4).as("ma"),
+      minhash_signature(col("b"), 128, 4).as("mb"))
+    df.collect().foreach { r =>
+      val trueJ = {
+        val a = r.getSeq[Long](0).toSet; val b = r.getSeq[Long](1).toSet
+        a.intersect(b).size.toDouble / a.union(b).size
+      }
+      val est = r.getSeq[Long](2).zip(r.getSeq[Long](3))
+        .count { case (x, y) => x == y }.toDouble / 128
+      // 128 hashes → stderr ~ sqrt(J(1-J)/128) ≤ 0.045; allow 4σ
+      assert(math.abs(est - trueJ) < 0.2,
+        s"minhash estimate $est vs true Jaccard $trueJ")
+    }
+  }
+
+  test("lsh buckets: identical vectors share every bucket, tables differ") {
+    val s = spark
+    import s.implicits._
+    val v = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+    val df = Seq((v, v)).toDF("a", "b").select(
+      lsh_buckets(col("a"), 16, 8, 4, 7L).as("ba"),
+      lsh_buckets(col("b"), 16, 8, 4, 7L).as("bb"))
+    val r = df.collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0).size == 4)
+  }
+
   test("text kernels are deterministic and shape-correct") {
     val s = spark
     import s.implicits._
