@@ -1309,12 +1309,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         // state, then bring the seed into scope ABOVE it and filter —
         // Catalyst folds the correlated equalities into hash joins
         // instead of a seed×scan product under the pattern
-        val (pat2, where2) = desugarOuterProps(state, m.pattern, m.where)
-        val r0 = planMatch(graph, unitState,
-          MatchClause(optional = false, pat2, where = None))
-        val crossed = PState(r0.df.crossJoin(seedDf),
-          Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
-        where2.map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
+        planValueCorrelated(graph, state, seedDf, sharedBindings,
+          m.pattern, m.where)
       }
 
     // rename ALL seed-visible columns in rhs to fresh names before joining
@@ -1422,6 +1418,27 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       chain = p.chain.map { case (r, n) => (doRel(r), doNode(n)) }))
     val w2 = (where.toSeq ++ conj).reduceOption(And.apply)
     (Pattern(parts2), w2)
+  }
+
+  /** Plans a value-only-correlated subquery: the pattern plans once from
+    * the unit state WITH its outer-free WHERE conjuncts (so rel-list
+    * quantifier pushdown and pattern predicates engage below the seed
+    * join), the distinct seed values cross in above it (Catalyst folds
+    * the correlated equalities into hash joins), and only the conjuncts
+    * that read the outer scope evaluate after the seed is in scope. */
+  private def planValueCorrelated(graph: PropertyGraph, state: PState,
+      seedDf: DataFrame, sharedBindings: Seq[(String, Binding)],
+      pattern: Pattern, where: Option[Expr]): PState = {
+    val (pat2, where2) = desugarOuterProps(state, pattern, where)
+    val outerVars = state.header.vars.toSet
+    val (outerPreds, local) = where2.map(splitAnds).getOrElse(Seq.empty)
+      .partition(c => freeExprVars(c).intersect(outerVars).nonEmpty)
+    val r0 = planMatch(graph, unitState,
+      MatchClause(optional = false, pat2, local.reduceOption(And.apply)))
+    val crossed = PState(r0.df.crossJoin(seedDf),
+      Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
+    outerPreds.reduceOption(And.apply)
+      .map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
   }
 
   /** True when a var-length relationship's inline property map reads the
@@ -1544,12 +1561,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       } else {
         // value-only correlation: pattern planned once, seed equi-joined
         // above it (see planOptionalMatch)
-        val (pat2, where2) = desugarOuterProps(state, Pattern(Seq(part)), where)
-        val r0 = planMatch(graph, unitState,
-          MatchClause(optional = false, pat2, where = None))
-        val crossed = PState(r0.df.crossJoin(seedDf),
-          Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
-        where2.map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
+        planValueCorrelated(graph, state, seedDf, sharedBindings,
+          Pattern(Seq(part)), where)
       }
 
     val renameMap = seedCols.map(c => c -> fresh("ex")).toMap
@@ -1695,13 +1708,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       } else {
         // value-only correlation: pattern planned once, seed equi-joined
         // above it (see planOptionalMatch)
-        val (pat2, where2) =
-          desugarOuterProps(state, Pattern(Seq(pc.pattern)), pc.where)
-        val r0 = planMatch(graph, unitState,
-          MatchClause(optional = false, pat2, where = None))
-        val crossed = PState(r0.df.crossJoin(seedDf),
-          Header(r0.header.bindings ++ ListMap(sharedBindings: _*)))
-        where2.map(w => applyWhere(graph, crossed, w)).getOrElse(crossed)
+        planValueCorrelated(graph, state, seedDf, sharedBindings,
+          Pattern(Seq(pc.pattern)), pc.where)
       }
 
     val itemCol = fresh("pc_item")
