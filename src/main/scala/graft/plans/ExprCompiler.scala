@@ -46,6 +46,27 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _ => NullType
   }
 
+  /** the materialized node-VALUE list column for `nodes(p)`, when the
+    * planner enriched path `p` (demand analysis). */
+  private def nodeValsOf(e: Expr): Option[String] = e match {
+    case Func("nodes", _, Seq(arg)) => pathBindingOf(arg).flatMap(_.nodeValsCol)
+    case _ => None
+  }
+
+  /** compile an expression in LIST position (lambda list arg, UNWIND
+    * operand): `nodes(p)` iterated as a list yields node values when
+    * materialized; everywhere else it stays the id list. */
+  def compileList(e: Expr): Column =
+    nodeValsOf(e).map(c => col(s"`$c`")).getOrElse(compile(e))
+
+  private def listElemType(list: Expr): DataType = nodeValsOf(list) match {
+    case Some(c) => typeOfCol(c) match {
+      case ArrayType(t, _) => t
+      case _ => NullType
+    }
+    case None => elemTypeOf(list)
+  }
+
   /** result type of an aggregate column (schema-only global-agg probe). */
   private def typeOfAgg(c: Column): DataType =
     try probe().select(c).schema.head.dataType
@@ -106,6 +127,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Property(b, key) =>
       typeOf(b) match {
         case NullType => lit(null) // null.prop is null, not a type error
+        // a key absent from a struct value (e.g. a property the node/rel
+        // type never carries) is null per openCypher, not an analysis error
+        case st: StructType if !st.fieldNames.contains(key) => lit(null)
         case t => extractField(compile(b), key, t)
       }
 
@@ -213,8 +237,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case ListComprehension(_, list, _, _) if typeOf(list) == NullType =>
       lit(null) // [x IN null | ...] is null, not a type error
     case ListComprehension(v, list, pred, proj) =>
-      val base = compile(list)
-      val et = Map(v -> elemTypeOf(list))
+      val base = compileList(list)
+      val et = Map(v -> listElemType(list))
       val filtered = pred match {
         case Some(p) => filter(base, x => sub(Map(v -> x), et).compile(p))
         case None => base
@@ -226,15 +250,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
     case Reduce(_, _, _, list, _) if typeOf(list) == NullType => lit(null)
     case Reduce(acc, init, v, list, step) =>
-      val ts = Map(acc -> typeOf(init), v -> elemTypeOf(list))
-      aggregate(compile(list), compile(init),
+      val ts = Map(acc -> typeOf(init), v -> listElemType(list))
+      aggregate(compileList(list), compile(init),
         (a, x) => sub(Map(acc -> a, v -> x), ts).compile(step))
 
     case Quantified(_, _, list, _) if typeOf(list) == NullType =>
       lit(null).cast(BooleanType)
     case Quantified(q, v, list, pred) =>
-      val c = compile(list)
-      val et = Map(v -> elemTypeOf(list))
+      val c = compileList(list)
+      val et = Map(v -> listElemType(list))
       def p(x: Column) = sub(Map(v -> x), et).compile(pred)
       q match {
         case "all" => forall(c, p)
@@ -500,6 +524,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "nodes" =>
         val pb = pathBindingOf(f.args(0)).getOrElse(throw
           new IllegalArgumentException("nodes() expects a named path variable"))
+        // bare nodes(p) renders the id list; node VALUES surface only in
+        // list positions (compileList) so rendering stays stable even when
+        // a lambda elsewhere materialized (pruned) structs
         ExprCompiler.pathNodes(pb)
       case "relationships" | "rels" =>
         val pb = pathBindingOf(f.args(0)).getOrElse(throw
@@ -541,18 +568,23 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         }
       }
       case "labels" => f.args(0) match {
-        case Var(n) => header(n) match {
-          case nb: NodeBinding =>
-            val entries = nb.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
-              when(col(s"`$c`"), lit(l)) }
-            val arr =
-              if (entries.isEmpty) array()
-              else filter(array(entries: _*), x => x.isNotNull)
-            // a null node (OPTIONAL MATCH non-match) has null labels, not []
-            when(col(s"`${nb.idCol}`").isNull, lit(null)).otherwise(arr)
+        case Var(n) if !lambdaEnv.contains(n) &&
+            header.get(n).exists(_.isInstanceOf[NodeBinding]) =>
+          val nb = header(n).asInstanceOf[NodeBinding]
+          val entries = nb.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
+            when(col(s"`$c`"), lit(l)) }
+          val arr =
+            if (entries.isEmpty) array()
+            else filter(array(entries: _*), x => x.isNotNull)
+          // a null node (OPTIONAL MATCH non-match) has null labels, not []
+          when(col(s"`${nb.idCol}`").isNull, lit(null)).otherwise(arr)
+        // node value struct (lambda/UNWIND over materialized nodes(p)):
+        // labels travel as a field
+        case other => typeOf(other) match {
+          case st: StructType if st.fieldNames.contains("labels") =>
+            a0.getField("labels")
           case _ => throw new IllegalArgumentException("labels() expects a node")
         }
-        case _ => throw new IllegalArgumentException("labels() expects a node variable")
       }
       case "keys" => f.args(0) match {
         case Var(n) if !lambdaEnv.contains(n) && header.get(n).exists {
@@ -587,10 +619,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             struct(props.toSeq.sortBy(_._1).map { case (k, c) =>
               col(s"`$c`").as(k) }: _*))
         case other => typeOf(other) match {
-          // relationship value struct (lambda over a var-length rel list):
-          // the properties are every field but the id/type bookkeeping
+          // relationship/node value struct (lambda over a var-length rel
+          // list or materialized nodes(p)): the properties are every field
+          // but the id/type/labels bookkeeping
           case st: StructType if st.fieldNames.contains("id") =>
-            val props = st.fieldNames.filterNot(f0 => f0 == "id" || f0 == "type")
+            val props = st.fieldNames
+              .filterNot(f0 => f0 == "id" || f0 == "type" || f0 == "labels")
             when(a0.isNull, lit(null)).otherwise(
               struct(props.sorted.map(k => a0.getField(k).as(k)): _*))
           case _ =>

@@ -58,10 +58,14 @@ case class VarSeg(relListCol: String, innerNodesCol: String) extends PathSeg {
   * bindings (Header.columns dedups); a projection that keeps only the path
   * therefore keeps exactly the id/list columns it needs — no payload.
   * The reference blacklists paths in its TCK run; this engine supports
-  * length/nodes/relationships and path rendering as an extension. */
-case class PathBinding(nodeIdCols: Seq[String], segs: Seq[PathSeg])
-    extends Binding {
-  def columns: Seq[String] = (nodeIdCols ++ segs.flatMap(_.columns)).distinct
+  * length/nodes/relationships and path rendering as an extension.
+  * `nodeValsCol`: set when some expression iterates nodes(p) VALUES
+  * (planner demand analysis) — an ordered (id, labels, props…) struct
+  * list materialized by one explode→join→collect pass. */
+case class PathBinding(nodeIdCols: Seq[String], segs: Seq[PathSeg],
+    nodeValsCol: Option[String] = None) extends Binding {
+  def columns: Seq[String] =
+    (nodeIdCols ++ segs.flatMap(_.columns) ++ nodeValsCol).distinct
 }
 
 case class Header(bindings: ListMap[String, Binding]) {

@@ -102,8 +102,72 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def countDemand(x: Any): Map[String, Int] =
     relValueDemandIn(x).groupBy(identity).view.mapValues(_.size).toMap
 
+  /** Path vars whose node VALUES are iterated — `[n IN nodes(p) | …]`,
+    * `reduce`/quantifiers over nodes(p), `UNWIND nodes(p)`. Interior
+    * var-length nodes carry only ids in the unroll, so these paths get an
+    * ordered (id, labels, props…) struct list materialized post-match by
+    * ONE explode→join→collect pass (not a node-scan join per step).
+    * The value is the set of struct fields the demanding lambdas access
+    * (None = all): the struct is pruned to them so wide node schemas don't
+    * inflate the collect shuffle. */
+  private var nodeValueDemand: Map[String, Option[Set[String]]] = Map.empty
+
+  /** struct fields a lambda body reads off its node-typed variable `v`:
+    * property keys, "labels" for labels(v); None (= everything) when the
+    * value escapes whole (bare `v`, properties(v), keys(v)). */
+  private def nodeFieldDemand(v: String, body: Seq[Any]): Option[Set[String]] = {
+    var all = false
+    val fields = scala.collection.mutable.Set.empty[String]
+    def walk(x: Any): Unit = x match {
+      case Property(Var(`v`), k) => fields += k
+      case Func("labels", _, Seq(Var(`v`))) => fields += "labels"
+      case Func("id", _, Seq(Var(`v`))) => () // id is always present
+      case Var(`v`) => all = true
+      case s: Seq[_] => s.foreach(walk)
+      case o: Option[_] => o.foreach(walk)
+      case p: Product => p.productIterator.foreach(walk)
+      case _ => ()
+    }
+    body.foreach(walk)
+    if (all) None else Some(fields.toSet)
+  }
+
+  private def nodeValueDemandIn(x: Any): Seq[(String, Option[Set[String]])] = {
+    def pathOf(e: Expr): Option[String] = e match {
+      case Func("nodes", _, Seq(Var(p))) => Some(p)
+      case _ => None
+    }
+    val here = x match {
+      case ListComprehension(v, l, pred, proj) =>
+        pathOf(l).map(_ -> nodeFieldDemand(v, Seq(pred, proj))).toSeq
+      case Reduce(_, _, v, l, step) =>
+        pathOf(l).map(_ -> nodeFieldDemand(v, Seq(step))).toSeq
+      case Quantified(_, v, l, pred) =>
+        pathOf(l).map(_ -> nodeFieldDemand(v, Seq(pred))).toSeq
+      case UnwindClause(l, _) =>
+        // the alias escapes into clause scope — keep every field
+        pathOf(l).map(_ -> (None: Option[Set[String]])).toSeq
+      case _ => Seq.empty
+    }
+    val nested = x match {
+      case s: Seq[_] => s.iterator.flatMap(nodeValueDemandIn).toSeq
+      case o: Option[_] => o.iterator.flatMap(nodeValueDemandIn).toSeq
+      case p: Product => p.productIterator.flatMap(nodeValueDemandIn).toSeq
+      case _ => Seq.empty
+    }
+    here ++ nested
+  }
+
+  private def mergeNodeValueDemand(ds: Seq[(String, Option[Set[String]])])
+      : Map[String, Option[Set[String]]] =
+    ds.groupBy(_._1).view.mapValues { entries =>
+      val sets = entries.map(_._2)
+      if (sets.contains(None)) None else Some(sets.flatten.flatten.toSet)
+    }.toMap
+
   def planSingle(sq: SingleQuery): DataFrame = {
     relValueDemand = countDemand(sq.clauses)
+    nodeValueDemand = mergeNodeValueDemand(nodeValueDemandIn(sq.clauses))
     var graph = initialGraph
     var state = startState
     var finalDf: Option[DataFrame] = None
@@ -599,10 +663,66 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case Some(pn) =>
         val nodeIds = pathNodes.toSeq.map(v =>
           filtered.header(v).asInstanceOf[NodeBinding].idCol)
-        filtered.copy(header = filtered.header +
+        val bound = filtered.copy(header = filtered.header +
           (pn -> PathBinding(nodeIds, pathSegs.toSeq)))
+        nodeValueDemand.get(pn) match {
+          case Some(fields) => enrichPathNodeValues(graph, bound, pn, fields)
+          case None => bound
+        }
       case None => filtered
     }
+  }
+
+  /** Attach an ordered node-VALUE struct list for a named path whose
+    * nodes(p) is iterated with value semantics (see [[nodeValueDemand]]).
+    * Shape: add a row id, posexplode the path's node-id list, join the
+    * canonical node scan once, collect back ordered by position. One
+    * narrow (rowid, pos, id) shuffle + one id-keyed join regardless of
+    * path length — vs a node-scan join per unrolled step. */
+  private def enrichPathNodeValues(graph: PropertyGraph, state: PState,
+      pv: String, fields: Option[Set[String]]): PState = {
+    val pb = state.header(pv) match {
+      case p: PathBinding if p.nodeValsCol.isEmpty => p
+      case _ => return state
+    }
+    val scan = graph.nodeScan(Set.empty, naming(s"@${pv}_nv"))
+    val wantLabels = fields.forall(_.contains("labels"))
+    val lblPart: Seq[Column] = if (!wantLabels) Seq.empty else {
+      val lblEntries = scan.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
+        when(col(s"`$c`"), lit(l)) }
+      Seq((if (lblEntries.isEmpty) array().cast(ArrayType(StringType, false))
+      else filter(array(lblEntries: _*), x => x.isNotNull)).as("labels"))
+    }
+    // prune to the property keys the demanding lambdas read: wide node
+    // schemas would otherwise inflate the collect shuffle with dead fields
+    val keptProps = scan.propCols.toSeq.sortBy(_._1).collect {
+      case (k, c) if fields.forall(_.contains(k)) => col(s"`$c`").as(k) }
+    val nStruct = struct(
+      col(s"`${scan.idCol}`").as("id") +: (lblPart ++ keptProps): _*)
+    val nid = fresh(s"@${pv}_nvid")
+    val lookup = scan.df.select(col(s"`${scan.idCol}`").as(nid),
+      nStruct.as("@nval"))
+    val rid = fresh(s"@${pv}_rid")
+    // the match result is read twice (explode side + join-back side):
+    // cache it once so the pattern's joins don't re-execute
+    val base = cacheShared(state.df.withColumn(rid,
+      monotonically_increasing_id()))
+    val valsCol = fresh(s"${pv}_nodevals")
+    val collected = base
+      .select(col(s"`$rid`"),
+        posexplode(ExprCompiler.pathNodes(pb)).as(Seq("@pos", "@pnid")))
+      .join(lookup, col("@pnid") === col(s"`$nid`"), "left")
+      .groupBy(col(s"`$rid`"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("@pos").as("p"),
+          col("@nval").as("v")))),
+        x => x.getField("v")).as(valsCol))
+    // null path (OPTIONAL non-match): pathNodes is null → no exploded rows
+    // → left join-back yields a null list, matching null semantics
+    val joined = base.join(collected, Seq(rid), "left_outer")
+      .drop(rid)
+    state.copy(df = joined,
+      header = state.header + (pv -> pb.copy(nodeValsCol = Some(valsCol))))
   }
 
   /** bind a node pattern's variable: scan + cross/filter as appropriate. */
@@ -1744,7 +1864,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       val df = state.df.where(lit(false)).withColumn(newCol, lit(null))
       return PState(df, state.header + (v -> ValueBinding(newCol)))
     }
-    val c = comp.compile(rewritten.head)
+    // list-position compile: UNWIND nodes(p) explodes node VALUES
+    val c = comp.compileList(rewritten.head)
     val df = state.df.select(
       state.header.columns.map(cn => col(s"`$cn`")) :+ explode(c).as(newCol): _*)
     PState(df, state.header + (v -> ValueBinding(newCol)))

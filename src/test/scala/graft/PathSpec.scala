@@ -112,6 +112,112 @@ class PathSpec extends AnyFunSuite {
     }
   }
 
+  test("node VALUES along a path: [n IN nodes(p) | n.prop]") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN c.c_custkey AS ck, length(p) AS len,
+        |       [n IN nodes(p) | coalesce(n.n_name, n.r_name, n.c_name)] AS names
+        |ORDER BY ck, len""".stripMargin)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val cnames = customer.select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val names = r.getSeq[String](2)
+      // one name per node, in path order, starting at the customer
+      assert(names.length == r.getLong(1) + 1)
+      assert(names.head == cnames(r.getLong(0)))
+      assert(names.forall(_ != null))
+    }
+    // length-2 paths end at a region
+    val regions = spark.read.parquet(s"$dir/region.parquet")
+      .select("r_name").collect().map(_.getString(0)).toSet
+    assert(rows.filter(_.getLong(1) == 2)
+      .forall(r => regions(r.getSeq[String](2).last)))
+  }
+
+  test("labels() and id() on node values in lambda scope") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION*1..1]->(x)
+        |RETURN [n IN nodes(p) | labels(n)[0]] AS lbls,
+        |       [n IN nodes(p) | id(n)] AS ids
+        |LIMIT 10""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == Seq("Customer", "Nation"))
+      val ids = r.getSeq[Long](1)
+      assert(ids.length == 2 && ids.forall(_ != 0L))
+    }
+  }
+
+  test("UNWIND nodes(p) yields node values with property access") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation)
+        |WHERE c.c_custkey = 1
+        |UNWIND nodes(p) AS m
+        |RETURN labels(m)[0] AS lbl, coalesce(m.c_name, m.n_name) AS name
+        |ORDER BY lbl""".stripMargin)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Customer", "Nation"))
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
+  test("reduce over node values") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*2..2]->(x)
+        |WHERE c.c_custkey = 1
+        |RETURN reduce(s = '', n IN nodes(p) |
+        |         s + coalesce(n.n_name, n.r_name, 'C')) AS trail""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val trail = rows.head.getString(0)
+    // C + the nation name + the region name, in path order
+    assert(trail.startsWith("C") && trail.contains("NATION"))
+    assert(trail.length > "CNATION_0".length, "region name must follow")
+  }
+
+  test("node-value struct is pruned to the fields the lambda reads") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN [n IN nodes(p) | coalesce(n.n_name, n.r_name)] AS names
+        |LIMIT 5""".stripMargin)
+    // the enrichment collect's output list must carry only id + the two
+    // demanded keys — not the graph's full (wide) node property schema
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val valsAttr = df.queryExecution.analyzed
+      .collect { case a: Aggregate => a }.flatMap(_.output)
+      .find(_.name.contains("_nodevals"))
+    assert(valsAttr.isDefined, "enrichment aggregate not found")
+    valsAttr.get.dataType match {
+      case ArrayType(st: StructType, _) =>
+        assert(st.fieldNames.toSet == Set("id", "n_name", "r_name"))
+      case other => fail(s"unexpected node-value list type $other")
+    }
+    assert(df.collect().length == 5)
+  }
+
+  test("nonexistent property on a node value is null, not an error") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation)
+        |RETURN [x IN nodes(p) | x.no_such_prop] AS vals LIMIT 3""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getSeq[Any](0).forall(_ == null)))
+  }
+
+  test("node values of a non-matching OPTIONAL path are null") {
+    val df = gs.cypher(g,
+      """MATCH (r:Region)
+        |OPTIONAL MATCH p = (r)-[:IN_REGION]->(x)
+        |RETURN r.r_name AS name, [n IN nodes(p) | n.r_name] AS names
+        |ORDER BY name""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.isNullAt(1), "nodes(p) of a null path is null"))
+  }
+
   test("path survives WITH and aggregation keys") {
     val df = gs.cypher(g,
       """MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation)

@@ -7,6 +7,17 @@ compares each <outdir>/<name>/*.parquet against the DuckDB result of
 <outdir>/oracle_sql.json's SQL over the same sf tables.
 """
 import duckdb, json, sys
+import numpy as np
+
+
+def canon(df):
+    """list/ndarray cells -> tuples so multi-column sorts (which hash
+    object columns) and equals() work on array-valued results."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -26,8 +37,8 @@ for k, sql in sorted(sqls.items()):
         got = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{k}/*.parquet')").fetchdf()
         exp = con.execute(sql).fetchdf()
-        got = got[sorted(got.columns)]
-        exp = exp[sorted(exp.columns)]
+        got = canon(got[sorted(got.columns)])
+        exp = canon(exp[sorted(exp.columns)])
         # row-order-insensitive compare (driver sorts before hashing)
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
