@@ -156,6 +156,15 @@ object PipelineQueries {
         Map("src0" -> 100.0, "src1" -> 50.0, "src2" -> 25.0),
         defaultPct = 10.0)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
+    // token-share mixture: each source contributes its share of the run's
+    // TOKEN budget (training mixtures are token-weighted, not doc-weighted)
+    "p28_token_mixture" -> ((s, dir) =>
+      Sampling.mixtureByTokens(docs(s, dir), "doc_id", "text", "source",
+        totalBudget = 4000L,
+        shares = Map("src0" -> 0.25, "src1" -> 0.2, "src2" -> 0.15),
+        defaultShare = 0.05)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")),
     // HTML boilerplate removal (web-crawl → training text). The fixture
     // corpus is plain text, so the query synthesizes deterministic markup
     // around it — the oracle applies the identical wrapper.
@@ -467,6 +476,19 @@ object PipelineQueries {
         |SELECT doc_id, array_to_string(ls, chr(10)) AS clean_text,
         |  len(ls)::BIGINT AS n_lines
         |FROM k ORDER BY doc_id""".stripMargin,
+    "p28_token_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR || ':42') AS k
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id) AS cum
+        |  FROM t)
+        |WHERE cum <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 800
+        |  WHEN 'src2' THEN 600 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
     "p24_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -148,6 +148,54 @@ object Sampling {
       .drop("@bucket", "@key", "@off", "@cum")
   }
 
+  /** Token-share corpus mixture: each source contributes (up to) its
+    * share of `totalBudget` TOKENS — the prefix of the source's
+    * deterministic md5 order whose running token total fits
+    * floor(share·budget). [[mixture]] keeps documents at per-source
+    * RATES; training mixtures are usually specified in token share
+    * ("web 50%, code 30% of the run's tokens"), which this implements
+    * directly. Same two-phase prefix-sum shape as [[takeTokenBudget]],
+    * partitioned by source: per-(source, bucket) token totals prefix-sum
+    * at bucket cardinality, each bucket accumulates its own rows in
+    * parallel — no global window, and a hot source parallelizes across
+    * its hash buckets. Sources absent from `shares` get `defaultShare`. */
+  def mixtureByTokens(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, totalBudget: Long, shares: Map[String, Double],
+      defaultShare: Double = 0.0, seed: String = "42",
+      bucketChars: Int = 4): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
+      "shares must be in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val nTokens =
+      size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
+        .cast("long")
+    val budget = shares.toSeq.sortBy(_._1)
+      .foldLeft(lit((totalBudget * defaultShare).toLong)) {
+        case (acc, (src, sh)) =>
+          when(col(sourceCol) === src, lit((totalBudget * sh).toLong))
+            .otherwise(acc)
+      }
+    val keyed = df
+      .withColumn("n_tokens", nTokens)
+      .withColumn("@key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
+    val totals = keyed.groupBy(col(sourceCol), col("@bucket"))
+      .agg(sum(col("n_tokens")).as("@t"))
+    val wb = Window.partitionBy(col(sourceCol)).orderBy(col("@bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("@off", coalesce(sum(col("@t")).over(wb), lit(0L)))
+      .select(col(sourceCol), col("@bucket"), col("@off"))
+    val w = Window.partitionBy(col(sourceCol), col("@bucket"))
+      .orderBy(col("@key"), col(idCol))
+    keyed.join(broadcast(offsets), Seq(sourceCol, "@bucket"))
+      .withColumn("@cum", col("@off") + sum(col("n_tokens")).over(w))
+      .where(col("@cum") <= budget)
+      .drop("@bucket", "@key", "@off", "@cum")
+  }
+
   /** Sequence packing for training: documents are concatenated in id
     * order within each `partitionCol` stream and cut into fixed
     * `capacity`-token context windows — each document gets the bin of

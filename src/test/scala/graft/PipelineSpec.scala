@@ -384,4 +384,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === expect)
     assert(kept.values.sum <= budget)
   }
+
+  test("token-share mixture respects per-source budgets deterministically") {
+    val total = 2000L
+    val shares = Map("src0" -> 0.4, "src1" -> 0.3)
+    val kept = Sampling.mixtureByTokens(docs, "doc_id", "text", "source",
+      total, shares, defaultShare = 0.05, bucketChars = 2)
+    val bySource = kept.groupBy("source")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source stays within floor(share * budget)
+    bySource.foreach { case (src, toks) =>
+      val budget = (total * shares.getOrElse(src, 0.05)).toLong
+      assert(toks <= budget, s"$src exceeded its token budget")
+    }
+    // per-source selection equals the affordable prefix of the source's
+    // own md5 order (reference: single-pass cumulative per source)
+    val perSource = docs
+      .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":42"))))
+      .withColumn("n",
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .cast("long"))
+      .select("doc_id", "source", "k", "n").collect()
+      .groupBy(_.getString(1))
+    val expect = perSource.toSeq.flatMap { case (src, rows) =>
+      val budget = (total * shares.getOrElse(src, 0.05)).toLong
+      var cum = 0L
+      rows.sortBy(r => (r.getString(2), r.getLong(0))).flatMap { r =>
+        cum += r.getLong(3)
+        if (cum <= budget) Some(r.getLong(0)) else None
+      }
+    }.toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+    // determinism across partitionings
+    val again = Sampling.mixtureByTokens(docs.repartition(7), "doc_id",
+      "text", "source", total, shares, defaultShare = 0.05, bucketChars = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == expect)
+  }
 }
