@@ -170,20 +170,32 @@ object Dedup {
     * `ids` supplies the node universe so singletons keep their own
     * label. [[connectedComponentsSql]] is the pure-DataFrame twin, kept
     * as the oracle-checked fallback.
-    */
+    *
+    * Only ids that appear in `pairs` enter the Pregel fixpoint: a vertex
+    * with no edge is its own component by definition, so the iterative
+    * graph is sized by the near-duplicate population (tiny), not the
+    * corpus — singletons rejoin afterwards with `cluster = id`. At 100 TB
+    * that is the difference between iterating over every document and
+    * iterating over the duplicate pairs. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
     val spark = ids.sparkSession
     import spark.implicits._
-    val vertices = ids.select(col(idCol).cast(LongType)).rdd
-      .map(r => (r.getLong(0), ()))
-    val edges = pairs
-      .select(col(aCol).cast(LongType), col(bCol).cast(LongType)).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // materialize the (possibly expensive) pair list once, as narrow id
+    // pairs — vertices and edges both read it
+    val e = pairs.select(col(aCol).cast(LongType).as("a"),
+      col(bCol).cast(LongType).as("b")).localCheckpoint(true)
+    val vertices = e.select(col("a")).union(e.select(col("b")))
+      .distinct().rdd.map(r => (r.getLong(0), ()))
+    val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = XGraph(vertices, edges)
     val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
-    val out = cc.vertices.map { case (id, c) => (id, c) }.toDF("id", "cluster")
+    val paired = cc.vertices.map { case (id, c) => (id, c) }
+      .toDF("id", "cluster")
+    val out = ids.select(col(idCol).cast(LongType).as("id"))
+      .join(paired, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
       .localCheckpoint(true)
     g.unpersist(blocking = false)
     cc.unpersist(blocking = false)
