@@ -267,6 +267,30 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same stopword profiles as TextAnalysis.PROFILES; argmax via
+    // list_sort(...)[-1] reproduces array_max's (score, lang) tie-break
+    "p5_lang_id" -> {
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      val profiles = Seq(
+        "en" -> TextAnalysis.EN_STOPWORDS, "de" -> TextAnalysis.DE_STOPWORDS,
+        "fr" -> TextAnalysis.FR_STOPWORDS, "es" -> TextAnalysis.ES_STOPWORDS,
+        "it" -> TextAnalysis.IT_STOPWORDS)
+      val entries = profiles.map { case (lang, ws) =>
+        s"{'score': len(list_intersect(w, ${lst(ws)})), 'lang': '$lang'}"
+      }.mkString(",\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_filter(
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_sort([
+         |    $entries])[-1] AS best
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS detected_lang,
+         |  best.score::BIGINT AS lang_score
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // Jaccard over DISTINCT word 3-grams. The engine hashes grams to 64
     // bits (word_ngram_hashes) purely as a bandwidth optimization —
     // distinct-hash-set Jaccard equals distinct-gram-set Jaccard absent
