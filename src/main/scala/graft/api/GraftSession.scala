@@ -44,6 +44,61 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  // ------------------------------------------- adaptive scan consolidation
+  /** Auto pattern-table routing (adaptive twin of the reference's
+    * source-provided recognized patterns, LogicalOptimizer.scala:67-134):
+    * the planner reports one-hop expands that found no covering
+    * triplet/node-rel table; once a (srcLabels, relType, dstLabels) shape
+    * has been planned `threshold` times against the same graph, the
+    * session materializes that triplet (persisted MEMORY_AND_DISK) and
+    * routes subsequent queries through a graph that carries it — hot
+    * traversals drop from rel-join + node-join to a single probe.
+    * `maxTables` caps session memory. Opt-in: consolidation trades
+    * executor storage for join elimination, which is the caller's call. */
+  private case class ConsolidationConfig(threshold: Int, maxTables: Int)
+  @volatile private var consolidation: Option[ConsolidationConfig] = None
+  private val expandMisses =
+    scala.collection.concurrent.TrieMap.empty[(PropertyGraph, Set[String], String, Set[String]), Int]
+  private val adaptedGraphs =
+    scala.collection.concurrent.TrieMap.empty[PropertyGraph, PropertyGraph]
+  private val autoTableCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def enableAutoConsolidation(threshold: Int = 3, maxTables: Int = 16): Unit = {
+    require(threshold >= 1 && maxTables >= 1, "invalid consolidation config")
+    consolidation = Some(ConsolidationConfig(threshold, maxTables))
+  }
+
+  def disableAutoConsolidation(): Unit = consolidation = None
+
+  /** drop all auto-materialized pattern tables and their cached storage. */
+  def releaseAutoConsolidation(): Unit = {
+    adaptedGraphs.values.foreach { g =>
+      g.tripletTables.foreach(_.df.unpersist())
+    }
+    adaptedGraphs.clear()
+    expandMisses.clear()
+    autoTableCount.set(0)
+  }
+
+  /** the graph queries actually plan against: the adapted twin once
+    * consolidation has materialized tables for it. */
+  private def adapted(g: PropertyGraph): PropertyGraph =
+    adaptedGraphs.getOrElse(g, g)
+
+  private def recordExpandMiss(g: PropertyGraph)(
+      srcLabels: Set[String], relType: String, dstLabels: Set[String]): Unit =
+    consolidation.foreach { cfg =>
+      val key = (g, srcLabels, relType, dstLabels)
+      val n = expandMisses.updateWith(key) {
+        case Some(c) => Some(c + 1)
+        case None => Some(1)
+      }.getOrElse(1)
+      if (n == cfg.threshold &&
+          autoTableCount.incrementAndGet() <= cfg.maxTables) {
+        adaptedGraphs(g) = adapted(g).withTriplet(relType, srcLabels, dstLabels)
+      }
+    }
+
   /** Resolves a graph reference against the catalog. View invocations plan
     * the view body lazily with `$param`s bound to the (recursively
     * resolved) argument graphs — a view is a graph-valued function
@@ -72,7 +127,8 @@ class GraftSession(val spark: SparkSession) {
   def cypher(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, g, onPersist = trackCache).plan(ast)
+    new Planner(spark, params, resolver, adapted(g), onPersist = trackCache,
+      onExpandMiss = recordExpandMiss(g)).plan(ast)
   }
 
   /** Entry point with a caller-supplied driving table (reference:
@@ -85,8 +141,8 @@ class GraftSession(val spark: SparkSession) {
   def cypher(g: PropertyGraph, query: String, params: Map[String, Any],
       drivingTable: DataFrame): DataFrame = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, g, onPersist = trackCache,
-      driving = Some(drivingTable)).plan(ast)
+    new Planner(spark, params, resolver, adapted(g), onPersist = trackCache,
+      driving = Some(drivingTable), onExpandMiss = recordExpandMiss(g)).plan(ast)
   }
 
   /** Session-level entry point: catalog DDL statements
@@ -128,7 +184,8 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): PropertyGraph = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, g, onPersist = trackCache).planGraph(ast)
+    new Planner(spark, params, resolver, adapted(g), onPersist = trackCache,
+      onExpandMiss = recordExpandMiss(g)).planGraph(ast)
   }
 
   def cypherGraph(graphName: String, query: String): PropertyGraph =

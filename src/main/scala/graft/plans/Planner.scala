@@ -25,7 +25,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     catalog: GraphRef => PropertyGraph, initialGraph: PropertyGraph,
     maxVarLength: Int = 10,
     onPersist: DataFrame => Unit = _ => (),
-    driving: Option[DataFrame] = None) {
+    driving: Option[DataFrame] = None,
+    /** called when a one-hop expand of a consolidatable shape — single
+      * rel type, unbound dst — found no covering pattern table, with the
+      * STORAGE-direction (srcLabels, relType, dstLabels). Sessions use it
+      * to materialize hot shapes adaptively (GraftSession
+      * `enableAutoConsolidation`). */
+    onExpandMiss: (Set[String], String, Set[String]) => Unit =
+      (_, _, _) => ()) {
 
   private val counter = new AtomicLong()
   private def fresh(prefix: String): String =
@@ -758,6 +765,16 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         dstNp, freshSrcNp = None, propPreds)) match {
       case Some(st) => return st
       case None =>
+        // consolidatable shape with no covering pattern table: report it
+        // in storage direction so a session can materialize hot shapes
+        if (rel.types.size == 1 && state.header.get(dstVar).isEmpty)
+          (rel.direction, state.header.get(srcVar)) match {
+            case (Outgoing, Some(nb: NodeBinding)) =>
+              onExpandMiss(nb.labels, rel.types.head, dstNp.labels.toSet)
+            case (Incoming, Some(nb: NodeBinding)) =>
+              onExpandMiss(dstNp.labels.toSet, rel.types.head, nb.labels)
+            case _ => ()
+          }
     }
     rel.properties.foreach { case (k, e) =>
       propPreds += Eq(Property(Var(relVar), k), e) }

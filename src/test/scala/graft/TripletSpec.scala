@@ -161,4 +161,28 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
       """MATCH (a:Person) OPTIONAL MATCH (a)-[:LIVES_IN]->(c:City)
         |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin)
   }
+
+  test("hot expand shapes consolidate automatically") {
+    val q = """MATCH (a:Person)-[:LIVES_IN]->(c:City)
+              |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin
+    val expected = rows(plain, q)
+    gs.enableAutoConsolidation(threshold = 2)
+    try {
+      // two planning passes over the same shape trip the threshold;
+      // results stay identical before, at, and after consolidation
+      assert(rows(plain, q) === expected)
+      assert(rows(plain, q) === expected)
+      val df = gs.cypher(plain, q)
+      val plan = df.queryExecution.executedPlan.toString
+      val aboveCache = plan.split("InMemoryRelation").head
+      assert(aboveCache.contains("InMemoryTableScan"),
+        s"expected auto-materialized triplet read:\n$plan")
+      assert(!aboveCache.contains("Join"),
+        s"expected join-free consolidated expand:\n$plan")
+      assert(df.collect().toSeq.map(_.toSeq) === expected)
+    } finally {
+      gs.disableAutoConsolidation()
+      gs.releaseAutoConsolidation()
+    }
+  }
 }
