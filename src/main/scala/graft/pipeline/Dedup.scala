@@ -50,7 +50,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
@@ -58,15 +59,14 @@ object Dedup {
       col(idCol).cast(LongType).as("id"),
       minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
 
-    // explode to (band_idx, band_hash, id): band hash = hash of the slice
-    val banded = sigs.select(
+    // explode to (band_idx, band_hash, id): band hash = hash of the slice.
+    // Both sides of the bucket self-join read it: persist the narrow
+    // (id, band, hash) rows so each document is shingled+hashed once
+    val banded = caches.persist(sigs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
-      .toDF("id", "band_idx", "band_hash")
-      // both sides of the bucket self-join: persist the narrow
-      // (id, band, hash) rows so each document is shingled+hashed once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("id", "band_idx", "band_hash"))
 
     // candidates: pairs sharing at least one band bucket, deduped BEFORE
     // the verification join — true near-dups share many bands (up to all
@@ -85,9 +85,9 @@ object Dedup {
     import graft.functions.VectorFunctions.{shingle_hashes, sorted_jaccard}
     // read twice (id_a and id_b verification joins): persist so the
     // shingle pass over every document runs once
-    val shingled = df.select(col(idCol).cast(LongType).as("id"),
-      shingle_hashes(col(textCol), shingleSize).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingled = caches.persist(
+      df.select(col(idCol).cast(LongType).as("id"),
+        shingle_hashes(col(textCol), shingleSize).as("sh")))
     candidates
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -258,7 +258,8 @@ object Dedup {
     * exact for every setting — at the price of coarser bands and larger
     * candidate sets as `maxHamming` grows. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming $maxHamming out of range 0..15 (bands would be < 4 bits)")
     val nBands = maxHamming + 1
@@ -266,15 +267,14 @@ object Dedup {
     val widths = Seq.tabulate(nBands)(i => baseW + (if (i < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
     val fp = withSimhash(df, idCol, textCol)
-    val banded = fp.select(col("id"), col("simhash"),
+    // both sides of the bucket self-join: persist the narrow banded rows
+    // so the simhash token pass over every document runs once
+    val banded = caches.persist(fp.select(col("id"), col("simhash"),
       posexplode(array((0 until nBands).map { b =>
         val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
         shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
       }: _*)))
-      .toDF("id", "simhash", "band_idx", "band_val")
-      // both sides of the bucket self-join: persist the narrow banded rows
-      // so the simhash token pass over every document runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("id", "simhash", "band_idx", "band_val"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -294,23 +294,24 @@ object Dedup {
     *                   dropped from the index (stopword-gram pruning) —
     *                   bounds the self-join fan-out under skew. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 200): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 200,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     import graft.functions.VectorFunctions.{word_ngram_hashes, sorted_jaccard}
     // persisted: read once for the index build and twice more by the
     // verification joins — re-tokenizing every document 3× costs more
     // than caching the (id, gram-hash array) table, which is the same
     // order of size as the input corpus (MEMORY_AND_DISK spills at scale)
-    val grams = df.select(col(idCol).cast(LongType).as("id"),
-      word_ngram_hashes(col(textCol), n).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = caches.persist(
+      df.select(col(idCol).cast(LongType).as("id"),
+        word_ngram_hashes(col(textCol), n).as("grams")))
     // inverted index over 8-byte gram hashes (narrow shuffle)
     val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
     val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
     // the pruned index is the self-join's both sides: persist the narrow
     // (gram, id) pairs so the doc-frequency aggregation runs once
-    val pruned = inverted.join(rare.select("gram"), Seq("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = caches.persist(
+      inverted.join(rare.select("gram"), Seq("gram")))
     val a = pruned.as("a"); val b = pruned.as("b")
     val candidates = a.join(b,
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))

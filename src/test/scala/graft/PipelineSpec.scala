@@ -385,6 +385,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.values.sum <= budget)
   }
 
+  test("cache registry releases near-dup generator persists") {
+    val reg = new CacheRegistry()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, threshold = 0.3, maxDocFreq = 5000, caches = reg)
+    pairs.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "generator should have persisted derived tables")
+    reg.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release() must unpersist every tracked entry")
+  }
+
   test("token-share mixture respects per-source budgets deterministically") {
     val total = 2000L
     val shares = Map("src0" -> 0.4, "src1" -> 0.3)
