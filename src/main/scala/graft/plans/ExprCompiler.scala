@@ -117,7 +117,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         nb.propCols.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
       case rb: RelBinding =>
         rb.propCols.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
-      case ValueBinding(c) => extractField(col(s"`$c`"), key, typeOfCol(c))
+      case ValueBinding(c) => typeOfCol(c) match {
+        case NullType => lit(null) // null.prop is null, not a type error
+        case t => extractField(col(s"`$c`"), key, t)
+      }
       case _: RelListBinding =>
         throw new IllegalArgumentException(
           s"property access on var-length relationship list `$n`")

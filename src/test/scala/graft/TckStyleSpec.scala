@@ -1255,7 +1255,57 @@ class TckStyleSpec extends AnyFunSuite {
         |WHERE all(r IN rs WHERE r.w = b.v - 1)
         |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
       Seq(row("av" -> 1, "bv" -> 2), row("av" -> 2, "bv" -> 3),
-        row("av" -> 3, "bv" -> 4)), ordered = true)
+        row("av" -> 3, "bv" -> 4)), ordered = true),
+
+    // ---- node VALUES along paths (extension: the unroll carries ids,
+    // value structs are materialized on demand — Planner demand analysis)
+    Scenario("path-nodes-comprehension-property", chain,
+      """MATCH p = (a:N {v: 1})-[:R*1..3]->(b:N)
+        |RETURN [n IN nodes(p) | n.v] AS vs ORDER BY size(vs)""".stripMargin,
+      Seq(row("vs" -> List(1L, 2L)), row("vs" -> List(1L, 2L, 3L)),
+        row("vs" -> List(1L, 2L, 3L, 4L))), ordered = true),
+    Scenario("path-nodes-quantifier", chain,
+      """MATCH p = (a:N)-[:R*1..2]->(b:N)
+        |WHERE all(n IN nodes(p) WHERE n.v <= 3)
+        |RETURN a.v AS av, b.v AS bv ORDER BY av, bv""".stripMargin,
+      Seq(row("av" -> 1, "bv" -> 2), row("av" -> 1, "bv" -> 3),
+        row("av" -> 2, "bv" -> 3)), ordered = true),
+    Scenario("path-nodes-reduce-sum", chain,
+      """MATCH p = (a:N {v: 1})-[:R*2..2]->(b:N)
+        |RETURN reduce(s = 0, n IN nodes(p) | s + n.v) AS total""".stripMargin,
+      Seq(row("total" -> 6))),
+    Scenario("path-nodes-unwind-labels", social,
+      """MATCH p = (a:Person {name: 'Carol'})-[:KNOWS]->(d)
+        |UNWIND nodes(p) AS n
+        |RETURN labels(n)[0] AS l ORDER BY l""".stripMargin,
+      Seq(row("l" -> "Admin"), row("l" -> "Person")), ordered = true),
+    Scenario("path-nodes-id-lambda-equals-bare-ids", chain,
+      // bare nodes(p) stays the id list even when a lambda elsewhere
+      // materialized value structs — the two views must agree
+      """MATCH p = (a:N {v: 1})-[:R*1..2]->(b:N)
+        |RETURN [n IN nodes(p) | id(n)] = nodes(p) AS same""".stripMargin,
+      Seq(row("same" -> true), row("same" -> true))),
+    Scenario("path-nodes-missing-property-is-null", chain,
+      """MATCH p = (a:N {v: 1})-[:R]->(b:N)
+        |RETURN [n IN nodes(p) | n.nope] AS xs""".stripMargin,
+      Seq(row("xs" -> List(null, null)))),
+    Scenario("path-nodes-optional-nonmatch-null", social,
+      """MATCH (r:Robot)
+        |OPTIONAL MATCH p = (r)-[:KNOWS]->(x)
+        |RETURN r.name AS name, [n IN nodes(p) | n.name] AS ns""".stripMargin,
+      Seq(row("name" -> "R2", "ns" -> null))),
+    Scenario("path-nodes-any-quantifier-label-mix", social,
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(x)
+        |WHERE any(n IN nodes(p) WHERE n.age > 34)
+        |RETURN x.name AS xn ORDER BY xn""".stripMargin,
+      // Alice->Carol (35) and the 2-hop paths reaching Carol or Dave
+      Seq(row("xn" -> "Carol"), row("xn" -> "Carol"), row("xn" -> "Dave")),
+      ordered = true),
+
+    // ---- null propagation through property access on null values
+    Scenario("null-value-property-access", empty,
+      "WITH null AS d RETURN d.year AS y, d.name AS n",
+      Seq(row("y" -> null, "n" -> null)))
   )
 
   // --------------------------------------------------------- blacklist
