@@ -74,6 +74,7 @@ class GraftSession(val spark: SparkSession) {
   def releaseAutoConsolidation(): Unit = {
     adaptedGraphs.values.foreach { g =>
       g.tripletTables.foreach(_.df.unpersist())
+      g.nodeRelTables.foreach(_.df.unpersist())
     }
     adaptedGraphs.clear()
     expandMisses.clear()
@@ -88,6 +89,9 @@ class GraftSession(val spark: SparkSession) {
   private def recordExpandMiss(g: PropertyGraph)(
       srcLabels: Set[String], relType: String, dstLabels: Set[String]): Unit =
     consolidation.foreach { cfg =>
+      // both sides unlabeled: an all-nodes × rel × all-nodes table is the
+      // corpus over again — never worth materializing automatically
+      if (srcLabels.isEmpty && dstLabels.isEmpty) return
       val key = (g, srcLabels, relType, dstLabels)
       val n = expandMisses.updateWith(key) {
         case Some(c) => Some(c + 1)
@@ -95,7 +99,17 @@ class GraftSession(val spark: SparkSession) {
       }.getOrElse(1)
       if (n == cfg.threshold &&
           autoTableCount.incrementAndGet() <= cfg.maxTables) {
-        adaptedGraphs(g) = adapted(g).withTriplet(relType, srcLabels, dstLabels)
+        val base = adapted(g)
+        // both sides labeled → triplet (zero-join pattern starts, both
+        // directions). One side labeled → node-rel on that side (half the
+        // storage; the bound-probe expand is the same single join).
+        adaptedGraphs(g) =
+          if (srcLabels.nonEmpty && dstLabels.nonEmpty)
+            base.withTriplet(relType, srcLabels, dstLabels)
+          else if (dstLabels.nonEmpty)
+            base.withNodeRel(relType, dstLabels, nodeOnSrc = false)
+          else
+            base.withNodeRel(relType, srcLabels, nodeOnSrc = true)
       }
     }
 

@@ -185,4 +185,26 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
       gs.releaseAutoConsolidation()
     }
   }
+
+  test("one-side-labeled hot shape consolidates as a node-rel table") {
+    // unlabeled bound src, labeled far side → node-rel on the dst side
+    // (half a triplet's storage, same single probe join)
+    val q = """MATCH (x)-[:LIVES_IN]->(c:City)
+              |RETURN c.city AS cc ORDER BY cc""".stripMargin
+    val expected = rows(plain, q)
+    gs.enableAutoConsolidation(threshold = 2)
+    try {
+      assert(rows(plain, q) === expected)
+      assert(rows(plain, q) === expected)
+      val df = gs.cypher(plain, q)
+      val plan = df.queryExecution.executedPlan.toString
+      val aboveCache = plan.split("InMemoryRelation").head
+      assert(aboveCache.contains("InMemoryTableScan"),
+        s"expected auto-materialized node-rel read:\n$plan")
+      assert(df.collect().toSeq.map(_.toSeq) === expected)
+    } finally {
+      gs.disableAutoConsolidation()
+      gs.releaseAutoConsolidation()
+    }
+  }
 }
