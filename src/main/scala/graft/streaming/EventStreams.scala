@@ -185,4 +185,53 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class BudgetDoc(source: String, docId: Long, nTokens: Long,
+      ts: Timestamp)
+  case class SourceBudget(taken: Long)
+  case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long,
+      ts: Timestamp)
+
+  /** Streaming per-source token-budget admission — the incremental twin
+    * of [[graft.pipeline.Sampling.takeTokenBudget]]/`mixtureByTokens`:
+    * each source keeps one running token total; a document is admitted
+    * iff its source's cumulative total stays within `budgets` (absent
+    * sources use `defaultBudget`). Unlike the batch ops, admission is
+    * ARRIVAL order (sorted by event time + id within each micro-batch for
+    * per-batch determinism) — a stream cannot replay the md5 permutation.
+    * State is one Long per source: bounded by source cardinality, never
+    * the stream's history. */
+  def streamingTokenBudget(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): Dataset[AdmittedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nTokens =
+      size(filter(split(col(s"`$textCol`"), "\\s+"), x => length(x) > 0))
+        .cast("long")
+    val in = docs.select(
+      col(s"`$sourceCol`").cast("string").as("source"),
+      col(s"`$idCol`").cast("long").as("docId"),
+      nTokens.as("nTokens"),
+      col(s"`$tsCol`").as("ts")).as[BudgetDoc]
+
+    def update(source: String, it: Iterator[BudgetDoc],
+        state: GroupState[SourceBudget]): Iterator[AdmittedDoc] = {
+      val budget = budgets.getOrElse(source, defaultBudget)
+      var taken = state.getOption.map(_.taken).getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
+      it.toArray.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+        if (taken + d.nTokens <= budget) {
+          taken += d.nTokens
+          out += AdmittedDoc(d.docId, source, d.nTokens, d.ts)
+        }
+      }
+      state.update(SourceBudget(taken))
+      out.iterator
+    }
+
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

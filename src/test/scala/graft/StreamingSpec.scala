@@ -148,4 +148,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.map(_.getString(0)).toSeq === Seq("alpha", "beta"))
     } finally q.stop()
   }
+
+  test("streamingTokenBudget admits per-source prefixes across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "source", "text")
+    val admitted = EventStreams.streamingTokenBudget(docs, "ts", "doc_id",
+      "text", "source", budgets = Map("web" -> 5L, "code" -> 2L))
+
+    val q = admitted.writeStream.format("memory").queryName("tb")
+      .outputMode("append").start()
+    try {
+      // web: 3 + 2 tokens fit the 5 budget; code: 2 fits, second doc not
+      input.addData(
+        (ts(1), 1L, "web", "one two three"),
+        (ts(2), 2L, "code", "x y"),
+        (ts(3), 3L, "code", "a b"))
+      q.processAllAvailable()
+      // second micro-batch: the state must carry over
+      input.addData(
+        (ts(4), 4L, "web", "four five"),
+        (ts(5), 5L, "web", "overflow now"),
+        (ts(6), 6L, "other", "nope"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, source, n_tokens FROM tb ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, "web", 3L), (2L, "code", 2L),
+        (4L, "web", 2L)))
+    } finally q.stop()
+  }
 }
