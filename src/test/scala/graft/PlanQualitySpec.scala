@@ -151,6 +151,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(singles <= 1, s"full-data global sort crept in:\n$plan")
   }
 
+  test("token-share mixture windows partition by source, never globally") {
+    import graft.pipeline.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(Sampling.mixtureByTokens(docs, "doc_id", "text",
+      "source", totalBudget = 1000L, shares = Map("src0" -> 0.5)))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-(source,bucket) offsets should broadcast-join:\n$plan")
+    // no single-partition exchange at all: both windows key on source
+    // (offset prefix-sum) or (source, bucket) (row accumulation)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a global window crept into the token mixture:\n$plan")
+  }
+
+  test("path node-value enrichment adds one aggregate, no cartesian") {
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN [n IN nodes(p) | coalesce(n.n_name, n.r_name)] AS names""".stripMargin)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"enrichment must stay equi-join shaped:\n$plan")
+    // exactly one collect pass regardless of path length
+    val collects = "collect_list".r.findAllIn(plan).size
+    assert(collects <= 2, // partial + final of ONE aggregation
+      s"expected a single explode→join→collect pass:\n$plan")
+  }
+
   test("value-correlated optional match joins on the value column, no cartesian") {
     val df = gs.cypher(g,
       """MATCH (n:Nation) WITH n.n_name AS nname
