@@ -99,12 +99,22 @@ object SparkTypes {
   }
 }
 
+/** Declared/derived topology constraint: relationships of `relType` only
+  * connect `srcLabels`-combination nodes to `dstLabels`-combination nodes
+  * (reference: okapi-api SchemaPattern.scala; used there to pick
+  * denormalized scans). Planners use the registry to PRUNE — e.g. the
+  * path node-value lookup unions only label combinations reachable via
+  * the pattern's relationship types instead of every node table. */
+case class SchemaPattern(srcLabels: Set[String], relType: String,
+    dstLabels: Set[String])
+
 class PropertyGraph(
     val nodeTables: Seq[NodeTable],
     val relTables: Seq[RelTable],
     val spark: SparkSession,
     val tripletTables: Seq[TripletTable] = Nil,
-    val nodeRelTables: Seq[NodeRelTable] = Nil) {
+    val nodeRelTables: Seq[NodeRelTable] = Nil,
+    val schemaPatterns: Seq[SchemaPattern] = Nil) {
 
   import SparkTypes._
 
@@ -132,9 +142,12 @@ class PropertyGraph(
     * Returns (df, labelCol-by-label, propCol-by-key) with caller-supplied
     * column names from `naming`.
     */
-  def nodeScan(requiredLabels: Set[String],
-      naming: ScanNaming): ScanResult = {
-    val tables = nodeTables.filter(t => requiredLabels.subsetOf(t.labels))
+  def nodeScan(requiredLabels: Set[String], naming: ScanNaming,
+      combos: Option[Set[Set[String]]] = None): ScanResult = {
+    // combos (from the schema-pattern registry) restricts to exact label
+    // combinations — requiredLabels remains the subset-coverage filter
+    val tables = nodeTables.filter(t => requiredLabels.subsetOf(t.labels) &&
+      combos.forall(_.contains(t.labels)))
     val scanLabels = if (tables.isEmpty) requiredLabels else tables.flatMap(_.labels).toSet
     val props = unifiedProps(tables.map(t => (t.df, t.propCols)))
     val labelCols = scanLabels.toSeq.sorted.map(l => l -> naming.labelCol(l)).toMap
@@ -353,8 +366,47 @@ class PropertyGraph(
       tripletTables.map(t => t.copy(df =
         retag(t.df, Seq(t.relIdCol, t.srcIdCol, t.dstIdCol)))),
       nodeRelTables.map(t => t.copy(df =
-        retag(t.df, Seq(t.relIdCol, t.srcIdCol, t.dstIdCol)))))
+        retag(t.df, Seq(t.relIdCol, t.srcIdCol, t.dstIdCol)))),
+      schemaPatterns) // topology is id-invariant
   }
+
+  /** register topology constraints (see [[SchemaPattern]]). */
+  def withSchemaPatterns(ps: Seq[SchemaPattern]): PropertyGraph =
+    new PropertyGraph(nodeTables, relTables, spark, tripletTables,
+      nodeRelTables, ps)
+
+  /** Infer the schema-pattern registry FROM DATA: per relationship type,
+    * the distinct (src label combination, dst label combination) pairs
+    * that actually occur (reference: the Neo4j source's schema-sampling
+    * queries — here exact, one narrow aggregation per rel type). Runs
+    * Spark jobs; the result is schema-sized (≤ combos² per type). */
+  def deriveSchemaPatterns(): Seq[SchemaPattern] = {
+    if (nodeTables.isEmpty || relTables.isEmpty) return Nil
+    val combos = nodeTables.map { t =>
+      t.df.select(col(s"`${t.idCol}`").cast(LongType).as("id"),
+        lit(t.labels.toSeq.sorted.mkString("|")).as("combo"))
+    }.reduce(_ unionByName _)
+    def toSet(s: String): Set[String] =
+      if (s.isEmpty) Set.empty else s.split("\\|").toSet
+    relTables.flatMap { r =>
+      r.df.select(col(s"`${r.srcCol}`").cast(LongType).as("s"),
+          col(s"`${r.dstCol}`").cast(LongType).as("d"))
+        .join(combos.toDF("s", "scombo"), "s")
+        .join(combos.toDF("d", "dcombo"), "d")
+        .select("scombo", "dcombo").distinct().collect()
+        .map(row => SchemaPattern(toSet(row.getString(0)), r.relType,
+          toSet(row.getString(1))))
+    }.sortBy(p => (p.relType, p.srcLabels.toSeq.sorted.mkString(","),
+      p.dstLabels.toSeq.sorted.mkString(",")))
+  }
+
+  /** node label combinations reachable as an endpoint of any of
+    * `relTypes` per the registry; None when the registry can't answer
+    * (no patterns, or an untyped rel in the pattern). */
+  def reachableCombos(relTypes: Set[String]): Option[Set[Set[String]]] =
+    if (schemaPatterns.isEmpty || relTypes.isEmpty) None
+    else Some(schemaPatterns.filter(p => relTypes.contains(p.relType))
+      .flatMap(p => Seq(p.srcLabels, p.dstLabels)).toSet)
 
   /** Materialize all element tables (reference: Cache operator +
     * CachedDataSource, RelationalOptimizer.scala:35-92 — shared-subtree

@@ -673,7 +673,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         val bound = filtered.copy(header = filtered.header +
           (pn -> PathBinding(nodeIds, pathSegs.toSeq)))
         nodeValueDemand.get(pn) match {
-          case Some(fields) => enrichPathNodeValues(graph, bound, pn, fields)
+          case Some(fields) =>
+            // rel types traversed by this path — the schema-pattern
+            // registry prunes the node-value lookup to combos reachable
+            // via them (an untyped rel disables pruning)
+            val relTypes =
+              if (part.chain.exists(_._1.types.isEmpty)) Set.empty[String]
+              else part.chain.flatMap(_._1.types).toSet
+            enrichPathNodeValues(graph, bound, pn, fields, relTypes)
           case None => bound
         }
       case None => filtered
@@ -687,12 +694,16 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * narrow (rowid, pos, id) shuffle + one id-keyed join regardless of
     * path length — vs a node-scan join per unrolled step. */
   private def enrichPathNodeValues(graph: PropertyGraph, state: PState,
-      pv: String, fields: Option[Set[String]]): PState = {
+      pv: String, fields: Option[Set[String]],
+      relTypes: Set[String] = Set.empty): PState = {
     val pb = state.header(pv) match {
       case p: PathBinding if p.nodeValsCol.isEmpty => p
       case _ => return state
     }
-    val scan = graph.nodeScan(Set.empty, naming(s"@${pv}_nv"))
+    // every path node is an endpoint of a traversed rel: when the graph
+    // declares schema patterns, scan only the reachable label combos
+    val scan = graph.nodeScan(Set.empty, naming(s"@${pv}_nv"),
+      graph.reachableCombos(relTypes))
     val wantLabels = fields.forall(_.contains("labels"))
     val lblPart: Seq[Column] = if (!wantLabels) Seq.empty else {
       val lblEntries = scan.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>

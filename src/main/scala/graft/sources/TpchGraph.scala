@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{NodeTable, PropertyGraph, RelTable}
+import graft.graph.{NodeTable, PropertyGraph, RelTable, SchemaPattern}
 
 /** Recasts the driver's TPC-H-ish parquet tables as a property graph
   * (FIXTURES.md §7): key columns become globally-unique Long ids via a
@@ -93,6 +93,16 @@ object TpchGraph {
           tagged(REGION, col("n_regionkey")).as(DST)),
         GID, SRC, DST, Map.empty))
 
-    new PropertyGraph(nodes, rels, spark)
+    // the FK topology is known statically — declare it so planners can
+    // prune scans (e.g. the path node-value lookup) by reachability
+    val patterns = Seq(
+      SchemaPattern(Set("Customer"), "PLACED", Set("Order")),
+      SchemaPattern(Set("Order"), "CONTAINS", Set("Part")),
+      SchemaPattern(Set("Part"), "SUPPLIED_BY", Set("Supplier")),
+      SchemaPattern(Set("Customer"), "IN_NATION", Set("Nation")),
+      SchemaPattern(Set("Supplier"), "IN_NATION", Set("Nation")),
+      SchemaPattern(Set("Nation"), "IN_REGION", Set("Region")))
+
+    new PropertyGraph(nodes, rels, spark, schemaPatterns = patterns)
   }
 }

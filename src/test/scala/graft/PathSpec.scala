@@ -198,6 +198,49 @@ class PathSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("schema patterns prune the node-value lookup to reachable combos") {
+    val q = """MATCH p = (c:Customer)-[:IN_NATION*1..1]->(n:Nation)
+              |RETURN [x IN nodes(p) | x.n_name] AS ns LIMIT 3""".stripMargin
+    // with the registry (TpchGraph declares its FK topology): only
+    // Customer/Nation tables back the lookup — orders/part/supplier/
+    // region parquet never enter the plan
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.getName).toSet
+            case _ => Set.empty[String]
+          }
+      }.flatten.toSet
+    val pruned = scannedFiles(gs.cypher(g, q))
+    // (supplier.parquet still backs the supplier-side IN_NATION rel table)
+    Seq("orders.parquet", "part.parquet", "region.parquet").foreach { f =>
+      assert(!pruned.contains(f), s"unreachable table $f scanned: $pruned")
+    }
+    // without it, the lookup unions every node table
+    val bare = scannedFiles(gs.cypher(g.withSchemaPatterns(Nil), q))
+    assert(bare.contains("orders.parquet"),
+      s"control query should scan all node tables without a registry: $bare")
+    // results identical either way
+    assert(gs.cypher(g, q).collect().map(_.getSeq[String](0)).toSeq ===
+      gs.cypher(g.withSchemaPatterns(Nil), q).collect()
+        .map(_.getSeq[String](0)).toSeq)
+  }
+
+  test("deriveSchemaPatterns infers the FK topology from data") {
+    import graft.graph.SchemaPattern
+    val derived = g.withSchemaPatterns(Nil).deriveSchemaPatterns()
+    assert(derived.contains(
+      SchemaPattern(Set("Customer"), "IN_NATION", Set("Nation"))))
+    assert(derived.contains(
+      SchemaPattern(Set("Nation"), "IN_REGION", Set("Region"))))
+    assert(derived.contains(
+      SchemaPattern(Set("Order"), "CONTAINS", Set("Part"))))
+    // nothing invented: derived patterns are exactly the declared set
+    assert(derived.toSet === g.schemaPatterns.toSet)
+  }
+
   test("nonexistent property on a node value is null, not an error") {
     val df = gs.cypher(g,
       """MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation)
