@@ -176,6 +176,35 @@ object PipelineQueries {
           .as("html"))
       TextAnalysis.cleanHtml(wrapped, "doc_id", "html").orderBy("doc_id")
     }),
+    // order-preserving paragraph-level exact dedup (repeated-passage
+    // removal). The corpus has no paragraph breaks, so the query first
+    // re-chunks each doc into 10-token paragraphs (deterministic wrapper,
+    // same style as p25's synthesized HTML).
+    "p29_paragraph_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val ptext = array_join(
+        transform(sequence(lit(0),
+            floor((size(toks) - lit(1)) / lit(10)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * lit(10) + lit(1), lit(10)))),
+        "\n")
+      Dedup.paragraphDedup(
+        docs(s, dir).select(col("doc_id"), ptext.as("ptext")),
+        "doc_id", "ptext").orderBy("doc_id")
+    }),
+    // hashed bag-of-words linear quality model (fastText shape) with a
+    // deterministic weight lattice — byte-exact DuckDB oracle
+    "p30_quality_model" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // BM25 keyword retrieval top-k (rational idf → cross-engine exact)
+    "p31_bm25" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 10)),
+    // TF-IDF features over a fixed vocabulary
+    "p32_tfidf" -> ((s, dir) =>
+      Search.tfIdf(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "customer"))
+        .orderBy("doc_id", "term")),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -321,6 +350,114 @@ object PipelineQueries {
     "p1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // groups paragraphs by text where the engine groups by xxhash64 —
+    // identical equivalence classes absent 64-bit collisions
+    "p29_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pt AS (
+        |  SELECT doc_id,
+        |    list_transform(range(((len(toks) - 1) // 10) + 1),
+        |      i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ')) AS ps
+        |  FROM d),
+        |px AS (SELECT doc_id, unnest(range(len(ps))) AS pos, ps FROM pt),
+        |paras AS (SELECT doc_id, pos, ps[pos + 1] AS para FROM px),
+        |winners AS (
+        |  SELECT para, min(struct_pack(i := doc_id, p := pos)) AS win,
+        |    count(*) AS occ
+        |  FROM paras GROUP BY para)
+        |SELECT paras.doc_id,
+        |  string_agg(paras.para, chr(10) ORDER BY paras.pos) AS deduped_text,
+        |  count(*)::BIGINT AS n_paras_kept
+        |FROM paras JOIN winners ON paras.para = winners.para
+        |WHERE occ = 1 OR (paras.doc_id = win.i AND paras.pos = win.p)
+        |GROUP BY paras.doc_id ORDER BY paras.doc_id""".stripMargin,
+    // same md5-hex bucket → multiplicative-lattice weight → exact long sum
+    "p30_quality_model" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        |    coalesce(list_sum(list_transform(w, tok ->
+        |      ((((('0x' || substring(md5(tok), 1, 8))::BIGINT % 1024)
+        |         * 2654435761) % 1000003) - 500001))), 0)::BIGINT AS score_num
+        |  FROM t)
+        |SELECT doc_id, n_tokens, score_num,
+        |  CASE WHEN n_tokens > 0
+        |    THEN score_num::DOUBLE / (n_tokens::DOUBLE * 500001.0::DOUBLE)
+        |    ELSE 0.0::DOUBLE END AS score,
+        |  (score_num > 0) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // every constant is written as the same IEEE-754 double operation the
+    // engine performs (no pre-folded literals), so scores are bit-identical
+    "p31_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id::BIGINT AS doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_len,
+        |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df_0,
+        |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::BIGINT AS df_1,
+        |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::BIGINT AS df_2
+        |  FROM t),
+        |d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf_0,
+        |    len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf_1,
+        |    len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf_2,
+        |    len(w)::DOUBLE AS lend, n_docs, df_0, df_1, df_2,
+        |    (total_len::DOUBLE / n_docs::DOUBLE) AS avgdl
+        |  FROM t, st),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN tf_0 > 0 THEN
+        |        ((((n_docs::DOUBLE - df_0::DOUBLE) + 0.5::DOUBLE) / (df_0::DOUBLE + 0.5::DOUBLE))
+        |          * (tf_0 * (1.2::DOUBLE + 1.0::DOUBLE)))
+        |        / (tf_0 + (1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+        |            + ((0.75::DOUBLE * lend) / avgdl))))
+        |      ELSE 0.0::DOUBLE END
+        |    + CASE WHEN tf_1 > 0 THEN
+        |        ((((n_docs::DOUBLE - df_1::DOUBLE) + 0.5::DOUBLE) / (df_1::DOUBLE + 0.5::DOUBLE))
+        |          * (tf_1 * (1.2::DOUBLE + 1.0::DOUBLE)))
+        |        / (tf_1 + (1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+        |            + ((0.75::DOUBLE * lend) / avgdl))))
+        |      ELSE 0.0::DOUBLE END)
+        |    + CASE WHEN tf_2 > 0 THEN
+        |        ((((n_docs::DOUBLE - df_2::DOUBLE) + 0.5::DOUBLE) / (df_2::DOUBLE + 0.5::DOUBLE))
+        |          * (tf_2 * (1.2::DOUBLE + 1.0::DOUBLE)))
+        |        / (tf_2 + (1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+        |            + ((0.75::DOUBLE * lend) / avgdl))))
+        |      ELSE 0.0::DOUBLE END) AS score
+        |  FROM d)
+        |SELECT doc_id, score FROM sc WHERE score > 0.0
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "p32_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id::BIGINT AS doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df_0,
+        |    sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END)::BIGINT AS df_1,
+        |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::BIGINT AS df_2,
+        |    sum(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END)::BIGINT AS df_3
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, n_docs,
+        |    unnest(['spark', 'join', 'window', 'customer']) AS term,
+        |    unnest([len(list_filter(w, x -> x = 'spark'))::BIGINT,
+        |            len(list_filter(w, x -> x = 'join'))::BIGINT,
+        |            len(list_filter(w, x -> x = 'window'))::BIGINT,
+        |            len(list_filter(w, x -> x = 'customer'))::BIGINT]) AS tf,
+        |    unnest([df_0, df_1, df_2, df_3]) AS df
+        |  FROM t, st)
+        |SELECT doc_id, term, tf, df,
+        |  (tf::DOUBLE * (n_docs::DOUBLE / (df::DOUBLE + 1.0::DOUBLE))) AS tf_idf
+        |FROM e WHERE tf > 0 ORDER BY doc_id, term""".stripMargin,
     "p19_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

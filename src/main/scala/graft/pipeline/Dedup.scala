@@ -324,4 +324,38 @@ object Dedup {
         sorted_jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Order-preserving paragraph-level exact dedup (the passage-granular
+    * variant of repeated-substring removal à la Lee et al. 2022): every
+    * paragraph that occurs more than once in the corpus keeps only its
+    * globally-first occurrence — smallest (doc id, position) — and each
+    * document is reconstructed from its surviving paragraphs in original
+    * order. Documents whose every paragraph was claimed elsewhere drop out.
+    *
+    * Scale shape: winner election groups by the 8-byte xxhash64 of the
+    * paragraph — with map-side combine only (hash, min-position, count)
+    * triples shuffle, never paragraph text; the join back is a hash join
+    * on the same narrow key; reconstruction moves each paragraph exactly
+    * once into its document's group. Nothing is corpus-global except the
+    * per-hash aggregation. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).cast(LongType).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .withColumn("h", xxhash64(col("para")))
+    val winners = paras.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"),
+        count(lit(1)).as("occurrences"))
+    paras.join(winners, Seq("h"))
+      .where(col("occurrences") === 1 ||
+        (col("id") === col("w.id") && col("pos") === col("w.pos")))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          p => p.getField("para")), sep).as("deduped_text"),
+        count(lit(1)).cast(LongType).as("n_paras_kept"))
+      .withColumnRenamed("id", idCol)
+  }
 }

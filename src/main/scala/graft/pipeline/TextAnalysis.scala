@@ -216,4 +216,38 @@ object TextAnalysis {
         coalesce(col("hits"), lit(0L)).as("contaminated_grams"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Hashed bag-of-words linear classifier — the fastText-style quality
+    * model shape (hash each token into one of `dim` buckets, dot the
+    * bucket counts with a weight vector, threshold). Weights here are a
+    * deterministic multiplicative-lattice function of the bucket id so
+    * the oracle can reproduce scores bit-exactly; a real model would
+    * broadcast its trained weight array into the same expression.
+    *
+    * Scale shape: pure per-row columnar expressions — zero shuffle, one
+    * corpus pass, whole-stage codegen throughout. Determinism: bucketing
+    * uses md5 (identical in every engine, unlike xxhash64), the weight
+    * sum is exact integer arithmetic, and only the final normalization
+    * divides — so scores are bit-identical across engines. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    val M = 1000003L        // prime weight-lattice modulus
+    val A = 2654435761L     // Knuth multiplicative-hash constant
+    val toks = TextOps.tokens(col(textCol))
+    // bucket = first 8 md5 hex chars as an int, mod dim;
+    // weight(bucket) = ((bucket * A) mod M) - M/2  ∈ [-500001, 500001]
+    val weights = transform(toks, t =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % dim * A % M)
+        - lit(M / 2))
+    val scoreNum = aggregate(weights, lit(0L), (acc, w) => acc + w)
+    df.select(col(idCol),
+        size(toks).cast(LongType).as("n_tokens"),
+        scoreNum.as("score_num"))
+      .select(col(idCol), col("n_tokens"), col("score_num"),
+        when(col("n_tokens") > 0,
+          col("score_num").cast(DoubleType) /
+            (col("n_tokens").cast(DoubleType) * lit((M / 2).toDouble)))
+          .otherwise(lit(0.0)).as("score"),
+        (col("score_num") > 0).as("keep"))
+  }
 }

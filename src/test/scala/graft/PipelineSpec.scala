@@ -385,6 +385,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.values.sum <= budget)
   }
 
+  test("paragraph dedup keeps first occurrence, preserves order, drops empty docs") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),   // all first occurrences
+      (2L, "beta\ndelta"),          // beta claimed by doc 1
+      (3L, "alpha\nbeta"),          // everything claimed -> doc drops out
+      (4L, "beta\nbeta\nepsilon")   // in-doc duplicate also deduped
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val byId = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "alpha\nbeta\ngamma")
+    assert(byId(2L) == "delta")
+    assert(byId(4L) == "epsilon")
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L, 1L))
+  }
+
+  test("hashed linear score: deterministic, sign decides keep, zero-safe") {
+    val df = Seq((1L, "spark merge window"), (2L, "spark merge window"),
+      (3L, ""), (4L, "zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == out(1).getLong(2)) // same text, same score
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(3) == 0.0)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0)
+      assert(r.getBoolean(4) == (r.getLong(2) > 0L))
+    }
+    // stable across partitionings
+    val again = TextAnalysis.hashedLinearScore(df.repartition(3), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
+  }
+
+  test("bm25 ranks the term-dense short doc first and respects k") {
+    val df = Seq(
+      (1L, "spark spark spark"),                       // dense in query term
+      (2L, "spark alpha beta gamma delta epsilon"),    // diluted
+      (3L, "alpha beta gamma"),                        // no hit -> excluded
+      (4L, "spark spark alpha")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 2)
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L) // highest tf, shortest doc
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+    val all = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 10)
+      .collect()
+    assert(all.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
+  test("tf-idf: rare terms weigh more than common ones") {
+    val df = Seq(
+      (1L, "common rare"), (2L, "common alpha"), (3L, "common beta"))
+      .toDF("doc_id", "text")
+    val out = Search.tfIdf(df, "doc_id", "text", Seq("common", "rare"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out((1L, "rare")) > out((1L, "common")))
+    assert(out.keySet == Set((1L, "common"), (1L, "rare"),
+      (2L, "common"), (3L, "common"))) // tf=0 rows filtered
+    // df counts: common in 3 docs, rare in 1
+    assert(out((1L, "common")) == 1.0 * (3.0 / 4.0))
+    assert(out((1L, "rare")) == 1.0 * (3.0 / 2.0))
+  }
+
   test("cache registry releases near-dup generator persists") {
     val reg = new CacheRegistry()
     val before = spark.sparkContext.getPersistentRDDs.size
