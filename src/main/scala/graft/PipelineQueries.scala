@@ -205,6 +205,16 @@ object PipelineQueries {
       Search.tfIdf(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "window", "customer"))
         .orderBy("doc_id", "term")),
+    // exact global quantile binning (quality deciles by token count) via
+    // range-bucketed two-phase rank — no single-partition window
+    "p33_quality_bins" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .cast("long").as("n_tokens"))
+      Sampling.quantileBins(scored, "doc_id", "n_tokens", nBins = 10)
+        .select(col("doc_id"), col("n_tokens"), col("rank"), col("bin"))
+        .orderBy("doc_id")
+    }),
     // multimodal plumbing: frame sampling over fake media (rows-only)
     "p11_media_frames" -> ((s, dir) => {
       val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
@@ -350,6 +360,21 @@ object PipelineQueries {
     "p1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // the oracle's single global window IS the thing the engine's
+    // two-phase rank avoids; both produce the identical exact rank
+    "p33_quality_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> len(x) > 0))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1)::BIGINT AS rank,
+        |    count(*) OVER ()::BIGINT AS n
+        |  FROM t)
+        |SELECT doc_id, n_tokens, rank, ((rank * 10) // n)::BIGINT AS bin
+        |FROM r ORDER BY doc_id""".stripMargin,
     // groups paragraphs by text where the engine groups by xxhash64 —
     // identical equivalence classes absent 64-bit collisions
     "p29_paragraph_dedup" ->

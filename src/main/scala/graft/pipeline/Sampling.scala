@@ -196,6 +196,56 @@ object Sampling {
       .drop("@bucket", "@key", "@off", "@cum")
   }
 
+  /** Exact global quantile binning: every row gets its exact 0-based rank
+    * in `(scoreCol, idCol)` order and the bin `floor(rank·nBins/N)` — the
+    * "keep only the top quality decile" primitive, with EXACT bin
+    * boundaries (approximate-percentile binning misplaces documents near
+    * every cut).
+    *
+    * Scales like Spark's own global sort but without materializing one:
+    * coarse range buckets come from `approxQuantile` (driver receives
+    * ≤`buckets` doubles — schema-scale, not data-scale), per-bucket counts
+    * get an exclusive prefix sum (a window over ≤`buckets` rows), and each
+    * bucket ranks its own rows in parallel. The OUTPUT is independent of
+    * the sampled boundaries: they only decide bucketing, and
+    * rank = bucket offset + intra-bucket rank is the exact global rank in
+    * (score, id) order for any monotone bucketing. Bin arithmetic is exact
+    * long division (no double round-trip). */
+  def quantileBins(df: DataFrame, idCol: String, scoreCol: String,
+      nBins: Int = 10, buckets: Int = 64): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(buckets >= 1, "buckets must be positive")
+    import graft.functions.VectorFunctions.integral_divide
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(scoreCol, probs, 0.001).distinct.sorted
+    // monotone: equal scores share a bucket; casting to double for the
+    // boundary compare cannot reorder ranks (ranking uses the raw column)
+    val bucketIdx =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedlit(bounds),
+        b => b < col(scoreCol).cast("double")))
+    val keyed = df.withColumn("@bucket", bucketIdx)
+    val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
+    val wb = Window.orderBy("@bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("@off", coalesce(sum(col("@n")).over(wb), lit(0L)))
+      .select("@bucket", "@off")
+    val total = counts.agg(sum(col("@n")).as("@total"))
+    val w = Window.partitionBy(col("@bucket"))
+      .orderBy(col(scoreCol), col(idCol))
+    keyed.join(broadcast(offsets), "@bucket")
+      .crossJoin(broadcast(total))
+      .withColumn("rank",
+        col("@off") + row_number().over(w).cast("long") - 1)
+      .withColumn("bin",
+        integral_divide(col("rank") * nBins, col("@total")))
+      .drop("@bucket", "@off", "@total")
+  }
+
   /** Sequence packing for training: documents are concatenated in id
     * order within each `partitionCol` stream and cut into fixed
     * `capacity`-token context windows — each document gets the bin of

@@ -450,6 +450,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((1L, "rare")) == 1.0 * (3.0 / 2.0))
   }
 
+  test("quantile bins: exact ranks, ntile-free bin formula, boundary-independent") {
+    val df = (1L to 100L).map(i => (i, (i * 37) % 101)).toDF("id", "score")
+    val out = Sampling.quantileBins(df, "id", "score", nBins = 10, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // ranks are a permutation of 0..99
+    assert(out.map(_._2).sorted == (0L until 100L))
+    // bins are exact deciles of 100 rows: 10 each
+    assert(out.groupBy(_._3).view.mapValues(_.size).toMap ==
+      (0L to 9L).map(_ -> 10).toMap)
+    // rank matches the driver-side exact sort, regardless of bucket count
+    val expect = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    out.foreach { case (id, rank, _) => assert(rank == expect(id)) }
+    val again = Sampling.quantileBins(df.repartition(7), "id", "score",
+      nBins = 10, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    out.foreach { case (id, rank, _) => assert(again(id) == rank) }
+    // degenerate: constant score → one bucket, still exact
+    val const = (1L to 20L).map(i => (i, 5L)).toDF("id", "score")
+    val c = Sampling.quantileBins(const, "id", "score", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (1L to 20L).foreach(i => assert(c(i) == i - 1))
+  }
+
   test("cache registry releases near-dup generator persists") {
     val reg = new CacheRegistry()
     val before = spark.sparkContext.getPersistentRDDs.size
