@@ -67,6 +67,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case None => elemTypeOf(list)
   }
 
+  /** sum over a NullType child (unknowable property on an empty scan):
+    * Cypher's sum of no values is integer 0, so anchor the child at LONG —
+    * otherwise Spark types the empty sum as double and 0.0 comes back. */
+  private def sumChild(e: Expr): Column = {
+    val c = compile(e)
+    if (typeOf(e) == NullType) c.cast(LongType) else c
+  }
+
   /** result type of an aggregate column (schema-only global-agg probe). */
   private def typeOfAgg(c: Column): DataType =
     try probe().select(c).schema.head.dataType
@@ -151,7 +159,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val t = typeOf(b)
       t match {
         case NullType => lit(null) // null[k] is null, not a type error
-        case _: MapType | _: StructType => extractFieldDyn(c, compile(i), i)
+        case t2 @ (_: MapType | _: StructType) =>
+          extractFieldDyn(c, compile(i), i, t2)
         case _ =>
           val idx = compile(i)
           // Cypher lists are 0-based; element_at is 1-based with negative
@@ -314,6 +323,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         temporalAccessor(c, key)
       case _: DayTimeIntervalType | _: YearMonthIntervalType =>
         durationAccessor(c, key, baseType)
+      // a key the (closed) struct schema lacks is null in Cypher, not a
+      // FIELD_NOT_FOUND analysis error
+      case st: StructType if !st.fieldNames.contains(key) => lit(null)
       case _ => c.getField(key) // struct/map lookup
     }
 
@@ -351,9 +363,19 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       s"unknown duration accessor .$other on $t")
   }
 
-  private def extractFieldDyn(c: Column, key: Column, keyExpr: Expr): Column =
-    keyExpr match {
-      case StringLit(s) => c.getField(s)
+  private def extractFieldDyn(c: Column, key: Column, keyExpr: Expr,
+      baseType: DataType): Column =
+    (keyExpr, baseType) match {
+      // missing key on a (closed) struct schema is null, not an error
+      case (StringLit(s), st: StructType) =>
+        if (st.fieldNames.contains(s)) c.getField(s) else lit(null)
+      case (StringLit(s), _) => c.getField(s)
+      // dynamic key on a struct: dispatch over the (closed) field set —
+      // element_at only works on maps/arrays, and an unknown key is null
+      case (_, st: StructType) =>
+        st.fieldNames.foldLeft(lit(null)) { (acc, f) =>
+          when(key === lit(f), c.getField(f)).otherwise(acc)
+        }
       case _ => try_element_at(c, key)
     }
 
@@ -765,11 +787,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("count", false, args) => count(compile(args.head))
     // Cypher sum() over no (non-null) input is 0, not SQL's null
     case Func("sum", true, args) =>
-      val c = compile(args.head)
+      val c = sumChild(args.head)
       val s = sum_distinct(c)
       coalesce(s, lit(0).cast(typeOfAgg(s)))
     case Func("sum", false, args) =>
-      val c = compile(args.head)
+      val c = sumChild(args.head)
       val s = sum(c)
       coalesce(s, lit(0).cast(typeOfAgg(s)))
     case Func("avg", true, args) =>

@@ -1306,6 +1306,145 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("null-value-property-access", empty,
       "WITH null AS d RETURN d.year AS y, d.name AS n",
       Seq(row("y" -> null, "n" -> null)))
+  ) ++ Seq(
+    // ---- comparability families (openCypher: cross-family comparisons
+    // are never ordered → null; equality across families is false)
+    Scenario("incomparable-types-order-is-null", empty,
+      "RETURN 'a' < 1 AS x", Seq(row("x" -> null))),
+    Scenario("cross-family-equality-is-false", empty,
+      "RETURN 1 = 'a' AS x", Seq(row("x" -> false))),
+    Scenario("string-and-boolean-ordering", empty,
+      "RETURN 'a' < 'b' AS x, true < false AS y",
+      Seq(row("x" -> true, "y" -> false))),
+    // ---- IN with nulls (ternary logic over list membership)
+    Scenario("in-list-ternary-null-semantics", empty,
+      "RETURN 1 IN [null, 1] AS a, 2 IN [null] AS b, null IN [] AS c",
+      Seq(row("a" -> true, "b" -> null, "c" -> false))),
+
+    // ---- list indexing / slicing
+    Scenario("negative-list-index-counts-from-end", empty,
+      "RETURN [1,2,3][-1] AS a, [1,2,3][0..-1] AS b",
+      Seq(row("a" -> 3, "b" -> List(1L, 2L)))),
+    Scenario("out-of-bounds-index-is-null", empty,
+      "RETURN [1,2][5] AS a, [1,2][-5] AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("head-last-tail-on-empty-list", empty,
+      "RETURN head([]) AS h, last([]) AS l, tail([]) AS t",
+      Seq(row("h" -> null, "l" -> null, "t" -> List.empty[Any]))),
+    Scenario("nested-list-double-index", empty,
+      "WITH [[1,2],[3]] AS ll RETURN ll[0][1] AS x", Seq(row("x" -> 2))),
+    Scenario("range-descending-bounds-is-empty", empty,
+      "RETURN range(1, 0) AS r", Seq(row("r" -> List.empty[Any]))),
+    Scenario("list-concatenation-plus", empty,
+      "RETURN [1,2] + [3] AS a, [1] + 2 AS b, 1 + [2] AS c",
+      Seq(row("a" -> List(1L, 2L, 3L), "b" -> List(1L, 2L),
+        "c" -> List(1L, 2L)))),
+
+    // ---- maps: missing keys are null, never an analysis error
+    Scenario("missing-map-key-is-null", empty,
+      "RETURN {a: 1}['b'] AS y, {a: 1}.b AS z",
+      Seq(row("y" -> null, "z" -> null))),
+    Scenario("map-projection-missing-key-is-null", empty,
+      "WITH {a: 1, b: 2} AS m RETURN m{.a, .missing} AS p",
+      Seq(row("p" -> Map("a" -> 1L, "missing" -> null)))),
+    Scenario("dynamic-map-key-lookup", empty,
+      "WITH {a: 1} AS m, 'b' AS miss, 'a' AS hit " +
+        "RETURN m[hit] AS v, m[miss] AS w",
+      Seq(row("v" -> 1, "w" -> null))),
+    Scenario("keys-of-map-literal", empty,
+      "WITH {a: 1} AS m RETURN keys(m) AS ks",
+      Seq(row("ks" -> List("a")))),
+
+    // ---- aggregates over zero rows
+    Scenario("aggregates-over-no-rows", social,
+      """MATCH (n:NoSuchLabel)
+        |RETURN sum(n.age) AS s, count(*) AS c, min(n.age) AS mn,
+        |       collect(n.age) AS cl""".stripMargin,
+      Seq(row("s" -> 0, "c" -> 0, "mn" -> null, "cl" -> List.empty[Any]))),
+    Scenario("stdev-of-single-value-is-zero", nulls,
+      "MATCH (x:X {k: 1}) RETURN stDev(x.k) AS sd",
+      Seq(row("sd" -> 0.0))),
+    Scenario("percentile-extremes", nulls,
+      """MATCH (x:X) WHERE x.k IS NOT NULL
+        |RETURN percentileDisc(x.k, 0) AS p0,
+        |       percentileCont(x.k, 1) AS p1""".stripMargin,
+      Seq(row("p0" -> 1, "p1" -> 2.0))),
+
+    // ---- UNWIND of null / empty list produces no rows
+    Scenario("unwind-null-is-no-rows", empty,
+      "UNWIND null AS x RETURN x", Seq.empty),
+    Scenario("unwind-empty-list-is-no-rows", empty,
+      "WITH [1,2] AS keep UNWIND [] AS x RETURN x", Seq.empty),
+
+    // ---- ORDER BY null placement: null is largest (last ASC, first DESC)
+    Scenario("order-by-unreturned-key-nulls-last", nulls,
+      "MATCH (x:X) RETURN x.k AS k ORDER BY x.s ASC",
+      Seq(row("k" -> 1), row("k" -> null), row("k" -> 2)), ordered = true),
+    Scenario("order-by-desc-nulls-first", nulls,
+      "MATCH (x:X) RETURN x.k AS k ORDER BY x.s DESC",
+      Seq(row("k" -> 2), row("k" -> null), row("k" -> 1)), ordered = true),
+
+    // ---- UNION distinct vs UNION ALL
+    Scenario("union-distinct-deduplicates", empty,
+      "RETURN 1 AS x UNION RETURN 1 AS x UNION RETURN 2 AS x",
+      Seq(row("x" -> 1), row("x" -> 2))),
+
+    // ---- simple CASE never matches via null (uses equality)
+    Scenario("simple-case-null-never-matches", empty,
+      "RETURN CASE null WHEN null THEN 'eq' ELSE 'no' END AS x",
+      Seq(row("x" -> "no"))),
+
+    // ---- quantifiers: vacuous truth and ternary predicates
+    Scenario("quantifiers-on-empty-list", empty,
+      "RETURN all(x IN [] WHERE x > 0) AS a, any(x IN [] WHERE x > 0) AS b",
+      Seq(row("a" -> true, "b" -> false))),
+    Scenario("quantifier-null-predicate-is-null", empty,
+      "RETURN none(x IN [1] WHERE x > null) AS n", Seq(row("n" -> null))),
+    Scenario("comprehension-filter-skips-null-predicate", empty,
+      "RETURN [x IN [1,null,3] WHERE x > 0] AS f",
+      Seq(row("f" -> List(1L, 3L)))),
+
+    // ---- scalar conversions and null propagation
+    Scenario("conversion-functions", empty,
+      """RETURN toInteger('42') AS a, toInteger('abc') AS b,
+        |toBoolean('true') AS c, toInteger(3.9) AS d,
+        |toString(1.5) AS e, toString(null) AS f""".stripMargin,
+      Seq(row("a" -> 42, "b" -> null, "c" -> true, "d" -> 3,
+        "e" -> "1.5", "f" -> null))),
+    Scenario("size-of-null-is-null", empty,
+      "RETURN size(null) AS s, size('hello') AS n",
+      Seq(row("s" -> null, "n" -> 5))),
+    Scenario("string-predicates-with-null-are-null", empty,
+      "RETURN 'abc' STARTS WITH null AS x, 'abc' =~ null AS m",
+      Seq(row("x" -> null, "m" -> null))),
+
+    // ---- WHERE on aliased aggregate after WITH (HAVING shape)
+    Scenario("with-where-on-aliased-aggregate", social,
+      """MATCH (p:Person)-[:KNOWS]->()
+        |WITH p.name AS name, count(*) AS degree WHERE degree > 1
+        |RETURN name, degree""".stripMargin,
+      Seq(row("name" -> "Alice", "degree" -> 2))),
+
+    // ---- parameters in inline property maps and predicates
+    Scenario("parameter-in-prop-map-and-where", social,
+      """MATCH (p:Person {city: $city}) WHERE p.age >= $min
+        |RETURN p.name AS name ORDER BY name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Dave")), ordered = true,
+      params = Map("city" -> "Berlin", "min" -> 25)),
+
+    // ---- temporal parsing and accessors
+    Scenario("temporal-parse-and-accessors", empty,
+      """RETURN localdatetime('2020-06-15T12:30:45').hour AS h,
+        |date('2020-01-31') + duration({months: 1}) = date('2020-02-29') AS clamped,
+        |duration('P1DT2H').hours AS dh""".stripMargin,
+      Seq(row("h" -> 12, "clamped" -> true, "dh" -> 2))),
+
+    // ---- documented divergences (blacklisted, reference-style)
+    Scenario("list-equality-with-null-element", empty,
+      "RETURN [1,2] = [1,null] AS x", Seq(row("x" -> null))),
+    Scenario("heterogeneous-list-literal", empty,
+      "RETURN [1, 'a', true] AS mixed",
+      Seq(row("mixed" -> List(1L, "a", true))))
   )
 
   // --------------------------------------------------------- blacklist
