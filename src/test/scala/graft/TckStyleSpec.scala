@@ -65,6 +65,15 @@ class TckStyleSpec extends AnyFunSuite {
     CREATE (a)-[:S]->(b)
   """
   val empty: String = ""
+  // small mixed-type triad: two R hops a→b→c plus an S shortcut a→c
+  val triad: String = """
+    CREATE (a:P {n: 'a', v: 1})
+    CREATE (b:P {n: 'b', v: 2})
+    CREATE (c:P {n: 'c', v: 3})
+    CREATE (a)-[:R {w: 1}]->(b)
+    CREATE (b)-[:R {w: 2}]->(c)
+    CREATE (a)-[:S {w: 9}]->(c)
+  """
   // two equal-length routes a→d (via b, via c): shortest-path tie
   val tie: String = """
     CREATE (a:T {n: 'a'}), (b:T {n: 'b'}), (c:T {n: 'c'}), (d:T {n: 'd'})
@@ -1445,6 +1454,97 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("heterogeneous-list-literal", empty,
       "RETURN [1, 'a', true] AS mixed",
       Seq(row("mixed" -> List(1L, "a", true))))
+  ) ++ Seq(
+    // ---- pipeline shapes: WITH as a barrier, continuations after
+    // aggregation / LIMIT (each clause sees only the previous projection)
+    Scenario("with-order-limit-then-expand-triad", triad,
+      """MATCH (x:P) WITH x ORDER BY x.v DESC LIMIT 2
+        |MATCH (x)-[r]->(y)
+        |RETURN x.n AS xn, y.n AS yn ORDER BY xn, yn""".stripMargin,
+      Seq(row("xn" -> "b", "yn" -> "c")), ordered = true),
+    Scenario("aggregate-then-match-on-result", triad,
+      """MATCH (x:P) WITH count(*) AS total
+        |MATCH (y:P) WHERE y.v = total RETURN y.n AS n""".stripMargin,
+      Seq(row("n" -> "c"))),
+    Scenario("with-distinct-expression", triad,
+      "MATCH (x:P) WITH DISTINCT x.v % 2 AS parity RETURN parity ORDER BY parity",
+      Seq(row("parity" -> 0), row("parity" -> 1)), ordered = true),
+    Scenario("collect-respects-with-order", triad,
+      "MATCH (x:P) WITH x.v AS v ORDER BY v DESC RETURN collect(v) AS vs",
+      Seq(row("vs" -> List(3L, 2L, 1L)))),
+
+    // ---- relationship-type alternation, also under var-length
+    Scenario("rel-type-alternation", triad,
+      "MATCH (a:P {n:'a'})-[:R|S]->(x) RETURN x.n AS n ORDER BY n",
+      Seq(row("n" -> "b"), row("n" -> "c")), ordered = true),
+    Scenario("rel-type-alternation-varlength", triad,
+      """MATCH (a:P {n:'a'})-[rs:R|S*1..2]->(x)
+        |RETURN x.n AS n, size(rs) AS l ORDER BY n, l""".stripMargin,
+      Seq(row("n" -> "b", "l" -> 1), row("n" -> "c", "l" -> 1),
+        row("n" -> "c", "l" -> 2)), ordered = true),
+    Scenario("mixed-direction-chain", triad,
+      "MATCH (a)-[:R]->(b)<-[:S]-(c) RETURN a.n AS an, b.n AS bn, c.n AS cn",
+      Seq(row("an" -> "b", "bn" -> "c", "cn" -> "a"))),
+    Scenario("zero-length-varlength-includes-self", triad,
+      """MATCH (a:P)-[:R*0..1]->(b:P)
+        |RETURN a.n AS an, b.n AS bn ORDER BY an, bn""".stripMargin,
+      Seq(row("an" -> "a", "bn" -> "a"), row("an" -> "a", "bn" -> "b"),
+        row("an" -> "b", "bn" -> "b"), row("an" -> "b", "bn" -> "c"),
+        row("an" -> "c", "bn" -> "c")), ordered = true),
+
+    // ---- pattern predicates in every expression position
+    Scenario("exists-subquery-with-inner-where", triad,
+      """MATCH (a:P {n:'a'})
+        |WHERE EXISTS { MATCH (a)-[:S]->(z) WHERE z.v > 2 }
+        |RETURN a.n AS n""".stripMargin,
+      Seq(row("n" -> "a"))),
+    Scenario("pattern-predicate-in-case-branch", triad,
+      """MATCH (a:P) RETURN a.n AS n,
+        |CASE WHEN (a)-[:S]->() THEN 'has' ELSE 'no' END AS s
+        |ORDER BY n""".stripMargin,
+      Seq(row("n" -> "a", "s" -> "has"), row("n" -> "b", "s" -> "no"),
+        row("n" -> "c", "s" -> "no")), ordered = true),
+    Scenario("exists-function-on-pattern", triad,
+      "MATCH (a:P) RETURN a.n AS n, exists((a)-[:S]->()) AS e ORDER BY n",
+      Seq(row("n" -> "a", "e" -> true), row("n" -> "b", "e" -> false),
+        row("n" -> "c", "e" -> false)), ordered = true),
+    Scenario("not-pattern-predicate", triad,
+      "MATCH (x:P) WHERE NOT (x)-[:R]->() RETURN x.n AS n",
+      Seq(row("n" -> "c"))),
+    Scenario("pattern-predicate-with-dst-props", triad,
+      "MATCH (x:P) WHERE (x)-[:R]->(:P {v: 2}) RETURN x.n AS n",
+      Seq(row("n" -> "a"))),
+    Scenario("size-of-pattern-as-degree", triad,
+      "MATCH (a:P) RETURN a.n AS n, size((a)-[]->()) AS deg ORDER BY n",
+      Seq(row("n" -> "a", "deg" -> 2), row("n" -> "b", "deg" -> 1),
+        row("n" -> "c", "deg" -> 0)), ordered = true),
+    Scenario("size-of-undirected-pattern", triad,
+      "MATCH (a:P) RETURN a.n AS n, size((a)--()) AS deg ORDER BY n",
+      Seq(row("n" -> "a", "deg" -> 2), row("n" -> "b", "deg" -> 2),
+        row("n" -> "c", "deg" -> 2)), ordered = true),
+
+    // ---- OPTIONAL MATCH WHERE applies inside the optional side
+    Scenario("optional-match-where-stays-optional", triad,
+      """MATCH (a:P {n:'a'}) OPTIONAL MATCH (a)-[:NOPE]->(z) WHERE z.v > 0
+        |RETURN a.n AS n, z.v AS zv""".stripMargin,
+      Seq(row("n" -> "a", "zv" -> null))),
+
+    // ---- UNWIND interactions
+    Scenario("unwind-map-list-property-access", empty,
+      "UNWIND [{k: 1}, {k: 2}] AS m RETURN m.k AS k ORDER BY k",
+      Seq(row("k" -> 1), row("k" -> 2)), ordered = true),
+    Scenario("nested-double-unwind", empty,
+      "UNWIND [[1,2],[3]] AS l UNWIND l AS x RETURN x ORDER BY x",
+      Seq(row("x" -> 1), row("x" -> 2), row("x" -> 3)), ordered = true),
+    Scenario("dynamic-list-index-expression", empty,
+      "WITH [1,2,3] AS l RETURN l[toInteger('1')] AS x",
+      Seq(row("x" -> 2))),
+
+    // ---- grouping by relationship type
+    Scenario("group-by-relationship-type", triad,
+      "MATCH (a)-[r]->(b) RETURN type(r) AS t, count(*) AS n ORDER BY t",
+      Seq(row("t" -> "R", "n" -> 2), row("t" -> "S", "n" -> 1)),
+      ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
