@@ -135,6 +135,35 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _: PathBinding =>
         throw new IllegalArgumentException(s"property access on path `$n`")
     }
+    // startNode(r).prop / endNode(r).prop: resolve to the bound endpoint
+    // node's property columns — no join. Directed matches pick statically
+    // (endpointVars is storage order); undirected matches test the stored
+    // src id per row against the left endpoint.
+    case Property(Func(fn, _, Seq(Var(r))), key)
+        if Set("startnode", "endnode")(fn.toLowerCase) &&
+          !lambdaEnv.contains(r) &&
+          header.get(r).exists(_.isInstanceOf[RelBinding]) =>
+      val rb = header(r).asInstanceOf[RelBinding]
+      val wantSrc = fn.toLowerCase == "startnode"
+      // guard against id-only endpoint bindings (anonymous-target
+      // optimizations): only trust a binding that carries property columns
+      def fullNode(v: String): Boolean = header.get(v) match {
+        case Some(nb: NodeBinding) => nb.propCols.nonEmpty
+        case _ => false
+      }
+      def nodeProp(v: String): Column = compile(Property(Var(v), key))
+      rb.endpointVars match {
+        case Some((l, rr)) if rb.oriented && fullNode(if (wantSrc) l else rr) =>
+          nodeProp(if (wantSrc) l else rr)
+        case Some((l, rr)) if !rb.oriented && fullNode(l) && fullNode(rr) =>
+          val anchor = col(s"`${if (wantSrc) rb.srcCol else rb.dstCol}`")
+          val lId = header(l).asInstanceOf[NodeBinding].idCol
+          when(anchor === col(s"`$lId`"), nodeProp(l)).otherwise(nodeProp(rr))
+        case _ => throw new IllegalArgumentException(
+          s"${if (wantSrc) "startNode" else "endNode"}($r).$key needs the " +
+            "relationship's endpoint nodes in scope")
+      }
+
     case Property(b, key) =>
       typeOf(b) match {
         case NullType => lit(null) // null.prop is null, not a type error
@@ -561,6 +590,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "size" | "length" => typeOf(f.args(0)) match {
         case StringType => length(a0).cast(LongType)
         case _ => size(a0).cast(LongType)
+      }
+      case "isempty" => typeOf(f.args(0)) match {
+        case StringType => length(a0) === 0
+        case _: MapType => size(map_keys(a0)) === 0
+        case st: StructType => // closed struct map: emptiness is static
+          when(a0.isNull, lit(null)).otherwise(lit(st.fields.isEmpty))
+        case _ => size(a0) === 0
       }
       case "head" => try_element_at(a0, lit(1))
       case "last" => try_element_at(a0, lit(-1))

@@ -23,9 +23,16 @@ case class NodeBinding(idCol: String, labelCols: Map[String, String],
       propCols.toSeq.sortBy(_._1).map(_._2))
 }
 
-/** relationship variable: id/src/dst/type + property columns. */
+/** relationship variable: id/src/dst/type + property columns. src/dst
+  * are always STORAGE orientation (orientedRelScan traverses via separate
+  * columns), so startNode()/endNode() are direction-independent.
+  * `endpointVars`: the pattern's endpoint node variables — in storage
+  * order when `oriented`, in written (left, right) order for undirected
+  * matches — letting `startNode(r).prop` resolve to the bound endpoint's
+  * property columns without a join. */
 case class RelBinding(idCol: String, srcCol: String, dstCol: String,
-    typCol: String, propCols: Map[String, String], types: Set[String])
+    typCol: String, propCols: Map[String, String], types: Set[String],
+    endpointVars: Option[(String, String)] = None, oriented: Boolean = true)
     extends Binding {
   def columns: Seq[String] =
     Seq(idCol, srcCol, dstCol, typCol) ++ propCols.toSeq.sortBy(_._1).map(_._2)

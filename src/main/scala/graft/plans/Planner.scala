@@ -605,13 +605,24 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       val dstVar = nodeVarName(node)
       st = rel.varLength match {
         case None =>
-          val st2 = expandOne(graph, st, prevVar, relVar, rel, dstVar, node, propPreds)
-          relIds += RelId(st2.header(relVar).asInstanceOf[RelBinding].idCol,
+          val st1 = expandOne(graph, st, prevVar, relVar, rel, dstVar, node, propPreds)
+          // record the pattern's endpoint vars so startNode(r).prop /
+          // endNode(r).prop resolve to bound node columns (storage order
+          // for directed matches, written order + per-row id test for
+          // undirected — see ExprCompiler endpoint-property case)
+          val rb1 = st1.header(relVar).asInstanceOf[RelBinding]
+          val eps = rel.direction match {
+            case Incoming => (dstVar, prevVar)
+            case _ => (prevVar, dstVar)
+          }
+          val st2 = st1.copy(header = st1.header +
+            (relVar -> rb1.copy(endpointVars = Some(eps),
+              oriented = rel.direction != Undirected)))
+          relIds += RelId(rb1.idCol,
             isList = false,
             types = if (rel.types.isEmpty) Set.empty else rel.types.toSet)
           if (named)
-            pathSegs += SingleSeg(
-              st2.header(relVar).asInstanceOf[RelBinding].idCol)
+            pathSegs += SingleSeg(rb1.idCol)
           st2
         case Some((lo, hi)) =>
           val innerCol = if (named) Some(fresh(s"${relVar}_inner")) else None

@@ -1540,6 +1540,31 @@ class TckStyleSpec extends AnyFunSuite {
       "WITH [1,2,3] AS l RETURN l[toInteger('1')] AS x",
       Seq(row("x" -> 2))),
 
+    // ---- startNode()/endNode() keep STORAGE orientation and expose the
+    // endpoint's properties regardless of match direction
+    Scenario("endpoint-properties-directed", triad,
+      """MATCH (a:P {n:'a'})-[r:R]->(b)
+        |RETURN startNode(r).n AS s, endNode(r).n AS e""".stripMargin,
+      Seq(row("s" -> "a", "e" -> "b"))),
+    Scenario("endpoint-properties-incoming", triad,
+      """MATCH (c:P {n:'c'})<-[r:S]-(a)
+        |RETURN startNode(r).n AS s, endNode(r).n AS e""".stripMargin,
+      Seq(row("s" -> "a", "e" -> "c"))),
+    Scenario("endpoint-properties-undirected", triad,
+      """MATCH (c:P {n:'c'})-[r]-(x)
+        |RETURN type(r) AS t, startNode(r).n AS s, endNode(r).n AS e
+        |ORDER BY t""".stripMargin,
+      Seq(row("t" -> "R", "s" -> "b", "e" -> "c"),
+        row("t" -> "S", "s" -> "a", "e" -> "c")), ordered = true),
+    Scenario("endpoint-missing-property-is-null", triad,
+      """MATCH (a:P {n:'a'})-[r:R]->(b)
+        |RETURN startNode(r).nope AS missing""".stripMargin,
+      Seq(row("missing" -> null))),
+    Scenario("isempty-function", empty,
+      """RETURN isEmpty([]) AS a, isEmpty('x') AS b, isEmpty({m: 1}) AS c,
+        |isEmpty(null) AS d""".stripMargin,
+      Seq(row("a" -> true, "b" -> false, "c" -> false, "d" -> null))),
+
     // ---- grouping by relationship type
     Scenario("group-by-relationship-type", triad,
       "MATCH (a)-[r]->(b) RETURN type(r) AS t, count(*) AS n ORDER BY t",
