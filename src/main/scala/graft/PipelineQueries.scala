@@ -118,6 +118,13 @@ object PipelineQueries {
       Dedup.connectedComponents(e, "vec_id", pairs, "id_a", "id_b")
         .orderBy("id")
     }),
+    // SemDeDup semantic dedup: k-means cells (sample-trained, broadcast)
+    // → within-cell dense cosine kernel → component representatives.
+    // Rows-only: cluster assignment is engine-specific by design.
+    "p34_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, nClusters = 16, trainSample = 5000)
+        .orderBy("id")),
     // unbounded BFS hop counts via GraphX Pregel (the interop scale path
     // past the Cypher shortestPath()'s bounded unroll): distance from
     // every customer to its region over the TPC-H FK graph. Landmarks

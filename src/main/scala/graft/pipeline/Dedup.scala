@@ -251,6 +251,79 @@ object Dedup {
     labels.select("id", "cluster")
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * k-means-cluster the embedding space, compare pairs ONLY within each
+    * cluster cell, and keep one representative (minimum id) per connected
+    * component of the near-duplicate graph.
+    *
+    * Scale shape: centroids train on a bounded driver-side sample (like
+    * [[Similarity.ivfTopK]]'s coarse quantizer) and broadcast; assignment
+    * is one shuffle-free map; the pairwise scan shuffles each vector once
+    * to its cell (size ≈ n/nClusters — size nClusters ≈ √n so a cell stays
+    * executor-resident) and runs the dense upper-triangle kernel per cell,
+    * so total work is O(n²/nClusters · d) instead of O(n²·d); component
+    * labeling runs over the near-dup pairs only (tiny), never the corpus.
+    * Cross-cell near-dups are missed by construction — that recall trade
+    * IS SemDeDup; `nClusters = 1` degenerates to the exact answer of
+    * [[embeddingNearDup]] + [[connectedComponents]].
+    *
+    * @return (id, cluster, keep) — every input id, its semantic-dup
+    *         component label (= component min id), keep = id == cluster
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int = 64, roundTo: Int = 4,
+      trainSample: Int = 10000, iters: Int = 8, seed: Long = 42L)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .as[(Long, Array[Double])]
+
+    val trainRows = v.limit(trainSample).collect().map(_._2)
+    if (trainRows.isEmpty)
+      return spark.emptyDataFrame.select(lit(0L).as("id"),
+        lit(0L).as("cluster"), lit(true).as("keep")).limit(0)
+    val centroids =
+      Similarity.trainCentroids(trainRows, nClusters, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assigned = v.map { case (id, vec) =>
+      (Similarity.nearestCentroids(vec, bc.value, 1)(0), id, vec) }
+    val th = threshold; val rt = roundTo
+    val pairs = assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val (ids, mat, sqrtNorms, dim) =
+        Similarity.packBlock(it.map(t => (t._2, t._3)).toArray)
+      val n = ids.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < n) {
+        var qnorm = 0.0; var j = 0
+        val qoff = i * dim
+        while (j < dim) { val x = mat(qoff + j); qnorm += x * x; j += 1 }
+        val qsqrt = math.sqrt(qnorm)
+        var c = i + 1
+        while (c < n) {
+          var dot = 0.0; var j2 = 0
+          val off = c * dim
+          while (j2 < dim) { dot += mat(qoff + j2) * mat(off + j2); j2 += 1 }
+          val denom = qsqrt * sqrtNorms(c)
+          val sim = Similarity.roundHalfUp(
+            if (denom == 0.0) 0.0 else dot / denom, rt)
+          if (sim >= th)
+            out += ((math.min(ids(i), ids(c)), math.max(ids(i), ids(c))))
+          c += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("id_a", "id_b")
+
+    connectedComponents(emb.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("keep"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance: banded buckets
     * generate candidates, exact bit_count verifies. The band count is
     * derived from `maxHamming` (pigeonhole: maxHamming+1 bands guarantee

@@ -124,7 +124,7 @@ object Similarity {
   }
 
   /** One tile's dense candidate block: ids, row-major matrix, √norms. */
-  private def packBlock(rows: Array[(Long, Array[Double])])
+  private[pipeline] def packBlock(rows: Array[(Long, Array[Double])])
       : (Array[Long], Array[Double], Array[Double], Int) = {
     val n = rows.length
     val dim = if (n == 0) 0 else rows(0)._2.length
@@ -385,7 +385,7 @@ object Similarity {
   /** nearest `take` centroid indices by dot product (vectors need not be
     * normalized — argmax over cosine equals argmax over dot/|v| and |v|
     * is constant per row). */
-  private def nearestCentroids(v: Array[Double],
+  private[pipeline] def nearestCentroids(v: Array[Double],
       centroids: Array[Array[Double]], take: Int): Array[Int] = {
     val dim = v.length
     val scored = centroids.indices.map { c =>

@@ -188,6 +188,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfTopK(none, "vec_id", "embedding", k = 3).count() === 0L)
   }
 
+  test("semanticDedup with one cell equals the exact near-dup components") {
+    // nClusters = 1 puts every vector in the same cell, so the pair set is
+    // the exact all-pairs answer and components must match the
+    // embeddingNearDup → connectedComponents pipeline bit-for-bit
+    val sem = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.3, nClusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.3)
+    val expected = Dedup.connectedComponents(
+        emb.select($"vec_id"), "vec_id", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(0) == r.getLong(1)))
+      .sortBy(_._1)
+    assert(sem.toSeq === expected.toSeq)
+    assert(sem.exists(!_._3), "fixture should contain at least one drop")
+  }
+
+  test("semanticDedup keeps one representative per planted clique") {
+    // two tight cliques + two singletons, in well-separated directions so
+    // any k-means split keeps each clique within one cell
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.999, 0.01, 0.0)),
+      (3L, Array(0.998, 0.02, 0.0)),
+      (10L, Array(0.0, 1.0, 0.0)), (11L, Array(0.0, 0.999, 0.01)),
+      (20L, Array(0.0, 0.0, 1.0)), (21L, Array(0.7, -0.7, 0.0)))
+      .toDF("id", "vec")
+    val out = Dedup.semanticDedup(vecs, "id", "vec",
+      threshold = 0.95, nClusters = 3, trainSample = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) &&
+      out(3L) == (1L, false))
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    assert(out(20L) == (20L, true) && out(21L) == (21L, true))
+  }
+
   test("connected components: chains, cliques, singletons") {
     val nodes = (1L to 9L).toDF("id")
     // chain 3-1-2 (min 1), clique 4-5-6 (min 4), edge 8-9 (min 8), 7 alone
