@@ -205,7 +205,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // Cypher: negative indices count from the end, clamped at 0
       val f = when(f0 < 0, greatest(n + f0, lit(0L))).otherwise(f0)
       val t = when(t0 < 0, greatest(n + t0, lit(0L))).otherwise(t0)
-      slice(c, (f + 1).cast(IntegerType), greatest(t - f, lit(0)).cast(IntegerType))
+      // a null bound nulls the whole slice (greatest() would swallow the
+      // null and yield [] instead)
+      when(f0.isNull || t0.isNull, lit(null)).otherwise(
+        slice(c, (f + 1).cast(IntegerType),
+          greatest(t - f, lit(0)).cast(IntegerType)))
 
     case Not(x) => !compile(x)
     case And(l, r) => compile(l) && compile(r)
@@ -502,7 +506,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         if (f.args.size > 2) a0.substr(start.cast(IntegerType), a(2).cast(IntegerType))
         else a0.substr(start.cast(IntegerType), length(a0))
       case "left" => a0.substr(lit(1), a(1).cast(IntegerType))
-      case "right" => a0.substr(length(a0) - a(1).cast(IntegerType) + 1, a(1).cast(IntegerType))
+      case "right" => // n > length(s) keeps the whole string (a negative
+        // computed start would wrap around in Spark's substr)
+        a0.substr(greatest(length(a0) - a(1).cast(IntegerType) + 1, lit(1)),
+          a(1).cast(IntegerType))
       case "tostring" => a0.cast(StringType)
       // to*(): unconvertible input is null in Cypher, never an ANSI error
       case "tointeger" => typeOf(f.args(0)) match {

@@ -1910,6 +1910,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     PState(df, state.header + (v -> ValueBinding(newCol)))
   }
 
+  /** SKIP/LIMIT take any statically evaluable integer expression
+    * (openCypher allows e.g. `LIMIT 1 + toInteger($p)`): fold literals,
+    * parameters, and integer arithmetic over them at plan time. */
   private def evalStaticInt(e: Expr): Long = e match {
     case IntLit(v) => v
     case Param(n) => params(n) match {
@@ -1918,8 +1921,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case other => throw new IllegalArgumentException(
         s"SKIP/LIMIT parameter must be integer, got $other")
     }
+    case Add(l, r) => evalStaticInt(l) + evalStaticInt(r)
+    case Sub(l, r) => evalStaticInt(l) - evalStaticInt(r)
+    case Mul(l, r) => evalStaticInt(l) * evalStaticInt(r)
+    case Div(l, r) => evalStaticInt(l) / evalStaticInt(r)
+    case Mod(l, r) => evalStaticInt(l) % evalStaticInt(r)
+    case Neg(x) => -evalStaticInt(x)
     case other => throw new IllegalArgumentException(
-      s"SKIP/LIMIT must be a literal or parameter, got $other")
+      s"SKIP/LIMIT must be a static integer expression, got $other")
   }
 
   private case class OutItem(name: String, expr: Expr, binding: Binding)

@@ -200,6 +200,20 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getLong(0) == 3L)
   }
 
+  test("CONSTRUCT from var-length match endpoints (reachability graph)") {
+    // KNOWS: 1→2→3; *1..2 reaches (1,2), (2,3), (1,3); hops = path length
+    val reach = gs.cypherGraph(g,
+      """MATCH p = (a:Person)-[:KNOWS*1..2]->(b:Person)
+        |CONSTRUCT NEW (a)-[:REACH {hops: length(p)}]->(b)
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(reach,
+      """MATCH (x:Person)-[r:REACH]->(y:Person)
+        |RETURN x.name AS xn, y.name AS yn, r.hops AS hops
+        |ORDER BY hops, xn""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("Alice", "Bob", 1L), ("Bob", "Carol", 1L), ("Alice", "Carol", 2L)))
+  }
+
   test("CATALOG CREATE GRAPH / DROP GRAPH statement forms") {
     gs.cypher(
       """CATALOG CREATE GRAPH sn {

@@ -1569,7 +1569,115 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("group-by-relationship-type", triad,
       "MATCH (a)-[r]->(b) RETURN type(r) AS t, count(*) AS n ORDER BY t",
       Seq(row("t" -> "R", "n" -> 2), row("t" -> "S", "n" -> 1)),
-      ordered = true)
+      ordered = true),
+
+    // ---- relationship uniqueness is scoped to ONE MATCH clause:
+    // comma-separated parts share it, separate MATCH clauses do not
+    Scenario("rel-uniqueness-within-one-match", loops,
+      """MATCH (x:L {v: 1})-[r1:S]->(), (x)-[r2:S]->()
+        |RETURN count(*) AS n""".stripMargin,
+      Seq(row("n" -> 2))),
+    Scenario("rel-uniqueness-not-across-matches", loops,
+      """MATCH (x:L {v: 1})-[r1:S]->()
+        |MATCH (x)-[r2:S]->()
+        |RETURN count(*) AS n""".stripMargin,
+      Seq(row("n" -> 4))),
+
+    // ---- operator semantics probes
+    Scenario("exponent-is-right-associative", empty,
+      "RETURN 2^3^2 AS x", Seq(row("x" -> 512.0))),
+    Scenario("modulo-on-doubles", empty,
+      "RETURN 5.5 % 2 AS x", Seq(row("x" -> 1.5))),
+    Scenario("chained-comparison-null-middle", empty,
+      "RETURN 1 < null < 3 AS x", Seq(row("x" -> null))),
+    Scenario("xor-with-null-is-null", empty,
+      "RETURN true XOR null AS a, false XOR null AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("order-by-list-column", empty,
+      "UNWIND [[1,2],[1],[2]] AS l RETURN l ORDER BY l",
+      Seq(row("l" -> List(1L)), row("l" -> List(1L, 2L)),
+        row("l" -> List(2L))), ordered = true),
+    Scenario("limit-accepts-constant-expression", empty,
+      "UNWIND [1,2,3] AS x RETURN x ORDER BY x LIMIT 1 + 1",
+      Seq(row("x" -> 1), row("x" -> 2)), ordered = true),
+    Scenario("slice-with-null-bound-is-null", empty,
+      "RETURN [1,2,3][0..null] AS x", Seq(row("x" -> null))),
+    Scenario("keys-of-null-is-null", empty,
+      "RETURN keys(null) AS k", Seq(row("k" -> null))),
+    Scenario("substring-without-length", empty,
+      "RETURN substring('hello', 2) AS x", Seq(row("x" -> "llo"))),
+
+    // ---- projection / aggregation probes
+    Scenario("label-predicate-after-with", social,
+      "MATCH (n:Person) WITH n WHERE n:Admin RETURN n.name AS name",
+      Seq(row("name" -> "Dave"))),
+    Scenario("aggregate-inside-scalar-function", triad,
+      "MATCH (p:P) RETURN coalesce(max(p.v), -1) AS m",
+      Seq(row("m" -> 3))),
+    Scenario("with-order-skip-limit-then-aggregate", social,
+      """MATCH (n:Person) WITH n ORDER BY n.age DESC SKIP 1 LIMIT 2
+        |RETURN sum(n.age) AS s""".stripMargin,
+      Seq(row("s" -> 65))),
+    Scenario("map-projection-all-properties", triad,
+      "MATCH (a:P {n: 'a'}) RETURN a {.*, extra: 10} AS m",
+      Seq(row("m" -> Map("n" -> "a", "v" -> 1L, "extra" -> 10L)))),
+
+    // ---- id() plumbing across pattern parts
+    Scenario("id-equality-joins-cartesian", triad,
+      "MATCH (a:P), (b:P) WHERE id(a) = id(b) RETURN count(*) AS n",
+      Seq(row("n" -> 3))),
+    Scenario("id-in-collected-list", triad,
+      """MATCH (n:P) WITH collect(id(n)) AS ids
+        |MATCH (m:P) WHERE id(m) IN ids RETURN count(*) AS n""".stripMargin,
+      Seq(row("n" -> 3))),
+
+    // ---- subquery / comprehension probes
+    Scenario("nested-exists-subqueries", social,
+      """MATCH (a:Person)
+        |WHERE EXISTS { MATCH (a)-[:KNOWS]->(b)
+        |  WHERE EXISTS { MATCH (b)-[:KNOWS]->(c) } }
+        |RETURN a.name AS name ORDER BY name""".stripMargin,
+      Seq(row("name" -> "Alice"), row("name" -> "Bob")), ordered = true),
+    Scenario("pattern-comprehension-varlength", triad,
+      "MATCH (a:P {n: 'a'}) RETURN size([(a)-[*1..2]->(b) | b.n]) AS c",
+      Seq(row("c" -> 3))),
+    Scenario("varlength-alternation-with-prop-map", triad,
+      "MATCH (a)-[:R|S*1..2 {w: 1}]->(b) RETURN b.n AS n",
+      Seq(row("n" -> "b"))),
+
+    // ---- second probe batch: maps, correlated inline props, aggregates
+    Scenario("list-plus-element-appends", empty,
+      "RETURN [1,2] + 3 AS x", Seq(row("x" -> List(1L, 2L, 3L)))),
+    Scenario("nested-map-literal-chained-access", empty,
+      "RETURN {a: {b: 1}}.a.b AS x", Seq(row("x" -> 1))),
+    Scenario("map-literal-equality", empty,
+      "RETURN {a: 1, b: 'x'} = {a: 1, b: 'x'} AS t, {a: 1} = {a: 2} AS f",
+      Seq(row("t" -> true, "f" -> false))),
+    Scenario("properties-of-relationship", triad,
+      "MATCH (a:P {n: 'a'})-[r:R]->() RETURN properties(r) AS p",
+      Seq(row("p" -> Map("w" -> 1L)))),
+    Scenario("inline-prop-map-references-bound-var", triad,
+      "MATCH (a:P {n: 'a'})-[:R]->(b {v: a.v + 1}) RETURN b.n AS n",
+      Seq(row("n" -> "b"))),
+    Scenario("inline-null-prop-map-matches-nothing", nulls,
+      "MATCH (n:X {k: null}) RETURN count(*) AS n",
+      Seq(row("n" -> 0))),
+    Scenario("order-by-unprojected-aggregate", social,
+      """MATCH (n:Person)
+        |RETURN n.city AS city, count(*) AS c ORDER BY sum(n.age) DESC""".stripMargin,
+      Seq(row("city" -> "Berlin", "c" -> 2), row("city" -> null, "c" -> 1),
+        row("city" -> "Paris", "c" -> 1)), ordered = true),
+    Scenario("with-order-by-unaliased-aggregate", social,
+      """MATCH (n:Person) WITH n.city AS city, count(*) AS c
+        |ORDER BY count(*) DESC, city RETURN city, c""".stripMargin,
+      Seq(row("city" -> "Berlin", "c" -> 2), row("city" -> "Paris", "c" -> 1),
+        row("city" -> null, "c" -> 1)), ordered = true),
+    Scenario("left-right-length-edges", empty,
+      "RETURN left('abc', 0) AS a, right('abc', 5) AS b",
+      Seq(row("a" -> "", "b" -> "abc"))),
+    Scenario("list-property-created-and-unwound", "CREATE (:LP {l: [1, 2, 3]})",
+      "MATCH (n:LP) UNWIND n.l AS x RETURN x ORDER BY x",
+      Seq(row("x" -> 1), row("x" -> 2), row("x" -> 3)), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
