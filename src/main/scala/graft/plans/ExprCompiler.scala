@@ -184,7 +184,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     }
 
     case Index(b, i) =>
-      val c = compile(b)
+      // list position: nodes(p)[i] indexes the materialized VALUE list
+      val c = compileList(b)
       val t = typeOf(b)
       t match {
         case NullType => lit(null) // null[k] is null, not a type error
@@ -198,7 +199,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           try_element_at(c, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
       }
     case Slice(b, from, to) =>
-      val c = compile(b)
+      val c = compileList(b) // list position, like Index
       val n = size(c).cast(LongType)
       val f0 = from.map(compile).getOrElse(lit(0L))
       val t0 = to.map(compile).getOrElse(n)

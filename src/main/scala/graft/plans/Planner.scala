@@ -95,6 +95,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case Quantified(_, _, Var(n), _) => Seq(n)
       case UnwindClause(Var(n), _) => Seq(n)
       case ReturnItem(Var(n), _, _) => Seq(n)
+      // rs[0] / rs[0..2]: the indexed element escapes as a VALUE
+      // (rs[0].prop, type(rs[0]) read its fields)
+      case Index(Var(n), _) => Seq(n)
+      case Slice(Var(n), _, _) => Seq(n)
       case _ => Seq.empty[String]
     }
     val nested = x match {
@@ -153,6 +157,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         pathOf(l).map(_ -> nodeFieldDemand(v, Seq(pred))).toSeq
       case UnwindClause(l, _) =>
         // the alias escapes into clause scope — keep every field
+        pathOf(l).map(_ -> (None: Option[Set[String]])).toSeq
+      // nodes(p)[1] / nodes(p)[0..2]: indexed node values escape whole
+      case Index(l, _) =>
+        pathOf(l).map(_ -> (None: Option[Set[String]])).toSeq
+      case Slice(l, _, _) =>
         pathOf(l).map(_ -> (None: Option[Set[String]])).toSeq
       case _ => Seq.empty
     }

@@ -1677,7 +1677,30 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("a" -> "", "b" -> "abc"))),
     Scenario("list-property-created-and-unwound", "CREATE (:LP {l: [1, 2, 3]})",
       "MATCH (n:LP) UNWIND n.l AS x RETURN x ORDER BY x",
-      Seq(row("x" -> 1), row("x" -> 2), row("x" -> 3)), ordered = true)
+      Seq(row("x" -> 1), row("x" -> 2), row("x" -> 3)), ordered = true),
+
+    // ---- third probe batch: null lists in HOFs, rel-list indexing
+    Scenario("quantifier-on-null-list-is-null", empty,
+      "RETURN any(x IN null WHERE x > 0) AS a, all(x IN null WHERE x > 0) AS b",
+      Seq(row("a" -> null, "b" -> null))),
+    Scenario("reduce-on-null-list-is-null", empty,
+      "RETURN reduce(s = 0, x IN null | s + x) AS r",
+      Seq(row("r" -> null))),
+    Scenario("tofloat-scientific-notation", empty,
+      "RETURN toFloat('1e3') AS x", Seq(row("x" -> 1000.0))),
+    Scenario("split-keeps-empty-tokens", empty,
+      "RETURN split('a,b,,c', ',') AS x",
+      Seq(row("x" -> List("a", "b", "", "c")))),
+    Scenario("varlength-rel-list-index-property", chain,
+      "MATCH ()-[rs:R*2]->() RETURN rs[0].w AS w ORDER BY w",
+      Seq(row("w" -> 1), row("w" -> 2)), ordered = true),
+    Scenario("varlength-rel-list-index-type", chain,
+      "MATCH ()-[rs:R*2]->() RETURN type(rs[0]) AS t, type(rs[1]) AS u ORDER BY u",
+      Seq(row("t" -> "R", "u" -> "R"), row("t" -> "R", "u" -> "R")),
+      ordered = true),
+    Scenario("path-nodes-index-property", triad,
+      "MATCH p = (a:P {n: 'a'})-[:R*2]->(c) RETURN nodes(p)[1].n AS mid",
+      Seq(row("mid" -> "b")))
   )
 
   // --------------------------------------------------------- blacklist
