@@ -121,6 +121,10 @@ object CypherCreateGraph {
     case BoolLit(v) => v
     case NullLit => null
     case ListLit(items) => items.map(literal)
+    // sorted keys: a deterministic StructType regardless of written order,
+    // so equal-shaped maps across rows widen to the same type
+    case MapLit(items) => scala.collection.immutable.ListMap(
+      items.map { case (k, e) => k -> literal(e) }.sortBy(_._1): _*)
     case Neg(IntLit(v)) => -v
     case Neg(FloatLit(v)) => -v
     case other => throw new IllegalArgumentException(
@@ -136,6 +140,8 @@ object CypherCreateGraph {
     case s: Seq[_] =>
       ArrayType(s.map(typeOfValue).reduceOption(SparkTypes.widen)
         .getOrElse(NullType))
+    case m: Map[_, _] => StructType(m.toSeq.map { case (k, x) =>
+      StructField(k.toString, typeOfValue(x)) })
     case other => throw new IllegalArgumentException(
       s"unsupported CREATE literal: $other (${other.getClass})")
   }
@@ -155,6 +161,10 @@ object CypherCreateGraph {
     case (null, _) => null
     case (l: Long, DoubleType) => l.toDouble
     case (s: Seq[_], ArrayType(et, _)) => s.map(convert(_, et))
+    case (m: Map[_, _], st: StructType) =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      Row.fromSeq(st.fields.toSeq.map(f =>
+        convert(mm.getOrElse(f.name, null), f.dataType)))
     case (x, StringType) if !x.isInstanceOf[String] => x.toString
     case (x, _) => x
   }

@@ -1700,7 +1700,53 @@ class TckStyleSpec extends AnyFunSuite {
       ordered = true),
     Scenario("path-nodes-index-property", triad,
       "MATCH p = (a:P {n: 'a'})-[:R*2]->(c) RETURN nodes(p)[1].n AS mid",
-      Seq(row("mid" -> "b")))
+      Seq(row("mid" -> "b"))),
+
+    // ---- fourth probe batch: scoping, nested maps, mixed expressions
+    Scenario("collect-then-unwind-then-sum", triad,
+      """MATCH (n:P) WITH collect(n.v) AS vs
+        |UNWIND vs AS v RETURN sum(v) AS s""".stripMargin,
+      Seq(row("s" -> 6))),
+    Scenario("unwind-with-expression-rebind", empty,
+      "UNWIND [1,2] AS x WITH x*2 AS y RETURN y ORDER BY y",
+      Seq(row("y" -> 2), row("y" -> 4)), ordered = true),
+    Scenario("rel-type-alternation-with-where", triad,
+      "MATCH (a)-[r:R|S]->(b) WHERE r.w > 1 RETURN r.w AS w ORDER BY w",
+      Seq(row("w" -> 2), row("w" -> 9)), ordered = true),
+    Scenario("nested-map-node-property", "CREATE (:M {m: {a: 1}})",
+      "MATCH (n:M) RETURN n.m.a AS x", Seq(row("x" -> 1))),
+    Scenario("round-with-precision", empty,
+      "RETURN round(3.14159, 2) AS x", Seq(row("x" -> 3.14))),
+    Scenario("reduce-string-accumulator", empty,
+      "RETURN reduce(s = '', x IN ['a','b','c'] | s + x) AS r",
+      Seq(row("r" -> "abc"))),
+    Scenario("order-by-base-expr-of-aliased-item", triad,
+      "MATCH (n:P) RETURN n.v AS v ORDER BY n.v DESC",
+      Seq(row("v" -> 3), row("v" -> 2), row("v" -> 1)), ordered = true),
+    Scenario("case-mixed-numeric-branches", empty,
+      "UNWIND [1,2] AS x RETURN CASE WHEN x = 1 THEN 1 ELSE 2.5 END AS y ORDER BY y",
+      Seq(row("y" -> 1.0), row("y" -> 2.5)), ordered = true),
+    Scenario("size-of-pattern-in-where", social,
+      """MATCH (n:Person) WHERE size((n)-[:KNOWS]->()) >= 2
+        |RETURN n.name AS name""".stripMargin,
+      Seq(row("name" -> "Alice"))),
+    Scenario("index-collected-list-by-unwound-range", triad,
+      """MATCH (n:P) WITH collect(n.v) AS vs
+        |UNWIND range(0, size(vs)-1) AS i
+        |RETURN vs[i] AS v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 1), row("v" -> 2), row("v" -> 3)), ordered = true),
+    Scenario("map-property-equality-filter", "CREATE (:M {m: {a: 1}}), (:M {m: {a: 2}})",
+      "MATCH (n:M) WHERE n.m = {a: 1} RETURN n.m.a AS x",
+      Seq(row("x" -> 1))),
+    Scenario("pattern-comprehension-where-and-rel-projection", triad,
+      """MATCH (a:P {n: 'a'})
+        |RETURN [(a)-[r:R]->(b) WHERE b.v > 1 | r.w] AS ws""".stripMargin,
+      Seq(row("ws" -> List(1L)))),
+    Scenario("avg-of-integers-is-float", empty,
+      "UNWIND [1,2] AS x RETURN avg(x) AS a", Seq(row("a" -> 1.5))),
+    Scenario("order-by-boolean", empty,
+      "UNWIND [true,false] AS b RETURN b ORDER BY b",
+      Seq(row("b" -> false), row("b" -> true)), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
