@@ -560,10 +560,44 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     if (conds.isEmpty) st else st.copy(df = st.df.where(conds.reduce(_ && _)))
   }
 
-  private def planPart(graph: PropertyGraph, state: PState, part: PatternPart,
+  /** Selectivity-driven part reversal: `(a)-->(b:L {k: v})` plans from the
+    * constrained end. The first scan bounds every intermediate join's
+    * cardinality, so anchoring a k-hop chain at an unconstrained node costs
+    * |V|·fanout^k rows where the selective anchor costs |σ(V)|·fanout^k —
+    * at 100 TB that is the whole game. Already-bound vars are the strongest
+    * anchor (score ∞): an exists-subquery whose shared var sits at the
+    * WRITTEN end now correlates immediately instead of joining last.
+    * Skipped for named paths / shortestPath (positional order is
+    * observable) and for var-length rels bound to a variable (the rel
+    * LIST order is observable). Reference plans strictly in written order
+    * (LogicalPlanner.scala); this is a deliberate improvement. */
+  private[graft] def maybeReversePart(part: PatternPart, state: PState)
+      : PatternPart = {
+    if (part.pathName.isDefined || part.shortest.isDefined ||
+        part.chain.isEmpty ||
+        part.chain.exists { case (r, _) =>
+          r.varLength.isDefined && r.variable.isDefined })
+      return part
+    def score(np: NodePattern): Int =
+      if (np.variable.exists(state.header.contains)) Int.MaxValue
+      else np.labels.size * 2 + np.properties.size * 3
+    if (score(part.chain.last._2) <= score(part.start)) return part
+    def flip(r: RelPattern): RelPattern = r.direction match {
+      case Outgoing => r.copy(direction = Incoming)
+      case Incoming => r.copy(direction = Outgoing)
+      case Undirected => r
+    }
+    val nodes = part.start +: part.chain.map(_._2) // n0..nk
+    val rels = part.chain.map(_._1)                // r1..rk (ri: n(i-1)-ni)
+    val revChain = rels.indices.reverse.map(i => (flip(rels(i)), nodes(i)))
+    part.copy(start = nodes.last, chain = revChain)
+  }
+
+  private def planPart(graph: PropertyGraph, state: PState, part0: PatternPart,
       relIds: scala.collection.mutable.ArrayBuffer[RelId],
       quantPreds: Map[String, Seq[Quantified]] = Map.empty,
       structVars: Set[String] = Set.empty): PState = {
+    val part = maybeReversePart(part0, state)
     val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
     // named path (`p = ...`): record node vars and rel segments in order
     val named = part.pathName.isDefined

@@ -1746,7 +1746,34 @@ class TckStyleSpec extends AnyFunSuite {
       "UNWIND [1,2] AS x RETURN avg(x) AS a", Seq(row("a" -> 1.5))),
     Scenario("order-by-boolean", empty,
       "UNWIND [true,false] AS b RETURN b ORDER BY b",
-      Seq(row("b" -> false), row("b" -> true)), ordered = true)
+      Seq(row("b" -> false), row("b" -> true)), ordered = true),
+
+    // ---- selectivity-driven part reversal (PartReversalSpec has the
+    // AST-level unit tests; these lock end-to-end correctness of shapes
+    // the planner now plans back-to-front)
+    Scenario("reversal-directed-selective-end", triad,
+      "MATCH (x)-[:R]->(b:P {n: 'c'}) RETURN x.n AS n",
+      Seq(row("n" -> "b"))),
+    Scenario("reversal-two-hop-selective-end", triad,
+      "MATCH (x)-[:R]->()-[:R]->(c:P {n: 'c'}) RETURN x.n AS n",
+      Seq(row("n" -> "a"))),
+    Scenario("reversal-incoming-selective-end", triad,
+      "MATCH (x)<-[:R]-(a:P {n: 'a'}) RETURN x.n AS n",
+      Seq(row("n" -> "b"))),
+    Scenario("reversal-undirected-startnode", triad,
+      "MATCH (x)-[r:R]-(b:P {n: 'b'}) RETURN startNode(r).n AS s ORDER BY s",
+      Seq(row("s" -> "a"), row("s" -> "b")), ordered = true),
+    Scenario("reversal-rel-prop-selective-end", triad,
+      "MATCH (x)-[r:R {w: 2}]->(c:P {n: 'c'}) RETURN x.n AS n",
+      Seq(row("n" -> "b"))),
+    Scenario("reversal-exists-anchored-at-end", social,
+      """MATCH (p:Person) WHERE EXISTS { MATCH (x)-[:KNOWS]->(p) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin,
+      Seq(row("name" -> "Bob"), row("name" -> "Carol"), row("name" -> "Dave")),
+      ordered = true),
+    Scenario("reversal-anon-varlength", triad,
+      "MATCH (x)-[:R*1..2]->(c:P {n: 'c'}) RETURN x.n AS n ORDER BY n",
+      Seq(row("n" -> "a"), row("n" -> "b")), ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
