@@ -57,7 +57,13 @@ object CypherParser extends RegexParsers {
   def floatLit: Parser[Double] =
     // (?!\.) keeps `1..3` range syntax out of the float token (`1.` + `.`)
     """-?(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ (_.toDouble)
-  def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
+  def intLit: Parser[Long] =
+    // openCypher hex (0x1F) and octal (0o17) integer forms
+    """-?0[xX][0-9a-fA-F]+""".r ^^ (s => java.lang.Long.parseLong(
+      s.replaceFirst("0[xX]", ""), 16)) |
+    """-?0[oO][0-7]+""".r ^^ (s => java.lang.Long.parseLong(
+      s.replaceFirst("0[oO]", ""), 8)) |
+    """-?\d+""".r ^^ (_.toLong)
 
   // ----------------------------------------------------------- expressions
   def expression: Parser[Expr] = orExpr

@@ -1728,7 +1728,15 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         st = planPatternPredicate(graph, st, part, anti = !neg, where = where)
       case other =>
         val (st2, rewritten) = rewriteComprehensions(graph, st, Seq(other))
-        st = st2.copy(df = st2.df.where(compiler(st2).compile(rewritten.head)))
+        val comp = compiler(st2)
+        val c = comp.compile(rewritten.head)
+        // a predicate whose static type is VOID (e.g. a property no
+        // element carries) drops every row per ternary logic; Spark
+        // rejects a VOID filter outright, so cast it to boolean
+        val cb =
+          if (comp.typeOf(rewritten.head) == NullType) c.cast(BooleanType)
+          else c
+        st = st2.copy(df = st2.df.where(cb))
     }
     st
   }
