@@ -357,7 +357,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         val propSel = relProps.toSeq.sortBy(_._1)
         relTables += graft.graph.RelTable(rel.types.head,
           df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))
-            .map(cn => col(s"`$cn`")): _*),
+            .map(cn => col(s"`$cn`")): _*)
+            // an OPTIONAL-MATCH null endpoint means no rel for that row
+            .where(col(s"`$srcC`").isNotNull && col(s"`$dstC`").isNotNull),
           relIdCol, srcC, dstC, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
         prevIdCol = dstIdCol
       }
@@ -383,9 +385,15 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         idCol, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
     }
 
-    val constructed = new PropertyGraph(
-      mergeNodeTables(nodeTables.toSeq), mergeRelTables(relTables.toSeq), spark)
-    c.onGraphs.map(n => catalog(GraphByName(n))).foldLeft(constructed)(_ unionAll _)
+    // ON graphs union by id-space: a clone of an element that an ON graph
+    // already contains keeps its original id, so the combo-level merge
+    // dedups it (clone tables listed first → their SET properties win).
+    // Reference: ConstructGraphPlanner — clones of ON-graph elements are
+    // not re-created.
+    val ons = c.onGraphs.map(n => catalog(GraphByName(n)))
+    new PropertyGraph(
+      mergeNodeTables(nodeTables.toSeq ++ ons.flatMap(_.nodeTables)),
+      mergeRelTables(relTables.toSeq ++ ons.flatMap(_.relTables)), spark)
   }
 
   /** One backing table per label combination (the reference's ScanGraph
@@ -399,13 +407,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         if (ts.size == 1) ts.head
         else {
           val keys = ts.flatMap(_.propCols.keys).distinct.sorted
-          val aligned = ts.map { t =>
+          val aligned = ts.zipWithIndex.map { case (t, i) =>
             t.df.select(col(s"`${t.idCol}`").cast(LongType).as("_gid") +:
-              keys.map { k => t.propCols.get(k)
-                .map(c => col(s"`$c`")).getOrElse(lit(null)).as(s"_p_$k") }: _*)
+              (keys.map { k => t.propCols.get(k)
+                .map(c => col(s"`$c`")).getOrElse(lit(null)).as(s"_p_$k") } :+
+                lit(i).as("_prec")): _*)
           }
+          // deterministic id-dedup: the EARLIEST table wins (clones with
+          // SET precede ON-graph copies of the same element)
+          val w = Window.partitionBy(col("_gid")).orderBy(col("_prec"))
           graft.graph.NodeTable(labels,
-            aligned.reduce(_ unionByName _).dropDuplicates("_gid"),
+            aligned.reduce(_ unionByName _)
+              .withColumn("_rn", row_number().over(w))
+              .where(col("_rn") === 1).drop("_rn", "_prec"),
             "_gid", keys.map(k => k -> s"_p_$k").toMap)
         }
       }
@@ -417,16 +431,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       if (ts.size == 1) ts.head
       else {
         val keys = ts.flatMap(_.propCols.keys).distinct.sorted
-        val aligned = ts.map { t =>
+        val aligned = ts.zipWithIndex.map { case (t, i) =>
           t.df.select(Seq(
             col(s"`${t.idCol}`").cast(LongType).as("_gid"),
             col(s"`${t.srcCol}`").cast(LongType).as("_src"),
             col(s"`${t.dstCol}`").cast(LongType).as("_dst")) ++
             keys.map { k => t.propCols.get(k)
-              .map(c => col(s"`$c`")).getOrElse(lit(null)).as(s"_p_$k") }: _*)
+              .map(c => col(s"`$c`")).getOrElse(lit(null)).as(s"_p_$k") } :+
+            lit(i).as("_prec"): _*)
         }
+        val w = Window.partitionBy(col("_gid")).orderBy(col("_prec"))
         graft.graph.RelTable(tpe,
-          aligned.reduce(_ unionByName _).dropDuplicates("_gid"),
+          aligned.reduce(_ unionByName _)
+            .withColumn("_rn", row_number().over(w))
+            .where(col("_rn") === 1).drop("_rn", "_prec"),
           "_gid", "_src", "_dst", keys.map(k => k -> s"_p_$k").toMap)
       }
     }
@@ -440,6 +458,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     def table(labels: Set[String], filtered: DataFrame) =
       graft.graph.NodeTable(labels,
         filtered.select((nb.idCol +: propSel.map(_._2)).map(cn => col(s"`$cn`")): _*)
+          // a null id is an OPTIONAL-MATCH non-match, not an element
+          .where(col(s"`${nb.idCol}`").isNotNull)
           .dropDuplicates(nb.idCol),
         nb.idCol, propSel.map { case (k, cn) => k -> cn }.toMap)
 

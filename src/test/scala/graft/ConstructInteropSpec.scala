@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+
+/** Third edge batch: CONSTRUCT interacting with the rest of the language —
+  * var-length / OPTIONAL / UNWIND / aggregation inputs, chained
+  * construct-then-query pipelines, and cross-graph composition.
+  */
+class ConstructInteropSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val gs = GraftSession(spark)
+  lazy val g = gs.createGraphFromCypher(
+    """CREATE (a:P {n: 'a'})
+      |CREATE (b:P {n: 'b'})
+      |CREATE (c:P {n: 'c'})
+      |CREATE (a)-[:R]->(b)
+      |CREATE (b)-[:R]->(c)""".stripMargin)
+
+  test("CONSTRUCT from var-length match input") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (x:P)-[:R*1..2]->(y:P)
+        |CONSTRUCT NEW (:Reach {from: x.n, to: y.n})
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g2,
+      "MATCH (r:Reach) RETURN r.from AS f, r.to AS t ORDER BY f, t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("CONSTRUCT from aggregated WITH input") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (x:P)-[:R]->() WITH x, count(*) AS deg
+        |CONSTRUCT NEW (:Deg {n: x.n, d: deg})
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g2,
+      "MATCH (d:Deg) RETURN d.n AS n, d.d AS d ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 1L), ("b", 1L)))
+  }
+
+  test("CONSTRUCT from UNWIND input") {
+    val g2 = gs.cypherGraph(g,
+      """UNWIND [1, 2, 3] AS i
+        |CONSTRUCT NEW (:Num {v: i * 10})
+        |RETURN GRAPH""".stripMargin)
+    val vs = gs.cypher(g2, "MATCH (n:Num) RETURN n.v AS v ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs === Seq(10L, 20L, 30L))
+  }
+
+  test("chained construct: query a constructed graph and construct again") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (x:P)-[:R]->(y:P)
+        |CONSTRUCT NEW (x)-[:HOP2 {via: y.n}]->(y)
+        |RETURN GRAPH""".stripMargin)
+    val g3 = gs.cypherGraph(g2,
+      """MATCH (x:P)-[h:HOP2]->(y:P)
+        |CONSTRUCT NEW (:Edge {s: x.n, t: y.n, via: h.via})
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g3,
+      "MATCH (e:Edge) RETURN e.s AS s, e.t AS t ORDER BY s")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("a", "b"), ("b", "c")))
+  }
+
+  test("CONSTRUCT ON self plus NEW adds to a union of the base") {
+    gs.register("base", g)
+    val g2 = gs.cypherGraph(g,
+      """MATCH (x:P {n: 'a'})
+        |CONSTRUCT ON base
+        |NEW (x)-[:EXTRA]->(:Q {n: 'q'})
+        |RETURN GRAPH""".stripMargin)
+    // base content retained
+    val ps = gs.cypher(g2, "MATCH (p:P) RETURN p.n AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(ps === Seq("a", "b", "c"))
+    // new edge attaches to the CLONED base node, not a detached copy
+    val q = gs.cypher(g2,
+      "MATCH (p:P)-[:EXTRA]->(q:Q) RETURN p.n AS pn, q.n AS qn")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(q === Seq(("a", "q")))
+  }
+
+  test("OPTIONAL MATCH null rows do not construct phantom elements") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (x:P)
+        |OPTIONAL MATCH (x)-[:R]->(y:P {n: 'zzz'})
+        |CONSTRUCT CLONE y
+        |RETURN GRAPH""".stripMargin)
+    val n = gs.cypher(g2, "MATCH (m) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(n === 0L)
+  }
+
+  test("union of two constructed graphs keeps both element sets") {
+    val ga = gs.cypherGraph(g,
+      "CONSTRUCT NEW (:A {v: 1}) RETURN GRAPH")
+    val gb = gs.cypherGraph(g,
+      "CONSTRUCT NEW (:B {v: 2}) RETURN GRAPH")
+    val u = ga.unionAll(gb)
+    val labels = gs.cypher(u, "MATCH (n) RETURN labels(n)[0] AS l ORDER BY l")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels === Seq("A", "B"))
+  }
+}
