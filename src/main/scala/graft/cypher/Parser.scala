@@ -170,6 +170,12 @@ object CypherParser extends RegexParsers {
     K("count") ~> "(" ~> "*" <~ ")" ^^^ CountStar
 
   def funcCall: Parser[Expr] =
+    // namespaced form first: duration.between(a, b), date.truncate('month', d)
+    anyIdent ~ ("." ~> anyIdent) ~
+      ("(" ~> repsep(expression, ",") <~ ")") ^^ {
+        case ns ~ name ~ args =>
+          Func(s"${ns.toLowerCase}.${name.toLowerCase}", distinct = false, args)
+      } |
     anyIdent ~ ("(" ~> opt(K("distinct")) ~ repsep(expression, ",") <~ ")") ^^ {
       case name ~ (dist ~ args) => Func(name.toLowerCase, dist.isDefined, args) }
 

@@ -357,6 +357,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         temporalAccessor(c, key)
       case _: DayTimeIntervalType | _: YearMonthIntervalType =>
         durationAccessor(c, key, baseType)
+      case CalendarIntervalType => calendarIntervalAccessor(c, key)
       // a key the (closed) struct schema lacks is null in Cypher, not a
       // FIELD_NOT_FOUND analysis error
       case st: StructType if !st.fieldNames.contains(key) => lit(null)
@@ -383,6 +384,23 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "epochmillis" => unix_millis(c.cast(TimestampType))
       case other => throw new IllegalArgumentException(
         s"unknown temporal accessor .$other")
+    }
+
+  /** month-bearing durations (CalendarIntervalType): `.months` is the
+    * TOTAL month count (Neo4j normalizes years into months —
+    * reference Duration.scala stores (months, days, seconds, nanos)). */
+  private def calendarIntervalAccessor(c: Column, key: String): Column =
+    key.toLowerCase match {
+      case "years" => date_part(lit("YEAR"), c).cast(LongType)
+      case "months" => (date_part(lit("YEAR"), c) * 12 +
+        date_part(lit("MONTH"), c)).cast(LongType)
+      case "monthsofyear" => date_part(lit("MONTH"), c).cast(LongType)
+      case "days" => date_part(lit("DAY"), c).cast(LongType)
+      case "hours" => date_part(lit("HOUR"), c).cast(LongType)
+      case "minutes" => date_part(lit("MINUTE"), c).cast(LongType)
+      case "seconds" => date_part(lit("SECOND"), c).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"unknown duration accessor .$other on calendar interval")
     }
 
   private def durationAccessor(c: Column, key: String,
@@ -485,6 +503,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * null rather than a plan-time type error. */
   private val nullPropagating = Set("keys", "labels", "properties", "type",
     "startnode", "endnode", "nodes", "relationships")
+
+  private def stringArg(e: Expr, fn: String): String = e match {
+    case StringLit(s) => s
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string unit, got $other")
+  }
 
   private def compileFunction(f: Func): Column = {
     def a(i: Int) = compile(f.args(i))
@@ -775,6 +799,37 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case _ => throw new IllegalArgumentException(
           "duration() expects a map like {months: 1, days: 2} or an ISO-8601 string")
       }
+      // duration.between(a, b): calendar-aware difference — complete
+      // months, then complete days, then the sub-day remainder
+      // (reference: TemporalUdfs durationBetween semantics)
+      case "duration.between" => {
+        val from = a0.cast(TimestampType); val to = a(1).cast(TimestampType)
+        val m = floor(months_between(to, from)).cast(IntegerType)
+        val anchor = timestamp_add("MONTH", m, from)
+        val secs = unix_timestamp(to) - unix_timestamp(anchor)
+        val days = floor(secs / 86400).cast(IntegerType)
+        make_interval(lit(0), m, lit(0), days, lit(0), lit(0),
+          (secs - days.cast(LongType) * 86400).cast(DecimalType(18, 6)))
+      }
+      case "duration.inmonths" =>
+        make_interval(lit(0),
+          floor(months_between(a(1).cast(TimestampType),
+            a0.cast(TimestampType))).cast(IntegerType),
+          lit(0), lit(0), lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
+      case "duration.indays" =>
+        make_dt_interval(
+          floor((unix_timestamp(a(1).cast(TimestampType)) -
+            unix_timestamp(a0.cast(TimestampType))) / 86400))
+      case "duration.inseconds" =>
+        make_dt_interval(lit(0), lit(0), lit(0),
+          (unix_timestamp(a(1).cast(TimestampType)) -
+            unix_timestamp(a0.cast(TimestampType))).cast(DecimalType(18, 6)))
+      case "date.truncate" =>
+        date_trunc(stringArg(f.args.head, "date.truncate"), a(1))
+          .cast(DateType)
+      case "datetime.truncate" | "localdatetime.truncate" =>
+        date_trunc(stringArg(f.args.head, s"${f.name}"), a(1))
+          .cast(TimestampNTZType)
       case "year" => year(a0).cast(LongType)
       case "month" => month(a0).cast(LongType)
       case "day" => dayofmonth(a0).cast(LongType)
