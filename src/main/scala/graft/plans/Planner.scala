@@ -181,9 +181,53 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       if (sets.contains(None)) None else Some(sets.flatten.flatten.toSet)
     }.toMap
 
+  /** Pattern node vars bound at exactly one pattern position and never
+    * read by any expression (no `*` projection, no startNode/endNode in
+    * the query). For these the node-table existence join proves nothing —
+    * a valid graph's rel endpoints always exist — so the planner binds
+    * the id the rel row already carries: graph-level column pruning.
+    * Internal `@…` vars get the same treatment unconditionally. */
+  private var singleUsePatternVars: Set[String] = Set.empty
+
+  private def computeSingleUse(clauses: Seq[Clause]): Set[String] = {
+    var disable = false
+    val exprRefs = scala.collection.mutable.HashSet.empty[String]
+    val patDefs = scala.collection.mutable.HashMap.empty[String, Int]
+    def walk(x: Any): Unit = x match {
+      case Var(n) => exprRefs += n
+      case MapProjection(v, items) => exprRefs += v; items.foreach(walk)
+      case Func(n, _, args) =>
+        // endpoint functions resolve through bound endpoint COLUMNS, which
+        // an id-only binding lacks — presence anywhere disables pruning
+        if (n == "startnode" || n == "endnode") disable = true
+        args.foreach(walk)
+      case np: NodePattern =>
+        np.variable.foreach(v => patDefs(v) = patDefs.getOrElse(v, 0) + 1)
+        np.properties.foreach { case (_, e) => walk(e) }
+      case w: WithClause =>
+        if (w.star) disable = true
+        w.productIterator.foreach(walk)
+      case r: ReturnClause =>
+        if (r.star) disable = true
+        r.productIterator.foreach(walk)
+      case c: ConstructClause =>
+        c.clones.foreach(exprRefs += _)
+        c.sets.foreach { case (v, _, e) => exprRefs += v; walk(e) }
+        c.news.foreach(walk)
+      case s: Seq[_] => s.foreach(walk)
+      case o: Option[_] => o.foreach(walk)
+      case p: Product => p.productIterator.foreach(walk)
+      case _ => ()
+    }
+    clauses.foreach(walk)
+    if (disable) Set.empty
+    else patDefs.collect { case (v, 1) if !exprRefs(v) => v }.toSet
+  }
+
   def planSingle(sq: SingleQuery): DataFrame = {
     relValueDemand = countDemand(sq.clauses)
     nodeValueDemand = mergeNodeValueDemand(nodeValueDemandIn(sq.clauses))
+    singleUsePatternVars = computeSingleUse(sq.clauses)
     var graph = initialGraph
     var state = startState
     var finalDf: Option[DataFrame] = None
@@ -220,6 +264,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   def planGraph(q: Query): PropertyGraph = {
     require(q.unions.isEmpty, "a graph-returning query cannot use UNION")
     relValueDemand = countDemand(q.first.clauses)
+    singleUsePatternVars = computeSingleUse(q.first.clauses)
     var graph = initialGraph
     var state = unitState
     q.first.clauses.foreach {
@@ -635,6 +680,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     if (named) pathNodes += startVar
     var rest = part.chain
     var prevVar = startVar
+    var freshSrcPending = false
     var st = {
       val viaTriplet =
         if (!state.header.contains(startVar) && rest.nonEmpty &&
@@ -658,8 +704,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             st2
           }
         } else None
-      viaTriplet.getOrElse(
-        bindNode(graph, state, startVar, part.start, propPreds))
+      viaTriplet.getOrElse {
+        // unconstrained single-use start of a one-hop-able chain: defer
+        // binding — the first expand drives from the rel scan and binds
+        // the src id the rel row carries (no node scan at all)
+        if (!named && part.shortest.isEmpty &&
+            !state.header.contains(startVar) &&
+            rest.nonEmpty && rest.head._1.varLength.isEmpty &&
+            part.start.labels.isEmpty && part.start.properties.isEmpty &&
+            (isInternal(startVar) || singleUsePatternVars(startVar))) {
+          freshSrcPending = true
+          state
+        } else bindNode(graph, state, startVar, part.start, propPreds)
+      }
     }
 
     // chain
@@ -668,7 +725,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       val dstVar = nodeVarName(node)
       st = rel.varLength match {
         case None =>
-          val st1 = expandOne(graph, st, prevVar, relVar, rel, dstVar, node, propPreds)
+          val st1 = expandOne(graph, st, prevVar, relVar, rel, dstVar, node,
+            propPreds, freshSrc = freshSrcPending)
+          freshSrcPending = false
           // record the pattern's endpoint vars so startNode(r).prop /
           // endNode(r).prop resolve to bound node columns (storage order
           // for directed matches, written order + per-row id test for
@@ -843,65 +902,81 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * (reference lowering: RelationalPlanner.scala:130-189). */
   private def expandOne(graph: PropertyGraph, state: PState, srcVar: String,
       relVar: String, rel: RelPattern, dstVar: String, dstNp: NodePattern,
-      propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
-    expandOneViaTriplet(graph, state, srcVar, relVar, rel, dstVar, dstNp,
-      freshSrcNp = None, propPreds)
-      .orElse(expandOneViaNodeRel(graph, state, srcVar, relVar, rel, dstVar,
-        dstNp, freshSrcNp = None, propPreds)) match {
-      case Some(st) => return st
-      case None =>
-        // consolidatable shape with no covering pattern table: report it
-        // in storage direction so a session can materialize hot shapes
-        if (rel.types.size == 1 && state.header.get(dstVar).isEmpty)
-          (rel.direction, state.header.get(srcVar)) match {
-            case (Outgoing, Some(nb: NodeBinding)) =>
-              onExpandMiss(nb.labels, rel.types.head, dstNp.labels.toSet)
-            case (Incoming, Some(nb: NodeBinding)) =>
-              onExpandMiss(dstNp.labels.toSet, rel.types.head, nb.labels)
-            case _ => ()
-          }
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr],
+      freshSrc: Boolean = false): PState = {
+    if (!freshSrc) {
+      expandOneViaTriplet(graph, state, srcVar, relVar, rel, dstVar, dstNp,
+        freshSrcNp = None, propPreds)
+        .orElse(expandOneViaNodeRel(graph, state, srcVar, relVar, rel, dstVar,
+          dstNp, freshSrcNp = None, propPreds)) match {
+        case Some(st) => return st
+        case None =>
+          // consolidatable shape with no covering pattern table: report it
+          // in storage direction so a session can materialize hot shapes
+          if (rel.types.size == 1 && state.header.get(dstVar).isEmpty)
+            (rel.direction, state.header.get(srcVar)) match {
+              case (Outgoing, Some(nb: NodeBinding)) =>
+                onExpandMiss(nb.labels, rel.types.head, dstNp.labels.toSet)
+              case (Incoming, Some(nb: NodeBinding)) =>
+                onExpandMiss(dstNp.labels.toSet, rel.types.head, nb.labels)
+              case _ => ()
+            }
+      }
     }
     rel.properties.foreach { case (k, e) =>
       propPreds += Eq(Property(Var(relVar), k), e) }
 
     val (relDf, rb, travSrc, travDst) = orientedRelScan(graph, rel, relVar)
-    val srcId = col(s"`${state.header(srcVar).asInstanceOf[NodeBinding].idCol}`")
+    // freshSrc: the chain starts at an unconstrained single-use node — the
+    // rel scan itself drives, and the src binds to the id it carries
+    // (no node scan, no join; see singleUsePatternVars)
+    val (base, srcAdd) =
+      if (freshSrc) {
+        val idc = fresh(s"${srcVar}_id")
+        val b = (if (state.isUnit) relDf else state.df.crossJoin(relDf))
+          .withColumnRenamed(travSrc, idc)
+        (b, Some(srcVar ->
+          (NodeBinding(idc, Map.empty, Map.empty, Set.empty): Binding)))
+      } else {
+        val srcId =
+          col(s"`${state.header(srcVar).asInstanceOf[NodeBinding].idCol}`")
+        (state.df.join(relDf, srcId === col(s"`$travSrc`"), "inner"), None)
+      }
+    def hdr(h: Header): Header = srcAdd.fold(h)(h + _)
 
     state.header.get(dstVar) match {
-      case Some(dstB: NodeBinding) => // ExpandInto: join rel on BOTH endpoints
+      case Some(dstB: NodeBinding) => // ExpandInto: rel joins on BOTH endpoints
         if (dstNp.labels.nonEmpty) propPreds += HasLabels(Var(dstVar), dstNp.labels)
         dstNp.properties.foreach { case (k, e) =>
           propPreds += Eq(Property(Var(dstVar), k), e) }
-        val cond = (srcId === col(s"`$travSrc`")) &&
-          (col(s"`${dstB.idCol}`") === col(s"`$travDst`"))
-        val df = state.df.join(relDf, cond, "inner")
+        val df = base
+          .where(col(s"`${dstB.idCol}`") === col(s"`$travDst`"))
           .drop(travSrc, travDst)
-        PState(df, state.header + (relVar -> rb))
+        PState(df, hdr(state.header + (relVar -> rb)))
       case Some(other) =>
         throw new IllegalArgumentException(s"$dstVar bound to $other, not a node")
       case None =>
-        val withRel = state.df.join(relDf, srcId === col(s"`$travSrc`"), "inner")
-        // anonymous, unconstrained target: in a valid property graph every
-        // relationship endpoint exists, so the all-node-tables existence
-        // join proves nothing — bind the node as an id carried by the rel
-        // (reference guarantees endpoint presence via ScanGraph
+        // unconstrained target never read again: in a valid property graph
+        // every relationship endpoint exists, so the all-node-tables
+        // existence join proves nothing — bind the node as an id carried
+        // by the rel (reference guarantees endpoint presence via ScanGraph
         // validation, ScanGraph.scala:115-143)
         if (dstNp.labels.isEmpty && dstNp.properties.isEmpty &&
-            isInternal(dstVar)) {
+            (isInternal(dstVar) || singleUsePatternVars(dstVar))) {
           val idc = fresh(s"${dstVar}_id")
-          val df = withRel.withColumnRenamed(travDst, idc).drop(travSrc)
-          return PState(df, state.header + (relVar -> rb) +
-            (dstVar -> NodeBinding(idc, Map.empty, Map.empty, Set.empty)))
+          val df = base.withColumnRenamed(travDst, idc).drop(travSrc)
+          return PState(df, hdr(state.header + (relVar -> rb) +
+            (dstVar -> NodeBinding(idc, Map.empty, Map.empty, Set.empty))))
         }
         val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
         dstNp.properties.foreach { case (k, e) =>
           propPreds += Eq(Property(Var(dstVar), k), e) }
         val dstB = NodeBinding(scan.idCol, scan.labelCols, scan.propCols,
           dstNp.labels.toSet)
-        val df = withRel
+        val df = base
           .join(scan.df, col(s"`$travDst`") === col(s"`${scan.idCol}`"), "inner")
           .drop(travSrc, travDst)
-        PState(df, state.header + (relVar -> rb) + (dstVar -> dstB))
+        PState(df, hdr(state.header + (relVar -> rb) + (dstVar -> dstB)))
     }
   }
 

@@ -189,4 +189,30 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"correlated optional should equi-join on the correlated value:\n$plan")
   }
+
+  test("single-use endpoints prune both node scans: rel-only count") {
+    spark.catalog.clearCache()
+    // a and b are bound once and never read — counting rels must read
+    // ONLY the relationship table (graph-level column pruning)
+    val df = gs.cypher(g,
+      "MATCH (a)-[:IN_NATION]->(b) RETURN count(*) AS n")
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"unused endpoints still join node tables:\n$plan")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("single-use start prunes its all-nodes scan in a grouped count") {
+    spark.catalog.clearCache()
+    // x is unused: group per dst WITHOUT scanning the node tables for x;
+    // n is read, so exactly the dst node join remains
+    val df = gs.cypher(g,
+      """MATCH (x)-[:IN_NATION]->(n:Nation)
+        |RETURN n.n_name AS nn, count(*) AS c""".stripMargin)
+    val plan = planOf(df)
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 2, // one logical join (partial/final spans may repeat)
+      s"expected only the dst node join:\n$plan")
+    assert(df.collect().length > 0)
+  }
 }
