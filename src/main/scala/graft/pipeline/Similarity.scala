@@ -426,19 +426,38 @@ object Similarity {
     val centroids = trainCentroids(trainRows, nClusters, iters, seed)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    val assigned = v.map { case (id, vec) =>
-      (nearestCentroids(vec, bc.value, 1)(0), id, vec) }
-    val probes = v.flatMap { case (id, vec) =>
-      nearestCentroids(vec, bc.value, nProbe).map(c => (c, id, vec)) }
-
+    // one pass emits membership (rank 0 = nearest cell) and probe replicas
+    // together; one hash repartition on the cell plus a within-partition
+    // sort puts each cell's members FIRST (secondary-sort pattern), so the
+    // kernel buffers only the cell block and STREAMS the probe side — one
+    // source read and one shuffle where a probes⋈members cogroup costs two
+    // of each
     val kk = k; val rt = roundTo
-    val partials = probes.groupByKey(_._1)
-      .cogroup(assigned.groupByKey(_._1)) { (_, qIt, cIt) =>
-        val (ids, mat, sqrtNorms, dim) = packBlock(
-          cIt.map(t => (t._2, t._3)).toArray)
-        if (ids.isEmpty) Iterator.empty
-        else qIt.flatMap { case (_, qid, qv) =>
-          topKScan(qid, qv, ids, mat, sqrtNorms, dim, kk, rt) }
+    val tagged = v.flatMap { case (id, vec) =>
+      val cs = nearestCentroids(vec, bc.value, nProbe)
+      // member row in the nearest cell, probe rows in every probed cell
+      // (including its own — self-pairs are excluded in the kernel)
+      Iterator((cs(0), false, id, vec)) ++
+        cs.iterator.map(c => (c, true, id, vec)) }
+    val partials = tagged.toDF("cell", "probe", "id", "vec")
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("probe"))
+      .as[(Int, Boolean, Long, Array[Double])]
+      .mapPartitions { it =>
+        var cell = Int.MinValue
+        var block: (Array[Long], Array[Double], Array[Double], Int) = null
+        val members = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double])]
+        it.flatMap { case (c, isProbe, id, vec) =>
+          if (c != cell) { cell = c; block = null; members.clear() }
+          if (!isProbe) { members += ((id, vec)); Iterator.empty }
+          else {
+            if (block == null) block = packBlock(members.toArray)
+            val (ids, mat, sqrtNorms, dim) = block
+            if (ids.isEmpty) Iterator.empty
+            else topKScan(id, vec, ids, mat, sqrtNorms, dim, kk, rt).iterator
+          }
+        }
       }
     partials.toDF("qid", "nid", "sim")
       .groupBy(col("qid"))
