@@ -266,7 +266,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         // matching Cypher's "/ by zero" runtime error.
         graft.functions.VectorFunctions.integral_divide(
           lc.cast(LongType), rc.cast(LongType))
-      else lc / rc
+      else if (typeOf(l).isInstanceOf[DecimalType] ||
+          typeOf(r).isInstanceOf[DecimalType])
+        lc / rc // decimal-exact path (bigdecimal() lattice)
+      else {
+        // float division follows IEEE-754 (Cypher: 1.0/0.0 = Infinity,
+        // 0.0/0.0 = NaN) — Spark's ANSI divide raises instead, so the
+        // zero-divisor case is routed around it
+        val ld = lc.cast(DoubleType); val rd = rc.cast(DoubleType)
+        when(rd === 0.0,
+          when(ld > 0.0, lit(Double.PositiveInfinity))
+            .when(ld < 0.0, lit(Double.NegativeInfinity))
+            .when(ld === 0.0, lit(Double.NaN))
+            .otherwise(lit(null).cast(DoubleType)))
+          .otherwise(ld / rd)
+      }
     case Mod(l, r) => compile(l) % compile(r)
     case Pow(l, r) => pow(compile(l), compile(r))
     case Neg(x) => negate(compile(x))
@@ -516,6 +530,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     if (nullPropagating(f.name) && f.args.nonEmpty &&
         typeOf(f.args(0)) == NullType) return lit(null)
     f.name match {
+      case "nullif" => nullif(a0, a(1))
+      case "isnan" => isnan(a0)
       case "toupper" | "upper" => upper(a0)
       case "tolower" | "lower" => lower(a0)
       case "trim" => trim(a0)

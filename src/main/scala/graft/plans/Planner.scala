@@ -596,12 +596,51 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
     var st = state
-    m.pattern.parts.foreach { part =>
+    orderParts(m.pattern.parts, state).foreach { part =>
       st = planPart(graph, st, part, relIds, quantMap, structVars) }
     st = applyRelUniqueness(st, relIds.toSeq)
     rest.reduceOption(And.apply).foreach { pred =>
       st = applyWhere(graph, st, pred) }
     st
+  }
+
+  /** Cross-part twin of [[maybeReversePart]]: plan the parts of one MATCH
+    * selective-first — a part anchored on an already-bound var or a
+    * labeled/prop-constrained node bounds every later part's join input,
+    * where written order can materialize an unconstrained scan's full
+    * cartesian before the selective part ever filters it. Greedy: pick the
+    * best ELIGIBLE part (inline prop expressions may read vars of
+    * earlier-written parts — those must already be planned), rebind, and
+    * repeat; ties keep written order. The earliest-written remaining part
+    * is always eligible, so the loop cannot stall. */
+  private def orderParts(parts: Seq[PatternPart], state: PState)
+      : Seq[PatternPart] = {
+    if (parts.size <= 1) return parts
+    def patternVars(p: PatternPart): Set[String] =
+      (p.start.variable.toSeq ++ p.chain.flatMap { case (r, n) =>
+        r.variable.toSeq ++ n.variable.toSeq }).toSet
+    def propRefs(p: PatternPart): Set[String] =
+      freeExprVars(p.start.properties.map(_._2) ++ p.chain.flatMap {
+        case (r, n) => r.properties.map(_._2) ++ n.properties.map(_._2) })
+    def nodeScore(np: NodePattern, bound: Set[String]): Int =
+      if (np.variable.exists(bound)) 1000000
+      else np.labels.size * 2 + np.properties.size * 3
+    def partScore(p: PatternPart, bound: Set[String]): Int =
+      (p.start +: p.chain.map(_._2)).map(nodeScore(_, bound)).max
+    var bound = state.header.vars.toSet
+    val remaining = scala.collection.mutable.ArrayBuffer(parts: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternPart]
+    while (remaining.nonEmpty) {
+      val eligible = remaining.filter(p =>
+        (propRefs(p) -- patternVars(p)).forall(bound))
+      val pick =
+        if (eligible.isEmpty) remaining.head // defensive; see scaladoc
+        else eligible.maxBy(p => partScore(p, bound))
+      remaining -= pick
+      out += pick
+      bound ++= patternVars(pick)
+    }
+    out.toSeq
   }
 
   /** Cypher demands pairwise-distinct relationships within one MATCH
