@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+
+/** Locks behaviors where strict openCypher ternary logic and the
+  * reference's Spark lowering diverge — we deliberately match the
+  * REFERENCE (a reference user switching engines sees identical
+  * results), and document each choice:
+  *
+  *  - list/struct equality is Spark-structural (null elements compare
+  *    equal): reference maps Equals to Column.=== unconditionally
+  *    (SparkSQLExprMapper.scala:122); strict openCypher would return
+  *    null for [1,null] = [1,null].
+  *  - `x + [list]` with a null/scalar lhs wraps the lhs as an element
+  *    (concat(array(lhs), rhs), SparkSQLExprMapper.scala:181-182);
+  *    strict openCypher would propagate null.
+  *  - single()/none() count elements whose predicate is TRUE; a null
+  *    predicate element is simply not counted (ArrayFilter drops it,
+  *    SparkSQLExprMapper.scala:380-396). Strict ternary logic would
+  *    return null when a null element could change the count.
+  *    (any/all DO follow ternary nulls here — see EdgeSemanticsSpec.)
+  *  - round() is Spark HALF_UP away from zero (round(-2.5) = -3.0);
+  *    pre-5.0 Neo4j Math.round semantics would give -2.0.
+  *
+  * Everything else in this spec is plain parity evidence on shapes the
+  * probe batch exercised (simple-CASE null subject, toInteger on
+  * decimal strings, signed modulo, string+number concat).
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val gs = GraftSession(spark)
+  lazy val g = gs.createGraphFromCypher("CREATE (:Z {k: 1})")
+  private def one(q: String): Any = gs.cypher(g, q).collect().head.get(0)
+
+  test("list equality is structural: null elements compare equal") {
+    assert(one("RETURN [1, null] = [1, null] AS x") == true)
+    assert(one("RETURN [1, null] = [1, 2] AS x") == false)
+    assert(one("RETURN [1] = [1, 2] AS x") == false)
+  }
+  test("scalar + list wraps the scalar as an element (reference Add)") {
+    assert(one("RETURN [1] + 2 AS x") == Seq(1L, 2L))
+    assert(one("RETURN 0 + [1] AS x") == Seq(0L, 1L))
+    assert(one("RETURN null + [1] AS x") == Seq(null, 1L))
+    assert(one("RETURN [1] + [2, 3] AS x") == Seq(1L, 2L, 3L))
+  }
+  test("single() counts TRUE predicates only (null elements dropped)") {
+    assert(one("RETURN single(x IN [true, null] WHERE x) AS s") == true)
+    assert(one("RETURN single(x IN [true, true] WHERE x) AS s") == false)
+    assert(one("RETURN single(x IN [false, null] WHERE x) AS s") == false)
+  }
+  test("simple CASE with null subject falls through to ELSE (null = null is null)") {
+    assert(one("RETURN CASE null WHEN null THEN 'y' ELSE 'n' END AS x") == "n")
+  }
+  test("round follows Spark HALF_UP away from zero") {
+    assert(one("RETURN round(2.5) AS x") == 3.0)
+    assert(one("RETURN round(-2.5) AS x") == -3.0)
+    assert(one("RETURN round(2.4567, 2) AS x") == 2.46)
+  }
+  test("toInteger truncates decimal strings; junk is null") {
+    assert(one("RETURN toInteger('4.9') AS x") == 4L)
+    assert(one("RETURN toInteger('abc') AS x") == null)
+    assert(one("RETURN toFloat('x') AS x") == null)
+  }
+  test("signed modulo follows the dividend (Java semantics)") {
+    assert(one("RETURN -7 % 3 AS x") == -1L)
+    assert(one("RETURN 7 % -3 AS x") == 1L)
+    assert(one("RETURN 7.5 % 2 AS x") == 1.5)
+  }
+  test("string + number concatenates (both orders); null propagates") {
+    assert(one("RETURN 'a' + 1 AS x") == "a1")
+    assert(one("RETURN 1 + 'a' AS x") == "1a")
+    assert(one("RETURN 'a' + null AS x") == null)
+  }
+  test("out-of-range substring/left are total, not errors") {
+    assert(one("RETURN substring('abc', 5) AS x") == "")
+    assert(one("RETURN left('ab', 5) AS x") == "ab")
+  }
+  test("negative list indices and open slices") {
+    assert(one("RETURN [1,2,3][-1] AS x") == 3L)
+    assert(one("RETURN [1,2,3][-2..] AS x") == Seq(2L, 3L))
+    assert(one("RETURN [1,2,3][..-1] AS x") == Seq(1L, 2L))
+  }
+  test("range with step, descending, and single point") {
+    assert(one("RETURN range(0, 10, 3) AS x") == Seq(0L, 3L, 6L, 9L))
+    assert(one("RETURN range(3, 0, -1) AS x") == Seq(3L, 2L, 1L, 0L))
+    assert(one("RETURN range(1, 1) AS x") == Seq(1L))
+  }
+  test("date + duration clamps to end of month") {
+    assert(one("RETURN toString(date('2024-01-31') + duration({months: 1})) AS x")
+      == "2024-02-29")
+  }
+  test("duration accessor months is the total month count") {
+    assert(one(
+      "RETURN duration.between(date('2024-01-01'), date('2025-03-01')).months AS m")
+      == 14L)
+  }
+}
