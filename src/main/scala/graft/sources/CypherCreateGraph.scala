@@ -127,6 +127,11 @@ object CypherCreateGraph {
       items.map { case (k, e) => k -> literal(e) }.sortBy(_._1): _*)
     case Neg(IntLit(v)) => -v
     case Neg(FloatLit(v)) => -v
+    // temporal constructors over literal strings — fixtures carrying
+    // date-typed properties (TCK temporal scenarios, sink round-trips)
+    case Func("date", _, List(StringLit(s))) => java.sql.Date.valueOf(s)
+    case Func("localdatetime" | "datetime", _, List(StringLit(s))) =>
+      java.time.LocalDateTime.parse(s)
     case other => throw new IllegalArgumentException(
       s"CREATE property values must be literals, got $other")
   }
@@ -137,6 +142,8 @@ object CypherCreateGraph {
     case _: Double => DoubleType
     case _: String => StringType
     case _: Boolean => BooleanType
+    case _: java.sql.Date => DateType
+    case _: java.time.LocalDateTime => TimestampNTZType
     case s: Seq[_] =>
       ArrayType(s.map(typeOfValue).reduceOption(SparkTypes.widen)
         .getOrElse(NullType))
