@@ -189,8 +189,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * Internal `@…` vars get the same treatment unconditionally. */
   private var singleUsePatternVars: Set[String] = Set.empty
 
+  /** rel vars referenced by startNode()/endNode() anywhere in the query:
+    * their endpoints must stay FULL node bindings (id-only anonymous
+    * endpoints carry no property columns to resolve against). */
+  private var endpointDemandRels: Set[String] = Set.empty
+
   private def computeSingleUse(clauses: Seq[Clause]): Set[String] = {
     var disable = false
+    val epRels = scala.collection.mutable.HashSet.empty[String]
     val exprRefs = scala.collection.mutable.HashSet.empty[String]
     val patDefs = scala.collection.mutable.HashMap.empty[String, Int]
     def walk(x: Any): Unit = x match {
@@ -198,8 +204,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case MapProjection(v, items) => exprRefs += v; items.foreach(walk)
       case Func(n, _, args) =>
         // endpoint functions resolve through bound endpoint COLUMNS, which
-        // an id-only binding lacks — presence anywhere disables pruning
-        if (n == "startnode" || n == "endnode") disable = true
+        // an id-only binding lacks — presence anywhere disables pruning,
+        // and the named rel's anonymous endpoints bind full node scans
+        if (n == "startnode" || n == "endnode") {
+          disable = true
+          args.foreach { case Var(r) => epRels += r; case _ => () }
+        }
         args.foreach(walk)
       case np: NodePattern =>
         np.variable.foreach(v => patDefs(v) = patDefs.getOrElse(v, 0) + 1)
@@ -220,6 +230,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case _ => ()
     }
     clauses.foreach(walk)
+    endpointDemandRels = epRels.toSet
     if (disable) Set.empty
     else patDefs.collect { case (v, 1) if !exprRefs(v) => v }.toSet
   }
@@ -751,6 +762,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             !state.header.contains(startVar) &&
             rest.nonEmpty && rest.head._1.varLength.isEmpty &&
             part.start.labels.isEmpty && part.start.properties.isEmpty &&
+            !rest.head._1.variable.exists(endpointDemandRels) &&
             (isInternal(startVar) || singleUsePatternVars(startVar))) {
           freshSrcPending = true
           state
@@ -1001,6 +1013,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         // by the rel (reference guarantees endpoint presence via ScanGraph
         // validation, ScanGraph.scala:115-143)
         if (dstNp.labels.isEmpty && dstNp.properties.isEmpty &&
+            !endpointDemandRels(relVar) &&
             (isInternal(dstVar) || singleUsePatternVars(dstVar))) {
           val idc = fresh(s"${dstVar}_id")
           val df = base.withColumnRenamed(travDst, idc).drop(travSrc)
@@ -1214,7 +1227,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             relProps, Set(relType))
           val (hopDf, dstB) =
             if (dstNp.labels.isEmpty && dstNp.properties.isEmpty &&
-                isInternal(dstVar)) {
+                !endpointDemandRels(relVar) && isInternal(dstVar)) {
               val idc = fresh(s"${dstVar}_id")
               (scanDf.withColumnRenamed(farCol, idc),
                 NodeBinding(idc, Map.empty, Map.empty, Set.empty))

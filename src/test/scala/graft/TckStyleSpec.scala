@@ -1550,6 +1550,17 @@ class TckStyleSpec extends AnyFunSuite {
       """MATCH (c:P {n:'c'})<-[r:S]-(a)
         |RETURN startNode(r).n AS s, endNode(r).n AS e""".stripMargin,
       Seq(row("s" -> "a", "e" -> "c"))),
+    // anonymous endpoints: the rel's endpoint nodes are still full
+    // bindings when startNode()/endNode() demand them (the single-use
+    // id-only pruning must yield)
+    Scenario("endpoint-properties-anonymous", triad,
+      """MATCH ()-[r:S]->()
+        |RETURN startNode(r).n AS s, endNode(r).n AS e""".stripMargin,
+      Seq(row("s" -> "a", "e" -> "c"))),
+    Scenario("endpoint-properties-anonymous-chain", triad,
+      """MATCH ()-[r1:R]->()-[r2:R]->()
+        |RETURN startNode(r1).n AS s, endNode(r2).n AS e""".stripMargin,
+      Seq(row("s" -> "a", "e" -> "c"))),
     Scenario("endpoint-properties-undirected", triad,
       """MATCH (c:P {n:'c'})-[r]-(x)
         |RETURN type(r) AS t, startNode(r).n AS s, endNode(r).n AS e
