@@ -16,12 +16,13 @@ import graft.cypher.Ast._
   */
 class ExprCompiler(header: Header, params: Map[String, Any],
     probe: () => DataFrame, lambdaEnv: Map[String, Column] = Map.empty,
-    lambdaTypes: Map[String, DataType] = Map.empty) {
+    lambdaTypes: Map[String, DataType] = Map.empty,
+    aggCtx: Boolean = false) {
 
   private def sub(env: Map[String, Column],
       types: Map[String, DataType] = Map.empty) =
     new ExprCompiler(header, params, probe, lambdaEnv ++ env,
-      lambdaTypes ++ types)
+      lambdaTypes ++ types, aggCtx)
 
   /** plan-time type resolution via schema-only analysis. Inside lambda
     * scopes (list comprehensions, reduce, quantifiers) the lambda variable
@@ -36,7 +37,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       }.toMap
       val tc =
         if (stand.isEmpty) this
-        else new ExprCompiler(header, params, probe, stand, lambdaTypes)
+        else new ExprCompiler(header, params, probe, stand, lambdaTypes,
+          aggCtx)
       probe().select(tc.compile(e)).schema.head.dataType
     } catch { case _: Exception => NullType }
 
@@ -99,6 +101,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   }
 
   def compile(e: Expr): Column = e match {
+    // aggregate context: a direct aggregate call compiles to its aggregate
+    // Column; every scalar shell around it (arithmetic, CASE, list
+    // comprehension over collect(...), reduce, any function) falls through
+    // to the ordinary cases below — Spark accepts scalar expressions over
+    // aggregate functions inside agg().
+    case e0 if aggCtx && isAggregate(e0) => compileAggCall(e0)
     case Var(n) if lambdaEnv.contains(n) => lambdaEnv(n)
     case Var(n) => header(n) match {
       case ValueBinding(c) => col(s"`$c`")
@@ -875,28 +883,37 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _ => false
   }
 
-  def containsAggregate(e: Expr): Boolean = e match {
-    case e0 if isAggregate(e0) => true
-    case Not(x) => containsAggregate(x)
-    case And(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Or(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Eq(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Add(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Sub(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Mul(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Div(l, r) => containsAggregate(l) || containsAggregate(r)
-    case Func(_, _, args) => args.exists(containsAggregate)
-    case Property(b, _) => containsAggregate(b)
-    case CaseExpr(op, alts, d) =>
-      op.exists(containsAggregate) ||
-        alts.exists { case (w, t) => containsAggregate(w) || containsAggregate(t) } ||
-        d.exists(containsAggregate)
-    case _ => false
+  /** Generic structural walk: an aggregate ANYWHERE inside the item —
+    * including a comprehension/reduce source list, a CASE branch, a
+    * comparison operand — makes it an aggregating projection item (the
+    * old hand-enumerated walk missed comprehension shells, silently
+    * skipping grouping). Pattern predicates/comprehensions can't legally
+    * contain aggregates; descending is harmless for detection. */
+  def containsAggregate(e: Expr): Boolean = {
+    def any(x: Any): Boolean = x match {
+      case ex: Expr if isAggregate(ex) => true
+      case s: Seq[_] => s.exists(any)
+      case p: Product => p.productIterator.exists(any) // incl. Option, ::
+      case _ => false
+    }
+    any(e)
   }
 
-  /** compile an aggregate expression (possibly with scalar wrapping around
-    * the aggregate call, e.g. `sum(x) / 100`). */
-  def compileAggregate(e: Expr): Column = e match {
+  /** compile an aggregating projection item: a direct aggregate call, or
+    * any scalar shell around one (`sum(x) / 100`, `[t IN collect(x) | t]`,
+    * `reduce(...)` over a collect, CASE over aggregates, …). The shell is
+    * compiled by the ordinary `compile` path of an aggregate-context
+    * compiler, which routes inner aggregate calls through compileAggCall —
+    * so every scalar operator/function composes over aggregates for free. */
+  def compileAggregate(e: Expr): Column =
+    if (isAggregate(e)) compileAggCall(e)
+    else if (containsAggregate(e))
+      new ExprCompiler(header, params, probe, lambdaEnv, lambdaTypes,
+        aggCtx = true).compile(e)
+    else
+      throw new IllegalArgumentException(s"not an aggregate expression: $e")
+
+  private def compileAggCall(e: Expr): Column = e match {
     case CountStar => count(lit(1))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
@@ -938,35 +955,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("percentileapprox", _, args) =>
       val acc = if (args.size > 2) compile(args(2)) else lit(10000)
       percentile_approx(compile(args.head), compile(args(1)), acc)
-    // scalar wrappers around aggregates
-    case Add(l, r) => wrapAgg(l) + wrapAgg(r)
-    case Sub(l, r) => wrapAgg(l) - wrapAgg(r)
-    case Mul(l, r) => wrapAgg(l) * wrapAgg(r)
-    case Div(l, r) => wrapAgg(l) / wrapAgg(r)
-    case Func(name, d, args) if !ExprCompiler.aggregateNames(name) =>
-      // scalar function over aggregate args, e.g. round(avg(x))
-      compileFunctionOver(Func(name, d, args))
     case other =>
-      throw new IllegalArgumentException(s"not an aggregate expression: $other")
-  }
-
-  private def wrapAgg(e: Expr): Column =
-    if (containsAggregate(e)) compileAggregate(e) else compile(e)
-
-  private def compileFunctionOver(f: Func): Column = {
-    // rebuild with aggregate-aware arg compilation via a tiny shim
-    val cols = f.args.map(wrapAgg)
-    f.name match {
-      case "round" => round(cols.head, 0).cast(DoubleType)
-      case "abs" => abs(cols.head)
-      case "tofloat" => cols.head.cast(DoubleType)
-      case "tointeger" => cols.head.cast(LongType)
-      case "sqrt" => sqrt(cols.head)
-      case "coalesce" => coalesce(cols: _*)
-      case "size" => size(cols.head).cast(LongType)
-      case other =>
-        throw new IllegalArgumentException(s"unsupported function over aggregate: $other")
-    }
+      throw new IllegalArgumentException(s"not an aggregate call: $other")
   }
 }
 

@@ -2152,7 +2152,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       s.copy(expr = e) }
 
     val comp = compiler(state)
-    val hasAgg = items.exists(i => comp.containsAggregate(i.expr))
+    // an aggregate in a sort key alone also forces implicit grouping
+    // (`RETURN n.name ORDER BY count(m)` groups by n.name, openCypher §
+    // aggregation; the hidden sort aggregate is added in planAggregation)
+    val hasAgg = items.exists(i => comp.containsAggregate(i.expr)) ||
+      orderBy2.exists(si => comp.containsAggregate(si.expr))
 
     if (hasAgg) planAggregation(state, items, distinct, orderBy2, skip, limit)
     else planSimpleProjection(state, items, distinct, orderBy2, skip, limit)
