@@ -672,10 +672,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case _ => a0 // entity vars compile to their id column
       }
       case "type" => f.args(0) match {
-        case Var(n) if !lambdaEnv.contains(n) => header(n) match {
-          case rb: RelBinding => col(s"`${rb.typCol}`")
-          case _ => throw new IllegalArgumentException("type() expects a relationship")
-        }
+        case Var(n) if !lambdaEnv.contains(n) &&
+            header.get(n).exists(_.isInstanceOf[RelBinding]) =>
+          col(s"`${header(n).asInstanceOf[RelBinding].typCol}`")
+        // value bindings (UNWIND over collect(r) / rel struct lists) fall
+        // through to the struct-typed branch
         case other => typeOf(other) match {
           // relationship value struct carries its type as a field
           case st: StructType if st.fieldNames.contains("type") =>
@@ -932,8 +933,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("avg", false, args) => avg(compile(args.head))
     case Func("min", _, args) => min(compile(args.head))
     case Func("max", _, args) => max(compile(args.head))
-    case Func("collect", true, args) => collect_set(compile(args.head))
-    case Func("collect", false, args) => collect_list(compile(args.head))
+    case Func("collect", true, args) => collect_set(entityValue(args.head))
+    case Func("collect", false, args) => collect_list(entityValue(args.head))
     case Func("stdev", _, args) => coalesce(stddev_samp(compile(args.head)), lit(0.0))
     case Func("stdevp", _, args) => coalesce(stddev_pop(compile(args.head)), lit(0.0))
     // exact interpolated percentile (reference buffers all values in a
@@ -957,6 +958,37 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       percentile_approx(compile(args.head), compile(args(1)), acc)
     case other =>
       throw new IllegalArgumentException(s"not an aggregate call: $other")
+  }
+
+  /** collect(n) over an entity variable gathers VALUE structs — same field
+    * convention as the var-length/path materialization (`id`, `labels` |
+    * `type`, then properties sorted by name) — so UNWIND + property/
+    * labels()/type()/id() access over the collected list works without a
+    * join-back. Non-entity arguments compile normally. A null entity
+    * (OPTIONAL non-match) yields a null struct, which collect skips per
+    * openCypher. */
+  private def entityValue(e: Expr): Column = e match {
+    case Var(n) if !lambdaEnv.contains(n) => header.get(n) match {
+      case Some(nb: NodeBinding) =>
+        val lbls = nb.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
+          when(col(s"`$c`"), lit(l)) }
+        val labelArr =
+          if (lbls.isEmpty) array().cast(ArrayType(StringType))
+          else filter(array(lbls: _*), x => x.isNotNull)
+        val props = nb.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+          col(s"`$c`").as(k) }
+        when(col(s"`${nb.idCol}`").isNotNull,
+          struct(col(s"`${nb.idCol}`").as("id") +: labelArr.as("labels") +:
+            props: _*))
+      case Some(rb: RelBinding) =>
+        val props = rb.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+          col(s"`$c`").as(k) }
+        when(col(s"`${rb.idCol}`").isNotNull,
+          struct(col(s"`${rb.idCol}`").as("id") +:
+            col(s"`${rb.typCol}`").as("type") +: props: _*))
+      case _ => compile(e)
+    }
+    case _ => compile(e)
   }
 }
 

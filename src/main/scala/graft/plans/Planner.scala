@@ -1897,8 +1897,17 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       part: PatternPart, anti: Boolean,
       where: Option[Expr] = None): PState = {
     val shared = correlatedVars(state, Seq(part), where.toSeq)
-    require(shared.nonEmpty,
-      "pattern predicate must reference at least one bound variable")
+    // no bound variable: a GLOBAL existence test, identical for every row —
+    // plan the pattern once from unit state, reduce to 0/1 rows, and
+    // broadcast-semi/anti join on true (no per-row work, no correlation)
+    if (shared.isEmpty) {
+      val sub = planMatch(graph, unitState,
+        MatchClause(optional = false, Pattern(Seq(part)), where))
+      val probeCol = fresh("exg")
+      val nonEmpty = broadcast(sub.df.limit(1).select(lit(1).as(probeCol)))
+      return state.copy(df = state.df.join(nonEmpty, lit(true),
+        if (anti) "left_anti" else "left_semi"))
+    }
 
     // the driving table is read twice (seed + semi/anti join): cache once;
     // seed bindings trim to the columns the subquery references
@@ -2049,8 +2058,22 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       pc: PatternComprehension): (PState, String) = {
     val shared = correlatedVars(state, Seq(pc.pattern),
       pc.where.toSeq :+ pc.projection)
-    require(shared.nonEmpty,
-      "pattern comprehension must reference at least one bound variable")
+    // no bound variable (`RETURN [(:A)-->(b) | b.x]`, global exists(...)):
+    // the list is the same for every outer row — plan the pattern once,
+    // aggregate to a single row (empty input → empty list), broadcast
+    // cross-join it onto the outer state
+    if (shared.isEmpty) {
+      val sub = planMatch(graph, unitState,
+        MatchClause(optional = false, Pattern(Seq(pc.pattern)), pc.where))
+      val itemCol = fresh("pc_item")
+      val rhsDf = sub.df.withColumn(itemCol,
+        compiler(sub).compile(pc.projection))
+      val outCol = fresh("pc_list")
+      val agged = rhsDf.agg(collect_list(col(s"`$itemCol`")).as(outCol))
+      val joined = state.df.crossJoin(broadcast(agged))
+      val v = fresh("@pc")
+      return (PState(joined, state.header + (v -> ValueBinding(outCol))), v)
+    }
     val sharedBindings = shared.map(v => v -> state.header(v))
     val seedCols = sharedBindings.flatMap(_._2.columns).distinct
     val seedDf = state.df.select(seedCols.map(c => col(s"`$c`")): _*).distinct()
