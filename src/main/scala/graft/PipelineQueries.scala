@@ -21,7 +21,18 @@ object PipelineQueries {
     * trip) and derive seconds with integer division. */
   private def events(s: SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    // Physical ts encoding varies by data generation (int64 nanos read as
+    // Long under nanosAsLong, or timestamp[us] read as TIMESTAMP_NTZ).
+    // Normalize to epoch-nanos Long: every downstream op (session gaps,
+    // range tolerances, time buckets) does pure ts arithmetic, which is
+    // encoding- and timezone-shift-invariant.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          expr("unix_micros(cast(ts as timestamp_ltz))") * lit(1000L))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

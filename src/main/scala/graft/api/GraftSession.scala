@@ -26,6 +26,19 @@ class GraftSession(val spark: SparkSession) {
   private def emptyGraph: PropertyGraph =
     new PropertyGraph(Nil, Nil, spark)
 
+  /** Build a graph from case-class instances (reference:
+    * MorpheusSession.readFrom, MorpheusSession.scala:77-86). One node class
+    * and one relationship class per call; compose multi-type graphs from
+    * [[GraphElements.nodeTable]]/[[GraphElements.relTable]] directly. */
+  def readFrom[N <: GraphNode: scala.reflect.runtime.universe.TypeTag,
+      R <: GraphRelationship: scala.reflect.runtime.universe.TypeTag](
+      nodes: Seq[N], rels: Seq[R] = Seq.empty): PropertyGraph = {
+    val nt = GraphElements.nodeTable(spark, nodes)
+    val rt = if (rels.isEmpty) Nil
+             else Seq(GraphElements.relTable(spark, rels))
+    new PropertyGraph(Seq(nt), rt, spark)
+  }
+
   /** Planner-inserted shared-subtree caches (undirected scans, var-length
     * rel scans, subquery seeds) registered per session. Spark's
     * CacheManager dedups by canonicalized plan, so repeated queries over
