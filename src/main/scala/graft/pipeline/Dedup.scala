@@ -171,14 +171,25 @@ object Dedup {
     * label. [[connectedComponentsSql]] is the pure-DataFrame twin, kept
     * as the oracle-checked fallback.
     *
-    * Only ids that appear in `pairs` enter the Pregel fixpoint: a vertex
-    * with no edge is its own component by definition, so the iterative
-    * graph is sized by the near-duplicate population (tiny), not the
-    * corpus — singletons rejoin afterwards with `cluster = id`. At 100 TB
-    * that is the difference between iterating over every document and
-    * iterating over the duplicate pairs. */
+    * Only ids that appear in `pairs` enter the fixpoint: a vertex with no
+    * edge is its own component by definition, so the iterative graph is
+    * sized by the near-duplicate population (tiny), not the corpus —
+    * singletons rejoin afterwards with `cluster = id`. At 100 TB that is
+    * the difference between iterating over every document and iterating
+    * over the duplicate pairs.
+    *
+    * Size routing: the pair list is already materialized (and counted for
+    * free off the checkpoint). When it fits one executor task
+    * (`singleTaskMax` pairs ≈ a few hundred MB of hash map), a single
+    * mapPartitions union-find labels every component in ONE task with no
+    * iteration at all — still an executor task, never a driver collect.
+    * Past the bound, GraphX Pregel takes over (co-partitioned iteration,
+    * ships only changed labels). The two agree exactly: min-root union
+    * makes each union-find root its component's minimum id, Pregel
+    * propagates min ids by construction. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 25,
+      singleTaskMax: Long = 5000000L): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
     val spark = ids.sparkSession
     import spark.implicits._
@@ -186,20 +197,43 @@ object Dedup {
     // pairs — vertices and edges both read it
     val e = pairs.select(col(aCol).cast(LongType).as("a"),
       col(bCol).cast(LongType).as("b")).localCheckpoint(true)
-    val vertices = e.select(col("a")).union(e.select(col("b")))
-      .distinct().rdd.map(r => (r.getLong(0), ()))
-    val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val g = XGraph(vertices, edges)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
-    val paired = cc.vertices.map { case (id, c) => (id, c) }
-      .toDF("id", "cluster")
-    val out = ids.select(col(idCol).cast(LongType).as("id"))
+    val paired: DataFrame = if (e.count() <= singleTaskMax) {
+      e.select(col("a").as("_1"), col("b").as("_2")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          // roots are absent from the map: the caller's join-back labels
+          // them cluster = id, which IS the component minimum
+          parent.keys.toArray.iterator.map(k => (k, find(k)))
+        }.toDF("id", "cluster")
+    } else {
+      val vertices = e.select(col("a")).union(e.select(col("b")))
+        .distinct().rdd.map(r => (r.getLong(0), ()))
+      val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val g = XGraph(vertices, edges)
+      val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
+      val out = cc.vertices.map { case (id, c) => (id, c) }
+        .toDF("id", "cluster")
+      g.unpersist(blocking = false)
+      cc.unpersist(blocking = false)
+      out
+    }
+    ids.select(col(idCol).cast(LongType).as("id"))
       .join(paired, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
       .localCheckpoint(true)
-    g.unpersist(blocking = false)
-    cc.unpersist(blocking = false)
-    out
   }
 
   /** Pure-DataFrame connected components: min-label propagation with one

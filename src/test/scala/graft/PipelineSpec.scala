@@ -236,6 +236,11 @@ class PipelineSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === expected)
+    // past the single-task bound the GraphX route must agree exactly
+    val viaGraphX = Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
+        singleTaskMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaGraphX === expected)
     // the pure-DataFrame twin reaches the same fixpoint
     val sql = Dedup.connectedComponentsSql(nodes, "id", pairs, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
