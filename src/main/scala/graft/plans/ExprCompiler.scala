@@ -242,7 +242,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case StartsWith(l, r) => compile(l).startsWith(compile(r))
     case EndsWith(l, r) => compile(l).endsWith(compile(r))
     case Contains(l, r) => compile(l).contains(compile(r))
-    case RegexMatch(l, r) => regexp_like(compile(l), compile(r))
+    // Cypher `=~` matches the WHOLE string (Matcher.matches); Spark's
+    // regexp_like is a partial match (Matcher.find). Anchor with a
+    // non-capturing group — constant-folded for literal patterns, and
+    // inline flags like (?i) keep working inside the group.
+    case RegexMatch(l, r) =>
+      regexp_like(compile(l),
+        concat(lit("^(?:"), compile(r).cast(StringType), lit(")$")))
 
     case Add(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
@@ -296,7 +302,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case CaseExpr(operand, alts, default) =>
       val branches = operand match {
         case Some(op) => alts.map { case (w, t) => (compile(Eq(op, w)), compile(t)) }
-        case None => alts.map { case (w, t) => (compile(w), compile(t)) }
+        case None => alts.map { case (w, t) =>
+          // a NullType condition (literal null, unknowable property) is
+          // simply "not true" — cast so CaseWhen's boolean check passes
+          val c = compile(w)
+          val cond = if (typeOf(w) == NullType) c.cast(BooleanType) else c
+          (cond, compile(t))
+        }
       }
       val first = when(branches.head._1, branches.head._2)
       val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
@@ -473,15 +485,69 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * operand VALUE is null (then null, Cypher 3VL); None → always null. */
   private def compileCmp(l: Expr, r: Expr, op: (Column, Column) => Column,
       mismatch: Option[Boolean]): Column = {
-    val (fl, fr) = (family(typeOf(l)), family(typeOf(r)))
-    if (fl == fr || fl == "null" || fr == "null" || fl == "other" || fr == "other")
-      op(compile(l), compile(r))
-    else mismatch match {
-      case Some(v) =>
-        when(compile(l).isNull || compile(r).isNull, lit(null))
-          .otherwise(lit(v))
-      case None => lit(null).cast(BooleanType)
+    val (tl, tr) = (typeOf(l), typeOf(r))
+    val structural = (tl, tr) match {
+      // Cypher maps compare BY KEY; Spark struct comparison is positional
+      // and ignores field names, so {a:1} = {b:1} would come back true.
+      // Same key shape → compare with both sides reordered to sorted-key
+      // form; different key shape → never equal (nulls still poison).
+      case (a: StructType, b: StructType) =>
+        if (sameKeyShape(a, b))
+          Some(op(canonStruct(compile(l), a), canonStruct(compile(r), b)))
+        else None
+      case (ArrayType(a: StructType, _), ArrayType(b: StructType, _)) =>
+        if (sameKeyShape(a, b))
+          Some(op(canonStruct(compile(l), tl), canonStruct(compile(r), tr)))
+        else None
+      case _ => Some(null) // not structural: fall through to family logic
     }
+    structural match {
+      case Some(null) =>
+        val (fl, fr) = (family(tl), family(tr))
+        if (fl == fr || fl == "null" || fr == "null" || fl == "other" || fr == "other")
+          op(compile(l), compile(r))
+        else cmpMismatch(l, r, mismatch)
+      case Some(c) => c
+      case None => cmpMismatch(l, r, mismatch)
+    }
+  }
+
+  private def cmpMismatch(l: Expr, r: Expr,
+      mismatch: Option[Boolean]): Column = mismatch match {
+    case Some(v) =>
+      when(compile(l).isNull || compile(r).isNull, lit(null)).otherwise(lit(v))
+    case None => lit(null).cast(BooleanType)
+  }
+
+  /** true when two struct types carry the same field names at every
+    * nesting level (the precondition for key-ordered comparison). */
+  private def sameKeyShape(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length &&
+        x.fields.sortBy(_.name).zip(y.fields.sortBy(_.name)).forall {
+          case (f, g) => f.name == g.name && sameKeyShape(f.dataType, g.dataType)
+        }
+    case (ArrayType(x, _), ArrayType(y, _)) => sameKeyShape(x, y)
+    case _ => true
+  }
+
+  /** rebuild a (possibly nested / array-wrapped) struct with fields in
+    * sorted-key order, preserving top-level nulls. */
+  private def canonStruct(c: Column, dt: DataType): Column = dt match {
+    case st: StructType =>
+      val rebuilt = struct(st.fields.sortBy(_.name).map(f =>
+        canonStruct(c.getField(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
+      when(c.isNull, lit(null).cast(canonType(st))).otherwise(rebuilt)
+    case ArrayType(et: StructType, _) => transform(c, x => canonStruct(x, et))
+    case ArrayType(et: ArrayType, _) => transform(c, x => canonStruct(x, et))
+    case _ => c
+  }
+
+  private def canonType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.sortBy(_.name)
+      .map(f => f.copy(dataType = canonType(f.dataType))))
+    case ArrayType(et, n) => ArrayType(canonType(et), n)
+    case _ => dt
   }
 
   /** Cypher IN: membership with 3VL — `x IN []` is false even for null x;

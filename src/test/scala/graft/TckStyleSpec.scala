@@ -1784,7 +1784,50 @@ class TckStyleSpec extends AnyFunSuite {
       ordered = true),
     Scenario("reversal-anon-varlength", triad,
       "MATCH (x)-[:R*1..2]->(c:P {n: 'c'}) RETURN x.n AS n ORDER BY n",
-      Seq(row("n" -> "a"), row("n" -> "b")), ordered = true)
+      Seq(row("n" -> "a"), row("n" -> "b")), ordered = true),
+
+    // ----- regex =~ is a FULL-string match (Matcher.matches, not find)
+    Scenario("regex-full-match-not-partial", empty,
+      "RETURN 'abc' =~ 'a.' AS p, 'abc' =~ 'a.c' AS f, 'hello world' =~ 'world' AS c",
+      Seq(row("p" -> false, "f" -> true, "c" -> false))),
+    Scenario("regex-inline-flags-and-null", empty,
+      "RETURN 'abc' =~ '(?i)A.C' AS i, 'abc' =~ null AS n, null =~ 'a.*' AS m",
+      Seq(row("i" -> true, "n" -> null, "m" -> null))),
+    Scenario("regex-anchored-pattern-still-works", social,
+      "MATCH (p:Person) WHERE p.name =~ '^B.*$' RETURN p.name AS name",
+      Seq(row("name" -> "Bob"))),
+    Scenario("regex-alternation-full-match", empty,
+      "RETURN 'ab' =~ 'a|ab' AS x, 'a' =~ 'a|ab' AS y",
+      Seq(row("x" -> true, "y" -> true))),
+
+    // ----- map equality compares BY KEY, not field position
+    Scenario("map-equality-by-key", empty,
+      "RETURN {a: 1} = {a: 1} AS t, {a: 1} = {b: 1} AS f, {a: 1} = {a: 2} AS f2",
+      Seq(row("t" -> true, "f" -> false, "f2" -> false))),
+    Scenario("map-equality-key-order-irrelevant", empty,
+      "RETURN {a: 1, b: 2} = {b: 2, a: 1} AS t, {a: 1, b: 2} <> {b: 2, a: 1} AS f",
+      Seq(row("t" -> true, "f" -> false))),
+    Scenario("map-equality-nested-keys", empty,
+      "RETURN {a: {x: 1}} = {a: {x: 1}} AS t, {a: {x: 1}} = {a: {y: 1}} AS f",
+      Seq(row("t" -> true, "f" -> false))),
+    Scenario("map-equality-width-mismatch", empty,
+      "RETURN {a: 1} = {a: 1, b: 2} AS f, {a: 1} <> {a: 1, b: 2} AS t",
+      Seq(row("f" -> false, "t" -> true))),
+    Scenario("map-list-equality-by-key", empty,
+      "RETURN [{a: 1}] = [{a: 1}] AS t, [{a: 1}] = [{b: 1}] AS f",
+      Seq(row("t" -> true, "f" -> false))),
+
+    // ----- CASE with null / unknowable conditions
+    Scenario("case-null-condition-falls-through", empty,
+      "RETURN CASE WHEN null THEN 1 ELSE 2 END AS c1, CASE null WHEN null THEN 1 ELSE 2 END AS c2",
+      Seq(row("c1" -> 2L, "c2" -> 2L))),
+    Scenario("case-null-condition-among-branches", empty,
+      "RETURN CASE WHEN null THEN 1 WHEN true THEN 2 ELSE 3 END AS c",
+      Seq(row("c" -> 2L))),
+    Scenario("case-missing-prop-condition", nulls,
+      "MATCH (x:X) RETURN CASE WHEN x.k > 1 THEN 'big' ELSE 'small' END AS c ORDER BY c",
+      Seq(row("c" -> "big"), row("c" -> "small"), row("c" -> "small")),
+      ordered = true)
   )
 
   // --------------------------------------------------------- blacklist
