@@ -1827,7 +1827,28 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("case-missing-prop-condition", nulls,
       "MATCH (x:X) RETURN CASE WHEN x.k > 1 THEN 'big' ELSE 'small' END AS c ORDER BY c",
       Seq(row("c" -> "big"), row("c" -> "small"), row("c" -> "small")),
-      ordered = true)
+      ordered = true),
+
+    // ----- ordering and distinctness over compound values
+    Scenario("order-by-null-first-desc", empty,
+      "UNWIND [3, null, 1] AS x RETURN x ORDER BY x DESC",
+      Seq(row("x" -> null), row("x" -> 3L), row("x" -> 1L)), ordered = true),
+    Scenario("order-by-lists-lexicographic", empty,
+      "UNWIND [[2],[1,5],[1]] AS x RETURN x ORDER BY x",
+      Seq(row("x" -> List(1L)), row("x" -> List(1L, 5L)),
+        row("x" -> List(2L))), ordered = true),
+    Scenario("distinct-on-map-values", empty,
+      "UNWIND [{a: 1}, {a: 1}, {a: 2}] AS m RETURN DISTINCT m",
+      Seq(row("m" -> Map("a" -> 1L)), row("m" -> Map("a" -> 2L)))),
+    Scenario("count-distinct-lists", empty,
+      "UNWIND [[1],[1],[2]] AS x RETURN count(DISTINCT x) AS c",
+      Seq(row("c" -> 2L))),
+    Scenario("double-unwind-flattens", empty,
+      "UNWIND [[1,2],[3]] AS x UNWIND x AS y RETURN y ORDER BY y",
+      Seq(row("y" -> 1L), row("y" -> 2L), row("y" -> 3L)), ordered = true),
+    Scenario("with-shadowing-same-clause", empty,
+      "WITH 1 AS x WITH x AS y, 2 AS x RETURN x, y",
+      Seq(row("x" -> 2L, "y" -> 1L)))
   )
 
   // --------------------------------------------------------- blacklist
