@@ -38,6 +38,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"filter not pushed:\n$plan")
   }
 
+  test("anchored regex constant-folds to a literal RLIKE pattern") {
+    // =~ anchors with concat('^(?:', pattern, ')$'); for literal patterns
+    // Catalyst must fold the concat so the comparison stays a literal
+    // RLike (compiled-once regex) instead of a per-row concat + compile
+    val df = gs.cypher(g,
+      "MATCH (c:Customer) WHERE c.c_name =~ 'Customer.*13' RETURN c.c_custkey AS ck")
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("RLIKE") && opt.contains("^(?:Customer.*13)$") &&
+      !opt.contains("concat("),
+      s"regex anchor not constant-folded:\n$opt")
+  }
+
   test("scans prune to referenced columns only") {
     spark.catalog.clearCache()
     val df = gs.cypher(g,
