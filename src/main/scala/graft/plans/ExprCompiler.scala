@@ -270,6 +270,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case (DateType, t) if isIntervalType(t) => (lc - rc).cast(DateType)
         case _ => lc - rc
       }
+    // duration * k and duration / k (Neo4j temporal-amount scaling;
+    // reference SparkSQLExprMapper handles these via CalendarInterval
+    // arithmetic). Spark multiplies/divides ANSI intervals natively.
+    case Mul(l, r) if isIntervalType(typeOf(l)) || isIntervalType(typeOf(r)) =>
+      val (ic, kc) =
+        if (isIntervalType(typeOf(l))) (compile(l), compile(r))
+        else (compile(r), compile(l))
+      ic * kc
+    case Div(l, r) if isIntervalType(typeOf(l)) => compile(l) / compile(r)
     case Mul(l, r) => compile(l) * compile(r)
     case Div(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
@@ -424,29 +433,56 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * TOTAL month count (Neo4j normalizes years into months —
     * reference Duration.scala stores (months, days, seconds, nanos)). */
   private def calendarIntervalAccessor(c: Column, key: String): Column =
-    key.toLowerCase match {
-      case "years" => date_part(lit("YEAR"), c).cast(LongType)
-      case "months" => (date_part(lit("YEAR"), c) * 12 +
-        date_part(lit("MONTH"), c)).cast(LongType)
-      case "monthsofyear" => date_part(lit("MONTH"), c).cast(LongType)
-      case "days" => date_part(lit("DAY"), c).cast(LongType)
-      case "hours" => date_part(lit("HOUR"), c).cast(LongType)
-      case "minutes" => date_part(lit("MINUTE"), c).cast(LongType)
-      case "seconds" => date_part(lit("SECOND"), c).cast(LongType)
-      case other => throw new IllegalArgumentException(
-        s"unknown duration accessor .$other on calendar interval")
-    }
+    durationParts(c, key, "calendar interval")
 
-  private def durationAccessor(c: Column, key: String,
-      t: DataType): Column = key.toLowerCase match {
-    case "years" => date_part(lit("YEAR"), c).cast(LongType)
-    case "months" => date_part(lit("MONTH"), c).cast(LongType)
-    case "days" => date_part(lit("DAY"), c).cast(LongType)
-    case "hours" => date_part(lit("HOUR"), c).cast(LongType)
-    case "minutes" => date_part(lit("MINUTE"), c).cast(LongType)
-    case "seconds" => date_part(lit("SECOND"), c).cast(LongType)
-    case other => throw new IllegalArgumentException(
-      s"unknown duration accessor .$other on $t")
+  private def durationAccessor(c: Column, key: String, t: DataType): Column =
+    durationParts(c, key, t.toString)
+
+  /** Duration component accessors with Neo4j/reference semantics
+    * (TemporalUdfs.scala:118-142): the month group (`years`, `quarters`,
+    * `months`) and the day count are per-group totals; the time accessors
+    * (`hours`, `minutes`, `seconds`, `milliseconds`, `microseconds`) are
+    * CUMULATIVE totals of the sub-day remainder — duration({seconds: 90})
+    * has .seconds = 90 and .minutes = 1 — and the `...OfX` forms are the
+    * mixed-radix digits (secondsOfMinute = 30). date_part on interval
+    * types yields the digits, so cumulative forms recompose from them. */
+  private def durationParts(c: Column, key: String, tn: String): Column = {
+    def p(unit: String) = date_part(lit(unit), c)
+    // digits (all interval types render these; absent groups read 0)
+    def yearsD = p("YEAR").cast(LongType)
+    def monthsD = p("MONTH").cast(LongType)
+    def daysD = p("DAY").cast(LongType)
+    def hoursD = p("HOUR").cast(LongType)
+    def minutesD = p("MINUTE").cast(LongType)
+    def secondsDec = p("SECOND") // decimal, carries sub-second digits
+    key.toLowerCase match {
+      case "years" => yearsD
+      case "quarters" => ((yearsD * 12 + monthsD) / lit(3)).cast(LongType)
+      case "months" => yearsD * 12 + monthsD
+      case "monthsofyear" => monthsD
+      case "monthsofquarter" => monthsD % 3
+      case "weeks" => (daysD / lit(7)).cast(LongType)
+      case "days" => daysD
+      case "daysofweek" => daysD % 7
+      case "hours" => hoursD
+      case "minutes" => hoursD * 60 + minutesD
+      case "seconds" =>
+        hoursD * 3600 + minutesD * 60 + floor(secondsDec).cast(LongType)
+      case "milliseconds" =>
+        (hoursD * 3600 + minutesD * 60) * 1000 +
+          floor(secondsDec * 1000).cast(LongType)
+      case "microseconds" =>
+        (hoursD * 3600 + minutesD * 60) * 1000000L +
+          floor(secondsDec * 1000000L).cast(LongType)
+      case "minutesofhour" => minutesD
+      case "secondsofminute" => floor(secondsDec).cast(LongType)
+      case "millisecondsofsecond" =>
+        floor(secondsDec * 1000).cast(LongType) % 1000
+      case "microsecondsofsecond" =>
+        floor(secondsDec * 1000000L).cast(LongType) % 1000000L
+      case other => throw new IllegalArgumentException(
+        s"unknown duration accessor .$other on $tn")
+    }
   }
 
   private def extractFieldDyn(c: Column, key: Column, keyExpr: Expr,
@@ -499,6 +535,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         if (sameKeyShape(a, b))
           Some(op(canonStruct(compile(l), tl), canonStruct(compile(r), tr)))
         else None
+      // CalendarIntervalType is not comparable in Spark; Cypher duration
+      // equality is component-wise — compare the normalized
+      // (months, days, microseconds) triple instead.
+      case (CalendarIntervalType, CalendarIntervalType) =>
+        Some(op(calParts(compile(l)), calParts(compile(r))))
       case _ => Some(null) // not structural: fall through to family logic
     }
     structural match {
@@ -517,6 +558,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Some(v) =>
       when(compile(l).isNull || compile(r).isNull, lit(null)).otherwise(lit(v))
     case None => lit(null).cast(BooleanType)
+  }
+
+  /** normalized (months, days, microseconds) triple of a calendar
+    * interval — the reference Duration's component form (Duration.scala
+    * stores (months, days, seconds, nanos)). */
+  private def calParts(c: Column): Column = {
+    def p(u: String) = date_part(lit(u), c)
+    val triple = struct(
+      (p("YEAR") * 12 + p("MONTH")).cast(LongType).as("months"),
+      p("DAY").cast(LongType).as("days"),
+      ((p("HOUR") * 3600 + p("MINUTE") * 60) * 1000000L +
+        floor(p("SECOND") * 1000000L).cast(LongType)).as("micros"))
+    val tripleType = StructType(Seq(StructField("months", LongType),
+      StructField("days", LongType), StructField("micros", LongType)))
+    when(c.isNull, lit(null).cast(tripleType)).otherwise(triple)
   }
 
   /** true when two struct types carry the same field names at every

@@ -327,7 +327,9 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(r.getLong(5) === 1L) // 2021-03-15 is a Monday
     assert(r.getLong(6) === 74L)
     assert(r.getLong(7) === 13L && r.getLong(8) === 45L && r.getLong(9) === 30L)
-    assert(r.getLong(10) === 3L && r.getLong(11) === 5L && r.getLong(12) === 7L)
+    // duration time accessors are cumulative over the sub-day remainder
+    // (reference TemporalUdfs.scala:131): .minutes = 5h7m in minutes
+    assert(r.getLong(10) === 3L && r.getLong(11) === 5L && r.getLong(12) === 307L)
   }
 
   test("day-scale durations remain comparable and summable") {

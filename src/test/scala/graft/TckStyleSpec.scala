@@ -1848,7 +1848,32 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("y" -> 1L), row("y" -> 2L), row("y" -> 3L)), ordered = true),
     Scenario("with-shadowing-same-clause", empty,
       "WITH 1 AS x WITH x AS y, 2 AS x RETURN x, y",
-      Seq(row("x" -> 2L, "y" -> 1L)))
+      Seq(row("x" -> 2L, "y" -> 1L))),
+
+    // ----- duration scaling and component accessors (reference
+    // TemporalUdfs.scala:118-142: time accessors are cumulative over the
+    // sub-day remainder; ...OfX forms are the mixed-radix digits)
+    Scenario("duration-scalar-multiply-divide", empty,
+      """RETURN duration({hours: 6}) * 4 = duration({days: 1}) AS m,
+        |duration({hours: 6}) / 2 = duration({hours: 3}) AS d,
+        |duration({months: 2}) * 3 = duration({months: 6}) AS cm""".stripMargin,
+      Seq(row("m" -> true, "d" -> true, "cm" -> true))),
+    Scenario("duration-cumulative-time-accessors", empty,
+      """WITH duration({seconds: 90}) AS d
+        |RETURN d.seconds AS s, d.minutes AS m,
+        |d.secondsOfMinute AS som, d.minutesOfHour AS moh""".stripMargin,
+      Seq(row("s" -> 90L, "m" -> 1L, "som" -> 30L, "moh" -> 1L))),
+    Scenario("duration-month-group-accessors", empty,
+      """WITH duration({years: 1, months: 2}) AS d
+        |RETURN d.months AS tm, d.years AS y, d.quarters AS q,
+        |d.monthsOfYear AS my""".stripMargin,
+      Seq(row("tm" -> 14L, "y" -> 1L, "q" -> 4L, "my" -> 2L))),
+    Scenario("duration-week-and-subsecond-accessors", empty,
+      """RETURN duration({days: 40}).weeks AS w,
+        |duration('PT1.5S').milliseconds AS ms,
+        |duration('PT1.5S').millisecondsOfSecond AS msos,
+        |duration('PT1.5S').microseconds AS us""".stripMargin,
+      Seq(row("w" -> 5L, "ms" -> 1500L, "msos" -> 500L, "us" -> 1500000L)))
   )
 
   // --------------------------------------------------------- blacklist
