@@ -150,6 +150,18 @@ object CypherQueries {
         |RETURN li.l_shipdate.year AS y, li.l_shipdate.quarter AS q,
         |       count(*) AS n
         |ORDER BY y, q""".stripMargin)),
+    // duration component accessors over duration.between (cumulative
+    // reference semantics, TemporalUdfs.scala:118-142). The anchor is a
+    // day-1 date so complete-month counting can't hit the month-end
+    // borrow case where months_between-floor and DuckDB age() disagree.
+    "c32_duration_parts" -> ((s, dir) => run(s, dir,
+      """MATCH (o:Order)
+        |WHERE o.o_orderdate >= localdatetime('1995-01-01T00:00:00')
+        |WITH o, duration.between(localdatetime('1995-01-01T00:00:00'),
+        |                         o.o_orderdate) AS d
+        |RETURN o.o_orderkey AS ok, d.months AS m, d.days AS dd,
+        |       d.weeks AS w, d.monthsOfYear AS my
+        |ORDER BY ok""".stripMargin)),
     // pattern comprehension (§2.3): per-row collected sub-match
     "c23_pattern_comprehension" -> ((s, dir) => run(s, dir,
       """MATCH (n:Nation)
@@ -357,6 +369,16 @@ object CypherQueries {
         |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
         |                    + INTERVAL 7 MONTH + INTERVAL 10 DAY
         |GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
+    "c32_duration_parts" ->
+      """SELECT o_orderkey AS ok,
+        |  (extract(year FROM age(o_orderdate, TIMESTAMP '1995-01-01'))*12 +
+        |   extract(month FROM age(o_orderdate, TIMESTAMP '1995-01-01')))::BIGINT AS m,
+        |  extract(day FROM age(o_orderdate, TIMESTAMP '1995-01-01'))::BIGINT AS dd,
+        |  (extract(day FROM age(o_orderdate, TIMESTAMP '1995-01-01')) // 7)::BIGINT AS w,
+        |  extract(month FROM age(o_orderdate, TIMESTAMP '1995-01-01'))::BIGINT AS my
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |ORDER BY ok""".stripMargin,
     "c24_varlength_props" ->
       """SELECT ok, xname FROM (
         |  SELECT l_orderkey AS ok, p_name AS xname
