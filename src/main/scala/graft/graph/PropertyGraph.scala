@@ -142,6 +142,30 @@ class PropertyGraph(
     * Returns (df, labelCol-by-label, propCol-by-key) with caller-supplied
     * column names from `naming`.
     */
+  /** Canonical node records for variable `name` (reference API:
+    * PropertyGraph.nodes, okapi-api PropertyGraph.scala:69): one row per
+    * node whose labels cover `labels`, columns `name` (id),
+    * `name:LABEL` booleans, `name.prop` values — the same layout the
+    * planner's scans use. `exactLabelMatch` restricts to nodes whose
+    * label set equals `labels` exactly. */
+  def nodes(name: String, labels: Set[String] = Set.empty,
+      exactLabelMatch: Boolean = false): DataFrame = {
+    val naming = ScanNaming(name, "", "", "",
+      p => s"$name.$p", l => s"$name:$l")
+    val combos = if (exactLabelMatch) Some(Set(labels)) else None
+    nodeScan(labels, naming, combos).df
+  }
+
+  /** Canonical relationship records for variable `name` (reference API:
+    * PropertyGraph.relationships, okapi-api PropertyGraph.scala:78):
+    * columns `name` (id), `name.src`, `name.dst`, `name.type`,
+    * `name.prop` values. Empty `types` means all relationship types. */
+  def relationships(name: String, types: Seq[String] = Nil): DataFrame = {
+    val naming = ScanNaming(name, s"$name.src", s"$name.dst", s"$name.type",
+      p => s"$name.$p", l => s"$name:$l")
+    relScan(if (types.isEmpty) allRelTypes.toSeq.sorted else types, naming).df
+  }
+
   def nodeScan(requiredLabels: Set[String], naming: ScanNaming,
       combos: Option[Set[Set[String]]] = None): ScanResult = {
     // combos (from the schema-pattern registry) restricts to exact label

@@ -72,6 +72,22 @@ class CaseClassGraphSpec extends AnyFunSuite
     assert(kt.propCols.isEmpty)
   }
 
+  test("nodes()/relationships() record views expose canonical scans") {
+    val session = new GraftSession(spark)
+    val g = session.readFrom(
+      Seq(Person(0, "Alice", 10), Person(1, "Bob", 20)),
+      Seq(Friend(0, 0, 1, "1987")))
+    val n = g.nodes("n")
+    assert(n.columns.toSet === Set("n", "n:Person", "n.name", "n.age"))
+    assert(n.count() === 2)
+    val r = g.relationships("r")
+    assert(r.columns.toSet ===
+      Set("r", "r.src", "r.dst", "r.type", "r.since"))
+    assert(r.select("`r.type`").head().getString(0) === "FRIEND_OF")
+    // exact label match on a label with no exact table yields empty
+    assert(g.nodes("m", Set("Person"), exactLabelMatch = true).count() === 2)
+  }
+
   test("multi-type graphs compose from element tables") {
     val session = new GraftSession(spark)
     val g = new graft.graph.PropertyGraph(
