@@ -34,9 +34,14 @@ object CypherParser extends RegexParsers {
   /** identifier where keywords ARE allowed (property keys, labels). */
   def anyIdent: Parser[String] = ("`" ~> """[^`]+""".r <~ "`") | identRe
 
+  // ONE regex per quote style: a composed `"'" ~> body <~ "'"` parser
+  // skips whitespace/comments after the opening quote, silently eating
+  // leading spaces (and '//...' prefixes) INSIDE the literal
+  private val sqStringRe = """'(\\.|[^'\\])*'""".r
+  private val dqStringRe = "\"(\\\\.|[^\"\\\\])*\"".r
   def stringLit: Parser[String] =
-    ("'" ~> """(\\.|[^'\\])*""".r <~ "'" | "\"" ~> """(\\.|[^"\\])*""".r <~ "\"")
-      .map(unescape)
+    (sqStringRe | dqStringRe)
+      .map(s => unescape(s.substring(1, s.length - 1)))
   private def unescape(s: String): String = {
     val b = new StringBuilder; var i = 0
     while (i < s.length) {

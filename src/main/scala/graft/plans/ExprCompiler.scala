@@ -994,9 +994,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private def expr_replace(src: Column, search: Column, repl: Column): Column =
     replace(src, search, repl) // Spark 3.5+ functions.replace: literal semantics
 
+  /** Cypher split(): the separator is a LITERAL string, not a regex —
+    * quote it. A dynamic (non-literal) separator regex-escapes at run
+    * time and goes through the SQL split, which accepts a column pattern. */
   private def split_literal(src: Column, sep: Expr): Column = sep match {
     case StringLit(s) => split(src, java.util.regex.Pattern.quote(s))
-    case _ => split(src, java.util.regex.Pattern.quote(" ")) // dynamic sep unsupported
+    case e =>
+      val pat = regexp_replace(compile(e).cast(StringType),
+        lit("([\\\\^$.|?*+()\\[\\]{}])"), lit("\\\\$1"))
+      call_function("split", src, pat)
   }
 
   // ----------------------------------------------------------- aggregates

@@ -1868,6 +1868,22 @@ class TckStyleSpec extends AnyFunSuite {
         |RETURN d.months AS tm, d.years AS y, d.quarters AS q,
         |d.monthsOfYear AS my""".stripMargin,
       Seq(row("tm" -> 14L, "y" -> 1L, "q" -> 4L, "my" -> 2L))),
+    // ----- string literals keep interior whitespace; split is literal
+    Scenario("string-literal-preserves-whitespace", empty,
+      "RETURN ' ' AS sp, '  x' AS lead, 'x  ' AS trail, size(' a ') AS n",
+      Seq(row("sp" -> " ", "lead" -> "  x", "trail" -> "x  ", "n" -> 3L))),
+    Scenario("string-literal-comment-lookalike", empty,
+      "RETURN '//not a comment' AS c, '/* nor this */' AS b",
+      Seq(row("c" -> "//not a comment", "b" -> "/* nor this */"))),
+    Scenario("split-separator-is-literal-not-regex", empty,
+      """RETURN split('a b c', ' ') AS sp, split('a.b.c', '.') AS dot,
+        |split('a|b', '|') AS pipe, split('a//b', '//') AS sl""".stripMargin,
+      Seq(row("sp" -> List("a", "b", "c"), "dot" -> List("a", "b", "c"),
+        "pipe" -> List("a", "b"), "sl" -> List("a", "b")))),
+    Scenario("split-dynamic-separator", empty,
+      "WITH '.' AS sep RETURN split('a.b.c', sep) AS xs",
+      Seq(row("xs" -> List("a", "b", "c")))),
+
     Scenario("duration-week-and-subsecond-accessors", empty,
       """RETURN duration({days: 40}).weeks AS w,
         |duration('PT1.5S').milliseconds AS ms,
