@@ -106,6 +106,9 @@ object CypherParser extends RegexParsers {
     (b +: es).reduceRight(Pow(_, _)) }
 
   def unary: Parser[Expr] =
+    // Long.MinValue: the bare digits 9223372036854775808 overflow Long,
+    // the literal is only representable under negation (Neo4j ditto)
+    ("""-\s*9223372036854775808(?!\d)""".r ^^^ IntLit(Long.MinValue)) |
     ("-" ~> unary ^^ Neg.apply) | ("+" ~> unary) | stringListNullOps
 
   /** postfix predicates: IN, STARTS/ENDS WITH, CONTAINS, =~, IS [NOT] NULL,
@@ -410,13 +413,13 @@ object CypherParser extends RegexParsers {
     (query ^^ QueryStatement.apply)
 
   def parseStatement(text: String): Statement =
-    parseAll(statement, text) match {
+    parseAll(statement <~ opt(";"), text) match {
       case Success(s, _) => s
       case f: NoSuccess => throw new IllegalArgumentException(
         s"Cypher parse error at line ${f.next.pos.line}, col ${f.next.pos.column}: ${f.msg}\n${f.next.pos.longString}")
     }
 
-  def parse(text: String): Query = parseAll(query, text) match {
+  def parse(text: String): Query = parseAll(query <~ opt(";"), text) match {
     case Success(q, _) => q
     case f: NoSuccess =>
       throw new IllegalArgumentException(

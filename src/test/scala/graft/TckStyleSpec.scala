@@ -1884,6 +1884,23 @@ class TckStyleSpec extends AnyFunSuite {
       "WITH '.' AS sep RETURN split('a.b.c', sep) AS xs",
       Seq(row("xs" -> List("a", "b", "c")))),
 
+    // ----- lexical corners
+    Scenario("trailing-semicolon-accepted", social,
+      "MATCH (p:Person {name: 'Bob'}) RETURN p.age AS a;",
+      Seq(row("a" -> 25L))),
+    Scenario("min-long-literal", empty,
+      "RETURN -9223372036854775808 AS mn, 9223372036854775807 AS mx",
+      Seq(row("mn" -> Long.MinValue, "mx" -> Long.MaxValue))),
+    Scenario("escaped-quotes-in-strings", empty,
+      """RETURN 'it\'s' AS a, "say \"hi\"" AS b, 'A' AS u""",
+      Seq(row("a" -> "it's", "b" -> "say \"hi\"", "u" -> "A"))),
+    Scenario("backtick-identifiers-and-keyword-props", social,
+      "MATCH (`the person`:Person {name: 'Alice'}) RETURN `the person`.age AS a",
+      Seq(row("a" -> 30L))),
+    Scenario("comments-inside-query", social,
+      "MATCH (p:Person) // only Bob\nWHERE /* filter */ p.name = 'Bob' RETURN p.age AS a",
+      Seq(row("a" -> 25L))),
+
     Scenario("duration-week-and-subsecond-accessors", empty,
       """RETURN duration({days: 40}).weeks AS w,
         |duration('PT1.5S').milliseconds AS ms,
