@@ -1901,6 +1901,23 @@ class TckStyleSpec extends AnyFunSuite {
       "MATCH (p:Person) // only Bob\nWHERE /* filter */ p.name = 'Bob' RETURN p.age AS a",
       Seq(row("a" -> 25L))),
 
+    // ----- aggregate boundary values
+    Scenario("percentile-disc-boundaries", empty,
+      """UNWIND [1, 2, 3, 4] AS v
+        |RETURN percentileDisc(v, 0.0) AS p0, percentileDisc(v, 1.0) AS p1,
+        |percentileDisc(v, 0.5) AS p5, percentileCont(v, 0.5) AS pc""".stripMargin,
+      Seq(row("p0" -> 1L, "p1" -> 4L, "p5" -> 2L, "pc" -> 2.5))),
+    Scenario("aggregates-over-all-null-input", nulls,
+      """MATCH (x:X) RETURN min(x.nope) AS mn, max(x.nope) AS mx,
+        |avg(x.nope) AS av, sum(x.nope) AS s, count(x.nope) AS c""".stripMargin,
+      Seq(row("mn" -> null, "mx" -> null, "av" -> null,
+        "s" -> 0L, "c" -> 0L))),
+    Scenario("aggregate-arithmetic-composition", empty,
+      """UNWIND [10, 20, 30] AS v
+        |RETURN sum(v) / count(*) AS mean, max(v) - min(v) AS spread,
+        |count(*) + 1 AS c1""".stripMargin,
+      Seq(row("mean" -> 20L, "spread" -> 20L, "c1" -> 4L))),
+
     Scenario("duration-week-and-subsecond-accessors", empty,
       """RETURN duration({days: 40}).weeks AS w,
         |duration('PT1.5S').milliseconds AS ms,
