@@ -27,13 +27,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // machine-readable twice over: a bare stdout line (build.sbt routes
-    // forked output through StdoutOutput, so no sbt log prefix) and a file.
-    println(json)
+    // The full per-query map (~2 kB for 80+ queries) goes to the file
+    // artifact ONLY; the harness captures a stdout TAIL, so stdout gets
+    // a single compact line that always arrives whole.
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     val pw = new java.io.PrintWriter("BENCH_LOCAL.json")
-    try pw.println(json) finally pw.close()
+    try pw.println(fullJson) finally pw.close()
+    println(compact)
     spark.stop()
   }
 }

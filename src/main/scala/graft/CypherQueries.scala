@@ -183,11 +183,14 @@ object CypherQueries {
         |ORDER BY ok, xname""".stripMargin)),
     // node VALUES along a named path (extension; the unroll carries ids —
     // values are materialized on demand by one explode→join→collect pass,
-    // struct pruned to the accessed fields)
+    // struct pruned to the accessed fields). The gate returns the name
+    // list REDUCED to one string so the driver's comparator can sort it
+    // (raw-list coverage stays in PathSpec).
     "c31_path_node_values" -> ((s, dir) => run(s, dir,
       """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
         |RETURN c.c_custkey AS ck, length(p) AS len,
-        |       [n IN nodes(p) | coalesce(n.n_name, n.r_name, n.c_name)] AS names
+        |       reduce(s = '', n IN nodes(p) |
+        |              s + '|' + coalesce(n.n_name, n.r_name, n.c_name)) AS names
         |ORDER BY ck, len""".stripMargin)),
     // scan consolidation (§2.2 PatternScan over recognized patterns;
     // reference LogicalOptimizer.scala:67-134): the same expand answered
@@ -422,10 +425,10 @@ object CypherQueries {
     "c31_path_node_values" ->
       """SELECT ck, len, names FROM (
         |  SELECT c_custkey AS ck, CAST(1 AS BIGINT) AS len,
-        |         [c_name, n_name] AS names
+        |         '|' || c_name || '|' || n_name AS names
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL
-        |  SELECT c_custkey, 2, [c_name, n_name, r_name]
+        |  SELECT c_custkey, 2, '|' || c_name || '|' || n_name || '|' || r_name
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |                JOIN region ON n_regionkey = r_regionkey
         |) ORDER BY ck, len""".stripMargin,

@@ -224,8 +224,11 @@ object Dedup {
       val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
       val g = XGraph(vertices, edges)
       val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
+      // eagerly materialize BEFORE unpersisting — otherwise the Pregel
+      // result can be evicted and the whole fixpoint recomputed from
+      // lineage when the caller's join-back finally runs
       val out = cc.vertices.map { case (id, c) => (id, c) }
-        .toDF("id", "cluster")
+        .toDF("id", "cluster").localCheckpoint(true)
       g.unpersist(blocking = false)
       cc.unpersist(blocking = false)
       out

@@ -232,10 +232,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // error; Spark under ANSI would throw on e.g. 'a' < 1)
     case Eq(l, r) => compileCmp(l, r, _ === _, mismatch = Some(false))
     case Neq(l, r) => compileCmp(l, r, _ =!= _, mismatch = Some(true))
-    case Lt(l, r) => compileCmp(l, r, _ < _, mismatch = None)
-    case Lte(l, r) => compileCmp(l, r, _ <= _, mismatch = None)
-    case Gt(l, r) => compileCmp(l, r, _ > _, mismatch = None)
-    case Gte(l, r) => compileCmp(l, r, _ >= _, mismatch = None)
+    case Lt(l, r) => compileCmp(l, r, _ < _, mismatch = None, ordering = true)
+    case Lte(l, r) => compileCmp(l, r, _ <= _, mismatch = None, ordering = true)
+    case Gt(l, r) => compileCmp(l, r, _ > _, mismatch = None, ordering = true)
+    case Gte(l, r) => compileCmp(l, r, _ >= _, mismatch = None, ordering = true)
     case IsNull(x) => compile(x).isNull
     case IsNotNull(x) => compile(x).isNotNull
     case In(x, list) => compileIn(x, list)
@@ -245,10 +245,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // Cypher `=~` matches the WHOLE string (Matcher.matches); Spark's
     // regexp_like is a partial match (Matcher.find). Anchor with a
     // non-capturing group — constant-folded for literal patterns, and
-    // inline flags like (?i) keep working inside the group.
+    // inline flags like (?i) keep working inside the group. \A..\z, not
+    // ^..$: under find(), $ also matches before a final line terminator,
+    // so 'abc\n' =~ 'abc' would wrongly return true.
     case RegexMatch(l, r) =>
       regexp_like(compile(l),
-        concat(lit("^(?:"), compile(r).cast(StringType), lit(")$")))
+        concat(lit("\\A(?:"), compile(r).cast(StringType), lit(")\\z")))
 
     case Add(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
@@ -433,55 +435,65 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * TOTAL month count (Neo4j normalizes years into months —
     * reference Duration.scala stores (months, days, seconds, nanos)). */
   private def calendarIntervalAccessor(c: Column, key: String): Column =
-    durationParts(c, key, "calendar interval")
+    durationParts(c, key, CalendarIntervalType)
 
   private def durationAccessor(c: Column, key: String, t: DataType): Column =
-    durationParts(c, key, t.toString)
+    durationParts(c, key, t)
 
   /** Duration component accessors with Neo4j/reference semantics
     * (TemporalUdfs.scala:118-142): the month group (`years`, `quarters`,
     * `months`) and the day count are per-group totals; the time accessors
     * (`hours`, `minutes`, `seconds`, `milliseconds`, `microseconds`) are
-    * CUMULATIVE totals of the sub-day remainder — duration({seconds: 90})
+    * CUMULATIVE totals of the seconds group — duration({seconds: 90})
     * has .seconds = 90 and .minutes = 1 — and the `...OfX` forms are the
-    * mixed-radix digits (secondsOfMinute = 30). date_part on interval
-    * types yields the digits, so cumulative forms recompose from them. */
-  private def durationParts(c: Column, key: String, tn: String): Column = {
+    * mixed-radix digits (secondsOfMinute = 30). Each Spark interval type
+    * carries a subset of Neo4j's (months, days, seconds) groups; accessors
+    * outside the carried set read 0 (date_part would throw for them):
+    * CalendarIntervalType stores the raw triple (read directly — its
+    * date_part FOLDS whole days out of the microsecond field, which is
+    * not Neo4j's view), YearMonthIntervalType is months-only,
+    * DayTimeIntervalType is total-microsecond storage whose whole days
+    * surface in the DAY digit (documented divergence: a pure-time
+    * construction ≥ 24h cannot be told apart from a days construction
+    * once encoded — ReferenceParitySpec). */
+  private def durationParts(c: Column, key: String, t: DataType): Column = {
+    import graft.functions.IntervalFunctions._
     def p(unit: String) = date_part(lit(unit), c)
-    // digits (all interval types render these; absent groups read 0)
-    def yearsD = p("YEAR").cast(LongType)
-    def monthsD = p("MONTH").cast(LongType)
-    def daysD = p("DAY").cast(LongType)
-    def hoursD = p("HOUR").cast(LongType)
-    def minutesD = p("MINUTE").cast(LongType)
-    def secondsDec = p("SECOND") // decimal, carries sub-second digits
+    val zero = lit(0L)
+    val (monthsT, daysT, microsT): (Column, Column, Column) = t match {
+      case CalendarIntervalType =>
+        (intervalMonths(c), intervalDays(c), intervalMicros(c))
+      case _: YearMonthIntervalType =>
+        (p("YEAR").cast(LongType) * 12 + p("MONTH").cast(LongType), zero, zero)
+      case _ => // DayTimeIntervalType
+        (zero, p("DAY").cast(LongType),
+          (p("HOUR").cast(LongType) * 3600 +
+            p("MINUTE").cast(LongType) * 60) * 1000000L +
+            (p("SECOND") * 1000000L).cast(LongType))
+    }
+    // `/` on longs is double division; the Long cast truncates toward
+    // zero, matching Neo4j's component truncation for negative durations
+    def div(x: Column, k: Long) = (x / lit(k)).cast(LongType)
     key.toLowerCase match {
-      case "years" => yearsD
-      case "quarters" => ((yearsD * 12 + monthsD) / lit(3)).cast(LongType)
-      case "months" => yearsD * 12 + monthsD
-      case "monthsofyear" => monthsD
-      case "monthsofquarter" => monthsD % 3
-      case "weeks" => (daysD / lit(7)).cast(LongType)
-      case "days" => daysD
-      case "daysofweek" => daysD % 7
-      case "hours" => hoursD
-      case "minutes" => hoursD * 60 + minutesD
-      case "seconds" =>
-        hoursD * 3600 + minutesD * 60 + floor(secondsDec).cast(LongType)
-      case "milliseconds" =>
-        (hoursD * 3600 + minutesD * 60) * 1000 +
-          floor(secondsDec * 1000).cast(LongType)
-      case "microseconds" =>
-        (hoursD * 3600 + minutesD * 60) * 1000000L +
-          floor(secondsDec * 1000000L).cast(LongType)
-      case "minutesofhour" => minutesD
-      case "secondsofminute" => floor(secondsDec).cast(LongType)
-      case "millisecondsofsecond" =>
-        floor(secondsDec * 1000).cast(LongType) % 1000
-      case "microsecondsofsecond" =>
-        floor(secondsDec * 1000000L).cast(LongType) % 1000000L
+      case "years" => div(monthsT, 12)
+      case "quarters" => div(monthsT, 3)
+      case "months" => monthsT
+      case "monthsofyear" => monthsT % 12
+      case "monthsofquarter" => monthsT % 3
+      case "weeks" => div(daysT, 7)
+      case "days" => daysT
+      case "daysofweek" => daysT % 7
+      case "hours" => div(microsT, 3600000000L)
+      case "minutes" => div(microsT, 60000000L)
+      case "seconds" => div(microsT, 1000000L)
+      case "milliseconds" => div(microsT, 1000L)
+      case "microseconds" => microsT
+      case "minutesofhour" => div(microsT, 60000000L) % 60
+      case "secondsofminute" => div(microsT, 1000000L) % 60
+      case "millisecondsofsecond" => div(microsT, 1000L) % 1000
+      case "microsecondsofsecond" => microsT % 1000000L
       case other => throw new IllegalArgumentException(
-        s"unknown duration accessor .$other on $tn")
+        s"unknown duration accessor .$other on $t")
     }
   }
 
@@ -518,10 +530,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   }
 
   /** cross-family comparison: `mismatch` Some(v) → constant v unless an
-    * operand VALUE is null (then null, Cypher 3VL); None → always null. */
+    * operand VALUE is null (then null, Cypher 3VL); None → always null.
+    * `ordering` marks </<=/>/>= call sites: durations are NOT orderable in
+    * Neo4j (month lengths vary), so duration </> duration yields null even
+    * though Spark's interval types happen to sort. */
   private def compileCmp(l: Expr, r: Expr, op: (Column, Column) => Column,
-      mismatch: Option[Boolean]): Column = {
+      mismatch: Option[Boolean], ordering: Boolean = false): Column = {
     val (tl, tr) = (typeOf(l), typeOf(r))
+    if (ordering && isIntervalType(tl) && isIntervalType(tr))
+      return lit(null).cast(BooleanType)
     val structural = (tl, tr) match {
       // Cypher maps compare BY KEY; Spark struct comparison is positional
       // and ignores field names, so {a:1} = {b:1} would come back true.
@@ -562,14 +579,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
   /** normalized (months, days, microseconds) triple of a calendar
     * interval — the reference Duration's component form (Duration.scala
-    * stores (months, days, seconds, nanos)). */
+    * stores (months, days, seconds, nanos)). Read from the RAW interval
+    * fields: Neo4j duration equality is component-wise, so PT24H and P1D
+    * are NOT equal — date_part's folded digits would conflate them. */
   private def calParts(c: Column): Column = {
-    def p(u: String) = date_part(lit(u), c)
+    import graft.functions.IntervalFunctions._
     val triple = struct(
-      (p("YEAR") * 12 + p("MONTH")).cast(LongType).as("months"),
-      p("DAY").cast(LongType).as("days"),
-      ((p("HOUR") * 3600 + p("MINUTE") * 60) * 1000000L +
-        floor(p("SECOND") * 1000000L).cast(LongType)).as("micros"))
+      intervalMonths(c).as("months"),
+      intervalDays(c).as("days"),
+      intervalMicros(c).as("micros"))
     val tripleType = StructType(Seq(StructField("months", LongType),
       StructField("days", LongType), StructField("micros", LongType)))
     when(c.isNull, lit(null).cast(tripleType)).otherwise(triple)

@@ -39,13 +39,13 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("anchored regex constant-folds to a literal RLIKE pattern") {
-    // =~ anchors with concat('^(?:', pattern, ')$'); for literal patterns
+    // =~ anchors with concat('\A(?:', pattern, ')\z'); for literal patterns
     // Catalyst must fold the concat so the comparison stays a literal
     // RLike (compiled-once regex) instead of a per-row concat + compile
     val df = gs.cypher(g,
       "MATCH (c:Customer) WHERE c.c_name =~ 'Customer.*13' RETURN c.c_custkey AS ck")
     val opt = df.queryExecution.optimizedPlan.toString()
-    assert(opt.contains("RLIKE") && opt.contains("^(?:Customer.*13)$") &&
+    assert(opt.contains("RLIKE") && opt.contains("\\A(?:Customer.*13)\\z") &&
       !opt.contains("concat("),
       s"regex anchor not constant-folded:\n$opt")
   }

@@ -99,4 +99,41 @@ class ReferenceParitySpec extends AnyFunSuite {
       "RETURN duration.between(date('2024-01-01'), date('2025-03-01')).months AS m")
       == 14L)
   }
+  test("absent duration groups read 0 instead of failing analysis") {
+    // day-time durations carry no month group; Spark's date_part would
+    // throw AnalysisException for YEAR/MONTH fields on them (ADVICE r2)
+    assert(one("RETURN duration({days: 3}).months AS m") == 0L)
+    assert(one("RETURN duration({days: 3}).years AS y") == 0L)
+    assert(one("RETURN duration({hours: 5}).quarters AS q") == 0L)
+    assert(one(
+      "RETURN duration.inDays(date('2020-01-01'), date('2020-03-01')).monthsOfYear AS m")
+      == 0L)
+  }
+  test("calendar durations keep day and seconds groups separate (raw fields)") {
+    // Spark date_part folds hours>=24 into the DAY digit; Neo4j keeps the
+    // groups as constructed. Month-bearing durations store the raw triple.
+    assert(one("RETURN duration({months: 1, hours: 26}).days AS d") == 0L)
+    assert(one("RETURN duration({months: 1, hours: 26}).hours AS h") == 26L)
+    assert(one("RETURN duration({months: 1, hours: 26}).minutes AS m") == 26L * 60)
+    // DOCUMENTED DIVERGENCE: day-time durations are total-microsecond
+    // storage, so a pure-time construction >= 24h is indistinguishable
+    // from a days construction — the DAY digit absorbs whole days.
+    assert(one("RETURN duration({hours: 26}).days AS d") == 1L)
+  }
+  test("calendar duration equality is component-wise: P1M != P30D-equivalents") {
+    assert(one(
+      "RETURN duration({months: 1, hours: 24}) = duration({months: 1, days: 1}) AS x")
+      == false)
+    assert(one(
+      "RETURN duration({months: 13}) = duration({years: 1, months: 1}) AS x")
+      == true)
+  }
+  test("durations are not orderable: </> between durations is null") {
+    assert(one("RETURN duration({months: 1}) > duration({days: 40}) AS x") == null)
+    assert(one("RETURN duration({days: 1}) < duration({days: 2}) AS x") == null)
+  }
+  test("=~ anchors with \\A..\\z: trailing newline is not forgiven") {
+    assert(one("RETURN 'abc\n' =~ 'abc' AS x") == false)
+    assert(one("RETURN 'abc' =~ 'abc' AS x") == true)
+  }
 }
