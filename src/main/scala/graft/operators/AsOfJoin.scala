@@ -21,9 +21,57 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** As-of backward join, skew-routed by default: a sampled key histogram
+    * (one job — sample → per-key counts → max/total) estimates whether a
+    * single key dominates the window partitioning. Past `skewShare` of
+    * sampled rows AND `minHotKeyRows` estimated rows in the hottest key,
+    * the per-key window would serialize that key through one task, so the
+    * join falls through to [[asofBackwardBucketed]] (keys × time-buckets
+    * parallelism). Otherwise the single-shuffle plain variant runs — on
+    * balanced keys it is strictly cheaper (no summary/carry passes).
+    *
+    * `skewSampleFraction = 0` disables detection (always plain). Map-typed
+    * right payloads always take the plain path (the bucketed summary needs
+    * an orderable struct).
+    */
   def asofBackward(left: DataFrame, right: DataFrame, tsCol: String,
-      keys: Seq[String], rightPrefix: String = "asof_"): DataFrame = {
+      keys: Seq[String], rightPrefix: String = "asof_",
+      skewSampleFraction: Double = 0.05, skewShare: Double = 0.3,
+      minHotKeyRows: Long = 1000000L, buckets: Int = 32): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val rPayloadOrderable = !right.schema.fields
+      .filterNot(f => keys.contains(f.name)).exists(f => hasMap(f.dataType))
+    if (skewSampleFraction > 0 && rPayloadOrderable) {
+      val keyCols = keys.map(c => col(s"`$c`"))
+      val stats = left.select(keyCols: _*)
+        .unionByName(right.select(keyCols: _*))
+        .sample(withReplacement = false, skewSampleFraction, seed = 7)
+        .groupBy(keyCols: _*).agg(count(lit(1)).as("_cnt"))
+        .agg(max(col("_cnt")).as("_max"), sum(col("_cnt")).as("_tot")).head()
+      if (!stats.isNullAt(0)) {
+        val (hot, tot) = (stats.getLong(0), stats.getLong(1))
+        val estHotRows = (hot / skewSampleFraction).toLong
+        if (tot > 0 && hot.toDouble / tot >= skewShare &&
+            estHotRows >= minHotKeyRows)
+          return asofBackwardBucketed(left, right, tsCol, keys, buckets,
+            rightPrefix)
+      }
+    }
+    asofPlain(left, right, tsCol, keys, rightPrefix)
+  }
+
+  private def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case ArrayType(e, _) => hasMap(e)
+      case _ => false
+    }
+  }
+
+  private def asofPlain(left: DataFrame, right: DataFrame, tsCol: String,
+      keys: Seq[String], rightPrefix: String): DataFrame = {
     val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rPayloadCols.map(c => col(s"`$c`")): _*)
     val rStructType = right.select(rStruct.as("_r")).schema("_r").dataType
@@ -98,7 +146,7 @@ object AsOfJoin {
     val bounds = merged.agg(
       min(col("_ts").cast("double")), max(col("_ts").cast("double"))).head()
     if (bounds.isNullAt(0))
-      return asofBackward(left, right, tsCol, keys, rightPrefix)
+      return asofPlain(left, right, tsCol, keys, rightPrefix)
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val width = math.max((mx - mn) / buckets, Double.MinPositiveValue)
     val bucketed = merged.withColumn("_b",

@@ -454,6 +454,40 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed === plain)
   }
 
+  test("as-of auto-routes a 90%-one-key input to the bucketed plan") {
+    val s = spark
+    import s.implicits._
+    // 90% of both sides share key 7 — the plain per-key window would
+    // serialize that key through one task at scale
+    val quotes = (1 to 500).map(i =>
+      (if (i % 10 == 0) i.toLong % 5 + 100 else 7L, i.toLong * 3, i * 1.0))
+      .toDF("sym", "ts", "px")
+    val trades = (1 to 600).map(i =>
+      (if (i % 10 == 0) i.toLong % 5 + 100 else 7L, i.toLong * 2 + 1, i.toLong))
+      .toDF("sym", "ts", "tid")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("tid", "asof_px").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val routed = graft.operators.AsOfJoin.asofBackward(
+      trades, quotes, "ts", Seq("sym"),
+      skewSampleFraction = 0.5, skewShare = 0.5, minHotKeyRows = 100L)
+    // the bucketed shape carries the cross-bucket summary join (_cb col)
+    assert(routed.queryExecution.analyzed.toString.contains("_cb"),
+      "expected the bucketed carry-join plan to engage on a hot key")
+    val reference = norm(graft.operators.AsOfJoin.asofBackward(
+      trades, quotes, "ts", Seq("sym"), skewSampleFraction = 0.0))
+    assert(norm(routed) === reference)
+    // balanced keys stay on the single-shuffle plain plan
+    val balancedQ = (1 to 500).map(i => (i.toLong % 50, i.toLong * 3, i * 1.0))
+      .toDF("sym", "ts", "px")
+    val balancedT = (1 to 500).map(i => (i.toLong % 50, i.toLong * 2, i.toLong))
+      .toDF("sym", "ts", "tid")
+    val plainRoute = graft.operators.AsOfJoin.asofBackward(
+      balancedT, balancedQ, "ts", Seq("sym"),
+      skewSampleFraction = 0.5, skewShare = 0.5, minHotKeyRows = 100L)
+    assert(!plainRoute.queryExecution.analyzed.toString.contains("_cb"))
+  }
+
   test("multi-label nodes: subset scans and label predicates") {
     val s = spark
     import s.implicits._
