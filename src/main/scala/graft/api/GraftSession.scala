@@ -227,6 +227,17 @@ class GraftSession(val spark: SparkSession) {
     g
   }
 
+  /** Typed Graph DDL entry point (reference grammar: element types with
+    * EXTENDS inheritance, CREATE GRAPH TYPE schema patterns, view
+    * mappings with JOIN ON — graft.sources.TypedGraphDdl). Registers and
+    * returns every graph the document declares. */
+  def createTypedGraphs(ddl: String,
+      validate: Boolean = true): Map[String, PropertyGraph] = {
+    val gs = graft.sources.TypedGraphDdl.createGraphs(spark, ddl, validate)
+    gs.foreach { case (n, g) => register(n, g) }
+    gs
+  }
+
   /** Build an in-memory graph from openCypher `CREATE` statements (the
     * TCK fixture form; reference: okapi-testing CreateGraphFactory).
     * Property values must be literals. */
