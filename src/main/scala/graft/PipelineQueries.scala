@@ -241,10 +241,11 @@ object PipelineQueries {
           length(col("frame_payload")).as("frame_bytes"))
         .orderBy("doc_id", "frame_idx")
     }),
-    // multimodal decode/feature-extract plumbing (stubbed codec; rows-only)
+    // multimodal decode/feature-extract: REAL PNG payloads decoded via
+    // javax.imageio, features from actual pixels (rows-only)
     "p14_media_features" -> ((s, dir) => {
-      val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
-      Multimodal.decodeFeaturesStub(media, featDim = 8).toDF()
+      val media = Multimodal.attachImageMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(media, featDim = 8).toDF()
         .select(col("doc_id"), col("kind"), col("feat_dim"),
           round(col("feat_mean"), 4).as("feat_mean"))
         .orderBy("doc_id")

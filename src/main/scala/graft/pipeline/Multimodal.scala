@@ -8,15 +8,20 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extraction /
   * resize / frame-sampling operators.
   *
-  * The ACTUAL codec step is STUBBED (this container has no image/audio
-  * libraries): [[decodeFeaturesStub]] produces a deterministic fake
-  * feature vector from the payload bytes. Everything around it — schema,
-  * batch shape (mapPartitions over iterator batches, the Scala analogue
-  * of mapInPandas), partitioning for decode parallelism, metadata
-  * propagation — is real and tested, so swapping in a real decoder is a
+  * IMAGES decode for real via `javax.imageio` (in-JDK, jar-free):
+  * [[decodeFeatures]] reads PNG/JPEG payloads into pixel-derived
+  * features and [[resizeImages]] rescales + re-encodes. AUDIO/VIDEO
+  * codecs don't exist in the JDK, so those kinds fall back to a
+  * deterministic byte-fold stand-in — the batch shape (mapPartitions
+  * over iterator batches, the Scala analogue of mapInPandas),
+  * partitioning for decode parallelism, and metadata propagation are
+  * identical either way, so swapping in a real av codec is a
   * one-function change.
   */
 object Multimodal {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
 
   /** one decoded media item. */
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
@@ -51,14 +56,50 @@ object Multimodal {
         .as("duration_ms"))
   }
 
-  /** Decode + feature-extract. Runs as mapPartitions so a real decoder
-    * amortizes model/codec init once per partition (the reason mapInPandas
-    * batches exist). Repartition first so decode parallelism is
-    * independent of upstream file splits.
+  /** Generate REAL PNG payloads for a corpus: one small image per doc,
+    * pixels drawn deterministically from (doc id, text hash) by a
+    * splitmix-style generator, encoded through `javax.imageio`. Every row
+    * is a decodable image — the input [[decodeFeatures]]' real path
+    * exercises end to end. */
+  def attachImageMedia(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 16, height: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          var seed = id * 1125899906842597L ^
+            (if (text == null) 0L else text.hashCode.toLong)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              seed = seed * 6364136223846793005L + 1442695040888963407L
+              img.setRGB(x, y, ((seed >>> 33) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          MediaRow(id, "image", bos.toByteArray, width, height, 0L)
+        }
+      }.toDF()
+  }
+
+  /** Decode + feature-extract. Runs as mapPartitions so decoder init
+    * amortizes once per partition (the reason mapInPandas batches exist).
+    * Repartition first so decode parallelism is independent of upstream
+    * file splits.
     *
-    * STUB: features are a deterministic hash-fold of the payload — replace
-    * the body of `fakeDecode` with a real codec call to productionize. */
-  def decodeFeaturesStub(media: DataFrame, featDim: Int = 8,
+    * `image` payloads decode for REAL (`javax.imageio` — PNG/JPEG/BMP/GIF):
+    * features are per-band mean luminance over `featDim` equal pixel
+    * spans. Audio/video kinds (and undecodable images) fall back to the
+    * deterministic byte-fold stand-in — no av codec ships with the JDK. */
+  def decodeFeatures(media: DataFrame, featDim: Int = 8,
       decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -68,15 +109,53 @@ object Multimodal {
     balanced.as[MediaRow].mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights)
       rows.map { r =>
-        val feats = fakeDecode(r.payload, featDim)
+        val feats = (if (r.kind == "image") decodeImage(r.payload, featDim)
+          else None).getOrElse(fakeDecode(r.payload, featDim))
         MediaFeatures(r.doc_id, r.kind, featDim,
           feats.map(_.toDouble).sum / featDim, feats)
       }
     }
   }
 
-  /** ??? real decoder goes here — deterministic fake: fold payload bytes
-    * into featDim buckets. */
+  /** Former stub entry point — now routes through the real decoder
+    * (identical batching; opaque payloads take the byte-fold fallback). */
+  def decodeFeaturesStub(media: DataFrame, featDim: Int = 8,
+      decodeParallelism: Int = 0): Dataset[MediaFeatures] =
+    decodeFeatures(media, featDim, decodeParallelism)
+
+  /** real image decode: mean luminance (ITU-R 601) per featDim equal
+    * spans of the row-major pixel sequence. None when the payload is not
+    * a decodable image. */
+  private[graft] def decodeImage(payload: Array[Byte],
+      featDim: Int): Option[Array[Float]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val acc = new Array[Float](featDim)
+        val cnt = new Array[Int](featDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 0.299f +
+              ((rgb >> 8) & 0xFF) * 0.587f + (rgb & 0xFF) * 0.114f) / 255f
+            val b = ((y.toLong * w + x) * featDim / (w.toLong * h)).toInt
+            acc(b) += lum; cnt(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < featDim) { if (cnt(i) > 0) acc(i) /= cnt(i); i += 1 }
+        Some(acc)
+      }
+    } catch { case _: Exception => None }
+
+  /** deterministic byte-fold stand-in for kinds with no in-JDK codec:
+    * fold payload bytes into featDim buckets. */
   private def fakeDecode(payload: Array[Byte], featDim: Int): Array[Float] = {
     val acc = new Array[Float](featDim)
     var i = 0
@@ -85,6 +164,37 @@ object Multimodal {
       i += 1
     }
     acc
+  }
+
+  /** REAL image resize: decode, rescale through a Graphics2D draw (JDK
+    * raster ops, headless-safe), re-encode PNG. Non-image rows and
+    * undecodable payloads pass through with updated metadata only.
+    * Same mapPartitions batching as [[decodeFeatures]]. */
+  def resizeImages(media: DataFrame, newWidth: Int,
+      newHeight: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val resized =
+          if (r.kind != "image") None
+          else try {
+            Option(ImageIO.read(new ByteArrayInputStream(r.payload))).map {
+              img =>
+                val out = new BufferedImage(newWidth, newHeight,
+                  BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try g.drawImage(img, 0, 0, newWidth, newHeight, null)
+                finally g.dispose()
+                val bos = new ByteArrayOutputStream()
+                ImageIO.write(out, "png", bos)
+                bos.toByteArray
+            }
+          } catch { case _: Exception => None }
+        r.copy(payload = resized.getOrElse(r.payload),
+          width = newWidth, height = newHeight)
+      }
+    }.toDF()
   }
 
   /** "Resize": metadata transform + payload truncation proportional to the
