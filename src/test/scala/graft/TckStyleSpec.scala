@@ -1924,7 +1924,403 @@ class TckStyleSpec extends AnyFunSuite {
         |duration('PT1.5S').millisecondsOfSecond AS msos,
         |duration('PT1.5S').microseconds AS us""".stripMargin,
       Seq(row("w" -> 5L, "ms" -> 1500L, "msos" -> 500L, "us" -> 1500000L)))
-  )
+  ) ++ scenariosRound3
+
+  // split into a second method: a single Seq literal of 550+ scenarios
+  // exceeds the JVM's 64k bytecode-per-method limit
+  private def scenariosRound3: Seq[Scenario] = Seq(
+    // ===== round-3 batch: WITH scoping (TCK WithAcceptance intents)
+    Scenario("with-renames-and-drops-scope", triad,
+      """MATCH (x:P) WITH x.v AS value
+        |RETURN value ORDER BY value""".stripMargin,
+      Seq(row("value" -> 1L), row("value" -> 2L), row("value" -> 3L)),
+      ordered = true),
+    Scenario("with-shadows-previous-binding", triad,
+      """MATCH (x:P {n: 'a'}) WITH x.v AS v
+        |WITH v + 10 AS v
+        |RETURN v""".stripMargin,
+      Seq(row("v" -> 11L))),
+    Scenario("with-where-filters-mid-pipeline", triad,
+      """MATCH (x:P) WITH x.v AS v WHERE v > 1
+        |RETURN v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 2L), row("v" -> 3L)), ordered = true),
+    Scenario("with-star-keeps-all-plus-extra", triad,
+      """MATCH (x:P {n: 'b'}) WITH *, x.v * 2 AS dbl
+        |RETURN x.n AS n, dbl""".stripMargin,
+      Seq(row("n" -> "b", "dbl" -> 4L))),
+    Scenario("with-limit-cuts-before-next-match", triad,
+      """MATCH (x:P) WITH x ORDER BY x.v LIMIT 1
+        |MATCH (x)-[:R]->(y) RETURN y.n AS n""".stripMargin,
+      Seq(row("n" -> "b"))),
+    Scenario("with-skip-then-return", triad,
+      """MATCH (x:P) WITH x.v AS v ORDER BY v SKIP 1
+        |RETURN v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 2L), row("v" -> 3L)), ordered = true),
+    Scenario("with-distinct-dedups-rows", loops,
+      """MATCH (a:L)-[:S]->() WITH DISTINCT a
+        |RETURN a.v AS v""".stripMargin,
+      Seq(row("v" -> 1L))),
+    Scenario("with-aggregate-then-expand", triad,
+      """MATCH (x:P) WITH max(x.v) AS top
+        |MATCH (y:P {v: top}) RETURN y.n AS n""".stripMargin,
+      Seq(row("n" -> "c"))),
+    Scenario("chained-with-renames", triad,
+      """MATCH (x:P {n: 'c'}) WITH x.v AS a
+        |WITH a AS b WITH b AS c RETURN c""".stripMargin,
+      Seq(row("c" -> 3L))),
+    Scenario("with-expression-not-in-scope-after", triad,
+      """MATCH (x:P) WITH x.v AS v, x.n AS n WHERE n = 'a'
+        |RETURN v, n""".stripMargin,
+      Seq(row("v" -> 1L, "n" -> "a"))),
+    Scenario("with-order-by-aliased-expression", triad,
+      """MATCH (x:P) WITH x.v * -1 AS neg ORDER BY neg
+        |RETURN collect(neg) AS ns""".stripMargin,
+      Seq(row("ns" -> List(-3L, -2L, -1L)))),
+    Scenario("with-aggregation-groups-remaining-columns", social,
+      """MATCH (p:Person)-[:KNOWS]->(q)
+        |WITH p.name AS who, count(q) AS n
+        |RETURN who, n ORDER BY who""".stripMargin,
+      Seq(row("who" -> "Alice", "n" -> 2L), row("who" -> "Bob", "n" -> 1L),
+        row("who" -> "Carol", "n" -> 1L)), ordered = true),
+    Scenario("with-bound-node-usable-in-property-pattern", triad,
+      """MATCH (a:P {n: 'a'}) WITH a
+        |MATCH (a)-[:S]->(c) RETURN c.n AS n""".stripMargin,
+      Seq(row("n" -> "c"))),
+    Scenario("a-simple-pattern-with-one-bound-endpoint", triad,
+      """MATCH (a:P {n: 'a'}) WITH a
+        |MATCH (a)-[r:R]->(b) RETURN b.n AS n""".stripMargin,
+      Seq(row("n" -> "b"))),
+
+    // ===== aggregation edge cases (TCK AggregationAcceptance intents)
+    Scenario("count-star-vs-count-prop-on-nulls", nulls,
+      "MATCH (x:X) RETURN count(*) AS all, count(x.k) AS ks, count(x.s) AS ss",
+      Seq(row("all" -> 3L, "ks" -> 2L, "ss" -> 2L))),
+    Scenario("collect-drops-null-properties", nulls,
+      "MATCH (x:X) RETURN size(collect(x.s)) AS n",
+      Seq(row("n" -> 2L))),
+    Scenario("collect-distinct-dedups", chain,
+      """MATCH (:N)-[r:R]->() RETURN size(collect(DISTINCT r.w % 2)) AS n""",
+      Seq(row("n" -> 2L))),
+    Scenario("min-max-over-person-names", social,
+      "MATCH (p:Person) RETURN min(p.name) AS mn, max(p.name) AS mx",
+      Seq(row("mn" -> "Alice", "mx" -> "Dave"))),
+    Scenario("avg-of-two-integers-is-float", empty,
+      "UNWIND [1, 2] AS v RETURN avg(v) AS a",
+      Seq(row("a" -> 1.5))),
+    Scenario("sum-distinct", empty,
+      "UNWIND [1, 1, 2, 3, 3] AS v RETURN sum(DISTINCT v) AS s",
+      Seq(row("s" -> 6L))),
+    Scenario("count-distinct-expression", social,
+      "MATCH (p:Person) RETURN count(DISTINCT p.age % 10) AS n",
+      Seq(row("n" -> 2L))),
+    Scenario("grouping-key-is-expression", social,
+      """MATCH (p:Person) RETURN p.age / 10 AS decade, count(*) AS n
+        |ORDER BY decade""".stripMargin,
+      Seq(row("decade" -> 2L, "n" -> 1L), row("decade" -> 3L, "n" -> 2L),
+        row("decade" -> 4L, "n" -> 1L)), ordered = true),
+    Scenario("aggregate-on-empty-match-global", empty,
+      "MATCH (n:NoSuch) RETURN count(n) AS n, sum(n.v) AS s",
+      Seq(row("n" -> 0L, "s" -> 0L))),
+    Scenario("grouped-aggregate-on-empty-match-is-empty", empty,
+      "MATCH (n:NoSuch) RETURN n.v AS v, count(*) AS c",
+      Seq.empty),
+    Scenario("min-max-of-mixed-null-and-value", nulls,
+      "MATCH (x:X) RETURN min(x.k) AS mn, max(x.k) AS mx",
+      Seq(row("mn" -> 1L, "mx" -> 2L))),
+    Scenario("collect-inside-expression", social,
+      "MATCH (p:Person) RETURN size(collect(p.name)) + 1 AS n",
+      Seq(row("n" -> 5L))),
+    Scenario("aggregates-with-limit-after", social,
+      """MATCH (p:Person) RETURN p.city AS city, count(*) AS n
+        |ORDER BY n DESC, city LIMIT 1""".stripMargin,
+      Seq(row("city" -> "Berlin", "n" -> 2L)), ordered = true),
+    Scenario("count-nodes-and-rels-together", triad,
+      "MATCH (a:P)-[r]->(b:P) RETURN count(a) AS na, count(r) AS nr",
+      Seq(row("na" -> 3L, "nr" -> 3L))),
+    Scenario("avg-ignores-null-inputs", nulls,
+      "MATCH (x:X) RETURN avg(x.k) AS a",
+      Seq(row("a" -> 1.5))),
+    Scenario("percentile-on-group", chain,
+      """MATCH (n:N) RETURN percentileCont(n.v, 0.5) AS med""",
+      Seq(row("med" -> 2.5))),
+
+    // ===== OPTIONAL MATCH chains (TCK OptionalMatchAcceptance intents)
+    Scenario("two-optional-matches-chained", triad,
+      """MATCH (a:P {n: 'a'})
+        |OPTIONAL MATCH (a)-[:R]->(b)
+        |OPTIONAL MATCH (b)-[:R]->(c)
+        |RETURN b.n AS bn, c.n AS cn""".stripMargin,
+      Seq(row("bn" -> "b", "cn" -> "c"))),
+    Scenario("optional-chain-stops-at-first-null", triad,
+      """MATCH (c:P {n: 'c'})
+        |OPTIONAL MATCH (c)-[:R]->(d)
+        |OPTIONAL MATCH (d)-[:R]->(e)
+        |RETURN d.n AS dn, e.n AS en""".stripMargin,
+      Seq(row("dn" -> null, "en" -> null))),
+    Scenario("optional-match-with-where-on-optional-var", social,
+      """MATCH (p:Person {name: 'Alice'})
+        |OPTIONAL MATCH (p)-[k:KNOWS]->(q) WHERE k.since > 2011
+        |RETURN q.name AS qn""".stripMargin,
+      Seq(row("qn" -> "Carol"))),
+    Scenario("optional-match-where-false-keeps-row", social,
+      """MATCH (p:Person {name: 'Alice'})
+        |OPTIONAL MATCH (p)-[k:KNOWS]->(q) WHERE k.since > 9999
+        |RETURN p.name AS pn, q.name AS qn""".stripMargin,
+      Seq(row("pn" -> "Alice", "qn" -> null))),
+    Scenario("optional-then-aggregate-counts-nulls-as-zero", social,
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[:KNOWS]->(q:Admin)
+        |RETURN p.name AS pn, count(q) AS n ORDER BY pn""".stripMargin,
+      Seq(row("pn" -> "Alice", "n" -> 0L), row("pn" -> "Bob", "n" -> 0L),
+        row("pn" -> "Carol", "n" -> 1L), row("pn" -> "Dave", "n" -> 0L)),
+      ordered = true),
+    Scenario("optional-null-propagates-through-expressions", triad,
+      """MATCH (c:P {n: 'c'})
+        |OPTIONAL MATCH (c)-[:R]->(d)
+        |RETURN d.v + 1 AS dv, d.v IS NULL AS isn""".stripMargin,
+      Seq(row("dv" -> null, "isn" -> true))),
+    Scenario("optional-match-both-new-vars", social,
+      """MATCH (r:Robot)
+        |OPTIONAL MATCH (x:Person {name: 'Nobody'})-[:KNOWS]->(y)
+        |RETURN r.name AS rn, x.name AS xn, y.name AS yn""".stripMargin,
+      Seq(row("rn" -> "R2", "xn" -> null, "yn" -> null))),
+    Scenario("optional-match-reuses-matched-rel-type", triad,
+      """MATCH (a:P {n: 'a'})-[:S]->(c)
+        |OPTIONAL MATCH (c)<-[:R]-(mid) RETURN c.n AS cn, mid.n AS mn""".stripMargin,
+      Seq(row("cn" -> "c", "mn" -> "b"))),
+    Scenario("optional-varlength-null-when-no-path", triad,
+      """MATCH (c:P {n: 'c'})
+        |OPTIONAL MATCH (c)-[rs:R*1..2]->(x)
+        |RETURN x.n AS xn""".stripMargin,
+      Seq(row("xn" -> null))),
+    Scenario("optional-on-bound-null-stays-null", triad,
+      """MATCH (c:P {n: 'c'}) OPTIONAL MATCH (c)-[:R]->(d)
+        |WITH d OPTIONAL MATCH (d)-[:S]->(e)
+        |RETURN d.n AS dn, e.n AS en""".stripMargin,
+      Seq(row("dn" -> null, "en" -> null))),
+
+    // ===== type conversions (TCK TypeConversionFunctions intents)
+    Scenario("tointeger-truncates-floats", empty,
+      "RETURN toInteger(3.9) AS a, toInteger(-3.9) AS b",
+      Seq(row("a" -> 3L, "b" -> -3L))),
+    Scenario("tointeger-parses-strings-or-nulls", empty,
+      "RETURN toInteger('42') AS a, toInteger('not a number') AS b",
+      Seq(row("a" -> 42L, "b" -> null))),
+    Scenario("tofloat-parses-and-rejects", empty,
+      "RETURN toFloat('2.5') AS a, toFloat('x') AS b, toFloat(7) AS c",
+      Seq(row("a" -> 2.5, "b" -> null, "c" -> 7.0))),
+    Scenario("toboolean-strings", empty,
+      "RETURN toBoolean('true') AS t, toBoolean('false') AS f, toBoolean('nope') AS n",
+      Seq(row("t" -> true, "f" -> false, "n" -> null))),
+    Scenario("tostring-of-int-and-bool", empty,
+      "RETURN toString(42) AS i, toString(true) AS b",
+      Seq(row("i" -> "42", "b" -> "true"))),
+    Scenario("conversions-preserve-null", empty,
+      "RETURN toInteger(null) AS a, toFloat(null) AS b, toString(null) AS c",
+      Seq(row("a" -> null, "b" -> null, "c" -> null))),
+
+    // ===== list operations (TCK ListOperations intents)
+    Scenario("list-concat-and-length", empty,
+      "RETURN size([1, 2] + [3]) AS n, [1] + [] AS l",
+      Seq(row("n" -> 3L, "l" -> List(1L)))),
+    Scenario("list-in-nested-lists", empty,
+      "RETURN [1, 2] IN [[1, 2], [3]] AS yes, [9] IN [[1, 2]] AS no",
+      Seq(row("yes" -> true, "no" -> false))),
+    Scenario("head-last-tail-on-lists", empty,
+      "RETURN head([1, 2, 3]) AS h, last([1, 2, 3]) AS l, tail([1, 2, 3]) AS t",
+      Seq(row("h" -> 1L, "l" -> 3L, "t" -> List(2L, 3L)))),
+    Scenario("head-last-of-empty-list-null", empty,
+      "RETURN head([]) AS h, last([]) AS l, size(tail([])) AS t",
+      Seq(row("h" -> null, "l" -> null, "t" -> 0L))),
+    Scenario("reverse-list-and-string", empty,
+      "RETURN reverse([1, 2, 3]) AS l, reverse('abc') AS s",
+      Seq(row("l" -> List(3L, 2L, 1L), "s" -> "cba"))),
+    Scenario("list-index-out-of-bounds-null", empty,
+      "RETURN [1, 2][5] AS over, [1, 2][-5] AS under",
+      Seq(row("over" -> null, "under" -> null))),
+    Scenario("list-slice-beyond-bounds-clamps", empty,
+      "RETURN [1, 2, 3][1..99] AS a, [1, 2, 3][0..0] AS b",
+      Seq(row("a" -> List(2L, 3L), "b" -> List()))),
+    Scenario("range-endpoints-inclusive", empty,
+      "RETURN range(2, 5) AS r, size(range(0, 9)) AS n",
+      Seq(row("r" -> List(2L, 3L, 4L, 5L), "n" -> 10L))),
+    Scenario("list-comprehension-filter-and-map", empty,
+      "RETURN [x IN range(1, 6) WHERE x % 2 = 0 | x * 10] AS l",
+      Seq(row("l" -> List(20L, 40L, 60L)))),
+    Scenario("nested-list-comprehension", empty,
+      "RETURN [x IN [1, 2] | [y IN [10] | x + y]] AS l",
+      Seq(row("l" -> List(List(11L), List(12L))))),
+    Scenario("reduce-sum-over-list", empty,
+      "RETURN reduce(acc = 0, x IN [1, 2, 3, 4] | acc + x) AS s",
+      Seq(row("s" -> 10L))),
+    Scenario("reduce-string-fold-ordered", empty,
+      "RETURN reduce(s = '', x IN ['a', 'b', 'c'] | s + x) AS s",
+      Seq(row("s" -> "abc"))),
+    Scenario("quantifiers-over-literal-lists", empty,
+      """RETURN all(x IN [1, 2] WHERE x > 0) AS a,
+        |any(x IN [1, 2] WHERE x > 1) AS b,
+        |none(x IN [1, 2] WHERE x > 5) AS c,
+        |single(x IN [1, 2] WHERE x = 2) AS d""".stripMargin,
+      Seq(row("a" -> true, "b" -> true, "c" -> true, "d" -> true))),
+    Scenario("list-of-nodes-size", triad,
+      "MATCH (p:P) WITH collect(p) AS ps RETURN size(ps) AS n",
+      Seq(row("n" -> 3L))),
+    Scenario("split-and-join-roundtrip", empty,
+      "RETURN split('a,b,c', ',') AS l, size(split('a,b,c', ',')) AS n",
+      Seq(row("l" -> List("a", "b", "c"), "n" -> 3L))),
+    Scenario("empty-list-literals-and-isempty", empty,
+      "RETURN isEmpty([]) AS e, isEmpty([1]) AS ne, isEmpty('') AS es",
+      Seq(row("e" -> true, "ne" -> false, "es" -> true))),
+
+    // ===== UNWIND (TCK UnwindAcceptance intents)
+    Scenario("unwind-collected-expression", triad,
+      """MATCH (x:P) WITH collect(x.v) AS vs
+        |UNWIND vs AS v RETURN v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 1L), row("v" -> 2L), row("v" -> 3L)), ordered = true),
+    Scenario("unwind-keeps-other-variables-in-scope", triad,
+      """MATCH (x:P {n: 'a'}) UNWIND [10, 20] AS u
+        |RETURN x.n AS n, u ORDER BY u""".stripMargin,
+      Seq(row("n" -> "a", "u" -> 10L), row("n" -> "a", "u" -> 20L)),
+      ordered = true),
+    Scenario("unwind-empty-list-produces-no-rows", empty,
+      "UNWIND [] AS x RETURN x",
+      Seq.empty),
+    Scenario("unwind-null-produces-no-rows", empty,
+      "UNWIND null AS x RETURN x",
+      Seq.empty),
+    Scenario("double-unwind-cross-product", empty,
+      """UNWIND [1, 2] AS a UNWIND ['x', 'y'] AS b
+        |RETURN a, b ORDER BY a, b""".stripMargin,
+      Seq(row("a" -> 1L, "b" -> "x"), row("a" -> 1L, "b" -> "y"),
+        row("a" -> 2L, "b" -> "x"), row("a" -> 2L, "b" -> "y")),
+      ordered = true),
+    Scenario("unwind-range-then-aggregate", empty,
+      "UNWIND range(1, 100) AS x RETURN sum(x) AS s",
+      Seq(row("s" -> 5050L))),
+    Scenario("unwind-nested-list-one-level", empty,
+      "UNWIND [[1, 2], [3]] AS l RETURN size(l) AS n ORDER BY n",
+      Seq(row("n" -> 1L), row("n" -> 2L)), ordered = true),
+    Scenario("unwind-distinct-aggregation", empty,
+      "UNWIND [1, 1, 2] AS x RETURN count(DISTINCT x) AS n",
+      Seq(row("n" -> 2L))),
+
+    // ===== var-length bounds (TCK VarLengthAcceptance intents)
+    Scenario("varlength-lower-bound-only", chain,
+      """MATCH (s:N {v: 1})-[:R*2..3]->(x) RETURN x.v AS v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 3L), row("v" -> 4L)), ordered = true),
+    Scenario("varlength-exact-length", chain,
+      "MATCH (s:N {v: 1})-[:R*2]->(x) RETURN x.v AS v",
+      Seq(row("v" -> 3L))),
+    Scenario("varlength-zero-or-one", chain,
+      """MATCH (s:N {v: 2})-[:R*0..1]->(x) RETURN x.v AS v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 2L), row("v" -> 3L)), ordered = true),
+    Scenario("varlength-zero-length-binds-same-node", chain,
+      "MATCH (s:N {v: 1})-[:R*0]->(x) RETURN x.v AS v",
+      Seq(row("v" -> 1L))),
+    Scenario("varlength-then-fixed-rel-in-chain", chain,
+      """MATCH (s:N {v: 1})-[:R*1..2]->()-[:R]->(x)
+        |RETURN x.v AS v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 3L), row("v" -> 4L)), ordered = true),
+    Scenario("fixed-rel-then-varlength-in-chain", chain,
+      """MATCH (s:N {v: 1})-[:R]->()-[:R*1..2]->(x)
+        |RETURN x.v AS v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 3L), row("v" -> 4L)), ordered = true),
+    Scenario("varlength-rel-list-length-matches-hops", chain,
+      """MATCH (s:N {v: 1})-[rs:R*1..3]->(x)
+        |RETURN size(rs) AS n, x.v AS v ORDER BY n""".stripMargin,
+      Seq(row("n" -> 1L, "v" -> 2L), row("n" -> 2L, "v" -> 3L),
+        row("n" -> 3L, "v" -> 4L)), ordered = true),
+    Scenario("varlength-incoming-direction", chain,
+      "MATCH (e:N {v: 4})<-[:R*2]-(x) RETURN x.v AS v",
+      Seq(row("v" -> 2L))),
+    Scenario("varlength-undirected-counts-both-ways", chain,
+      """MATCH (m:N {v: 2})-[:R*1]-(x) RETURN x.v AS v ORDER BY v""".stripMargin,
+      Seq(row("v" -> 1L), row("v" -> 3L)), ordered = true),
+    Scenario("varlength-self-loop-respects-rel-uniqueness", loops,
+      """MATCH (a:L {v: 1})-[:S*1..2]->(x)
+        |RETURN x.v AS v ORDER BY v""".stripMargin,
+      // paths: a→a, a→b, a→a→b (the self-loop edge can't repeat: a→a→a is out)
+      Seq(row("v" -> 1L), row("v" -> 2L), row("v" -> 2L)), ordered = true),
+
+    // ===== comparisons & expressions (Comparability / Equals intents)
+    Scenario("numeric-widths-compare-within-family", empty,
+      "RETURN 1 = 1.0 AS a, 2 > 1.5 AS b, 0.5 < 1 AS c",
+      Seq(row("a" -> true, "b" -> true, "c" -> true))),
+    Scenario("cross-family-equality-false-ordering-null", empty,
+      "RETURN 1 = 'a' AS eq, 'a' < 1 AS lt",
+      Seq(row("eq" -> false, "lt" -> null))),
+    Scenario("boolean-equality-and-null", empty,
+      "RETURN true = true AS t, true = null AS n, false <> true AS d",
+      Seq(row("t" -> true, "n" -> null, "d" -> true))),
+    Scenario("chained-arithmetic-precedence", empty,
+      // openCypher grammar: unary minus binds TIGHTER than ^ (PowerOf
+      // wraps UnaryAddOrSubtract), so -2 ^ 2 = (-2)^2 = 4
+      "RETURN 2 + 3 * 4 AS a, (2 + 3) * 4 AS b, 2 - 3 - 4 AS c, -2 ^ 2 AS d",
+      Seq(row("a" -> 14L, "b" -> 20L, "c" -> -5L, "d" -> 4.0))),
+    Scenario("string-comparison-is-lexicographic", empty,
+      "RETURN 'abc' < 'abd' AS a, 'Z' < 'a' AS b, 'abc' <= 'abc' AS c",
+      Seq(row("a" -> true, "b" -> true, "c" -> true))),
+    Scenario("is-null-on-expressions", nulls,
+      """MATCH (x:X) WHERE (x.k + 1) IS NULL RETURN x.s AS s""",
+      Seq(row("s" -> "b"))),
+    Scenario("case-on-value-ranges", social,
+      """MATCH (p:Person)
+        |RETURN p.name AS n,
+        |CASE WHEN p.age < 30 THEN 'young' WHEN p.age < 40 THEN 'mid'
+        |ELSE 'senior' END AS band ORDER BY n""".stripMargin,
+      Seq(row("n" -> "Alice", "band" -> "mid"),
+        row("n" -> "Bob", "band" -> "young"),
+        row("n" -> "Carol", "band" -> "mid"),
+        row("n" -> "Dave", "band" -> "senior")), ordered = true),
+    Scenario("simple-case-with-default", empty,
+      """UNWIND [1, 2, 3] AS v
+        |RETURN CASE v WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END AS w
+        |ORDER BY w""".stripMargin,
+      Seq(row("w" -> "many"), row("w" -> "one"), row("w" -> "two")),
+      ordered = true),
+    Scenario("null-arithmetic-propagates-everywhere", empty,
+      "RETURN null + 1 AS a, null * 0 AS b, null = null AS c, null <> null AS d",
+      Seq(row("a" -> null, "b" -> null, "c" -> null, "d" -> null))),
+    Scenario("in-list-with-null-element-semantics", empty,
+      "RETURN 1 IN [1, null] AS hit, 2 IN [1, null] AS maybe",
+      Seq(row("hit" -> true, "maybe" -> null))),
+    Scenario("not-in-and-negation", empty,
+      "RETURN NOT 2 IN [1, 3] AS a, NOT true AS b, NOT null AS c",
+      Seq(row("a" -> true, "b" -> false, "c" -> null))),
+    Scenario("exponent-and-modulo", empty,
+      "RETURN 2 ^ 10 AS p, 10 % 3 AS m, -10 % 3 AS nm",
+      Seq(row("p" -> 1024.0, "m" -> 1L, "nm" -> -1L))),
+
+    // ===== RETURN / column shapes (ReturnAcceptance2, ColumnName intents)
+    Scenario("return-unaliased-property-keeps-name", triad,
+      "MATCH (x:P {n: 'a'}) RETURN x.v",
+      Seq(row("x.v" -> 1L))),
+    Scenario("return-distinct-on-expressions", empty,
+      "UNWIND [1, 2, 3, 4] AS v RETURN DISTINCT v % 2 AS p ORDER BY p",
+      Seq(row("p" -> 0L), row("p" -> 1L)), ordered = true),
+    Scenario("return-star-after-match", triad,
+      // entities render as value structs: @id/@labels metadata + props
+      "MATCH (x:P {n: 'b'}) RETURN * ",
+      Seq(row("x" -> Map("@id" -> 2L, "@labels" -> List("P"),
+        "n" -> "b", "v" -> 2L)))),
+    Scenario("order-by-city-desc-age-asc", social,
+      """MATCH (p:Person) RETURN p.city AS c, p.age AS a
+        |ORDER BY c DESC, a ASC""".stripMargin,
+      Seq(row("c" -> null, "a" -> 35L), row("c" -> "Paris", "a" -> 25L),
+        row("c" -> "Berlin", "a" -> 30L), row("c" -> "Berlin", "a" -> 40L)),
+      ordered = true),
+    Scenario("limit-zero-returns-nothing", social,
+      "MATCH (p:Person) RETURN p.name AS n LIMIT 0",
+      Seq.empty),
+    Scenario("skip-beyond-rows-returns-nothing", triad,
+      "MATCH (x:P) RETURN x.v AS v ORDER BY v SKIP 10",
+      Seq.empty),
+    Scenario("order-by-column-used-only-for-sort", triad,
+      "MATCH (x:P) RETURN x.n AS n ORDER BY x.v DESC",
+      Seq(row("n" -> "c"), row("n" -> "b"), row("n" -> "a")), ordered = true)
+  ) ++ scenariosRound3b
+
+  private def scenariosRound3b: Seq[Scenario] = Seq.empty
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
