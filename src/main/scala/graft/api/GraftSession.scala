@@ -254,6 +254,19 @@ class GraftSession(val spark: SparkSession) {
     implicit val enc: org.apache.spark.sql.Encoder[Map[String, Any]] =
       org.apache.spark.sql.Encoders.kryo[Map[String, Any]]
     def convert(v: Any): Any = v match {
+      // mixed-tagged list elements (heterogeneous list encoding,
+      // ExprCompiler) unwrap to their payload value — the same decoding
+      // the reference's client API does for binary CypherValues
+      case r: org.apache.spark.sql.Row
+          if r.schema != null &&
+            r.schema.fieldNames.sameElements(Array("@k", "i", "f", "s", "b")) =>
+        r.getAs[Int]("@k") match {
+          case 1 => r.getAs[Long]("i")
+          case 2 => r.getAs[Double]("f")
+          case 3 => r.getAs[String]("s")
+          case 4 => r.getAs[Boolean]("b")
+          case _ => null
+        }
       case r: org.apache.spark.sql.Row =>
         r.schema.fieldNames.zip(r.toSeq.map(convert)).toMap
       case s: Seq[_] => s.map(convert)

@@ -125,7 +125,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case StringLit(v) => lit(v)
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
-    case ListLit(items) => array(items.map(compile): _*)
+    case ListLit(items) =>
+      val types = items.map(typeOf)
+      if (isMixedAtomicList(types))
+        array(items.zip(types).map { case (e, t) => toMixed(compile(e), t) }: _*)
+      else array(items.map(compile): _*)
     case MapLit(items) => struct(items.map { case (k, v) => compile(v).as(k) }: _*)
 
     case Property(Var(n), key) if !lambdaEnv.contains(n) => header(n) match {
@@ -529,6 +533,72 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _ => "other"
   }
 
+  // ------------------------------------------------ heterogeneous lists
+  // Spark arrays are homogeneous; the reference's binary-encoded
+  // CypherList (okapi-api CypherValue.scala:255-340) accepts mixed-type
+  // lists. Mixed ATOMIC list literals compile to a tagged-union struct
+  // array instead: @k = family tag (0 null, 1 integer, 2 float,
+  // 3 string, 4 boolean), one typed field per family. Comparisons and
+  // membership dispatch on the tag, so `[1,'a'][0] = 1` is true and
+  // `'a' IN [1,'a']` is true with real typed semantics. Known limit
+  // (documented, ReferenceParitySpec): cross-tag numeric equality inside
+  // two mixed lists (int 1 vs float 1.0) is false, not true.
+
+  private val mixedFields = Array("@k", "i", "f", "s", "b")
+  private def isMixedStruct(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.sameElements(mixedFields)
+    case _ => false
+  }
+  /** atomics of >1 family (nulls don't count) → mixed encoding */
+  private def isMixedAtomicList(types: Seq[DataType]): Boolean = {
+    val atomic = types.forall {
+      case NullType | StringType | BooleanType => true
+      case _: NumericType => true
+      case _ => false
+    }
+    atomic && types.filterNot(_ == NullType).map(family).distinct.size > 1
+  }
+  private def toMixed(c: Column, t: DataType): Column = {
+    def n(dt: DataType) = lit(null).cast(dt)
+    val (tag, i, f, s, b) = t match {
+      case NullType => (lit(0), n(LongType), n(DoubleType), n(StringType), n(BooleanType))
+      case t2: NumericType if family(t2) == "num" =>
+        t2 match {
+          case DoubleType | FloatType | _: DecimalType =>
+            (lit(2), n(LongType), c.cast(DoubleType), n(StringType), n(BooleanType))
+          case _ =>
+            (lit(1), c.cast(LongType), n(DoubleType), n(StringType), n(BooleanType))
+        }
+      case StringType => (lit(3), n(LongType), n(DoubleType), c, n(BooleanType))
+      case BooleanType => (lit(4), n(LongType), n(DoubleType), n(StringType), c)
+      case other => throw new IllegalArgumentException(
+        s"mixed lists support atomic elements only, got $other")
+    }
+    struct(when(c.isNull, 0).otherwise(tag).as("@k"), i.as("i"), f.as("f"),
+      s.as("s"), b.as("b"))
+  }
+  /** 3VL comparison between a mixed-tagged element and a concrete value:
+    * matching family compares the typed field, null tag/value → null,
+    * family mismatch → equality false, ordering null. */
+  private def mixedCmp(m: Column, v: Column, vt: DataType,
+      op: (Column, Column) => Column, ordering: Boolean): Column = {
+    val fam = family(vt)
+    val matched = fam match {
+      case "num" =>
+        when(m.getField("@k") === 1, op(m.getField("i"), v))
+          .when(m.getField("@k") === 2, op(m.getField("f"), v))
+      case "str" => when(m.getField("@k") === 3, op(m.getField("s"), v))
+      case "bool" => when(m.getField("@k") === 4, op(m.getField("b"), v))
+      case _ => when(lit(false), lit(false))
+    }
+    val mismatch =
+      if (ordering) lit(null).cast(BooleanType)
+      else when(m.getField("@k") === 0 || m.isNull || v.isNull,
+        lit(null).cast(BooleanType)).otherwise(lit(false))
+    if (fam == "null") lit(null).cast(BooleanType)
+    else matched.otherwise(mismatch)
+  }
+
   /** cross-family comparison: `mismatch` Some(v) → constant v unless an
     * operand VALUE is null (then null, Cypher 3VL); None → always null.
     * `ordering` marks </<=/>/>= call sites: durations are NOT orderable in
@@ -540,6 +610,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     if (ordering && isIntervalType(tl) && isIntervalType(tr))
       return lit(null).cast(BooleanType)
     val structural = (tl, tr) match {
+      // mixed-tagged element vs concrete value: dispatch on the tag
+      case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
+        Some(mixedCmp(compile(l), compile(r), vt, op, ordering))
+      case (vt, mt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
+        Some(mixedCmp(compile(r), compile(l), vt, (a, b) => op(b, a), ordering))
       // Cypher maps compare BY KEY; Spark struct comparison is positional
       // and ignores field names, so {a:1} = {b:1} would come back true.
       // Same key shape → compare with both sides reordered to sorted-key
@@ -632,6 +707,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     val fx = family(typeOf(x))
     tl match {
       case NullType => lit(null).cast(BooleanType)
+      // membership in a mixed-tagged list: 3VL OR of tag-dispatched
+      // element comparisons (true beats null beats false)
+      case ArrayType(et, _) if isMixedStruct(et) && !isMixedStruct(typeOf(x)) =>
+        val lc = compile(list); val xc = compile(x); val xt = typeOf(x)
+        when(lc.isNull, lit(null).cast(BooleanType))
+          .otherwise(aggregate(lc, lit(false).cast(BooleanType),
+            (acc, e) => acc || mixedCmp(e, xc, xt, _ === _, ordering = false)))
       case ArrayType(et, _) =>
         val lc = compile(list)
         val fe = family(et)

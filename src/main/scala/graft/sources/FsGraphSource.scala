@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.graph.{NodeTable, PropertyGraph, RelTable}
 
@@ -20,7 +21,64 @@ object FsGraphSource {
 
   private case class TableMeta(dir: String, labelsOrType: Seq[String],
       id: String, src: String, dst: String, props: Map[String, String],
-      ddl: String)
+      ddl: String, enc: Map[String, String] = Map.empty)
+
+  /** Interval column codec: no file format stores CalendarIntervalType,
+    * and csv/json/avro reject the day-time/year-month interval types too.
+    * Encoded physical forms (recorded per column in the sidecar `enc`
+    * map, decoded exactly on load):
+    *  - `calint`: CalendarIntervalType → 'months days micros' string
+    *    (the raw triple — lossless, unlike digit views; a string so csv
+    *    stays flat)
+    *  - `dtint`:  DayTimeIntervalType → total-microseconds bigint
+    *  - `ymint`:  YearMonthIntervalType → total-months bigint */
+  private object IntervalCodec {
+    import graft.functions.IntervalFunctions._
+    private val nativeIntervalFormats = Set("parquet", "orc")
+
+    def encode(c: Column, t: DataType, format: String): Option[(Column, String)] =
+      t match {
+        case CalendarIntervalType =>
+          Some((when(c.isNull, lit(null).cast(StringType))
+            .otherwise(concat_ws(" ", intervalMonths(c), intervalDays(c),
+              intervalMicros(c))),
+            "calint"))
+        case _: DayTimeIntervalType if !nativeIntervalFormats(format) =>
+          def p(u: String) = date_part(lit(u), c)
+          Some(((p("DAY").cast(LongType) * 86400L +
+            p("HOUR").cast(LongType) * 3600L +
+            p("MINUTE").cast(LongType) * 60L) * 1000000L +
+            (p("SECOND") * 1000000L).cast(LongType), "dtint"))
+        case _: YearMonthIntervalType if !nativeIntervalFormats(format) =>
+          def p(u: String) = date_part(lit(u), c)
+          Some((p("YEAR").cast(LongType) * 12L + p("MONTH").cast(LongType),
+            "ymint"))
+        case _ => None
+      }
+
+    def decode(c: Column, kind: String, logical: DataType): Column = kind match {
+      case "calint" =>
+        val parts = split(c, " ")
+        when(c.isNull, lit(null).cast(CalendarIntervalType))
+          .otherwise(make_interval(lit(0),
+            element_at(parts, 1).cast(IntegerType), lit(0),
+            element_at(parts, 2).cast(IntegerType), lit(0), lit(0),
+            (element_at(parts, 3).cast(LongType) / lit(1000000L))
+              .cast(DecimalType(20, 6))))
+      case "dtint" =>
+        make_dt_interval(lit(0), lit(0), lit(0),
+          (c / lit(1000000L)).cast(DecimalType(20, 6))).cast(logical)
+      case "ymint" =>
+        make_ym_interval(lit(0), c.cast(IntegerType)).cast(logical)
+      case other => throw new IllegalArgumentException(s"unknown encoding $other")
+    }
+
+    def physical(kind: String): DataType = kind match {
+      case "calint" => StringType
+      case "dtint" | "ymint" => LongType
+      case other => throw new IllegalArgumentException(s"unknown encoding $other")
+    }
+  }
 
   /** The "avro" short name resolves via the external spark-avro module's
     * service registration; when only the built-in classes are on the
@@ -37,23 +95,34 @@ object FsGraphSource {
       val w = df.write.format(resolveFormat(format)).mode(mode)
       if (format == "csv") w.option("header", "true") else w
     }
+    // encode columns the format can't store; the sidecar's `ddl` keeps
+    // the LOGICAL schema, `enc` records which columns to decode on load
+    def encoded(df: DataFrame): (DataFrame, Map[String, String]) = {
+      val encs = df.schema.fields.flatMap(f =>
+        IntervalCodec.encode(col(s"`${f.name}`"), f.dataType, format)
+          .map { case (c, kind) => (f.name, c, kind) })
+      val out = encs.foldLeft(df) { case (d, (n, c, _)) => d.withColumn(n, c) }
+      (out, encs.map { case (n, _, k) => n -> k }.toMap)
+    }
 
     val nodeMetas = graph.nodeTables.zipWithIndex.map { case (t, i) =>
       val dir = s"nodes/${i}_${t.labels.toSeq.sorted.mkString("_")}"
       // only persist the columns the graph actually uses
       val cols = (t.idCol +: t.propCols.values.toSeq.distinct)
       val df = t.df.selectExpr(cols.map(c => s"`$c`"): _*)
-      writer(df).save(s"$path/$dir")
+      val (phys, enc) = encoded(df)
+      writer(phys).save(s"$path/$dir")
       TableMeta(dir, t.labels.toSeq.sorted, t.idCol, "", "", t.propCols,
-        df.schema.toDDL)
+        df.schema.toDDL, enc)
     }
     val relMetas = graph.relTables.zipWithIndex.map { case (t, i) =>
       val dir = s"rels/${i}_${t.relType}"
       val cols = (Seq(t.idCol, t.srcCol, t.dstCol) ++ t.propCols.values.toSeq).distinct
       val df = t.df.selectExpr(cols.map(c => s"`$c`"): _*)
-      writer(df).save(s"$path/$dir")
+      val (phys, enc) = encoded(df)
+      writer(phys).save(s"$path/$dir")
       TableMeta(dir, Seq(t.relType), t.idCol, t.srcCol, t.dstCol, t.propCols,
-        df.schema.toDDL)
+        df.schema.toDDL, enc)
     }
 
     import org.json4s.JsonDSL._
@@ -61,7 +130,7 @@ object FsGraphSource {
     def metaJson(m: TableMeta) =
       ("dir" -> m.dir) ~ ("labelsOrType" -> m.labelsOrType) ~
         ("id" -> m.id) ~ ("src" -> m.src) ~ ("dst" -> m.dst) ~
-        ("props" -> m.props) ~ ("ddl" -> m.ddl)
+        ("props" -> m.props) ~ ("ddl" -> m.ddl) ~ ("enc" -> m.enc)
     val json = JsonMethods.pretty(JsonMethods.render(
       ("version" -> 1) ~ ("format" -> format) ~
         ("nodes" -> nodeMetas.map(metaJson)) ~
@@ -161,11 +230,23 @@ object FsGraphSource {
         (m \ "dir").extract[String], (m \ "labelsOrType").extract[Seq[String]],
         (m \ "id").extract[String], (m \ "src").extract[String],
         (m \ "dst").extract[String], (m \ "props").extract[Map[String, String]],
-        (m \ "ddl").extract[String])
-      val reader = spark.read.format(resolveFormat(format))
-        .schema(StructType.fromDDL(meta.ddl))
+        (m \ "ddl").extract[String],
+        (m \ "enc").toOption.map(_.extract[Map[String, String]])
+          .getOrElse(Map.empty))
+      val logical = StructType.fromDDL(meta.ddl)
+      // files hold the PHYSICAL schema: encoded columns swap to their
+      // storage type; decode restores the logical type exactly
+      val physical = StructType(logical.map(f => meta.enc.get(f.name)
+        .map(k => f.copy(dataType = IntervalCodec.physical(k)))
+        .getOrElse(f)))
+      val reader = spark.read.format(resolveFormat(format)).schema(physical)
       val withOpts = if (format == "csv") reader.option("header", "true") else reader
-      (meta, withOpts.load(s"$path/${meta.dir}"))
+      val raw = withOpts.load(s"$path/${meta.dir}")
+      val decoded = meta.enc.foldLeft(raw) { case (d, (n, kind)) =>
+        d.withColumn(n, IntervalCodec.decode(col(s"`$n`"), kind,
+          logical(n).dataType))
+      }
+      (meta, decoded)
     }
 
     val nodes = (root \ "nodes").children.map { m =>

@@ -102,6 +102,17 @@ class TckStyleSpec extends AnyFunSuite {
     case t: java.sql.Timestamp => t.toString
     case t: java.time.LocalDateTime => t.toString
     case t: java.time.LocalDate => t.toString
+    case r: Row
+        if r.schema != null &&
+          r.schema.fieldNames.sameElements(Array("@k", "i", "f", "s", "b")) =>
+      // mixed-tagged list element (heterogeneous list encoding): unwrap
+      r.getAs[Int]("@k") match {
+        case 1 => r.getAs[Long]("i")
+        case 2 => r.getAs[Double]("f")
+        case 3 => r.getAs[String]("s")
+        case 4 => r.getAs[Boolean]("b")
+        case _ => null
+      }
     case r: Row =>
       r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
     case m: Map[_, _] =>
@@ -1453,7 +1464,20 @@ class TckStyleSpec extends AnyFunSuite {
       "RETURN [1,2] = [1,null] AS x", Seq(row("x" -> null))),
     Scenario("heterogeneous-list-literal", empty,
       "RETURN [1, 'a', true] AS mixed",
-      Seq(row("mixed" -> List(1L, "a", true))))
+      Seq(row("mixed" -> List(1L, "a", true)))),
+    Scenario("heterogeneous-list-indexing-compares-typed", empty,
+      "RETURN [1, 'a'][0] = 1 AS i, [1, 'a'][1] = 'a' AS s, [1, 'a'][0] = 'a' AS x",
+      Seq(row("i" -> true, "s" -> true, "x" -> false))),
+    Scenario("heterogeneous-list-membership", empty,
+      """RETURN 'a' IN [1, 'a'] AS hit, 2 IN [1, 'a'] AS miss,
+        |true IN [1, 'a', true] AS b, 2 IN [1, 'a', null] AS maybe""".stripMargin,
+      Seq(row("hit" -> true, "miss" -> false, "b" -> true, "maybe" -> null))),
+    Scenario("heterogeneous-list-size-head-last", empty,
+      "RETURN size([1, 'a', true]) AS n, head([1, 'a']) = 1 AS h, last([1, 'a']) = 'a' AS l",
+      Seq(row("n" -> 3L, "h" -> true, "l" -> true))),
+    Scenario("heterogeneous-list-with-nulls-and-floats", empty,
+      "RETURN [1, 2.5, null, 'x'] AS mixed",
+      Seq(row("mixed" -> List(1L, 2.5, null, "x"))))
   ) ++ Seq(
     // ---- pipeline shapes: WITH as a barrier, continuations after
     // aggregation / LIMIT (each clause sees only the previous projection)

@@ -281,6 +281,12 @@ class TypedGraphDdlSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS ddl_sch")
+    spark.sql("DROP TABLE IF EXISTS ddl_sch.things")
+    // a prior JVM's managed-table directory blocks CREATE even after the
+    // catalog forgot the table — clear the location too
+    val warehouse = new java.io.File("spark-warehouse/ddl_sch.db/things")
+    if (warehouse.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(warehouse)
     Seq((1L, "n1")).toDF("id", "name")
       .write.mode("overwrite").saveAsTable("ddl_sch.things")
     val g = TypedGraphDdl.createGraphs(spark,
