@@ -199,6 +199,37 @@ object CypherQueries {
         |                coalesce(n.n_name, n.r_name, n.c_name)] |
         |              s + '|' + x) AS names
         |ORDER BY ck, len""".stripMargin)),
+    // typed Graph DDL end-to-end (§2.6): element types + JOIN ON view
+    // mappings build the graph, hashed join-key ids wire the expand
+    "c33_typed_ddl" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, {
+        val g2 = GraftSession(s); g2.enableAutoConsolidation(); g2
+      })
+      val g = graphs.getOrElseUpdate((s, dir + "#typed_ddl"), {
+        s.read.parquet(s"$dir/customer.parquet")
+          .createOrReplaceTempView("ddl_customer_v")
+        s.read.parquet(s"$dir/nation.parquet")
+          .createOrReplaceTempView("ddl_nation_v")
+        graft.sources.TypedGraphDdl.createGraphs(s,
+          """CREATE ELEMENT TYPE Customer ( c_custkey INTEGER, c_name STRING )
+            |CREATE ELEMENT TYPE Nation ( n_name STRING )
+            |CREATE GRAPH TYPE tpch (
+            |  (Customer), (Nation),
+            |  (Customer)-[IN_NATION]->(Nation)
+            |)
+            |CREATE GRAPH ddlg OF tpch (
+            |  (Customer) FROM ddl_customer_v,
+            |  (Nation)   FROM ddl_nation_v,
+            |  (Customer)-[IN_NATION]->(Nation) FROM ddl_customer_v e
+            |    START NODES (Customer) FROM ddl_customer_v n JOIN ON e.c_custkey = n.c_custkey
+            |    END   NODES (Nation)   FROM ddl_nation_v   n JOIN ON e.c_nationkey = n.n_nationkey
+            |)""".stripMargin)("ddlg")
+      })
+      gs.cypher(g,
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+          |RETURN n.n_name AS nn, count(*) AS cnt, min(c.c_name) AS first_c
+          |ORDER BY nn""".stripMargin)
+    }),
     // scan consolidation (§2.2 PatternScan over recognized patterns;
     // reference LogicalOptimizer.scala:67-134): the same expand answered
     // from a materialized triplet table — one probe, no rel+node joins
@@ -379,6 +410,10 @@ object CypherQueries {
         |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
         |                    + INTERVAL 7 MONTH + INTERVAL 10 DAY
         |GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
+    "c33_typed_ddl" ->
+      """SELECT n_name AS nn, count(*) AS cnt, min(c_name) AS first_c
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nn""".stripMargin,
     "c32_duration_parts" ->
       """SELECT o_orderkey AS ok,
         |  (extract(year FROM age(o_orderdate, TIMESTAMP '1995-01-01'))*12 +
