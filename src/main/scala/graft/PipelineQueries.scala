@@ -129,6 +129,17 @@ object PipelineQueries {
       Dedup.connectedComponents(e, "vec_id", pairs, "id_a", "id_b")
         .orderBy("id")
     }),
+    // near-dup clusters + keep the HIGHEST-QUALITY copy per cluster
+    // (longest text, lowest id tie-break) — the real-pipeline dedup
+    // policy; oracle = recursive closure + per-cluster argmax window
+    "p35_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", n = 3,
+        threshold = 0.3, maxDocFreq = 5000)
+      Dedup.keepBestPerCluster(
+        d.withColumn("score", length(col("text")).cast("double")),
+        "doc_id", "score", pairs, "id_a", "id_b").orderBy("id")
+    }),
     // SemDeDup semantic dedup: k-means cells (sample-trained, broadcast)
     // → within-cell dense cosine kernel → component representatives.
     // Rows-only: cluster assignment is engine-specific by design.
@@ -633,6 +644,41 @@ object PipelineQueries {
         |)
         |SELECT id, min(r)::BIGINT AS cluster
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "p35_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS isz
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia, ib FROM inter
+        |  JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |  WHERE CAST(isz AS DOUBLE) / CAST(sa.sz + sb.sz - isz AS DOUBLE) >= 0.3),
+        |edges AS (
+        |  SELECT ia AS s, ib AS d FROM pairs
+        |  UNION SELECT ib AS s, ia AS d FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+        |clusters AS (SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT c.id, c.cluster, length(d.text)::DOUBLE AS score
+        |  FROM clusters c JOIN documents d ON d.doc_id = c.id),
+        |ranked AS (
+        |  SELECT id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY score DESC, id ASC) AS rk
+        |  FROM scored)
+        |SELECT id, cluster, (rk = 1) AS kept FROM ranked ORDER BY id""".stripMargin,
     "p22_graph_distances" ->
       """SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS dist
         |FROM customer ORDER BY ck""".stripMargin,

@@ -239,6 +239,26 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Quality-aware dedup winner election: near-dup pairs → connected
+    * components → ONE representative per cluster, chosen by highest
+    * `scoreCol` (lowest id breaks ties) — the "keep the best copy"
+    * policy real pipelines use instead of keep-min-id. Returns every
+    * input row as (id, cluster, kept). The winner is a struct max
+    * (score, -id) with map-side combine — no window, no per-cluster
+    * sort, scales with the component labeling itself. */
+  def keepBestPerCluster(ids: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(ids, idCol, pairs, aCol, bCol)
+    val scored = ids.select(col(idCol).cast(LongType).as("id"),
+        col(s"`$scoreCol`").cast(DoubleType).as("@score"))
+      .join(cc, Seq("id"))
+    val winners = scored.groupBy(col("cluster"))
+      .agg(max(struct(col("@score").as("s"), (-col("id")).as("negid"))).as("w"))
+      .select(col("cluster"), (-col("w.negid")).cast(LongType).as("@rep"))
+    scored.join(winners, Seq("cluster"))
+      .select(col("id"), col("cluster"), (col("id") === col("@rep")).as("kept"))
+  }
+
   /** Pure-DataFrame connected components: min-label propagation with one
     * pointer-jump per round (adopt the label of my label — halves the
     * remaining path, O(log diameter) rounds) over eagerly checkpointed

@@ -186,6 +186,83 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class BandedSig(bandIdx: Int, bandHash: Long, docId: Long,
+      sig: Array[Long], ts: Timestamp)
+  case class SigEntries(entries: List[(Long, Array[Long], Long)])
+  case class MinHashHit(id_a: Long, id_b: Long, est_jaccard: Double,
+      ts: Timestamp)
+
+  /** Streaming MinHash near-dup detection — the incremental twin of
+    * [[graft.pipeline.Dedup.minhashLsh]]: each document's k-hash MinHash
+    * signature splits into `bands` bands of r = k/bands rows; a banding
+    * collision (same band hash) makes the pair a candidate
+    * (P = 1-(1-s^r)^b, MMDS §3.4), and the candidate is scored by the
+    * SIGNATURE Jaccard estimate (matching-position fraction) instead of
+    * the batch path's exact shingle verification — a stream cannot hold
+    * every document's shingle set, and the estimate's error is
+    * O(1/sqrt(k)). Per-bucket state keeps the last `horizonSeconds` of
+    * (id, signature) entries; idle buckets evict by event-time timeout.
+    * A colliding pair emits once per colliding band — dedupe downstream
+    * (`dropDuplicates("id_a","id_b")` under the watermark, or distinct
+    * in batch tests). */
+  def streamingMinHashNearDup(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, threshold: Double = 0.7,
+      watermarkDelay: String = "10 minutes",
+      horizonSeconds: Long = 3600): Dataset[MinHashHit] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import docs.sparkSession.implicits._
+    val r = numHashes / bands
+    val horizonMs = horizonSeconds * 1000L
+
+    val banded = docs
+      .withColumn("@sig", graft.pipeline.Dedup.minhashSignature(
+        col(s"`$textCol`"), numHashes, shingleSize))
+      .select(posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("@sig"), b * r + 1, lit(r)), b)))
+          .as(Seq("bandIdx", "bandHash")),
+        col(s"`$idCol`").cast("long").as("docId"),
+        col("@sig").as("sig"), col(s"`$tsCol`").as("ts"))
+      .as[BandedSig]
+
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+      var m = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+      m.toDouble / a.length
+    }
+
+    def update(key: (Int, Long), sigs: Iterator[BandedSig],
+        state: GroupState[SigEntries]): Iterator[MinHashHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = sigs.toArray.sortBy(_.ts.getTime)
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MinHashHit]
+      var maxTs = entries.headOption.map(_._3).getOrElse(0L)
+      sorted.foreach { fp =>
+        val t = fp.ts.getTime
+        maxTs = math.max(maxTs, t)
+        entries = entries.filter(_._3 >= maxTs - horizonMs)
+        entries.foreach { case (oid, osig, _) =>
+          if (oid != fp.docId) {
+            val est = estJaccard(fp.sig, osig)
+            if (est >= threshold)
+              out += MinHashHit(math.min(oid, fp.docId),
+                math.max(oid, fp.docId), est, fp.ts)
+          }
+        }
+        entries = (fp.docId, fp.sig, t) :: entries
+      }
+      state.update(SigEntries(entries))
+      state.setTimeoutTimestamp(maxTs + horizonMs)
+      out.iterator
+    }
+
+    banded.withWatermark("ts", watermarkDelay)
+      .groupByKey(fp => (fp.bandIdx, fp.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class BudgetDoc(source: String, docId: Long, nTokens: Long,
       ts: Timestamp)
   case class SourceBudget(taken: Long)

@@ -346,6 +346,21 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("keepBestPerCluster elects the highest-scoring doc, lowest id ties") {
+    val ids = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (5L, 7.0))
+      .toDF("id", "score")
+    // clusters: {1,2,3} (chained), {4}, {5}
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.keepBestPerCluster(ids, "id", "score", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) === ((1L, false)))
+    assert(out(2L) === ((1L, true)))  // 9.0 ties with 3 → lowest id wins
+    assert(out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true))) // singleton keeps itself
+    assert(out(5L) === ((5L, true)))
+  }
+
   test("repetition stats flag degenerate documents") {
     val data = Seq(
       (1L, "spam spam spam spam"),                 // one token repeated

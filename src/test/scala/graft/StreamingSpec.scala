@@ -131,6 +131,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingMinHashNearDup flags near-identical docs, respects horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+
+    val hits = EventStreams.streamingMinHashNearDup(docs, "ts", "doc_id",
+      "text", numHashes = 64, bands = 16, threshold = 0.6,
+      horizonSeconds = 3600)
+    val q = hits.writeStream.format("memory").queryName("mh")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      val near = "the quick brown fox jumps over the lazy dog again and again" // shared prefix
+      input.addData(
+        (ts(1), 1L, base),
+        (ts(2), 2L, base),               // identical → est 1.0
+        (ts(3), 3L, near),               // near-dup of 1 and 2
+        (ts(4), 4L, "completely different words entirely unrelated content stream"))
+      q.processAllAvailable()
+      // 200 min later: identical text but beyond the 60-min horizon
+      input.addData((ts(200), 5L, base))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM mh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"identical pair missed: $pairs")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        s"unrelated doc flagged: $pairs")
+      assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+        s"horizon not respected: $pairs")
+      // identical docs estimate at exactly 1.0
+      val est = spark.sql(
+        "SELECT max(est_jaccard) FROM mh WHERE id_a = 1 AND id_b = 2")
+        .head.getDouble(0)
+      assert(est === 1.0)
+      // agreement with the batch path on the same corpus (signature
+      // estimate vs exact verification: same pair set at this threshold)
+      val batchDf = Seq((1L, base), (2L, base), (3L, near)).toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.minhashLsh(batchDf, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamed = pairs.filter(p => p._1 <= 3 && p._2 <= 3)
+      assert(streamed === batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first occurrence per content hash") {
     val s = spark
     import s.implicits._
