@@ -51,6 +51,12 @@ object CypherParser extends RegexParsers {
           case 'n' => b += '\n'; case 't' => b += '\t'; case 'r' => b += '\r'
           case 'b' => b += '\b'; case 'f' => b += '\f'
           case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 4
+          // openCypher 32-bit escape \UXXXXXXXX (astral code points in one
+          // escape; two \u surrogates also compose naturally)
+          case 'U' =>
+            b ++= Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16))
+            i += 8
           case o => b += o
         }
         i += 2

@@ -867,6 +867,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         ExprCompiler.pathRels(pb)
       case "size" | "length" => typeOf(f.args(0)) match {
         case StringType => length(a0).cast(LongType)
+        case NullType => lit(null).cast(LongType) // size(null) is null
         case _ => size(a0).cast(LongType)
       }
       case "isempty" => typeOf(f.args(0)) match {
@@ -874,8 +875,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case _: MapType => size(map_keys(a0)) === 0
         case st: StructType => // closed struct map: emptiness is static
           when(a0.isNull, lit(null)).otherwise(lit(st.fields.isEmpty))
+        case NullType => lit(null).cast(BooleanType)
         case _ => size(a0) === 0
       }
+      // head/last/tail of a null list are null, not a type error
+      case "head" if typeOf(f.args(0)) == NullType => lit(null)
+      case "last" if typeOf(f.args(0)) == NullType => lit(null)
+      case "tail" if typeOf(f.args(0)) == NullType => lit(null)
       case "head" => try_element_at(a0, lit(1))
       case "last" => try_element_at(a0, lit(-1))
       case "tail" => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))

@@ -1477,7 +1477,39 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("n" -> 3L, "h" -> true, "l" -> true))),
     Scenario("heterogeneous-list-with-nulls-and-floats", empty,
       "RETURN [1, 2.5, null, 'x'] AS mixed",
-      Seq(row("mixed" -> List(1L, 2.5, null, "x"))))
+      Seq(row("mixed" -> List(1L, 2.5, null, "x")))),
+    Scenario("unicode-escapes-bmp-surrogates-astral", empty,
+      // size() counts CODE POINTS (Spark UTF8String semantics) — an
+      // astral char is 1, not the 2 UTF-16 units Java String.length gives
+      """RETURN 'é' AS bmp, '😀' AS pair,
+        |'\U0001F600' AS astral, size('\U0001F600') AS n""".stripMargin,
+      Seq(row("bmp" -> "é", "pair" -> "😀",
+        "astral" -> "😀", "n" -> 1L))),
+    Scenario("exponent-float-literals", empty,
+      "RETURN 1e3 AS a, 2.5E-2 AS b, .5e1 AS c, 1e0 AS d",
+      Seq(row("a" -> 1000.0, "b" -> 0.025, "c" -> 5.0, "d" -> 1.0))),
+    Scenario("order-by-nulls-last-asc-first-desc", nulls,
+      // Cypher null ordering: nulls sort LAST ascending, FIRST descending
+      "MATCH (x:X) RETURN x.k AS k ORDER BY k",
+      Seq(row("k" -> 1L), row("k" -> 2L), row("k" -> null)), ordered = true),
+    Scenario("order-by-nulls-first-on-desc", nulls,
+      "MATCH (x:X) RETURN x.k AS k ORDER BY k DESC",
+      Seq(row("k" -> null), row("k" -> 2L), row("k" -> 1L)), ordered = true),
+    Scenario("list-functions-of-null-are-null", empty,
+      """RETURN [x IN null | x] AS a, size(null) AS b, head(null) AS c,
+        |last(null) AS d, tail(null) AS e, reverse(null) AS f""".stripMargin,
+      Seq(row("a" -> null, "b" -> null, "c" -> null, "d" -> null,
+        "e" -> null, "f" -> null))),
+    Scenario("collect-of-all-null-is-empty-list", empty,
+      "RETURN collect(null) AS c, size(collect(null)) AS n",
+      Seq(row("c" -> List(), "n" -> 0L))),
+    Scenario("case-without-else-defaults-null", empty,
+      "RETURN CASE WHEN false THEN 1 END AS x",
+      Seq(row("x" -> null))),
+    Scenario("date-compares-with-datetime-in-temporal-family", empty,
+      """RETURN date('2024-01-02') = localdatetime('2024-01-02T00:00:00') AS eq,
+        |date('2024-01-02') < localdatetime('2024-01-03T00:00:00') AS lt""".stripMargin,
+      Seq(row("eq" -> true, "lt" -> true)))
   ) ++ Seq(
     // ---- pipeline shapes: WITH as a barrier, continuations after
     // aggregation / LIMIT (each clause sees only the previous projection)
