@@ -605,6 +605,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       case (v, n) if n > pushedCounts.getOrElse(v, 0) => v
     }.toSet
 
+    // a rel variable may appear ONCE per MATCH (Neo4j SyntaxException);
+    // reuse of a PREVIOUSLY bound rel pins endpoints (expandWithBoundRel)
+    val relVarsHere = m.pattern.parts.flatMap(_.chain.flatMap(_._1.variable))
+    relVarsHere.groupBy(identity).collect { case (v, vs) if vs.size > 1 => v }
+      .headOption.foreach(v => throw new IllegalArgumentException(
+        s"cannot use the same relationship variable '$v' for multiple " +
+          "pattern elements in one MATCH"))
+
     val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
     var st = state
     orderParts(m.pattern.parts, state).foreach { part =>
@@ -951,10 +959,72 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   /** one-hop expand: (prev)-[rel]->(dst); handles Expand and ExpandInto
     * (reference lowering: RelationalPlanner.scala:130-189). */
+  /** Pattern element over an ALREADY-BOUND relationship variable: the
+    * element pins its endpoints to the bound rel's storage src/dst (a
+    * relationship has definite start/end nodes no matter how it was first
+    * matched) and checks the declared types — no new rel scan. Unbound
+    * endpoints join their node scan on the pinned id; Catalyst folds the
+    * id-equality filters into hash joins. */
+  private def expandWithBoundRel(graph: PropertyGraph, state: PState,
+      srcVar: String, relVar: String, rb: RelBinding, rel: RelPattern,
+      dstVar: String, dstNp: NodePattern,
+      propPreds: scala.collection.mutable.ArrayBuffer[Expr]): PState = {
+    if (rel.varLength.isDefined) throw new IllegalArgumentException(
+      s"relationship variable '$relVar' is already bound; bound " +
+        "relationships are not supported in var-length patterns")
+    rel.properties.foreach { case (k, e) =>
+      propPreds += Eq(Property(Var(relVar), k), e) }
+    var df = state.df
+    var header = state.header
+    if (rel.types.nonEmpty && !rb.types.subsetOf(rel.types.toSet))
+      df = df.where(col(s"`${rb.typCol}`").isin(rel.types: _*))
+    def endpoint(v: String, np: NodePattern): Column = header.get(v) match {
+      case Some(nb: NodeBinding) =>
+        if (np.labels.nonEmpty) propPreds += HasLabels(Var(v), np.labels)
+        np.properties.foreach { case (k, e) =>
+          propPreds += Eq(Property(Var(v), k), e) }
+        col(s"`${nb.idCol}`")
+      case Some(other) => throw new IllegalArgumentException(
+        s"$v bound to $other, not a node")
+      case None =>
+        val scan = graph.nodeScan(np.labels.toSet, naming(v))
+        np.properties.foreach { case (k, e) =>
+          propPreds += Eq(Property(Var(v), k), e) }
+        header = header +
+          (v -> NodeBinding(scan.idCol, scan.labelCols, scan.propCols,
+            np.labels.toSet))
+        df = df.crossJoin(scan.df) // the id equality below becomes the join
+        col(s"`${scan.idCol}`")
+    }
+    val srcId = endpoint(srcVar, NodePattern(Some(srcVar), Nil, Seq.empty))
+    val dstId = endpoint(dstVar, dstNp)
+    val fwd = srcId === col(s"`${rb.srcCol}`") &&
+      dstId === col(s"`${rb.dstCol}`")
+    val bwd = srcId === col(s"`${rb.dstCol}`") &&
+      dstId === col(s"`${rb.srcCol}`")
+    val cond = rel.direction match {
+      case Outgoing => fwd
+      case Incoming => bwd
+      case Undirected => fwd || bwd
+    }
+    PState(df.where(cond), header)
+  }
+
   private def expandOne(graph: PropertyGraph, state: PState, srcVar: String,
       relVar: String, rel: RelPattern, dstVar: String, dstNp: NodePattern,
       propPreds: scala.collection.mutable.ArrayBuffer[Expr],
       freshSrc: Boolean = false): PState = {
+    // A bound relationship variable reused in a pattern element denotes
+    // THAT relationship: the element constrains its endpoints/type
+    // instead of scanning anew (TCK "using a bound relationship").
+    state.header.get(relVar) match {
+      case Some(rb: RelBinding) =>
+        return expandWithBoundRel(graph, state, srcVar, relVar, rb, rel,
+          dstVar, dstNp, propPreds)
+      case Some(_: RelListBinding) => throw new IllegalArgumentException(
+        s"relationship list variable '$relVar' cannot rebind in a pattern")
+      case _ => ()
+    }
     if (!freshSrc) {
       expandOneViaTriplet(graph, state, srcVar, relVar, rel, dstVar, dstNp,
         freshSrcNp = None, propPreds)

@@ -1509,7 +1509,22 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("date-compares-with-datetime-in-temporal-family", empty,
       """RETURN date('2024-01-02') = localdatetime('2024-01-02T00:00:00') AS eq,
         |date('2024-01-02') < localdatetime('2024-01-03T00:00:00') AS lt""".stripMargin,
-      Seq(row("eq" -> true, "lt" -> true)))
+      Seq(row("eq" -> true, "lt" -> true))),
+    Scenario("bound-relationship-reused-in-later-match", triad,
+      // r pins its endpoints: the second MATCH recovers exactly a and b
+      """MATCH (a:P {n: 'a'})-[r:R]->(b)
+        |WITH r MATCH (x)-[r]->(y)
+        |RETURN x.n AS xn, y.n AS yn""".stripMargin,
+      Seq(row("xn" -> "a", "yn" -> "b"))),
+    Scenario("bound-relationship-incoming-direction-swaps-endpoints", triad,
+      """MATCH (a:P {n: 'a'})-[r:R]->(b)
+        |WITH r MATCH (x)<-[r]-(y)
+        |RETURN x.n AS xn, y.n AS yn""".stripMargin,
+      Seq(row("xn" -> "b", "yn" -> "a"))),
+    Scenario("bound-relationship-type-mismatch-yields-nothing", triad,
+      """MATCH (a:P {n: 'a'})-[r:S]->(c)
+        |WITH r MATCH (x)-[r:R]->(y) RETURN x.n AS xn""".stripMargin,
+      Seq.empty)
   ) ++ Seq(
     // ---- pipeline shapes: WITH as a barrier, continuations after
     // aggregation / LIMIT (each clause sees only the previous projection)
