@@ -255,7 +255,8 @@ object PipelineQueries {
     // multimodal decode/feature-extract: REAL PNG payloads decoded via
     // javax.imageio, features from actual pixels (rows-only)
     "p14_media_features" -> ((s, dir) => {
-      val media = Multimodal.attachImageMedia(docs(s, dir), "doc_id", "text")
+      val media = Multimodal.attachImageMedia(docs(s, dir), "doc_id", "text",
+        width = 8, height = 8)
       Multimodal.decodeFeatures(media, featDim = 8).toDF()
         .select(col("doc_id"), col("kind"), col("feat_dim"),
           round(col("feat_mean"), 4).as("feat_mean"))

@@ -121,6 +121,30 @@ class PropertyGraph(
   def allLabels: Set[String] = nodeTables.flatMap(_.labels).toSet
   def allRelTypes: Set[String] = relTables.map(_.relType).toSet
 
+  /** Static graph schema (reference: `PropertyGraph.schema`,
+    * okapi-api PropertyGraph.scala:52): label combinations, typed
+    * property keys per combination / relationship type, declared schema
+    * patterns. Pure schema analysis — no job runs; property types are
+    * lattice-normalized, same-combination tables union their keys with
+    * widened types. */
+  def schema: GraphSchema = {
+    import SparkTypes._
+    def propTypes(tables: Seq[(DataFrame, Map[String, String])])
+        : Map[String, DataType] =
+      tables.flatMap { case (df, props) =>
+        props.toSeq.map { case (k, c) => k -> normalize(dtOf(df, c)) }
+      }.groupBy(_._1).map { case (k, ts) =>
+        k -> ts.map(_._2).reduce(widen) }
+    GraphSchema(
+      labelCombinations = nodeTables.map(_.labels).toSet,
+      relationshipTypes = allRelTypes,
+      nodeProps = nodeTables.groupBy(_.labels).map { case (ls, ts) =>
+        ls -> propTypes(ts.map(t => (t.df, t.propCols))) },
+      relProps = relTables.groupBy(_.relType).map { case (t, ts) =>
+        t -> propTypes(ts.map(r => (r.df, r.propCols))) },
+      explicitSchemaPatterns = schemaPatterns.toSet)
+  }
+
   private def dtOf(df: DataFrame, col: String): DataType =
     df.schema(col).dataType
 
