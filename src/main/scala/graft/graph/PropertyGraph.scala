@@ -476,6 +476,16 @@ class PropertyGraph(
     this
   }
 
+  /** Run a Cypher query with this graph as the input graph — the
+    * reference's graph-level entry point (okapi-api
+    * PropertyGraph.scala:99: `graph.cypher(...)` delegates to the
+    * session). An ad-hoc session plans the query; register the graph in a
+    * [[graft.api.GraftSession]] instead when multi-graph catalogs or
+    * driving tables are needed. */
+  def cypher(query: String,
+      parameters: Map[String, Any] = Map.empty): DataFrame =
+    graft.api.GraftSession(spark).cypher(this, query, parameters)
+
   /** Schema summary — label combinations, relationship types, and property
     * key→type maps (role of the reference's PropertyGraphSchema,
     * okapi-api/.../api/schema/PropertyGraphSchema.scala:62; ours is derived

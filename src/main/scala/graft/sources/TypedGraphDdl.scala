@@ -378,6 +378,15 @@ object TypedGraphDdl {
       RelTable(relTypeName, withIds, "_rid", "_src", "_dst", propToCol)
     }
 
-    new PropertyGraph(nodeTables, relTables, spark)
+    // the graph type's rel patterns become declared schema patterns
+    // (expanded through inheritance) — planners prune with them
+    val patterns = (g.relTypes ++
+      g.ofType.flatMap(n => doc.graphTypes.find(_.name == n))
+        .toSeq.flatMap(_.relTypes))
+      .flatMap(rt => rt.relTypes.map(t =>
+        graft.graph.SchemaPattern(r.expand(rt.src), t, r.expand(rt.dst))))
+      .distinct
+    new PropertyGraph(nodeTables, relTables, spark,
+      schemaPatterns = patterns)
   }
 }

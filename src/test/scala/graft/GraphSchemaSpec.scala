@@ -86,6 +86,34 @@ class GraphSchemaSpec extends AnyFunSuite {
     assert(p.contains("age: bigint") && p.contains("score: double"))
   }
 
+  test("graph-level cypher entry point (reference PropertyGraph.cypher)") {
+    val g = gs.createGraphFromCypher(
+      "CREATE (:P {v: 1})-[:R]->(:P {v: 2})")
+    val rows = g.cypher("MATCH (a:P)-[:R]->(b:P) RETURN b.v AS v").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(g.cypher("MATCH (x:P) WHERE x.v > $lo RETURN count(*) AS n",
+      Map("lo" -> 1)).head.getLong(0) === 1L)
+  }
+
+  test("typed DDL graphs declare their graph type's schema patterns") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "n")).toDF("id", "name").createOrReplaceTempView("sp_people")
+    Seq((1L, 1L)).toDF("a", "b").createOrReplaceTempView("sp_knows")
+    val g = graft.sources.TypedGraphDdl.createGraphs(spark,
+      """CREATE ELEMENT TYPE Person ( name STRING )
+        |CREATE ELEMENT TYPE KNOWS ()
+        |CREATE GRAPH TYPE t ( (Person), (Person)-[KNOWS]->(Person) )
+        |CREATE GRAPH spg OF t (
+        |  (Person) FROM sp_people,
+        |  (Person)-[KNOWS]->(Person) FROM sp_knows e
+        |    START NODES (Person) FROM sp_people n JOIN ON e.a = n.id
+        |    END   NODES (Person) FROM sp_people n JOIN ON e.b = n.id
+        |)""".stripMargin)("spg")
+    assert(g.schema.explicitSchemaPatterns ===
+      Set(graft.graph.SchemaPattern(Set("Person"), "KNOWS", Set("Person"))))
+  }
+
   test("schema of a CREATE-fixture graph") {
     val g = gs.createGraphFromCypher(
       "CREATE (:P {v: 1})-[:R {w: 1.5}]->(:Q {s: 'x'})")
