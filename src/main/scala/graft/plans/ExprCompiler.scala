@@ -1018,37 +1018,31 @@ class ExprCompiler(header: Header, params: Map[String, Any],
                 .getOrElse(lit(java.math.BigDecimal.ZERO)))
           case _ => to_timestamp(a0)
         }
-      // duration({...}) / duration('P1Y2M3DT4H5M6S').
-      // Day-scale-only durations → DayTimeIntervalType (natively
-      // comparable/summable in Spark 3.3+ — the reference needed four
-      // custom UDAFs for CalendarInterval, TemporalUdafs.scala:39-116).
-      // Durations with year/month components → CalendarIntervalType
-      // (month lengths vary, so such durations are NOT orderable; they
-      // support date/timestamp ± duration arithmetic, which is what
-      // month-durations are for — reference Duration.scala semantics).
+      // duration({...}) / duration('P1Y2M3DT4H5M6S') — ALWAYS
+      // CalendarIntervalType: it stores the (months, days, micros) groups
+      // separately, exactly Neo4j's duration model (reference
+      // Duration.scala stores (months, days, seconds, nanos)), so
+      // duration({hours: 26}).days reads 0 and PT24H != P1D.
+      // DayTimeIntervalType's total-microsecond storage folds whole days
+      // into the DAY digit — faithful only below 24h. Arithmetic
+      // (interval±interval, temporal±interval, scaling) is native for
+      // CalendarIntervalType; sum()/avg() decompose over the raw fields
+      // (the reference needed custom UDAFs, TemporalUdafs.scala:39-116).
       case "duration" => f.args.head match {
         case MapLit(items) =>
           val m = items.toMap
           def part(k: String) = m.get(k).map(compile).getOrElse(lit(0L))
-          if (m.contains("years") || m.contains("months"))
-            make_interval(part("years").cast(IntegerType),
-              part("months").cast(IntegerType),
-              part("weeks").cast(IntegerType), part("days").cast(IntegerType),
-              part("hours").cast(IntegerType),
-              part("minutes").cast(IntegerType),
-              part("seconds").cast(DecimalType(18, 6)))
-          else
-            make_dt_interval(part("days") + part("weeks") * 7, part("hours"),
-              part("minutes"), part("seconds"))
+          make_interval(part("years").cast(IntegerType),
+            part("months").cast(IntegerType),
+            part("weeks").cast(IntegerType), part("days").cast(IntegerType),
+            part("hours").cast(IntegerType),
+            part("minutes").cast(IntegerType),
+            part("seconds").cast(DecimalType(18, 6)))
         case StringLit(s) =>
           val p = IsoDuration.parse(s)
-          if (p.years != 0 || p.months != 0)
-            make_interval(lit(p.years), lit(p.months), lit(0),
-              lit(p.days), lit(p.hours), lit(p.minutes),
-              lit(p.seconds).cast(DecimalType(18, 6)))
-          else
-            make_dt_interval(lit(p.days), lit(p.hours), lit(p.minutes),
-              lit(p.seconds).cast(DecimalType(18, 6)))
+          make_interval(lit(p.years), lit(p.months), lit(0),
+            lit(p.days), lit(p.hours), lit(p.minutes),
+            lit(p.seconds).cast(DecimalType(18, 6)))
         case _ => throw new IllegalArgumentException(
           "duration() expects a map like {months: 1, days: 2} or an ISO-8601 string")
       }
@@ -1070,11 +1064,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             a0.cast(TimestampType))).cast(IntegerType),
           lit(0), lit(0), lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
       case "duration.indays" =>
-        make_dt_interval(
+        make_interval(lit(0), lit(0), lit(0),
           floor((unix_timestamp(a(1).cast(TimestampType)) -
-            unix_timestamp(a0.cast(TimestampType))) / 86400))
+            unix_timestamp(a0.cast(TimestampType))) / 86400).cast(IntegerType),
+          lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
       case "duration.inseconds" =>
-        make_dt_interval(lit(0), lit(0), lit(0),
+        make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
           (unix_timestamp(a(1).cast(TimestampType)) -
             unix_timestamp(a0.cast(TimestampType))).cast(DecimalType(18, 6)))
       case "date.truncate" =>
@@ -1152,7 +1147,22 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case CountStar => count(lit(1))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
-    // Cypher sum() over no (non-null) input is 0, not SQL's null
+    // Cypher sum() over no (non-null) input is 0, not SQL's null.
+    // CalendarIntervalType (durations) isn't summable by Spark's Sum —
+    // decompose over the raw (months, days, micros) fields and
+    // recompose (the reference's custom UDAF, TemporalUdafs.scala:39-72,
+    // as three codegen'd longs with map-side combine instead)
+    case Func("sum", distinct, args)
+        if typeOf(args.head) == CalendarIntervalType =>
+      if (distinct) throw new IllegalArgumentException(
+        "sum(DISTINCT duration) is not supported (per-component distinct " +
+          "would not dedupe whole durations)")
+      val c = compile(args.head)
+      import graft.functions.IntervalFunctions._
+      def s(part: Column) = coalesce(sum(part), lit(0L))
+      make_interval(lit(0), s(intervalMonths(c)).cast(IntegerType), lit(0),
+        s(intervalDays(c)).cast(IntegerType), lit(0), lit(0),
+        (s(intervalMicros(c)) / lit(1000000L)).cast(DecimalType(24, 6)))
     case Func("sum", true, args) =>
       val c = sumChild(args.head)
       val s = sum_distinct(c)
@@ -1161,10 +1171,27 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val c = sumChild(args.head)
       val s = sum(c)
       coalesce(s, lit(0).cast(typeOfAgg(s)))
+    // avg over durations: component sums scaled by 1/n (native calendar
+    // interval division handles fractional carry)
+    case Func("avg", distinct, args)
+        if typeOf(args.head) == CalendarIntervalType =>
+      if (distinct) throw new IllegalArgumentException(
+        "avg(DISTINCT duration) is not supported")
+      val c = compile(args.head)
+      import graft.functions.IntervalFunctions._
+      make_interval(lit(0), sum(intervalMonths(c)).cast(IntegerType), lit(0),
+        sum(intervalDays(c)).cast(IntegerType), lit(0), lit(0),
+        (sum(intervalMicros(c)) / lit(1000000L)).cast(DecimalType(24, 6))) /
+        count(c)
     case Func("avg", true, args) =>
       val c = compile(args.head)
       sum_distinct(c) / count_distinct(c)
     case Func("avg", false, args) => avg(compile(args.head))
+    case Func("min" | "max", _, args)
+        if typeOf(args.head) == CalendarIntervalType =>
+      throw new IllegalArgumentException(
+        "min()/max() over durations: durations are not orderable " +
+          "(month lengths vary)")
     case Func("min", _, args) => min(compile(args.head))
     case Func("max", _, args) => max(compile(args.head))
     case Func("collect", true, args) => collect_set(entityValue(args.head))

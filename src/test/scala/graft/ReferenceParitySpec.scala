@@ -109,16 +109,30 @@ class ReferenceParitySpec extends AnyFunSuite {
       "RETURN duration.inDays(date('2020-01-01'), date('2020-03-01')).monthsOfYear AS m")
       == 0L)
   }
-  test("calendar durations keep day and seconds groups separate (raw fields)") {
+  test("durations keep day and seconds groups separate (raw fields)") {
     // Spark date_part folds hours>=24 into the DAY digit; Neo4j keeps the
-    // groups as constructed. Month-bearing durations store the raw triple.
+    // groups as constructed. ALL durations are CalendarIntervalType
+    // storing the raw (months, days, micros) triple, so every
+    // construction reads back its own groups.
     assert(one("RETURN duration({months: 1, hours: 26}).days AS d") == 0L)
     assert(one("RETURN duration({months: 1, hours: 26}).hours AS h") == 26L)
     assert(one("RETURN duration({months: 1, hours: 26}).minutes AS m") == 26L * 60)
-    // DOCUMENTED DIVERGENCE: day-time durations are total-microsecond
-    // storage, so a pure-time construction >= 24h is indistinguishable
-    // from a days construction — the DAY digit absorbs whole days.
-    assert(one("RETURN duration({hours: 26}).days AS d") == 1L)
+    assert(one("RETURN duration({hours: 26}).days AS d") == 0L)
+    assert(one("RETURN duration({hours: 26}).hours AS h") == 26L)
+    assert(one("RETURN duration({days: 5, hours: 26}).days AS d") == 5L)
+  }
+  test("duration sum/avg aggregate component-wise; min/max reject") {
+    assert(one(
+      """UNWIND [duration({hours: 20}), duration({hours: 6})] AS d
+        |RETURN sum(d).hours AS h""".stripMargin) == 26L)
+    assert(one(
+      """UNWIND [duration({months: 1, days: 2}), duration({days: 1})] AS d
+        |RETURN sum(d).months AS m""".stripMargin) == 1L)
+    assert(one(
+      """UNWIND [duration({hours: 2}), duration({hours: 4})] AS d
+        |RETURN avg(d).hours AS h""".stripMargin) == 3L)
+    intercept[Exception](one(
+      "UNWIND [duration({days: 1})] AS d RETURN min(d) AS x"))
   }
   test("calendar duration equality is component-wise: P1M != P30D-equivalents") {
     assert(one(
