@@ -140,6 +140,21 @@ object PipelineQueries {
         d.withColumn("score", length(col("text")).cast("double")),
         "doc_id", "score", pairs, "id_a", "id_b").orderBy("id")
     }),
+    // duplicated-substring span detection (Lee et al. 2022 ExactSubstr
+    // re-shaped: stride-aligned window hashing instead of a suffix array;
+    // windows shuffle as (hash, id, pos) triples, never text). Oracle
+    // replays the election grouping by raw window text where the engine
+    // groups by xxhash64 — identical classes absent 64-bit collisions.
+    "p36_substring_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text",
+        window = 64, stride = 16)
+        .orderBy("doc_id", "span_start")),
+    // duplicated-substring REMOVAL: all copies of every duplicated span
+    // dropped (the paper's default), byte-exact oracle reconstruction
+    "p37_substring_strip" -> ((s, dir) =>
+      Dedup.stripDuplicateSpans(docs(s, dir), "doc_id", "text",
+        window = 64, stride = 16)
+        .orderBy("doc_id")),
     // SemDeDup semantic dedup: k-means cells (sample-trained, broadcast)
     // → within-cell dense cosine kernel → component representatives.
     // Rows-only: cluster assignment is engine-specific by design.
@@ -680,6 +695,85 @@ object PipelineQueries {
         |      ORDER BY score DESC, id ASC) AS rk
         |  FROM scored)
         |SELECT id, cluster, (rk = 1) AS kept FROM ranked ORDER BY id""".stripMargin,
+    // election by raw window text where the engine uses xxhash64 —
+    // identical duplicate classes absent 64-bit collisions (as p29)
+    "p36_substring_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |w0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(((length(text) - 64) // 16) + 1)) AS k
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, (k * 16)::BIGINT AS pos,
+        |    substr(text, (k * 16 + 1)::INT, 64) AS win
+        |  FROM w0),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |dw AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 64) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM dw),
+        |i AS (
+        |  SELECT doc_id, pos,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 64 - min(pos))::BIGINT AS span_len,
+        |  count(*)::BIGINT AS n_windows
+        |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    "p37_substring_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |w0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(((length(text) - 64) // 16) + 1)) AS k
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, (k * 16)::BIGINT AS pos,
+        |    substr(text, (k * 16 + 1)::INT, 64) AS win
+        |  FROM w0),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |dw AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 64) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM dw),
+        |i AS (
+        |  SELECT doc_id, pos,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 64 - min(pos) AS l
+        |  FROM i GROUP BY doc_id, isl),
+        |seg AS (
+        |  SELECT doc_id, s,
+        |    coalesce(lag(s + l) OVER (
+        |      PARTITION BY doc_id ORDER BY s), 0) AS prev_end
+        |  FROM sp),
+        |pieces AS (
+        |  SELECT g.doc_id, g.s AS ord,
+        |    substr(d0.text, (g.prev_end + 1)::INT,
+        |           (g.s - g.prev_end)::INT) AS seg
+        |  FROM seg g JOIN documents d0 USING (doc_id)
+        |  UNION ALL
+        |  SELECT t.doc_id, length(d0.text)::BIGINT + 1 AS ord,
+        |    substr(d0.text, (t.max_end + 1)::INT, length(d0.text)) AS seg
+        |  FROM (SELECT doc_id, max(s + l) AS max_end
+        |        FROM sp GROUP BY doc_id) t
+        |  JOIN documents d0 USING (doc_id)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS cleaned_text
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT d0.doc_id, coalesce(agg.cleaned_text, d0.text) AS cleaned_text
+        |FROM documents d0 LEFT JOIN agg USING (doc_id)
+        |ORDER BY d0.doc_id""".stripMargin,
     "p22_graph_distances" ->
       """SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS dist
         |FROM customer ORDER BY ck""".stripMargin,

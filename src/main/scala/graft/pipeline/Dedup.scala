@@ -488,4 +488,109 @@ object Dedup {
         count(lit(1)).cast(LongType).as("n_paras_kept"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Duplicated-substring SPAN detection — the character-granular variant
+    * of repeated-passage removal (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr), re-shaped for Spark:
+    * stride-aligned window hashing instead of a corpus-wide suffix array
+    * (a suffix array is a single-machine structure; this is the
+    * shuffle-narrow distributed equivalent).
+    *
+    * Every `window`-character substring starting at a stride-aligned offset
+    * is hashed; a window whose content occurs >= 2 times ANYWHERE in the
+    * corpus (another document, or another offset of the same document —
+    * self-repetition counts, as in the paper) is duplicated. Per document,
+    * overlapping/adjacent duplicated windows merge into maximal spans.
+    *
+    * Recall contract: an aligned duplicate region is always found; a
+    * misaligned copy is found iff the two copies share a stride-aligned
+    * window, so every duplicated region of length >= window + stride - 1
+    * with EQUAL alignment mod `stride` is guaranteed, and `stride = 1`
+    * recovers exact suffix-array semantics at 1 row per character. The
+    * default (64, 16) finds any duplicate >= 79 chars at matching
+    * alignment; corpus boilerplate (licenses, headers, templated spam) is
+    * byte-identical text and overwhelmingly alignment-stable.
+    *
+    * Scale shape (100 TB): windows shuffle as (hash, id, pos) triples —
+    * never text; the duplicate election is one map-side-combined count per
+    * hash; island merging windows over ONE document's positions (narrow
+    * partitions, no global sort).
+    *
+    * @return (idCol, span_start, span_len, n_windows), 0-based character
+    *         offsets, one row per maximal duplicated span
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 16): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    import org.apache.spark.sql.expressions.Window
+    val text = col(textCol)
+    // docs shorter than one window can't participate (also guards the
+    // descending-sequence trap: sequence(0, -1) is NOT empty in Spark)
+    val wins = df.where(length(text) >= window)
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(transform(
+          sequence(lit(0),
+            floor((length(text) - lit(window)) / lit(stride)).cast(IntegerType)),
+          k => struct(
+            (k.cast(LongType) * stride).as("pos"),
+            xxhash64(text.substr(k * lit(stride) + lit(1), lit(window)))
+              .as("h")))).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    // hashes with >= 2 occurrences anywhere; only (hash, count) shuffles
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select(col("h"))
+    val dupWins = wins.join(dup, Seq("h"), "left_semi")
+    // gaps-and-islands per document: a window starts a new span iff it
+    // begins past every earlier window's end
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(window.toLong))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dupWins.withColumn("st",
+      when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+    val islands = flagged.withColumn("isl",
+      sum(col("st")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(window.toLong) - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  /** Remove every span found by [[duplicateSpans]] from the text (the
+    * paper's semantics: ALL copies of a duplicated substring are dropped,
+    * leaving zero — §4.1 of Lee et al. discusses why that is the right
+    * default for training corpora). Documents without duplicated spans
+    * pass through unchanged.
+    *
+    * Reconstruction folds each document's ordered span list over its own
+    * text — per-row work proportional to that document's span count, no
+    * extra shuffle beyond the span join. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 16): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, window, stride)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_len").as("l")))).as("spans"))
+    df.join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("spans").isNull, col(textCol)).otherwise(
+          // fold: cut [cursor, span_start) segments, advance the cursor,
+          // then the finish lambda appends the tail past the last span
+          aggregate(col("spans"),
+            struct(lit(0L).as("cur"), lit("").as("acc")),
+            (st, sp) => struct(
+              (sp.getField("s") + sp.getField("l")).as("cur"),
+              concat(st.getField("acc"),
+                col(textCol).substr(
+                  (st.getField("cur") + 1).cast(IntegerType),
+                  (sp.getField("s") - st.getField("cur")).cast(IntegerType)))
+                .as("acc")),
+            st => concat(st.getField("acc"),
+              col(textCol).substr(
+                (st.getField("cur") + 1).cast(IntegerType),
+                length(col(textCol)).cast(IntegerType)))))
+          .as("cleaned_text"))
+  }
 }

@@ -262,8 +262,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case (StringType, _) | (_, StringType) =>
           concat(lc.cast(StringType), rc.cast(StringType))
         case (_: ArrayType, _: ArrayType) => concat(lc, rc)
-        case (_: ArrayType, _) => concat(lc, array(rc))
-        case (_, _: ArrayType) => concat(array(lc), rc)
+        // element append/prepend: a NULL operand nulls the whole result
+        // (Cypher ternary logic; Spark's concat only propagates null for
+        // the array side, and array(null) would smuggle it in as a value)
+        case (_: ArrayType, _) =>
+          when(rc.isNull, lit(null)).otherwise(concat(lc, array(rc)))
+        case (_, _: ArrayType) =>
+          when(lc.isNull, lit(null)).otherwise(concat(array(lc), rc))
         // Cypher: Date + Duration = Date (sub-day components are dropped);
         // Spark widens date+interval to timestamp, so cast back
         case (DateType, t) if isIntervalType(t) => (lc + rc).cast(DateType)
@@ -627,6 +632,23 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         if (sameKeyShape(a, b))
           Some(op(canonStruct(compile(l), tl), canonStruct(compile(r), tr)))
         else None
+      // Cypher list equality is ELEMENT-WISE ternary: [1,2]=[1,null] is
+      // null, not false (Spark array equality is binary and would treat
+      // the null element as a distinct value). Length mismatch is false;
+      // any definite element mismatch is false even alongside nulls.
+      case (ArrayType(ae, _), ArrayType(be, _)) if !ordering &&
+          mismatch.isDefined && !ae.isInstanceOf[StructType] &&
+          !be.isInstanceOf[StructType] &&
+          (family(ae) == family(be) || ae == NullType || be == NullType) =>
+        val (lc, rc) = (compile(l), compile(r))
+        val eqs = zip_with(lc, rc, (a, b) => a === b)
+        val anyFalse = exists(eqs, e => !e) // 3VL: true > null > false
+        val eq = when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
+          .when(size(lc) =!= size(rc), lit(false))
+          .when(anyFalse === true, lit(false))
+          .when(anyFalse.isNull, lit(null).cast(BooleanType))
+          .otherwise(lit(true))
+        Some(if (mismatch.get) !eq else eq)
       // CalendarIntervalType is not comparable in Spark; Cypher duration
       // equality is component-wise — compare the normalized
       // (months, days, microseconds) triple instead.

@@ -1272,6 +1272,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         graph.nodeRelTables.find(t => t.relType == relType &&
           t.nodeOnSrc == wantOnSrc &&
           t.nodeLabels == srcNp.labels.toSet).map { t =>
+          // fully-labeled shape half-covered here (dst still joins its
+          // scan): keep reporting it so a HOT shape promotes to a full
+          // triplet — the table lookup order makes the triplet win then
+          if (srcNp.labels.nonEmpty && dstNp.labels.nonEmpty) {
+            if (rel.direction == Outgoing)
+              onExpandMiss(srcNp.labels.toSet, relType, dstNp.labels.toSet)
+            else onExpandMiss(dstNp.labels.toSet, relType, srcNp.labels.toSet)
+          }
           srcNp.properties.foreach { case (k, e) =>
             propPreds += Eq(Property(Var(srcVar), k), e) }
           rel.properties.foreach { case (k, e) =>
@@ -1325,6 +1333,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             graph.nodeRelTables.find(t => t.relType == relType &&
               t.nodeOnSrc == wantOnSrc &&
               t.nodeLabels == dstNp.labels.toSet).map { t =>
+              // labeled bound src answered via the dst-side node-rel: a
+              // triplet additionally absorbs the SRC scan at pattern
+              // starts — report so hot fully-labeled shapes promote
+              if (srcB.labels.nonEmpty && dstNp.labels.nonEmpty) {
+                if (rel.direction == Outgoing)
+                  onExpandMiss(srcB.labels, relType, dstNp.labels.toSet)
+                else onExpandMiss(dstNp.labels.toSet, relType, srcB.labels)
+              }
               rel.properties.foreach { case (k, e) =>
                 propPreds += Eq(Property(Var(relVar), k), e) }
               dstNp.properties.foreach { case (k, e) =>

@@ -5,18 +5,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.GraftSession
 
-/** Locks behaviors where strict openCypher ternary logic and the
-  * reference's Spark lowering diverge — we deliberately match the
-  * REFERENCE (a reference user switching engines sees identical
-  * results), and document each choice:
+/** Locks behaviors at the boundary between strict openCypher ternary
+  * logic and the reference's Spark lowering, and documents each choice:
   *
-  *  - list/struct equality is Spark-structural (null elements compare
-  *    equal): reference maps Equals to Column.=== unconditionally
-  *    (SparkSQLExprMapper.scala:122); strict openCypher would return
-  *    null for [1,null] = [1,null].
-  *  - `x + [list]` with a null/scalar lhs wraps the lhs as an element
-  *    (concat(array(lhs), rhs), SparkSQLExprMapper.scala:181-182);
-  *    strict openCypher would propagate null.
+  *  - list equality is element-wise TERNARY (round 3): [1,null]=[1,null]
+  *    is null, a definite element mismatch is false, length mismatch is
+  *    false. This follows openCypher/Neo4j; the reference's backends map
+  *    Equals to Column.=== unconditionally (SparkSQLExprMapper.scala:122)
+  *    and would answer true — a documented reference DIVERGENCE from its
+  *    own TCK, which we deliberately do not reproduce.
+  *  - `x + [list]` / `[list] + x` with a null scalar operand propagates
+  *    null (Cypher 3VL); the reference wraps the null as an element
+  *    (concat(array(lhs), rhs), SparkSQLExprMapper.scala:181-182).
+  *    Non-null scalars wrap as elements exactly like the reference.
   *  - single()/none() count elements whose predicate is TRUE; a null
   *    predicate element is simply not counted (ArrayFilter drops it,
   *    SparkSQLExprMapper.scala:380-396). Strict ternary logic would
@@ -37,15 +38,16 @@ class ReferenceParitySpec extends AnyFunSuite {
   lazy val g = gs.createGraphFromCypher("CREATE (:Z {k: 1})")
   private def one(q: String): Any = gs.cypher(g, q).collect().head.get(0)
 
-  test("list equality is structural: null elements compare equal") {
-    assert(one("RETURN [1, null] = [1, null] AS x") == true)
-    assert(one("RETURN [1, null] = [1, 2] AS x") == false)
+  test("list equality is element-wise ternary (openCypher, not reference ===)") {
+    assert(one("RETURN [1, null] = [1, null] AS x") == null)
+    assert(one("RETURN [1, null] = [1, 2] AS x") == null)
     assert(one("RETURN [1] = [1, 2] AS x") == false)
+    assert(one("RETURN [1, 2] = [null, 3] AS x") == false)
   }
-  test("scalar + list wraps the scalar as an element (reference Add)") {
+  test("scalar + list wraps the scalar as an element (reference Add); null propagates") {
     assert(one("RETURN [1] + 2 AS x") == Seq(1L, 2L))
     assert(one("RETURN 0 + [1] AS x") == Seq(0L, 1L))
-    assert(one("RETURN null + [1] AS x") == Seq(null, 1L))
+    assert(one("RETURN null + [1] AS x") == null)
     assert(one("RETURN [1] + [2, 3] AS x") == Seq(1L, 2L, 3L))
   }
   test("single() counts TRUE predicates only (null elements dropped)") {

@@ -2392,7 +2392,124 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("n" -> "c"), row("n" -> "b"), row("n" -> "a")), ordered = true)
   ) ++ scenariosRound3b
 
-  private def scenariosRound3b: Seq[Scenario] = Seq.empty
+  private def scenariosRound3b: Seq[Scenario] = Seq(
+    // ===== round-3b batch: OPTIONAL MATCH WHERE attachment (TCK
+    // OptionalMatchAcceptance: the WHERE belongs to the OPTIONAL MATCH —
+    // a failing predicate nulls the optional side, never drops the row)
+    Scenario("optional-match-where-is-part-of-match", triad,
+      """MATCH (a:P {n: 'a'}) OPTIONAL MATCH (a)-[:R]->(b) WHERE b.v > 5
+        |RETURN a.n AS an, b.v AS bv""".stripMargin,
+      Seq(row("an" -> "a", "bv" -> null))),
+    Scenario("optional-match-where-keeps-partial", triad,
+      """MATCH (a:P {n: 'a'}) OPTIONAL MATCH (a)-[:R]->(b) WHERE b.v > 1
+        |RETURN a.n AS an, b.v AS bv""".stripMargin,
+      Seq(row("an" -> "a", "bv" -> 2L))),
+    Scenario("optional-count-star-counts-rows", social,
+      """MATCH (r:Robot) OPTIONAL MATCH (r)-[k:KNOWS]->()
+        |RETURN count(k) AS ck, count(*) AS cs""".stripMargin,
+      Seq(row("ck" -> 0L, "cs" -> 1L))),
+    // ===== pattern predicates with both endpoints bound
+    Scenario("exists-pattern-both-endpoints-bound", triad,
+      """MATCH (a:P {n: 'a'}), (c:P {n: 'c'}) WHERE (a)-[:S]->(c)
+        |RETURN a.n AS an""".stripMargin,
+      Seq(row("an" -> "a"))),
+    Scenario("not-pattern-predicate-filters", triad,
+      """MATCH (a:P) WHERE NOT (a)-[:S]->()
+        |RETURN a.n AS n ORDER BY n""".stripMargin,
+      Seq(row("n" -> "b"), row("n" -> "c")), ordered = true),
+    // ===== named paths: single node and zero-length
+    Scenario("single-node-named-path", triad,
+      """MATCH p = (a:P {n: 'a'})
+        |RETURN length(p) AS l, size(nodes(p)) AS n""".stripMargin,
+      Seq(row("l" -> 0L, "n" -> 1L))),
+    Scenario("zero-length-named-path-lengths", triad,
+      """MATCH p = (a:P {n: 'a'})-[:R*0..1]->()
+        |RETURN length(p) AS l ORDER BY l""".stripMargin,
+      Seq(row("l" -> 0L), row("l" -> 1L)), ordered = true),
+    Scenario("distinct-on-lists", empty,
+      """UNWIND [[1, 2], [1, 2], [3]] AS l
+        |RETURN DISTINCT l ORDER BY l""".stripMargin,
+      Seq(row("l" -> List(1L, 2L)), row("l" -> List(3L))), ordered = true),
+    Scenario("order-by-unprojected-property", triad,
+      "MATCH (x:P) RETURN x.n AS n ORDER BY x.v DESC",
+      Seq(row("n" -> "c"), row("n" -> "b"), row("n" -> "a")), ordered = true),
+    // ===== map/list construction + access edge cases
+    Scenario("map-projection-with-literal-entry", triad,
+      "MATCH (x:P {n: 'a'}) RETURN x {.n, extra: 42} AS m",
+      Seq(row("m" -> Map("n" -> "a", "extra" -> 42L)))),
+    Scenario("negative-slice-bounds", empty,
+      "RETURN [1, 2, 3, 4][-2..] AS s",
+      Seq(row("s" -> List(3L, 4L)))),
+    Scenario("slice-open-negative-end", empty,
+      "RETURN [1, 2, 3, 4][..-1] AS s",
+      Seq(row("s" -> List(1L, 2L, 3L)))),
+    Scenario("nested-map-literal-field-chain", empty,
+      "RETURN {a: {b: 2}}.a.b AS x",
+      Seq(row("x" -> 2L))),
+    Scenario("nested-list-literal-index-chain", empty,
+      "RETURN [[1, 2], [3, 4]][1][0] AS x",
+      Seq(row("x" -> 3L))),
+    Scenario("list-plus-null-is-null", empty,
+      "RETURN [1] + null AS x",
+      Seq(row("x" -> null))),
+    Scenario("index-into-null-list-is-null", empty,
+      "WITH null AS l RETURN l[0] AS x",
+      Seq(row("x" -> null))),
+    // ===== strings
+    Scenario("uppercase-before-lowercase-codepoint-order", empty,
+      "RETURN 'B' < 'a' AS x",
+      Seq(row("x" -> true))),
+    Scenario("starts-ends-with-empty-string", empty,
+      "RETURN 'abc' STARTS WITH '' AS s, 'abc' ENDS WITH '' AS e",
+      Seq(row("s" -> true, "e" -> true))),
+    Scenario("trim-ltrim-rtrim", empty,
+      "RETURN trim('  a b  ') AS t, lTrim('  x') AS l, rTrim('y  ') AS r",
+      Seq(row("t" -> "a b", "l" -> "x", "r" -> "y"))),
+    Scenario("substring-length-clamps", empty,
+      "RETURN substring('abc', 1, 10) AS s",
+      Seq(row("s" -> "bc"))),
+    // ===== aggregates
+    Scenario("percentile-disc-median", empty,
+      "UNWIND [1, 2, 3, 4, 5] AS v RETURN percentileDisc(v, 0.5) AS p",
+      Seq(row("p" -> 3L))),
+    Scenario("min-max-over-dates", empty,
+      """UNWIND [date('2020-01-02'), date('2019-12-31')] AS d
+        |RETURN min(d) AS mn, max(d) AS mx""".stripMargin,
+      Seq(row("mn" -> "2019-12-31", "mx" -> "2020-01-02"))),
+    Scenario("with-aggregate-entity-group-then-property", triad,
+      """MATCH (a:P)-[r:R]->() WITH a, count(r) AS c
+        |RETURN a.n AS n, c ORDER BY n""".stripMargin,
+      Seq(row("n" -> "a", "c" -> 1L), row("n" -> "b", "c" -> 1L)),
+      ordered = true),
+    // ===== label predicates + literals + params
+    Scenario("label-disjunction-in-where", social,
+      """MATCH (n) WHERE n:Admin OR n:Robot
+        |RETURN n.name AS name ORDER BY name""".stripMargin,
+      Seq(row("name" -> "Dave"), row("name" -> "R2")), ordered = true),
+    Scenario("unary-plus-and-negative-hex", empty,
+      "RETURN +5 AS x, -0x10 AS y",
+      Seq(row("x" -> 5L, "y" -> -16L))),
+    Scenario("range-negative-step-descending", empty,
+      "RETURN range(5, 1, -2) AS r",
+      Seq(row("r" -> List(5L, 3L, 1L)))),
+    Scenario("match-inline-param-map", triad,
+      "MATCH (x:P {n: $name}) RETURN x.v AS v",
+      Seq(row("v" -> 2L)), params = Map("name" -> "b")),
+    // ===== ternary list equality (former blacklist divergence, now
+    // element-wise 3VL: false beats null, length mismatch is false)
+    Scenario("ternary-list-equality-definite-mismatch", empty,
+      "RETURN [1,2] = [1,3] AS a, [1,2] = [1,null,3] AS b, [1,2] = [1,2] AS c",
+      Seq(row("a" -> false, "b" -> false, "c" -> true))),
+    Scenario("ternary-list-inequality-null-element", empty,
+      "RETURN [1,2] <> [1,null] AS y",
+      Seq(row("y" -> null))),
+    Scenario("ternary-list-equality-false-beats-null", empty,
+      "RETURN [1,2] = [null,3] AS x",
+      Seq(row("x" -> false))),
+    Scenario("ternary-list-equality-int-float", empty,
+      "RETURN [1,2] = [1.0,2.0] AS x",
+      Seq(row("x" -> true)))
+  )
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {

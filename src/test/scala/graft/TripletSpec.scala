@@ -186,6 +186,33 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hot fully-labeled shape promotes a node-rel cover to a triplet") {
+    val q = """MATCH (a:Person)-[:LIVES_IN]->(c:City)
+              |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin
+    val expected = rows(plain, q)
+    // pre-covered by a dst-side node-rel: the expand is ANSWERED (no plain
+    // miss fires), but the fully-labeled shape keeps reporting through the
+    // node-rel hit and must promote to a full triplet — which then wins
+    // the table lookup and drops the src-scan join entirely
+    val covered = plain.withNodeRel("LIVES_IN", Set("City"), nodeOnSrc = false)
+    gs.enableAutoConsolidation(threshold = 2)
+    try {
+      assert(rows(covered, q) === expected)
+      assert(rows(covered, q) === expected)
+      val df = gs.cypher(covered, q)
+      val plan = df.queryExecution.executedPlan.toString
+      val aboveCache = plan.split("InMemoryRelation").head
+      assert(aboveCache.contains("InMemoryTableScan"),
+        s"expected promoted-triplet read:\n$plan")
+      assert(!aboveCache.contains("Join"),
+        s"expected join-free promoted-triplet expand:\n$plan")
+      assert(df.collect().toSeq.map(_.toSeq) === expected)
+    } finally {
+      gs.disableAutoConsolidation()
+      gs.releaseAutoConsolidation()
+    }
+  }
+
   test("one-side-labeled hot shape consolidates as a node-rel table") {
     // unlabeled bound src, labeled far side → node-rel on the dst side
     // (half a triplet's storage, same single probe join)
