@@ -303,18 +303,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       else if (typeOf(l).isInstanceOf[DecimalType] ||
           typeOf(r).isInstanceOf[DecimalType])
         lc / rc // decimal-exact path (bigdecimal() lattice)
-      else {
-        // float division follows IEEE-754 (Cypher: 1.0/0.0 = Infinity,
-        // 0.0/0.0 = NaN) — Spark's ANSI divide raises instead, so the
-        // zero-divisor case is routed around it
-        val ld = lc.cast(DoubleType); val rd = rc.cast(DoubleType)
-        when(rd === 0.0,
-          when(ld > 0.0, lit(Double.PositiveInfinity))
-            .when(ld < 0.0, lit(Double.NegativeInfinity))
-            .when(ld === 0.0, lit(Double.NaN))
-            .otherwise(lit(null).cast(DoubleType)))
-          .otherwise(ld / rd)
-      }
+      else ieeeDiv(lc, rc)
     case Mod(l, r) => compile(l) % compile(r)
     case Pow(l, r) => pow(compile(l), compile(r))
     case Neg(x) => negate(compile(x))
@@ -667,6 +656,28 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     }
   }
 
+  /** float division follows IEEE-754 (Cypher: 1.0/0.0 = Infinity,
+    * 0.0/0.0 = NaN) — Spark's ANSI divide raises instead, so the
+    * zero-divisor case is routed around it. */
+  private def ieeeDiv(lc: Column, rc: Column): Column = {
+    val ld = lc.cast(DoubleType); val rd = rc.cast(DoubleType)
+    when(rd === 0.0,
+      when(ld > 0.0, lit(Double.PositiveInfinity))
+        .when(ld < 0.0, lit(Double.NegativeInfinity))
+        .when(ld === 0.0, lit(Double.NaN))
+        .otherwise(lit(null).cast(DoubleType)))
+      .otherwise(ld / rd)
+  }
+
+  /** java.lang.Math log semantics (what Neo4j evaluates): f(0) is
+    * -Infinity and f(<0) is NaN — Spark's log/log10 return null there. */
+  private def javaLog(c: Column, f: Column => Column): Column = {
+    val d = c.cast(DoubleType)
+    when(d === 0.0, lit(Double.NegativeInfinity))
+      .when(d < 0.0, lit(Double.NaN))
+      .otherwise(f(d))
+  }
+
   private def cmpMismatch(l: Expr, r: Expr,
       mismatch: Option[Boolean]): Column = mismatch match {
     case Some(v) =>
@@ -835,12 +846,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "sign" => signum(a0).cast(LongType)
       case "sqrt" => sqrt(a0)
       case "exp" => exp(a0)
-      case "log" => log(a0)
-      case "log10" => log10(a0)
+      case "log" => javaLog(a0, log)
+      case "log10" => javaLog(a0, log10)
       case "sin" => sin(a0)
       case "cos" => cos(a0)
       case "tan" => tan(a0)
-      case "cot" => lit(1.0) / tan(a0)
+      case "cot" => ieeeDiv(lit(1.0), tan(a0)) // cot(0) = Infinity, not ANSI error
       case "asin" => asin(a0)
       case "acos" => acos(a0)
       case "atan" => atan(a0)

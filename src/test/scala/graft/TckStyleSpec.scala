@@ -127,6 +127,7 @@ class TckStyleSpec extends AnyFunSuite {
     case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
       .map { case (k, x) => s"$k: ${render(x)}" }.mkString("{", ", ", "}")
     case s: List[_] => s.map(render).mkString("[", ", ", "]")
+    case d: Double if d.isNaN || d.isInfinite => d.toString
     case d: Double => BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
     case other => other.toString
   }
@@ -2508,7 +2509,19 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("x" -> false))),
     Scenario("ternary-list-equality-int-float", empty,
       "RETURN [1,2] = [1.0,2.0] AS x",
-      Seq(row("x" -> true)))
+      Seq(row("x" -> true))),
+    // ===== java.lang.Math boundary semantics (Neo4j evaluates these via
+    // Math.*; Spark's builtins return null or raise ANSI errors instead)
+    Scenario("log-of-zero-is-negative-infinity", empty,
+      "RETURN log(0.0) AS a, log10(0.0) AS b",
+      Seq(row("a" -> Double.NegativeInfinity,
+        "b" -> Double.NegativeInfinity))),
+    Scenario("log-of-negative-is-nan", empty,
+      "RETURN log(-1.0) AS x",
+      Seq(row("x" -> Double.NaN))),
+    Scenario("cot-of-zero-is-infinity", empty,
+      "RETURN cot(0.0) AS x",
+      Seq(row("x" -> Double.PositiveInfinity)))
   )
 
   // --------------------------------------------------------- blacklist
