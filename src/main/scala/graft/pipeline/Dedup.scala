@@ -519,24 +519,35 @@ object Dedup {
     * @return (idCol, span_start, span_len, n_windows), 0-based character
     *         offsets, one row per maximal duplicated span
     */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 64, stride: Int = 16): DataFrame = {
-    require(window > 0 && stride > 0 && stride <= window,
-      "need 0 < stride <= window")
-    import org.apache.spark.sql.expressions.Window
+  /** (id, pos, h [, keep...]) stride-aligned window hashes — the shared
+    * front end of batch [[duplicateSpans]] and the streaming twin
+    * ([[graft.streaming.EventStreams.streamingSubstringDups]]). Docs
+    * shorter than one window can't participate (the filter also guards
+    * the descending-sequence trap: sequence(0, -1) is NOT empty in
+    * Spark). */
+  private[graft] def windowHashes(df: DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
-    // docs shorter than one window can't participate (also guards the
-    // descending-sequence trap: sequence(0, -1) is NOT empty in Spark)
-    val wins = df.where(length(text) >= window)
-      .select(col(idCol).cast(LongType).as("id"),
+    df.where(length(text) >= window)
+      .select(Seq(col(idCol).cast(LongType).as("id"),
         explode(transform(
           sequence(lit(0),
             floor((length(text) - lit(window)) / lit(stride)).cast(IntegerType)),
           k => struct(
             (k.cast(LongType) * stride).as("pos"),
             xxhash64(text.substr(k * lit(stride) + lit(1), lit(window)))
-              .as("h")))).as("w"))
-      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+              .as("h")))).as("w")) ++ keep.map(c => col(s"`$c`")): _*)
+      .select(Seq(col("id"), col("w.pos").as("pos"), col("w.h").as("h")) ++
+        keep.map(c => col(s"`$c`")): _*)
+  }
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 16): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowHashes(df, idCol, textCol, window, stride)
     // hashes with >= 2 occurrences anywhere; only (hash, count) shuffles
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2).select(col("h"))

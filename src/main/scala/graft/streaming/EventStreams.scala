@@ -311,4 +311,65 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class WindowFp(h: Long, docId: Long, pos: Long, ts: Timestamp)
+  case class SeenWindow(docId: Long, pos: Long, lastMs: Long,
+      emitted: Boolean)
+  case class SubstrHit(doc_id: Long, pos: Long, ts: Timestamp)
+
+  /** Streaming duplicated-substring detection — the incremental twin of
+    * [[graft.pipeline.Dedup.duplicateSpans]]: each document's
+    * stride-aligned window hashes group by hash value; per-hash state
+    * remembers the first occurrence inside the horizon, and a repeat
+    * emits BOTH copies (the remembered first is emitted late, exactly
+    * once) — so within one horizon the emitted (doc_id, pos) set equals
+    * the batch operator's duplicated-window set. Merge hits into maximal
+    * spans downstream per document (the batch gaps-and-islands step);
+    * strip with [[graft.pipeline.Dedup.stripDuplicateSpans]] semantics.
+    * State is one (docId, pos, lastSeen, emitted) record per DISTINCT
+    * window content seen inside the horizon — bounded by the horizon,
+    * never the stream's history; idle hashes evict by event-time
+    * timeout. */
+  def streamingSubstringDups(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, window: Int = 64, stride: Int = 16,
+      watermarkDelay: String = "10 minutes",
+      horizonSeconds: Long = 3600): Dataset[SubstrHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = horizonSeconds * 1000L
+    val fps = graft.pipeline.Dedup
+      .windowHashes(docs, idCol, textCol, window, stride, keep = Seq(tsCol))
+      .select(col("h"), col("id").as("docId"), col("pos"),
+        col(s"`$tsCol`").as("ts")).as[WindowFp]
+
+    def update(h: Long, it: Iterator[WindowFp],
+        state: GroupState[SeenWindow]): Iterator[SubstrHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = it.toArray.sortBy(fp => (fp.ts.getTime, fp.docId, fp.pos))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SubstrHit]
+      var st = state.getOption
+      var maxTs = st.map(_.lastMs).getOrElse(0L)
+      sorted.foreach { fp =>
+        val t = fp.ts.getTime
+        maxTs = math.max(maxTs, t)
+        st match {
+          case Some(s) if t - s.lastMs <= horizonMs =>
+            if (!s.emitted) out += SubstrHit(s.docId, s.pos, fp.ts)
+            out += SubstrHit(fp.docId, fp.pos, fp.ts)
+            st = Some(s.copy(lastMs = math.max(s.lastMs, t), emitted = true))
+          case _ => // nothing seen, or the last sighting aged out: reset
+            st = Some(SeenWindow(fp.docId, fp.pos, t, emitted = false))
+        }
+      }
+      state.update(st.get)
+      state.setTimeoutTimestamp(maxTs + horizonMs)
+      out.iterator
+    }
+
+    fps.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -226,4 +226,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (4L, "web", 2L)))
     } finally q.stop()
   }
+
+  test("streamingSubstringDups matches the batch duplicated-window set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "S" * 80 // 80 identical chars: several aligned windows
+    val d1 = "prefix-one ".padTo(32, 'a') + shared + " tail one distinct"
+    val d2 = "other-start ".padTo(48, 'b') + shared + " different ending"
+    val d3 = "no duplicated content here at all " * 4
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+
+    val hits = EventStreams.streamingSubstringDups(docs, "ts", "doc_id",
+      "text", window = 16, stride = 8, horizonSeconds = 3600)
+    val q = hits.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, d1))
+      q.processAllAvailable()
+      // second batch: state must carry the first doc's windows over
+      input.addData((ts(2), 2L, d2), (ts(3), 3L, d3))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT doc_id, pos FROM sd")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch marks ALL occurrences of any window content seen >= 2
+      // times; within one horizon the streamed set must be identical
+      // (the remembered first occurrence is late-emitted on the repeat)
+      val batch = graft.pipeline.Dedup
+        .windowHashes(Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+          "doc_id", "text", window = 16, stride = 8)
+      val dupes = batch.groupBy("h").count().where(col("count") >= 2)
+        .select("h")
+      val expected = batch.join(dupes, Seq("h"), "left_semi")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"))).toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty && streamed.exists(_._1 == 1L) &&
+        streamed.exists(_._1 == 2L) && !streamed.exists(_._1 == 3L))
+    } finally q.stop()
+  }
 }
