@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.api.GraftSession
 import graft.sources.TpchGraph
 
@@ -230,6 +231,73 @@ object CypherQueries {
           |RETURN n.n_name AS nn, count(*) AS cnt, min(c.c_name) AS first_c
           |ORDER BY nn""".stripMargin)
     }),
+    // driving table (reference MorpheusSession.cypher drivingTable,
+    // RelationalCypherSession.scala:79-96): every column of the supplied
+    // DataFrame is a bound value variable; MATCH extends its rows. The
+    // value-to-property equality plans as a hash join, not a filter scan.
+    "c34_driving_table" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, {
+        val g2 = GraftSession(s); g2.enableAutoConsolidation(); g2
+      })
+      val g = graphs.getOrElseUpdate((s, dir), TpchGraph.load(s, dir))
+      val driving = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("nk"), col("n_name").as("nname"))
+      gs.cypher(g,
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+          |WHERE n.n_nationkey = nk
+          |RETURN nname, count(*) AS n_cust, min(c.c_acctbal) AS lo
+          |ORDER BY nname""".stripMargin,
+        Map.empty[String, Any], driving)
+    }),
+    // GraphUnionAll (§2.1) driver-gated: two label-disjoint halves of the
+    // customer base re-united; the union's node scan spans both tables
+    "c35_graph_union" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, {
+        val g2 = GraftSession(s); g2.enableAutoConsolidation(); g2
+      })
+      val g = graphs.getOrElseUpdate((s, dir + "#union"), {
+        import graft.graph.{NodeTable, PropertyGraph}
+        val cust = s.read.parquet(s"$dir/customer.parquet")
+        def half(pred: org.apache.spark.sql.Column) = {
+          val df = cust.where(pred)
+            .withColumn("_gid", TpchGraph.tagged(TpchGraph.CUSTOMER,
+              col("c_custkey")))
+          new PropertyGraph(Seq(NodeTable(Set("Customer"), df, "_gid",
+            cust.columns.map(c => c -> c).toMap)), Seq.empty, s)
+        }
+        half(col("c_acctbal") >= 0.0).unionAll(half(col("c_acctbal") < 0.0))
+      })
+      gs.cypher(g,
+        """MATCH (c:Customer)
+          |RETURN c.c_mktsegment AS seg, count(*) AS n,
+          |       min(c.c_custkey) AS lo, max(c.c_custkey) AS hi
+          |ORDER BY seg""".stripMargin)
+    }),
+    // catalog view applied in FROM GRAPH (§2.6 catalog DDL + views,
+    // reference RelationalCypherSession catalog + parameterized views):
+    // the view CONSTRUCTs the high-balance subgraph, the outer query
+    // aggregates over it
+    "c36_catalog_view" -> ((s, dir) => {
+      val gs = sessions.getOrElseUpdate(s, {
+        val g2 = GraftSession(s); g2.enableAutoConsolidation(); g2
+      })
+      val g = graphs.getOrElseUpdate((s, dir), TpchGraph.load(s, dir))
+      gs.register("tpch_v", g)
+      if (!gs.viewNames.contains("rich")) gs.cypher(
+        """CATALOG CREATE VIEW rich($g) {
+          |  FROM $g
+          |  MATCH (c:Customer)-[r:IN_NATION]->(n:Nation)
+          |  WHERE c.c_acctbal > 7500.0
+          |  CONSTRUCT CLONE c, n, r
+          |  RETURN GRAPH
+          |}""".stripMargin)
+      gs.cypher(
+        """FROM GRAPH rich(tpch_v)
+          |MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+          |RETURN n.n_name AS nn, count(*) AS n_rich,
+          |       max(c.c_acctbal) AS top_bal
+          |ORDER BY nn""".stripMargin)
+    }),
     // scan consolidation (§2.2 PatternScan over recognized patterns;
     // reference LogicalOptimizer.scala:67-134): the same expand answered
     // from a materialized triplet table — one probe, no rel+node joins
@@ -413,6 +481,19 @@ object CypherQueries {
     "c33_typed_ddl" ->
       """SELECT n_name AS nn, count(*) AS cnt, min(c_name) AS first_c
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nn""".stripMargin,
+    "c34_driving_table" ->
+      """SELECT n_name AS nname, count(*) AS n_cust, min(c_acctbal) AS lo
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nname""".stripMargin,
+    "c35_graph_union" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |  min(c_custkey) AS lo, max(c_custkey) AS hi
+        |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
+    "c36_catalog_view" ->
+      """SELECT n_name AS nn, count(*) AS n_rich, max(c_acctbal) AS top_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 7500.0
         |GROUP BY 1 ORDER BY nn""".stripMargin,
     "c32_duration_parts" ->
       """SELECT o_orderkey AS ok,

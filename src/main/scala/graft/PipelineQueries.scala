@@ -348,6 +348,23 @@ object PipelineQueries {
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+    // CCNet-style LM quality filter: unigram model trained on the src0
+    // slice scores every other document (quantized-decimal logp sums →
+    // bit-exact across engines; see TextAnalysis.lmScore determinism note)
+    "p38_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmScore(
+        d.where(col("source") === "src0"), d.where(col("source") =!= "src0"),
+        "doc_id", "text").orderBy("id")
+    }),
+    // bloom-prefiltered decontamination: same exact answer as p19 via the
+    // bounded-memory scale path (bloom candidate pass + exact verify join)
+    "p39_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.decontaminateBloom(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+        "doc_id", "text", n = 4).orderBy("id")
     })
   )
 
@@ -896,6 +913,70 @@ object PipelineQueries {
         |SELECT user_id,
         |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
         |  count(*) AS n_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // p38: per-distinct-token logp is quantized to DECIMAL(18,6) BEFORE
+    // the per-doc sum, so the sum is exact decimal arithmetic in both
+    // engines (summation order immaterial); only the final division is fp.
+    "p38_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ref AS (SELECT unnest(w) AS tok FROM toks WHERE source = 'src0'),
+        |vocab0 AS (SELECT tok, count(*)::BIGINT AS cnt FROM ref GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab0),
+        |vocab AS (SELECT tok, cnt FROM vocab0
+        |          ORDER BY cnt DESC, tok LIMIT 65536),
+        |lp AS (SELECT tok,
+        |         round(ln(cnt::DOUBLE / n_total::DOUBLE), 6)::DECIMAL(18,6)
+        |           AS logp
+        |       FROM vocab, tot),
+        |oov AS (SELECT round(ln(0.5 / n_total::DOUBLE), 6)::DECIMAL(18,6)
+        |          AS olp FROM tot),
+        |dt AS (SELECT doc_id, unnest(w) AS tok FROM toks
+        |       WHERE source <> 'src0'),
+        |scored AS (
+        |  SELECT d.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN l.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS oov_tokens,
+        |    sum(coalesce(l.logp, (SELECT olp FROM oov))) AS slp
+        |  FROM dt d LEFT JOIN lp l USING (tok) GROUP BY 1)
+        |SELECT t.doc_id AS id,
+        |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(s.oov_tokens, 0)::BIGINT AS oov_tokens,
+        |  coalesce(s.slp::DOUBLE, 0.0) AS sum_logp,
+        |  CASE WHEN coalesce(s.n_tokens, 0) > 0
+        |       THEN s.slp::DOUBLE / s.n_tokens::DOUBLE ELSE 0.0 END
+        |    AS avg_logp
+        |FROM (SELECT DISTINCT doc_id FROM toks WHERE source <> 'src0') t
+        |LEFT JOIN scored s ON s.doc_id = t.doc_id
+        |ORDER BY id""".stripMargin,
+    // p39 computes the same exact answer as p19 (bloom false positives
+    // are removed by the verification join) — same oracle
+    "p39_decontam_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w)-3)) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS hits FROM grams
+        |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+        |  GROUP BY 1),
+        |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams
+        |           WHERE source <> 'src0' GROUP BY 1)
+        |SELECT t.doc_id AS id, coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(h.hits, 0)::BIGINT AS contaminated_grams,
+        |  coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM toks t
+        |LEFT JOIN counts c ON c.doc_id = t.doc_id
+        |LEFT JOIN hits h ON h.doc_id = t.doc_id
+        |WHERE t.source <> 'src0'
+        |ORDER BY id""".stripMargin
   )
 }

@@ -250,4 +250,159 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("score"),
         (col("score_num") > 0).as("keep"))
   }
+
+  /** Unigram language-model scoring — the CCNet-style "perplexity
+    * bucket" quality filter: train token frequencies on a reference
+    * corpus (e.g. a trusted slice), score every document by its mean
+    * negative log-likelihood under that model. High `avg_logp` (close
+    * to 0) = fluent/common text; very negative = rare-token-heavy
+    * (gibberish, boilerplate, wrong-language).
+    *
+    * Scale shape: train = one map-side-combined token aggregation;
+    * vocabulary is capped at `maxVocab` by (count desc, token asc) — a
+    * bounded sort-limit — so the scoring join always broadcasts. Score =
+    * one explode + one broadcast join + one per-doc aggregation; no
+    * driver collect of data-scale rows anywhere.
+    *
+    * Determinism (for cross-engine oracles): each DISTINCT token's log
+    * probability is rounded to 6 decimals ONCE in the vocab table and
+    * carried as DECIMAL(18,6); per-document summation is then exact
+    * decimal arithmetic — immune to fp summation order. Out-of-vocab
+    * tokens get the floor logp ln(0.5/N) (quantized the same way). */
+  def lmScore(reference: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxVocab: Int = 65536): DataFrame = {
+    val refToks = reference.select(explode(tokens(col(textCol))).as("tok"))
+    val vocab0 = refToks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // total BEFORE the cap: probabilities stay a true distribution over
+    // the reference corpus even when rare tokens fall out of vocab
+    val totals = vocab0.agg(sum(col("cnt")).cast(LongType).as("n_total"))
+    val vocab = vocab0.orderBy(col("cnt").desc, col("tok").asc)
+      .limit(maxVocab)
+    val lp = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(log(col("cnt").cast(DoubleType) / col("n_total").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+    val docIds = docs.select(col(idCol).cast(LongType).as("id")).distinct()
+    val docToks = docs.select(col(idCol).cast(LongType).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val oovLogp = round(log(lit(0.5) / col("n_total").cast(DoubleType)), 6)
+      .cast(DecimalType(18, 6))
+    val scored = docToks
+      .join(broadcast(lp), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("logp").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        sum(coalesce(col("logp"), oovLogp)).as("slp"))
+    docIds.join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        coalesce(col("slp").cast(DoubleType), lit(0.0)).as("sum_logp"),
+        when(col("n_tokens") > 0,
+          col("slp").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)).as("avg_logp"))
+  }
+
+  /** Bigram LM with stupid backoff (Brants et al. 2007): score(w2|w1) =
+    * p(w1,w2)/p(w1) when the bigram is known, else 0.4 · p(w2), else the
+    * OOV floor. The heavier-artillery sibling of [[lmScore]] — same
+    * train/score shape with one extra (hashed-bigram) aggregation and
+    * join; engine-specific doubles, so spec-verified rather than
+    * oracle-gated. Returns (id, n_tokens, avg_logp, ppl). */
+  def lmScoreBigram(reference: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxVocab: Int = 1 << 20): DataFrame = {
+    val backoff = 0.4
+    def bigrams(t: Column): Column = {
+      val toks = tokens(t)
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    val uni = reference.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val totals = uni.agg(sum(col("ucnt")).cast(LongType).as("n_total"))
+    val uniTop = uni.orderBy(col("ucnt").desc, col("tok").asc).limit(maxVocab)
+    val bi = reference.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("bg").asc).limit(maxVocab)
+    val docIds = docs.select(col(idCol).cast(LongType).as("id")).distinct()
+    // per position i>=1: logp(tok_i | tok_{i-1}); position 0 backs off to
+    // its unigram. Explode positions once, derive tok + bigram per row.
+    val toksCol = tokens(col(textCol))
+    val pos = docs.select(col(idCol).cast(LongType).as("id"),
+        posexplode(toksCol).as(Seq("i", "tok")),
+        toksCol.as("@toks"))
+      .select(col("id"), col("tok"),
+        when(col("i") >= 1,
+          concat_ws(" ", element_at(col("@toks"), col("i")), col("tok")))
+          .as("bg"))
+    val prevUni = uniTop.select(col("tok").as("@ptok"), col("ucnt").as("@pcnt"))
+    val scored = pos
+      .join(broadcast(uniTop), Seq("tok"), "left")
+      .join(broadcast(bi), Seq("bg"), "left")
+      .join(broadcast(prevUni),
+        col("bg").isNotNull &&
+          substring_index(col("bg"), " ", 1) === col("@ptok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        when(col("bcnt").isNotNull && col("@pcnt").isNotNull,
+          log(col("bcnt").cast(DoubleType) / col("@pcnt").cast(DoubleType)))
+        .otherwise(
+          when(col("ucnt").isNotNull,
+            log(lit(backoff) * col("ucnt").cast(DoubleType) /
+              col("n_total").cast(DoubleType)))
+          .otherwise(log(lit(0.5) / col("n_total").cast(DoubleType))))
+          .as("@lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("@lp")).as("slp"))
+    docIds.join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0, col("slp") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
+  /** Bloom-prefiltered decontamination — identical OUTPUT to
+    * [[decontaminate]] (every training doc with its shared-n-gram count
+    * against a held-out benchmark), different SCALE path: instead of
+    * broadcasting the full benchmark n-gram set into the probe join, the
+    * benchmark grams are folded into a bloom filter (a distributed
+    * aggregation; the filter itself is ~1.2 MB per million grams at 1%
+    * FPP — bounded regardless of corpus size). Training grams stream
+    * through the filter first, so the exact verification join — which
+    * removes the filter's false positives and makes the result exact —
+    * only shuffles the tiny candidate subset, not every gram of a 100 TB
+    * corpus. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.VectorFunctions.word_ngram_hashes
+    val spark = train.sparkSession
+    val trainGrams = train.select(col(idCol).cast(LongType).as("id"),
+      word_ngram_hashes(col(textCol), n).as("grams"))
+    val benchGrams = bench
+      .select(explode(word_ngram_hashes(col(textCol), n)).as("gram"))
+      .distinct()
+    // two bounded actions: the distinct-gram count sizes the filter, the
+    // aggregation builds it executor-side and merges partials on the driver
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("gram", nBench, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+    val candidates = trainGrams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .where(mightContain(col("gram")))
+    val hits = candidates                  // exact verify: kill bloom FPs
+      .join(benchGrams, Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    trainGrams
+      .select(col("id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("contaminated_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }
