@@ -13,11 +13,14 @@ object Bench {
     // untimed warm-up: JVM + codegen + parquet reader init, so per-query
     // numbers reflect steady state instead of whichever query runs first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // best of 2 reps per query: rep 1 still carries JIT/page-cache warm-up
-    // for whichever operators run first, rep 2 is steady state (same idea
-    // as the reference's JMH AverageTime-with-warmup harnesses)
+    // best of 3 reps per query: rep 1 still carries JIT/page-cache warm-up
+    // for whichever operators run first, and this machine shows ~2-3×
+    // scheduling noise on identical in-JVM reps (NOTES.md bench
+    // discipline) — a third rep materially tightens the minimum (same
+    // idea as the reference's JMH AverageTime-with-warmup harnesses)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

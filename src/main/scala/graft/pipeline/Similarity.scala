@@ -300,7 +300,7 @@ object Similarity {
     * (bucket, id, vec). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int = 5, bits: Int = 8, tables: Int = 4, seed: Long = 42L,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4, probes: Int = 0): DataFrame = {
     val v = emb.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
     // all table buckets in one compiled pass, then explode narrow
@@ -310,10 +310,23 @@ object Similarity {
         col("vec"), dim, bits, tables, seed)))
       .toDF("id", "table_idx", "bucket")
 
+    // multi-probe (Lv et al. 2007): the query side ALSO visits every
+    // bucket one bit-flip away (first `probes` hyperplanes), so the same
+    // recall needs fewer/finer tables — candidate volume scales with
+    // Σ|bucket|² per table, which higher `bits` shrinks quadratically
+    // while probing wins back the boundary misses. Probe rows stay
+    // narrow (id, table, bucket); the index side is untouched.
+    val query =
+      if (probes <= 0) banded
+      else banded.select(col("id"), col("table_idx"),
+        explode(array((col("bucket") +: (0 until math.min(probes, bits))
+          .map(j => col("bucket").bitwiseXOR(lit(1 << j)))): _*))
+          .as("bucket"))
+
     // no distinct here: a pair surfacing from several tables reaches the
     // top-k aggregator more than once, which ignores duplicates — saves a
     // full shuffle of the candidate stream
-    val a = banded.as("a"); val b = banded.as("b")
+    val a = query.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.table_idx") === col("b.table_idx") &&
         col("a.bucket") === col("b.bucket") &&

@@ -113,6 +113,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.5, s"LSH recall@top1 too low: $recall")
   }
 
+  test("multi-probe LSH: probing only improves per-query top-k sims") {
+    // same tables/bits: the probed candidate set is a superset of the
+    // unprobed one, so each query's best similarity can only rise
+    def best(probes: Int) = Similarity.lshTopK(emb, "vec_id", "embedding",
+      dim = 64, k = 1, bits = 8, tables = 2, probes = probes)
+      .where($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val plain = best(0); val probed = best(8)
+    assert(plain.keySet.subsetOf(probed.keySet))
+    assert(plain.forall { case (q, s) => probed(q) >= s - 1e-9 })
+    // probing must add at least some boundary neighbors on this corpus
+    assert(probed.size > plain.size ||
+      plain.exists { case (q, s) => probed(q) > s + 1e-9 })
+  }
+
   test("IVF with full probe is exactly the block top-k answer") {
     val exact = Similarity.blockTopK(emb, "vec_id", "embedding", k = 3, blocks = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
