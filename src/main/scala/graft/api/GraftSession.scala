@@ -251,6 +251,42 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(graphName: String, query: String): PropertyGraph =
     cypherGraph(graph(graphName), query, Map.empty[String, Any])
 
+  /** Printable query plans — the reference's `result.plans` explain
+    * surface (okapi-api CypherResult.scala:76-84: `logical` +
+    * `relational`). This engine collapses the okapi logical/relational
+    * tower into direct DataFrame emission (SURVEY §7.1), so `logical` is
+    * the parsed clause tree and `relational`/`physical` are Catalyst's
+    * optimized and executed plans — strictly more informative than the
+    * reference's strings, since they are the plans that actually run. */
+  case class QueryPlans(logical: String, relational: String,
+      physical: String) {
+    override def toString: String =
+      s"=== logical ===\n$logical\n=== relational (optimized) ===\n" +
+        s"$relational\n=== physical ===\n$physical"
+  }
+
+  def explain(g: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): QueryPlans = {
+    val ast = CypherParser.parse(query)
+    def renderClause(c: Any, indent: String = ""): String = c match {
+      case p: Product =>
+        indent + p.productPrefix + (p.productArity match {
+          case 0 => ""
+          case _ => p.productIterator.map {
+            case s: Seq[_] => s.map(renderClause(_, "")).mkString("[", ", ", "]")
+            case o: Option[_] => o.map(renderClause(_, "")).getOrElse("∅")
+            case x => renderClause(x, "")
+          }.mkString("(", ", ", ")")
+        })
+      case other => indent + String.valueOf(other)
+    }
+    val logical = renderClause(ast)
+    val df = cypher(g, query, params)
+    QueryPlans(logical,
+      df.queryExecution.optimizedPlan.toString,
+      df.queryExecution.executedPlan.toString)
+  }
+
   /** Graph DDL entry point (reference: graph-ddl module + catalog DDL,
     * RelationalCypherSession.scala:171-196): parses a `CREATE GRAPH ...`
     * mapping over Spark tables/views, registers and returns the graph. */

@@ -270,9 +270,15 @@ object TextAnalysis {
     * decimal arithmetic — immune to fp summation order. Out-of-vocab
     * tokens get the floor logp ln(0.5/N) (quantized the same way). */
   def lmScore(reference: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, maxVocab: Int = 65536): DataFrame = {
+      textCol: String, maxVocab: Int = 65536,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     val refToks = reference.select(explode(tokens(col(textCol))).as("tok"))
-    val vocab0 = refToks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // the distinct-token count table feeds BOTH the vocab cap and the
+    // total — persist it once so the reference corpus is tokenized and
+    // shuffled a single time, not per consumer (the table is per-distinct
+    // -token: orders of magnitude smaller than the corpus)
+    val vocab0 = caches.persist(
+      refToks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
     // total BEFORE the cap: probabilities stay a true distribution over
     // the reference corpus even when rare tokens fall out of vocab
     val totals = vocab0.agg(sum(col("cnt")).cast(LongType).as("n_total"))
@@ -311,7 +317,8 @@ object TextAnalysis {
     * join; engine-specific doubles, so spec-verified rather than
     * oracle-gated. Returns (id, n_tokens, avg_logp, ppl). */
   def lmScoreBigram(reference: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, maxVocab: Int = 1 << 20): DataFrame = {
+      textCol: String, maxVocab: Int = 1 << 20,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     val backoff = 0.4
     def bigrams(t: Column): Column = {
       val toks = tokens(t)
@@ -320,8 +327,9 @@ object TextAnalysis {
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
         .otherwise(array().cast(ArrayType(StringType)))
     }
-    val uni = reference.select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val uni = caches.persist(
+      reference.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("ucnt")))
     val totals = uni.agg(sum(col("ucnt")).cast(LongType).as("n_total"))
     val uniTop = uni.orderBy(col("ucnt").desc, col("tok").asc).limit(maxVocab)
     val bi = reference.select(explode(bigrams(col(textCol))).as("bg"))

@@ -613,10 +613,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         s"cannot use the same relationship variable '$v' for multiple " +
           "pattern elements in one MATCH"))
 
+    // WHERE equalities binding a pattern node's property to an
+    // already-bound value (params resolved earlier; driving-table columns,
+    // WITH-projected values) make that node as selective as an inline
+    // prop map — count them into the part-reversal score so the chain
+    // anchors there and the equality plans as an equi-join instead of a
+    // post-cross filter (matters when the bound side is a driving table:
+    // an unanchored chain would cross every driving row with the scan)
+    val whereBonus: Map[String, Int] = conjuncts.collect {
+      case Eq(Property(Var(v), _), e)
+        if freeExprVars(e).forall(state.header.contains) => v
+      case Eq(e, Property(Var(v), _))
+        if freeExprVars(e).forall(state.header.contains) => v
+    }.groupBy(identity).view.mapValues(_.size).toMap
+
     val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
     var st = state
     orderParts(m.pattern.parts, state).foreach { part =>
-      st = planPart(graph, st, part, relIds, quantMap, structVars) }
+      st = planPart(graph, st, part, relIds, quantMap, structVars,
+        whereBonus) }
     st = applyRelUniqueness(st, relIds.toSeq)
     rest.reduceOption(And.apply).foreach { pred =>
       st = applyWhere(graph, st, pred) }
@@ -694,8 +709,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * observable) and for var-length rels bound to a variable (the rel
     * LIST order is observable). Reference plans strictly in written order
     * (LogicalPlanner.scala); this is a deliberate improvement. */
-  private[graft] def maybeReversePart(part: PatternPart, state: PState)
-      : PatternPart = {
+  private[graft] def maybeReversePart(part: PatternPart, state: PState,
+      whereBonus: Map[String, Int] = Map.empty): PatternPart = {
     if (part.pathName.isDefined || part.shortest.isDefined ||
         part.chain.isEmpty ||
         part.chain.exists { case (r, _) =>
@@ -703,7 +718,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       return part
     def score(np: NodePattern): Int =
       if (np.variable.exists(state.header.contains)) Int.MaxValue
-      else np.labels.size * 2 + np.properties.size * 3
+      else np.labels.size * 2 + np.properties.size * 3 +
+        np.variable.map(whereBonus.getOrElse(_, 0)).getOrElse(0) * 3
     if (score(part.chain.last._2) <= score(part.start)) return part
     def flip(r: RelPattern): RelPattern = r.direction match {
       case Outgoing => r.copy(direction = Incoming)
@@ -719,8 +735,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private def planPart(graph: PropertyGraph, state: PState, part0: PatternPart,
       relIds: scala.collection.mutable.ArrayBuffer[RelId],
       quantPreds: Map[String, Seq[Quantified]] = Map.empty,
-      structVars: Set[String] = Set.empty): PState = {
-    val part = maybeReversePart(part0, state)
+      structVars: Set[String] = Set.empty,
+      whereBonus: Map[String, Int] = Map.empty): PState = {
+    val part = maybeReversePart(part0, state, whereBonus)
     val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
     // named path (`p = ...`): record node vars and rel segments in order
     val named = part.pathName.isDefined

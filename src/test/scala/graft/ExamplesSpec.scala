@@ -48,6 +48,23 @@ class ExamplesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length === 3 && rows.head.getString(0) === "Alice")
   }
 
+  test("explain surface: logical clause tree + Catalyst plans") {
+    val plans = gs.explain(social,
+      "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.name = 'Alice' " +
+        "RETURN b.name AS friend")
+    assert(plans.logical.contains("MatchClause") &&
+      plans.logical.contains("Alice"))
+    // optimized plan: the projection alias survives and the expansion is
+    // equi-joins (the literal itself may be constant-folded INTO the
+    // local relation — that folding is the point of exposing this plan)
+    assert(plans.relational.contains("friend"))
+    assert(plans.relational.contains("Join Inner") ||
+      plans.physical.contains("HashJoin") ||
+      plans.physical.contains("SortMergeJoin"))
+    assert(!plans.physical.contains("CartesianProduct"))
+    assert(plans.toString.contains("=== physical ==="))
+  }
+
   test("CypherSQLRoundtripExample: Cypher result → SQL view → Cypher input") {
     gs.cypher(social,
       "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a_name, b.name AS b_name")

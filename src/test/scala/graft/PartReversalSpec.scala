@@ -38,6 +38,23 @@ class PartReversalSpec extends AnyFunSuite {
   private def unitState(pl: Planner): pl.PState =
     pl.PState(spark.range(1).toDF().select(), Header.empty, isUnit = true)
 
+  test("WHERE equality against a bound value anchors the chain there") {
+    // (a:L)-->(n) WHERE n.key = <bound value var>: the WHERE bonus makes
+    // the written END out-score the labeled start, so the part reverses
+    // and the equality plans as an equi-join at the anchor (the
+    // driving-table shape, gate c34)
+    val pl = planner()
+    val part = PatternPart(None, node("a", Seq("L")),
+      Seq((rel(Outgoing), node("n"))))
+    val r = pl.maybeReversePart(part, unitState(pl),
+      whereBonus = Map("n" -> 1))
+    assert(r.start.variable.contains("n"))
+    assert(r.chain.map(_._2.variable.get) == Seq("a"))
+    // without the bonus the labeled start wins and order is kept
+    val kept = pl.maybeReversePart(part, unitState(pl))
+    assert(kept.start.variable.contains("a"))
+  }
+
   test("unconstrained start, labeled+prop end: reversed with flipped dirs") {
     val pl = planner()
     val part = PatternPart(None, node("a"),
