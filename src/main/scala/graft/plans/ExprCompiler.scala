@@ -204,6 +204,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case t2 @ (_: MapType | _: StructType) =>
           extractFieldDyn(c, compile(i), i, t2)
         case _ =>
+          typeOf(i) match {
+            case NullType | ByteType | ShortType | IntegerType | LongType =>
+            case other => throw new IllegalArgumentException(
+              s"list index must be an integer, got $other " +
+                "(Neo4j: cannot index a list with a non-integer)")
+          }
           val idx = compile(i)
           // Cypher lists are 0-based; element_at is 1-based with negative
           // indices counting from the end (matches Cypher's l[-1]).
@@ -304,7 +310,17 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           typeOf(r).isInstanceOf[DecimalType])
         lc / rc // decimal-exact path (bigdecimal() lattice)
       else ieeeDiv(lc, rc)
-    case Mod(l, r) => compile(l) % compile(r)
+    case Mod(l, r) =>
+      val (lc, rc) = (compile(l), compile(r))
+      if (isIntegral(typeOf(l)) && isIntegral(typeOf(r)))
+        lc % rc // ANSI raises on % 0 — matches Cypher's runtime error
+      else {
+        // IEEE remainder: float % 0.0 is NaN in Cypher/Java, where
+        // Spark's ANSI mode would raise — branch the zero divisor away
+        val rd = rc.cast(DoubleType)
+        when(rd === 0.0, lit(Double.NaN))
+          .otherwise(lc.cast(DoubleType) % rd)
+      }
     case Pow(l, r) => pow(compile(l), compile(r))
     case Neg(x) => negate(compile(x))
 
@@ -538,6 +554,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   // (documented, ReferenceParitySpec): cross-tag numeric equality inside
   // two mixed lists (int 1 vs float 1.0) is false, not true.
 
+  /** per-row guard: a negative argument raises (Neo4j string functions
+    * error on negative start/length where Spark would count from the
+    * end or return ''). One comparison per row, stays in codegen. */
+  private def negGuard(c: Column, msg: String): Column =
+    when(c < 0, raise_error(lit(msg)).cast(LongType)).otherwise(c)
+
   private val mixedFields = Array("@k", "i", "f", "s", "b")
   private def isMixedStruct(t: DataType): Boolean = t match {
     case st: StructType => st.fieldNames.sameElements(mixedFields)
@@ -591,6 +613,22 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         lit(null).cast(BooleanType)).otherwise(lit(false))
     if (fam == "null") lit(null).cast(BooleanType)
     else matched.otherwise(mismatch)
+  }
+
+  /** openCypher global-sort-order key for a mixed-tagged value (CIP
+    * "Comparability and orderability", ascending: … STRING, BOOLEAN,
+    * NUMBER, null last): rank separates families; within a rank only that
+    * family's field is non-null on both sides, so the others tie. Numbers
+    * compare as doubles across the int/float split. `nullsLargest` places
+    * the null tag (ORDER BY ASC / min skip-nulls want largest; max wants
+    * smallest so non-null values win). */
+  private[plans] def mixedOrderKey(c: Column, nullsLargest: Boolean): Column = {
+    val k = c.getField("@k")
+    val rank = when(k === 3, 0).when(k === 4, 1)
+      .when(k === 1 || k === 2, 2)
+      .otherwise(lit(if (nullsLargest) 9 else -1))
+    struct(rank.as("r"), c.getField("s").as("s"), c.getField("b").as("b"),
+      coalesce(c.getField("i").cast(DoubleType), c.getField("f")).as("d"))
   }
 
   /** cross-family comparison: `mismatch` Some(v) → constant v unless an
@@ -806,14 +844,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           .otherwise(expr_replace(a0, a(1), a(2)))
       case "split" => split_literal(a0, f.args(1))
       case "substring" =>
-        val start = a(1) + 1 // Cypher 0-based
-        if (f.args.size > 2) a0.substr(start.cast(IntegerType), a(2).cast(IntegerType))
+        // Neo4j raises on negative start/length (Spark's substr would
+        // silently count from the end) — one cheap per-row guard
+        val start = negGuard(a(1), "substring: start must be >= 0") + 1
+        if (f.args.size > 2)
+          a0.substr(start.cast(IntegerType),
+            negGuard(a(2), "substring: length must be >= 0").cast(IntegerType))
         else a0.substr(start.cast(IntegerType), length(a0))
-      case "left" => a0.substr(lit(1), a(1).cast(IntegerType))
+      case "left" =>
+        a0.substr(lit(1),
+          negGuard(a(1), "left: length must be >= 0").cast(IntegerType))
       case "right" => // n > length(s) keeps the whole string (a negative
         // computed start would wrap around in Spark's substr)
-        a0.substr(greatest(length(a0) - a(1).cast(IntegerType) + 1, lit(1)),
-          a(1).cast(IntegerType))
+        val rn = negGuard(a(1), "right: length must be >= 0")
+        a0.substr(greatest(length(a0) - rn.cast(IntegerType) + 1, lit(1)),
+          rn.cast(IntegerType))
       case "tostring" => a0.cast(StringType)
       // to*(): unconvertible input is null in Cypher, never an ANSI error
       case "tointeger" => typeOf(f.args(0)) match {
@@ -921,16 +966,30 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "range" =>
         val step = if (f.args.size > 2) a(2) else lit(1L)
         // Cypher: an empty range (start past stop for the step's sign) is
-        // [], where Spark's sequence() raises
-        when((step > 0 && a0 <= a(1)) || (step < 0 && a0 >= a(1)),
-          sequence(a0, a(1), step))
+        // [], where Spark's sequence() raises; step 0 raises in Neo4j
+        when(step === 0, raise_error(
+          lit("range(): step must not be zero")).cast(ArrayType(LongType)))
+          .when((step > 0 && a0 <= a(1)) || (step < 0 && a0 >= a(1)),
+            sequence(a0, a(1), step))
           .otherwise(array().cast(ArrayType(LongType)))
       case "coalesce" => coalesce(f.args.map(compile): _*)
 
       case "id" => typeOf(f.args(0)) match {
         // relationship value struct (lambda over a var-length rel list)
         case st: StructType if st.fieldNames.contains("id") => a0.getField("id")
-        case _ => a0 // entity vars compile to their id column
+        case NullType => a0 // id(null) is null
+        case _ => f.args(0) match {
+          // a literal / arithmetic / string argument is a plain VALUE —
+          // Neo4j raises a type error for id(<value>). Entity vars,
+          // startNode()/endNode(), indexed nodes(p), lambda elements etc.
+          // all compile to id columns and pass through.
+          case _: IntLit | _: FloatLit | _: StringLit | _: BoolLit |
+               _: ListLit | _: MapLit | _: Add | _: Sub | _: Mul |
+               _: Div | _: Mod | _: Pow | _: Neg =>
+            throw new IllegalArgumentException(
+              "id() expects a node or relationship")
+          case _ => a0 // entity vars compile to their id column
+        }
       }
       case "type" => f.args(0) match {
         case Var(n) if !lambdaEnv.contains(n) &&
@@ -1225,6 +1284,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       throw new IllegalArgumentException(
         "min()/max() over durations: durations are not orderable " +
           "(month lengths vary)")
+    case Func("min", _, args) if isMixedStruct(typeOf(args.head)) =>
+      // mixed-family values order by the CIP global sort order, not the
+      // tagged struct's field order; min skips nulls (null tag largest)
+      val c = compile(args.head)
+      min_by(c, mixedOrderKey(c, nullsLargest = true))
+    case Func("max", _, args) if isMixedStruct(typeOf(args.head)) =>
+      val c = compile(args.head)
+      max_by(c, mixedOrderKey(c, nullsLargest = false))
     case Func("min", _, args) => min(compile(args.head))
     case Func("max", _, args) => max(compile(args.head))
     case Func("collect", true, args) => collect_set(entityValue(args.head))

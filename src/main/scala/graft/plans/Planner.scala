@@ -2294,6 +2294,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr]): PState = {
     val comp = compiler(state)
+    requireDistinctAliases(items)
 
     // each item → binding in the NEW header (entity bindings pass through)
     var df = state.df
@@ -2328,6 +2329,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr]): PState = {
     val comp = compiler(state)
+    requireDistinctAliases(items)
     val (aggItems, keyItems) = items.partition(i => comp.containsAggregate(i.expr))
 
     var df = state.df
@@ -2395,12 +2397,29 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     PState(finalDf, newHeader)
   }
 
+  /** Neo4j rejects duplicate output column names (ColumnNameConflict);
+    * silently letting the last one win would drop data. */
+  private def requireDistinctAliases(items: Seq[ReturnItem]): Unit = {
+    val names = items.map(outName)
+    names.diff(names.distinct).distinct.headOption.foreach(n =>
+      throw new IllegalArgumentException(
+        s"multiple result columns with the same name `$n` are not supported"))
+  }
+
   private def applyOrder(df: DataFrame, header: Header,
       orderBy: Seq[SortItem], typeState: PState): DataFrame = {
     if (orderBy.isEmpty) return df
     val comp = new ExprCompiler(header, params, () => df)
     val cols = orderBy.map { si =>
-      val c = comp.compile(si.expr)
+      val c0 = comp.compile(si.expr)
+      // mixed-family (tagged) values sort by the CIP global sort order,
+      // not the encoding struct's field order
+      val c = comp.typeOf(si.expr) match {
+        case st: StructType
+            if st.fieldNames.sameElements(Array("@k", "i", "f", "s", "b")) =>
+          comp.mixedOrderKey(c0, nullsLargest = true)
+        case _ => c0
+      }
       // openCypher: null is the LARGEST value — last under ASC, first
       // under DESC (Spark's desc default is nulls-last, which diverges)
       if (si.ascending) c.asc_nulls_last else c.desc_nulls_first

@@ -34,7 +34,8 @@ class TckStyleSpec extends AnyFunSuite {
 
   case class Scenario(name: String, given: String, query: String,
       expect: Seq[Map[String, Any]], ordered: Boolean = false,
-      params: Map[String, Any] = Map.empty)
+      params: Map[String, Any] = Map.empty,
+      expectError: Option[String] = None)
 
   private def row(kvs: (String, Any)*): Map[String, Any] = Map(kvs: _*)
 
@@ -134,6 +135,18 @@ class TckStyleSpec extends AnyFunSuite {
 
   private def check(sc: Scenario): Unit = {
     val g = graphFor(sc.given)
+    sc.expectError.foreach { frag =>
+      val e = intercept[Throwable] {
+        gs.cypher(g, sc.query, sc.params).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(frag)),
+        s"\nquery: ${sc.query}\nexpected error containing '$frag', " +
+          s"got: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      return
+    }
     val df = gs.cypher(g, sc.query, sc.params)
     val cols = df.columns
     val actual = df.collect().toSeq
@@ -1460,6 +1473,7 @@ class TckStyleSpec extends AnyFunSuite {
         |duration('P1DT2H').hours AS dh""".stripMargin,
       Seq(row("h" -> 12, "clamped" -> true, "dh" -> 2))),
 
+
     // ---- documented divergences (blacklisted, reference-style)
     Scenario("list-equality-with-null-element", empty,
       "RETURN [1,2] = [1,null] AS x", Seq(row("x" -> null))),
@@ -2524,6 +2538,66 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("x" -> Double.PositiveInfinity)))
   )
 
+  // probe batch 16 (Probe24Main): runtime/compile error parity and
+  // CIP global sort order over mixed-family values — split out of the
+  // main literal to stay under the JVM method-size limit
+  private def probeBatch16: Seq[Scenario] = Seq(
+    Scenario("error-int-division-by-zero", empty,
+      "RETURN 1 / 0 AS r", Nil, expectError = Some("DIVIDE_BY_ZERO")),
+    Scenario("error-int-modulo-by-zero", empty,
+      "RETURN 1 % 0 AS r", Nil, expectError = Some("REMAINDER_BY_ZERO")),
+    Scenario("float-modulo-by-zero-is-nan", empty,
+      "RETURN 1.5 % 0.0 AS a, 1 % 0.0 AS b, -2.5 % 0.0 AS c",
+      Seq(row("a" -> Double.NaN, "b" -> Double.NaN, "c" -> Double.NaN))),
+    Scenario("float-modulo-normal-unchanged", empty,
+      "RETURN 5.5 % 2.0 AS a, 5 % 2.5 AS b",
+      Seq(row("a" -> 1.5, "b" -> 0.0))),
+    Scenario("error-substring-negative-start", empty,
+      "RETURN substring('abc', -1) AS r", Nil,
+      expectError = Some("substring: start must be >= 0")),
+    Scenario("error-substring-negative-length", empty,
+      "RETURN substring('abc', 0, -2) AS r", Nil,
+      expectError = Some("substring: length must be >= 0")),
+    Scenario("error-left-negative-length", empty,
+      "RETURN left('abc', -1) AS r", Nil,
+      expectError = Some("left: length must be >= 0")),
+    Scenario("error-right-negative-length", empty,
+      "RETURN right('abc', -1) AS r", Nil,
+      expectError = Some("right: length must be >= 0")),
+    Scenario("error-range-step-zero", empty,
+      "RETURN range(1, 3, 0) AS r", Nil,
+      expectError = Some("range(): step must not be zero")),
+    Scenario("error-list-index-non-integer", empty,
+      "RETURN [1,2,3][1.5] AS r", Nil,
+      expectError = Some("list index must be an integer")),
+    Scenario("error-duplicate-return-alias", empty,
+      "RETURN 1 AS a, 2 AS a", Nil,
+      expectError = Some("same name `a`")),
+    Scenario("error-duplicate-aggregate-alias", empty,
+      "UNWIND [1,2] AS v RETURN count(v) AS a, sum(v) AS a", Nil,
+      expectError = Some("same name `a`")),
+    Scenario("error-id-of-plain-value", empty,
+      "RETURN id(5) AS r", Nil,
+      expectError = Some("id() expects a node or relationship")),
+    Scenario("id-of-null-is-null", empty,
+      "RETURN id(null) AS r", Seq(row("r" -> null))),
+    // CIP global sort order over mixed-family values: ascending =
+    // STRING, BOOLEAN, NUMBER; null last (min/max skip nulls)
+    Scenario("min-max-mixed-follow-global-sort-order", empty,
+      "UNWIND [1, 'a', true, null] AS v RETURN min(v) AS lo, max(v) AS hi",
+      Seq(row("lo" -> "a", "hi" -> 1L))),
+    Scenario("min-mixed-numbers-compare-across-int-float", empty,
+      "UNWIND [2, 1.5, 'z'] AS v RETURN min(v) AS lo, max(v) AS hi",
+      Seq(row("lo" -> "z", "hi" -> 2L))),
+    Scenario("order-by-mixed-follows-global-sort-order", empty,
+      "UNWIND [1, 'a', true, null, 2.5] AS v RETURN v ORDER BY v",
+      Seq(row("v" -> "a"), row("v" -> true), row("v" -> 1L),
+        row("v" -> 2.5), row("v" -> null)), ordered = true),
+    Scenario("order-by-mixed-desc-nulls-first", empty,
+      "UNWIND [1, 'a', true] AS v RETURN v ORDER BY v DESC",
+      Seq(row("v" -> 1L), row("v" -> true), row("v" -> "a")),
+      ordered = true))
+
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
@@ -2537,15 +2611,16 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   test("scenario corpus is large enough to be meaningful") {
-    assert(scenarios.size >= 100, s"only ${scenarios.size} scenarios")
-    val dupes = scenarios.groupBy(_.name).filter(_._2.size > 1).keys
+    val all = scenarios ++ probeBatch16
+    assert(all.size >= 100, s"only ${all.size} scenarios")
+    val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
-    val staleBlacklist = blacklist.keySet -- scenarios.map(_.name).toSet
+    val staleBlacklist = blacklist.keySet -- all.map(_.name).toSet
     assert(staleBlacklist.isEmpty,
       s"blacklist names not in the corpus: $staleBlacklist")
   }
 
-  scenarios.foreach { sc =>
+  (scenarios ++ probeBatch16).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }
