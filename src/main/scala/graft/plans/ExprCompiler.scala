@@ -550,9 +550,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   // array instead: @k = family tag (0 null, 1 integer, 2 float,
   // 3 string, 4 boolean), one typed field per family. Comparisons and
   // membership dispatch on the tag, so `[1,'a'][0] = 1` is true and
-  // `'a' IN [1,'a']` is true with real typed semantics. Known limit
-  // (documented, ReferenceParitySpec): cross-tag numeric equality inside
-  // two mixed lists (int 1 vs float 1.0) is false, not true.
+  // `'a' IN [1,'a']` is true with real typed semantics. Mixed-vs-mixed
+  // equality compares numbers ACROSS the int/float tags (as doubles —
+  // exactness above 2^53 is the remaining documented limit); mixed
+  // ordering comparisons are comparability (cross-family → null) while
+  // ORDER BY/min/max use the CIP global sort order (mixedOrderKey).
 
   /** per-row guard: a negative argument raises (Neo4j string functions
     * error on negative start/length where Spark would count from the
@@ -565,6 +567,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case st: StructType => st.fieldNames.sameElements(mixedFields)
     case _ => false
   }
+  /** element type encodable by [[toMixed]] */
+  private def isMixedAtomic(t: DataType): Boolean = t match {
+    case NullType | StringType | BooleanType => true
+    case _: NumericType => true
+    case _ => false
+  }
+
   /** atomics of >1 family (nulls don't count) → mixed encoding */
   private def isMixedAtomicList(types: Seq[DataType]): Boolean = {
     val atomic = types.forall {
@@ -615,6 +624,35 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     else matched.otherwise(mismatch)
   }
 
+  /** equality between two mixed-tagged values: numbers compare across the
+    * int/float split (as doubles — exactness above 2^53 is a documented
+    * limit), same-family strings/booleans compare their field, null tags
+    * poison, family mismatch is false. */
+  private def mixedPairEq(x: Column, y: Column): Column = {
+    val (kx, ky) = (x.getField("@k"), y.getField("@k"))
+    val numX = coalesce(x.getField("i").cast(DoubleType), x.getField("f"))
+    val numY = coalesce(y.getField("i").cast(DoubleType), y.getField("f"))
+    when(kx === 0 || ky === 0, lit(null).cast(BooleanType))
+      .when((kx === 1 || kx === 2) && (ky === 1 || ky === 2), numX === numY)
+      .when(kx === 3 && ky === 3, x.getField("s") === y.getField("s"))
+      .when(kx === 4 && ky === 4, x.getField("b") === y.getField("b"))
+      .otherwise(lit(false))
+  }
+
+  /** ordering comparison between two mixed-tagged values: COMPARABILITY,
+    * not orderability — cross-family `<` is null (even though ORDER BY
+    * ranks families via [[mixedOrderKey]]). */
+  private def mixedPairCmp(x: Column, y: Column,
+      op: (Column, Column) => Column): Column = {
+    val (kx, ky) = (x.getField("@k"), y.getField("@k"))
+    val numX = coalesce(x.getField("i").cast(DoubleType), x.getField("f"))
+    val numY = coalesce(y.getField("i").cast(DoubleType), y.getField("f"))
+    when((kx === 1 || kx === 2) && (ky === 1 || ky === 2), op(numX, numY))
+      .when(kx === 3 && ky === 3, op(x.getField("s"), y.getField("s")))
+      .when(kx === 4 && ky === 4, op(x.getField("b"), y.getField("b")))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
   /** openCypher global-sort-order key for a mixed-tagged value (CIP
     * "Comparability and orderability", ascending: … STRING, BOOLEAN,
     * NUMBER, null last): rank separates families; within a rank only that
@@ -651,10 +689,42 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // and ignores field names, so {a:1} = {b:1} would come back true.
       // Same key shape → compare with both sides reordered to sorted-key
       // form; different key shape → never equal (nulls still poison).
+      // two mixed-tagged scalars: typed equality across the int/float
+      // split; ordering is comparability (cross-family → null)
+      case (mt1, mt2) if isMixedStruct(mt1) && isMixedStruct(mt2) =>
+        val (lc, rc) = (compile(l), compile(r))
+        if (ordering) Some(mixedPairCmp(lc, rc, op))
+        else mismatch match {
+          case Some(neg) =>
+            val eq = mixedPairEq(lc, rc)
+            Some(if (neg) !eq else eq)
+          case None => Some(lit(null).cast(BooleanType))
+        }
       case (a: StructType, b: StructType) =>
         if (sameKeyShape(a, b))
           Some(op(canonStruct(compile(l), a), canonStruct(compile(r), b)))
         else None
+      // mixed-tagged LIST vs mixed-or-single-family list: element-wise
+      // ternary with typed equality (the single-family side converts
+      // per-element to the tagged encoding first)
+      case (ArrayType(a, _), ArrayType(b, _))
+          if !ordering && mismatch.isDefined &&
+            (isMixedStruct(a) || isMixedStruct(b)) &&
+            (isMixedStruct(a) || isMixedAtomic(a)) &&
+            (isMixedStruct(b) || isMixedAtomic(b)) =>
+        val lc0 = compile(l); val rc0 = compile(r)
+        val lc = if (isMixedStruct(a)) lc0
+          else transform(lc0, e => toMixed(e, a))
+        val rc = if (isMixedStruct(b)) rc0
+          else transform(rc0, e => toMixed(e, b))
+        val eqs = zip_with(lc, rc, (x, y) => mixedPairEq(x, y))
+        val anyFalse = exists(eqs, e => !e) // 3VL: true > null > false
+        val eq = when(lc0.isNull || rc0.isNull, lit(null).cast(BooleanType))
+          .when(size(lc0) =!= size(rc0), lit(false))
+          .when(anyFalse === true, lit(false))
+          .when(anyFalse.isNull, lit(null).cast(BooleanType))
+          .otherwise(lit(true))
+        Some(if (mismatch.get) !eq else eq)
       case (ArrayType(a: StructType, _), ArrayType(b: StructType, _)) =>
         if (sameKeyShape(a, b))
           Some(op(canonStruct(compile(l), tl), canonStruct(compile(r), tr)))

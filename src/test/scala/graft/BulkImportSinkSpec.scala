@@ -71,6 +71,47 @@ class BulkImportSinkSpec extends AnyFunSuite {
     assert(dataLines(relDir.resolve("data")).size == 2)
   }
 
+  test("BulkImportSource round-trips the sink's layout") {
+    val g = gs.createGraphFromCypher(
+      """CREATE (a:Person {name: 'Ann', age: 30, tags: ['x', 'y']})
+        |CREATE (b:Person:Admin {name: 'Dee', age: 40})
+        |CREATE (c:City {name: 'Berlin'})
+        |CREATE (a)-[:LIVES_IN {since: 2010}]->(c)
+        |CREATE (b)-[:LIVES_IN {since: 2005}]->(c)""".stripMargin)
+    val root = Files.createTempDirectory("bulk_rt")
+    BulkImportSink.write(g, root.toString, "rt")
+    val back = graft.sources.BulkImportSource.read(spark, root.toString, "rt")
+
+    // same label combinations and rel types
+    assert(back.nodeTables.map(_.labels).toSet ===
+      g.nodeTables.map(_.labels).toSet)
+    assert(back.relTables.map(_.relType) === Seq("LIVES_IN"))
+
+    // queries over the round-tripped graph match the original
+    val q = """MATCH (p:Person)-[r:LIVES_IN]->(c:City)
+              |RETURN p.name AS n, p.age AS a, r.since AS s, c.name AS cn
+              |ORDER BY n""".stripMargin
+    val orig = gs.cypher(g, q).collect().map(_.toSeq).toSeq
+    val rt = gs.cypher(back, q).collect().map(_.toSeq).toSeq
+    assert(rt === orig)
+    // array property survives with typed elements
+    val tags = gs.cypher(back,
+      "MATCH (p:Person {name: 'Ann'}) RETURN p.tags AS t").collect()
+    assert(tags.head.getSeq[String](0) === Seq("x", "y"))
+  }
+
+  test("source round-trips temporal and unlabeled tables") {
+    val g = gs.createGraphFromCypher(
+      "CREATE (:Ev {name: 'e1', on: date('2024-02-29')})")
+    val root = Files.createTempDirectory("bulk_rt_t")
+    BulkImportSink.write(g, root.toString)
+    val back = graft.sources.BulkImportSource.read(spark, root.toString)
+    val rows = gs.cypher(back,
+      "MATCH (e:Ev) RETURN e.name AS n, e.on AS d").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "e1" &&
+      rows.head.getDate(1).toString == "2024-02-29")
+  }
+
   test("temporal properties write ISO strings under date-typed headers") {
     val g = gs.createGraphFromCypher(
       "CREATE (:Ev {name: 'e1', on: date('2024-02-29')})")

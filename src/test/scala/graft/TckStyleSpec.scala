@@ -2596,7 +2596,26 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("order-by-mixed-desc-nulls-first", empty,
       "UNWIND [1, 'a', true] AS v RETURN v ORDER BY v DESC",
       Seq(row("v" -> 1L), row("v" -> true), row("v" -> "a")),
-      ordered = true))
+      ordered = true),
+    // mixed-vs-mixed: equality is typed ACROSS the int/float split;
+    // ordering is comparability — cross-family comparison is null
+    Scenario("mixed-scalar-equality-across-int-float", empty,
+      """WITH [1, 'a'] AS l, [1.0, 'a'] AS r
+        |RETURN l[0] = r[0] AS numEq, l[1] = r[1] AS strEq,
+        |       l[0] = r[1] AS famMismatch""".stripMargin,
+      Seq(row("numEq" -> true, "strEq" -> true, "famMismatch" -> false))),
+    Scenario("mixed-list-equality-across-int-float", empty,
+      """RETURN [1, 'a'] = [1.0, 'a'] AS eq, [1, 'a'] = [2.0, 'a'] AS ne,
+        |[1, 'a'] = [1.0, 'b', true] AS len""".stripMargin,
+      Seq(row("eq" -> true, "ne" -> false, "len" -> false))),
+    Scenario("mixed-list-equality-null-element-ternary", empty,
+      "RETURN [1, 'a'] = [1.0, null] AS x, [1, 'a'] = [2, null] AS y",
+      Seq(row("x" -> null, "y" -> false))),
+    Scenario("mixed-scalar-ordering-is-comparability", empty,
+      """WITH [1, 'a', 2.5] AS l
+        |RETURN l[0] < l[2] AS numNum, l[0] < l[1] AS numStr,
+        |       l[1] < l[1] AS strStr""".stripMargin,
+      Seq(row("numNum" -> true, "numStr" -> null, "strStr" -> false))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
