@@ -358,6 +358,11 @@ object PipelineQueries {
         d.where(col("source") === "src0"), d.where(col("source") =!= "src0"),
         "doc_id", "text").orderBy("id")
     }),
+    // sliding-window chunking (RAG / long-context prep): 64-token
+    // windows, 8-token overlap
+    "p40_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+        maxTokens = 64, overlap = 8).orderBy("id", "chunk_idx")),
     // bloom-prefiltered decontamination: same exact answer as p19 via the
     // bounded-memory scale path (bloom candidate pass + exact verify join)
     "p39_decontam_bloom" -> ((s, dir) => {
@@ -952,6 +957,24 @@ object PipelineQueries {
         |FROM (SELECT DISTINCT doc_id FROM toks WHERE source <> 'src0') t
         |LEFT JOIN scored s ON s.doc_id = t.doc_id
         |ORDER BY id""".stripMargin,
+    // p40: whitespace tokens, 64-token windows advancing by 56; docs at
+    // or under 64 tokens (incl. empty) give exactly one chunk
+    "p40_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |      AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    CASE WHEN len(w) <= 64 THEN 1
+        |         ELSE ((len(w) - 64 + 55) // 56) + 1 END AS n_chunks
+        |  FROM toks)
+        |SELECT doc_id AS id, i AS chunk_idx,
+        |  array_to_string(w[i*56 + 1 : i*56 + 64], ' ') AS chunk_text,
+        |  least(64, n - i*56)::BIGINT AS n_tokens
+        |FROM counts, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+        |ORDER BY id, chunk_idx""".stripMargin,
     // p39 computes the same exact answer as p19 (bloom false positives
     // are removed by the verification join) — same oracle
     "p39_decontam_bloom" ->

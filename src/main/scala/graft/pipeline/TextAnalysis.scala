@@ -373,6 +373,38 @@ object TextAnalysis {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** Sliding-window document chunking — the RAG / long-context training
+    * prep step: split each document into whitespace-token windows of
+    * `maxTokens` advancing by `maxTokens - overlap`, so consecutive
+    * chunks share `overlap` tokens of context. One chunk per row with
+    * its index and token count; documents at or under `maxTokens` yield
+    * exactly one chunk (empty documents one empty chunk).
+    *
+    * Scale shape: pure per-row columnar split + sequence-explode +
+    * slice — zero shuffle, whole-stage codegen; output rows ≈ corpus
+    * tokens / step regardless of document skew. Deterministic (string
+    * splits and integer math only) → exact cross-engine oracle. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(floor((n - maxTokens + step - 1).cast(DoubleType) / step)
+        .cast(LongType) + 1)
+    df.select(col(idCol).cast(LongType).as("id"), toks.as("@toks"),
+        explode(sequence(lit(0L), nChunks.cast(LongType) - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("@toks"), (col("chunk_idx") * step + 1).cast(IntegerType),
+            lit(maxTokens))).as("chunk_text"),
+        least(lit(maxTokens),
+          size(col("@toks")) - col("chunk_idx") * step).cast(LongType)
+          .as("n_tokens"))
+  }
+
   /** Bloom-prefiltered decontamination — identical OUTPUT to
     * [[decontaminate]] (every training doc with its shared-n-gram count
     * against a held-out benchmark), different SCALE path: instead of

@@ -96,6 +96,32 @@ class LmScoreSpec extends AnyFunSuite {
     assert(math.abs(r0.getDouble(1) - math.exp(-r0.getDouble(0))) < 1e-9)
   }
 
+  test("chunkDocuments: windows, overlap continuity, boundary and empty") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, 3 chunks
+      (2L, (1 to 4).map(i => s"s$i").mkString(" ")),  // exactly maxTokens
+      (3L, ""),                                        // empty → one chunk
+      (4L, (1 to 5).map(i => s"u$i").mkString(" "))   // one past boundary
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      maxTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // doc 1: starts at 0,2,4,6,8 → ceil((10-4)/2)+1 = 4 chunks
+    assert(out((1L, 0L)) == ("t1 t2 t3 t4", 4L))
+    assert(out((1L, 1L)) == ("t3 t4 t5 t6", 4L)) // 2-token overlap
+    assert(out((1L, 3L)) == ("t7 t8 t9 t10", 4L))
+    assert(!out.contains((1L, 4L)))
+    assert(out((2L, 0L)) == ("s1 s2 s3 s4", 4L) && !out.contains((2L, 1L)))
+    assert(out((3L, 0L)) == ("", 0L))
+    assert(out((4L, 0L)) == ("u1 u2 u3 u4", 4L))
+    assert(out((4L, 1L)) == ("u3 u4 u5", 3L)) // final short chunk
+    // every token appears in at least one chunk (coverage)
+    val covered = out.collect { case ((1L, _), (txt, _)) =>
+      txt.split(" ").toSeq }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("decontaminateBloom == decontaminate exactly (FPs verified away)") {
     val train = docs.where($"source" =!= "src0")
     val bench = docs.where($"source" === "src0")
