@@ -769,11 +769,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * zero-divisor case is routed around it. */
   private def ieeeDiv(lc: Column, rc: Column): Column = {
     val ld = lc.cast(DoubleType); val rd = rc.cast(DoubleType)
+    // pow(±0.0, -1) preserves the ZERO'S sign (-0.0 → -Infinity), which
+    // `rd === 0.0` alone cannot see — so x/-0.0 = -(x/0.0) per IEEE-754
     when(rd === 0.0,
-      when(ld > 0.0, lit(Double.PositiveInfinity))
-        .when(ld < 0.0, lit(Double.NegativeInfinity))
-        .when(ld === 0.0, lit(Double.NaN))
-        .otherwise(lit(null).cast(DoubleType)))
+      when(ld === 0.0, lit(Double.NaN))
+        .when(ld.isNull, lit(null).cast(DoubleType))
+        .otherwise(signum(ld) * pow(rd, lit(-1.0))))
       .otherwise(ld / rd)
   }
 
@@ -1370,15 +1371,28 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("stdevp", _, args) => coalesce(stddev_pop(compile(args.head)), lit(0.0))
     // exact interpolated percentile (reference buffers all values in a
     // custom UDAF, PercentileUdafs.scala:39-96 — Spark ≥3.5 has it native)
-    case Func("percentilecont", _, args) =>
+    case Func("percentilecont", false, args) =>
       percentile(compile(args.head), compile(args(1)))
+    // DISTINCT variant: interpolate over the sorted distinct values
+    // (Spark's native percentile has no DISTINCT form)
+    case Func("percentilecont", true, args) =>
+      val arr = array_sort(collect_set(compile(args.head).cast(DoubleType)))
+      val p = compile(args(1))
+      val rank = lit(1.0) + p * (size(arr) - 1)
+      val lo = floor(rank).cast(IntegerType)
+      val vlo = element_at(arr, lo)
+      val vhi = element_at(arr, ceil(rank).cast(IntegerType))
+      when(size(arr) === 0, lit(null).cast(DoubleType))
+        .otherwise(vlo + (rank - floor(rank)) * (vhi - vlo))
     // discrete percentile = the value at rank ⌈p·n⌉ — exact via a sorted
     // group buffer (the reference's PercentileUdafs buffered the same way)
-    case Func("percentiledisc", _, args) =>
+    case Func("percentiledisc", distinct, args) =>
       val c = compile(args.head)
       val p = compile(args(1))
-      try_element_at(array_sort(collect_list(c)),
-        greatest(ceil(p * count(c)), lit(1)).cast(IntegerType))
+      val arr = array_sort(
+        if (distinct) collect_set(c) else collect_list(c))
+      try_element_at(arr,
+        greatest(ceil(p * size(arr)), lit(1)).cast(IntegerType))
     // sketch aggregates (extension — the 100 TB path where exact
     // percentile/distinct would buffer or double-shuffle): HLL++ and
     // fixed-error percentile approximation, both single-pass mergeable

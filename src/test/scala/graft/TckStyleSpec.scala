@@ -2615,7 +2615,39 @@ class TckStyleSpec extends AnyFunSuite {
       """WITH [1, 'a', 2.5] AS l
         |RETURN l[0] < l[2] AS numNum, l[0] < l[1] AS numStr,
         |       l[1] < l[1] AS strStr""".stripMargin,
-      Seq(row("numNum" -> true, "numStr" -> null, "strStr" -> false))))
+      Seq(row("numNum" -> true, "numStr" -> null, "strStr" -> false))),
+    // batch 17 (Probe25Main)
+    Scenario("percentile-cont-distinct-interpolates-distinct", empty,
+      """UNWIND [1, 1, 1, 100] AS v
+        |RETURN percentileCont(DISTINCT v, 0.5) AS c,
+        |       percentileCont(v, 0.5) AS plain,
+        |       percentileDisc(DISTINCT v, 0.5) AS d""".stripMargin,
+      Seq(row("c" -> 50.5, "plain" -> 1.0, "d" -> 1L))),
+    Scenario("division-by-negative-zero-is-negative-infinity", empty,
+      """RETURN 1.0/-0.0 AS ninf, -1.0/-0.0 AS pinf, 1.0/0.0 AS inf,
+        |0.0 = -0.0 AS eq""".stripMargin,
+      Seq(row("ninf" -> Double.NegativeInfinity,
+        "pinf" -> Double.PositiveInfinity,
+        "inf" -> Double.PositiveInfinity, "eq" -> true))),
+    Scenario("stacked-aggregation-via-with", empty,
+      """UNWIND ['X', 'X', 'Y'] AS c
+        |WITH c, count(*) AS n WITH max(n) AS m RETURN m""".stripMargin,
+      Seq(row("m" -> 2L))),
+    Scenario("error-distinct-order-by-unprojected", empty,
+      "UNWIND [1, 2] AS v RETURN DISTINCT v % 2 AS p ORDER BY v", Nil,
+      expectError = Some("not defined")),
+    Scenario("error-return-star-empty-scope", empty,
+      "RETURN *", Nil, expectError = Some("empty projection")),
+    Scenario("varlength-cycle-back-to-start-var",
+      """CREATE (a:P {name: 'a'}), (b:P {name: 'b'}), (c:P {name: 'c'})
+        |CREATE (a)-[:K]->(b), (b)-[:K]->(a), (b)-[:K]->(c)""".stripMargin,
+      "MATCH (a:P)-[:K*2..2]->(a) RETURN a.name AS n",
+      Seq(row("n" -> "a"), row("n" -> "b"))),
+    Scenario("fixed-length-cycle-back-to-start-var",
+      """CREATE (a:P {name: 'a'}), (b:P {name: 'b'}), (c:P {name: 'c'})
+        |CREATE (a)-[:K]->(b), (b)-[:K]->(a), (b)-[:K]->(c)""".stripMargin,
+      "MATCH (a:P)-[:K]->(:P)-[:K]->(a) RETURN a.name AS n",
+      Seq(row("n" -> "a"), row("n" -> "b"))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
