@@ -439,6 +439,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "second" => second(c).cast(LongType)
       case "millisecond" =>
         (date_part(lit("SECOND"), c) * 1000 % 1000).cast(LongType)
+      case "microsecond" => // full sub-second value in µs (Neo4j form)
+        (date_part(lit("SECOND"), c) * 1000000 % 1000000).cast(LongType)
+      case "nanosecond" => // timestamps carry µs precision → µs * 1000
+        (date_part(lit("SECOND"), c) * 1000000 % 1000000).cast(LongType) * 1000
+      case "weekyear" =>
+        // ISO week-based year = the year of this week's THURSDAY
+        // (weekofyear is already ISO, so the pair stays consistent:
+        // 2019-12-30 → week 1 of weekYear 2020)
+        val isoDow = pmod(dayofweek(c.cast(DateType)) + lit(5), lit(7)) + 1
+        year(date_add(c.cast(DateType), lit(4) - isoDow)).cast(LongType)
       case "epochseconds" => unix_timestamp(c.cast(TimestampType))
       case "epochmillis" => unix_millis(c.cast(TimestampType))
       case other => throw new IllegalArgumentException(

@@ -2647,7 +2647,35 @@ class TckStyleSpec extends AnyFunSuite {
       """CREATE (a:P {name: 'a'}), (b:P {name: 'b'}), (c:P {name: 'c'})
         |CREATE (a)-[:K]->(b), (b)-[:K]->(a), (b)-[:K]->(c)""".stripMargin,
       "MATCH (a:P)-[:K]->(:P)-[:K]->(a) RETURN a.name AS n",
-      Seq(row("n" -> "a"), row("n" -> "b"))))
+      Seq(row("n" -> "a"), row("n" -> "b"))),
+    // batch 18 (Probe26Main): temporal accessor corners
+    Scenario("iso-week-year-accessors", empty,
+      """WITH date('2019-12-30') AS d
+        |RETURN d.week AS w, d.weekYear AS wy,
+        |       date('2024-01-01').week AS w2,
+        |       date('2021-01-01').weekYear AS wy2""".stripMargin,
+      Seq(row("w" -> 1L, "wy" -> 2020L, "w2" -> 1L, "wy2" -> 2020L))),
+    Scenario("sub-second-accessors", empty,
+      """WITH localdatetime('2020-01-01T00:00:00.123456') AS t
+        |RETURN t.millisecond AS ms, t.microsecond AS us,
+        |       t.nanosecond AS ns""".stripMargin,
+      Seq(row("ms" -> 123L, "us" -> 123456L, "ns" -> 123456000L))),
+    Scenario("duration-division-fractional-carry", empty,
+      "RETURN (duration({days: 1}) / 2).hours AS h",
+      Seq(row("h" -> 12L))),
+    Scenario("full-iso-duration-literal-parses", empty,
+      """WITH duration('P1Y2M3DT4H5M6.789S') AS du
+        |RETURN du.months AS m, du.days AS d, du.seconds AS s,
+        |       du.milliseconds AS ms""".stripMargin,
+      Seq(row("m" -> 14L, "d" -> 3L, "s" -> 14706L, "ms" -> 14706789L))),
+    Scenario("date-minus-month-duration-clamps", empty,
+      "RETURN date('2024-03-31') - duration({months: 1}) AS d",
+      Seq(row("d" -> java.sql.Date.valueOf("2024-02-29")))),
+    Scenario("temporal-min-max-aggregate", empty,
+      """UNWIND [date('2024-01-05'), date('2023-12-31')] AS d
+        |RETURN min(d) AS lo, max(d) AS hi""".stripMargin,
+      Seq(row("lo" -> java.sql.Date.valueOf("2023-12-31"),
+        "hi" -> java.sql.Date.valueOf("2024-01-05")))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
