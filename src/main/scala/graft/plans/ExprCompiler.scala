@@ -195,6 +195,44 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _ => lit(false)
     }
 
+    // dynamic property access on an entity: n['name'] / n[keyVar]
+    // (Neo4j dynamic property lookup). Literal keys resolve statically
+    // to the property column; dynamic keys compile to a key-dispatch
+    // CASE over the binding's columns — same-family values widen via the
+    // lattice, mixed families fall back to the tagged-union encoding.
+    case Index(Var(n), k) if !lambdaEnv.contains(n) &&
+        header.get(n).exists(b =>
+          b.isInstanceOf[NodeBinding] || b.isInstanceOf[RelBinding]) =>
+      val props: Map[String, String] = header(n) match {
+        case nb: NodeBinding => nb.propCols
+        case rb: RelBinding => rb.propCols
+        case _ => Map.empty
+      }
+      k match {
+        case StringLit(key) =>
+          props.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
+        case NullLit => lit(null)
+        case _ =>
+          val kc = compile(k)
+          val sorted = props.toSeq.sortBy(_._1)
+          val types = sorted.map { case (_, c) => typeOfCol(c) }
+          val families = types.filterNot(_ == NullType).map(family).distinct
+          if (sorted.isEmpty) lit(null)
+          else if (families.size <= 1) {
+            val target = types.reduce(graft.graph.SparkTypes.widen)
+            sorted.foldRight(lit(null).cast(target)) {
+              case ((key, c), acc) =>
+                when(kc === lit(key), col(s"`$c`").cast(target))
+                  .otherwise(acc)
+            }
+          } else {
+            sorted.zip(types).foldRight(
+              toMixed(lit(null), NullType)) { case (((key, c), t), acc) =>
+              when(kc === lit(key), toMixed(col(s"`$c`"), t)).otherwise(acc)
+            }
+          }
+      }
+
     case Index(b, i) =>
       // list position: nodes(p)[i] indexes the materialized VALUE list
       val c = compileList(b)
@@ -699,6 +737,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // and ignores field names, so {a:1} = {b:1} would come back true.
       // Same key shape → compare with both sides reordered to sorted-key
       // form; different key shape → never equal (nulls still poison).
+      // collected-entity struct vs a bound entity var: identity (= id)
+      case (st: StructType, _) if isEntityStruct(st) && isEntityVar(r) =>
+        Some(op(compile(l).getField("id"), compile(r)))
+      case (_, st: StructType) if isEntityStruct(st) && isEntityVar(l) =>
+        Some(op(compile(l), compile(r).getField("id")))
       // two mixed-tagged scalars: typed equality across the int/float
       // split; ordering is comparability (cross-family → null)
       case (mt1, mt2) if isMixedStruct(mt1) && isMixedStruct(mt2) =>
@@ -854,11 +897,28 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   /** Cypher IN: membership with 3VL — `x IN []` is false even for null x;
     * a not-found result over a list containing null is null; elements of
     * a different type family never match (but null elements still poison). */
+  /** entity-value struct produced by [[entityValue]] (collect(n) etc.) */
+  private def isEntityStruct(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.headOption.contains("id") &&
+      (st.fieldNames.contains("labels") || st.fieldNames.contains("type"))
+    case _ => false
+  }
+  private def isEntityVar(e: Expr): Boolean = e match {
+    case Var(n) if !lambdaEnv.contains(n) => header.get(n).exists(b =>
+      b.isInstanceOf[NodeBinding] || b.isInstanceOf[RelBinding])
+    case _ => false
+  }
+
   private def compileIn(x: Expr, list: Expr): Column = {
     val tl = typeOf(list)
     val fx = family(typeOf(x))
     tl match {
       case NullType => lit(null).cast(BooleanType)
+      // entity membership in a collected-entity list: identity (= id)
+      case ArrayType(et, _) if isEntityStruct(et) && isEntityVar(x) =>
+        val lc = compile(list); val xid = compile(x)
+        when(lc.isNull || xid.isNull, lit(null).cast(BooleanType))
+          .otherwise(exists(lc, e => e.getField("id") === xid))
       // membership in a mixed-tagged list: 3VL OR of tag-dispatched
       // element comparisons (true beats null beats false)
       case ArrayType(et, _) if isMixedStruct(et) && !isMixedStruct(typeOf(x)) =>

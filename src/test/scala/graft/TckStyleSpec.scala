@@ -2675,7 +2675,40 @@ class TckStyleSpec extends AnyFunSuite {
       """UNWIND [date('2024-01-05'), date('2023-12-31')] AS d
         |RETURN min(d) AS lo, max(d) AS hi""".stripMargin,
       Seq(row("lo" -> java.sql.Date.valueOf("2023-12-31"),
-        "hi" -> java.sql.Date.valueOf("2024-01-05")))))
+        "hi" -> java.sql.Date.valueOf("2024-01-05")))),
+    // batch 19 (Probe27Main): entity value semantics
+    Scenario("dynamic-property-access-literal-key", social,
+      """MATCH (p:Person {name: 'Alice'})
+        |RETURN p['name'] AS n, p['age'] AS a, p['zzz'] AS z""".stripMargin,
+      Seq(row("n" -> "Alice", "a" -> 30L, "z" -> null))),
+    Scenario("dynamic-property-access-variable-key", social,
+      """WITH 'age' AS k MATCH (p:Person {name: 'Bob'})
+        |RETURN p[k] AS v""".stripMargin,
+      Seq(row("v" -> 25L))),
+    Scenario("entity-membership-in-collected-list", social,
+      """MATCH (a:Person {name: 'Alice'}) MATCH (n:Person)
+        |WITH a, collect(n) AS ns
+        |RETURN a IN ns AS hit, size(ns) AS n""".stripMargin,
+      Seq(row("hit" -> true, "n" -> 4L))),
+    Scenario("collected-entity-equals-bound-entity", social,
+      """MATCH (n:Person) WITH collect(n) AS ns
+        |MATCH (a:Person {name: 'Alice'})
+        |RETURN size([x IN ns WHERE x = a]) AS hits""".stripMargin,
+      Seq(row("hits" -> 1L))),
+    Scenario("node-equality-is-identity", social,
+      """MATCH (a:Person {name: 'Alice'}), (b:Person)
+        |WHERE a = b RETURN b.name AS n""".stripMargin,
+      Seq(row("n" -> "Alice"))),
+    Scenario("rel-vars-in-one-match-never-alias", social,
+      // relationship uniqueness: two rel vars in ONE MATCH cannot bind
+      // the same relationship, so r1 = r2 matches nothing
+      """MATCH (:Person)-[r1:KNOWS]->(:Person),
+        |      (:Person)-[r2:KNOWS]->(:Person)
+        |WHERE r1 = r2 RETURN count(*) AS n""".stripMargin,
+      Seq(row("n" -> 0L))),
+    Scenario("replace-with-empty-search-is-identity", empty,
+      "RETURN replace('abc', '', 'x') AS a, replace('aaa', 'a', '') AS b",
+      Seq(row("a" -> "abc", "b" -> ""))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
