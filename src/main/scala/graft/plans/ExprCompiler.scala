@@ -363,19 +363,27 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Neg(x) => negate(compile(x))
 
     case CaseExpr(operand, alts, default) =>
+      // Cypher CASE branches may return DIFFERENT types ('one' vs v):
+      // when atomic result families mix, each branch wraps into the
+      // tagged-union encoding (same representation as mixed lists)
+      val resultTypes = (alts.map(t => typeOf(t._2)) ++
+        default.map(typeOf)).toList
+      val mixed = isMixedAtomicList(resultTypes)
+      def res(e: Expr): Column =
+        if (mixed) toMixed(compile(e), typeOf(e)) else compile(e)
       val branches = operand match {
-        case Some(op) => alts.map { case (w, t) => (compile(Eq(op, w)), compile(t)) }
+        case Some(op) => alts.map { case (w, t) => (compile(Eq(op, w)), res(t)) }
         case None => alts.map { case (w, t) =>
           // a NullType condition (literal null, unknowable property) is
           // simply "not true" — cast so CaseWhen's boolean check passes
           val c = compile(w)
           val cond = if (typeOf(w) == NullType) c.cast(BooleanType) else c
-          (cond, compile(t))
+          (cond, res(t))
         }
       }
       val first = when(branches.head._1, branches.head._2)
       val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
-      default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
+      default.map(d => chained.otherwise(res(d))).getOrElse(chained)
 
     case ListComprehension(_, list, _, _) if typeOf(list) == NullType =>
       lit(null) // [x IN null | ...] is null, not a type error

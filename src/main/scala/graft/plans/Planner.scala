@@ -2267,6 +2267,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         ReturnItem(Var(v), None, v))
     val preItems = starItems ++ items0
     require(preItems.nonEmpty, "empty projection")
+    // Neo4j: expressions in WITH must be aliased (bare variables exempt)
+    if (!isReturn) items0.foreach { i =>
+      if (i.alias.isEmpty && !i.expr.isInstanceOf[Var])
+        throw new IllegalArgumentException(
+          s"expression in WITH must be aliased (use AS): ${i.text}")
+    }
 
     // pattern comprehensions (in items AND sort keys) join their list
     // columns into the state first

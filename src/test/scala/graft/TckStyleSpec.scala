@@ -2708,7 +2708,28 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("n" -> 0L))),
     Scenario("replace-with-empty-search-is-identity", empty,
       "RETURN replace('abc', '', 'x') AS a, replace('aaa', 'a', '') AS b",
-      Seq(row("a" -> "abc", "b" -> ""))))
+      Seq(row("a" -> "abc", "b" -> ""))),
+    // batch 20 (Probe28Main)
+    Scenario("error-with-expression-unaliased", social,
+      "MATCH (p:Person) WITH p.name RETURN count(*) AS n", Nil,
+      expectError = Some("must be aliased")),
+    Scenario("with-bare-variable-needs-no-alias", social,
+      "MATCH (p:Person) WITH p RETURN count(p) AS n",
+      Seq(row("n" -> 4L))),
+    Scenario("case-with-mixed-result-families", empty,
+      """UNWIND [1, 2] AS v
+        |RETURN CASE WHEN v = 1 THEN 'one' ELSE v END AS r ORDER BY r""".stripMargin,
+      // CIP order: the string 'one' before the number 2
+      Seq(row("r" -> "one"), row("r" -> 2L)), ordered = true),
+    Scenario("collected-entities-survive-field-chains", social,
+      """MATCH (n:Person) WITH collect(n) AS ns
+        |WITH ns[0] AS first
+        |RETURN first.name IS NOT NULL AS named""".stripMargin,
+      Seq(row("named" -> true))),
+    Scenario("limit-and-skip-accept-constant-arithmetic", social,
+      """MATCH (p:Person) RETURN p.name AS n ORDER BY n
+        |SKIP 2 - 1 LIMIT 1 + 1""".stripMargin,
+      Seq(row("n" -> "Bob"), row("n" -> "Carol")), ordered = true))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
