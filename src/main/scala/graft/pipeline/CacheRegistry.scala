@@ -21,6 +21,12 @@ final class CacheRegistry(track: Boolean = true) {
     p
   }
 
+  /** tracked entries, without draining (test/diagnostic visibility). */
+  private[graft] def tracked: Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    entries.iterator().asScala.toSeq
+  }
+
   /** unpersist every tracked entry (blocking=false: lazily dropped). */
   def release(): Unit = {
     var df = entries.poll()

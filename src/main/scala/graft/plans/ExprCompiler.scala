@@ -1056,6 +1056,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "e" => lit(math.E)
       case "pi" => lit(math.Pi)
       case "rand" => rand()
+      case "randomuuid" => expr("uuid()")
       case "timestamp" => (unix_timestamp() * 1000).cast(LongType)
 
       // bitwise (reference IR surface, SparkSQLExprMapper.scala:306-309;
@@ -1341,6 +1342,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * time and goes through the SQL split, which accepts a column pattern. */
   private def split_literal(src: Column, sep: Expr): Column = sep match {
     case StringLit(s) => split(src, java.util.regex.Pattern.quote(s))
+    // Neo4j: split(s, [',', ';']) splits on ANY listed delimiter
+    case ListLit(items) if items.forall(_.isInstanceOf[StringLit]) =>
+      val alt = items.collect { case StringLit(s) =>
+        java.util.regex.Pattern.quote(s) }.mkString("|")
+      split(src, alt)
     case e =>
       val pat = regexp_replace(compile(e).cast(StringType),
         lit("([\\\\^$.|?*+()\\[\\]{}])"), lit("\\\\$1"))

@@ -604,15 +604,19 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("cache registry releases near-dup generator persists") {
+    // check the registry's OWN entries, not global persistent-RDD counts
+    // (suites share the SparkSession — other tests persist concurrently)
     val reg = new CacheRegistry()
-    val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
       n = 3, threshold = 0.3, maxDocFreq = 5000, caches = reg)
     pairs.count()
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "generator should have persisted derived tables")
+    val entries = reg.tracked
+    assert(entries.nonEmpty, "generator should have persisted derived tables")
+    assert(entries.exists(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE))
     reg.release()
-    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+    assert(entries.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
       "release() must unpersist every tracked entry")
   }
 

@@ -2729,7 +2729,26 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("limit-and-skip-accept-constant-arithmetic", social,
       """MATCH (p:Person) RETURN p.name AS n ORDER BY n
         |SKIP 2 - 1 LIMIT 1 + 1""".stripMargin,
-      Seq(row("n" -> "Bob"), row("n" -> "Carol")), ordered = true))
+      Seq(row("n" -> "Bob"), row("n" -> "Carol")), ordered = true),
+    // batch 21 (Probe29Main)
+    Scenario("split-on-list-of-delimiters", empty,
+      "RETURN split('a,b;c', [',', ';']) AS r",
+      Seq(row("r" -> List("a", "b", "c")))),
+    Scenario("random-uuid-and-rand-shapes", empty,
+      """WITH randomUUID() AS u, rand() AS r
+        |RETURN size(u) AS n, r >= 0.0 AND r < 1.0 AS ok,
+        |       timestamp() > 0 AS ts""".stripMargin,
+      Seq(row("n" -> 36L, "ok" -> true, "ts" -> true))),
+    Scenario("euler-pi-haversin-degrees", empty,
+      """RETURN degrees(pi()) AS d, radians(180.0) = pi() AS r,
+        |haversin(0) AS h0, haversin(pi()) AS hp,
+        |e() > 2.718 AND e() < 2.719 AS e""".stripMargin,
+      Seq(row("d" -> 180.0, "r" -> true, "h0" -> 0.0, "hp" -> 1.0,
+        "e" -> true))),
+    Scenario("min-max-over-lists-lexicographic", empty,
+      """UNWIND [[1, 2], [1], [2]] AS l
+        |RETURN min(l) AS lo, max(l) AS hi""".stripMargin,
+      Seq(row("lo" -> List(1L), "hi" -> List(2L)))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
