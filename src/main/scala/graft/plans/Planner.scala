@@ -313,7 +313,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     // entities referenced by NEW patterns that are bound → implicit CLONE
     val newPatternVars = c.news.flatMap(p => collectPatternVars(Pattern(Seq(p))))
-    val cloneVars = (c.clones ++ newPatternVars.filter(state.header.contains)).distinct
+    // a cloned relationship cannot exist without its endpoints
+    // (reference ConstructGraphPlanner: rel clones pull their endpoint
+    // nodes in): endpoint node VARS become implicit clones here; truly
+    // anonymous endpoints get bare id-only nodes synthesized below
+    val relEndpointVars = c.clones.flatMap { v =>
+      state.header.get(v) match {
+        case Some(rb: RelBinding) =>
+          rb.endpointVars.toSeq.flatMap { case (s, d) => Seq(s, d) }
+            .filter(ev => state.header.get(ev).exists(_.isInstanceOf[NodeBinding]))
+        case _ => Nil
+      }
+    }
+    val cloneVars = (c.clones ++ relEndpointVars ++
+      newPatternVars.filter(state.header.contains)).distinct
 
     val setsByVar: Map[String, Seq[(String, Expr)]] =
       c.sets.groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
@@ -350,6 +363,24 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case rb: RelBinding => relTables ++= cloneRelTables(cloneState, rb)
         case other => throw new IllegalArgumentException(
           s"CLONE $v: expected node or relationship, got $other")
+      }
+    }
+    // anonymous endpoints of cloned rels (no bound node var carries the
+    // id column): synthesize bare id-only nodes so the rel is well-formed
+    locally {
+      val bareCols = cloneVars.flatMap(v =>
+        state.header.get(v).collect { case rb: RelBinding =>
+          val (sv, dv) = rb.endpointVars.getOrElse(("", ""))
+          def covered(ev: String) = cloneVars.contains(ev) &&
+            state.header.get(ev).exists(_.isInstanceOf[NodeBinding])
+          Seq(rb.srcCol -> covered(sv), rb.dstCol -> covered(dv))
+            .collect { case (c2, false) => c2 }
+        }).flatten.distinct
+      bareCols.foreach { idc =>
+        nodeTables += graft.graph.NodeTable(Set.empty,
+          cloneState.df.select(col(s"`$idc`"))
+            .where(col(s"`$idc`").isNotNull).dropDuplicates(idc),
+          idc, Map.empty)
       }
     }
 

@@ -101,6 +101,22 @@ class ConstructInteropSpec extends AnyFunSuite {
     assert(n === 0L)
   }
 
+  test("CLONE of a rel pulls its endpoint nodes in (reference semantics)") {
+    // endpoints bound as vars: cloned WITH their labels + properties
+    val g2 = gs.cypherGraph(g,
+      "MATCH (x:P)-[r:R]->(y:P) CONSTRUCT CLONE r RETURN GRAPH")
+    val rows = gs.cypher(g2,
+      "MATCH (x)-[:R]->(y) RETURN x.n AS xn, y.n AS yn ORDER BY xn")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.nonEmpty && rows.forall { case (a, b) => a != null && b != null })
+    // anonymous endpoints: bare id-only nodes keep the rel well-formed
+    val g3 = gs.cypherGraph(g,
+      "MATCH ()-[r:R]->() CONSTRUCT CLONE r RETURN GRAPH")
+    val cnt = gs.cypher(g3,
+      "MATCH (a)-[:R]->(b) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(cnt == rows.size.toLong)
+  }
+
   test("union of two constructed graphs keeps both element sets") {
     val ga = gs.cypherGraph(g,
       "CONSTRUCT NEW (:A {v: 1}) RETURN GRAPH")
