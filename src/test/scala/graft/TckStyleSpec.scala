@@ -2748,7 +2748,26 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("min-max-over-lists-lexicographic", empty,
       """UNWIND [[1, 2], [1], [2]] AS l
         |RETURN min(l) AS lo, max(l) AS hi""".stripMargin,
-      Seq(row("lo" -> List(1L), "hi" -> List(2L)))))
+      Seq(row("lo" -> List(1L), "hi" -> List(2L)))),
+    Scenario("round-is-half-away-from-zero-both-signs", empty,
+      "RETURN round(2.5) AS a, round(-2.5) AS b, round(2.4) AS c",
+      Seq(row("a" -> 3.0, "b" -> -3.0, "c" -> 2.0))),
+    Scenario("abs-preserves-numeric-family", empty,
+      "RETURN abs(-5) AS i, abs(-5.5) AS f",
+      Seq(row("i" -> 5L, "f" -> 5.5))),
+    Scenario("left-zero-and-empty-list-index", empty,
+      "RETURN left('abc', 0) AS l, [][0] AS i",
+      Seq(row("l" -> "", "i" -> null))),
+    Scenario("nested-reduce-over-nested-lists", empty,
+      """RETURN reduce(acc = 0, x IN [[1,2],[3]] |
+        |acc + reduce(a2 = 0, y IN x | a2 + y)) AS r""".stripMargin,
+      Seq(row("r" -> 6L))),
+    Scenario("clone-rel-pulls-endpoints",
+      """CREATE (a:P {name: 'a'})-[:K {w: 1}]->(b:P {name: 'b'})""",
+      // constructed-graph content is asserted in ConstructInteropSpec;
+      // here: the base MATCH over rel + endpoints stays intact
+      "MATCH (x:P)-[r:K]->(y:P) RETURN x.name AS xn, r.w AS w, y.name AS yn",
+      Seq(row("xn" -> "a", "w" -> 1L, "yn" -> "b"))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
