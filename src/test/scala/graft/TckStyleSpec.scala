@@ -2767,7 +2767,34 @@ class TckStyleSpec extends AnyFunSuite {
       // constructed-graph content is asserted in ConstructInteropSpec;
       // here: the base MATCH over rel + endpoints stays intact
       "MATCH (x:P)-[r:K]->(y:P) RETURN x.name AS xn, r.w AS w, y.name AS yn",
-      Seq(row("xn" -> "a", "w" -> 1L, "yn" -> "b"))))
+      Seq(row("xn" -> "a", "w" -> 1L, "yn" -> "b"))),
+    // batch 23 (Probe31Main): OPTIONAL × var-length × quantifier
+    Scenario("optional-varlength-pushed-quantifier",
+      """CREATE (a:P {name: 'a'}), (b:P {name: 'b'}), (c:P {name: 'c'})
+        |CREATE (a)-[:K {w: 1}]->(b), (b)-[:K {w: 5}]->(c)""".stripMargin,
+      """MATCH (n {name: 'a'}) OPTIONAL MATCH (n)-[rs:K*1..2]->(m)
+        |WHERE all(r IN rs WHERE r.w < 3)
+        |RETURN m.name AS mn""".stripMargin,
+      Seq(row("mn" -> "b"))),
+    Scenario("optional-varlength-quantifier-no-match-keeps-row",
+      """CREATE (a:P {name: 'a'}), (b:P {name: 'b'}), (c:P {name: 'c'})
+        |CREATE (a)-[:K {w: 1}]->(b), (b)-[:K {w: 5}]->(c)""".stripMargin,
+      """MATCH (n {name: 'a'}) OPTIONAL MATCH (n)-[rs:K*2..2]->(m)
+        |WHERE any(r IN rs WHERE r.w > 10)
+        |RETURN n.name AS nn, m.name AS mn""".stripMargin,
+      Seq(row("nn" -> "a", "mn" -> null))),
+    Scenario("optional-path-on-nonmatch-has-null-length",
+      """CREATE (a:P {name: 'a'}), (d:Q {name: 'd'})
+        |CREATE (a)-[:K {w: 1}]->(a)""".stripMargin,
+      """MATCH (n:Q) OPTIONAL MATCH p = (n)-[:K*1..2]->(m)
+        |RETURN length(p) AS len""".stripMargin,
+      Seq(row("len" -> null))),
+    Scenario("unwind-of-null-rel-list-drops-row",
+      """CREATE (a:P {name: 'a'}), (d:Q {name: 'd'})
+        |CREATE (a)-[:K {w: 1}]->(a)""".stripMargin,
+      """MATCH (n:Q) OPTIONAL MATCH (n)-[rs:K*1..2]->()
+        |UNWIND rs AS r RETURN count(r) AS c""".stripMargin,
+      Seq(row("c" -> 0L))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
