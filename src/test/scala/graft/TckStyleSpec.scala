@@ -2794,7 +2794,20 @@ class TckStyleSpec extends AnyFunSuite {
         |CREATE (a)-[:K {w: 1}]->(a)""".stripMargin,
       """MATCH (n:Q) OPTIONAL MATCH (n)-[rs:K*1..2]->()
         |UNWIND rs AS r RETURN count(r) AS c""".stripMargin,
-      Seq(row("c" -> 0L))))
+      Seq(row("c" -> 0L))),
+    // batch 24 (Probe32Main): mixed-family values as keys
+    Scenario("group-by-mixed-family-key", empty,
+      """UNWIND [1, 'a', 1] AS v
+        |RETURN v, count(*) AS n ORDER BY n DESC""".stripMargin,
+      Seq(row("v" -> 1L, "n" -> 2L), row("v" -> "a", "n" -> 1L)),
+      ordered = true),
+    Scenario("distinct-over-mixed-family-values", empty,
+      "UNWIND [1, 'a', 1, 'a'] AS v RETURN DISTINCT v ORDER BY v",
+      Seq(row("v" -> "a"), row("v" -> 1L)), ordered = true),
+    Scenario("mixed-value-in-where-and-simple-case", empty,
+      """UNWIND [1, 'a', 2] AS v WITH v WHERE v = 1
+        |RETURN CASE v WHEN 1 THEN 'num' ELSE 'other' END AS k""".stripMargin,
+      Seq(row("k" -> "num"))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
