@@ -70,8 +70,9 @@ object Similarity {
     * Catalyst has no tiled-matrix-product operator, so this is the
     * documented `mapPartitions` last resort; the driver collect makes it a
     * TEST-ONLY baseline — production paths are [[blockTopK]] (exact,
-    * distributed) and [[lshTopK]] (sublinear). */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+    * distributed) and [[lshTopK]] (sublinear). Package-private so no user
+    * can point the unbounded collect at real data. */
+  private[graft] def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, roundTo: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

@@ -213,6 +213,17 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           props.get(key).map(c => col(s"`$c`")).getOrElse(lit(null))
         case NullLit => lit(null)
         case _ =>
+          // Neo4j raises a type error when an entity is indexed with a
+          // statically non-string key (n[0], n[1.5]) — mirror the strict
+          // list-index check instead of silently compiling a CASE that
+          // never matches.
+          typeOf(k) match {
+            case NullType | StringType =>
+            case other => throw new IllegalArgumentException(
+              s"entity property key must be a string, got $other " +
+                "(Neo4j: cannot access an entity property with a " +
+                "non-string key)")
+          }
           val kc = compile(k)
           val sorted = props.toSeq.sortBy(_._1)
           val types = sorted.map { case (_, c) => typeOfCol(c) }
@@ -354,10 +365,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         lc % rc // ANSI raises on % 0 — matches Cypher's runtime error
       else {
         // IEEE remainder: float % 0.0 is NaN in Cypher/Java, where
-        // Spark's ANSI mode would raise — branch the zero divisor away
+        // Spark's ANSI mode would raise — branch the zero divisor away.
+        // A null dividend still propagates null (not NaN): check it
+        // inside the zero-divisor branch, like ieeeDiv does.
         val rd = rc.cast(DoubleType)
-        when(rd === 0.0, lit(Double.NaN))
-          .otherwise(lc.cast(DoubleType) % rd)
+        val ld = lc.cast(DoubleType)
+        when(rd === 0.0,
+          when(ld.isNull, lit(null).cast(DoubleType))
+            .otherwise(lit(Double.NaN)))
+          .otherwise(ld % rd)
       }
     case Pow(l, r) => pow(compile(l), compile(r))
     case Neg(x) => negate(compile(x))
@@ -623,6 +639,19 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case st: StructType => st.fieldNames.sameElements(mixedFields)
     case _ => false
   }
+  /** planner-visible check for the tagged-union encoding */
+  private[plans] def isMixedTagged(t: DataType): Boolean = isMixedStruct(t)
+  /** openCypher EQUIVALENCE key for grouping/DISTINCT over mixed-family
+    * values: equal numbers are ONE group across the int/float tags
+    * (1 and 1.0 are equivalent), so the key normalizes numbers to double
+    * — this is exactly the CIP order key, whose struct equality coincides
+    * with equivalence (nulls rank together at 9). */
+  private[plans] def mixedEquivKey(c: Column): Column =
+    mixedOrderKey(c, nullsLargest = true)
+  /** representative preference within an equivalence group: the lowest
+    * tag wins, so DISTINCT over [1.0, 1] deterministically keeps the
+    * integer encoding (members differ only in the number tag). */
+  private[plans] def mixedReprKey(c: Column): Column = c.getField("@k")
   /** element type encodable by [[toMixed]] */
   private def isMixedAtomic(t: DataType): Boolean = t match {
     case NullType | StringType | BooleanType => true
@@ -1392,6 +1421,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
   private def compileAggCall(e: Expr): Column = e match {
     case CountStar => count(lit(1))
+    case Func("count", true, args) if isMixedStruct(typeOf(args.head)) =>
+      // DISTINCT counts equivalence classes (1 and 1.0 are ONE value);
+      // the tagged null (@k=0) maps back to SQL null so it stays skipped
+      val c = compile(args.head)
+      count_distinct(when(c.isNull || c.getField("@k") === 0, lit(null))
+        .otherwise(mixedEquivKey(c)))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
     // Cypher sum() over no (non-null) input is 0, not SQL's null.
@@ -1449,6 +1484,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       max_by(c, mixedOrderKey(c, nullsLargest = false))
     case Func("min", _, args) => min(compile(args.head))
     case Func("max", _, args) => max(compile(args.head))
+    case Func("collect", true, args) if isMixedStruct(typeOf(args.head)) =>
+      // collect_set over the tagged struct would keep 1 AND 1.0; dedupe
+      // by EQUIVALENCE with a fold keeping the first representative.
+      // Quadratic in the collected-distinct count — fine: DISTINCT
+      // results are small by construction (same buffer bound as
+      // percentileDisc, documented in NOTES.md).
+      val c = compile(args.head)
+      val lst = collect_list(c)
+      def eqv(x: Column, y: Column): Column =
+        (x.getField("@k") === 0 && y.getField("@k") === 0) ||
+          coalesce(mixedPairEq(x, y), lit(false))
+      aggregate(lst, array().cast(ArrayType(typeOf(args.head))),
+        (acc, x) => when(exists(acc, y => eqv(x, y)), acc)
+          .otherwise(concat(acc, array(x))))
     case Func("collect", true, args) => collect_set(entityValue(args.head))
     case Func("collect", false, args) => collect_list(entityValue(args.head))
     case Func("stdev", _, args) => coalesce(stddev_samp(compile(args.head)), lit(0.0))

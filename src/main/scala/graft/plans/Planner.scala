@@ -2253,8 +2253,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val (state, rewritten) = rewriteComprehensions(graph, state0, Seq(e0))
     val comp = compiler(state)
     val newCol = fresh(s"${v}_val")
-    // UNWIND null produces no rows (openCypher), not a type error
+    // UNWIND null produces no rows (openCypher), not a type error.
+    // typeOf's NullType is ALSO its analysis-error fallback, so first
+    // force analysis of the operand: a malformed list (e.g. a nested
+    // heterogeneous list Spark can't type) must surface its error here,
+    // not silently plan as zero rows.
     if (comp.typeOf(rewritten.head) == NullType) {
+      state.df.select(comp.compileList(rewritten.head)).schema
       val df = state.df.where(lit(false)).withColumn(newCol, lit(null))
       return PState(df, state.header + (v -> ValueBinding(newCol)))
     }
@@ -2348,8 +2353,27 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val newHeader = Header(ListMap(newBindings: _*))
 
     if (distinct) {
-      // DISTINCT on projected values, then order/skip/limit over new header
-      df = df.select(newHeader.columns.map(c => col(s"`$c`")): _*).dropDuplicates()
+      // DISTINCT on projected values, then order/skip/limit over new header.
+      // Mixed-family (tagged) columns dedupe by openCypher EQUIVALENCE —
+      // 1 and 1.0 are one value — so they key on the equivalence struct
+      // (numbers normalized to double) and keep the lowest-tag
+      // representative (the integer encoding) deterministically.
+      df = df.select(newHeader.columns.map(c => col(s"`$c`")): _*)
+      val mixedCols = newHeader.columns.filter(c =>
+        comp.isMixedTagged(df.schema(c).dataType))
+      df =
+        if (mixedCols.isEmpty) df.dropDuplicates()
+        else {
+          val keyCols = newHeader.columns.map { c =>
+            if (mixedCols.contains(c)) comp.mixedEquivKey(col(s"`$c`"))
+            else col(s"`$c`")
+          }
+          val reprs = mixedCols.map(c =>
+            min_by(col(s"`$c`"), comp.mixedReprKey(col(s"`$c`"))).as(c))
+          df.groupBy(keyCols: _*)
+            .agg(reprs.head, reprs.tail: _*)
+            .select(newHeader.columns.map(c => col(s"`$c`")): _*)
+        }
       val ordered = applyOrder(df, newHeader, orderBy, state)
       val sliced = applySkipLimit(ordered, skip, limit)
       PState(sliced, newHeader)
@@ -2410,11 +2434,30 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
 
     val allAggCols = aggCols ++ hiddenAggs
+    // mixed-family (tagged) group keys group by openCypher EQUIVALENCE
+    // (1 and 1.0 are one group): key on the equivalence struct and keep
+    // the lowest-tag representative (the integer encoding) per group
+    val mixedKeys = groupCols.filter(c =>
+      comp.isMixedTagged(df.schema(c).dataType))
     val agged =
       if (groupCols.isEmpty)
         df.agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
-      else df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
-        .agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
+      else if (mixedKeys.isEmpty)
+        df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+          .agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
+      else {
+        val keyCols = groupCols.map { c =>
+          if (mixedKeys.contains(c)) comp.mixedEquivKey(col(s"`$c`"))
+          else col(s"`$c`")
+        }
+        val reprs = mixedKeys.map(c =>
+          min_by(col(s"`$c`"), comp.mixedReprKey(col(s"`$c`"))).as(c))
+        val allAgg = reprs ++ allAggCols.map(_._2)
+        df.groupBy(keyCols: _*)
+          .agg(allAgg.head, allAgg.tail: _*)
+          .select((groupCols ++ allAggCols.map(_._1))
+            .map(c => col(s"`$c`")): _*)
+      }
 
     // restore item order in the header
     val ordered = items.map { i =>

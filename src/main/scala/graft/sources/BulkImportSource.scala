@@ -20,9 +20,9 @@ import graft.graph.{NodeTable, PropertyGraph, RelTable}
   * Scale shape: every `data/` directory is one parallel `spark.read.csv`
   * with an all-string schema and per-column typed casts — no driver-side
   * row handling; only the one-line headers and the script are read on
-  * the driver. Relationship ids are synthesized
-  * (`monotonically_increasing_id`, partition-unique) because the admin
-  * layout carries none.
+  * the driver. Relationship ids are synthesized (table-index high byte +
+  * `monotonically_increasing_id`, unique across rel tables) because the
+  * admin layout carries none.
   *
   * Round-trip caveats (inherent to the CSV medium, spec-locked):
   * empty string vs null is indistinguishable for string properties, and
@@ -114,12 +114,18 @@ object BulkImportSource {
       NodeTable(labels, df, "__id", props)
     }.toSeq
 
-    val relTables = relSpec.findAllMatchIn(script).map { m =>
+    val relTables = relSpec.findAllMatchIn(script).zipWithIndex.map {
+      case (m, tableIndex) =>
       val relType = m.group(1)
       val dir = m.group(2)
       val header = readText(fs, new Path(dir, "schema.csv"))
       val (df0, fields) = readTable(spark, dir, header, arrayDelimiter)
-      val df = df0.withColumn("@rid", monotonically_increasing_id())
+      // Namespace ids per rel table (high byte = table index): bare
+      // monotonically_increasing_id restarts at 0 per table, so ids would
+      // collide ACROSS relationship types — breaking id(r), DISTINCT r,
+      // and untyped rel-uniqueness predicates that compare ids.
+      val df = df0.withColumn("@rid",
+        lit(tableIndex.toLong << 56) + monotonically_increasing_id())
       val props = fields.collect {
         case (n, _) if n != "@START_ID" && n != "@END_ID" => n -> n }.toMap
       RelTable(relType, df, "@rid", "@START_ID", "@END_ID", props)

@@ -2807,7 +2807,60 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("mixed-value-in-where-and-simple-case", empty,
       """UNWIND [1, 'a', 2] AS v WITH v WHERE v = 1
         |RETURN CASE v WHEN 1 THEN 'num' ELSE 'other' END AS k""".stripMargin,
-      Seq(row("k" -> "num"))))
+      Seq(row("k" -> "num"))),
+    // batch 25 (Probe33Main): grouping/DISTINCT use openCypher
+    // EQUIVALENCE over mixed-family values — equal numbers are ONE
+    // group/value across the int/float encodings; the integer
+    // representative wins deterministically (lowest tag)
+    Scenario("distinct-mixed-int-float-equivalent", empty,
+      "UNWIND [1, 1.0, 'a'] AS v RETURN DISTINCT v ORDER BY v",
+      Seq(row("v" -> "a"), row("v" -> 1L)), ordered = true),
+    Scenario("distinct-mixed-float-first-still-int-repr", empty,
+      "UNWIND [1.0, 1, 'a'] AS v RETURN DISTINCT v ORDER BY v",
+      Seq(row("v" -> "a"), row("v" -> 1L)), ordered = true),
+    Scenario("count-distinct-mixed-equivalence-skips-null", empty,
+      "UNWIND [1, 1.0, 'x', null] AS v RETURN count(DISTINCT v) AS n",
+      Seq(row("n" -> 2L))),
+    Scenario("group-by-mixed-int-float-one-group", empty,
+      """UNWIND [1, 1.0, 'a', 2] AS v
+        |RETURN v, count(*) AS n ORDER BY n DESC, v""".stripMargin,
+      Seq(row("v" -> 1L, "n" -> 2L), row("v" -> "a", "n" -> 1L),
+        row("v" -> 2L, "n" -> 1L)), ordered = true),
+    Scenario("collect-distinct-mixed-equivalence", empty,
+      "UNWIND [1, 1.0, 'a', 1] AS v RETURN size(collect(DISTINCT v)) AS n",
+      Seq(row("n" -> 2L))),
+    Scenario("group-by-mixed-two-keys", empty,
+      """UNWIND [1, 1.0, 'a'] AS v UNWIND ['p', 'q'] AS w
+        |RETURN v, w, count(*) AS n ORDER BY w, v""".stripMargin,
+      Seq(row("v" -> "a", "w" -> "p", "n" -> 1L),
+        row("v" -> 1L, "w" -> "p", "n" -> 2L),
+        row("v" -> "a", "w" -> "q", "n" -> 1L),
+        row("v" -> 1L, "w" -> "q", "n" -> 2L)), ordered = true),
+    Scenario("distinct-mixed-order-skip-limit", empty,
+      """UNWIND [1, 1.0, 'a', 2, 'a'] AS v
+        |RETURN DISTINCT v ORDER BY v SKIP 1 LIMIT 2""".stripMargin,
+      Seq(row("v" -> 1L), row("v" -> 2L)), ordered = true),
+    // null-dividend float modulo propagates null (not NaN)
+    Scenario("null-mod-zero-float-is-null", empty,
+      "WITH null AS x RETURN x % 0.0 AS r", Seq(row("r" -> null))),
+    Scenario("float-mod-zero-still-nan", empty,
+      "RETURN 1.5 % 0.0 AS r", Seq(row("r" -> Double.NaN))),
+    // dynamic entity access with a statically non-string key is a type
+    // error (mirrors the strict list-index check); null key stays null
+    Scenario("dynamic-property-non-string-key-errors",
+      "CREATE (:T {x: 1})",
+      "MATCH (t:T) RETURN t[0] AS r", Seq.empty,
+      expectError = Some("entity property key must be a string")),
+    Scenario("dynamic-property-null-key-is-null",
+      "CREATE (:T {x: 1})",
+      "MATCH (t:T) RETURN t[null] AS r", Seq(row("r" -> null))),
+    // a nested heterogeneous list Spark cannot type must ERROR, not
+    // silently plan UNWIND as zero rows (typeOf's NullType fallback)
+    Scenario("unwind-untypeable-nested-list-errors", empty,
+      "UNWIND [[1, 10], ['a', 5]] AS p RETURN p", Seq.empty,
+      expectError = Some("DATATYPE_MISMATCH")),
+    Scenario("unwind-null-still-no-rows", empty,
+      "UNWIND null AS x RETURN count(x) AS n", Seq(row("n" -> 0L))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
