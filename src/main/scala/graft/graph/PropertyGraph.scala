@@ -289,7 +289,7 @@ class PropertyGraph(
 
   def withTripletTable(t: TripletTable): PropertyGraph =
     new PropertyGraph(nodeTables, relTables, spark, tripletTables :+ t,
-      nodeRelTables)
+      nodeRelTables, schemaPatterns) // a derived table adds no topology
 
   /** Build and register a materialized [[NodeRelTable]]: the node scan for
     * `nodeLabels` pre-joined onto the `relType` scan's source
@@ -316,7 +316,7 @@ class PropertyGraph(
 
   def withNodeRelTable(t: NodeRelTable): PropertyGraph =
     new PropertyGraph(nodeTables, relTables, spark, tripletTables,
-      nodeRelTables :+ t)
+      nodeRelTables :+ t, schemaPatterns)
 
   /** property keys a node with these labels may carry (for `keys()` etc). */
   def nodePropertyKeys(requiredLabels: Set[String]): Seq[String] =
@@ -328,9 +328,16 @@ class PropertyGraph(
     * when they are not. */
   def unionAll(other: PropertyGraph): PropertyGraph =
     // triplet/node-rel tables are NOT carried over: a union can add node
-    // tables that widen a label scan, invalidating a coverage claim
+    // tables that widen a label scan, invalidating a coverage claim.
+    // Schema patterns survive only when BOTH sides declare a registry —
+    // an undeclared side's rels are unconstrained, and keeping just one
+    // side's patterns would falsely constrain them.
     new PropertyGraph(nodeTables ++ other.nodeTables,
-      relTables ++ other.relTables, spark)
+      relTables ++ other.relTables, spark,
+      schemaPatterns =
+        if (schemaPatterns.nonEmpty && other.schemaPatterns.nonEmpty)
+          (schemaPatterns ++ other.schemaPatterns).distinct
+        else Nil)
 
   /** Incremental merge (upsert) — the reference's Neo4jGraphMerge
     * semantics (`sync/Neo4jGraphMerge.scala`), storage-agnostic: an
@@ -389,13 +396,19 @@ class PropertyGraph(
         keys.map(k => k -> k).toMap)
     }
 
-    // derived pattern tables are dropped: a merge can invalidate them
+    // derived pattern tables are dropped: a merge can invalidate them.
+    // Schema patterns union only when BOTH sides declare (same rule as
+    // unionAll — undeclared updates could connect anything).
     new PropertyGraph(
       mergeTables[NodeTable](nodeTables, updates.nodeTables,
         _.labels, _.labels.toSeq.sorted.mkString(","), mergeNode),
       mergeTables[RelTable](relTables, updates.relTables,
         _.relType, _.relType, mergeRel),
-      spark)
+      spark,
+      schemaPatterns =
+        if (schemaPatterns.nonEmpty && updates.schemaPatterns.nonEmpty)
+          (schemaPatterns ++ updates.schemaPatterns).distinct
+        else Nil)
   }
 
   /** Re-tag every element id into a disjoint space: `(prefix << 56) | id`
@@ -450,11 +463,29 @@ class PropertyGraph(
 
   /** node label combinations reachable as an endpoint of any of
     * `relTypes` per the registry; None when the registry can't answer
-    * (no patterns, or an untyped rel in the pattern). */
+    * (no patterns, an untyped rel in the pattern, or a rel type the
+    * registry declares nothing about — declared patterns are
+    * CONSTRAINTS, so an undeclared type constrains nothing). */
   def reachableCombos(relTypes: Set[String]): Option[Set[Set[String]]] =
-    if (schemaPatterns.isEmpty || relTypes.isEmpty) None
+    reachable(relTypes, srcSide = true, dstSide = true)
+
+  /** combos reachable as the storage SOURCE of any of `relTypes`
+    * (the target of an Incoming traversal). */
+  def reachableSrcCombos(relTypes: Set[String]): Option[Set[Set[String]]] =
+    reachable(relTypes, srcSide = true, dstSide = false)
+
+  /** combos reachable as the storage DESTINATION of any of `relTypes`
+    * (the target of an Outgoing traversal). */
+  def reachableDstCombos(relTypes: Set[String]): Option[Set[Set[String]]] =
+    reachable(relTypes, srcSide = false, dstSide = true)
+
+  private def reachable(relTypes: Set[String], srcSide: Boolean,
+      dstSide: Boolean): Option[Set[Set[String]]] =
+    if (schemaPatterns.isEmpty || relTypes.isEmpty ||
+        !relTypes.forall(t => schemaPatterns.exists(_.relType == t))) None
     else Some(schemaPatterns.filter(p => relTypes.contains(p.relType))
-      .flatMap(p => Seq(p.srcLabels, p.dstLabels)).toSet)
+      .flatMap(p => (if (srcSide) Seq(p.srcLabels) else Nil) ++
+        (if (dstSide) Seq(p.dstLabels) else Nil)).toSet)
 
   /** Materialize all element tables (reference: Cache operator +
     * CachedDataSource, RelationalOptimizer.scala:35-92 — shared-subtree

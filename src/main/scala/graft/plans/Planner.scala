@@ -916,11 +916,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           case Some(fields) =>
             // rel types traversed by this path — the schema-pattern
             // registry prunes the node-value lookup to combos reachable
-            // via them (an untyped rel disables pruning)
+            // via them (an untyped rel disables pruning). A zero-length
+            // lower bound (*0..) puts the START node in nodes(p) without
+            // traversing any rel, so its compatible combos must stay in
+            // the scan even when not rel-reachable.
             val relTypes =
               if (part.chain.exists(_._1.types.isEmpty)) Set.empty[String]
               else part.chain.flatMap(_._1.types).toSet
-            enrichPathNodeValues(graph, bound, pn, fields, relTypes)
+            val combos = {
+              val viaRel = graph.reachableCombos(relTypes)
+              if (part.chain.exists(_._1.varLength.exists(_._1 == 0))) {
+                val startLabels = filtered.header(startVar) match {
+                  case nb: NodeBinding => nb.labels
+                  case _ => Set.empty[String]
+                }
+                viaRel.map(_ ++ graph.nodeTables.map(_.labels)
+                  .filter(startLabels.subsetOf(_)))
+              } else viaRel
+            }
+            enrichPathNodeValues(graph, bound, pn, fields, combos)
           case None => bound
         }
       case None => filtered
@@ -935,15 +949,15 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * path length — vs a node-scan join per unrolled step. */
   private def enrichPathNodeValues(graph: PropertyGraph, state: PState,
       pv: String, fields: Option[Set[String]],
-      relTypes: Set[String] = Set.empty): PState = {
+      combos: Option[Set[Set[String]]] = None): PState = {
     val pb = state.header(pv) match {
       case p: PathBinding if p.nodeValsCol.isEmpty => p
       case _ => return state
     }
-    // every path node is an endpoint of a traversed rel: when the graph
+    // every path node is an endpoint of a traversed rel (the caller adds
+    // start-compatible combos for zero-length bounds): when the graph
     // declares schema patterns, scan only the reachable label combos
-    val scan = graph.nodeScan(Set.empty, naming(s"@${pv}_nv"),
-      graph.reachableCombos(relTypes))
+    val scan = graph.nodeScan(Set.empty, naming(s"@${pv}_nv"), combos)
     val wantLabels = fields.forall(_.contains("labels"))
     val lblPart: Seq[Column] = if (!wantLabels) Seq.empty else {
       val lblEntries = scan.labelCols.toSeq.sortBy(_._1).map { case (l, c) =>
@@ -982,6 +996,21 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     state.copy(df = joined,
       header = state.header + (pv -> pb.copy(nodeValsCol = Some(valsCol))))
   }
+
+  /** Label combinations an expand TARGET can have per the graph's
+    * schema-pattern registry: the storage-dst side for an Outgoing
+    * traversal, storage-src for Incoming, both for Undirected. None
+    * (no pruning) for untyped rels or registry-less graphs. At scale
+    * this keeps an unlabeled expand target from unioning EVERY node
+    * table — only combos a declared pattern can reach are scanned. */
+  private def reachableTargetCombos(graph: PropertyGraph, rel: RelPattern)
+      : Option[Set[Set[String]]] =
+    if (rel.types.isEmpty) None
+    else rel.direction match {
+      case Outgoing => graph.reachableDstCombos(rel.types.toSet)
+      case Incoming => graph.reachableSrcCombos(rel.types.toSet)
+      case Undirected => graph.reachableCombos(rel.types.toSet)
+    }
 
   /** bind a node pattern's variable: scan + cross/filter as appropriate. */
   private def bindNode(graph: PropertyGraph, state: PState, v: String,
@@ -1138,7 +1167,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           return PState(df, hdr(state.header + (relVar -> rb) +
             (dstVar -> NodeBinding(idc, Map.empty, Map.empty, Set.empty))))
         }
-        val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
+        // schema-pattern pruning: only node tables reachable as this
+        // rel's target are unioned (an unlabeled dst would otherwise
+        // scan every node table)
+        val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar),
+          reachableTargetCombos(graph, rel))
         dstNp.properties.foreach { case (k, e) =>
           propPreds += Eq(Property(Var(dstVar), k), e) }
         val dstB = NodeBinding(scan.idCol, scan.labelCols, scan.propCols,
@@ -1360,7 +1393,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             } else {
               dstNp.properties.foreach { case (k, e) =>
                 propPreds += Eq(Property(Var(dstVar), k), e) }
-              val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
+              val scan = graph.nodeScan(dstNp.labels.toSet, naming(dstVar),
+                reachableTargetCombos(graph, rel))
               (scanDf.join(scan.df,
                 col(s"`$farCol`") === col(s"`${scan.idCol}`"), "inner")
                 .drop(farCol),
@@ -1518,8 +1552,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // variable read properties; the id list stays the uniqueness/path
     // currency. Cast to one explicit type so every branch unions cleanly.
     val structCol = if (needStructs) Some(fresh(s"${relVar}_rels")) else None
+    // schema-pattern pruning for the unbound dst: only combos reachable
+    // as the traversal's target are unioned. A zero-length lower bound
+    // makes dst == src, so src-compatible combos must stay in the scan
+    // (they need not be rel-reachable).
+    val dstCombos: Option[Set[Set[String]]] = {
+      val viaRel = reachableTargetCombos(graph, rel)
+      if (lo == 0)
+        viaRel.map(_ ++ graph.nodeTables.map(_.labels)
+          .filter(srcB.labels.subsetOf(_)))
+      else viaRel
+    }
     val dstScan0 =
-      if (dstBound.isEmpty) Some(graph.nodeScan(dstNp.labels.toSet, naming(dstVar)))
+      if (dstBound.isEmpty)
+        Some(graph.nodeScan(dstNp.labels.toSet, naming(dstVar), dstCombos))
       else None
     val dstB = dstBound.getOrElse {
       val s0 = dstScan0.get
@@ -1716,7 +1762,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             df.where(prevOut === col(s"`${b.idCol}`"))
               .select(outCols.map(c => col(s"`$c`")): _*)
           case None =>
-            val scanK = graph.nodeScan(dstNp.labels.toSet, naming(dstVar))
+            // same schema-pattern pruning as dstScan0 (k ≥ 1 branches:
+            // dst is always rel-reachable, no zero-length union needed —
+            // but keep dstCombos so columns line up with the binding)
+            val scanK = graph.nodeScan(dstNp.labels.toSet, naming(dstVar),
+              dstCombos)
             val joined = df.join(scanK.df, prevOut === col(s"`${scanK.idCol}`"), "inner")
             // rename this branch's dst cols to the canonical dst col names
             val renames: Seq[(String, String)] =

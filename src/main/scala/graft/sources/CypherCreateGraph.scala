@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cypher.CypherParser
 import graft.cypher.Ast._
-import graft.graph.{NodeTable, PropertyGraph, RelTable, SparkTypes}
+import graft.graph.{NodeTable, PropertyGraph, RelTable, SchemaPattern, SparkTypes}
 
 /** Builds an in-memory [[PropertyGraph]] from openCypher `CREATE`
   * statements — the fixture format of the openCypher TCK (the reference
@@ -110,7 +110,19 @@ object CypherCreateGraph {
         "_gid", "_src", "_dst", keys.map(k => k -> s"_p_$k").toMap)
     }
 
-    new PropertyGraph(nodeTables, relTables, spark)
+    // ---- schema patterns: exact, derived driver-side from the CREATE
+    // statements themselves (each rel's endpoint label combos are known
+    // here — no Spark job). Planners use them to prune unlabeled expand
+    // targets and path node-value lookups to reachable node tables.
+    val nodeById = nodes.map(n => n.id -> n.labels).toMap
+    val patterns = rels.map { case (_, src, dst, tpe, _) =>
+      SchemaPattern(nodeById(src), tpe, nodeById(dst))
+    }.distinct.sortBy(p => (p.relType,
+      p.srcLabels.toSeq.sorted.mkString(","),
+      p.dstLabels.toSeq.sorted.mkString(",")))
+
+    new PropertyGraph(nodeTables, relTables, spark,
+      schemaPatterns = patterns.toSeq)
   }
 
   /** literal evaluator for CREATE property values. */

@@ -89,6 +89,25 @@ object FsGraphSource {
     if (format == "avro") "org.apache.spark.sql.avro.AvroFileFormat"
     else format
 
+  /** sidecar JSON for one schema pattern (round-tripped so reloaded
+    * graphs keep their scan-pruning registry). */
+  private def patternJson(p: graft.graph.SchemaPattern) = {
+    import org.json4s.JsonDSL._
+    ("src" -> p.srcLabels.toSeq.sorted) ~ ("type" -> p.relType) ~
+      ("dst" -> p.dstLabels.toSeq.sorted)
+  }
+
+  private def parsePatterns(root: org.json4s.JValue)
+      : Seq[graft.graph.SchemaPattern] = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    (root \ "patterns").toOption.map(_.children.map(j =>
+      graft.graph.SchemaPattern(
+        (j \ "src").extract[Seq[String]].toSet,
+        (j \ "type").extract[String],
+        (j \ "dst").extract[Seq[String]].toSet))).getOrElse(Nil)
+  }
+
   def save(graph: PropertyGraph, path: String, format: String = "parquet",
       mode: String = "error"): Unit = {
     def writer(df: DataFrame) = {
@@ -134,7 +153,8 @@ object FsGraphSource {
     val json = JsonMethods.pretty(JsonMethods.render(
       ("version" -> 1) ~ ("format" -> format) ~
         ("nodes" -> nodeMetas.map(metaJson)) ~
-        ("rels" -> relMetas.map(metaJson))))
+        ("rels" -> relMetas.map(metaJson)) ~
+        ("patterns" -> graph.schemaPatterns.map(patternJson))))
 
     // write the sidecar through Hadoop FS so s3a/hdfs paths work too
     val hadoopPath = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
@@ -184,7 +204,8 @@ object FsGraphSource {
         ("props" -> m.props) ~ ("ddl" -> m.ddl)
     val json = JsonMethods.compact(JsonMethods.render(
       ("version" -> 1) ~ ("nodes" -> nodeMetas.map(metaJson)) ~
-        ("rels" -> relMetas.map(metaJson))))
+        ("rels" -> relMetas.map(metaJson)) ~
+        ("patterns" -> graph.schemaPatterns.map(patternJson))))
     import graph.spark.implicits._
     Seq(json).toDF("meta").write.mode("overwrite")
       .saveAsTable(s"${prefix}_meta")
@@ -209,7 +230,8 @@ object FsGraphSource {
       RelTable(m.labelsOrType.head, spark.table(m.dir), m.id, m.src, m.dst,
         m.props)
     }
-    new PropertyGraph(nodes, rels, spark)
+    new PropertyGraph(nodes, rels, spark,
+      schemaPatterns = parsePatterns(root))
   }
 
   def load(spark: SparkSession, path: String): PropertyGraph = {
@@ -257,7 +279,8 @@ object FsGraphSource {
       val (meta, df) = read(m)
       RelTable(meta.labelsOrType.head, df, meta.id, meta.src, meta.dst, meta.props)
     }
-    new PropertyGraph(nodes, rels, spark)
+    new PropertyGraph(nodes, rels, spark,
+      schemaPatterns = parsePatterns(root))
   }
 
   /** Incremental merge into a stored graph (the reference's

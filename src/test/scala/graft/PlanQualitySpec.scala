@@ -190,6 +190,63 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a single explode→join→collect pass:\n$plan")
   }
 
+  private def scannedParquetTables(df: DataFrame): Set[String] =
+    "(\\w+)\\.parquet".r.findAllMatchIn(planOf(df)).map(_.group(1)).toSet
+
+  test("schema patterns prune unlabeled var-length targets to reachable tables") {
+    // x is unlabeled: without the schema-pattern registry the dst scan
+    // unions EVERY node table; the declared TPC-H topology restricts the
+    // targets of IN_NATION|IN_REGION to Nation/Region. (customer appears
+    // as the source scan, supplier as an IN_NATION rel-table source.)
+    spark.catalog.clearCache()
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN c.c_custkey AS ck, coalesce(x.n_name, x.r_name) AS xname""".stripMargin)
+    val files = scannedParquetTables(df)
+    assert(files.contains("nation") && files.contains("region"),
+      s"reachable tables missing from plan: $files")
+    Seq("part", "orders", "lineitem").foreach(t =>
+      assert(!files.contains(t), s"pruned-out table $t still scanned: $files"))
+  }
+
+  test("schema patterns prune the path node-value lookup") {
+    // the c31 shape: nodes(p) values materialize via ONE node-table
+    // union — restricted to combos reachable via the path's rel types
+    spark.catalog.clearCache()
+    val df = gs.cypher(g,
+      """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        |RETURN reduce(s = '', n IN [n IN nodes(p) |
+        |         coalesce(n.n_name, n.r_name, n.c_name)] | s + '|' + n)
+        |       AS names""".stripMargin)
+    val files = scannedParquetTables(df)
+    Seq("part", "orders", "lineitem").foreach(t =>
+      assert(!files.contains(t), s"pruned-out table $t still scanned: $files"))
+  }
+
+  test("schema patterns prune unlabeled one-hop targets") {
+    spark.catalog.clearCache()
+    val df = gs.cypher(g,
+      """MATCH (n:Nation)-[:IN_REGION]->(x)
+        |RETURN n.n_name AS nn, x.r_name AS rn""".stripMargin)
+    val files = scannedParquetTables(df)
+    Seq("part", "orders", "lineitem", "customer", "supplier").foreach(t =>
+      assert(!files.contains(t), s"pruned-out table $t still scanned: $files"))
+  }
+
+  test("zero-length lower bound keeps src-compatible tables in the dst scan") {
+    // *0..1 from Customer: the zero-length branch makes x a Customer, so
+    // the customer table must remain in the (otherwise pruned) dst union
+    spark.catalog.clearCache()
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:IN_NATION*0..1]->(x)
+        |RETURN c.c_custkey AS ck, coalesce(x.n_name, x.c_name) AS xn""".stripMargin)
+    val files = scannedParquetTables(df)
+    assert(files.contains("customer") && files.contains("nation"),
+      s"zero-length branch lost a table: $files")
+    Seq("part", "orders", "lineitem").foreach(t =>
+      assert(!files.contains(t), s"pruned-out table $t still scanned: $files"))
+  }
+
   test("value-correlated optional match joins on the value column, no cartesian") {
     val df = gs.cypher(g,
       """MATCH (n:Nation) WITH n.n_name AS nname
