@@ -16,6 +16,46 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** md5-keyed SimHash fingerprints with Spark BUILTINS only — the p13
+    * gate variant DuckDB reproduces bit-for-bit. 64 bits come from the
+    * first 16 md5 hex chars as two 32-bit halves (hi = hex[0..8),
+    * lo = hex[8..16)); each token occurrence votes ±1 per bit; bit b of
+    * the fingerprint is set when votes are positive. The combined long is
+    * hi << 32 | lo, so Hamming distances equal the oracle's per-half
+    * bit_count sum. Production path stays [[Dedup.withSimhash]] (one-pass
+    * codegen kernel); this exists so the gate's pair set is oracle-exact. */
+  private def md5Simhash(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val toks = df.select(col(idCol).cast(LongType).as("id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("tok"))
+    val h = toks.select(col("id"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType).as("hi"),
+      conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType).as("lo"))
+    // one literal struct per bit: (bit index, half, mask) — masks are
+    // compile-time constants so no runtime variable shifts are needed
+    val bitsLit = array((0 until 64).map { b =>
+      struct(lit(b).as("b"), lit(b < 32).as("isLo"),
+        lit(if (b < 32) 1L << b else 1L << (b - 32)).as("mask"))
+    }: _*)
+    val votes = h.select(col("id"), col("hi"), col("lo"),
+        explode(bitsLit).as("bit"))
+      .groupBy(col("id"), col("bit.b").as("b"))
+      .agg(
+        first(col("bit.isLo")).as("isLo"), first(col("bit.mask")).as("mask"),
+        sum(when((when(col("bit.isLo"), col("lo")).otherwise(col("hi"))
+          .bitwiseAND(col("bit.mask"))) =!= 0L, 1L).otherwise(-1L)).as("vote"))
+    votes.groupBy(col("id"))
+      .agg(
+        sum(when(col("vote") > 0 && !col("isLo"), col("mask"))
+          .otherwise(0L)).as("hi_fp"),
+        sum(when(col("vote") > 0 && col("isLo"), col("mask"))
+          .otherwise(0L)).as("lo_fp"))
+      .select(col("id"),
+        shiftleft(col("hi_fp"), 32).bitwiseOR(col("lo_fp")).as("simhash"))
+  }
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read it as a Long of epoch-nanos (exact — no double round
     * trip) and derive seconds with integer division. */
@@ -95,26 +135,40 @@ object PipelineQueries {
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
         .orderBy("id_a", "id_b")),
-    // SimHash fingerprints (rows-only)
+    // SimHash fingerprints, md5-keyed like p13 so the oracle checks the
+    // exact 64-bit values (production kernel covered by KernelPropertySpec)
     "p7_simhash" -> ((s, dir) =>
-      Dedup.withSimhash(docs(s, dir), "doc_id", "text").orderBy("id")),
+      md5Simhash(docs(s, dir), "doc_id", "text").orderBy("id")),
     // n-gram Jaccard near-dup pairs (DuckDB string-gram oracle)
     "p8_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.3, maxDocFreq = 5000).orderBy("id_a", "id_b")),
-    // winnowing fingerprints (rows-only)
+    // winnowing fingerprints. The gate keys the k-gram hash with md5
+    // (DuckDB-computable; hex-string minima are lexicographic on both
+    // sides) so the oracle checks the EXACT sketch — the engine default
+    // stays xxhash64 (8-byte entries), same algorithm either way.
     "p9_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
-        .select(col("doc_id"), size(col("fingerprint")).as("fp_size"))
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text",
+          hash = c => md5(c))
+        .select(col("doc_id"),
+          size(col("fingerprint")).cast("long").as("fp_size"),
+          md5(concat_ws(",", col("fingerprint"))).as("fp_md5"))
         .orderBy("doc_id")),
     // LSH-bucketed ANN (scale path; rows-only). 8 bits → 256 buckets per
     // table keeps candidate fan-out ~n²/256 per table instead of ~n²/16.
     "p10_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", dim = 64,
         k = 5, bits = 8, tables = 8).orderBy(col("qid"), col("rank"))),
-    // SimHash near-dup pairs by banded Hamming distance (rows-only)
+    // SimHash near-dup pairs by banded Hamming distance. The gate derives
+    // fingerprints from md5 token hashes with Spark builtins (DuckDB can
+    // reproduce them bit-for-bit; the oracle then verifies the WHOLE pair
+    // set all-pairs — banding has exact recall by pigeonhole, so the sets
+    // must agree). The production kernel (one-pass simhash64 expression)
+    // stays the engine default, spec-locked via KernelPropertySpec.
     "p13_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairs(md5Simhash(docs(s, dir), "doc_id", "text"),
+          maxHamming = 6)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
     // embedding-cosine near-duplicate pairs (exact baseline)
     "p12_embedding_dedup" -> ((s, dir) =>
@@ -374,6 +428,93 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // winnowing sketch, md5-keyed (see the p9 gate comment): k=7-gram md5
+    // hex hashes, window-4 lexicographic minima, distinct + sorted.
+    // DuckDB list slicing h[a:b] is 1-based inclusive = Spark
+    // slice(h, a, 4); both sides join the sketch with ',' and md5 it.
+    "p9_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    [md5(substr(text, i + 1, 7))
+        |     for i in range(0, greatest(length(text) - 7, 0) + 1)] AS hashes
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      [list_min(hashes[i + 1:i + 4])
+        |       for i in range(0, greatest(len(hashes) - 4, 0) + 1)])) AS f
+        |  FROM h)
+        |SELECT doc_id, len(f)::BIGINT AS fp_size,
+        |       md5(array_to_string(f, ',')) AS fp_md5
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    // md5-keyed SimHash fingerprints: same vote model as p13's CTEs; the
+    // combined 64-bit value wraps to Spark's signed long via HUGEINT
+    // (hi << 32 | lo with the 2^64 borrow when the sign bit is set)
+    "p7_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) & 1
+        |                   ELSE (hi >> (b - 32)) & 1 END) = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM h, range(64) t(b) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 AND b >= 32
+        |        THEN 1::BIGINT << (b - 32)::INT ELSE 0 END)::BIGINT AS hi_fp,
+        |    sum(CASE WHEN vote > 0 AND b < 32
+        |        THEN 1::BIGINT << b::INT ELSE 0 END)::BIGINT AS lo_fp
+        |  FROM votes GROUP BY 1)
+        |SELECT doc_id AS id,
+        |  ((hi_fp::HUGEINT * 4294967296 + lo_fp) -
+        |   CASE WHEN hi_fp >= 2147483648
+        |        THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT
+        |  AS simhash
+        |FROM fp ORDER BY id""".stripMargin,
+    // md5-keyed SimHash pairs (see the p13 gate comment). The oracle
+    // verifies ALL pairs brute-force; the engine's banded join has exact
+    // recall for maxHamming <= 15 (nBands = maxHamming + 1, pigeonhole),
+    // so the two pair sets must be identical.
+    "p13_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) & 1
+        |                   ELSE (hi >> (b - 32)) & 1 END) = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM h, range(64) t(b) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 AND b >= 32
+        |        THEN 1::BIGINT << (b - 32)::INT ELSE 0 END)::BIGINT AS hi_fp,
+        |    sum(CASE WHEN vote > 0 AND b < 32
+        |        THEN 1::BIGINT << b::INT ELSE 0 END)::BIGINT AS lo_fp
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  (bit_count(xor(a.hi_fp, c.hi_fp)) +
+        |   bit_count(xor(a.lo_fp, c.lo_fp)))::BIGINT AS hamming
+        |FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.hi_fp, c.hi_fp)) +
+        |      bit_count(xor(a.lo_fp, c.lo_fp)) <= 6
+        |ORDER BY 1, 2""".stripMargin,
     // same stopword profiles as TextAnalysis.PROFILES; argmax via
     // list_sort(...)[-1] reproduces array_max's (score, lang) tie-break
     "p5_lang_id" -> {

@@ -389,6 +389,15 @@ object Dedup {
     * candidate sets as `maxHamming` grows. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame =
+    simhashPairs(withSimhash(df, idCol, textCol), maxHamming, caches)
+
+  /** banded near-dup pair join over PRECOMPUTED (id, simhash)
+    * fingerprints — the second half of [[simhashNearDup]], split out so
+    * alternative fingerprint derivations (e.g. the driver gate's
+    * md5-keyed variant, reproducible in an external SQL oracle) reuse
+    * the exact-recall banding (pigeonhole: nBands = maxHamming + 1). */
+  def simhashPairs(fp: DataFrame, maxHamming: Int = 3,
       caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming $maxHamming out of range 0..15 (bands would be < 4 bits)")
@@ -396,9 +405,8 @@ object Dedup {
     val baseW = 64 / nBands; val rem = 64 % nBands
     val widths = Seq.tabulate(nBands)(i => baseW + (if (i < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val fp = withSimhash(df, idCol, textCol)
     // both sides of the bucket self-join: persist the narrow banded rows
-    // so the simhash token pass over every document runs once
+    // so the fingerprint derivation over every document runs once
     val banded = caches.persist(fp.select(col("id"), col("simhash"),
       posexplode(array((0 until nBands).map { b =>
         val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L

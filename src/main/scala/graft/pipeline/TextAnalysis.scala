@@ -157,12 +157,17 @@ object TextAnalysis {
 
   /** Winnowing document fingerprint (Schleimer et al. 2003): k-gram hashes,
     * sliding-window minima, distinct + sorted. Robust to small edits;
-    * output is a compact sketch column usable for containment joins. */
+    * output is a compact sketch column usable for containment joins.
+    * `hash` defaults to xxhash64 (8-byte sketch entries); an md5 variant
+    * lets an external SQL engine reproduce the sketch exactly (the
+    * driver-gate oracle) — minima over hex strings are lexicographic on
+    * both sides. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 7, window: Int = 4): DataFrame = {
+      k: Int = 7, window: Int = 4,
+      hash: Column => Column = c => xxhash64(c)): DataFrame = {
     val hashes = transform(
       sequence(lit(0), greatest(length(col(textCol)) - k, lit(0))),
-      i => xxhash64(col(textCol).substr(i + 1, lit(k))))
+      i => hash(col(textCol).substr(i + 1, lit(k))))
     val minima = transform(
       sequence(lit(0), greatest(size(hashes) - window, lit(0))),
       i => array_min(slice(hashes, i + 1, lit(window))))

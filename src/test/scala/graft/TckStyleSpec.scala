@@ -2860,7 +2860,17 @@ class TckStyleSpec extends AnyFunSuite {
       "UNWIND [[1, 10], ['a', 5]] AS p RETURN p", Seq.empty,
       expectError = Some("DATATYPE_MISMATCH")),
     Scenario("unwind-null-still-no-rows", empty,
-      "UNWIND null AS x RETURN count(x) AS n", Seq(row("n" -> 0L))))
+      "UNWIND null AS x RETURN count(x) AS n", Seq(row("n" -> 0L))),
+    // a pure-time construction ≥ 24h keeps its groups: days stays 0
+    // (durations are CalendarIntervalType — the raw (months, days,
+    // micros) triple — so hours never fold into the day digit)
+    Scenario("duration-26h-keeps-zero-days", empty,
+      """RETURN duration({hours: 26}).days AS d,
+        |duration({hours: 26}).hours AS h""".stripMargin,
+      Seq(row("d" -> 0L, "h" -> 26L))),
+    Scenario("duration-iso-pt26h-keeps-zero-days", empty,
+      "RETURN duration('PT26H').days AS d, duration('PT26H').hours AS h",
+      Seq(row("d" -> 0L, "h" -> 26L))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
