@@ -19,26 +19,35 @@ object Bench {
     // discipline) — a third rep materially tightens the minimum (same
     // idea as the reference's JMH AverageTime-with-warmup harnesses)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // per query: best (steady state), first-call time, and max — so a
+    // cross-round delta is attributable without standalone re-runs
+    // (first >> best = one-time planning/materialization cost; a wide
+    // max/best spread = host contention, not a code regression)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      (name, times.min, times.head, times.max)
+    }
+    val best = results.map { case (k, b, _, _) => k -> b }.toMap
+    def m(f: ((String, Double, Double, Double)) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qs = m { case (k, b, _, _) => s"\"" + k + "\":" + b }
+    val firsts = m { case (k, _, f, _) => s"\"" + k + "\":" + f"$f%.3f" }
+    val maxes = m { case (k, _, _, x) => s"\"" + k + "\":" + f"$x%.3f" }
+    val total = best.values.sum
+    val firstTotal = results.map(_._3).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_call":$firsts,"max":$maxes,"first_call_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
     // The full per-query map (~2 kB for 80+ queries) goes to the file
     // artifact ONLY; the harness captures a stdout TAIL, so stdout gets
     // a single compact line that always arrives whole.
-    val slowest = results.toSeq.sortBy(-_._2).take(5)
+    val slowest = best.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"first_call_total":${f"$firstTotal%.2f"},"queries":$slowest,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     val pw = new java.io.PrintWriter("BENCH_LOCAL.json")
     try pw.println(fullJson) finally pw.close()
     println(compact)

@@ -131,7 +131,8 @@ class GraftSession(val spark: SparkSession) {
     * resolved) argument graphs — a view is a graph-valued function
     * (reference: RelationalCypherSession.scala:171-196, ViewsExample). */
   private def resolveRef(ref: GraphRef,
-      bound: Map[String, PropertyGraph]): PropertyGraph = ref match {
+      bound: Map[String, PropertyGraph],
+      values: Map[String, Any]): PropertyGraph = ref match {
     case GraphByName(n) => graph(n)
     case GraphParamRef(p) => bound.getOrElse(p,
       throw new IllegalArgumentException(s"unbound graph parameter $$$p"))
@@ -139,15 +140,50 @@ class GraftSession(val spark: SparkSession) {
       val (ps, body) = views.getOrElse(n, throw new IllegalArgumentException(
         s"view `$n` not in catalog (have: ${views.keys.mkString(", ")})"))
       require(ps.length == args.length,
-        s"view `$n` takes ${ps.length} graph argument(s), got ${args.length}")
-      val binds = ps.zip(args.map(a => resolveRef(a, bound))).toMap
-      new Planner(spark, Map.empty, r => resolveRef(r, binds), emptyGraph,
+        s"view `$n` takes ${ps.length} argument(s), got ${args.length}")
+      // each positional arg binds its parameter as a GRAPH or a VALUE:
+      // graph-shaped args resolve recursively; `$x` prefers a graph bind
+      // (reference semantics) and falls back to the statement's value
+      // params; literal/param expressions become view-body value params
+      val evaluated: Seq[Either[PropertyGraph, Any]] = args.map {
+        case Left(GraphParamRef(p)) if !bound.contains(p) &&
+            values.contains(p) => Right(values(p))
+        case Left(r) => Left(resolveRef(r, bound, values))
+        case Right(e) => Right(staticValue(e, values))
+      }
+      val graphBinds = ps.zip(evaluated)
+        .collect { case (p, Left(g)) => p -> g }.toMap
+      val valueBinds = ps.zip(evaluated)
+        .collect { case (p, Right(v)) => p -> v }.toMap
+      new Planner(spark, valueBinds,
+        r => resolveRef(r, graphBinds, valueBinds), emptyGraph,
         onPersist = trackCache)
         .planGraph(body)
   }
 
-  private def resolver: GraphRef => PropertyGraph =
-    r => resolveRef(r, Map.empty)
+  /** literal evaluator for view VALUE arguments (no row context exists at
+    * invocation, so only literals and outer `$param`s are meaningful). */
+  private def staticValue(e: Expr, values: Map[String, Any]): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StringLit(v) => v
+    case BoolLit(v) => v
+    case NullLit => null
+    case Param(p) => values.getOrElse(p,
+      throw new IllegalArgumentException(s"unbound parameter $$$p"))
+    case ListLit(items) => items.map(staticValue(_, values))
+    case Neg(x) => staticValue(x, values) match {
+      case l: Long => -l
+      case d: Double => -d
+      case other => throw new IllegalArgumentException(
+        s"cannot negate view argument $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"view value arguments must be literals or parameters, got $other")
+  }
+
+  private def resolver(values: Map[String, Any]): GraphRef => PropertyGraph =
+    r => resolveRef(r, Map.empty, values)
 
   /** Plan cache for the tabular entry point: parse + plan + DataFrame
     * analysis costs 100-500 ms of driver time on complex patterns
@@ -181,7 +217,7 @@ class GraftSession(val spark: SparkSession) {
       val misses =
         scala.collection.mutable.ListBuffer.empty[(Set[String], String, Set[String])]
       val ast = CypherParser.parse(query)
-      val df = new Planner(spark, params, resolver, adapted(g),
+      val df = new Planner(spark, params, resolver(params), adapted(g),
         onPersist = trackCache,
         onExpandMiss = (s, t, d) => {
           misses += ((s, t, d)); recordExpandMiss(g)(s, t, d)
@@ -201,7 +237,7 @@ class GraftSession(val spark: SparkSession) {
   def cypher(g: PropertyGraph, query: String, params: Map[String, Any],
       drivingTable: DataFrame): DataFrame = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, adapted(g), onPersist = trackCache,
+    new Planner(spark, params, resolver(params), adapted(g), onPersist = trackCache,
       driving = Some(drivingTable), onExpandMiss = recordExpandMiss(g)).plan(ast)
   }
 
@@ -216,10 +252,10 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any]): DataFrame =
     CypherParser.parseStatement(query) match {
       case QueryStatement(q) =>
-        new Planner(spark, params, resolver, emptyGraph, onPersist = trackCache).plan(q)
+        new Planner(spark, params, resolver(params), emptyGraph, onPersist = trackCache).plan(q)
       case CreateGraphStatement(name, inner) =>
         register(name,
-          new Planner(spark, params, resolver, emptyGraph,
+          new Planner(spark, params, resolver(params), emptyGraph,
             onPersist = trackCache).planGraph(inner))
         spark.emptyDataFrame
       case CreateViewStatement(name, ps, inner) =>
@@ -244,7 +280,7 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): PropertyGraph = {
     val ast = CypherParser.parse(query)
-    new Planner(spark, params, resolver, adapted(g), onPersist = trackCache,
+    new Planner(spark, params, resolver(params), adapted(g), onPersist = trackCache,
       onExpandMiss = recordExpandMiss(g)).planGraph(ast)
   }
 

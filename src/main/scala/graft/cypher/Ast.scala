@@ -139,7 +139,11 @@ object Ast {
   sealed trait GraphRef
   case class GraphByName(name: String) extends GraphRef
   case class GraphParamRef(name: String) extends GraphRef
-  case class ViewInvocation(name: String, args: Seq[GraphRef]) extends GraphRef
+  /** View invocation: each positional argument is a graph reference
+    * (reference grammar) or — extension — a VALUE expression (literal or
+    * `$param`), threaded into the view body's parameter scope. */
+  case class ViewInvocation(name: String,
+      args: Seq[Either[GraphRef, Expr]]) extends GraphRef
 
   /** Cypher-10-style: `FROM GRAPH name` switches the working graph. */
   case class FromGraphClause(ref: GraphRef) extends Clause

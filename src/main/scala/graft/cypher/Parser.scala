@@ -348,9 +348,18 @@ object CypherParser extends RegexParsers {
   private def graphName: Parser[String] =
     rep1sep(anyIdent, ".") ^^ (_.mkString("."))
 
+  /** a view argument: a graph reference when one parses CLEANLY to the
+    * argument boundary (`$g`, a graph name, a nested invocation — the
+    * reference grammar), otherwise a VALUE expression (extension:
+    * `v(42)`, `v($minBal)`, `v('x')`). The boundary guard keeps
+    * `v($p + 1)` from half-parsing as a graph param. */
+  private def viewArg: Parser[Either[GraphRef, Expr]] =
+    (graphRef <~ guard("," | ")") ^^ (Left(_))) |
+    (expression ^^ (Right(_)))
+
   def graphRef: Parser[GraphRef] =
     ("$" ~> anyIdent ^^ GraphParamRef.apply) |
-    (graphName ~ opt("(" ~> repsep(graphRef, ",") <~ ")") ^^ {
+    (graphName ~ opt("(" ~> repsep(viewArg, ",") <~ ")") ^^ {
       case n ~ Some(args) => ViewInvocation(n, args)
       case n ~ None => GraphByName(n) })
 

@@ -102,6 +102,11 @@ object Sampling {
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("@bucket", substring(col("shuffle_key"), 1, bucketChars))
     val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
+    // unpartitioned window — INTENTIONAL and benign: it runs over the
+    // per-bucket AGGREGATE rows only (<= 16^bucketChars of them, never
+    // the corpus), so the single-partition WindowExec warning in bench
+    // logs costs microseconds. The corpus-sized window below partitions
+    // by @bucket.
     val wb = Window.orderBy("@bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
@@ -135,6 +140,11 @@ object Sampling {
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
     val totals = keyed.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
+    // unpartitioned window — INTENTIONAL and benign: it runs over the
+    // per-bucket AGGREGATE rows only (<= 16^bucketChars of them, never
+    // the corpus), so the single-partition WindowExec warning in bench
+    // logs costs microseconds. The corpus-sized window below partitions
+    // by @bucket.
     val wb = Window.orderBy("@bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
@@ -235,6 +245,11 @@ object Sampling {
         .reduce(_ + _)
     val keyed = df.withColumn("@bucket", bucketIdx)
     val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
+    // unpartitioned window — INTENTIONAL and benign: it runs over the
+    // per-bucket AGGREGATE rows only (<= 16^bucketChars of them, never
+    // the corpus), so the single-partition WindowExec warning in bench
+    // logs costs microseconds. The corpus-sized window below partitions
+    // by @bucket.
     val wb = Window.orderBy("@bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts

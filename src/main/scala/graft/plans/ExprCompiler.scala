@@ -1037,14 +1037,58 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         val rn = negGuard(a(1), "right: length must be >= 0")
         a0.substr(greatest(length(a0) - rn.cast(IntegerType) + 1, lit(1)),
           rn.cast(IntegerType))
-      case "tostring" => a0.cast(StringType)
-      // to*(): unconvertible input is null in Cypher, never an ANSI error
-      case "tointeger" => typeOf(f.args(0)) match {
-        case StringType => a0.try_cast(DoubleType).try_cast(LongType)
-        case _ => a0.try_cast(LongType)
-      }
-      case "tofloat" => a0.try_cast(DoubleType)
-      case "toboolean" => a0.try_cast(BooleanType)
+      // to*(): unconvertible input is null in Cypher, never an ANSI
+      // error. Mixed-family (tagged) inputs dispatch on the tag — the
+      // Neo4j 5 signatures: toString any atomic; toInteger
+      // bool/string/number; toFloat string/number (boolean → null);
+      // toBoolean bool/string/integer (float → null).
+      case "tostring" =>
+        if (isMixedStruct(typeOf(f.args(0))))
+          when(a0.getField("@k") === 1, a0.getField("i").cast(StringType))
+            .when(a0.getField("@k") === 2, a0.getField("f").cast(StringType))
+            .when(a0.getField("@k") === 3, a0.getField("s"))
+            .when(a0.getField("@k") === 4, a0.getField("b").cast(StringType))
+        else a0.cast(StringType)
+      case "tointeger" =>
+        if (isMixedStruct(typeOf(f.args(0))))
+          when(a0.getField("@k") === 1, a0.getField("i"))
+            .when(a0.getField("@k") === 2, a0.getField("f").cast(LongType))
+            .when(a0.getField("@k") === 3,
+              a0.getField("s").try_cast(DoubleType).try_cast(LongType))
+            .when(a0.getField("@k") === 4,
+              when(a0.getField("b"), 1L).otherwise(0L))
+        else typeOf(f.args(0)) match {
+          case StringType => a0.try_cast(DoubleType).try_cast(LongType)
+          case BooleanType => when(a0, 1L).otherwise(0L)
+          case _ => a0.try_cast(LongType)
+        }
+      case "tofloat" =>
+        if (isMixedStruct(typeOf(f.args(0))))
+          when(a0.getField("@k") === 1, a0.getField("i").cast(DoubleType))
+            .when(a0.getField("@k") === 2, a0.getField("f"))
+            .when(a0.getField("@k") === 3,
+              a0.getField("s").try_cast(DoubleType))
+        else typeOf(f.args(0)) match {
+          case BooleanType => lit(null).cast(DoubleType)
+          case _ => a0.try_cast(DoubleType)
+        }
+      case "toboolean" =>
+        // strict string form: ONLY case-insensitive 'true'/'false'
+        // (Spark's cast also accepts 'y'/'1'/padded input — Neo4j doesn't)
+        def strToBool(s: Column) =
+          when(lower(s) === "true", lit(true))
+            .when(lower(s) === "false", lit(false))
+            .otherwise(lit(null).cast(BooleanType))
+        if (isMixedStruct(typeOf(f.args(0))))
+          when(a0.getField("@k") === 4, a0.getField("b"))
+            .when(a0.getField("@k") === 3, strToBool(a0.getField("s")))
+            .when(a0.getField("@k") === 1, a0.getField("i") =!= 0L)
+        else typeOf(f.args(0)) match {
+          case StringType => strToBool(a0)
+          case DoubleType | FloatType => lit(null).cast(BooleanType)
+          case ByteType | ShortType | IntegerType | LongType => a0 =!= 0L
+          case _ => a0.try_cast(BooleanType)
+        }
       // exact decimal cast (reference: CTBigDecimal + bigdecimal(),
       // SparkSQLExprMapper.scala:473) — precision/scale must be literals
       case "bigdecimal" =>

@@ -1515,6 +1515,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       innerCol: Option[String] = None,
       quants: Seq[Quantified] = Seq.empty,
       needStructs: Boolean = false): PState = {
+    // Neo4j: "Bound relationships not allowed in variable length
+    // expressions" — a silent rebind would ignore the bound rel entirely
+    if (!isInternal(relVar) && state.header.contains(relVar))
+      throw new IllegalArgumentException(
+        s"bound relationship variable '$relVar' is not allowed in a " +
+          "variable length pattern")
     require(lo >= 0 && hi >= lo, s"invalid var-length bounds [*$lo..$hi]")
     require(hi <= 30, s"var-length upper bound $hi too large (cap 30)")
 
@@ -2457,6 +2463,31 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
     val groupCols = keyBindings.flatMap(_._2.columns).distinct
 
+    // IMPLICIT grouping keys (Neo4j: `RETURN n.v + count(*)` groups by
+    // n.v): the maximal non-aggregate subtrees of aggregating items that
+    // reference row variables group the aggregation — compiled as
+    // grouping EXPRESSIONS so the item's shell (compiled identically)
+    // resolves against them by semantic equality.
+    def referencesRowVars(e: Expr): Boolean = e match {
+      case Var(n) => state.header.contains(n)
+      case _ =>
+        var found = false
+        mapChildren(e) { c => if (referencesRowVars(c)) found = true; c }
+        found
+    }
+    def nonAggSubtrees(e: Expr): Seq[Expr] =
+      if (comp.isAggregate(e)) Seq.empty
+      else if (!comp.containsAggregate(e))
+        if (referencesRowVars(e)) Seq(e) else Seq.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Expr]
+        mapChildren(e) { c => out ++= nonAggSubtrees(c); c }
+        out.toSeq
+      }
+    val implicitKeys: Seq[Column] =
+      aggItems.flatMap(i => nonAggSubtrees(i.expr)).distinct
+        .map(e => comp.compile(e))
+
     val aggCols: Seq[(String, Column)] = aggItems.map { i =>
       val c = fresh(s"agg_${outName(i).take(20).replaceAll("[^A-Za-z0-9_]", "_")}")
       c -> comp.compileAggregate(i.expr).as(c)
@@ -2490,16 +2521,22 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val mixedKeys = groupCols.filter(c =>
       comp.isMixedTagged(df.schema(c).dataType))
     val agged =
-      if (groupCols.isEmpty)
+      if (groupCols.isEmpty && implicitKeys.isEmpty)
         df.agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
-      else if (mixedKeys.isEmpty)
-        df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      else if (mixedKeys.isEmpty) {
+        val out0 = df
+          .groupBy(groupCols.map(c => col(s"`$c`")) ++ implicitKeys: _*)
           .agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
+        // implicit grouping expressions are not output columns
+        if (implicitKeys.isEmpty) out0
+        else out0.select((groupCols ++ allAggCols.map(_._1))
+          .map(c => col(s"`$c`")): _*)
+      }
       else {
         val keyCols = groupCols.map { c =>
           if (mixedKeys.contains(c)) comp.mixedEquivKey(col(s"`$c`"))
           else col(s"`$c`")
-        }
+        } ++ implicitKeys
         val reprs = mixedKeys.map(c =>
           min_by(col(s"`$c`"), comp.mixedReprKey(col(s"`$c`"))).as(c))
         val allAgg = reprs ++ allAggCols.map(_._2)

@@ -301,6 +301,45 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gs.viewNames.contains("adults"))
   }
 
+  test("views take VALUE parameters: literals and outer $params thread into the body") {
+    // extension over the reference grammar (graph params only there):
+    // a positional argument that is a literal or a statement parameter
+    // binds the view param as a VALUE readable anywhere in the body
+    gs.cypher(
+      """CATALOG CREATE VIEW olderThan($g, $minAge) {
+        |  FROM $g
+        |  MATCH (p1:Person)-[r:KNOWS]->(p2:Person)
+        |  WHERE p1.age >= $minAge AND p2.age >= $minAge
+        |  CONSTRUCT CLONE p1, p2, r
+        |  RETURN GRAPH
+        |}""".stripMargin)
+    def names(q: String, params: Map[String, Any] = Map.empty) =
+      gs.cypherStatement(q, params).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    // literal argument
+    assert(names(
+      """FROM GRAPH olderThan(team, 30)
+        |MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN a.name AS an, b.name AS bn""".stripMargin) ===
+      Seq(("Bob", "Carol")))
+    // a lower literal keeps every edge
+    assert(names(
+      """FROM GRAPH olderThan(team, 20)
+        |MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN a.name AS an, b.name AS bn""".stripMargin).sorted ===
+      Seq(("Alice", "Bob"), ("Bob", "Carol")))
+    // outer $param argument (graph-bind preferred, value fallback)
+    assert(names(
+      """FROM GRAPH olderThan(team, $cut)
+        |MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN a.name AS an, b.name AS bn""".stripMargin,
+      Map("cut" -> 30L)) === Seq(("Bob", "Carol")))
+    // wrong arity still rejected
+    intercept[Exception](gs.cypher(
+      "FROM GRAPH olderThan(team) MATCH (a) RETURN a.name AS n").collect())
+    gs.cypher("CATALOG DROP VIEW olderThan")
+  }
+
   test("graph DDL maps tables/views to a property graph") {
     val s = spark
     import s.implicits._

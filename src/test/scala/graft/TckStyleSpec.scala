@@ -2870,7 +2870,88 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("d" -> 0L, "h" -> 26L))),
     Scenario("duration-iso-pt26h-keeps-zero-days", empty,
       "RETURN duration('PT26H').days AS d, duration('PT26H').hours AS h",
-      Seq(row("d" -> 0L, "h" -> 26L))))
+      Seq(row("d" -> 0L, "h" -> 26L))),
+    // batch 26 (Probe35Main): shapes from the REFERENCE's failing
+    // blacklist — WITH-bound endpoint re-match, var-length edges, type
+    // conversions over mixed values, implicit grouping keys
+    Scenario("with-bound-endpoint-and-rel-rematch", triad,
+      """MATCH (a:P {n: 'a'})-[r:R]->(b) WITH a, r LIMIT 1
+        |MATCH (a)-[r]->(b2) RETURN b2.n AS n""".stripMargin,
+      Seq(row("n" -> "b"))),
+    Scenario("varlength-bound-rel-is-error", triad,
+      """MATCH (a)-[r:R]->(b) MATCH (a)-[r*1..2]->(c)
+        |RETURN count(*) AS n""".stripMargin, Seq.empty,
+      expectError = Some("not allowed in a variable length pattern")),
+    Scenario("varlength-zero-then-standard-rel", triad,
+      """MATCH (a:P {n: 'a'})-[:R*0..1]->(m)-[:S]->(c)
+        |RETURN m.n AS mn, c.n AS cn""".stripMargin,
+      Seq(row("mn" -> "a", "cn" -> "c"))),
+    Scenario("varlength-then-incoming-rel", triad,
+      """MATCH (a:P {n: 'a'})-[:R*1..2]->(m)<-[:S]-(x)
+        |RETURN m.n AS mn, x.n AS xn""".stripMargin,
+      Seq(row("mn" -> "c", "xn" -> "a"))),
+    Scenario("fixed-length-varlength-pattern", triad,
+      "MATCH (a:P {n: 'a'})-[:R*2]->(x) RETURN x.n AS n",
+      Seq(row("n" -> "c"))),
+    Scenario("unwind-keeps-outer-scope", triad,
+      """MATCH (n:P {n: 'a'}) UNWIND [1, 2] AS x
+        |RETURN n.n AS nm, x ORDER BY x""".stripMargin,
+      Seq(row("nm" -> "a", "x" -> 1L), row("nm" -> "a", "x" -> 2L)),
+      ordered = true),
+    // Neo4j 5 conversion signatures over mixed-family values: toInteger
+    // takes bool/string/number (truncating, unparseable string → null);
+    // toFloat takes string/number (boolean → null); toString any atomic;
+    // toBoolean takes bool/string/integer (float → null) with the STRICT
+    // string form — only case-insensitive 'true'/'false', no padding
+    Scenario("tointeger-over-mixed-values", empty,
+      "UNWIND [1, 2.7, '4', 'no', true] AS x RETURN toInteger(x) AS i",
+      Seq(row("i" -> 1L), row("i" -> 2L), row("i" -> 4L), row("i" -> null),
+        row("i" -> 1L))),
+    Scenario("tofloat-over-mixed-values", empty,
+      "UNWIND [1, 2.5, '3.5', 'no', true] AS x RETURN toFloat(x) AS f",
+      Seq(row("f" -> 1.0), row("f" -> 2.5), row("f" -> 3.5),
+        row("f" -> null), row("f" -> null))),
+    Scenario("tostring-over-mixed-values", empty,
+      "UNWIND [1, 2.5, 'x', true] AS x RETURN toString(x) AS s",
+      Seq(row("s" -> "1"), row("s" -> "2.5"), row("s" -> "x"),
+        row("s" -> "true"))),
+    Scenario("toboolean-strict-string-form", empty,
+      """RETURN toBoolean(' true') AS pad, toBoolean('yes') AS yes,
+        |toBoolean('FALSE') AS f, toBoolean(1) AS one,
+        |toBoolean(0) AS zero, toBoolean(2.5) AS flt""".stripMargin,
+      Seq(row("pad" -> null, "yes" -> null, "f" -> false, "one" -> true,
+        "zero" -> false, "flt" -> null))),
+    Scenario("toboolean-over-mixed-values", empty,
+      "UNWIND [true, 'false', 'nope', 3] AS x RETURN toBoolean(x) AS b",
+      Seq(row("b" -> true), row("b" -> false), row("b" -> null),
+        row("b" -> true))),
+    Scenario("starts-with-nonstring-operand-false", empty,
+      """RETURN 1 STARTS WITH 'a' AS a,
+        |'abc' ENDS WITH null AS b""".stripMargin,
+      Seq(row("a" -> false, "b" -> null))),
+    // implicit grouping keys: the non-aggregate subtree of a mixed
+    // aggregating item groups the aggregation (Neo4j ReturnAcceptance2
+    // "Projecting an arithmetic expression with aggregation")
+    Scenario("arith-expression-with-aggregation-groups", triad,
+      "MATCH (n:P) RETURN n.v + count(*) AS x ORDER BY x",
+      Seq(row("x" -> 2L), row("x" -> 3L), row("x" -> 4L)), ordered = true),
+    Scenario("multiple-aliasing-and-backreferencing", empty,
+      "WITH 1 AS a WITH a AS b, a + 1 AS c RETURN b, c",
+      Seq(row("b" -> 1L, "c" -> 2L))),
+    Scenario("distinct-agg-nested-maps-in-maps", empty,
+      """UNWIND [{k: {m: [1]}}, {k: {m: [1]}}, {k: {m: [2]}}] AS x
+        |RETURN count(DISTINCT x) AS n""".stripMargin,
+      Seq(row("n" -> 2L))),
+    Scenario("optional-varlength-with-length-predicate", triad,
+      """MATCH (a:P {n: 'a'}) OPTIONAL MATCH p = (a)-[:R*1..2]->(x)
+        |WHERE length(p) = 2
+        |RETURN a.n AS an, x.n AS xn""".stripMargin,
+      Seq(row("an" -> "a", "xn" -> "c"))),
+    Scenario("aggregation-with-named-paths", triad,
+      """MATCH p = (a:P {n: 'a'})-[:R*1..2]->(x)
+        |RETURN length(p) AS len, count(*) AS n ORDER BY len""".stripMargin,
+      Seq(row("len" -> 1L, "n" -> 1L), row("len" -> 2L, "n" -> 1L)),
+      ordered = true))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
