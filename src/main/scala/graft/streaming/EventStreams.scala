@@ -372,4 +372,73 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Frozen unigram LM — the broadcastable artifact of
+    * [[graft.pipeline.TextAnalysis.lmScore]]'s training phase: per-token
+    * quantized log-probabilities plus the OOV floor. The vocabulary is
+    * capped at train time (≤ `maxVocab` entries by construction), so
+    * collecting it is bounded regardless of reference-corpus size. */
+  case class LmModel(logp: Map[String, java.math.BigDecimal],
+      floor: java.math.BigDecimal)
+
+  /** Train an [[LmModel]] on a static reference corpus. Probabilities are
+    * derived with the exact expressions lmScore uses (same Spark round →
+    * DECIMAL(18,6) quantization), so scores from the frozen model are
+    * bit-identical to the batch operator's. */
+  def trainLmModel(reference: DataFrame, textCol: String,
+      maxVocab: Int = 65536): LmModel = {
+    import graft.pipeline.TextOps.tokens
+    val vocab = reference
+      .select(explode(tokens(col(s"`$textCol`"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).cast("long").as("n_total"))
+    val lp = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(maxVocab)
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(18,6)").as("logp"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val floor = totals
+      .select(round(log(lit(0.5) / col("n_total").cast("double")), 6)
+        .cast("decimal(18,6)").as("floor"))
+      .collect().head.getDecimal(0)
+    LmModel(lp, floor)
+  }
+
+  /** Streaming LM quality scoring — the stateless twin of
+    * [[graft.pipeline.TextAnalysis.lmScore]]: the frozen model broadcasts
+    * once and every document scores per-row (tokenize → decimal-exact
+    * log-prob sum), so the transform needs no state, no watermark, and no
+    * shuffle — it appends on any micro-batch cadence. The per-distinct-
+    * token decimal quantization makes the sum order-independent, so batch
+    * and streaming scores for the same document are BIT-identical
+    * (StreamingSpec locks the parity). Works identically on a batch
+    * frame. */
+  def streamingLmScore(model: LmModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.pipeline.TextOps.tokens
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val score = udf { toks: Seq[String] =>
+      val m = bc.value
+      var n = 0L
+      var oov = 0L
+      var sum = java.math.BigDecimal.ZERO
+      toks.foreach { t =>
+        n += 1
+        m.logp.get(t) match {
+          case Some(lp) => sum = sum.add(lp)
+          case None => oov += 1; sum = sum.add(m.floor)
+        }
+      }
+      val s = sum.doubleValue()
+      (n, oov, if (n > 0) s else 0.0,
+        if (n > 0) s / n.toDouble else 0.0)
+    }
+    docs.select(col(s"`$idCol`").cast("long").as("id"),
+        score(tokens(col(s"`$textCol`"))).as("@s"))
+      .select(col("id"), col("@s._1").as("n_tokens"),
+        col("@s._2").as("oov_tokens"), col("@s._3").as("sum_logp"),
+        col("@s._4").as("avg_logp"))
+  }
 }

@@ -265,4 +265,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         streamed.exists(_._1 == 2L) && !streamed.exists(_._1 == 3L))
     } finally q.stop()
   }
+
+  test("streamingLmScore is bit-identical to the batch lmScore") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the dog sleeps while the fox runs",
+      "a quick brown dog and a lazy fox").toDF("text")
+    val docTexts = Seq(
+      (1L, "the quick fox"),
+      (2L, "zyzzyx unknown tokens everywhere"),
+      (3L, "the the the dog"),
+      (4L, ""))
+    val batchDocs = docTexts.toDF("doc_id", "text")
+    val batch = graft.pipeline.TextAnalysis
+      .lmScore(reference, batchDocs, "doc_id", "text", maxVocab = 8)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+
+    val model = EventStreams.trainLmModel(reference, "text", maxVocab = 8)
+    assert(model.logp.size === 8) // vocab capped
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val scored = EventStreams.streamingLmScore(model, docs, "doc_id", "text")
+    val q = scored.writeStream.format("memory").queryName("lm")
+      .outputMode("append").start()
+    try {
+      input.addData(docTexts.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docTexts.drop(2): _*) // second micro-batch: stateless
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT id, n_tokens, oov_tokens, sum_logp, avg_logp FROM lm")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))).toMap
+      assert(streamed === batch) // exact doubles: decimal-quantized sums
+      assert(streamed(2L)._2 > 0) // OOV tokens counted
+    } finally q.stop()
+  }
 }
