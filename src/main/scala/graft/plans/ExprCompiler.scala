@@ -324,7 +324,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           when(rc.isNull, lit(null)).otherwise(concat(lc, array(rc)))
         case (_, _: ArrayType) =>
           when(lc.isNull, lit(null)).otherwise(concat(array(lc), rc))
-        // Cypher: Date + Duration = Date (sub-day components are dropped);
+        // Cypher: Date + Duration = Date with sub-day components IGNORED
+        // (Neo4j temporal arithmetic) — Spark raises on adding a
+        // micros-bearing calendar interval to a date, so apply the
+        // month/day components directly
+        case (DateType, CalendarIntervalType) => dateAddInterval(lc, rc, 1)
+        case (CalendarIntervalType, DateType) => dateAddInterval(rc, lc, 1)
         // Spark widens date+interval to timestamp, so cast back
         case (DateType, t) if isIntervalType(t) => (lc + rc).cast(DateType)
         case (t, DateType) if isIntervalType(t) => (lc + rc).cast(DateType)
@@ -333,6 +338,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Sub(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
       (typeOf(l), typeOf(r)) match {
+        case (DateType, CalendarIntervalType) => dateAddInterval(lc, rc, -1)
         case (DateType, t) if isIntervalType(t) => (lc - rc).cast(DateType)
         case _ => lc - rc
       }
@@ -450,7 +456,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case ExprItem(k, e) => entries(k) = compile(e)
       }
       require(entries.nonEmpty, s"empty map projection on `$v`")
-      struct(entries.toSeq.map { case (k, c) => c.as(k) }: _*)
+      // projecting a null entity/map yields null, not a map of nulls
+      val isNullV = header.get(v) match {
+        case Some(nb: NodeBinding) if !lambdaEnv.contains(v) =>
+          col(s"`${nb.idCol}`").isNull
+        case Some(rb: RelBinding) if !lambdaEnv.contains(v) =>
+          col(s"`${rb.idCol}`").isNull
+        case _ => compile(Var(v)).isNull
+      }
+      when(isNullV, lit(null))
+        .otherwise(struct(entries.toSeq.map { case (k, c) => c.as(k) }: _*))
 
     case CountStar =>
       throw new IllegalArgumentException("count(*) is only valid as an aggregate")
@@ -764,6 +779,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     val (tl, tr) = (typeOf(l), typeOf(r))
     if (ordering && isIntervalType(tl) && isIntervalType(tr))
       return lit(null).cast(BooleanType)
+    // temporal instants of DIFFERENT types are never equal and not
+    // orderable in Cypher (date ≠ datetime even at midnight) — Spark
+    // would silently coerce date → timestamp and compare
+    val (tcl, tcr) = (temporalClass(tl), temporalClass(tr))
+    if (tcl > 0 && tcr > 0 && tcl != tcr)
+      return cmpMismatch(l, r, mismatch)
     val structural = (tl, tr) match {
       // mixed-tagged element vs concrete value: dispatch on the tag
       case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
@@ -827,14 +848,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           mismatch.isDefined && !ae.isInstanceOf[StructType] &&
           !be.isInstanceOf[StructType] &&
           (family(ae) == family(be) || ae == NullType || be == NullType) =>
-        val (lc, rc) = (compile(l), compile(r))
-        val eqs = zip_with(lc, rc, (a, b) => a === b)
-        val anyFalse = exists(eqs, e => !e) // 3VL: true > null > false
-        val eq = when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
-          .when(size(lc) =!= size(rc), lit(false))
-          .when(anyFalse === true, lit(false))
-          .when(anyFalse.isNull, lit(null).cast(BooleanType))
-          .otherwise(lit(true))
+        val eq = listEq3VL(compile(l), compile(r))
         Some(if (mismatch.get) !eq else eq)
       // CalendarIntervalType is not comparable in Spark; Cypher duration
       // equality is component-wise — compare the normalized
@@ -875,6 +889,38 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     when(d === 0.0, lit(Double.NegativeInfinity))
       .when(d < 0.0, lit(Double.NaN))
       .otherwise(f(d))
+  }
+
+  /** date ± calendar duration: months then days applied, sub-day
+    * components ignored (Neo4j date arithmetic). */
+  private def dateAddInterval(d: Column, i: Column, sign: Int): Column = {
+    import graft.functions.IntervalFunctions._
+    date_add(
+      add_months(d, (intervalMonths(i) * sign).cast(IntegerType)),
+      (intervalDays(i) * sign).cast(IntegerType))
+  }
+
+  /** Element-wise ternary equality of two atomic-element arrays
+    * (precondition: same element family, or NullType on either side):
+    * length mismatch or any definite element mismatch → false, else a
+    * null element → unknown, else true. */
+  private def listEq3VL(lc: Column, rc: Column): Column = {
+    val eqs = zip_with(lc, rc, (a, b) => a === b)
+    val anyFalse = exists(eqs, e => !e) // 3VL: true > null > false
+    when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
+      .when(size(lc) =!= size(rc), lit(false))
+      .when(anyFalse === true, lit(false))
+      .when(anyFalse.isNull, lit(null).cast(BooleanType))
+      .otherwise(lit(true))
+  }
+
+  /** 1 = date, 2 = local datetime, 3 = zoned datetime; 0 = not a
+    * temporal instant. Distinct non-zero classes are incomparable. */
+  private def temporalClass(dt: DataType): Int = dt match {
+    case DateType => 1
+    case TimestampNTZType => 2
+    case TimestampType => 3
+    case _ => 0
   }
 
   private def cmpMismatch(l: Expr, r: Expr,
@@ -963,6 +1009,22 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         when(lc.isNull, lit(null).cast(BooleanType))
           .otherwise(aggregate(lc, lit(false).cast(BooleanType),
             (acc, e) => acc || mixedCmp(e, xc, xt, _ === _, ordering = false)))
+      // nested-list membership: element comparison is the TERNARY list
+      // equality folded with 3VL OR — [1,null] IN [[1,2]] is null (no
+      // definite mismatch, null element), not the binary false that
+      // array_contains would produce
+      case ArrayType(ArrayType(iet, _), _) if (typeOf(x) match {
+          case ArrayType(xet, _) => !iet.isInstanceOf[StructType] &&
+            !xet.isInstanceOf[StructType] &&
+            (family(iet) == family(xet) || iet == NullType || xet == NullType)
+          case _ => false
+        }) =>
+        val lc = compile(list); val xc = compile(x)
+        when(lc.isNull, lit(null).cast(BooleanType))
+          .when(size(lc) === 0, lit(false))
+          .when(xc.isNull, lit(null).cast(BooleanType))
+          .otherwise(aggregate(lc, lit(false).cast(BooleanType),
+            (acc, e) => acc || listEq3VL(xc, e)))
       case ArrayType(et, _) =>
         val lc = compile(list)
         val fe = family(et)
@@ -1288,6 +1350,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
               .filterNot(f0 => f0 == "id" || f0 == "type" || f0 == "labels")
             when(a0.isNull, lit(null)).otherwise(
               struct(props.sorted.map(k => a0.getField(k).as(k)): _*))
+          // a plain map value IS its own property map (Neo4j accepts maps)
+          case _: StructType | _: MapType => a0
           case _ =>
             throw new IllegalArgumentException("properties() expects an entity")
         }
@@ -1319,7 +1383,24 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             make_date(part("year", 1), part("month", 1), part("day", 1))
           case _ => to_date(a0)
         }
-      case "localdatetime" | "datetime" =>
+      // localdatetime is TIMESTAMP WITHOUT time zone, datetime is the
+      // zoned instant — DIFFERENT Cypher types (cross-type comparison is
+      // false/null), so they must map to distinct Spark types
+      case "localdatetime" =>
+        if (f.args.isEmpty) localtimestamp()
+        else f.args.head match {
+          case MapLit(items) =>
+            val m = items.toMap
+            def part(k: String, dflt: Int) =
+              m.get(k).map(e => compile(e).cast(IntegerType))
+                .getOrElse(lit(dflt))
+            make_timestamp_ntz(part("year", 1), part("month", 1),
+              part("day", 1), part("hour", 0), part("minute", 0),
+              m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
+                .getOrElse(lit(java.math.BigDecimal.ZERO)))
+          case _ => to_timestamp_ntz(a0)
+        }
+      case "datetime" =>
         if (f.args.isEmpty) current_timestamp()
         else f.args.head match {
           case MapLit(items) =>
@@ -1390,7 +1471,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "date.truncate" =>
         date_trunc(stringArg(f.args.head, "date.truncate"), a(1))
           .cast(DateType)
-      case "datetime.truncate" | "localdatetime.truncate" =>
+      case "datetime.truncate" =>
+        date_trunc(stringArg(f.args.head, s"${f.name}"), a(1))
+      case "localdatetime.truncate" =>
         date_trunc(stringArg(f.args.head, s"${f.name}"), a(1))
           .cast(TimestampNTZType)
       case "year" => year(a0).cast(LongType)
@@ -1414,6 +1497,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * quote it. A dynamic (non-literal) separator regex-escapes at run
     * time and goes through the SQL split, which accepts a column pattern. */
   private def split_literal(src: Column, sep: Expr): Column = sep match {
+    // empty separator = split to characters (Neo4j special-cases this;
+    // a zero-width regex split would append a trailing '' element)
+    case StringLit("") =>
+      when(src.isNull, lit(null).cast(ArrayType(StringType)))
+        .when(length(src) === 0, array(lit("")))
+        .otherwise(slice(split(src, ""), lit(1), length(src)))
     case StringLit(s) => split(src, java.util.regex.Pattern.quote(s))
     // Neo4j: split(s, [',', ';']) splits on ANY listed delimiter
     case ListLit(items) if items.forall(_.isInstanceOf[StringLit]) =>

@@ -308,7 +308,9 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(r.getDate(0).toString === "2020-02-29")
     assert(r.getDate(1).toString === "2001-07-11")
     assert(r.getDate(2).toString === "2020-02-24")
-    assert(r.getTimestamp(3).toString.startsWith("2020-01-02 12:30:00"))
+    // localdatetime is TIMESTAMP_NTZ: collects as java.time.LocalDateTime
+    assert(r.getAs[java.time.LocalDateTime](3).toString
+      .startsWith("2020-01-02T12:30"))
     assert(r.getDate(4).toString === "2021-07-04")
   }
 

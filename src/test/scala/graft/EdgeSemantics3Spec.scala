@@ -65,7 +65,7 @@ class EdgeSemantics3Spec extends AnyFunSuite {
     assert(one(
       """RETURN (localdatetime('2020-06-15T23:00:00') +
         | duration({hours: 2})) AS t""".stripMargin)
-      .toString.startsWith("2020-06-16 01:00")))
+      .toString.startsWith("2020-06-16T01:00"))) // NTZ: LocalDateTime repr
   test("date equality across construction forms")(
     assert(one(
       "RETURN date({year: 2020, month: 6, day: 15}) = date('2020-06-15') AS b")

@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.api.GraftSession
 
-/** Probe batch 26: shapes the REFERENCE blacklists (failing_blacklist)
-  * could not run — WITH bound endpoints, var-length edge shapes, type
-  * conversions over mixed values, UNWIND scoping, list concat, DISTINCT
-  * aggregation over nested structures. Each confirmed behavior gets a
-  * TckStyleSpec lock.
+/** Probe batch 27: literal split delimiters, pattern predicates in
+  * disjunctions / as boolean values, simple CASE null subject, temporal
+  * cross-type comparison, nested-list IN, null map projection, parser
+  * exotica (surrogate pairs, leading-dot floats), WITH ORDER BY scoping,
+  * exists(n.prop), empty-group aggregates.
   */
 object Probe35Main {
   def main(args: Array[String]): Unit = {
@@ -16,103 +16,100 @@ object Probe35Main {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val gs = GraftSession(spark)
-    val g = gs.createGraphFromCypher("""
-      CREATE (a:A {v: 1, name: 'a'})
-      CREATE (b:B {v: 2, name: 'b'})
-      CREATE (c:C {v: 3, name: 'c'})
-      CREATE (a)-[:R {w: 1}]->(b)
-      CREATE (b)-[:R {w: 2}]->(c)
-      CREATE (a)-[:S {w: 9}]->(c)
-    """)
+    val g = gs.createGraphFromCypher(
+      """CREATE (a:P {x: 1, name: 'a'}), (b:P {x: 2, name: 'b'}),
+        |       (c:Q {y: 3}), (a)-[:R {w: 1}]->(b), (b)-[:S]->(c)""".stripMargin)
+
     def probe(name: String, q: String): Unit = {
       val r = try {
         gs.cypher(g, q).collect().map(_.toSeq.mkString(",")).mkString(" | ")
       } catch { case e: Throwable =>
-        s"ERROR(${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(90)})"
+        s"ERROR(${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(100)})"
       }
-      println(f"$name%-46s -> $r")
+      println(f"$name%-42s -> $r")
     }
 
-    // WithAcceptance: bound endpoint + bound rel re-match
-    probe("with-bound-endpoint-rematch",
-      """MATCH (a:A)-[r:R]->(b) WITH a, r LIMIT 1
-        |MATCH (a)-[r]->(b2) RETURN b2.name AS n""".stripMargin)
-    probe("with-limit-rebound-rel-and-node",
-      """MATCH (a)-[r:R]->(b) WITH r, b ORDER BY b.v LIMIT 1
-        |MATCH (x)-[r]->(b) RETURN x.name AS xn, b.name AS bn""".stripMargin)
-    // VarLength: unbounded / explicit unbounded / lower bounded
-    probe("varlength-unbounded", "MATCH (a:A)-[:R*]->(x) RETURN count(x) AS n")
-    probe("varlength-explicit-unbounded",
-      "MATCH (a:A)-[:R*..]->(x) RETURN count(x) AS n")
-    probe("varlength-lower-bounded",
-      "MATCH (a:A)-[:R*2..]->(x) RETURN x.name AS n")
-    probe("varlength-bound-rel-error",
-      "MATCH (a)-[r:R]->(b) MATCH (a)-[r*1..2]->(c) RETURN count(*) AS n")
-    // var-length + standard rel chain, zero length
-    probe("varlength-zero-then-rel",
-      """MATCH (a:A)-[:R*0..1]->(m)-[:S]->(c)
-        |RETURN a.name AS an, m.name AS mn, c.name AS cn""".stripMargin)
-    probe("varlength-then-incoming",
-      """MATCH (a:A)-[:R*1..2]->(m)<-[:S]-(x)
-        |RETURN m.name AS mn, x.name AS xn""".stripMargin)
-    probe("fixed-length-varlength",
-      "MATCH (a:A)-[:R*2]->(x) RETURN x.name AS n")
-    // Unwind scoping
-    probe("unwind-collected",
-      "MATCH (n) WITH collect(n.v) AS vs UNWIND vs AS v RETURN v ORDER BY v")
-    probe("unwind-keeps-scope",
-      """MATCH (n:A) UNWIND [1, 2] AS x
-        |RETURN n.name AS nm, x ORDER BY x""".stripMargin)
-    // Type conversions over mixed values
-    probe("tointeger-mixed",
-      "UNWIND [1, 2.7, '4', 'no', true] AS x RETURN toInteger(x) AS i")
-    probe("tofloat-mixed",
-      "UNWIND [1, 2.5, '3.5', 'no'] AS x RETURN toFloat(x) AS f")
-    probe("tostring-mixed",
-      "UNWIND [1, 2.5, 'x', true] AS x RETURN toString(x) AS s")
-    probe("toboolean-valid",
-      "UNWIND ['true', 'FALSE', ' true'] AS x RETURN toBoolean(x) AS b")
-    probe("toboolean-int", "RETURN toBoolean(1) AS b")
-    probe("toboolean-mixed",
-      "UNWIND [true, 'false', 'nope'] AS x RETURN toBoolean(x) AS b")
-    // STARTS WITH / CONTAINS / ENDS WITH non-string operands
-    probe("startswith-nonstring", "RETURN 1 STARTS WITH 'a' AS x")
-    probe("contains-nonstring", "WITH 5 AS n RETURN n CONTAINS '5' AS x")
-    probe("endswith-null", "RETURN 'abc' ENDS WITH null AS x")
-    // ReturnAcceptance2 shapes
-    probe("arith-with-aggregation",
-      "MATCH (n) RETURN n.v + count(*) AS x ORDER BY x")
-    probe("multiple-aliasing-backref",
-      "WITH 1 AS a WITH a AS b, a + 1 AS c RETURN b, c")
-    probe("concat-lists-same-type", "RETURN [1,2] + [3] AS l")
-    probe("nested-expr-list-prop",
-      "WITH [1,2,3] AS l RETURN size(l) + l[0] AS x")
-    probe("distinct-agg-nested-maps",
-      """UNWIND [{k: {m: [1]}}, {k: {m: [1]}}, {k: {m: [2]}}] AS x
-        |RETURN count(DISTINCT x) AS n""".stripMargin)
-    // OptionalMatch shapes
-    probe("optional-named-path",
-      """MATCH (c:C) OPTIONAL MATCH p = (c)-[:R]->(x)
-        |RETURN c.name AS cn, length(p) AS len""".stripMargin)
-    probe("optional-varlength",
-      """MATCH (a:A) OPTIONAL MATCH (a)-[:R*1..2]->(x)
-        |RETURN a.name AS an, count(x) AS n""".stripMargin)
-    probe("optional-varlength-no-match",
-      """MATCH (c:C) OPTIONAL MATCH (c)-[:R*1..2]->(x)
-        |RETURN c.name AS cn, x.name AS xn""".stripMargin)
-    probe("optional-varlength-length-pred",
-      """MATCH (a:A) OPTIONAL MATCH p = (a)-[:R*1..2]->(x)
-        |WHERE length(p) = 2
-        |RETURN a.name AS an, x.name AS xn""".stripMargin)
-    // MatchAcceptance2
-    probe("aggregation-with-named-path",
-      """MATCH p = (a:A)-[:R*1..2]->(x)
-        |RETURN length(p) AS len, count(*) AS n ORDER BY len""".stripMargin)
-    probe("zero-length-named-path",
-      "MATCH p = (a:A) RETURN length(p) AS len, nodes(p)[0].name AS n")
-    probe("named-path-direction",
-      """MATCH p = (b)<-[:R]-(a:A) RETURN length(p) AS len,
-        |nodes(p)[0].name AS first""".stripMargin)
+    // --- split: Cypher delimiters are LITERAL, not regex
+    probe("split-dot-literal", "RETURN split('a.b.c', '.') AS r")
+    probe("split-pipe-literal", "RETURN split('a|b|c', '|') AS r")
+    probe("split-bracket-literal", "RETURN split('a[b[c', '[') AS r")
+    probe("split-empty-delim", "RETURN split('abc', '') AS r")
+
+    // --- pattern predicates in disjunctions / as values
+    probe("pattern-pred-or",
+      "MATCH (n:P) WHERE (n)-[:R]->() OR n.x = 2 RETURN n.name AS r ORDER BY r")
+    probe("pattern-pred-or-both-patterns",
+      "MATCH (n:P) WHERE (n)-[:R]->() OR (n)-[:S]->() RETURN n.name AS r ORDER BY r")
+    probe("pattern-pred-and-not",
+      "MATCH (n:P) WHERE (n)-[:R]->() AND NOT (n)-[:S]->() RETURN n.name AS r")
+    probe("exists-pattern-projection",
+      "MATCH (n:P) RETURN n.name AS name, exists((n)-[:R]->()) AS has ORDER BY name")
+    probe("pattern-pred-xor",
+      "MATCH (n:P) WHERE (n)-[:R]->() XOR (n)-[:S]->() RETURN n.name AS r ORDER BY r")
+
+    // --- simple CASE null subject: null WHEN null never matches
+    probe("simple-case-null-subject",
+      "WITH null AS v RETURN CASE v WHEN null THEN 'a' ELSE 'b' END AS r")
+    probe("simple-case-no-else-null",
+      "RETURN CASE 5 WHEN 1 THEN 'a' END AS r")
+
+    // --- temporal cross-type comparison
+    probe("date-lt-datetime",
+      "RETURN date('2020-01-01') < localdatetime('2020-01-02T00:00:00') AS r")
+    probe("date-eq-datetime",
+      "RETURN date('2020-01-01') = localdatetime('2020-01-01T00:00:00') AS r")
+
+    // --- nested-list IN (ternary semantics)
+    probe("nested-list-in-true", "RETURN [1,2] IN [[1,2],[3]] AS r")
+    probe("nested-list-in-false", "RETURN [1,3] IN [[1,2]] AS r")
+    probe("nested-list-in-null", "RETURN [1,null] IN [[1,2]] AS r")
+    probe("nested-list-in-null-match", "RETURN [1,null] IN [[1,null]] AS r")
+
+    // --- map projection / keys / properties on null
+    probe("keys-null", "WITH null AS n RETURN keys(n) AS r")
+    probe("properties-null", "WITH null AS n RETURN properties(n) AS r")
+    probe("map-projection-null",
+      "OPTIONAL MATCH (n:Nope) RETURN n{.x} AS r")
+    probe("properties-map-literal", "RETURN properties({a: 1}) AS r")
+
+    // --- parser exotica
+    probe("surrogate-pair-escape", "RETURN '\\uD83D\\uDE00' AS r")
+    probe("surrogate-pair-size", "RETURN size('\\uD83D\\uDE00') AS r")
+    probe("surrogate-pair-roundtrip",
+      "RETURN '\\uD83D\\uDE00' = 'x' AS ne, substring('a\\uD83D\\uDE00b', 3, 1) AS tail")
+    probe("leading-dot-float", "RETURN .5 AS r")
+    probe("leading-dot-float-exp", "RETURN .5e2 AS r")
+
+    // --- WITH ORDER BY scoping
+    probe("with-orderby-alias",
+      "MATCH (n:P) WITH n.x AS y ORDER BY y RETURN collect(y) AS r")
+    probe("with-orderby-underlying",
+      "MATCH (n:P) WITH n.x AS y ORDER BY n.x RETURN collect(y) AS r")
+    probe("with-var-orderby-prop",
+      "MATCH (n:P) WITH n ORDER BY n.x DESC RETURN collect(n.x) AS r")
+    probe("return-orderby-agg-expr",
+      "MATCH (n:P) RETURN n.x AS x, count(*) AS c ORDER BY count(*), x")
+    probe("with-distinct-limit",
+      "UNWIND [1,1,2,2,3] AS v WITH DISTINCT v ORDER BY v SKIP 1 LIMIT 1 RETURN v")
+
+    // --- exists(n.prop) function form
+    probe("exists-prop-true", "MATCH (n:P {x: 1}) RETURN exists(n.x) AS r")
+    probe("exists-prop-false", "MATCH (n:P {x: 1}) RETURN exists(n.zz) AS r")
+
+    // --- empty-group aggregates
+    probe("empty-agg-sum", "MATCH (n:Nope) RETURN sum(n.x) AS r")
+    probe("empty-agg-avg", "MATCH (n:Nope) RETURN avg(n.x) AS r")
+    probe("empty-agg-min", "MATCH (n:Nope) RETURN min(n.x) AS r")
+    probe("empty-agg-collect", "MATCH (n:Nope) RETURN collect(n.x) AS r")
+    probe("empty-agg-count", "MATCH (n:Nope) RETURN count(n) AS r")
+
+    // --- misc
+    probe("reverse-string", "RETURN reverse('abc') AS r")
+    probe("reverse-list", "RETURN reverse([1,2,3]) AS r")
+    probe("any-over-null-list", "RETURN any(x IN null WHERE x) AS r")
+    probe("label-conjunction", "MATCH (n) WHERE n:P:Q RETURN count(n) AS r")
+    probe("not-label", "MATCH (n) WHERE NOT n:P RETURN count(n) AS r")
+    probe("pow-associativity", "RETURN 2^3^2 AS r")
     spark.stop()
   }
 }

@@ -1521,10 +1521,13 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("case-without-else-defaults-null", empty,
       "RETURN CASE WHEN false THEN 1 END AS x",
       Seq(row("x" -> null))),
+    // instants of DIFFERENT temporal types are never equal and not
+    // orderable (Neo4j; was the Spark date→timestamp coercion until
+    // probe batch 27 caught it)
     Scenario("date-compares-with-datetime-in-temporal-family", empty,
       """RETURN date('2024-01-02') = localdatetime('2024-01-02T00:00:00') AS eq,
         |date('2024-01-02') < localdatetime('2024-01-03T00:00:00') AS lt""".stripMargin,
-      Seq(row("eq" -> true, "lt" -> true))),
+      Seq(row("eq" -> false, "lt" -> null))),
     Scenario("bound-relationship-reused-in-later-match", triad,
       // r pins its endpoints: the second MATCH recovers exactly a and b
       """MATCH (a:P {n: 'a'})-[r:R]->(b)
@@ -2951,7 +2954,71 @@ class TckStyleSpec extends AnyFunSuite {
       """MATCH p = (a:P {n: 'a'})-[:R*1..2]->(x)
         |RETURN length(p) AS len, count(*) AS n ORDER BY len""".stripMargin,
       Seq(row("len" -> 1L, "n" -> 1L), row("len" -> 2L, "n" -> 1L)),
-      ordered = true))
+      ordered = true),
+    // batch 27 (Probe35Main): literal split corners, cross-type temporal
+    // comparison, ternary nested-list IN, null map projection,
+    // properties() on maps, pattern predicates in disjunctions
+    Scenario("split-empty-delimiter-is-chars", empty,
+      "RETURN split('abc', '') AS r, split('', '') AS e",
+      Seq(row("r" -> List("a", "b", "c"), "e" -> List("")))),
+    Scenario("split-keeps-trailing-empty", empty,
+      "RETURN split('a,b,', ',') AS r",
+      Seq(row("r" -> List("a", "b", "")))),
+    Scenario("temporal-cross-type-equality-false", empty,
+      """RETURN date('2020-01-01') = localdatetime('2020-01-01T00:00:00') AS eq,
+        |date('2020-01-01') <> localdatetime('2020-01-01T00:00:00') AS ne""".stripMargin,
+      Seq(row("eq" -> false, "ne" -> true))),
+    Scenario("temporal-cross-type-ordering-null", empty,
+      """RETURN date('2020-01-01') < localdatetime('2020-01-02T00:00:00') AS lt,
+        |date('2020-01-03') >= localdatetime('2020-01-02T00:00:00') AS ge""".stripMargin,
+      Seq(row("lt" -> null, "ge" -> null))),
+    Scenario("temporal-same-type-still-compares", empty,
+      "RETURN date('2020-01-01') < date('2020-01-02') AS r",
+      Seq(row("r" -> true))),
+    Scenario("nested-list-in-ternary", empty,
+      """RETURN [1,2] IN [[1,2],[3]] AS t, [1,3] IN [[1,2]] AS f,
+        |[1,null] IN [[1,2]] AS u1, [1,null] IN [[1,null]] AS u2,
+        |[1,2] IN [] AS emp""".stripMargin,
+      Seq(row("t" -> true, "f" -> false, "u1" -> null, "u2" -> null,
+        "emp" -> false))),
+    Scenario("map-projection-on-null-entity", empty,
+      "OPTIONAL MATCH (n:Nope) RETURN n{.x} AS r",
+      Seq(row("r" -> null))),
+    Scenario("properties-of-map-literal", empty,
+      "RETURN properties({a: 1, b: 'x'}) AS r",
+      Seq(row("r" -> Map("a" -> 1L, "b" -> "x")))),
+    Scenario("pattern-predicate-in-disjunction",
+      """CREATE (a:P {n: 'a'}), (b:P {n: 'b'}), (c:Q),
+        |(a)-[:R]->(b), (b)-[:S]->(c)""".stripMargin,
+      """MATCH (n:P) WHERE (n)-[:R]->() OR n.n = 'b'
+        |RETURN n.n AS r ORDER BY r""".stripMargin,
+      Seq(row("r" -> "a"), row("r" -> "b")), ordered = true),
+    Scenario("pattern-predicate-xor-and-value",
+      """CREATE (a:P {n: 'a'}), (b:P {n: 'b'}), (c:Q),
+        |(a)-[:R]->(b), (b)-[:S]->(c)""".stripMargin,
+      """MATCH (n:P) WHERE (n)-[:R]->() XOR (n)-[:S]->()
+        |RETURN n.n AS r ORDER BY r""".stripMargin,
+      Seq(row("r" -> "a"), row("r" -> "b")), ordered = true),
+    Scenario("exists-pattern-as-projected-value",
+      """CREATE (a:P {n: 'a'}), (b:P {n: 'b'}), (a)-[:R]->(b)""",
+      """MATCH (n:P) RETURN n.n AS name, exists((n)-[:R]->()) AS has
+        |ORDER BY name""".stripMargin,
+      Seq(row("name" -> "a", "has" -> true),
+        row("name" -> "b", "has" -> false)), ordered = true),
+    Scenario("simple-case-null-subject-skips-null-branch", empty,
+      "WITH null AS v RETURN CASE v WHEN null THEN 'a' ELSE 'b' END AS r",
+      Seq(row("r" -> "b"))),
+    Scenario("surrogate-pair-escapes-parse", empty,
+      "RETURN size('\\uD83D\\uDE00' + 'x') AS n",
+      Seq(row("n" -> 2L))),
+    // date ± duration ignores sub-day components (Neo4j; Spark raises
+    // INVALID_INTERVAL_WITH_MICROSECONDS_ADDITION without the rewrite)
+    Scenario("date-plus-duration-ignores-time-part", empty,
+      """RETURN date('2020-01-01') + duration({hours: 26}) AS same,
+        |date('2020-01-01') + duration({days: 1, hours: 26}) AS plus1,
+        |date('2020-03-31') - duration({months: 1, minutes: 30}) AS back""".stripMargin,
+      Seq(row("same" -> "2020-01-01", "plus1" -> "2020-01-02",
+        "back" -> "2020-02-29"))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
