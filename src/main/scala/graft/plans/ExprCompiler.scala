@@ -785,6 +785,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     val (tcl, tcr) = (temporalClass(tl), temporalClass(tr))
     if (tcl > 0 && tcr > 0 && tcl != tcr)
       return cmpMismatch(l, r, mismatch)
+    // compound values (lists, maps) are INCOMPARABLE with </<=/>/>= in
+    // Cypher (CIP comparability) — Spark would compare lexicographically
+    def compound(t: DataType): Boolean = t match {
+      case _: ArrayType | _: MapType => true
+      // the mixed-tagged struct ENCODES a scalar — still orderable
+      case st: StructType => !isMixedStruct(st)
+      case _ => false
+    }
+    if (ordering && (compound(tl) || compound(tr)))
+      return lit(null).cast(BooleanType)
     val structural = (tl, tr) match {
       // mixed-tagged element vs concrete value: dispatch on the tag
       case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>

@@ -74,6 +74,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val first = planSingle(q.first)
     q.unions.foldLeft(first) { case (acc, (all, sq)) =>
       val next = planSingle(sq)
+      if (acc.columns.toSet != next.columns.toSet)
+        throw new IllegalArgumentException(
+          "All sub queries in a UNION must have the same column names " +
+            s"(${acc.columns.sorted.mkString(", ")} vs " +
+            s"${next.columns.sorted.mkString(", ")})")
       val u = acc.unionByName(next)
       if (all) u else u.dropDuplicates()
     }

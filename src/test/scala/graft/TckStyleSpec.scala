@@ -3018,7 +3018,39 @@ class TckStyleSpec extends AnyFunSuite {
         |date('2020-01-01') + duration({days: 1, hours: 26}) AS plus1,
         |date('2020-03-31') - duration({months: 1, minutes: 30}) AS back""".stripMargin,
       Seq(row("same" -> "2020-01-01", "plus1" -> "2020-01-02",
-        "back" -> "2020-02-29"))))
+        "back" -> "2020-02-29"))),
+    // batch 28 (Probe36Main): compound comparability, UNION rules,
+    // regex flags, property access on arbitrary expressions
+    Scenario("lists-and-maps-incomparable-with-lt", empty,
+      """RETURN [1,2] < [1,3] AS ll, [1] <= [1,0] AS lp,
+        |{a: 1} < {a: 2} AS mm, [1] > null AS ln""".stripMargin,
+      Seq(row("ll" -> null, "lp" -> null, "mm" -> null, "ln" -> null))),
+    Scenario("union-different-columns-errors", empty,
+      "RETURN 1 AS a UNION RETURN 2 AS b", Seq.empty,
+      expectError = Some("same column names")),
+    Scenario("union-aligns-columns-by-name", empty,
+      """RETURN 1 AS a, 'x' AS b UNION RETURN 'y' AS b, 2 AS a""",
+      Seq(row("a" -> 1L, "b" -> "x"), row("a" -> 2L, "b" -> "y"))),
+    Scenario("union-distinct-dedups-union-all-keeps", empty,
+      """UNWIND [1] AS v RETURN v AS a UNION ALL RETURN 1 AS a
+        |UNION ALL RETURN 1 AS a""".stripMargin,
+      Seq(row("a" -> 1L), row("a" -> 1L), row("a" -> 1L))),
+    Scenario("regex-inline-flags", empty,
+      """RETURN 'ABC' =~ '(?i)abc' AS ci, 'a
+        |b' =~ '(?s)a.b' AS dot""".stripMargin,
+      Seq(row("ci" -> true, "dot" -> true))),
+    Scenario("property-access-on-expressions", empty,
+      """RETURN ({a: 1}).a AS ml, (CASE WHEN true THEN {a: 7} END).a AS cs,
+        |head([{a: 3}]).a AS hd, {o: {i: 5}}.o.i AS nest""".stripMargin,
+      Seq(row("ml" -> 1L, "cs" -> 7L, "hd" -> 3L, "nest" -> 5L))),
+    Scenario("optional-aggregation-null-handling",
+      "CREATE (:P {name: 'b'})",
+      """MATCH (n:P {name: 'b'}) OPTIONAL MATCH (n)-[:R]->(m)
+        |RETURN count(*) AS stars, count(m) AS ms, collect(m.x) AS xs""".stripMargin,
+      Seq(row("stars" -> 1L, "ms" -> 0L, "xs" -> List()))),
+    Scenario("integer-addition-overflow-errors", empty,
+      "RETURN 9223372036854775807 + 1 AS r", Seq.empty,
+      expectError = Some("ARITHMETIC_OVERFLOW")))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
