@@ -17,6 +17,62 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** md5-keyed MinHash-LSH near-dup pairs with Spark BUILTINS only — the
+    * p6 gate variant DuckDB reproduces bit-for-bit. Same algorithm as
+    * [[Dedup.minhashLsh]] (signatures → bands → bucket self-join → exact
+    * Jaccard verify) with the hash family derived from md5: h_seed(gram)
+    * = first 16 md5 hex chars of "seed:gram". Minima compare
+    * LEXICOGRAPHICALLY — on fixed-length lowercase hex that equals
+    * numeric order, identically in Spark and DuckDB (the p9 trick), so
+    * no hex→int conversion is needed anywhere. Shingles are distinct
+    * word trigrams (p8's gram space). The production path stays
+    * [[Dedup.minhashLsh]] (xxhash64 kernel, property-tested Jaccard
+    * bound); this exists so the gate's pair set is oracle-exact. */
+  private def md5MinhashPairs(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val r = numHashes / bands
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val grams = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    val sh = df.select(col(idCol).cast(LongType).as("id"),
+      explode(grams).as("s"))
+    val hv = sh.select(col("id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("id"), col("seed"),
+        substring(md5(concat(col("seed").cast(StringType), lit(":"),
+          col("s"))), 1, 16).as("h"))
+    val sig = hv.groupBy(col("id"), col("seed")).agg(min(col("h")).as("m"))
+    val banded = sig
+      .groupBy(col("id"), floor(col("seed") / lit(r)).cast("int").as("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("m")))),
+        x => x.getField("m")), ",").as("key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val nsz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.toDF("id_a", "s"), "id_a")
+      .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(nsz.toDF("id_a", "na"), "id_a")
+      .join(nsz.toDF("id_b", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast(DoubleType) /
+          (col("na") + col("nb") - col("i")).cast(DoubleType)).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** md5-keyed SimHash fingerprints with Spark BUILTINS only — the p13
     * gate variant DuckDB reproduces bit-for-bit. 64 bits come from the
     * first 16 md5 hex chars as two 32-bit halves (hi = hex[0..8),
@@ -131,9 +187,11 @@ object PipelineQueries {
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // MinHash LSH near-dup candidate pairs (rows-only)
+    // MinHash-LSH pairs, md5-keyed like p7/p13 so the oracle checks the
+    // exact pair set (production kernel = Dedup.minhashLsh, covered by
+    // KernelPropertySpec's Jaccard bound + PipelineSpec)
     "p6_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
+      md5MinhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
     // SimHash fingerprints, md5-keyed like p13 so the oracle checks the
     // exact 64-bit values (production kernel covered by KernelPropertySpec)
@@ -447,6 +505,45 @@ object PipelineQueries {
         |SELECT doc_id, len(f)::BIGINT AS fp_size,
         |       md5(array_to_string(f, ',')) AS fp_md5
         |FROM fp ORDER BY doc_id""".stripMargin,
+    // md5-keyed MinHash-LSH: identical hash family (first 16 md5 hex
+    // chars of "seed:gram"), lexicographic hex minima, band keys as
+    // comma-joined minima ordered by seed, bucket self-join, exact
+    // trigram-Jaccard verification
+    "p6_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+        |hv AS (
+        |  SELECT id, seed, substr(md5(seed::VARCHAR || ':' || s), 1, 16) AS h
+        |  FROM grams, range(16) r(seed)),
+        |sig AS (SELECT id, seed, min(h) AS m FROM hv GROUP BY 1, 2),
+        |banded AS (
+        |  SELECT id, seed // 2 AS band,
+        |         string_agg(m, ',' ORDER BY seed) AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |nsz AS (SELECT id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN grams ga ON ga.id = c.id_a
+        |  JOIN grams gb ON gb.id = c.id_b AND gb.s = ga.s
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |  CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN nsz na ON na.id = i.id_a
+        |JOIN nsz nb ON nb.id = i.id_b
+        |WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     // md5-keyed SimHash fingerprints: same vote model as p13's CTEs; the
     // combined 64-bit value wraps to Spark's signed long via HUGEINT
     // (hi << 32 | lo with the 2^64 borrow when the sign bit is set)
