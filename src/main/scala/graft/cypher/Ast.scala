@@ -148,9 +148,11 @@ object Ast {
   /** Cypher-10-style: `FROM GRAPH name` switches the working graph. */
   case class FromGraphClause(ref: GraphRef) extends Clause
   /** CONSTRUCT — multiple-graph extension (SURVEY §2.5).
-    * `sets`: (variable, propertyKey, value) from `SET v.k = expr`. */
-  case class ConstructClause(clones: Seq[String], news: Seq[PatternPart],
-      onGraphs: Seq[String],
+    * `clones`: (sourceVar, alias) from `CLONE n [AS m]` (alias = source
+    * when no AS). `sets`: (variable, propertyKey, value) from
+    * `SET v.k = expr`. */
+  case class ConstructClause(clones: Seq[(String, String)],
+      news: Seq[PatternPart], onGraphs: Seq[String],
       sets: Seq[(String, String, Expr)] = Seq.empty) extends Clause
   /** `RETURN GRAPH` — the query's result is the constructed graph. */
   case object ReturnGraphClause extends Clause

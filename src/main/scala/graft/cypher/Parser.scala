@@ -370,9 +370,13 @@ object CypherParser extends RegexParsers {
     ident ~ ("." ~> anyIdent) ~ ("=" ~> expression) ^^ {
       case v ~ k ~ e => (v, k, e) }
 
+  private def cloneItem: Parser[(String, String)] =
+    ident ~ opt(K("as") ~> ident) ^^ {
+      case src ~ alias => (src, alias.getOrElse(src)) }
+
   def constructClause: Parser[Clause] =
     K("construct") ~> opt(K("on") ~> rep1sep(anyIdent, ",")) ~
-      rep(K("clone") ~> rep1sep(ident, ",")) ~
+      rep(K("clone") ~> rep1sep(cloneItem, ",")) ~
       rep((K("new") | K("create")) ~> patternPart) ~
       rep(K("set") ~> rep1sep(setItem, ",")) ^^ {
       case on ~ clones ~ news ~ sets =>

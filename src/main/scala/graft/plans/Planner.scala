@@ -226,7 +226,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         if (r.star) disable = true
         r.productIterator.foreach(walk)
       case c: ConstructClause =>
-        c.clones.foreach(exprRefs += _)
+        c.clones.foreach { case (src, _) => exprRefs += src }
         c.sets.foreach { case (v, _, e) => exprRefs += v; walk(e) }
         c.news.foreach(walk)
       case s: Seq[_] => s.foreach(walk)
@@ -261,9 +261,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         val st = planProjection(graph, state, r.items, r.star, r.distinct,
           r.orderBy, r.skip, r.limit, isReturn = true)
         finalDf = Some(finalizeReturn(st, r))
-      case c: ConstructClause =>
-        throw new IllegalArgumentException(
-          "CONSTRUCT must be executed via GraftSession.cypherGraph")
+      case c0: ConstructClause =>
+        // mid-query CONSTRUCT followed by MATCH … RETURN records: the
+        // constructed graph becomes the working graph with a UNIT binding
+        // table (a TRAILING construct still needs cypherGraph — caught by
+        // the final "must end in RETURN" check)
+        val (st2, c) = rewriteConstructComprehensions(graph, state, c0)
+        graph = buildGraph(st2, c)
+        state = unitState
       case ReturnGraphClause =>
         throw new IllegalArgumentException(
           "RETURN GRAPH must be executed via GraftSession.cypherGraph")
@@ -283,6 +288,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     singleUsePatternVars = computeSingleUse(q.first.clauses)
     var graph = initialGraph
     var state = unitState
+    var built: Option[PropertyGraph] = None
     q.first.clauses.foreach {
       case FromGraphClause(ref) => graph = catalog(ref)
       case m: MatchClause => state = planMatch(graph, state, m)
@@ -295,13 +301,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         // pattern comprehensions / size(pattern) inside NEW property maps
         // and SET values join their list columns into the driving state
         val (st2, c) = rewriteConstructComprehensions(graph, state, c0)
-        state = st2
-        return buildGraph(state, c)
+        // consecutive construction (reference MultipleGraphTests
+        // "construct match construct"): the constructed graph becomes the
+        // WORKING graph for subsequent MATCH clauses, and the binding
+        // table RESETS — CONSTRUCT outputs the graph plus a unit table
+        // (reference result.getRecords is None after RETURN GRAPH)
+        graph = buildGraph(st2, c)
+        built = Some(graph)
+        state = unitState
       case ReturnGraphClause => // no-op: graph already built by CONSTRUCT
       case _: ReturnClause => throw new IllegalArgumentException(
         "a graph-returning query must end in CONSTRUCT [RETURN GRAPH], not RETURN")
     }
-    throw new IllegalArgumentException("graph query needs a CONSTRUCT clause")
+    built.getOrElse(
+      throw new IllegalArgumentException("graph query needs a CONSTRUCT clause"))
   }
 
   /** CLONE = dedup-by-id carry-over of matched entities; NEW = one fresh
@@ -312,7 +325,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * to 2^23 partitions (reference generates partition-offset ids the same
     * way, MorpheusFunctions.scala partitioned_id_assignment).
     */
-  private def buildGraph(state: PState, c: ConstructClause): PropertyGraph = {
+  private def buildGraph(state0: PState, c: ConstructClause): PropertyGraph = {
+    // CLONE src AS alias: the alias names src's binding inside this
+    // CONSTRUCT (SET alias.k, NEW patterns referencing the alias)
+    val state = state0.copy(header = Header(state0.header.bindings ++
+      c.clones.collect { case (src, alias) if alias != src =>
+        alias -> state0.header.bindings.getOrElse(src,
+          throw new IllegalArgumentException(
+            s"CLONE $src AS $alias: `$src` is not bound")) }))
     val nodeTables = scala.collection.mutable.ArrayBuffer.empty[graft.graph.NodeTable]
     val relTables = scala.collection.mutable.ArrayBuffer.empty[graft.graph.RelTable]
 
@@ -322,7 +342,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // (reference ConstructGraphPlanner: rel clones pull their endpoint
     // nodes in): endpoint node VARS become implicit clones here; truly
     // anonymous endpoints get bare id-only nodes synthesized below
-    val relEndpointVars = c.clones.flatMap { v =>
+    val relEndpointVars = c.clones.map(_._2).flatMap { v =>
       state.header.get(v) match {
         case Some(rb: RelBinding) =>
           rb.endpointVars.toSeq.flatMap { case (s, d) => Seq(s, d) }
@@ -330,7 +350,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case _ => Nil
       }
     }
-    val cloneVars = (c.clones ++ relEndpointVars ++
+    val cloneVars = (c.clones.map(_._2) ++ relEndpointVars ++
       newPatternVars.filter(state.header.contains)).distinct
 
     val setsByVar: Map[String, Seq[(String, Expr)]] =

@@ -127,4 +127,56 @@ class ConstructInteropSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(labels === Seq("A", "B"))
   }
+
+  // reference MultipleGraphTests "CLONEs with an alias"
+  test("CLONE with an AS alias binds the copy for SET") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (p:P {n: 'a'})
+        |CONSTRUCT CLONE p AS q SET q.cloned = true
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g2,
+      "MATCH (n:P) RETURN n.n AS nm, n.cloned AS c").collect()
+    assert(rows.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq(("a", true)))
+  }
+
+  // reference MultipleGraphTests "construct match construct": a mid-query
+  // CONSTRUCT switches the working graph and RESETS the binding table
+  // (CONSTRUCT outputs the graph + a unit table)
+  test("consecutive construction matches the intermediate graph") {
+    val g2 = gs.cypherGraph(g,
+      """MATCH (p:P)
+        |CONSTRUCT NEW (:Stage1 {n: p.n})
+        |MATCH (s:Stage1)
+        |CONSTRUCT NEW (:Stage2 {n2: s.n})
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g2,
+      "MATCH (s:Stage2) RETURN s.n2 AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a", "b", "c")) // one per Stage1 node, no fan-out
+  }
+
+  test("mid-query CONSTRUCT feeding a records RETURN") {
+    val rows = gs.cypher(g,
+      """MATCH (p:P)
+        |CONSTRUCT NEW (:T {v: p.n})
+        |MATCH (t:T)
+        |RETURN t.v AS v ORDER BY v""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a", "b", "c"))
+  }
+
+  // reference "should CONSTRUCT a graph with multiple connected CREATE
+  // clauses": later NEW parts reuse earlier parts' fresh vars
+  test("multiple NEW clauses share constructed variables") {
+    val g2 = gs.cypherGraph(g,
+      """CONSTRUCT
+        |  NEW (a:X {v: 1})
+        |  NEW (b:Y {v: 2})
+        |  NEW (a)-[:E]->(b)
+        |RETURN GRAPH""".stripMargin)
+    val rows = gs.cypher(g2,
+      "MATCH (x:X)-[:E]->(y:Y) RETURN x.v AS xv, y.v AS yv").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
 }
