@@ -138,6 +138,28 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSeq === Seq("Alice", "Bob"))
   }
 
+  // reference MultipleGraphTests "matches from different graphs":
+  // bindings persist across a FROM GRAPH switch, so patterns matched in
+  // different graphs combine in one result row
+  test("matches from different graphs combine in one row") {
+    gs.register("mg1", gs.createGraphFromCypher("CREATE (:A {v: 1}), (:A {v: 2})"))
+    gs.register("mg2", gs.createGraphFromCypher("CREATE (:B {w: 10})"))
+    val rows = gs.cypherStatement(
+      """FROM GRAPH mg1 MATCH (a:A)
+        |FROM GRAPH mg2 MATCH (b:B)
+        |RETURN a.v AS v, b.w AS w ORDER BY v""".stripMargin, Map.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 10L), (2L, 10L)))
+    // and a CONSTRUCT over the combined rows feeds a records RETURN
+    val s = gs.cypherStatement(
+      """FROM GRAPH mg1 MATCH (a:A)
+        |FROM GRAPH mg2 MATCH (b:B)
+        |CONSTRUCT NEW (:C {s: a.v + b.w})
+        |MATCH (c:C) RETURN c.s AS s ORDER BY s""".stripMargin, Map.empty)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s === Seq(11L, 12L))
+  }
+
   test("fs round-trip: parquet/csv/orc/json/avro preserve graph semantics") {
     for (fmt <- Seq("parquet", "csv", "orc", "json", "avro")) {
       val dir = java.nio.file.Files
