@@ -380,11 +380,17 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     }),
     // multimodal decode/feature-extract: REAL PNG payloads decoded via
-    // javax.imageio, features from actual pixels (rows-only)
+    // javax.imageio (actual pixels) + REAL WAV payloads decoded via
+    // javax.sound.sampled (actual PCM samples), half the corpus each
+    // (rows-only)
     "p14_media_features" -> ((s, dir) => {
-      val media = Multimodal.attachImageMedia(docs(s, dir), "doc_id", "text",
+      val d = docs(s, dir)
+      val img = Multimodal.attachImageMedia(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
         width = 8, height = 8)
-      Multimodal.decodeFeatures(media, featDim = 8).toDF()
+      val aud = Multimodal.attachAudioMedia(
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+      Multimodal.decodeFeatures(img.unionByName(aud), featDim = 8).toDF()
         .select(col("doc_id"), col("kind"), col("feat_dim"),
           round(col("feat_mean"), 4).as("feat_mean"))
         .orderBy("doc_id")

@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   *
   * IMAGES decode for real via `javax.imageio` (in-JDK, jar-free):
   * [[decodeFeatures]] reads PNG/JPEG payloads into pixel-derived
-  * features and [[resizeImages]] rescales + re-encodes. AUDIO/VIDEO
-  * codecs don't exist in the JDK, so those kinds fall back to a
+  * features and [[resizeImages]] rescales + re-encodes. AUDIO decodes
+  * for real via `javax.sound.sampled` (WAV/AIFF/AU PCM — also in-JDK):
+  * [[decodeFeatures]] reads payloads into per-span RMS energy features.
+  * VIDEO codecs don't exist in the JDK, so that kind falls back to a
   * deterministic byte-fold stand-in — the batch shape (mapPartitions
   * over iterator batches, the Scala analogue of mapInPandas),
   * partitioning for decode parallelism, and metadata propagation are
@@ -22,6 +24,7 @@ object Multimodal {
   import java.awt.image.BufferedImage
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.ImageIO
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
   /** one decoded media item. */
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
@@ -90,6 +93,49 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Generate REAL WAV payloads for a corpus: one short PCM-16 mono clip
+    * per doc — a sine tone whose frequency/length derive deterministically
+    * from (doc id, text hash) plus low-level LCG noise — encoded through
+    * `javax.sound.sampled` (a genuine RIFF/WAVE container). Every row is
+    * a decodable clip, so [[decodeFeatures]]' real audio path exercises
+    * end to end. */
+  def attachAudioMedia(docs: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, maxMs: Int = 250): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val th = if (text == null) 0L else text.hashCode.toLong
+          var seed = id * 2862933555777941757L ^ th
+          def next(): Long = { seed = seed * 6364136223846793005L +
+            1442695040888963407L; seed >>> 16 }
+          val durMs = (50 + math.floorMod(next(), (maxMs - 50).toLong)).toInt
+          val freq = 200.0 + math.floorMod(next(), 800L)
+          val n = sampleRate * durMs / 1000
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val tone = math.sin(2 * math.Pi * freq * i / sampleRate)
+            val noise = (math.floorMod(next(), 64L) - 32) / 1024.0
+            val s = math.max(-1.0, math.min(1.0, 0.8 * tone + noise))
+            val v = (s * 32767).toInt
+            pcm(2 * i) = (v & 0xFF).toByte         // little-endian
+            pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+          val ais = new AudioInputStream(new ByteArrayInputStream(pcm),
+            fmt, n.toLong)
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          MediaRow(id, "audio", bos.toByteArray, 0, 0, durMs.toLong)
+        }
+      }.toDF()
+  }
+
   /** Decode + feature-extract. Runs as mapPartitions so decoder init
     * amortizes once per partition (the reason mapInPandas batches exist).
     * Repartition first so decode parallelism is independent of upstream
@@ -97,8 +143,10 @@ object Multimodal {
     *
     * `image` payloads decode for REAL (`javax.imageio` — PNG/JPEG/BMP/GIF):
     * features are per-band mean luminance over `featDim` equal pixel
-    * spans. Audio/video kinds (and undecodable images) fall back to the
-    * deterministic byte-fold stand-in — no av codec ships with the JDK. */
+    * spans. `audio` payloads decode for REAL too (`javax.sound.sampled` —
+    * WAV/AIFF/AU): features are per-span RMS energy over the PCM samples.
+    * Video (and undecodable payloads) fall back to the deterministic
+    * byte-fold stand-in — no video codec ships with the JDK. */
   def decodeFeatures(media: DataFrame, featDim: Int = 8,
       decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -109,8 +157,11 @@ object Multimodal {
     balanced.as[MediaRow].mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights)
       rows.map { r =>
-        val feats = (if (r.kind == "image") decodeImage(r.payload, featDim)
-          else None).getOrElse(fakeDecode(r.payload, featDim))
+        val feats = (r.kind match {
+          case "image" => decodeImage(r.payload, featDim)
+          case "audio" => decodeAudio(r.payload, featDim)
+          case _ => None
+        }).getOrElse(fakeDecode(r.payload, featDim))
         MediaFeatures(r.doc_id, r.kind, featDim,
           feats.map(_.toDouble).sum / featDim, feats)
       }
@@ -152,6 +203,42 @@ object Multimodal {
         while (i < featDim) { if (cnt(i) > 0) acc(i) /= cnt(i); i += 1 }
         Some(acc)
       }
+    } catch { case _: Exception => None }
+
+  /** real audio decode: RMS energy per featDim equal spans of the PCM
+    * sample sequence. Any `javax.sound.sampled`-readable container
+    * (WAV/AIFF/AU) in any PCM width works — the stream converts to
+    * 16-bit signed little-endian first. None when the payload is not
+    * decodable audio. */
+  private[graft] def decodeAudio(payload: Array[Byte],
+      featDim: Int): Option[Array[Float]] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val src = in.getFormat
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val bytes = pcm.readAllBytes()
+      pcm.close(); in.close()
+      val n = bytes.length / 2
+      val acc = new Array[Float](featDim)
+      if (n == 0) return Some(acc)
+      val cnt = new Array[Int](featDim)
+      var i = 0
+      while (i < n) {
+        val s = (((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+          / 32768f)
+        val b = (i.toLong * featDim / n).toInt
+        acc(b) += s * s; cnt(b) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < featDim) {
+        if (cnt(j) > 0) acc(j) = math.sqrt(acc(j) / cnt(j)).toFloat
+        j += 1
+      }
+      Some(acc)
     } catch { case _: Exception => None }
 
   /** deterministic byte-fold stand-in for kinds with no in-JDK codec:

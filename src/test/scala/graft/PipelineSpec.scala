@@ -348,6 +348,47 @@ class PipelineSpec extends AnyFunSuite {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("real audio decode: golden PCM fixture → exact RMS features") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 8 samples: first half silent, second half full-scale square wave
+    val pcm = new Array[Byte](16)
+    for (i <- 4 until 8) {
+      val v = if (i % 2 == 0) 32767 else -32768
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, 8), AudioFileFormat.Type.WAVE, bos)
+    val feats = Multimodal.decodeAudio(bos.toByteArray, 2).get
+    assert(math.abs(feats(0)) < 1e-6, "silent half")
+    assert(math.abs(feats(1) - 1.0f) < 1e-3, "full-scale half RMS ~ 1")
+    // non-audio bytes are rejected, not crashed on
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3), 4).isEmpty)
+  }
+
+  test("attachAudioMedia emits decodable WAVs; decodeFeatures uses real samples") {
+    val media = Multimodal.attachAudioMedia(docs.limit(10), "doc_id", "text")
+    val rows = media.collect()
+    assert(rows.length == 10)
+    // every payload is a RIFF/WAVE container and decodes
+    assert(rows.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        Multimodal.decodeAudio(p, 4).isDefined
+    })
+    val feats = Multimodal.decodeFeatures(media, featDim = 8).collect()
+    assert(feats.length == 10 && feats.forall(_.features.length == 8))
+    // a 0.8-amplitude sine has RMS ~ 0.57 per span — real decode lands in
+    // (0, 1]; the byte-fold fallback sums far past 1 for kB payloads
+    assert(feats.forall(_.features.forall(v => v > 0f && v <= 1f)))
+    val again = Multimodal.decodeFeatures(media, featDim = 8).collect()
+    assert(feats.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+
   test("resizeImages rescales and re-encodes real pixels") {
     val media = Multimodal.attachImageMedia(docs.limit(5), "doc_id", "text",
       width = 8, height = 8)
