@@ -30,7 +30,8 @@ object PipelineQueries {
     * bound); this exists so the gate's pair set is oracle-exact. */
   private def md5MinhashPairs(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     val r = numHashes / bands
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
@@ -41,19 +42,23 @@ object PipelineQueries {
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>")))
-    val sh = df.select(col(idCol).cast(LongType).as("id"),
-      explode(grams).as("s"))
+    // the gram table feeds the hash pipeline, both verification joins, and
+    // the size counts; the banded table feeds both self-join sides —
+    // persist both so documents tokenize+hash ONCE (without this, the
+    // self-join recomputes every md5 twice and the verify joins twice more)
+    val sh = caches.persist(df.select(col(idCol).cast(LongType).as("id"),
+      explode(grams).as("s")))
     val hv = sh.select(col("id"), col("s"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
       .select(col("id"), col("seed"),
         substring(md5(concat(col("seed").cast(StringType), lit(":"),
           col("s"))), 1, 16).as("h"))
     val sig = hv.groupBy(col("id"), col("seed")).agg(min(col("h")).as("m"))
-    val banded = sig
+    val banded = caches.persist(sig
       .groupBy(col("id"), floor(col("seed") / lit(r)).cast("int").as("band"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("seed"), col("m")))),
-        x => x.getField("m")), ",").as("key"))
+        x => x.getField("m")), ",").as("key")))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -15,7 +15,7 @@ final class CacheRegistry(track: Boolean = true) {
   private val entries =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[pipeline] def persist(df: DataFrame): DataFrame = {
+  private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     if (track) entries.add(p)
     p
