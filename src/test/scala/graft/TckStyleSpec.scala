@@ -3050,7 +3050,50 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("stars" -> 1L, "ms" -> 0L, "xs" -> List()))),
     Scenario("integer-addition-overflow-errors", empty,
       "RETURN 9223372036854775807 + 1 AS r", Seq.empty,
-      expectError = Some("ARITHMETIC_OVERFLOW")))
+      expectError = Some("ARITHMETIC_OVERFLOW")),
+    // batch 30 (Probe38Main): shapes from the REFERENCE's own
+    // failing_blacklist (morpheus-tck/src/test/resources) — all pass
+    // here, evidence we exceed the reference on its known failures
+    Scenario("varlength-and-standard-rel-in-chain",
+      """CREATE (a:N {n: 'a'}), (b:N {n: 'b'}), (c:N {n: 'c'}),
+        |(d:N {n: 'd'}), (a)-[:T]->(b), (b)-[:T]->(c), (c)-[:S]->(d)""".stripMargin,
+      """MATCH (a:N {n: 'a'})-[:T*1..2]->(x)-[:S]->(y)
+        |RETURN x.n AS x, y.n AS y""".stripMargin,
+      Seq(row("x" -> "c", "y" -> "d"))),
+    Scenario("varlength-zero-or-one-then-standard-rel",
+      """CREATE (b:N {n: 'b'}), (c:N {n: 'c'}), (d:N {n: 'd'}),
+        |(b)-[:T]->(c), (c)-[:S]->(d)""".stripMargin,
+      """MATCH (a:N {n: 'b'})-[:T*0..1]->(x)-[:S]->(y)
+        |RETURN x.n AS x, y.n AS y""".stripMargin,
+      Seq(row("x" -> "c", "y" -> "d"))),
+    Scenario("varlength-lower-bound-only-unbounded",
+      """CREATE (e:N {n: 'e'}), (a:N {n: 'a'}), (b:N {n: 'b'}),
+        |(c:N {n: 'c'}), (e)-[:T]->(a), (a)-[:T]->(b), (b)-[:T]->(c)""".stripMargin,
+      "MATCH (e:N {n: 'e'})-[:T*2..]->(x) RETURN x.n AS x ORDER BY x",
+      Seq(row("x" -> "b"), row("x" -> "c")), ordered = true),
+    Scenario("varlength-mixed-direction-chain",
+      """CREATE (a:N {n: 'a'}), (b:N {n: 'b'}), (c:N {n: 'c'}),
+        |(d:N {n: 'd'}), (a)-[:T]->(b), (b)-[:T]->(c), (c)-[:S]->(d)""".stripMargin,
+      """MATCH (s)-[:T*1..2]->(c:N {n: 'c'})-[:S]->(d)
+        |RETURN s.n AS s, d.n AS d ORDER BY s""".stripMargin,
+      Seq(row("s" -> "a", "d" -> "d"), row("s" -> "b", "d" -> "d")),
+      ordered = true),
+    Scenario("unwind-does-not-remove-variables-from-scope",
+      "CREATE (:N {n: 'a'})",
+      """MATCH (a:N) UNWIND [1, 2] AS i
+        |RETURN a.n AS n, i ORDER BY i""".stripMargin,
+      Seq(row("n" -> "a", "i" -> 1L), row("n" -> "a", "i" -> 2L)),
+      ordered = true),
+    Scenario("unwinding-a-collected-expression",
+      "CREATE (:N {n: 'a'}), (:N {n: 'b'})",
+      """MATCH (x:N) WITH collect(x.n) AS ns
+        |UNWIND ns AS n RETURN n ORDER BY n""".stripMargin,
+      Seq(row("n" -> "a"), row("n" -> "b")), ordered = true),
+    Scenario("simple-pattern-with-one-bound-endpoint",
+      """CREATE (a:N {n: 'a'}), (b:N {n: 'b'}), (a)-[:T]->(b)""",
+      """MATCH (a:N {n: 'a'}) WITH a
+        |MATCH (a)-[:T]->(b) RETURN b.n AS b""".stripMargin,
+      Seq(row("b" -> "b"))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
