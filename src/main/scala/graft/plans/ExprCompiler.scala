@@ -901,6 +901,117 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       .otherwise(f(d))
   }
 
+  /** ISO day-of-week (1 = Monday … 7 = Sunday) of a date column. */
+  private def isoDowCol(d: Column): Column =
+    pmod(dayofweek(d) + lit(5), lit(7)) + 1
+
+  /** the date of ISO week-date (weekYear, week, dayOfWeek): Jan 4 is
+    * always in week 1, so Monday of week 1 = jan4 - (isoDow(jan4) - 1). */
+  private def isoWeekDate(y: Column, w: Column, dow: Column): Column = {
+    val jan4 = make_date(y, lit(1), lit(4))
+    val mondayW1 = date_sub(jan4, isoDowCol(jan4) - 1)
+    date_add(mondayW1, ((w - 1) * 7 + (dow - 1)).cast(IntegerType))
+  }
+
+  /** Cypher temporal map constructor, date half (Neo4j TemporalCreate /
+    * TemporalSelect): calendar parts (year/month/day), week-date parts
+    * (year/week/dayOfWeek), ordinal parts (year/ordinalDay), and
+    * SELECTION — a `date` entry carries base components that explicit
+    * entries override. */
+  private def dateFromMap(m: Map[String, Expr]): Column = {
+    def p(k: String): Option[Column] =
+      m.get(k).map(e => compile(e).cast(IntegerType))
+    val base = m.get("date").map(e => to_date(compile(e)))
+    def part(k: String, f: Column => Column, dflt: Int): Column =
+      p(k).orElse(base.map(b => f(b).cast(IntegerType))).getOrElse(lit(dflt))
+    if (m.contains("week") || m.contains("dayOfWeek"))
+      isoWeekDate(part("year", year, 1), p("week").getOrElse(lit(1)),
+        p("dayOfWeek").getOrElse(lit(1)))
+    else if (m.contains("ordinalDay"))
+      date_add(make_date(part("year", year, 1), lit(1), lit(1)),
+        p("ordinalDay").getOrElse(lit(1)) - 1)
+    else
+      make_date(part("year", year, 1), part("month", month, 1),
+        part("day", dayofmonth, 1))
+  }
+
+  /** (year, month, day) columns for a timestamp map constructor —
+    * derived through [[dateFromMap]] so week/ordinal/selection forms
+    * work for datetimes too. */
+  private def datePartsFromMap(m: Map[String, Expr]): Seq[Column] = {
+    val d = dateFromMap(m)
+    Seq(year(d), month(d), dayofmonth(d))
+  }
+
+  /** (hour, minute, second-with-fraction) columns for a timestamp map
+    * constructor; a base `date` entry that is itself a timestamp
+    * contributes its time-of-day, explicit entries override. */
+  private def timePartsFromMap(m: Map[String, Expr]): Seq[Column] = {
+    def p(k: String): Option[Column] =
+      m.get(k).map(e => compile(e).cast(IntegerType))
+    val baseTs: Option[Column] = m.get("date").flatMap { e =>
+      typeOf(e) match {
+        case TimestampType | TimestampNTZType => Some(compile(e))
+        case _ => None
+      }
+    }
+    def part(k: String, f: Column => Column): Column =
+      p(k).orElse(baseTs.map(b => f(b).cast(IntegerType))).getOrElse(lit(0))
+    val secWhole = part("second", second)
+    val frac = (m.get("millisecond").map(e =>
+        compile(e).cast(DecimalType(16, 6)) / 1000)
+      .toSeq ++ m.get("microsecond").map(e =>
+        compile(e).cast(DecimalType(16, 6)) / 1000000))
+      .foldLeft(lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6)))(_ + _)
+    Seq(part("hour", hour), part("minute", minute),
+      (secWhole.cast(DecimalType(16, 6)) + frac).cast(DecimalType(16, 6)))
+  }
+
+  /** truncation units Spark's date_trunc lacks (Neo4j
+    * TemporalTruncateAcceptance): decade, century, millennium (floor of
+    * the year digit), weekYear (Monday of week 1 of the ISO week-based
+    * year). None → unit handled by date_trunc. */
+  private def truncSpecial(unit: String, c: Column): Option[Column] =
+    unit.toLowerCase match {
+      case "decade" => Some(make_date(
+        (floor(year(c) / 10) * 10).cast(IntegerType), lit(1), lit(1)))
+      case "century" => Some(make_date(
+        (floor(year(c) / 100) * 100).cast(IntegerType), lit(1), lit(1)))
+      case "millennium" => Some(make_date(
+        (floor(year(c) / 1000) * 1000).cast(IntegerType), lit(1), lit(1)))
+      case "weekyear" =>
+        val d = c.cast(DateType)
+        val wy = year(date_add(d, lit(4) - isoDowCol(d)))
+        Some(isoWeekDate(wy, lit(1), lit(1)))
+      case _ => None
+    }
+
+  /** ISO-8601 date forms Neo4j accepts that Spark's DATE cast rejects:
+    * week dates (2015-W30-2, 2015W302, 2015-W30), ordinal dates
+    * (2015-202, 2015202), compact (20150721), year-month (2015-07),
+    * bare year. */
+  private[plans] def parseIsoDate(s0: String): java.time.LocalDate = {
+    import java.time.LocalDate
+    import java.time.format.DateTimeFormatter
+    val s = s0.trim
+    if (s.matches("\\d{4}-?W\\d{2}(-?\\d)?")) {
+      val norm0 = if (s.contains("-W")) s
+        else s.substring(0, 4) + "-" + s.substring(4)
+      val norm1 = norm0.replaceAll("W(\\d{2})(\\d)$", "W$1-$2")
+      val norm = if (norm1.matches(".*W\\d{2}$")) norm1 + "-1" else norm1
+      LocalDate.parse(norm, DateTimeFormatter.ISO_WEEK_DATE)
+    }
+    else if (s.matches("\\d{4}-\\d{3}"))
+      LocalDate.ofYearDay(s.take(4).toInt, s.drop(5).toInt)
+    else if (s.matches("\\d{7}"))
+      LocalDate.ofYearDay(s.take(4).toInt, s.drop(4).toInt)
+    else if (s.matches("\\d{8}"))
+      LocalDate.parse(s, DateTimeFormatter.BASIC_ISO_DATE)
+    else if (s.matches("\\d{4}-\\d{2}")) LocalDate.parse(s + "-01")
+    else if (s.matches("\\d{4}")) LocalDate.of(s.toInt, 1, 1)
+    else LocalDate.parse(s)
+  }
+
   /** date ± calendar duration: months then days applied, sub-day
     * components ignored (Neo4j date arithmetic). */
   private def dateAddInterval(d: Column, i: Column, sign: Int): Column = {
@@ -1120,7 +1231,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             .when(a0.getField("@k") === 2, a0.getField("f").cast(StringType))
             .when(a0.getField("@k") === 3, a0.getField("s"))
             .when(a0.getField("@k") === 4, a0.getField("b").cast(StringType))
-        else a0.cast(StringType)
+        else typeOf(f.args(0)) match {
+          // datetimes render ISO-8601 ('T' separator, Neo4j form) —
+          // Spark's cast uses a space
+          case TimestampType | TimestampNTZType =>
+            regexp_replace(a0.cast(StringType), lit(" "), lit("T"))
+          case _ => a0.cast(StringType)
+        }
       case "tointeger" =>
         if (isMixedStruct(typeOf(f.args(0))))
           when(a0.getField("@k") === 1, a0.getField("i"))
@@ -1385,12 +1502,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "date" =>
         if (f.args.isEmpty) current_date()
         else f.args.head match {
-          case MapLit(items) =>
-            val m = items.toMap
-            def part(k: String, dflt: Int) =
-              m.get(k).map(e => compile(e).cast(IntegerType))
-                .getOrElse(lit(dflt))
-            make_date(part("year", 1), part("month", 1), part("day", 1))
+          case MapLit(items) => dateFromMap(items.toMap)
+          case StringLit(s) => lit(java.sql.Date.valueOf(parseIsoDate(s)))
           case _ => to_date(a0)
         }
       // localdatetime is TIMESTAMP WITHOUT time zone, datetime is the
@@ -1401,27 +1514,24 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         else f.args.head match {
           case MapLit(items) =>
             val m = items.toMap
-            def part(k: String, dflt: Int) =
-              m.get(k).map(e => compile(e).cast(IntegerType))
-                .getOrElse(lit(dflt))
-            make_timestamp_ntz(part("year", 1), part("month", 1),
-              part("day", 1), part("hour", 0), part("minute", 0),
-              m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
-                .getOrElse(lit(java.math.BigDecimal.ZERO)))
+            val dp = datePartsFromMap(m); val tp = timePartsFromMap(m)
+            make_timestamp_ntz(dp(0), dp(1), dp(2), tp(0), tp(1), tp(2))
           case _ => to_timestamp_ntz(a0)
         }
       case "datetime" =>
         if (f.args.isEmpty) current_timestamp()
         else f.args.head match {
+          // epoch construction (Neo4j TemporalCreate epochMillis/Seconds)
+          case MapLit(items) if items.exists(_._1 == "epochMillis") =>
+            timestamp_millis(
+              compile(items.toMap.apply("epochMillis")).cast(LongType))
+          case MapLit(items) if items.exists(_._1 == "epochSeconds") =>
+            timestamp_seconds(
+              compile(items.toMap.apply("epochSeconds")).cast(LongType))
           case MapLit(items) =>
             val m = items.toMap
-            def part(k: String, dflt: Int) =
-              m.get(k).map(e => compile(e).cast(IntegerType))
-                .getOrElse(lit(dflt))
-            make_timestamp(part("year", 1), part("month", 1), part("day", 1),
-              part("hour", 0), part("minute", 0),
-              m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
-                .getOrElse(lit(java.math.BigDecimal.ZERO)))
+            val dp = datePartsFromMap(m); val tp = timePartsFromMap(m)
+            make_timestamp(dp(0), dp(1), dp(2), tp(0), tp(1), tp(2))
           case _ => to_timestamp(a0)
         }
       // duration({...}) / duration('P1Y2M3DT4H5M6S') — ALWAYS
@@ -1479,13 +1589,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           (unix_timestamp(a(1).cast(TimestampType)) -
             unix_timestamp(a0.cast(TimestampType))).cast(DecimalType(18, 6)))
       case "date.truncate" =>
-        date_trunc(stringArg(f.args.head, "date.truncate"), a(1))
-          .cast(DateType)
+        val u = stringArg(f.args.head, "date.truncate")
+        truncSpecial(u, a(1)).getOrElse(date_trunc(u, a(1))).cast(DateType)
       case "datetime.truncate" =>
-        date_trunc(stringArg(f.args.head, s"${f.name}"), a(1))
+        val u = stringArg(f.args.head, s"${f.name}")
+        truncSpecial(u, a(1)).map(_.cast(TimestampType))
+          .getOrElse(date_trunc(u, a(1)))
       case "localdatetime.truncate" =>
-        date_trunc(stringArg(f.args.head, s"${f.name}"), a(1))
-          .cast(TimestampNTZType)
+        val u = stringArg(f.args.head, s"${f.name}")
+        truncSpecial(u, a(1)).map(_.cast(TimestampNTZType))
+          .getOrElse(date_trunc(u, a(1)).cast(TimestampNTZType))
       case "year" => year(a0).cast(LongType)
       case "month" => month(a0).cast(LongType)
       case "day" => dayofmonth(a0).cast(LongType)

@@ -3093,7 +3093,37 @@ class TckStyleSpec extends AnyFunSuite {
       """CREATE (a:N {n: 'a'}), (b:N {n: 'b'}), (a)-[:T]->(b)""",
       """MATCH (a:N {n: 'a'}) WITH a
         |MATCH (a)-[:T]->(b) RETURN b.n AS b""".stripMargin,
-      Seq(row("b" -> "b"))))
+      Seq(row("b" -> "b"))),
+    // batch 31 (Probe39Main): the reference blacklists its ENTIRE
+    // temporal TCK surface (920 scenarios); these shapes pass here
+    Scenario("temporal-selection-constructors", empty,
+      """RETURN date({date: date('2020-03-15'), day: 5}) AS ovr,
+        |date({date: localdatetime('2020-03-15T10:00:00')}) AS fromdt,
+        |date(localdatetime('2020-03-15T10:30:00')) AS trunc,
+        |toString(localdatetime({date: date('2020-03-15'),
+        |                        hour: 7, minute: 30})) AS comp""".stripMargin,
+      Seq(row("ovr" -> "2020-03-05", "fromdt" -> "2020-03-15",
+        "trunc" -> "2020-03-15", "comp" -> "2020-03-15T07:30:00"))),
+    Scenario("temporal-week-and-ordinal-date-forms", empty,
+      """RETURN date('2015-W30-2') AS wk, date('2015W302') AS wkc,
+        |date('2015-202') AS ord, date('20150721') AS cmp,
+        |date('2015-W30') AS wk1,
+        |date({year: 2015, week: 30, dayOfWeek: 2}) AS wmap,
+        |date({year: 2015, ordinalDay: 202}) AS omap""".stripMargin,
+      Seq(row("wk" -> "2015-07-21", "wkc" -> "2015-07-21",
+        "ord" -> "2015-07-21", "cmp" -> "2015-07-21", "wk1" -> "2015-07-20",
+        "wmap" -> "2015-07-21", "omap" -> "2015-07-21"))),
+    Scenario("temporal-truncate-large-units", empty,
+      """RETURN date.truncate('decade', date('2017-03-15')) AS dec,
+        |date.truncate('century', date('2017-03-15')) AS cen,
+        |date.truncate('millennium', date('2017-03-15')) AS mil,
+        |date.truncate('weekYear', date('2017-01-01')) AS wy""".stripMargin,
+      Seq(row("dec" -> "2010-01-01", "cen" -> "2000-01-01",
+        "mil" -> "2000-01-01", "wy" -> "2016-01-04"))),
+    Scenario("datetime-epoch-construction", empty,
+      """RETURN datetime({epochMillis: 86400000}).epochMillis AS ms,
+        |datetime({epochSeconds: 120}).epochSeconds AS s""".stripMargin,
+      Seq(row("ms" -> 86400000L, "s" -> 120L))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
