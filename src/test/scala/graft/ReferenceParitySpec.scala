@@ -25,6 +25,12 @@ import graft.api.GraftSession
   *    (any/all DO follow ternary nulls here — see EdgeSemanticsSpec.)
   *  - round() is Spark HALF_UP away from zero (round(-2.5) = -3.0);
   *    pre-5.0 Neo4j Math.round semantics would give -2.0.
+  *  - string length/indexing counts Unicode CODEPOINTS (Spark
+  *    UTF8String semantics): size('😀') = 1 where Neo4j's
+  *    Java-String backend counts UTF-16 units (2), and substring
+  *    positions index codepoints. Only astral-plane characters differ;
+  *    codepoint counting is the arguably-correct reading and keeps the
+  *    whole string stack codegen'd, so it stays. Locked below.
   *
   * Everything else in this spec is plain parity evidence on shapes the
   * probe batch exercised (simple-CASE null subject, toInteger on
@@ -151,5 +157,12 @@ class ReferenceParitySpec extends AnyFunSuite {
   test("=~ anchors with \\A..\\z: trailing newline is not forgiven") {
     assert(one("RETURN 'abc\n' =~ 'abc' AS x") == false)
     assert(one("RETURN 'abc' =~ 'abc' AS x") == true)
+  }
+  test("string length counts CODEPOINTS, not UTF-16 units (documented divergence)") {
+    // 😀 is one codepoint = two UTF-16 units; Neo4j would answer 2 / 4
+    assert(one("RETURN size('\\uD83D\\uDE00') AS n") == 1L)
+    assert(one("RETURN size('a\\uD83D\\uDE00b\\uD83D\\uDE00') AS n") == 4L)
+    // substring indexes codepoints: position 2 is the char AFTER the emoji
+    assert(one("RETURN substring('a\\uD83D\\uDE00b', 2, 1) AS s") == "b")
   }
 }
