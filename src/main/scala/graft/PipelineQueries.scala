@@ -275,9 +275,14 @@ object PipelineQueries {
     // SemDeDup semantic dedup: k-means cells (sample-trained, broadcast)
     // → within-cell dense cosine kernel → component representatives.
     // Rows-only: cluster assignment is engine-specific by design.
+    // gate runs the nClusters=1 EXACT degeneracy (distributed tiled
+    // kernel, p12's oracle-exact pair path) so the whole output is
+    // DuckDB-checkable; the clustered path (cells → in-cell kernel) is
+    // spec-locked to equal this at nClusters=1 and covered by the
+    // degeneracy + property tests
     "p34_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, nClusters = 16, trainSample = 5000)
+        threshold = 0.4, nClusters = 1, trainSample = 5000)
         .orderBy("id")),
     // unbounded BFS hop counts via GraphX Pregel (the interop scale path
     // past the Cypher shortestPath()'s bounded unroll): distance from
@@ -930,6 +935,23 @@ object PipelineQueries {
         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
         |)
         |SELECT id, min(r)::BIGINT AS cluster
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // the p18 closure over the same cosine pairs, plus the keep flag
+    "p34_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+        |), edges AS (
+        |  SELECT ia AS s, ib AS d FROM pairs
+        |  UNION SELECT ib AS s, ia AS d FROM pairs
+        |), reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+        |)
+        |SELECT id, min(r)::BIGINT AS cluster, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "p35_dedup_keep_best" ->
       """WITH RECURSIVE toks AS (

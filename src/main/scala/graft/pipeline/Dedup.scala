@@ -333,6 +333,18 @@ object Dedup {
       : DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // nClusters = 1 is the EXACT degeneracy (every pair compared): route
+    // through the distributed tiled pair kernel instead of stuffing the
+    // whole corpus into one cell task — same answer (p12's oracle-exact
+    // path), full parallelism, and no k-means/train collect at all
+    if (nClusters <= 1) {
+      val pairs = embeddingNearDup(emb, idCol, vecCol, threshold, roundTo)
+        .select(col("id_a"), col("id_b"))
+      return connectedComponents(emb.select(col(idCol)), idCol, pairs,
+          "id_a", "id_b")
+        .select(col("id"), col("cluster"),
+          (col("id") === col("cluster")).as("keep"))
+    }
     val v = emb.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
       .as[(Long, Array[Double])]
