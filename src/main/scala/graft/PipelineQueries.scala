@@ -156,10 +156,14 @@ object PipelineQueries {
       Similarity.blockTopK(emb(s, dir), "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))),
     // IVF (k-means inverted-file) ANN — the data-adapted scale path next
-    // to LSH (rows-only: approximate by design)
+    // to LSH. The gate probes ALL cells (nProbe = nClusters, the exact
+    // degeneracy, spec-locked ≡ blockTopK) so the full IVF machinery —
+    // train, assign, secondary-sort probe — runs end-to-end with a
+    // DuckDB-checkable exact answer; partial-probe recall behavior is
+    // covered by PipelineSpec
     "p15_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
-        nClusters = 32, nProbe = 4, trainSample = 5000)
+        nClusters = 32, nProbe = 32, trainSample = 5000)
         .orderBy(col("qid"), col("rank"))),
     // PII redaction: typed placeholder tokens + per-class audit counts —
     // RE2-compatible patterns so the DuckDB oracle reproduces byte-for-byte
@@ -903,6 +907,18 @@ object PipelineQueries {
         |    AS digit_ratio
         |FROM toks ORDER BY doc_id""".stripMargin,
     "p4_ann_topk" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+        |                b.vec_id) AS INT) AS rank
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id <> b.vec_id
+        |QUALIFY rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // the IVF gate probes all cells (exact degeneracy) → same answer as
+    // the exact brute-force top-k
+    "p15_ann_ivf" ->
       """SELECT a.vec_id AS qid, b.vec_id AS nid,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
         |  CAST(row_number() OVER (PARTITION BY a.vec_id
