@@ -1310,7 +1310,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           (sLabelCols.toSeq.map { case (l, c) => col(s"`$c`").as(sLabels(l)) } ++
             sPropCols.toSeq.map { case (k, c) => col(s"`$c`").as(sProps(k)) }))
       }
-      t.df.select(sel: _*)
+      // the undirected orientation pair (two hits over one symmetric
+      // table): a self-loop appears identically in both — keep only the
+      // forward copy (same rule as orientedRelScan)
+      val noLoop =
+        if (!forward && hits.size == 2)
+          t.df.where(col(s"`${t.srcIdCol}`") =!= col(s"`${t.dstIdCol}`"))
+        else t.df
+      noLoop.select(sel: _*)
     }
 
     val probe = hits.map { case (t, fwd) => probeFor(t, fwd) }
@@ -1521,9 +1528,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         .withColumn(travSrc, col(s"`${scan.dstCol}`"))
         .withColumn(travDst, col(s"`${scan.srcCol}`"))
       case Undirected =>
+        // a SELF-LOOP's two orientations are the same (r, src, dst)
+        // binding — keep only the forward copy or the loop matches twice
+        // (Neo4j "matches an undirected cyclic relationship": one row)
         base.withColumn(travSrc, col(s"`${scan.srcCol}`"))
           .withColumn(travDst, col(s"`${scan.dstCol}`"))
           .unionByName(base
+            .where(col(s"`${scan.srcCol}`") =!= col(s"`${scan.dstCol}`"))
             .withColumn(travSrc, col(s"`${scan.dstCol}`"))
             .withColumn(travDst, col(s"`${scan.srcCol}`")))
     }
@@ -1672,7 +1683,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           .withColumn(tSrc, col(s"`$dst`")).withColumn(tDst, col(s"`$src`"))
         case Undirected => renamed
           .withColumn(tSrc, col(s"`$src`")).withColumn(tDst, col(s"`$dst`"))
-          .unionByName(renamed
+          // self-loops: both orientations are the same binding — forward
+          // copy only (same rule as orientedRelScan)
+          .unionByName(renamed.where(col(s"`$src`") =!= col(s"`$dst`"))
             .withColumn(tSrc, col(s"`$dst`")).withColumn(tDst, col(s"`$src`")))
       }
       (oriented, rb, tSrc, tDst)

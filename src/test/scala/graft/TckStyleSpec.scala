@@ -3123,7 +3123,23 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("datetime-epoch-construction", empty,
       """RETURN datetime({epochMillis: 86400000}).epochMillis AS ms,
         |datetime({epochSeconds: 120}).epochSeconds AS s""".stripMargin,
-      Seq(row("ms" -> 86400000L, "s" -> 120L))))
+      Seq(row("ms" -> 86400000L, "s" -> 120L))),
+    // batch 32: undirected self-loops match ONCE (reference MatchTests
+    // "matches an undirected cyclic relationship"; both orientations of
+    // a loop are the same (r, src, dst) binding)
+    Scenario("undirected-selfloop-matches-once",
+      "CREATE (a:N {n: 'a'}), (a)-[:L {w: 9}]->(a)",
+      "MATCH (x:N)-[r:L]-(y) RETURN x.n AS x, y.n AS y, r.w AS w",
+      Seq(row("x" -> "a", "y" -> "a", "w" -> 9L))),
+    Scenario("undirected-nonloop-still-both-orientations",
+      "CREATE (a:N {n: 'a'})-[:T]->(b:N {n: 'b'})",
+      "MATCH (x:N)-[:T]-(y:N) RETURN x.n AS x ORDER BY x",
+      Seq(row("x" -> "a"), row("x" -> "b")), ordered = true),
+    Scenario("undirected-varlength-selfloop-once",
+      "CREATE (a:N {n: 'a'}), (b:N {n: 'b'}), (a)-[:T]->(a), (a)-[:T]->(b)",
+      // 1 hop: b—a; 2 hops: b—a then the loop (each loop traversal ONCE)
+      "MATCH (s:N {n: 'b'})-[:T*1..2]-(x) RETURN x.n AS x, count(*) AS c",
+      Seq(row("x" -> "a", "c" -> 2L))))
 
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
