@@ -138,6 +138,30 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSeq === Seq("Alice", "Bob"))
   }
 
+  // reference CatalogDDLTests "supports simple nested CATALOG CREATE
+  // VIEW in a query": view invocations compose as arguments, and a graph
+  // and a view with the same name coexist (each resolves by usage form)
+  test("nested view invocation and graph/view name coexistence") {
+    gs.register("nv_a", gs.createGraphFromCypher("CREATE (:A {val: 0})"))
+    gs.cypherStatement(
+      """CATALOG CREATE VIEW nv_inc($g1) {
+        | FROM GRAPH $g1
+        | MATCH (x:A)
+        | CONSTRUCT NEW (:A {val: x.val + 1})
+        | RETURN GRAPH
+        |}""".stripMargin, Map.empty)
+    val v = gs.cypherStatement(
+      "FROM GRAPH nv_inc(nv_inc(nv_inc(nv_inc(nv_a)))) MATCH (n) RETURN n.val AS v",
+      Map.empty).collect().map(_.getLong(0)).toSeq
+    assert(v === Seq(4L))
+    gs.register("nv_inc", gs.createGraphFromCypher("CREATE (:B {z: 7})"))
+    assert(gs.cypherStatement("FROM GRAPH nv_inc MATCH (n:B) RETURN n.z AS z",
+      Map.empty).collect().head.getLong(0) === 7L)
+    assert(gs.cypherStatement(
+      "FROM GRAPH nv_inc(nv_a) MATCH (n:A) RETURN n.val AS v",
+      Map.empty).collect().head.getLong(0) === 1L)
+  }
+
   // reference MultipleGraphTests "matches from different graphs":
   // bindings persist across a FROM GRAPH switch, so patterns matched in
   // different graphs combine in one result row
