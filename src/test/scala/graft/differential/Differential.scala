@@ -1,0 +1,922 @@
+package graft.differential
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized differential testing harness (author-blind bug hunting).
+  *
+  * Generates random small property graphs plus random queries from a
+  * constrained Cypher grammar as a generator-owned AST, renders the query
+  * text for the engine, and evaluates the SAME AST directly with a naive
+  * row-at-a-time interpreter over the in-memory graph model — two
+  * independent execution paths whose results must agree. Precedent: the
+  * reference's value/type generators
+  * (okapi-api/src/test/scala/org/opencypher/okapi/api/value/GenCypherValue.scala,
+  * okapi-api/.../types/TypeLawsTest.scala), extended from value generation
+  * to full-query differential execution.
+  *
+  * Determinism-by-construction decisions:
+  *  - Double property values are dyadic rationals (n/2 with n ≤ 6) so every
+  *    sum/avg either engine computes is exact in IEEE double → string-exact
+  *    comparison, no epsilon.
+  *  - Every node/rel carries a unique `uid`, and whenever SKIP/LIMIT is
+  *    generated the ORDER BY covers ALL returned aliases, so any tie group
+  *    holds identical rows and every cut yields the same multiset.
+  *  - collect() output order is unspecified → those aliases compare as
+  *    multisets (elements sorted by canonical rendering on both sides).
+  *  - Property keys are type-stable corpus-wide (k,w,uid: integer; s:
+  *    string; f: double; b: boolean) so grouping/ordering never hits the
+  *    deliberately-divergent cross-family global sort corners; cross-family
+  *    COMPARISONS are still generated (small p) because `=`/`<>` have
+  *    defined Cypher semantics (false/true) across families.
+  */
+object Model {
+
+  final case class MNode(id: Long, labels: Set[String], props: Map[String, Any])
+  final case class MRel(id: Long, src: Long, dst: Long, typ: String,
+      props: Map[String, Any])
+
+  final case class MGraph(nodes: Vector[MNode], rels: Vector[MRel]) {
+    def node(id: Long): MNode = nodes(id.toInt)
+    def toCreate: String = {
+      val sb = new StringBuilder
+      nodes.foreach { n =>
+        val lbl = n.labels.toSeq.sorted.map(":" + _).mkString
+        sb ++= s"CREATE (v${n.id}$lbl ${renderPropMap(n.props)})\n"
+      }
+      rels.foreach { r =>
+        sb ++= s"CREATE (v${r.src})-[:${r.typ} ${renderPropMap(r.props)}]->(v${r.dst})\n"
+      }
+      sb.toString
+    }
+  }
+
+  def renderLit(v: Any): String = v match {
+    case null => "null"
+    case l: Long => l.toString
+    case d: Double => d.toString // dyadic values round-trip exactly
+    case s: String => s"'$s'" // corpus strings are [a-z]+, no escaping
+    case b: Boolean => b.toString
+  }
+
+  def renderPropMap(m: Map[String, Any]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k: ${renderLit(v)}" }
+      .mkString("{", ", ", "}")
+
+  // ------------------------------------------------------------ query AST
+  sealed trait Dir
+  case object Out extends Dir
+  case object In extends Dir
+  case object Und extends Dir
+
+  final case class NodeP(v: String, label: Option[String],
+      propEq: Map[String, Any])
+  final case class RelP(v: String, typ: Option[String], dir: Dir)
+  final case class Chain(first: NodeP, hops: List[(RelP, NodeP)])
+  final case class MatchC(chains: List[Chain], optional: Boolean,
+      where: Option[BE])
+
+  sealed trait VE
+  final case class PropE(v: String, key: String) extends VE
+  final case class VarE(v: String) extends VE // UNWIND value variable
+  final case class LitE(value: Any) extends VE
+  final case class ArithE(op: String, l: VE, r: VE) extends VE
+  final case class FnE(fn: String, v: String) extends VE // labels | type
+
+  sealed trait BE
+  final case class CmpE(op: String, l: VE, r: VE) extends BE
+  final case class IsNullE(e: VE, not: Boolean) extends BE
+  final case class InE(e: VE, list: List[Any]) extends BE
+  final case class HasLabelE(v: String, label: String) extends BE
+  final case class AndE(l: BE, r: BE) extends BE
+  final case class OrE(l: BE, r: BE) extends BE
+  final case class XorE(l: BE, r: BE) extends BE
+  final case class NotE(e: BE) extends BE
+
+  sealed trait RetItem { def alias: String }
+  final case class ValItem(e: VE, alias: String) extends RetItem
+  final case class AggItem(fn: String, arg: Option[VE], distinct: Boolean,
+      alias: String) extends RetItem
+
+  final case class Ret(distinct: Boolean, items: List[RetItem],
+      orderBy: List[(String, Boolean)], skip: Option[Int], limit: Option[Int])
+
+  final case class Unwind(v: String, list: List[Any])
+
+  final case class Query(lead: Option[Unwind], matches: List[MatchC],
+      trail: Option[Unwind], ret: Ret) {
+
+    private def referencedVars: Set[String] = {
+      val b = Set.newBuilder[String]
+      def ve(e: VE): Unit = e match {
+        case PropE(v, _) => b += v
+        case VarE(v) => b += v
+        case FnE(_, v) => b += v
+        case ArithE(_, l, r) => ve(l); ve(r)
+        case LitE(_) =>
+      }
+      def be(e: BE): Unit = e match {
+        case CmpE(_, l, r) => ve(l); ve(r)
+        case IsNullE(x, _) => ve(x)
+        case InE(x, _) => ve(x)
+        case HasLabelE(v, _) => b += v
+        case AndE(l, r) => be(l); be(r)
+        case OrE(l, r) => be(l); be(r)
+        case XorE(l, r) => be(l); be(r)
+        case NotE(x) => be(x)
+      }
+      matches.flatMap(_.where).foreach(be)
+      ret.items.foreach {
+        case ValItem(e, _) => ve(e)
+        case AggItem(_, a, _, _) => a.foreach(ve)
+      }
+      b.result()
+    }
+
+    private def renderVE(e: VE): String = e match {
+      case PropE(v, k) => s"$v.$k"
+      case VarE(v) => v
+      case LitE(x) => renderLit(x)
+      case ArithE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
+      case FnE(fn, v) => s"$fn($v)"
+    }
+
+    private def renderBE(e: BE): String = e match {
+      case CmpE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
+      case IsNullE(x, false) => s"(${renderVE(x)} IS NULL)"
+      case IsNullE(x, true) => s"(${renderVE(x)} IS NOT NULL)"
+      case InE(x, xs) =>
+        s"(${renderVE(x)} IN ${xs.map(renderLit).mkString("[", ", ", "]")})"
+      case HasLabelE(v, l) => s"($v:$l)"
+      case AndE(l, r) => s"(${renderBE(l)} AND ${renderBE(r)})"
+      case OrE(l, r) => s"(${renderBE(l)} OR ${renderBE(r)})"
+      case XorE(l, r) => s"(${renderBE(l)} XOR ${renderBE(r)})"
+      case NotE(x) => s"(NOT ${renderBE(x)})"
+    }
+
+    def render: String = {
+      val refd = referencedVars
+      def nodeP(np: NodeP): String = {
+        val lbl = np.label.map(":" + _).getOrElse("")
+        val pm = if (np.propEq.isEmpty) "" else " " + renderPropMap(np.propEq)
+        s"(${np.v}$lbl$pm)"
+      }
+      def relP(rp: RelP): String = {
+        val name = if (refd(rp.v)) rp.v else ""
+        val typ = rp.typ.map(":" + _).getOrElse("")
+        val inner = s"[$name$typ]"
+        rp.dir match {
+          case Out => s"-$inner->"
+          case In => s"<-$inner-"
+          case Und => s"-$inner-"
+        }
+      }
+      def chain(c: Chain): String =
+        nodeP(c.first) + c.hops.map { case (r, n) => relP(r) + nodeP(n) }.mkString
+      val sb = new StringBuilder
+      lead.foreach { u =>
+        sb ++= s"UNWIND ${u.list.map(renderLit).mkString("[", ", ", "]")} AS ${u.v}\n"
+      }
+      matches.foreach { mc =>
+        if (mc.optional) sb ++= "OPTIONAL "
+        sb ++= "MATCH " + mc.chains.map(chain).mkString(", ") + "\n"
+        mc.where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
+      }
+      trail.foreach { u =>
+        sb ++= s"UNWIND ${u.list.map(renderLit).mkString("[", ", ", "]")} AS ${u.v}\n"
+      }
+      sb ++= "RETURN "
+      if (ret.distinct) sb ++= "DISTINCT "
+      sb ++= ret.items.map {
+        case ValItem(e, a) => s"${renderVE(e)} AS $a"
+        case AggItem("count*", _, _, a) => s"count(*) AS $a"
+        case AggItem(fn, arg, d, a) =>
+          val dd = if (d) "DISTINCT " else ""
+          s"$fn($dd${renderVE(arg.get)}) AS $a"
+      }.mkString(", ")
+      if (ret.orderBy.nonEmpty)
+        sb ++= "\nORDER BY " + ret.orderBy.map { case (a, asc) =>
+          s"$a ${if (asc) "ASC" else "DESC"}"
+        }.mkString(", ")
+      ret.skip.foreach(n => sb ++= s"\nSKIP $n")
+      ret.limit.foreach(n => sb ++= s"\nLIMIT $n")
+      sb.toString
+    }
+
+    /** aliases whose values are lists with unspecified element order */
+    def multisetAliases: Set[String] = ret.items.collect {
+      case AggItem("collect", _, _, a) => a
+    }.toSet
+  }
+}
+
+/** Naive row-at-a-time reference interpreter over the graph model. Written
+  * deliberately in the most direct style possible (nested loops over
+  * Vectors, ternary logic as Option[Boolean]) so it shares nothing with the
+  * DataFrame planner it checks.
+  */
+object NaiveEval {
+  import Model._
+
+  type Binding = Map[String, Any] // MNode | MRel | scalar | null
+
+  // ---- value equality (Cypher): numbers cross-type numeric, cross-family
+  // equality is definite false, null is unknown
+  def valueEq(a: Any, b: Any): Option[Boolean] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Long, y: Long) => Some(x == y)
+    case (x: Long, y: Double) => Some(x.toDouble == y)
+    case (x: Double, y: Long) => Some(x == y.toDouble)
+    case (x: Double, y: Double) => Some(x == y)
+    case (x: String, y: String) => Some(x == y)
+    case (x: Boolean, y: Boolean) => Some(x == y)
+    case (x: List[_], y: List[_]) =>
+      if (x.size != y.size) Some(false)
+      else {
+        val elems = x.zip(y).map { case (xe, ye) => valueEq(xe, ye) }
+        if (elems.forall(_.contains(true))) Some(true)
+        else if (elems.exists(_.contains(false))) Some(false)
+        else None
+      }
+    case _ => Some(false)
+  }
+
+  // ---- ordering comparisons: only within a family (numbers cross-type);
+  // anything else (including lists — compound values) is unknown
+  def valueCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** grouping / DISTINCT key: numeric equivalence (1 ≡ 1.0) */
+  def normKey(v: Any): Any = v match {
+    case l: Long => l.toDouble
+    case xs: List[_] => xs.map(normKey)
+    case other => other
+  }
+
+  def evalV(r: Binding, e: VE): Any = e match {
+    case PropE(v, k) => r.getOrElse(v, null) match {
+      case null => null
+      case n: MNode => n.props.getOrElse(k, null)
+      case rel: MRel => rel.props.getOrElse(k, null)
+      case _ => null
+    }
+    case VarE(v) => r.getOrElse(v, null)
+    case LitE(x) => x
+    case FnE("labels", v) => r.getOrElse(v, null) match {
+      case n: MNode => n.labels.toList.sorted
+      case _ => null
+    }
+    case FnE("type", v) => r.getOrElse(v, null) match {
+      case rel: MRel => rel.typ
+      case _ => null
+    }
+    case FnE(fn, _) => sys.error(s"naive: unknown fn $fn")
+    case ArithE(op, le, re) =>
+      (evalV(r, le), evalV(r, re)) match {
+        case (null, _) | (_, null) => null
+        case (x: String, y: String) if op == "+" => x + y
+        case (x: Long, y: Long) => op match {
+          case "+" => x + y
+          case "-" => x - y
+          case "*" => x * y
+        }
+        case (a, b) =>
+          val x = a match { case l: Long => l.toDouble; case d: Double => d }
+          val y = b match { case l: Long => l.toDouble; case d: Double => d }
+          op match {
+            case "+" => x + y
+            case "-" => x - y
+            case "*" => x * y
+          }
+      }
+  }
+
+  def evalB(r: Binding, e: BE): Option[Boolean] = e match {
+    case CmpE(op, le, re) =>
+      val (a, b) = (evalV(r, le), evalV(r, re))
+      op match {
+        case "=" => valueEq(a, b)
+        case "<>" => valueEq(a, b).map(!_)
+        case _ => valueCmp(a, b).map { c =>
+          op match {
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          }
+        }
+      }
+    case IsNullE(x, not) =>
+      val isNull = evalV(r, x) == null
+      Some(if (not) !isNull else isNull)
+    case InE(x, xs) =>
+      if (xs.isEmpty) Some(false)
+      else {
+        val v = evalV(r, x)
+        val elems = xs.map(valueEq(v, _))
+        if (elems.exists(_.contains(true))) Some(true)
+        else if (elems.exists(_.isEmpty)) None
+        else Some(false)
+      }
+    case HasLabelE(v, l) => r.getOrElse(v, null) match {
+      case n: MNode => Some(n.labels.contains(l))
+      case null => None
+      case _ => Some(false)
+    }
+    case AndE(l, rr) => (evalB(r, l), evalB(r, rr)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case OrE(l, rr) => (evalB(r, l), evalB(r, rr)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case XorE(l, rr) => (evalB(r, l), evalB(r, rr)) match {
+      case (Some(a), Some(b)) => Some(a ^ b)
+      case _ => None
+    }
+    case NotE(x) => evalB(r, x).map(!_)
+  }
+
+  // ------------------------------------------------------- pattern match
+  private def nodeOk(n: MNode, np: NodeP): Boolean =
+    np.label.forall(n.labels.contains) &&
+      np.propEq.forall { case (k, v) =>
+        n.props.get(k).exists(pv => valueEq(pv, v).contains(true))
+      }
+
+  /** all extensions of `row` matching every chain of one MATCH clause, with
+    * relationship uniqueness across the whole clause (rels bound by EARLIER
+    * clauses do not participate)
+    */
+  private def matchChains(g: MGraph, row: Binding,
+      chains: List[Chain]): List[Binding] = {
+    def extendChain(state: (Binding, Set[Long]), chain: Chain)
+        : List[(Binding, Set[Long])] = {
+      val (row0, used0) = state
+      val firstCands: List[MNode] = row0.get(chain.first.v) match {
+        case Some(n: MNode) => if (nodeOk(n, chain.first)) List(n) else Nil
+        case Some(_) => Nil
+        case None => g.nodes.filter(nodeOk(_, chain.first)).toList
+      }
+      var acc = firstCands.map(n => (row0 + (chain.first.v -> n), used0))
+      var prevVar = chain.first.v
+      for ((rp, np) <- chain.hops) {
+        acc = acc.flatMap { case (r, used) =>
+          val cur = r(prevVar).asInstanceOf[MNode]
+          val cands: List[(MRel, MNode)] = g.rels.iterator
+            .filter(rel => rp.typ.forall(_ == rel.typ) && !used(rel.id))
+            .flatMap { rel =>
+              rp.dir match {
+                case Out =>
+                  if (rel.src == cur.id) List((rel, g.node(rel.dst))) else Nil
+                case In =>
+                  if (rel.dst == cur.id) List((rel, g.node(rel.src))) else Nil
+                case Und =>
+                  // a self-loop is ONE undirected match, not two
+                  val fwd = if (rel.src == cur.id)
+                    List((rel, g.node(rel.dst))) else Nil
+                  val bwd = if (rel.dst == cur.id && rel.src != rel.dst)
+                    List((rel, g.node(rel.src))) else Nil
+                  fwd ++ bwd
+              }
+            }.toList
+          cands.flatMap { case (rel, nxt) =>
+            if (!nodeOk(nxt, np)) Nil
+            else r.get(np.v) match {
+              case Some(bound: MNode) if bound.id != nxt.id => Nil
+              case Some(_: MRel) => Nil
+              case _ =>
+                List((r + (rp.v -> rel) + (np.v -> nxt), used + rel.id))
+            }
+          }
+        }
+        prevVar = np.v
+      }
+      acc
+    }
+    chains.foldLeft(List((row, Set.empty[Long]))) { (accRows, chain) =>
+      accRows.flatMap(extendChain(_, chain))
+    }.map(_._1)
+  }
+
+  private def clauseVars(mc: MatchC): Set[String] =
+    mc.chains.flatMap(c =>
+      c.first.v :: c.hops.flatMap { case (r, n) => List(r.v, n.v) }).toSet
+
+  def run(g: MGraph, q: Query): List[List[Any]] = {
+    var rows: List[Binding] = List(Map.empty)
+    def unwind(u: Unwind): Unit =
+      rows = rows.flatMap(r => u.list.map(v => r + (u.v -> v)))
+    q.lead.foreach(unwind)
+    q.matches.foreach { mc =>
+      rows = rows.flatMap { row =>
+        val ext = matchChains(g, row, mc.chains)
+        val kept = mc.where match {
+          case Some(w) => ext.filter(r => evalB(r, w).contains(true))
+          case None => ext
+        }
+        if (mc.optional && kept.isEmpty) {
+          val fresh = clauseVars(mc) -- row.keySet
+          List(row ++ fresh.map(_ -> (null: Any)))
+        } else kept
+      }
+    }
+    q.trail.foreach(unwind)
+    project(rows, q.ret)
+  }
+
+  // ----------------------------------------------------------- RETURN
+  private def veFamily(e: VE): Char = e match {
+    case PropE(_, "f") => 'D'
+    case PropE(_, "s") => 'S'
+    case PropE(_, "b") => 'B'
+    case PropE(_, _) => 'L' // uid, k, w
+    case VarE(_) => 'L' // unwind lists are integer-valued
+    case LitE(_: Double) => 'D'
+    case LitE(_: String) => 'S'
+    case LitE(_: Boolean) => 'B'
+    case LitE(_) => 'L'
+    case FnE("type", _) => 'S'
+    case FnE(_, _) => 'X'
+    case ArithE(_, l, r) =>
+      val (a, b) = (veFamily(l), veFamily(r))
+      if (a == 'S' || b == 'S') 'S' else if (a == 'D' || b == 'D') 'D' else 'L'
+  }
+
+  private def dedupeByKey(vs: List[Any]): List[Any] = {
+    val seen = scala.collection.mutable.HashSet.empty[Any]
+    vs.filter(v => seen.add(normKey(v)))
+  }
+
+  private def aggValue(fn: String, distinct: Boolean, arg: Option[VE],
+      argVals: List[Any], rowCount: Int): Any = fn match {
+    case "count*" => rowCount.toLong
+    case "count" =>
+      val nn = argVals.filter(_ != null)
+      (if (distinct) dedupeByKey(nn) else nn).size.toLong
+    case "sum" =>
+      val nn0 = argVals.filter(_ != null)
+      val nn = if (distinct) dedupeByKey(nn0) else nn0
+      if (veFamily(arg.get) == 'D')
+        nn.map { case d: Double => d; case l: Long => l.toDouble }.sum
+      else nn.map(_.asInstanceOf[Long]).sum
+    case "avg" =>
+      val nn0 = argVals.filter(_ != null)
+      val nn = if (distinct) dedupeByKey(nn0) else nn0
+      if (nn.isEmpty) null
+      else {
+        val s = nn.map {
+          case d: Double => d; case l: Long => l.toDouble
+        }.sum
+        s / nn.size
+      }
+    case "min" | "max" =>
+      val nn0 = argVals.filter(_ != null)
+      val nn = if (distinct) dedupeByKey(nn0) else nn0
+      if (nn.isEmpty) null
+      else nn.reduce { (a, b) =>
+        val c = valueCmp(a, b).getOrElse(0)
+        if (fn == "min") (if (c <= 0) a else b) else (if (c >= 0) a else b)
+      }
+    case "collect" =>
+      val nn = argVals.filter(_ != null)
+      if (distinct) dedupeByKey(nn) else nn
+  }
+
+  private def project(rows: List[Binding], ret: Ret): List[List[Any]] = {
+    val hasAgg = ret.items.exists(_.isInstanceOf[AggItem])
+    var out: List[List[Any]] =
+      if (!hasAgg) rows.map(r => ret.items.map {
+        case ValItem(e, _) => evalV(r, e)
+        case _ => sys.error("unreachable")
+      })
+      else {
+        val keyIdx = ret.items.zipWithIndex.collect {
+          case (v: ValItem, i) => (v, i)
+        }
+        val groups = scala.collection.mutable.LinkedHashMap
+          .empty[List[Any], (List[Any], scala.collection.mutable.ListBuffer[Binding])]
+        rows.foreach { r =>
+          val raw = keyIdx.map { case (v, _) => evalV(r, v.e) }
+          val k = raw.map(normKey)
+          groups.getOrElseUpdate(k,
+            (raw, scala.collection.mutable.ListBuffer.empty)) ._2 += r
+        }
+        if (groups.isEmpty && keyIdx.isEmpty)
+          groups(Nil) = (Nil, scala.collection.mutable.ListBuffer.empty)
+        groups.values.toList.map { case (rawKeys, grpRows) =>
+          var ki = 0
+          ret.items.map {
+            case _: ValItem => val v = rawKeys(ki); ki += 1; v
+            case AggItem(fn, arg, d, _) =>
+              val argVals = arg.map(a => grpRows.toList.map(evalV(_, a)))
+                .getOrElse(Nil)
+              aggValue(fn, d, arg, argVals, grpRows.size)
+          }
+        }
+      }
+    if (ret.distinct && !hasAgg) {
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      out = out.filter(r => seen.add(r.map(normKey)))
+    }
+    if (ret.orderBy.nonEmpty) {
+      val aliasIdx = ret.items.map(_.alias).zipWithIndex.toMap
+      val keys = ret.orderBy.map { case (a, asc) => (aliasIdx(a), asc) }
+      // asc = nulls LAST, desc = nulls FIRST (Neo4j / engine semantics:
+      // reverse of the null-greatest ascending order)
+      def cmpNullGreatest(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => 1
+        case (_, null) => -1
+        case _ => valueCmp(a, b).getOrElse(0)
+      }
+      out = out.sortWith { (r1, r2) =>
+        var i = 0
+        var res = 0
+        while (res == 0 && i < keys.length) {
+          val (idx, asc) = keys(i)
+          val c = cmpNullGreatest(r1(idx), r2(idx))
+          res = if (asc) c else -c
+          i += 1
+        }
+        res < 0
+      }
+    }
+    ret.skip.foreach(n => out = out.drop(n))
+    ret.limit.foreach(n => out = out.take(n))
+    out
+  }
+}
+
+/** ScalaCheck generators for (graph, query) cases. All generators are total
+  * (no suchThat/filter) so `sample(seed)` always yields a case.
+  */
+object DiffGen {
+  import Model._
+
+  private val labels = Vector("A", "B")
+  private val relTypes = Vector("T", "S")
+  private val strVals = Vector("a", "b", "c", "d")
+
+  // ------------------------------------------------------------- graph
+  private def genProps(uid: Long): Gen[Map[String, Any]] = for {
+    hasK <- Gen.prob(0.75); k <- Gen.choose(0L, 4L)
+    hasS <- Gen.prob(0.6); s <- Gen.oneOf(strVals)
+    hasF <- Gen.prob(0.6); fn <- Gen.choose(1, 6)
+    hasB <- Gen.prob(0.5); b <- Gen.oneOf(true, false)
+  } yield {
+    var m = Map[String, Any]("uid" -> uid)
+    if (hasK) m += "k" -> k
+    if (hasS) m += "s" -> s
+    if (hasF) m += "f" -> (fn * 0.5)
+    if (hasB) m += "b" -> b
+    m
+  }
+
+  private def genNode(id: Long): Gen[MNode] = for {
+    hasA <- Gen.prob(0.6)
+    hasB <- Gen.prob(0.4)
+    props <- genProps(id)
+  } yield MNode(id, Set("A").filter(_ => hasA) ++ Set("B").filter(_ => hasB),
+    props)
+
+  private def genRel(id: Long, nNodes: Int): Gen[MRel] = for {
+    src <- Gen.choose(0, nNodes - 1)
+    dst <- Gen.choose(0, nNodes - 1)
+    typ <- Gen.frequency(7 -> Gen.const("T"), 3 -> Gen.const("S"))
+    hasW <- Gen.prob(0.8); w <- Gen.choose(0L, 4L)
+  } yield MRel(id, src, dst, typ,
+    Map[String, Any]("uid" -> (1000L + id)) ++
+      (if (hasW) Map[String, Any]("w" -> w) else Map.empty[String, Any]))
+
+  val genGraph: Gen[MGraph] = for {
+    nNodes <- Gen.choose(3, 7)
+    nodes <- Gen.sequence[Vector[MNode], MNode](
+      (0 until nNodes).map(i => genNode(i.toLong)))
+    nRels <- Gen.choose(0, 11)
+    rels <- Gen.sequence[Vector[MRel], MRel](
+      (0 until nRels).map(i => genRel(i.toLong, nNodes)))
+  } yield MGraph(nodes, rels)
+
+  // ------------------------------------------------------------- query
+  private final case class Ctx(nodeVars: List[String], relVars: List[String],
+      valVars: List[String]) {
+    def entityVars: List[String] = nodeVars ++ relVars
+  }
+
+  private def keysOf(ctx: Ctx, fam: Char): List[(String, String)] = {
+    val nk = fam match {
+      case 'L' => List("uid", "k")
+      case 'S' => List("s")
+      case 'D' => List("f")
+      case 'B' => List("b")
+    }
+    val rk = fam match {
+      case 'L' => List("uid", "w")
+      case _ => Nil
+    }
+    ctx.nodeVars.flatMap(v => nk.map(v -> _)) ++
+      ctx.relVars.flatMap(v => rk.map(v -> _))
+  }
+
+  private def genLit(fam: Char): Gen[Any] = fam match {
+    case 'L' => Gen.frequency(
+      3 -> Gen.choose(0L, 4L), 1 -> Gen.choose(0L, 12L),
+      1 -> Gen.choose(1000L, 1010L))
+    case 'S' => Gen.oneOf(strVals)
+    case 'D' => Gen.choose(1, 6).map(_ * 0.5)
+    case 'B' => Gen.oneOf(true, false)
+  }
+
+  private def genValueVE(ctx: Ctx, fam: Char): Gen[VE] = {
+    val props = keysOf(ctx, fam)
+    val leafs = props.map { case (v, k) => PropE(v, k): VE } ++
+      (if (fam == 'L') ctx.valVars.map(VarE(_): VE) else Nil)
+    if (leafs.isEmpty) genLit(fam).map(LitE)
+    else Gen.frequency(
+      7 -> Gen.oneOf(leafs),
+      3 -> genLit(fam).map(LitE))
+  }
+
+  private def genArith(ctx: Ctx): Gen[VE] = for {
+    fam <- Gen.frequency(5 -> Gen.const('L'), 3 -> Gen.const('D'),
+      2 -> Gen.const('S'))
+    op <- if (fam == 'S') Gen.const("+") else Gen.oneOf("+", "-", "*")
+    l <- genValueVE(ctx, fam)
+    // numeric mixes Long/Double sides sometimes
+    rf <- if (fam == 'D') Gen.frequency(7 -> Gen.const('D'), 3 -> Gen.const('L'))
+    else Gen.const(fam)
+    r <- genValueVE(ctx, rf)
+  } yield ArithE(op, l, r)
+
+  private def genCmp(ctx: Ctx): Gen[BE] = for {
+    fam <- Gen.frequency(5 -> Gen.const('L'), 2 -> Gen.const('S'),
+      2 -> Gen.const('D'), 1 -> Gen.const('B'))
+    op <- if (fam == 'B') Gen.oneOf("=", "<>")
+    else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+    l <- genValueVE(ctx, fam)
+    cross <- Gen.prob(0.05)
+    r <- if (cross) {
+      // cross-family comparison: = / <> are definite, orderings are null
+      val other = Vector('L', 'S', 'D', 'B').filter(_ != fam)
+      Gen.oneOf(other).flatMap(genLit).map(LitE(_): VE)
+    } else genValueVE(ctx, fam)
+  } yield CmpE(op, l, r)
+
+  private def genLeaf(ctx: Ctx): Gen[BE] = {
+    val isNullG: Gen[BE] = for {
+      fam <- Gen.oneOf('L', 'S', 'D', 'B')
+      e <- genValueVE(ctx, fam)
+      not <- Gen.oneOf(true, false)
+    } yield IsNullE(e, not)
+    val inG: Gen[BE] = for {
+      fam <- Gen.frequency(6 -> Gen.const('L'), 4 -> Gen.const('S'))
+      e <- genValueVE(ctx, fam)
+      n <- Gen.choose(0, 3)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        5 -> genLit(fam), 1 -> Gen.const(null: Any)))
+    } yield InE(e, xs)
+    val hasLabelG: Gen[BE] =
+      if (ctx.nodeVars.isEmpty) genCmp(ctx)
+      else for {
+        v <- Gen.oneOf(ctx.nodeVars)
+        l <- Gen.oneOf(labels)
+      } yield HasLabelE(v, l)
+    Gen.frequency(6 -> genCmp(ctx), 2 -> isNullG, 2 -> inG, 1 -> hasLabelG)
+  }
+
+  private def genBE(ctx: Ctx, depth: Int): Gen[BE] =
+    if (depth <= 0) genLeaf(ctx)
+    else Gen.frequency(
+      5 -> genLeaf(ctx),
+      1 -> genBE(ctx, depth - 1).map(NotE),
+      2 -> Gen.zip(genBE(ctx, depth - 1), genBE(ctx, depth - 1))
+        .map { case (a, b) => AndE(a, b) },
+      2 -> Gen.zip(genBE(ctx, depth - 1), genBE(ctx, depth - 1))
+        .map { case (a, b) => OrE(a, b) },
+      1 -> Gen.zip(genBE(ctx, depth - 1), genBE(ctx, depth - 1))
+        .map { case (a, b) => XorE(a, b) })
+
+  // one MATCH clause; returns clause + updated ctx
+  private def genMatch(ctx0: Ctx, optional: Boolean,
+      freshId: Int): Gen[(MatchC, Ctx, Int)] = {
+    var fid = freshId
+    def freshNode: String = { val v = s"n$fid"; fid += 1; v }
+    def freshRel: String = { val v = s"r$fid"; fid += 1; v }
+    def genNodeP(ctx: Ctx, allowReuse: Boolean): Gen[(NodeP, Ctx)] = for {
+      reuse <- Gen.prob(if (allowReuse && ctx.nodeVars.nonEmpty) 0.3 else 0.0)
+      v <- if (reuse) Gen.oneOf(ctx.nodeVars) else Gen.const(freshNode)
+      lbl <- Gen.frequency(5 -> Gen.const(None),
+        5 -> Gen.oneOf(labels).map(Some(_)))
+      withProp <- Gen.prob(if (reuse) 0.0 else 0.15)
+      pk <- Gen.oneOf("k", "s")
+      pv <- genLit(if (pk == "k") 'L' else 'S')
+    } yield {
+      val np = NodeP(v, lbl,
+        if (withProp) Map(pk -> pv) else Map.empty)
+      val ctx2 = if (ctx.nodeVars.contains(v)) ctx
+      else ctx.copy(nodeVars = ctx.nodeVars :+ v)
+      (np, ctx2)
+    }
+    def genChain(ctx: Ctx, allowReuse: Boolean): Gen[(Chain, Ctx)] =
+      genNodeP(ctx, allowReuse).flatMap { case (first, ctx1) =>
+        Gen.frequency(3 -> Gen.const(0), 5 -> Gen.const(1),
+          2 -> Gen.const(2)).flatMap { nHops =>
+          def hops(ctx: Ctx, n: Int,
+              acc: List[(RelP, NodeP)]): Gen[(List[(RelP, NodeP)], Ctx)] =
+            if (n == 0) Gen.const((acc.reverse, ctx))
+            else for {
+              typ <- Gen.frequency(4 -> Gen.const(None),
+                6 -> Gen.oneOf(relTypes).map(Some(_)))
+              dir <- Gen.frequency(5 -> Gen.const(Out: Dir),
+                3 -> Gen.const(In: Dir), 2 -> Gen.const(Und: Dir))
+              rv = freshRel
+              np <- genNodeP(ctx, allowReuse)
+              res <- hops(np._2.copy(relVars = np._2.relVars :+ rv), n - 1,
+                (RelP(rv, typ, dir), np._1) :: acc)
+            } yield res
+          hops(ctx1, nHops, Nil).map { case (hs, ctx2) =>
+            (Chain(first, hs), ctx2)
+          }
+        }
+      }
+    for {
+      twoChains <- Gen.prob(0.2)
+      c1 <- genChain(ctx0, allowReuse = true)
+      c2 <- if (twoChains) genChain(c1._2, allowReuse = true).map(Some(_))
+      else Gen.const(None)
+    } yield {
+      val ctxN = c2.map(_._2).getOrElse(c1._2)
+      val chains = c1._1 :: c2.map(_._1).toList
+      (MatchC(chains, optional, None), ctxN, fid)
+    }
+  }
+
+  private def genRet(ctx: Ctx): Gen[Ret] = {
+    def genItemVE: Gen[VE] = Gen.frequency(
+      6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genValueVE(ctx, _)),
+      2 -> genArith(ctx),
+      (if (ctx.nodeVars.nonEmpty) 1 else 0) ->
+        (if (ctx.nodeVars.nonEmpty)
+          Gen.oneOf(ctx.nodeVars).map(FnE("labels", _): VE)
+        else Gen.const(LitE(1L): VE)),
+      (if (ctx.relVars.nonEmpty) 1 else 0) ->
+        (if (ctx.relVars.nonEmpty)
+          Gen.oneOf(ctx.relVars).map(FnE("type", _): VE)
+        else Gen.const(LitE(1L): VE)))
+
+    def genAgg(alias: String): Gen[AggItem] = for {
+      fn <- Gen.frequency(25 -> Gen.const("count*"), 15 -> Gen.const("count"),
+        15 -> Gen.const("sum"), 10 -> Gen.const("min"),
+        10 -> Gen.const("max"), 10 -> Gen.const("avg"),
+        10 -> Gen.const("collect"), 5 -> Gen.const("countd"),
+        5 -> Gen.const("sumd"), 5 -> Gen.const("collectd"))
+      numFam <- Gen.frequency(6 -> Gen.const('L'), 4 -> Gen.const('D'))
+      anyFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
+        2 -> Gen.const('D'), 1 -> Gen.const('B'))
+      ordFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
+        2 -> Gen.const('D'), 1 -> Gen.const('B'))
+      numArg <- genValueVE(ctx, numFam)
+      anyArg <- genValueVE(ctx, anyFam)
+      ordArg <- genValueVE(ctx, ordFam)
+    } yield fn match {
+      case "count*" => AggItem("count*", None, distinct = false, alias)
+      case "count" => AggItem("count", Some(anyArg), distinct = false, alias)
+      case "countd" => AggItem("count", Some(anyArg), distinct = true, alias)
+      case "sum" => AggItem("sum", Some(numArg), distinct = false, alias)
+      case "sumd" => AggItem("sum", Some(numArg), distinct = true, alias)
+      case "avg" => AggItem("avg", Some(numArg), distinct = false, alias)
+      case "min" => AggItem("min", Some(ordArg), distinct = false, alias)
+      case "max" => AggItem("max", Some(ordArg), distinct = false, alias)
+      case "collect" =>
+        AggItem("collect", Some(anyArg), distinct = false, alias)
+      case "collectd" =>
+        AggItem("collect", Some(anyArg), distinct = true, alias)
+    }
+
+    for {
+      aggMode <- Gen.prob(0.35)
+      cut <- Gen.prob(0.25) // SKIP and/or LIMIT
+      items <- if (aggMode) for {
+        nKeys <- Gen.frequency(3 -> Gen.const(0), 5 -> Gen.const(1),
+          2 -> Gen.const(2))
+        nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
+        keys <- Gen.listOfN(nKeys,
+          Gen.frequency(8 -> Gen.oneOf('L', 'S', 'D', 'B')
+            .flatMap(genValueVE(ctx, _)), 2 -> genArith(ctx)))
+        aggs <- Gen.sequence[List[AggItem], AggItem](
+          (0 until nAggs).map(i => genAgg(s"a$i")))
+      } yield keys.zipWithIndex.map { case (e, i) =>
+        ValItem(e, s"g$i"): RetItem
+      } ++ aggs
+      else for {
+        n <- Gen.frequency(3 -> Gen.const(1), 5 -> Gen.const(2),
+          2 -> Gen.const(3))
+        ves <- Gen.listOfN(n, genItemVE)
+      } yield ves.zipWithIndex.map { case (e, i) =>
+        ValItem(e, s"c$i"): RetItem
+      }
+      distinct <- if (aggMode) Gen.const(false) else Gen.prob(0.3)
+      // drop unorderable items entirely when a deterministic cut is needed
+      items2 = if (!cut) items else items.filter {
+        case AggItem("collect", _, _, _) => false
+        case ValItem(FnE("labels", _), _) => false
+        case _ => true
+      } match {
+        case Nil => items.collect { case a@AggItem("count*", _, _, _) => a }
+          match {
+            case Nil => List(AggItem("count*", None, distinct = false, "a0"))
+            case xs => xs
+          }
+        case xs => xs
+      }
+      orderable = items2.collect {
+        case ValItem(e, a) if (e match {
+          case FnE("labels", _) => false
+          case _ => true
+        }) => a
+        case AggItem(fn, _, _, a) if fn != "collect" => a
+      }
+      wantOrder <- Gen.prob(0.45)
+      orderBy <- if (cut) {
+        // total order: ALL orderable aliases (ties ⇒ identical rows)
+        Gen.listOfN(orderable.size, Gen.oneOf(true, false))
+          .map(dirs => orderable.zip(dirs))
+      } else if (wantOrder && orderable.nonEmpty) for {
+        ks <- Gen.someOf(orderable)
+        dirs <- Gen.listOfN(ks.size, Gen.oneOf(true, false))
+      } yield ks.toList.zip(dirs)
+      else Gen.const(Nil: List[(String, Boolean)])
+      skip <- if (cut) Gen.frequency(4 -> Gen.const(None),
+        6 -> Gen.choose(0, 3).map(Some(_)))
+      else Gen.const(None)
+      limit <- if (cut) Gen.frequency(3 -> Gen.const(None),
+        7 -> Gen.choose(0, 4).map(Some(_)))
+      else Gen.const(None)
+    } yield {
+      val (sk, lm) =
+        if (cut && skip.isEmpty && limit.isEmpty) (Some(1), None)
+        else (skip, limit)
+      Ret(distinct, items2, orderBy, if (cut) sk else None,
+        if (cut) lm else None)
+    }
+  }
+
+  def genQuery: Gen[Query] = {
+    val ctx0 = Ctx(Nil, Nil, Nil)
+    for {
+      hasLead <- Gen.prob(0.15)
+      leadList <- Gen.choose(2, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.frequency(6 -> Gen.choose(0L, 5L).map(x => x: Any),
+          1 -> Gen.const(null: Any))))
+      lead = if (hasLead) Some(Unwind("u0", leadList)) else None
+      ctx1 = if (hasLead) ctx0.copy(valVars = List("u0")) else ctx0
+      m1 <- genMatch(ctx1, optional = false, 0)
+      twoMatches <- Gen.prob(0.45)
+      m2opt <- if (twoMatches) for {
+        opt <- Gen.prob(0.4)
+        m <- genMatch(m1._2, optional = opt, m1._3)
+      } yield Some(m)
+      else Gen.const(None)
+      ctxN = m2opt.map(_._2).getOrElse(m1._2)
+      w1 <- Gen.prob(0.25)
+      where1 <- genBE(m1._2, 2)
+      w2 <- Gen.prob(0.6)
+      where2 <- genBE(ctxN, 2)
+      hasTrail <- Gen.prob(0.1)
+      trailList <- Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 5L).map(x => x: Any)))
+      ctxR = if (hasTrail) ctxN.copy(valVars = ctxN.valVars :+ "u1") else ctxN
+      ret <- genRet(ctxR)
+    } yield {
+      val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
+      val mc2 = m2opt.map(m => m._1.copy(where =
+        if (w2) Some(where2) else None))
+      // if only one MATCH, attach the main where there instead
+      val matches =
+        if (mc2.isDefined) List(mc1, mc2.get)
+        else List(mc1.copy(where =
+          if (w2) Some(where2) else mc1.where))
+      Query(lead, matches, if (hasTrail) Some(Unwind("u1", trailList)) else None,
+        ret)
+    }
+  }
+
+  val genCase: Gen[(MGraph, Query)] =
+    genGraph.flatMap(g => genQuery.map(q => (g, q)))
+
+  /** deterministic sample for a case index */
+  def sample(i: Long): (MGraph, Query) =
+    genCase.pureApply(Gen.Parameters.default, Seed(i))
+}
