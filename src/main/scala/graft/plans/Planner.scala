@@ -1841,6 +1841,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         }
         kept.drop(t +: n.toSeq: _*)
     }
+    // a BOUND dst var joins back on id only — its pattern labels must
+    // still hold (expandOne pushes the same predicate for ExpandInto,
+    // :1172; found by differential case 321: the label on the second
+    // occurrence in MATCH (n)-[*2..4]-(n:A) was dropped when n was bound
+    // by an earlier clause, so chain reversal could not rescue it)
+    if (dstBound.isDefined && dstNp.labels.nonEmpty)
+      propPreds += HasLabels(Var(dstVar), dstNp.labels)
     dstNp.properties.foreach { case (k, e) =>
       propPreds += Eq(Property(Var(dstVar), k), e) }
     PState(quantFiltered,

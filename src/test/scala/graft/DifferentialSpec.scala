@@ -83,6 +83,7 @@ class DifferentialSpec extends AnyFunSuite {
     val text = q.render
     val aliases = q.ret.items.map(_.alias)
     val msAliases = q.multisetAliases
+    val numAliases = q.sumAliases
     def diag(msg: String): Some[String] = Some(
       s"case $i: $msg\n--- graph\n${model.toCreate}--- query\n$text\n")
 
@@ -105,6 +106,11 @@ class DifferentialSpec extends AnyFunSuite {
       r.zip(aliases).map { case (v, a) =>
         val vv = if (msAliases(a)) v match {
           case xs: List[_] => xs.map(render).sorted
+          case other => other
+        } else if (numAliases(a)) v match {
+          // sum(): typed-zero corner — compare numerically (see
+          // Model.Query.sumAliases)
+          case l: Long => l.toDouble
           case other => other
         } else v
         vv match {

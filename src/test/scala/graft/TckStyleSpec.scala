@@ -66,6 +66,13 @@ class TckStyleSpec extends AnyFunSuite {
     CREATE (a)-[:S]->(b)
   """
   val empty: String = ""
+  // 2-cycle with differing labels (differential case 321 lock)
+  val twoCycleAB: String = """
+    CREATE (a:B {uid: 0})
+    CREATE (b:A {uid: 1})
+    CREATE (a)-[:T]->(b)
+    CREATE (b)-[:T]->(a)
+  """
   // small mixed-type triad: two R hops a→b→c plus an S shortcut a→c
   val triad: String = """
     CREATE (a:P {n: 'a', v: 1})
@@ -2538,7 +2545,21 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("x" -> Double.NaN))),
     Scenario("cot-of-zero-is-infinity", empty,
       "RETURN cot(0.0) AS x",
-      Seq(row("x" -> Double.PositiveInfinity)))
+      Seq(row("x" -> Double.PositiveInfinity))),
+    // ===== differential-testing finds (DifferentialSpec, round 5)
+    // case 321: label predicate on a PRE-BOUND terminal of a cyclic
+    // var-length pattern was dropped (chain reversal cannot rescue a
+    // same-var cycle; fixed by pushing HasLabels in expandVarLength's
+    // bound-dst path, mirroring expandOne's ExpandInto)
+    Scenario("varlength-bound-cyclic-terminal-label", twoCycleAB,
+      "MATCH (n) MATCH (n)-[*2..2]-(n:A) RETURN n.uid AS u",
+      Seq(row("u" -> 1), row("u" -> 1))),
+    Scenario("varlength-bound-cyclic-terminal-label-negative", twoCycleAB,
+      "MATCH (n) MATCH (n)-[*2..2]-(n:C) RETURN n.uid AS u",
+      Seq.empty),
+    Scenario("varlength-bound-terminal-label-first-occurrence", twoCycleAB,
+      "MATCH (n) MATCH (n:A)-[*2..2]-(n) RETURN n.uid AS u",
+      Seq(row("u" -> 1), row("u" -> 1)))
   )
 
   // probe batch 16 (Probe24Main): runtime/compile error parity and

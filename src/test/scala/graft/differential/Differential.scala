@@ -15,6 +15,15 @@ import org.scalacheck.rng.Seed
   * okapi-api/.../types/TypeLawsTest.scala), extended from value generation
   * to full-query differential execution.
   *
+  * Grammar surface: MATCH / OPTIONAL MATCH chains (multi-chain clauses,
+  * node-var reuse, inline label + property predicates, all three
+  * directions, var-length hops incl. zero-length), WITH pipelines
+  * (pass-through entities, projections, mid-query aggregation, DISTINCT,
+  * WHERE-after-WITH), UNWIND, ternary-logic WHERE trees (AND/OR/XOR/NOT,
+  * IS [NOT] NULL, IN lists with nulls, label predicates, cross-family and
+  * null-literal comparisons), RETURN with DISTINCT / grouped aggregates
+  * (count/sum/avg/min/max/collect ± DISTINCT) / ORDER BY / SKIP / LIMIT.
+  *
   * Determinism-by-construction decisions:
   *  - Double property values are dyadic rationals (n/2 with n ≤ 6) so every
   *    sum/avg either engine computes is exact in IEEE double → string-exact
@@ -71,17 +80,19 @@ object Model {
 
   final case class NodeP(v: String, label: Option[String],
       propEq: Map[String, Any])
-  final case class RelP(v: String, typ: Option[String], dir: Dir)
+  final case class RelP(v: String, typ: Option[String], dir: Dir,
+      varLen: Option[(Int, Int)] = None)
   final case class Chain(first: NodeP, hops: List[(RelP, NodeP)])
   final case class MatchC(chains: List[Chain], optional: Boolean,
       where: Option[BE])
 
   sealed trait VE
   final case class PropE(v: String, key: String) extends VE
-  final case class VarE(v: String) extends VE // UNWIND value variable
+  final case class VarE(v: String, fam: Char) extends VE // projected scalar
   final case class LitE(value: Any) extends VE
   final case class ArithE(op: String, l: VE, r: VE) extends VE
   final case class FnE(fn: String, v: String) extends VE // labels | type
+  final case class SizeE(v: String) extends VE // size(varLengthRelList)
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -97,21 +108,27 @@ object Model {
   final case class ValItem(e: VE, alias: String) extends RetItem
   final case class AggItem(fn: String, arg: Option[VE], distinct: Boolean,
       alias: String) extends RetItem
+  /** WITH-only: carry a binding (entity or scalar) through unchanged */
+  final case class PassItem(v: String) extends RetItem { def alias: String = v }
 
   final case class Ret(distinct: Boolean, items: List[RetItem],
       orderBy: List[(String, Boolean)], skip: Option[Int], limit: Option[Int])
 
-  final case class Unwind(v: String, list: List[Any])
+  sealed trait Stage
+  final case class SMatch(mc: MatchC) extends Stage
+  final case class SUnwind(v: String, list: List[Any]) extends Stage
+  final case class SWith(distinct: Boolean, items: List[RetItem],
+      where: Option[BE]) extends Stage
 
-  final case class Query(lead: Option[Unwind], matches: List[MatchC],
-      trail: Option[Unwind], ret: Ret) {
+  final case class Query(stages: List[Stage], ret: Ret) {
 
     private def referencedVars: Set[String] = {
       val b = Set.newBuilder[String]
       def ve(e: VE): Unit = e match {
         case PropE(v, _) => b += v
-        case VarE(v) => b += v
+        case VarE(v, _) => b += v
         case FnE(_, v) => b += v
+        case SizeE(v) => b += v
         case ArithE(_, l, r) => ve(l); ve(r)
         case LitE(_) =>
       }
@@ -125,20 +142,32 @@ object Model {
         case XorE(l, r) => be(l); be(r)
         case NotE(x) => be(x)
       }
-      matches.flatMap(_.where).foreach(be)
+      stages.foreach {
+        case SMatch(mc) => mc.where.foreach(be)
+        case SWith(_, items, where) =>
+          items.foreach {
+            case ValItem(e, _) => ve(e)
+            case AggItem(_, a, _, _) => a.foreach(ve)
+            case PassItem(v) => b += v
+          }
+          where.foreach(be)
+        case _ =>
+      }
       ret.items.foreach {
         case ValItem(e, _) => ve(e)
         case AggItem(_, a, _, _) => a.foreach(ve)
+        case PassItem(v) => b += v
       }
       b.result()
     }
 
     private def renderVE(e: VE): String = e match {
       case PropE(v, k) => s"$v.$k"
-      case VarE(v) => v
+      case VarE(v, _) => v
       case LitE(x) => renderLit(x)
       case ArithE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
       case FnE(fn, v) => s"$fn($v)"
+      case SizeE(v) => s"size($v)"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -154,6 +183,16 @@ object Model {
       case NotE(x) => s"(NOT ${renderBE(x)})"
     }
 
+    private def renderItems(items: List[RetItem]): String =
+      items.map {
+        case PassItem(v) => v
+        case ValItem(e, a) => s"${renderVE(e)} AS $a"
+        case AggItem("count*", _, _, a) => s"count(*) AS $a"
+        case AggItem(fn, arg, d, a) =>
+          val dd = if (d) "DISTINCT " else ""
+          s"$fn($dd${renderVE(arg.get)}) AS $a"
+      }.mkString(", ")
+
     def render: String = {
       val refd = referencedVars
       def nodeP(np: NodeP): String = {
@@ -164,7 +203,8 @@ object Model {
       def relP(rp: RelP): String = {
         val name = if (refd(rp.v)) rp.v else ""
         val typ = rp.typ.map(":" + _).getOrElse("")
-        val inner = s"[$name$typ]"
+        val vl = rp.varLen.map { case (lo, hi) => s"*$lo..$hi" }.getOrElse("")
+        val inner = s"[$name$typ$vl]"
         rp.dir match {
           case Out => s"-$inner->"
           case In => s"<-$inner-"
@@ -174,26 +214,20 @@ object Model {
       def chain(c: Chain): String =
         nodeP(c.first) + c.hops.map { case (r, n) => relP(r) + nodeP(n) }.mkString
       val sb = new StringBuilder
-      lead.foreach { u =>
-        sb ++= s"UNWIND ${u.list.map(renderLit).mkString("[", ", ", "]")} AS ${u.v}\n"
-      }
-      matches.foreach { mc =>
-        if (mc.optional) sb ++= "OPTIONAL "
-        sb ++= "MATCH " + mc.chains.map(chain).mkString(", ") + "\n"
-        mc.where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
-      }
-      trail.foreach { u =>
-        sb ++= s"UNWIND ${u.list.map(renderLit).mkString("[", ", ", "]")} AS ${u.v}\n"
+      stages.foreach {
+        case SMatch(mc) =>
+          if (mc.optional) sb ++= "OPTIONAL "
+          sb ++= "MATCH " + mc.chains.map(chain).mkString(", ") + "\n"
+          mc.where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
+        case SUnwind(v, list) =>
+          sb ++= s"UNWIND ${list.map(renderLit).mkString("[", ", ", "]")} AS $v\n"
+        case SWith(d, items, where) =>
+          sb ++= "WITH " + (if (d) "DISTINCT " else "") + renderItems(items) + "\n"
+          where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
       }
       sb ++= "RETURN "
       if (ret.distinct) sb ++= "DISTINCT "
-      sb ++= ret.items.map {
-        case ValItem(e, a) => s"${renderVE(e)} AS $a"
-        case AggItem("count*", _, _, a) => s"count(*) AS $a"
-        case AggItem(fn, arg, d, a) =>
-          val dd = if (d) "DISTINCT " else ""
-          s"$fn($dd${renderVE(arg.get)}) AS $a"
-      }.mkString(", ")
+      sb ++= renderItems(ret.items)
       if (ret.orderBy.nonEmpty)
         sb ++= "\nORDER BY " + ret.orderBy.map { case (a, asc) =>
           s"$a ${if (asc) "ASC" else "DESC"}"
@@ -207,6 +241,18 @@ object Model {
     def multisetAliases: Set[String] = ret.items.collect {
       case AggItem("collect", _, _, a) => a
     }.toSet
+
+    /** sum() aliases compare numerically (Long 0 ≡ 0.0): a columnar engine
+      * types the EMPTY sum by the column's type, and when the property is
+      * statically absent from every matched label-combo table the column
+      * is a typeless null literal → integer 0, while a present-but-all-null
+      * double column sums to 0.0 (differential cases 679/987; Neo4j's
+      * dynamically-typed sum returns integer 0 for empty input — a
+      * documented representation divergence, not a value divergence)
+      */
+    def sumAliases: Set[String] = ret.items.collect {
+      case AggItem("sum", _, _, a) => a
+    }.toSet
   }
 }
 
@@ -218,7 +264,7 @@ object Model {
 object NaiveEval {
   import Model._
 
-  type Binding = Map[String, Any] // MNode | MRel | scalar | null
+  type Binding = Map[String, Any] // MNode | MRel | List[MRel] | scalar | null
 
   // ---- value equality (Cypher): numbers cross-type numeric, cross-family
   // equality is definite false, null is unknown
@@ -254,9 +300,11 @@ object NaiveEval {
     case _ => None
   }
 
-  /** grouping / DISTINCT key: numeric equivalence (1 ≡ 1.0) */
+  /** grouping / DISTINCT key: numeric equivalence (1 ≡ 1.0), entities by id */
   def normKey(v: Any): Any = v match {
     case l: Long => l.toDouble
+    case n: MNode => ("node", n.id)
+    case r: MRel => ("rel", r.id)
     case xs: List[_] => xs.map(normKey)
     case other => other
   }
@@ -268,7 +316,7 @@ object NaiveEval {
       case rel: MRel => rel.props.getOrElse(k, null)
       case _ => null
     }
-    case VarE(v) => r.getOrElse(v, null)
+    case VarE(v, _) => r.getOrElse(v, null)
     case LitE(x) => x
     case FnE("labels", v) => r.getOrElse(v, null) match {
       case n: MNode => n.labels.toList.sorted
@@ -279,6 +327,10 @@ object NaiveEval {
       case _ => null
     }
     case FnE(fn, _) => sys.error(s"naive: unknown fn $fn")
+    case SizeE(v) => r.getOrElse(v, null) match {
+      case xs: List[_] => xs.size.toLong
+      case _ => null
+    }
     case ArithE(op, le, re) =>
       (evalV(r, le), evalV(r, re)) match {
         case (null, _) | (_, null) => null
@@ -356,11 +408,22 @@ object NaiveEval {
       }
 
   /** all extensions of `row` matching every chain of one MATCH clause, with
-    * relationship uniqueness across the whole clause (rels bound by EARLIER
-    * clauses do not participate)
+    * relationship uniqueness across the whole clause — including the rels
+    * inside var-length paths (rels bound by EARLIER clauses do not
+    * participate)
     */
   private def matchChains(g: MGraph, row: Binding,
       chains: List[Chain]): List[Binding] = {
+    def oriented(cur: MNode, rel: MRel, dir: Dir): List[MNode] = dir match {
+      case Out => if (rel.src == cur.id) List(g.node(rel.dst)) else Nil
+      case In => if (rel.dst == cur.id) List(g.node(rel.src)) else Nil
+      case Und =>
+        // a self-loop is ONE undirected match, not two
+        val fwd = if (rel.src == cur.id) List(g.node(rel.dst)) else Nil
+        val bwd = if (rel.dst == cur.id && rel.src != rel.dst)
+          List(g.node(rel.src)) else Nil
+        fwd ++ bwd
+    }
     def extendChain(state: (Binding, Set[Long]), chain: Chain)
         : List[(Binding, Set[Long])] = {
       val (row0, used0) = state
@@ -374,31 +437,40 @@ object NaiveEval {
       for ((rp, np) <- chain.hops) {
         acc = acc.flatMap { case (r, used) =>
           val cur = r(prevVar).asInstanceOf[MNode]
-          val cands: List[(MRel, MNode)] = g.rels.iterator
-            .filter(rel => rp.typ.forall(_ == rel.typ) && !used(rel.id))
-            .flatMap { rel =>
-              rp.dir match {
-                case Out =>
-                  if (rel.src == cur.id) List((rel, g.node(rel.dst))) else Nil
-                case In =>
-                  if (rel.dst == cur.id) List((rel, g.node(rel.src))) else Nil
-                case Und =>
-                  // a self-loop is ONE undirected match, not two
-                  val fwd = if (rel.src == cur.id)
-                    List((rel, g.node(rel.dst))) else Nil
-                  val bwd = if (rel.dst == cur.id && rel.src != rel.dst)
-                    List((rel, g.node(rel.src))) else Nil
-                  fwd ++ bwd
-              }
-            }.toList
-          cands.flatMap { case (rel, nxt) =>
+          def admit(value: Any, relsUsed: List[MRel], nxt: MNode,
+              usedNow: Set[Long]): List[(Binding, Set[Long])] =
             if (!nodeOk(nxt, np)) Nil
             else r.get(np.v) match {
               case Some(bound: MNode) if bound.id != nxt.id => Nil
-              case Some(_: MRel) => Nil
+              case Some(_: MRel) | Some(_: List[_]) => Nil
               case _ =>
-                List((r + (rp.v -> rel) + (np.v -> nxt), used + rel.id))
+                List((r + (rp.v -> value) + (np.v -> nxt),
+                  usedNow ++ relsUsed.map(_.id)))
             }
+          rp.varLen match {
+            case None =>
+              g.rels.iterator
+                .filter(rel => rp.typ.forall(_ == rel.typ) && !used(rel.id))
+                .flatMap(rel => oriented(cur, rel, rp.dir)
+                  .flatMap(nxt => admit(rel, List(rel), nxt, used)))
+                .toList
+            case Some((lo, hi)) =>
+              // DFS path enumeration with per-clause edge uniqueness
+              def paths(at: MNode, usedP: Set[Long],
+                  acc0: List[MRel]): List[(List[MRel], MNode)] = {
+                val here =
+                  if (acc0.size >= lo) List((acc0.reverse, at)) else Nil
+                if (acc0.size == hi) here
+                else here ++ g.rels.iterator
+                  .filter(rel => rp.typ.forall(_ == rel.typ) && !usedP(rel.id))
+                  .flatMap(rel => oriented(at, rel, rp.dir)
+                    .flatMap(nxt =>
+                      paths(nxt, usedP + rel.id, rel :: acc0)))
+                  .toList
+              }
+              paths(cur, used, Nil).flatMap { case (rels, nxt) =>
+                admit(rels, rels, nxt, used)
+              }
           }
         }
         prevVar = np.v
@@ -416,33 +488,43 @@ object NaiveEval {
 
   def run(g: MGraph, q: Query): List[List[Any]] = {
     var rows: List[Binding] = List(Map.empty)
-    def unwind(u: Unwind): Unit =
-      rows = rows.flatMap(r => u.list.map(v => r + (u.v -> v)))
-    q.lead.foreach(unwind)
-    q.matches.foreach { mc =>
-      rows = rows.flatMap { row =>
-        val ext = matchChains(g, row, mc.chains)
-        val kept = mc.where match {
-          case Some(w) => ext.filter(r => evalB(r, w).contains(true))
-          case None => ext
+    q.stages.foreach {
+      case SUnwind(v, list) =>
+        rows = rows.flatMap(r => list.map(x => r + (v -> x)))
+      case SMatch(mc) =>
+        rows = rows.flatMap { row =>
+          val ext = matchChains(g, row, mc.chains)
+          val kept = mc.where match {
+            case Some(w) => ext.filter(r => evalB(r, w).contains(true))
+            case None => ext
+          }
+          if (mc.optional && kept.isEmpty) {
+            val fresh = clauseVars(mc) -- row.keySet
+            List(row ++ fresh.map(_ -> (null: Any)))
+          } else kept
         }
-        if (mc.optional && kept.isEmpty) {
-          val fresh = clauseVars(mc) -- row.keySet
-          List(row ++ fresh.map(_ -> (null: Any)))
-        } else kept
-      }
+      case SWith(d, items, where) =>
+        val projected: List[List[Any]] = projectItems(rows, items, d,
+          Nil, None, None)
+        val aliases = items.map(_.alias)
+        rows = projected.map(vals => aliases.zip(vals).toMap)
+        where.foreach { w =>
+          rows = rows.filter(r => evalB(r, w).contains(true))
+        }
     }
-    q.trail.foreach(unwind)
-    project(rows, q.ret)
+    val out = projectItems(rows, q.ret.items, q.ret.distinct,
+      q.ret.orderBy, q.ret.skip, q.ret.limit)
+    out
   }
 
-  // ----------------------------------------------------------- RETURN
+  // ----------------------------------------------------------- projection
   private def veFamily(e: VE): Char = e match {
     case PropE(_, "f") => 'D'
     case PropE(_, "s") => 'S'
     case PropE(_, "b") => 'B'
     case PropE(_, _) => 'L' // uid, k, w
-    case VarE(_) => 'L' // unwind lists are integer-valued
+    case VarE(_, fam) => fam
+    case SizeE(_) => 'L'
     case LitE(_: Double) => 'D'
     case LitE(_: String) => 'S'
     case LitE(_: Boolean) => 'B'
@@ -494,45 +576,51 @@ object NaiveEval {
       if (distinct) dedupeByKey(nn) else nn
   }
 
-  private def project(rows: List[Binding], ret: Ret): List[List[Any]] = {
-    val hasAgg = ret.items.exists(_.isInstanceOf[AggItem])
+  private def itemValue(r: Binding, it: RetItem): Any = it match {
+    case ValItem(e, _) => evalV(r, e)
+    case PassItem(v) => r.getOrElse(v, null)
+    case _ => sys.error("unreachable")
+  }
+
+  /** shared RETURN/WITH projection: grouping+aggregates OR plain rows, then
+    * DISTINCT / ORDER BY / SKIP / LIMIT
+    */
+  private def projectItems(rows: List[Binding], items: List[RetItem],
+      distinct: Boolean, orderBy: List[(String, Boolean)],
+      skip: Option[Int], limit: Option[Int]): List[List[Any]] = {
+    val hasAgg = items.exists(_.isInstanceOf[AggItem])
     var out: List[List[Any]] =
-      if (!hasAgg) rows.map(r => ret.items.map {
-        case ValItem(e, _) => evalV(r, e)
-        case _ => sys.error("unreachable")
-      })
+      if (!hasAgg) rows.map(r => items.map(itemValue(r, _)))
       else {
-        val keyIdx = ret.items.zipWithIndex.collect {
-          case (v: ValItem, i) => (v, i)
-        }
+        val keyItems = items.filter(!_.isInstanceOf[AggItem])
         val groups = scala.collection.mutable.LinkedHashMap
           .empty[List[Any], (List[Any], scala.collection.mutable.ListBuffer[Binding])]
         rows.foreach { r =>
-          val raw = keyIdx.map { case (v, _) => evalV(r, v.e) }
+          val raw = keyItems.map(itemValue(r, _))
           val k = raw.map(normKey)
           groups.getOrElseUpdate(k,
-            (raw, scala.collection.mutable.ListBuffer.empty)) ._2 += r
+            (raw, scala.collection.mutable.ListBuffer.empty))._2 += r
         }
-        if (groups.isEmpty && keyIdx.isEmpty)
+        if (groups.isEmpty && keyItems.isEmpty)
           groups(Nil) = (Nil, scala.collection.mutable.ListBuffer.empty)
         groups.values.toList.map { case (rawKeys, grpRows) =>
           var ki = 0
-          ret.items.map {
-            case _: ValItem => val v = rawKeys(ki); ki += 1; v
+          items.map {
             case AggItem(fn, arg, d, _) =>
               val argVals = arg.map(a => grpRows.toList.map(evalV(_, a)))
                 .getOrElse(Nil)
               aggValue(fn, d, arg, argVals, grpRows.size)
+            case _ => val v = rawKeys(ki); ki += 1; v
           }
         }
       }
-    if (ret.distinct && !hasAgg) {
+    if (distinct && !hasAgg) {
       val seen = scala.collection.mutable.HashSet.empty[Any]
       out = out.filter(r => seen.add(r.map(normKey)))
     }
-    if (ret.orderBy.nonEmpty) {
-      val aliasIdx = ret.items.map(_.alias).zipWithIndex.toMap
-      val keys = ret.orderBy.map { case (a, asc) => (aliasIdx(a), asc) }
+    if (orderBy.nonEmpty) {
+      val aliasIdx = items.map(_.alias).zipWithIndex.toMap
+      val keys = orderBy.map { case (a, asc) => (aliasIdx(a), asc) }
       // asc = nulls LAST, desc = nulls FIRST (Neo4j / engine semantics:
       // reverse of the null-greatest ascending order)
       def cmpNullGreatest(a: Any, b: Any): Int = (a, b) match {
@@ -553,14 +641,14 @@ object NaiveEval {
         res < 0
       }
     }
-    ret.skip.foreach(n => out = out.drop(n))
-    ret.limit.foreach(n => out = out.take(n))
+    skip.foreach(n => out = out.drop(n))
+    limit.foreach(n => out = out.take(n))
     out
   }
 }
 
 /** ScalaCheck generators for (graph, query) cases. All generators are total
-  * (no suchThat/filter) so `sample(seed)` always yields a case.
+  * (no suchThat/filter) so pureApply(seed) always yields a case.
   */
 object DiffGen {
   import Model._
@@ -610,10 +698,12 @@ object DiffGen {
   } yield MGraph(nodes, rels)
 
   // ------------------------------------------------------------- query
+  /** valVars: projected/unwound scalars with their type family;
+    * vlVars: var-length rel-list variables (only size() may touch them)
+    */
   private final case class Ctx(nodeVars: List[String], relVars: List[String],
-      valVars: List[String]) {
-    def entityVars: List[String] = nodeVars ++ relVars
-  }
+      valVars: List[(String, Char)], vlVars: List[String])
+  private val emptyCtx = Ctx(Nil, Nil, Nil, Nil)
 
   private def keysOf(ctx: Ctx, fam: Char): List[(String, String)] = {
     val nk = fam match {
@@ -642,7 +732,8 @@ object DiffGen {
   private def genValueVE(ctx: Ctx, fam: Char): Gen[VE] = {
     val props = keysOf(ctx, fam)
     val leafs = props.map { case (v, k) => PropE(v, k): VE } ++
-      (if (fam == 'L') ctx.valVars.map(VarE(_): VE) else Nil)
+      ctx.valVars.collect { case (v, f) if f == fam => VarE(v, f): VE } ++
+      (if (fam == 'L') ctx.vlVars.map(SizeE(_): VE) else Nil)
     if (leafs.isEmpty) genLit(fam).map(LitE)
     else Gen.frequency(
       7 -> Gen.oneOf(leafs),
@@ -666,12 +757,17 @@ object DiffGen {
     op <- if (fam == 'B') Gen.oneOf("=", "<>")
     else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
     l <- genValueVE(ctx, fam)
-    cross <- Gen.prob(0.05)
-    r <- if (cross) {
-      // cross-family comparison: = / <> are definite, orderings are null
-      val other = Vector('L', 'S', 'D', 'B').filter(_ != fam)
-      Gen.oneOf(other).flatMap(genLit).map(LitE(_): VE)
-    } else genValueVE(ctx, fam)
+    kind <- Gen.frequency(88 -> Gen.const(0), 5 -> Gen.const(1),
+      4 -> Gen.const(2), 3 -> Gen.const(3))
+    r <- kind match {
+      case 1 =>
+        // cross-family: = / <> are definite, orderings are null
+        val other = Vector('L', 'S', 'D', 'B').filter(_ != fam)
+        Gen.oneOf(other).flatMap(genLit).map(LitE(_): VE)
+      case 2 => Gen.const(LitE(null): VE) // null literal: always unknown
+      case 3 => genArith(ctx)
+      case _ => genValueVE(ctx, fam)
+    }
   } yield CmpE(op, l, r)
 
   private def genLeaf(ctx: Ctx): Gen[BE] = {
@@ -708,7 +804,7 @@ object DiffGen {
       1 -> Gen.zip(genBE(ctx, depth - 1), genBE(ctx, depth - 1))
         .map { case (a, b) => XorE(a, b) })
 
-  // one MATCH clause; returns clause + updated ctx
+  // one MATCH clause; returns clause + updated ctx + next fresh id
   private def genMatch(ctx0: Ctx, optional: Boolean,
       freshId: Int): Gen[(MatchC, Ctx, Int)] = {
     var fid = freshId
@@ -741,10 +837,19 @@ object DiffGen {
                 6 -> Gen.oneOf(relTypes).map(Some(_)))
               dir <- Gen.frequency(5 -> Gen.const(Out: Dir),
                 3 -> Gen.const(In: Dir), 2 -> Gen.const(Und: Dir))
+              isVl <- Gen.prob(0.18)
+              vl <- if (!isVl) Gen.const(None)
+              else for {
+                lo <- Gen.frequency(1 -> Gen.const(0), 2 -> Gen.const(1),
+                  1 -> Gen.const(2))
+                span <- Gen.choose(0, 2)
+              } yield Some((lo, math.max(lo + span, 1)))
               rv = freshRel
               np <- genNodeP(ctx, allowReuse)
-              res <- hops(np._2.copy(relVars = np._2.relVars :+ rv), n - 1,
-                (RelP(rv, typ, dir), np._1) :: acc)
+              ctxR = if (vl.isDefined)
+                np._2.copy(vlVars = np._2.vlVars :+ rv)
+              else np._2.copy(relVars = np._2.relVars :+ rv)
+              res <- hops(ctxR, n - 1, (RelP(rv, typ, dir, vl), np._1) :: acc)
             } yield res
           hops(ctx1, nHops, Nil).map { case (hs, ctx2) =>
             (Chain(first, hs), ctx2)
@@ -763,6 +868,90 @@ object DiffGen {
     }
   }
 
+  private def genAgg(ctx: Ctx, alias: String): Gen[AggItem] = for {
+    fn <- Gen.frequency(25 -> Gen.const("count*"), 15 -> Gen.const("count"),
+      15 -> Gen.const("sum"), 10 -> Gen.const("min"),
+      10 -> Gen.const("max"), 10 -> Gen.const("avg"),
+      10 -> Gen.const("collect"), 5 -> Gen.const("countd"),
+      5 -> Gen.const("sumd"), 5 -> Gen.const("collectd"))
+    numFam <- Gen.frequency(6 -> Gen.const('L'), 4 -> Gen.const('D'))
+    anyFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
+      2 -> Gen.const('D'), 1 -> Gen.const('B'))
+    ordFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
+      2 -> Gen.const('D'), 1 -> Gen.const('B'))
+    numArg <- genValueVE(ctx, numFam)
+    anyArg <- genValueVE(ctx, anyFam)
+    ordArg <- genValueVE(ctx, ordFam)
+  } yield fn match {
+    case "count*" => AggItem("count*", None, distinct = false, alias)
+    case "count" => AggItem("count", Some(anyArg), distinct = false, alias)
+    case "countd" => AggItem("count", Some(anyArg), distinct = true, alias)
+    case "sum" => AggItem("sum", Some(numArg), distinct = false, alias)
+    case "sumd" => AggItem("sum", Some(numArg), distinct = true, alias)
+    case "avg" => AggItem("avg", Some(numArg), distinct = false, alias)
+    case "min" => AggItem("min", Some(ordArg), distinct = false, alias)
+    case "max" => AggItem("max", Some(ordArg), distinct = false, alias)
+    case "collect" =>
+      AggItem("collect", Some(anyArg), distinct = false, alias)
+    case "collectd" =>
+      AggItem("collect", Some(anyArg), distinct = true, alias)
+  }
+
+  /** WITH stage: pass-throughs + projections + optional mid-aggregation +
+    * optional WHERE; returns the post-WITH ctx
+    */
+  private def genWith(ctx: Ctx, idx: Int): Gen[(SWith, Ctx)] = for {
+    aggMode <- Gen.prob(0.4)
+    // pass through a random non-empty subset of entity vars (node/rel)
+    passNodes <- Gen.someOf(ctx.nodeVars)
+    passRels <- Gen.someOf(ctx.relVars)
+    // projected scalars
+    nProj <- Gen.frequency(4 -> Gen.const(0), 4 -> Gen.const(1),
+      2 -> Gen.const(2))
+    projFams <- Gen.listOfN(nProj, Gen.frequency(4 -> Gen.const('L'),
+      2 -> Gen.const('S'), 2 -> Gen.const('D'), 1 -> Gen.const('B')))
+    projVes <- Gen.sequence[List[VE], VE](projFams.map(genValueVE(ctx, _)))
+    nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
+    aggs <- Gen.sequence[List[AggItem], AggItem](
+      (0 until nAggs).map(i => genAgg(ctx, s"w${idx}a$i")))
+    distinct <- if (aggMode) Gen.const(false) else Gen.prob(0.25)
+  } yield {
+    // exclude collect from WITH aggregates: list-valued scalars are not
+    // referenced downstream (size-only surface is covered by var-length)
+    val aggs2 = aggs.filterNot(_.fn == "collect")
+    val aggs3 = if (aggMode && aggs2.isEmpty)
+      List(AggItem("count*", None, distinct = false, s"w${idx}a0")) else aggs2
+    val passes = (passNodes.toList ++ passRels.toList).map(PassItem(_): RetItem)
+    val projs = projVes.zipWithIndex.map { case (e, i) =>
+      ValItem(e, s"w${idx}p$i"): RetItem
+    }
+    val items0 = passes ++ projs ++ (if (aggMode) aggs3.map(x => x: RetItem)
+    else Nil)
+    // WITH needs ≥1 item
+    val items = if (items0.isEmpty)
+      List(AggItem("count*", None, distinct = false, s"w${idx}a0"))
+    else items0
+    val ctxN = Ctx(
+      nodeVars = items.collect {
+        case PassItem(v) if ctx.nodeVars.contains(v) => v
+      },
+      relVars = items.collect {
+        case PassItem(v) if ctx.relVars.contains(v) => v
+      },
+      valVars = items.collect {
+        case ValItem(e, a) => (a, NaiveEvalFamilies.family(e))
+        case AggItem(fn, arg, _, a) =>
+          (a, fn match {
+            case "count*" | "count" => 'L'
+            case "avg" => 'D'
+            case _ => arg.map(NaiveEvalFamilies.family).getOrElse('L')
+          })
+      },
+      vlVars = Nil)
+    // WHERE is attached by the caller (it needs the post-WITH ctx)
+    (SWith(distinct, items, None), ctxN)
+  }
+
   private def genRet(ctx: Ctx): Gen[Ret] = {
     def genItemVE: Gen[VE] = Gen.frequency(
       6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genValueVE(ctx, _)),
@@ -776,35 +965,6 @@ object DiffGen {
           Gen.oneOf(ctx.relVars).map(FnE("type", _): VE)
         else Gen.const(LitE(1L): VE)))
 
-    def genAgg(alias: String): Gen[AggItem] = for {
-      fn <- Gen.frequency(25 -> Gen.const("count*"), 15 -> Gen.const("count"),
-        15 -> Gen.const("sum"), 10 -> Gen.const("min"),
-        10 -> Gen.const("max"), 10 -> Gen.const("avg"),
-        10 -> Gen.const("collect"), 5 -> Gen.const("countd"),
-        5 -> Gen.const("sumd"), 5 -> Gen.const("collectd"))
-      numFam <- Gen.frequency(6 -> Gen.const('L'), 4 -> Gen.const('D'))
-      anyFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
-        2 -> Gen.const('D'), 1 -> Gen.const('B'))
-      ordFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
-        2 -> Gen.const('D'), 1 -> Gen.const('B'))
-      numArg <- genValueVE(ctx, numFam)
-      anyArg <- genValueVE(ctx, anyFam)
-      ordArg <- genValueVE(ctx, ordFam)
-    } yield fn match {
-      case "count*" => AggItem("count*", None, distinct = false, alias)
-      case "count" => AggItem("count", Some(anyArg), distinct = false, alias)
-      case "countd" => AggItem("count", Some(anyArg), distinct = true, alias)
-      case "sum" => AggItem("sum", Some(numArg), distinct = false, alias)
-      case "sumd" => AggItem("sum", Some(numArg), distinct = true, alias)
-      case "avg" => AggItem("avg", Some(numArg), distinct = false, alias)
-      case "min" => AggItem("min", Some(ordArg), distinct = false, alias)
-      case "max" => AggItem("max", Some(ordArg), distinct = false, alias)
-      case "collect" =>
-        AggItem("collect", Some(anyArg), distinct = false, alias)
-      case "collectd" =>
-        AggItem("collect", Some(anyArg), distinct = true, alias)
-    }
-
     for {
       aggMode <- Gen.prob(0.35)
       cut <- Gen.prob(0.25) // SKIP and/or LIMIT
@@ -816,7 +976,7 @@ object DiffGen {
           Gen.frequency(8 -> Gen.oneOf('L', 'S', 'D', 'B')
             .flatMap(genValueVE(ctx, _)), 2 -> genArith(ctx)))
         aggs <- Gen.sequence[List[AggItem], AggItem](
-          (0 until nAggs).map(i => genAgg(s"a$i")))
+          (0 until nAggs).map(i => genAgg(ctx, s"a$i")))
       } yield keys.zipWithIndex.map { case (e, i) =>
         ValItem(e, s"g$i"): RetItem
       } ++ aggs
@@ -834,11 +994,7 @@ object DiffGen {
         case ValItem(FnE("labels", _), _) => false
         case _ => true
       } match {
-        case Nil => items.collect { case a@AggItem("count*", _, _, _) => a }
-          match {
-            case Nil => List(AggItem("count*", None, distinct = false, "a0"))
-            case xs => xs
-          }
+        case Nil => List(AggItem("count*", None, distinct = false, "a0"))
         case xs => xs
       }
       orderable = items2.collect {
@@ -873,50 +1029,87 @@ object DiffGen {
     }
   }
 
-  def genQuery: Gen[Query] = {
-    val ctx0 = Ctx(Nil, Nil, Nil)
-    for {
-      hasLead <- Gen.prob(0.15)
-      leadList <- Gen.choose(2, 4).flatMap(n =>
-        Gen.listOfN(n, Gen.frequency(6 -> Gen.choose(0L, 5L).map(x => x: Any),
-          1 -> Gen.const(null: Any))))
-      lead = if (hasLead) Some(Unwind("u0", leadList)) else None
-      ctx1 = if (hasLead) ctx0.copy(valVars = List("u0")) else ctx0
-      m1 <- genMatch(ctx1, optional = false, 0)
-      twoMatches <- Gen.prob(0.45)
-      m2opt <- if (twoMatches) for {
-        opt <- Gen.prob(0.4)
-        m <- genMatch(m1._2, optional = opt, m1._3)
-      } yield Some(m)
-      else Gen.const(None)
-      ctxN = m2opt.map(_._2).getOrElse(m1._2)
-      w1 <- Gen.prob(0.25)
-      where1 <- genBE(m1._2, 2)
-      w2 <- Gen.prob(0.6)
-      where2 <- genBE(ctxN, 2)
-      hasTrail <- Gen.prob(0.1)
-      trailList <- Gen.choose(2, 3).flatMap(n =>
-        Gen.listOfN(n, Gen.choose(0L, 5L).map(x => x: Any)))
-      ctxR = if (hasTrail) ctxN.copy(valVars = ctxN.valVars :+ "u1") else ctxN
-      ret <- genRet(ctxR)
-    } yield {
-      val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
-      val mc2 = m2opt.map(m => m._1.copy(where =
-        if (w2) Some(where2) else None))
-      // if only one MATCH, attach the main where there instead
-      val matches =
-        if (mc2.isDefined) List(mc1, mc2.get)
-        else List(mc1.copy(where =
-          if (w2) Some(where2) else mc1.where))
-      Query(lead, matches, if (hasTrail) Some(Unwind("u1", trailList)) else None,
-        ret)
+  def genQuery: Gen[Query] = for {
+    hasLead <- Gen.prob(0.12)
+    leadList <- Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(6 -> Gen.choose(0L, 5L).map(x => x: Any),
+        1 -> Gen.const(null: Any))))
+    ctx0 = if (hasLead) emptyCtx.copy(valVars = List(("u0", 'L'))) else emptyCtx
+    firstOpt <- Gen.prob(0.08)
+    m1 <- genMatch(ctx0, optional = firstOpt, 0)
+    w1 <- Gen.prob(0.45)
+    where1 <- genBE(m1._2, 2)
+    // middle section: nothing | second MATCH | WITH [ + MATCH after ]
+    midKind <- Gen.frequency(4 -> Gen.const(0), 3 -> Gen.const(1),
+      3 -> Gen.const(2))
+    m2 <- (if (midKind == 1) for {
+      opt <- Gen.prob(0.4)
+      m <- genMatch(m1._2, optional = opt, m1._3)
+      w <- Gen.prob(0.6)
+      wb <- genBE(m._2, 2)
+    } yield Some((m._1.copy(where = if (w) Some(wb) else None), m._2, m._3))
+    else Gen.const(None))
+    wth <- (if (midKind == 2) for {
+      w <- genWith(m1._2, 0)
+      hasWhere <- Gen.prob(0.45)
+      wb <- genBE(w._2, 1)
+      afterMatch <- Gen.prob(0.55)
+      m <- genMatch(w._2, optional = false, m1._3)
+      mw <- Gen.prob(0.4)
+      mwb <- genBE(m._2, 2)
+    } yield Some((
+      w._1.copy(where = if (hasWhere) Some(wb) else None),
+      if (afterMatch)
+        List(SMatch(m._1.copy(where = if (mw) Some(mwb) else None)))
+      else Nil,
+      if (afterMatch) m._2 else w._2))
+    else Gen.const(None))
+    hasTrailUnwind <- Gen.prob(0.08)
+    trailList <- Gen.choose(2, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 5L).map(x => x: Any)))
+    ctxPreRet = wth.map(_._3).orElse(m2.map(_._2)).getOrElse(m1._2)
+    ctxR = if (hasTrailUnwind)
+      ctxPreRet.copy(valVars = ctxPreRet.valVars :+ (("u1", 'L')))
+    else ctxPreRet
+    ret <- genRet(ctxR)
+  } yield {
+    val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
+    val stages = List.newBuilder[Stage]
+    if (hasLead) stages += SUnwind("u0", leadList)
+    stages += SMatch(mc1)
+    m2.foreach { case (mc, _, _) => stages += SMatch(mc) }
+    wth.foreach { case (sw, after, _) =>
+      stages += sw
+      after.foreach(stages += _)
     }
+    if (hasTrailUnwind) stages += SUnwind("u1", trailList)
+    Query(stages.result(), ret)
   }
 
   val genCase: Gen[(MGraph, Query)] =
     genGraph.flatMap(g => genQuery.map(q => (g, q)))
+}
 
-  /** deterministic sample for a case index */
-  def sample(i: Long): (MGraph, Query) =
-    genCase.pureApply(Gen.Parameters.default, Seed(i))
+/** static type family of a value expression (shared by generator + naive
+  * aggregate typing)
+  */
+object NaiveEvalFamilies {
+  import Model._
+  def family(e: VE): Char = e match {
+    case PropE(_, "f") => 'D'
+    case PropE(_, "s") => 'S'
+    case PropE(_, "b") => 'B'
+    case PropE(_, _) => 'L'
+    case VarE(_, fam) => fam
+    case SizeE(_) => 'L'
+    case LitE(_: Double) => 'D'
+    case LitE(_: String) => 'S'
+    case LitE(_: Boolean) => 'B'
+    case LitE(_) => 'L'
+    case FnE("type", _) => 'S'
+    case FnE(_, _) => 'X'
+    case ArithE(_, l, r) =>
+      val (a, b) = (family(l), family(r))
+      if (a == 'S' || b == 'S') 'S' else if (a == 'D' || b == 'D') 'D' else 'L'
+  }
 }
