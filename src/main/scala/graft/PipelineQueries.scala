@@ -385,9 +385,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"), col("rank"), col("bin"))
         .orderBy("doc_id")
     }),
-    // multimodal plumbing: frame sampling over fake media (rows-only)
+    // multimodal plumbing: frame sampling over REAL animated-GIF videos —
+    // every emitted frame is a standalone decodable PNG (rows-only)
     "p11_media_frames" -> ((s, dir) => {
-      val media = Multimodal.attachMedia(docs(s, dir), "doc_id", "text")
+      val media = Multimodal.attachVideoMedia(docs(s, dir), "doc_id", "text")
       Multimodal.frameSample(media, 4)
         .select(col("doc_id"), col("frame_idx"), col("frame_ts_ms"),
           length(col("frame_payload")).as("frame_bytes"))
@@ -395,16 +396,20 @@ object PipelineQueries {
     }),
     // multimodal decode/feature-extract: REAL PNG payloads decoded via
     // javax.imageio (actual pixels) + REAL WAV payloads decoded via
-    // javax.sound.sampled (actual PCM samples), half the corpus each
-    // (rows-only)
+    // javax.sound.sampled (actual PCM samples) + REAL animated-GIF videos
+    // decoded frame-by-frame, a third of the corpus each (rows-only)
     "p14_media_features" -> ((s, dir) => {
       val d = docs(s, dir)
       val img = Multimodal.attachImageMedia(
-        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
         width = 8, height = 8)
       val aud = Multimodal.attachAudioMedia(
-        d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
-      Multimodal.decodeFeatures(img.unionByName(aud), featDim = 8).toDF()
+        d.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text")
+      val vid = Multimodal.attachVideoMedia(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text",
+        width = 8, height = 8)
+      Multimodal.decodeFeatures(img.unionByName(aud).unionByName(vid),
+          featDim = 8).toDF()
         .select(col("doc_id"), col("kind"), col("feat_dim"),
           round(col("feat_mean"), 4).as("feat_mean"))
         .orderBy("doc_id")

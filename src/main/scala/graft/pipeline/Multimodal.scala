@@ -13,18 +13,29 @@ import org.apache.spark.sql.types._
   * features and [[resizeImages]] rescales + re-encodes. AUDIO decodes
   * for real via `javax.sound.sampled` (WAV/AIFF/AU PCM — also in-JDK):
   * [[decodeFeatures]] reads payloads into per-span RMS energy features.
-  * VIDEO codecs don't exist in the JDK, so that kind falls back to a
-  * deterministic byte-fold stand-in — the batch shape (mapPartitions
-  * over iterator batches, the Scala analogue of mapInPandas),
-  * partitioning for decode parallelism, and metadata propagation are
-  * identical either way, so swapping in a real av codec is a
-  * one-function change.
+  * VIDEO decodes for real as animated GIF (the one multi-frame format
+  * `javax.imageio` both encodes and decodes): [[attachVideoMedia]]
+  * synthesizes genuine multi-frame clips, [[decodeFeatures]] extracts
+  * per-frame luminance over temporal spans, and [[frameSample]] emits
+  * real per-frame PNG payloads. The batch shape everywhere is
+  * mapPartitions over iterator batches (the Scala analogue of
+  * mapInPandas) so decoder init amortizes per partition; swapping GIF
+  * for an ffmpeg-class codec is a one-function change.
   */
 object Multimodal {
-  import java.awt.image.BufferedImage
+  import java.awt.image.{BufferedImage, IndexColorModel}
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-  import javax.imageio.ImageIO
+  import javax.imageio.{IIOImage, ImageIO}
   import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  /** 256-level gray palette. VIDEO frames are written indexed against it:
+    * GIF stores palette indices, so gray frames round-trip EXACTLY — no
+    * quantization — and PNG re-encodes of the same raster decode to the
+    * identical pixels (the kernel-parity invariant the specs lock). */
+  private lazy val grayPalette: IndexColorModel = {
+    val v = Array.tabulate(256)(_.toByte)
+    new IndexColorModel(8, 256, v, v, v)
+  }
 
   /** one decoded media item. */
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
@@ -136,6 +147,123 @@ object Multimodal {
       }.toDF()
   }
 
+  /** encode frames as one animated GIF (in-JDK: javax.imageio's GIF
+    * writer supports multi-image sequences) */
+  private[graft] def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Generate REAL VIDEO payloads for a corpus: one short animated GIF per
+    * doc (2..6 frames, 100 ms/frame), gray pixels drawn deterministically
+    * from (doc id, text hash) by the same LCG family as the other
+    * attachers, frames written INDEXED against the shared gray palette so
+    * the codec round-trip is exact. GIF is the one multi-frame format the
+    * JDK both encodes and decodes — every row is a genuinely decodable
+    * video, closing the last byte-fold stand-in. */
+  def attachVideoMedia(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 16, height: Int = 16, maxFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val th = if (text == null) 0L else text.hashCode.toLong
+          var seed = id * 3935559000370003845L ^ th
+          def next(): Long = { seed = seed * 6364136223846793005L +
+            1442695040888963407L; seed >>> 16 }
+          val nFrames = (2 + math.floorMod(next(), (maxFrames - 1).toLong)).toInt
+          val frames = (0 until nFrames).map { _ =>
+            val img = new BufferedImage(width, height,
+              BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                raster.setSample(x, y, 0, (next() & 0xFF).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          MediaRow(id, "video", encodeGif(frames), width, height,
+            nFrames * 100L)
+        }
+      }.toDF()
+  }
+
+  /** decode every frame of a multi-image payload (animated GIF). None
+    * when the payload is not readable as an image sequence. */
+  private[graft] def decodeVideoFrames(
+      payload: Array[Byte]): Option[Vector[BufferedImage]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val frames = (0 until n).map(reader.read(_)).toVector
+          if (frames.isEmpty) None else Some(frames)
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  /** mean luminance of one frame — the same accumulation decodeImage
+    * performs with featDim = 1, so a single-frame video feature equals the
+    * same raster's image feature bit-for-bit (kernel-parity lock) */
+  private def frameMeanLum(img: BufferedImage): Float = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var acc = 0f
+    var cnt = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        acc += (((rgb >> 16) & 0xFF) * 0.299f +
+          ((rgb >> 8) & 0xFF) * 0.587f + (rgb & 0xFF) * 0.114f) / 255f
+        cnt += 1
+        x += 1
+      }
+      y += 1
+    }
+    if (cnt > 0) acc / cnt else 0f
+  }
+
+  /** real video decode: per-frame mean luminance, bucketed into featDim
+    * equal TEMPORAL spans (images span space, audio spans samples, video
+    * spans frames). None when the payload has no decodable frames. */
+  private[graft] def decodeVideo(payload: Array[Byte],
+      featDim: Int): Option[Array[Float]] =
+    decodeVideoFrames(payload).map { frames =>
+      val acc = new Array[Float](featDim)
+      val cnt = new Array[Int](featDim)
+      var i = 0
+      while (i < frames.length) {
+        val b = (i.toLong * featDim / frames.length).toInt
+        acc(b) += frameMeanLum(frames(i)); cnt(b) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < featDim) { if (cnt(j) > 0) acc(j) /= cnt(j); j += 1 }
+      acc
+    }
+
   /** Decode + feature-extract. Runs as mapPartitions so decoder init
     * amortizes once per partition (the reason mapInPandas batches exist).
     * Repartition first so decode parallelism is independent of upstream
@@ -145,8 +273,10 @@ object Multimodal {
     * features are per-band mean luminance over `featDim` equal pixel
     * spans. `audio` payloads decode for REAL too (`javax.sound.sampled` —
     * WAV/AIFF/AU): features are per-span RMS energy over the PCM samples.
-    * Video (and undecodable payloads) fall back to the deterministic
-    * byte-fold stand-in — no video codec ships with the JDK. */
+    * `video` payloads decode for REAL as well (animated GIF via the same
+    * `javax.imageio` reader): per-frame mean luminance over featDim
+    * temporal spans. Undecodable payloads fall back to the deterministic
+    * byte-fold stand-in. */
   def decodeFeatures(media: DataFrame, featDim: Int = 8,
       decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -160,6 +290,7 @@ object Multimodal {
         val feats = (r.kind match {
           case "image" => decodeImage(r.payload, featDim)
           case "audio" => decodeAudio(r.payload, featDim)
+          case "video" => decodeVideo(r.payload, featDim)
           case _ => None
         }).getOrElse(fakeDecode(r.payload, featDim))
         MediaFeatures(r.doc_id, r.kind, featDim,
@@ -294,18 +425,39 @@ object Multimodal {
       .withColumn("width", lit(newWidth))
       .withColumn("height", lit(newHeight))
 
-  /** Frame sampling for video rows: splits the payload into `frames`
-    * equal chunks and explodes to one row per sampled frame — the shape a
-    * real ffmpeg-style sampler produces. */
+  /** Frame sampling for video rows: decodes the payload's REAL frames
+    * (animated GIF, in-JDK) and emits `frames` evenly-strided samples,
+    * each re-encoded as a standalone PNG — the shape an ffmpeg-style
+    * sampler produces, with genuinely decodable per-frame payloads.
+    * Payloads with no readable image sequence fall back to the byte-chunk
+    * stand-in (same output schema). mapPartitions batching as
+    * [[decodeFeatures]]. */
   def frameSample(media: DataFrame, frames: Int): DataFrame = {
-    val frameSize = greatest((length(col("payload")) / frames)
-      .cast(IntegerType), lit(1))
-    media.where(col("kind") === "video")
-      .select(col("doc_id"), col("duration_ms"),
-        posexplode(transform(sequence(lit(0), lit(frames - 1)),
-          i => col("payload").substr(i * frameSize + 1, frameSize))))
-      .toDF("doc_id", "duration_ms", "frame_idx", "frame_payload")
-      .withColumn("frame_ts_ms",
-        (col("frame_idx") * col("duration_ms") / frames).cast(LongType))
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val sampled: Seq[Array[Byte]] = decodeVideoFrames(r.payload) match {
+          case Some(fs) =>
+            (0 until frames).map { k =>
+              val srcIdx = (k.toLong * fs.size / frames).toInt
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(fs(srcIdx), "png", bos)
+              bos.toByteArray
+            }
+          case None =>
+            val fsize = math.max(r.payload.length / frames, 1)
+            (0 until frames).map { k =>
+              val from = math.min(k * fsize, r.payload.length)
+              val until = math.min(from + fsize, r.payload.length)
+              java.util.Arrays.copyOfRange(r.payload, from, until)
+            }
+        }
+        sampled.iterator.zipWithIndex.map { case (p, k) =>
+          (r.doc_id, r.duration_ms, k, p, r.duration_ms * k / frames)
+        }
+      }
+    }.toDF("doc_id", "duration_ms", "frame_idx", "frame_payload",
+      "frame_ts_ms")
   }
 }

@@ -1558,7 +1558,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         s"bound relationship variable '$relVar' is not allowed in a " +
           "variable length pattern")
     require(lo >= 0 && hi >= lo, s"invalid var-length bounds [*$lo..$hi]")
-    require(hi <= 30, s"var-length upper bound $hi too large (cap 30)")
+    require(hi <= 1000, s"var-length upper bound $hi too large (cap 1000)")
 
     // WHERE-position quantifiers over this rel-list variable, pushed into
     // the unroll (reference: VarLengthExpandPlanner applies rel predicates
@@ -1828,9 +1828,148 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       }
     }
 
+    // Deep traversals (hi > unrollCap) route to an ITERATIVE frontier
+    // loop instead of the unroll: the unroll builds O(hi²) joins into ONE
+    // plan (branch k re-derives steps 1..k), which explodes Catalyst
+    // analysis time past ~30 steps; the iterative route materializes the
+    // frontier once per depth (localCheckpoint truncates lineage so the
+    // per-step plan stays constant-size) and stops EARLY when the frontier
+    // empties — `[*1..50]` on a 4-node chain does 4 steps, not 50.
+    // NOT GraphX Pregel: Cypher var-length semantics are trail
+    // enumeration (one row per edge-distinct path), which a
+    // message-aggregation BFS cannot express without carrying full path
+    // state per vertex — the same work with a worse plan. The frontier
+    // loop IS distributed BFS, with paths as first-class rows.
+    val unrollCap = 30
+
+    def iterativeUnion(): DataFrame = {
+      val posCol = fresh(s"${relVar}_pos")
+      val dstsCol = innerCol.map(_ => fresh(s"${relVar}_dsts"))
+      val frontierCols: Seq[String] =
+        state.header.columns ++ Seq(listCol) ++ structCol.toSeq ++
+          dstsCol.toSeq ++ cntColNames :+ posCol
+
+      var frontier: DataFrame = {
+        var d = state.df
+          .withColumn(listCol, array().cast(ArrayType(LongType, false)))
+          .withColumn(posCol, col(s"`${srcB.idCol}`"))
+        d = cntColNames.foldLeft(d)((dd, c) => dd.withColumn(c, lit(0L)))
+        structCol.foreach { c =>
+          d = d.withColumn(c, array().cast(ArrayType(relStructType))) }
+        dstsCol.foreach { c =>
+          d = d.withColumn(c, array().cast(ArrayType(LongType, false))) }
+        d.select(frontierCols.map(c => col(s"`$c`")): _*)
+      }
+
+      // terminal handling for one emitted depth (same semantics as the
+      // unroll's branch(k) tail, over the running frontier columns)
+      def emitDepth(fr: DataFrame): DataFrame = {
+        val withInnerDf = innerCol match {
+          case Some(c) =>
+            val ds = col(s"`${dstsCol.get}`")
+            fr.withColumn(c, slice(ds, lit(1), size(ds) - lit(1)))
+          case None => fr
+        }
+        dstBound match {
+          case Some(b) =>
+            withInnerDf
+              .where(col(s"`$posCol`") === col(s"`${b.idCol}`"))
+              .select(outCols.map(c => col(s"`$c`")): _*)
+          case None =>
+            val scanK = graph.nodeScan(dstNp.labels.toSet, naming(dstVar),
+              dstCombos)
+            val joined = withInnerDf.join(scanK.df,
+              col(s"`$posCol`") === col(s"`${scanK.idCol}`"), "inner")
+            val renames: Seq[(String, String)] =
+              (scanK.idCol -> dstB.idCol) +:
+                (dstB.labelCols.toSeq.map { case (l, c) =>
+                  scanK.labelCols(l) -> c } ++
+                  dstB.propCols.toSeq.map { case (p, c) =>
+                    scanK.propCols(p) -> c })
+            val sel = outCols.map { c =>
+              val srcCol = renames.collectFirst {
+                case (from, to) if to == c => from }.getOrElse(c)
+              col(s"`$srcCol`").as(c)
+            }
+            joined.select(sel: _*)
+        }
+      }
+
+      val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (lo == 0) acc += branch(0)
+      var k = 1
+      var exhausted = false
+      while (k <= hi && !exhausted) {
+        val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
+        var df = frontier
+          .join(relDf, col(s"`$posCol`") === col(s"`$tSrc`"), "inner")
+          // per-path edge uniqueness against the running id list
+          .where(!array_contains(col(s"`$listCol`"), col(s"`${rb2.idCol}`")))
+        if (rel.properties.nonEmpty && !prefilterProps) {
+          val stepHeader = state.header + (relVar -> rb2)
+          val probeDf = df
+          val stepComp = new ExprCompiler(stepHeader, params, () => probeDf)
+          rel.properties.foreach { case (k2, e) =>
+            df = df.where(stepComp.compile(Eq(Property(Var(relVar), k2), e)))
+          }
+        }
+        def stepPred(q: Quantified): Column = {
+          val probeDf = df
+          new ExprCompiler(state.header + (q.variable -> rb2), params,
+            () => probeDf).compile(q.predicate)
+        }
+        stepFilterQuants.foreach { q =>
+          val p = stepPred(q)
+          df = df.where(
+            if (q.quantifier == "all") p <=> lit(true)
+            else p <=> lit(false)) // none
+        }
+        countedQuants.foreach { case (q, t, n) =>
+          val p = stepPred(q)
+          df = df.withColumn(t,
+            col(s"`$t`") + when(p <=> lit(true), lit(1L)).otherwise(lit(0L)))
+          n.foreach { nn =>
+            df = df.withColumn(nn,
+              col(s"`$nn`") + when(p.isNull, lit(1L)).otherwise(lit(0L)))
+          }
+        }
+        structCol.foreach { c =>
+          val st = struct(
+            col(s"`${rb2.idCol}`").as("id") +:
+              col(s"`${rb2.typCol}`").as("type") +:
+              rb2.propCols.toSeq.sortBy(_._1).map { case (k2, cc) =>
+                col(s"`$cc`").as(k2) }: _*)
+          df = df.withColumn(c,
+            concat(col(s"`$c`"), array(st).cast(ArrayType(relStructType))))
+        }
+        df = df.withColumn(listCol,
+          concat(col(s"`$listCol`"), array(col(s"`${rb2.idCol}`"))))
+        dstsCol.foreach { c =>
+          df = df.withColumn(c,
+            concat(col(s"`$c`"), array(col(s"`$tDst`"))))
+        }
+        df = df.withColumn(posCol, col(s"`$tDst`"))
+          .select(frontierCols.map(c => col(s"`$c`")): _*)
+        // materialize + truncate lineage: the next step's plan starts from
+        // this checkpoint, so plan size is constant in depth. (local
+        // checkpoint = executor-resident; a fault-tolerant deep traversal
+        // would set a reliable checkpoint dir instead.)
+        frontier = df.localCheckpoint()
+        if (k >= math.max(lo, 1)) acc += emitDepth(frontier)
+        exhausted = frontier.isEmpty
+        k += 1
+      }
+      if (acc.isEmpty)
+        // frontier exhausted before lo (and no zero branch): no rows —
+        // borrow branch(1)'s frame for the canonical outCols schema
+        branch(1).limit(0)
+      else acc.reduce(_ unionByName _)
+    }
+
     val lo1 = math.max(lo, 0)
-    val dfs = (lo1 to hi).map(branch)
-    val unioned = dfs.reduce(_ unionByName _)
+    val unioned =
+      if (hi <= unrollCap) (lo1 to hi).map(branch).reduce(_ unionByName _)
+      else iterativeUnion()
     // counted quantifiers decide per path, across all branch lengths
     val quantFiltered = countedQuants.foldLeft(unioned) {
       case (d, (q, t, n)) =>

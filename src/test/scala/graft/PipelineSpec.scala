@@ -389,6 +389,70 @@ class PipelineSpec extends AnyFunSuite {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("attachVideoMedia emits decodable animated GIFs with ≥2 real frames") {
+    val media = Multimodal.attachVideoMedia(docs.limit(8), "doc_id", "text")
+    val rows = media.collect()
+    assert(rows.length == 8)
+    assert(rows.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        Multimodal.decodeVideoFrames(p).exists(_.size >= 2)
+    })
+    // duration metadata matches the real frame count (100 ms per frame)
+    assert(rows.forall { r =>
+      val n = Multimodal.decodeVideoFrames(
+        r.getAs[Array[Byte]]("payload")).get.size
+      r.getAs[Long]("duration_ms") == n * 100L
+    })
+    val feats = Multimodal.decodeFeatures(media, featDim = 8).collect()
+    // real luminance means land in [0, 1]; the byte-fold fallback sums
+    // far past 1 for kB payloads
+    assert(feats.length == 8 &&
+      feats.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("video kernel parity: single-frame GIF equals the same raster as PNG") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // indexed gray raster: GIF stores palette indices, so the pixel values
+    // survive both encodes exactly — the two decoders must agree to the bit
+    val v = Array.tabulate(256)(_.toByte)
+    val icm = new IndexColorModel(8, 256, v, v, v)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, (x * 31 + y * 7) % 256)
+    val gif = Multimodal.encodeGif(Seq(img))
+    // write the PNG as explicit RGB: a gray-palette PNG would round-trip
+    // through TYPE_BYTE_GRAY, whose getRGB applies a gray→sRGB transfer
+    // curve — same pixels, different reported RGB. The indexed GIF and an
+    // RGB PNG both report the palette values verbatim.
+    val rgb = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) rgb.setRGB(x, y, img.getRGB(x, y))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(rgb, "png", bos)
+    val vidFeat = Multimodal.decodeVideo(gif, 1).get
+    val imgFeat = Multimodal.decodeImage(bos.toByteArray, 1).get
+    assert(vidFeat(0) == imgFeat(0),
+      s"video ${vidFeat(0)} != image ${imgFeat(0)}")
+  }
+
+  test("frameSample emits real decodable per-frame PNGs from GIF videos") {
+    val media = Multimodal.attachVideoMedia(docs.limit(6), "doc_id", "text")
+    val frames = Multimodal.frameSample(media, 4).collect()
+    assert(frames.length == 6 * 4)
+    assert(frames.forall { r =>
+      val p = r.getAs[Array[Byte]]("frame_payload")
+      p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        Multimodal.decodeImage(p, 2).isDefined
+    })
+    // stride sampling covers the clip: first sample is frame 0, and a
+    // 4-sample stride over an n-frame clip ends inside the clip
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.map(_.getAs[Int]("frame_idx")).sorted
+      .sameElements(Array(0, 1, 2, 3))))
+  }
+
   test("resizeImages rescales and re-encodes real pixels") {
     val media = Multimodal.attachImageMedia(docs.limit(5), "doc_id", "text",
       width = 8, height = 8)

@@ -284,4 +284,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected only the dst node join:\n$plan")
     assert(df.collect().length > 0)
   }
+
+  // ---- deep var-length auto-route (round 5): past the 30-step unroll cap
+  // the planner switches to the iterative frontier loop — localCheckpoint
+  // per depth (constant plan size), early exit when the frontier empties.
+  // The checkpoint surfaces in the plan as an ExistingRDD scan.
+
+  lazy val chainGraph = gs.createGraphFromCypher(
+    """CREATE (a:N {v: 1})-[:R]->(b:N {v: 2})-[:R]->(c:N {v: 3})-[:R]->(d:N {v: 4})""")
+
+  test("deep var-length routes to the iterative frontier loop") {
+    val df = gs.cypher(chainGraph,
+      "MATCH (a:N {v: 1})-[rs*1..50]->(b) RETURN b.v AS v, size(rs) AS n")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(rows === List((2L, 1L), (3L, 2L), (4L, 3L)),
+      s"deep chain rows wrong: $rows")
+    // the route's signature: checkpointed frontier = ExistingRDD scan
+    val plan = planOf(df)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"iterative route not engaged (no checkpoint scan):\n$plan")
+  }
+
+  test("deep var-length zero lower bound includes the source row") {
+    val df = gs.cypher(chainGraph,
+      "MATCH (a:N {v: 1})-[*0..40]->(b) RETURN b.v AS v")
+    val rows = df.collect().map(_.getLong(0)).sorted.toList
+    assert(rows === List(1L, 2L, 3L, 4L), s"zero-length rows wrong: $rows")
+  }
+
+  test("deep var-length undirected respects per-path edge uniqueness") {
+    // triangle: undirected walks without edge reuse top out at length 3
+    val tri = gs.createGraphFromCypher(
+      """CREATE (a:M {v: 1}), (b:M {v: 2}), (c:M {v: 3}),
+        |(a)-[:R]->(b), (b)-[:R]->(c), (c)-[:R]->(a)""".stripMargin)
+    val deep = gs.cypher(tri,
+      "MATCH (a:M {v: 1})-[rs*1..50]-(b) RETURN size(rs) AS n")
+      .collect().map(_.getLong(0)).sorted.toList
+    val unrolled = gs.cypher(tri,
+      "MATCH (a:M {v: 1})-[rs*1..30]-(b) RETURN size(rs) AS n")
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(deep === unrolled, s"deep $deep vs unrolled $unrolled")
+    assert(deep.max === 3L && deep.nonEmpty)
+  }
 }

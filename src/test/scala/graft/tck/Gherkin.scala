@@ -10,6 +10,11 @@ package graft.tck
   *
   * Supported subset (what TCK scenarios actually use):
   *  - `Feature:` / `Scenario:` headers, `#` comments
+  *  - `Background:` — its Given steps prepend to every scenario in the
+  *    feature (fixture CREATEs concatenate before the scenario's own)
+  *  - `Scenario Outline:` + one or more `Examples:` tables — `<name>`
+  *    placeholders substitute per example row, yielding one scenario per
+  *    row (named `… #k`)
   *  - `Given an empty graph` / `Given any graph`
   *  - `[Given|And] having executed:` + triple-quoted CREATE docstring
   *  - `When executing query:` + docstring
@@ -24,17 +29,23 @@ object Gherkin {
       query: String, columns: Seq[String], rows: Seq[Seq[String]],
       ordered: Boolean, expectError: Option[String])
 
-  def parseFile(text: String): Seq[TckScenario] = {
-    val lines = text.linesIterator.toVector
-    var i = 0
-    var feature = ""
-    val out = Vector.newBuilder[TckScenario]
+  private case class Body(given: String, query: String,
+      columns: Seq[String], rows: Seq[Seq[String]], ordered: Boolean,
+      expectError: Option[String])
 
+  private def isHeader(s: String): Boolean =
+    s.startsWith("Feature:") || s.startsWith("Background:") ||
+      s.startsWith("Scenario:") || s.startsWith("Scenario Outline:") ||
+      s.startsWith("Examples:")
+
+  /** parse the steps of one scenario/background body (raw lines, already
+    * placeholder-substituted for outline instances)
+    */
+  private def parseBody(lines: Vector[String]): Body = {
+    var i = 0
     def peek: String = if (i < lines.length) lines(i).trim else ""
-    def advance(): String = { val l = peek; i += 1; l }
 
     def docString(): String = {
-      // skip to the opening """ then read until the closing one
       while (i < lines.length && !peek.startsWith("\"\"\"")) i += 1
       require(i < lines.length, "unterminated docstring")
       val indent = lines(i).indexOf("\"\"\"")
@@ -53,48 +64,102 @@ object Gherkin {
       def cells(l: String): Seq[String] =
         splitRow(l.trim.stripPrefix("|").stripSuffix("|"))
       require(peek.startsWith("|"), s"expected a result table, got: $peek")
-      val header = cells(advance())
+      val header = cells(peek); i += 1
       val rows = Vector.newBuilder[Seq[String]]
-      while (peek.startsWith("|")) rows += cells(advance())
+      while (peek.startsWith("|")) { rows += cells(peek); i += 1 }
       (header, rows.result())
     }
 
+    var given = ""
+    var query = ""
+    var cols: Seq[String] = Nil
+    var rows: Seq[Seq[String]] = Nil
+    var ordered = false
+    var err: Option[String] = None
     while (i < lines.length) {
-      val l = advance()
-      if (l.startsWith("Feature:")) feature = l.drop(8).trim
-      else if (l.startsWith("Scenario:")) {
-        val name = l.drop(9).trim
-        var given = ""
-        var query = ""
-        var cols: Seq[String] = Nil
-        var rows: Seq[Seq[String]] = Nil
-        var ordered = false
-        var err: Option[String] = None
-        var done = false
-        while (!done && i < lines.length) {
-          val s = peek
-          if (s.startsWith("Scenario:") || s.startsWith("Feature:")) done = true
-          else {
-            i += 1
-            if (s == "Given an empty graph" || s == "Given any graph") ()
-            else if (s.endsWith("having executed:")) given = docString()
-            else if (s == "When executing query:" ||
-              s == "When executing control query:") query = docString()
-            else if (s.startsWith("Then the result should be, in any order:") ||
-              s.startsWith("Then the result should be:")) {
-              val t = table(); cols = t._1; rows = t._2
-            } else if (s.startsWith("Then the result should be, in order:")) {
-              val t = table(); cols = t._1; rows = t._2; ordered = true
-            } else if (s == "Then the result should be empty") { cols = Nil; rows = Nil }
-            else if (s.startsWith("Then a ") && s.contains("should be raised")) {
-              err = Some(s.substring(7, s.indexOf(" should be raised")).trim)
+      val s = peek
+      i += 1
+      if (s == "Given an empty graph" || s == "Given any graph") ()
+      else if (s.endsWith("having executed:"))
+        given = (if (given.isEmpty) "" else given + "\n") + docString()
+      else if (s == "When executing query:" ||
+        s == "When executing control query:") query = docString()
+      else if (s.startsWith("Then the result should be, in any order:") ||
+        s.startsWith("Then the result should be:")) {
+        val t = table(); cols = t._1; rows = t._2
+      } else if (s.startsWith("Then the result should be, in order:")) {
+        val t = table(); cols = t._1; rows = t._2; ordered = true
+      } else if (s == "Then the result should be empty") { cols = Nil; rows = Nil }
+      else if (s.startsWith("Then a ") && s.contains("should be raised")) {
+        err = Some(s.substring(7, s.indexOf(" should be raised")).trim)
+      }
+      // `And no side effects`, comments, blanks: ignored
+    }
+    Body(given, query, cols, rows, ordered, err)
+  }
+
+  def parseFile(text: String): Seq[TckScenario] = {
+    val lines = text.linesIterator.toVector
+    var i = 0
+    var feature = ""
+    var background = "" // Background fixture CREATEs for the current feature
+    val out = Vector.newBuilder[TckScenario]
+
+    def peek: String = if (i < lines.length) lines(i).trim else ""
+
+    def blockUntilHeader(): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      while (i < lines.length && !isHeader(lines(i).trim)) {
+        b += lines(i); i += 1
+      }
+      b.result()
+    }
+
+    def withBackground(own: String): String =
+      if (background.isEmpty) own
+      else if (own.isEmpty) background
+      else background + "\n" + own
+
+    while (i < lines.length) {
+      val l = peek
+      if (l.startsWith("Feature:")) {
+        feature = l.drop(8).trim; background = ""; i += 1
+      } else if (l.startsWith("Background:")) {
+        i += 1
+        background = parseBody(blockUntilHeader()).given
+      } else if (l.startsWith("Scenario Outline:")) {
+        val name = l.drop(17).trim; i += 1
+        val block = blockUntilHeader()
+        var exampleNo = 0
+        while (peek.startsWith("Examples:")) {
+          i += 1
+          val exBlock = blockUntilHeader()
+          val tableLines = exBlock.map(_.trim).filter(_.startsWith("|"))
+          require(tableLines.nonEmpty, s"Examples without a table in $name")
+          def cells(ln: String): Seq[String] =
+            splitRow(ln.stripPrefix("|").stripSuffix("|"))
+          val hdr = cells(tableLines.head)
+          tableLines.tail.foreach { ln =>
+            exampleNo += 1
+            val vals = cells(ln)
+            val substituted = block.map { raw =>
+              hdr.zip(vals).foldLeft(raw) { case (acc, (h, v)) =>
+                acc.replace(s"<$h>", v)
+              }
             }
-            // `And no side effects`, comments, blanks: ignored
+            val b = parseBody(substituted)
+            out += TckScenario(feature, s"$name #$exampleNo",
+              withBackground(b.given), b.query, b.columns, b.rows,
+              b.ordered, b.expectError)
           }
         }
-        out += TckScenario(feature, name, given, query, cols, rows,
-          ordered, err)
-      }
+        require(exampleNo > 0, s"Scenario Outline '$name' has no Examples")
+      } else if (l.startsWith("Scenario:")) {
+        val name = l.drop(9).trim; i += 1
+        val b = parseBody(blockUntilHeader())
+        out += TckScenario(feature, name, withBackground(b.given), b.query,
+          b.columns, b.rows, b.ordered, b.expectError)
+      } else i += 1
     }
     out.result()
   }
