@@ -26,7 +26,31 @@ object Multimodal {
   import java.awt.image.{BufferedImage, IndexColorModel}
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.{IIOImage, ImageIO}
+  import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
   import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  /** PNG-encode through an EXPLICIT memory-cached stream. The
+    * `ImageIO.write(img, fmt, OutputStream)` overload wraps the target in
+    * a DISK-backed cache stream by default — one temp file created,
+    * written, and deleted per call. At corpus scale (thousands of rows per
+    * partition) that temp-file churn dominates the actual codec cost. */
+  private def writePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try ImageIO.write(img, "png", ios) finally ios.close()
+    bos.toByteArray
+  }
+
+  /** decode any ImageIO-readable payload via a memory-cached stream (the
+    * `ImageIO.read(InputStream)` overload is disk-cache-backed too).
+    * `ImageIO.read(ImageInputStream)` closes the stream on success; we
+    * only close manually on the null/failure path. */
+  private def readImageMem(payload: Array[Byte]): BufferedImage = {
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+    val img = ImageIO.read(iis)
+    if (img == null) { try iis.close() catch { case _: Exception => () } }
+    img
+  }
 
   /** 256-level gray palette. VIDEO frames are written indexed against it:
     * GIF stores palette indices, so gray frames round-trip EXACTLY — no
@@ -35,6 +59,19 @@ object Multimodal {
   private lazy val grayPalette: IndexColorModel = {
     val v = Array.tabulate(256)(_.toByte)
     new IndexColorModel(8, 256, v, v, v)
+  }
+
+  /** Widen a codec stage's input to the session's default parallelism
+    * when the upstream partitioning is coarser. Codec work is CPU-bound
+    * per row, so its parallelism must not be capped by file layout — a
+    * small single-file parquet scan arrives as ONE partition and would
+    * serialize every encode/decode on one core. At cluster scale inputs
+    * are already wide and this is a planning-time no-op (no shuffle). */
+  private def widen(df: DataFrame, explicit: Int = 0): DataFrame = {
+    val target =
+      if (explicit > 0) explicit
+      else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   /** one decoded media item. */
@@ -79,8 +116,8 @@ object Multimodal {
       width: Int = 16, height: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType).as("doc_id"),
-        col(textCol).cast(StringType).as("text"))
+    widen(docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -97,9 +134,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", bos)
-          MediaRow(id, "image", bos.toByteArray, width, height, 0L)
+          MediaRow(id, "image", writePng(img), width, height, 0L)
         }
       }.toDF()
   }
@@ -114,8 +149,8 @@ object Multimodal {
       sampleRate: Int = 8000, maxMs: Int = 250): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType).as("doc_id"),
-        col(textCol).cast(StringType).as("text"))
+    widen(docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -152,7 +187,7 @@ object Multimodal {
   private[graft] def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
+    val ios = new MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -173,8 +208,8 @@ object Multimodal {
       width: Int = 16, height: Int = 16, maxFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType).as("doc_id"),
-        col(textCol).cast(StringType).as("text"))
+    widen(docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -209,7 +244,7 @@ object Multimodal {
   private[graft] def decodeVideoFrames(
       payload: Array[Byte]): Option[Vector[BufferedImage]] =
     try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) { iis.close(); None }
       else {
@@ -281,10 +316,7 @@ object Multimodal {
       decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val balanced =
-      if (decodeParallelism > 0) media.repartition(decodeParallelism, col("doc_id"))
-      else media
-    balanced.as[MediaRow].mapPartitions { rows =>
+    widen(media, decodeParallelism).as[MediaRow].mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights)
       rows.map { r =>
         val feats = (r.kind match {
@@ -311,7 +343,7 @@ object Multimodal {
   private[graft] def decodeImage(payload: Array[Byte],
       featDim: Int): Option[Array[Float]] =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readImageMem(payload)
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -392,21 +424,18 @@ object Multimodal {
       newHeight: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    widen(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val resized =
           if (r.kind != "image") None
           else try {
-            Option(ImageIO.read(new ByteArrayInputStream(r.payload))).map {
-              img =>
-                val out = new BufferedImage(newWidth, newHeight,
-                  BufferedImage.TYPE_INT_RGB)
-                val g = out.createGraphics()
-                try g.drawImage(img, 0, 0, newWidth, newHeight, null)
-                finally g.dispose()
-                val bos = new ByteArrayOutputStream()
-                ImageIO.write(out, "png", bos)
-                bos.toByteArray
+            Option(readImageMem(r.payload)).map { img =>
+              val out = new BufferedImage(newWidth, newHeight,
+                BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(img, 0, 0, newWidth, newHeight, null)
+              finally g.dispose()
+              writePng(out)
             }
           } catch { case _: Exception => None }
         r.copy(payload = resized.getOrElse(r.payload),
@@ -435,15 +464,14 @@ object Multimodal {
   def frameSample(media: DataFrame, frames: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.where(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+    widen(media.where(col("kind") === "video")).as[MediaRow]
+      .mapPartitions { rows =>
       rows.flatMap { r =>
         val sampled: Seq[Array[Byte]] = decodeVideoFrames(r.payload) match {
           case Some(fs) =>
             (0 until frames).map { k =>
               val srcIdx = (k.toLong * fs.size / frames).toInt
-              val bos = new ByteArrayOutputStream()
-              ImageIO.write(fs(srcIdx), "png", bos)
-              bos.toByteArray
+              writePng(fs(srcIdx))
             }
           case None =>
             val fsize = math.max(r.payload.length / frames, 1)
