@@ -386,15 +386,31 @@ object CypherParser extends RegexParsers {
   def returnGraphClause: Parser[Clause] =
     K("return") ~> K("graph") ^^^ ReturnGraphClause
 
+  /** Write clauses get a TYPED error instead of a generic parse failure:
+    * the engine is read-only over immutable graphs (the reference
+    * likewise blacklists every TCK write scenario as wont_fix); CONSTRUCT
+    * is the supported way to derive a new graph. `err` (not `failure`)
+    * aborts the parse so the message survives the alternation. */
+  def writeClause: Parser[Clause] =
+    (K("create") | K("merge") | K("delete") | K("detach") | K("remove") |
+      K("set")) >> { kw =>
+      err(s"${kw.toUpperCase} is not supported: this engine is read-only " +
+        "(graphs are immutable; use CONSTRUCT to derive a new graph)")
+    }
+
   def clause: Parser[Clause] =
     matchClause | unwindClause | withClause | fromGraphClause |
-      constructClause | returnGraphClause | returnClause
+      constructClause | returnGraphClause | writeClause | returnClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 
   def query: Parser[Query] =
     singleQuery ~ rep((K("union") ~> opt(K("all"))) ~ singleQuery) ^^ {
       case first ~ rest =>
+        // Neo4j: one query must not mix UNION and UNION ALL
+        if (rest.map { case all ~ _ => all.isDefined }.distinct.size > 1)
+          throw new IllegalArgumentException(
+            "Invalid combination of UNION and UNION ALL in one query")
         Query(first, rest.map { case all ~ q => (all.isDefined, q) }) }
 
   // ---------------------------------------------------------------- entry

@@ -24,6 +24,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     new ExprCompiler(header, params, probe, lambdaEnv ++ env,
       lambdaTypes ++ types, aggCtx)
 
+  /** a comprehension/reduce/quantifier body cannot aggregate — the lambda
+    * runs per element, not over a group (Neo4j rejects the shape) */
+  private def noAggInLambda(e: Expr): Unit =
+    if (containsAggregate(e)) throw new IllegalArgumentException(
+      "Invalid use of aggregating function inside a list " +
+        "comprehension / reduce / quantifier body")
+
   /** plan-time type resolution via schema-only analysis. Inside lambda
     * scopes (list comprehensions, reduce, quantifiers) the lambda variable
     * can't be probed against the input directly — probe with a null
@@ -107,6 +114,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // to the ordinary cases below — Spark accepts scalar expressions over
     // aggregate functions inside agg().
     case e0 if aggCtx && isAggregate(e0) => compileAggCall(e0)
+    // outside an aggregating projection (WHERE, lambda bodies, pattern
+    // predicates) an aggregate call is invalid, not "unsupported" —
+    // Neo4j: "Invalid use of aggregating function in this context"
+    case e0 if !aggCtx && isAggregate(e0) =>
+      val n = e0 match { case Func(f, _, _) => s"$f()"; case _ => "count(*)" }
+      throw new IllegalArgumentException(
+        s"Invalid use of aggregating function $n in this context " +
+          "(aggregates are only allowed in RETURN/WITH projections)")
     case Var(n) if lambdaEnv.contains(n) => lambdaEnv(n)
     case Var(n) => header(n) match {
       case ValueBinding(c) => col(s"`$c`")
@@ -250,7 +265,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val t = typeOf(b)
       t match {
         case NullType => lit(null) // null[k] is null, not a type error
-        case t2 @ (_: MapType | _: StructType) =>
+        case t2 @ (_: MapType | _: StructType) if !isMixedStruct(t2) =>
+          typeOf(i) match {
+            case StringType | NullType => ()
+            case other => throw new IllegalArgumentException(
+              s"map index must be a string, got $other " +
+                "(Neo4j: cannot index a map with a non-string)")
+          }
           extractFieldDyn(c, compile(i), i, t2)
         case _ =>
           typeOf(i) match {
@@ -279,7 +300,17 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         slice(c, (f + 1).cast(IntegerType),
           greatest(t - f, lit(0)).cast(IntegerType)))
 
-    case Not(x) => !compile(x)
+    case Not(x) =>
+      typeOf(x) match {
+        // a definitely-non-boolean operand is a type error, not an ANSI
+        // cast failure (mixed/tagged values dispatch at runtime)
+        case StringType | DateType | TimestampType | TimestampNTZType |
+            (_: NumericType) | (_: ArrayType) | (_: MapType) =>
+          throw new IllegalArgumentException(
+            s"Type mismatch: NOT expects a Boolean, got ${typeOf(x)}")
+        case _ => ()
+      }
+      !compile(x)
     case And(l, r) => compile(l) && compile(r)
     case Or(l, r) => compile(l) || compile(r)
     case Xor(l, r) =>
@@ -410,6 +441,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case ListComprehension(_, list, _, _) if typeOf(list) == NullType =>
       lit(null) // [x IN null | ...] is null, not a type error
     case ListComprehension(v, list, pred, proj) =>
+      pred.foreach(noAggInLambda); proj.foreach(noAggInLambda)
       val base = compileList(list)
       val et = Map(v -> listElemType(list))
       val filtered = pred match {
@@ -423,6 +455,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
     case Reduce(_, _, _, list, _) if typeOf(list) == NullType => lit(null)
     case Reduce(acc, init, v, list, step) =>
+      noAggInLambda(step)
       val ts = Map(acc -> typeOf(init), v -> listElemType(list))
       aggregate(compileList(list), compile(init),
         (a, x) => sub(Map(acc -> a, v -> x), ts).compile(step))
@@ -430,6 +463,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Quantified(_, _, list, _) if typeOf(list) == NullType =>
       lit(null).cast(BooleanType)
     case Quantified(q, v, list, pred) =>
+      noAggInLambda(pred)
       val c = compileList(list)
       val et = Map(v -> listElemType(list))
       def p(x: Column) = sub(Map(v -> x), et).compile(pred)
@@ -1165,7 +1199,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             .when(size(lc) === 0, lit(false))
             .otherwise(when(exists(lc, e => e.isNull), lit(null))
               .otherwise(lit(false)))
-      case _ => array_contains(compile(list), compile(x))
+      // a tagged/mixed or entity struct may hold a list at runtime —
+      // leave those to the runtime shape; definite scalars are a type
+      // error (Neo4j: "expected List<T> but was String")
+      case _: StructType => array_contains(compile(list), compile(x))
+      case other => throw new IllegalArgumentException(
+        s"Type mismatch: IN expects a list on the right-hand side, " +
+          s"got $other")
     }
   }
 
@@ -1226,6 +1266,19 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // bool/string/number; toFloat string/number (boolean → null);
       // toBoolean bool/string/integer (float → null).
       case "tostring" =>
+        typeOf(f.args(0)) match {
+          // toString's domain is atomic values (+ temporals/durations);
+          // lists, maps and entities are a type error in Neo4j
+          case t @ (_: ArrayType | _: MapType) =>
+            throw new IllegalArgumentException(
+              s"Invalid input for toString(): expected a String, Number, " +
+                s"Boolean or temporal value, got $t")
+          case st: StructType if !isMixedStruct(st) =>
+            throw new IllegalArgumentException(
+              "Invalid input for toString(): expected a String, Number, " +
+                "Boolean or temporal value, got a map/entity")
+          case _ => ()
+        }
         if (isMixedStruct(typeOf(f.args(0))))
           when(a0.getField("@k") === 1, a0.getField("i").cast(StringType))
             .when(a0.getField("@k") === 2, a0.getField("f").cast(StringType))
@@ -1341,8 +1394,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // path functions (extension beyond the reference, which blacklists
       // paths in its TCK run): all three are pure column combinations over
       // ids the pattern already carries — no extra scan or join.
-      case "length" | "size" if pathBindingOf(f.args(0)).isDefined =>
+      case "length" if pathBindingOf(f.args(0)).isDefined =>
         ExprCompiler.pathLength(pathBindingOf(f.args(0)).get)
+      case "size" if pathBindingOf(f.args(0)).isDefined =>
+        // Neo4j: size() takes a string or list, not a path
+        throw new IllegalArgumentException(
+          "size() cannot be applied to a path - use length(p)")
       case "nodes" =>
         val pb = pathBindingOf(f.args(0)).getOrElse(throw
           new IllegalArgumentException("nodes() expects a named path variable"))

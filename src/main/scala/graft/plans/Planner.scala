@@ -247,11 +247,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     var graph = initialGraph
     var state = startState
     var finalDf: Option[DataFrame] = None
+    // within one query part, a required MATCH after an OPTIONAL MATCH is
+    // invalid (Neo4j rule); a WITH starts a new part and resets the flag
+    var sawOptional = false
     sq.clauses.foreach {
       case FromGraphClause(ref) => graph = catalog(ref)
-      case m: MatchClause => state = planMatch(graph, state, m)
+      case m: MatchClause =>
+        if (!m.optional && sawOptional) throw new IllegalArgumentException(
+          "MATCH cannot follow OPTIONAL MATCH " +
+            "(perhaps use a WITH clause between them)")
+        if (m.optional) sawOptional = true
+        state = planMatch(graph, state, m)
       case UnwindClause(e, v) => state = planUnwind(graph, state, e, v)
       case w: WithClause =>
+        sawOptional = false
         state = planProjection(graph, state, w.items, w.star, w.distinct,
           w.orderBy, w.skip, w.limit, isReturn = false)
         w.where.foreach { pred =>
@@ -289,11 +298,18 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     var graph = initialGraph
     var state = unitState
     var built: Option[PropertyGraph] = None
+    var sawOptional = false
     q.first.clauses.foreach {
       case FromGraphClause(ref) => graph = catalog(ref)
-      case m: MatchClause => state = planMatch(graph, state, m)
+      case m: MatchClause =>
+        if (!m.optional && sawOptional) throw new IllegalArgumentException(
+          "MATCH cannot follow OPTIONAL MATCH " +
+            "(perhaps use a WITH clause between them)")
+        if (m.optional) sawOptional = true
+        state = planMatch(graph, state, m)
       case UnwindClause(e, v) => state = planUnwind(graph, state, e, v)
       case w: WithClause =>
+        sawOptional = false
         state = planProjection(graph, state, w.items, w.star, w.distinct,
           w.orderBy, w.skip, w.limit, isReturn = false)
         w.where.foreach { pred => state = applyWhere(graph, state, pred) }
@@ -933,6 +949,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
     part.pathName match {
       case Some(pn) =>
+        if (filtered.header.get(pn).isDefined)
+          throw new IllegalArgumentException(
+            s"Variable `$pn` already declared; a path name cannot rebind")
         val nodeIds = pathNodes.toSeq.map(v =>
           filtered.header(v).asInstanceOf[NodeBinding].idCol)
         val bound = filtered.copy(header = filtered.header +
@@ -1125,7 +1144,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           dstVar, dstNp, propPreds)
       case Some(_: RelListBinding) => throw new IllegalArgumentException(
         s"relationship list variable '$relVar' cannot rebind in a pattern")
-      case _ => ()
+      case Some(other) => throw new IllegalArgumentException(
+        s"Variable `$relVar` already bound to $other; " +
+          "cannot reuse it as a relationship")
+      case None => ()
     }
     if (!freshSrc) {
       expandOneViaTriplet(graph, state, srcVar, relVar, rel, dstVar, dstNp,
@@ -2041,8 +2063,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val rhsDf = renameMap.foldLeft(rhs.df) { case (df, (from, to)) =>
       df.withColumnRenamed(from, to) }
 
-    // join on the id columns of shared bindings (null-safe not needed:
-    // Cypher null ids never match)
+    // join back NULL-SAFELY on the shared bindings' id/value columns: a
+    // shared var can be null (bound by an earlier non-matching OPTIONAL
+    // MATCH), and the rhs evaluated its pattern + WHERE under exactly
+    // that null seed row — e.g. `OPTIONAL MATCH (n) WHERE r.uid IS NULL`
+    // with null r must multiply by every matching n (differential case
+    // 443). A null entity still never matches a PATTERN (expansion joins
+    // on id equality inside the rhs); only the seed pairing is null-safe.
     val joinCond = sharedBindings.map { case (v, b) =>
       val idc = b match {
         case nb: NodeBinding => nb.idCol
@@ -2050,7 +2077,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case ValueBinding(c) => c
         case rl: RelListBinding => rl.col
       }
-      col(s"`$idc`") === col(s"`${renameMap(idc)}`")
+      col(s"`$idc`") <=> col(s"`${renameMap(idc)}`")
     }.reduce(_ && _)
 
     val joined = lhsDf.join(rhsDf, joinCond, "left_outer")
@@ -2311,6 +2338,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       .select(renameMap.values.toSeq.map(c => col(s"`$c`")): _*)
       .distinct()
 
+    // null-safe: a shared var can be null (earlier non-matching OPTIONAL
+    // MATCH) and the subquery evaluated under exactly that null seed —
+    // `EXISTS { (n) WHERE r.uid IS NULL }` with null r is true (same
+    // reasoning as planOptionalMatch's join-back)
     val joinCond = sharedBindings.map { case (v, b) =>
       val idc = b match {
         case nb: NodeBinding => nb.idCol
@@ -2318,7 +2349,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case ValueBinding(c) => c
         case rl: RelListBinding => rl.col
       }
-      col(s"`$idc`") === col(s"`${renameMap(idc)}`")
+      col(s"`$idc`") <=> col(s"`${renameMap(idc)}`")
     }.reduce(_ && _)
 
     val joined = state.df.join(rhsDf, joinCond,
@@ -2477,8 +2508,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val renames = keyCols.map(c => c -> fresh("pck")).toMap
     val aggRenamed = renames.foldLeft(agged) { case (d, (from, to)) =>
       d.withColumnRenamed(from, to) }
+    // null-safe for the same reason as planOptionalMatch's join-back: a
+    // shared var may be null from an earlier OPTIONAL MATCH, and the
+    // comprehension evaluated under that null seed row
     val cond = keyCols.map(c =>
-      col(s"`$c`") === col(s"`${renames(c)}`")).reduce(_ && _)
+      col(s"`$c`") <=> col(s"`${renames(c)}`")).reduce(_ && _)
     val joined = state.df.join(aggRenamed, cond, "left_outer")
       .drop(renames.values.toSeq: _*)
       .withColumn(outCol, coalesce(col(s"`$outCol`"), array().cast(listType)))
@@ -2780,8 +2814,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   private def applySkipLimit(df: DataFrame, skip: Option[Expr],
       limit: Option[Expr]): DataFrame = {
-    val skipped = skip.map(e => df.offset(evalStaticInt(e).toInt)).getOrElse(df)
-    limit.map(e => skipped.limit(evalStaticInt(e).toInt)).getOrElse(skipped)
+    def nonNeg(kind: String, e: Expr): Int = {
+      val v = evalStaticInt(e)
+      if (v < 0) throw new IllegalArgumentException(
+        s"$kind must be a non-negative integer, got $v")
+      v.toInt
+    }
+    val skipped = skip.map(e => df.offset(nonNeg("SKIP", e))).getOrElse(df)
+    limit.map(e => skipped.limit(nonNeg("LIMIT", e))).getOrElse(skipped)
   }
 
   /** RETURN: map bindings to user-facing columns. Entities render as a

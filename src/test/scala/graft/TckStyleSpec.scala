@@ -3162,6 +3162,113 @@ class TckStyleSpec extends AnyFunSuite {
       "MATCH (s:N {n: 'b'})-[:T*1..2]-(x) RETURN x.n AS x, count(*) AS c",
       Seq(row("x" -> "a", "c" -> 2L))))
 
+  /** Probe batch 33 (Probe40Main): error-shape parity with the
+    * reference's two unmined blacklists — wont_fix (write clauses; the
+    * engine answers with a typed read-only error) and failure_reporting
+    * (scenarios whose expected outcome is a SPECIFIC error) — plus the
+    * null-shared-var OPTIONAL/EXISTS/comprehension fixes found by
+    * differential case 443. */
+  private def probeBatch33: Seq[Scenario] = Seq(
+    Scenario("probe33 CREATE is a typed read-only error", "CREATE (:A)",
+      "CREATE (n:X) RETURN n", Nil, expectError = Some("read-only")),
+    Scenario("probe33 MERGE is a typed read-only error", "CREATE (:A)",
+      "MERGE (n:X {k: 1}) RETURN n", Nil, expectError = Some("read-only")),
+    Scenario("probe33 DELETE is a typed read-only error", "CREATE (:A)",
+      "MATCH (n:A) DELETE n", Nil, expectError = Some("read-only")),
+    Scenario("probe33 DETACH DELETE is a typed read-only error",
+      "CREATE (:A)", "MATCH (n:A) DETACH DELETE n", Nil,
+      expectError = Some("read-only")),
+    Scenario("probe33 SET is a typed read-only error", "CREATE (:A)",
+      "MATCH (n:A) SET n.k = 2 RETURN n.k AS k", Nil,
+      expectError = Some("read-only")),
+    Scenario("probe33 REMOVE is a typed read-only error", "CREATE (:A)",
+      "MATCH (n:A) REMOVE n.k RETURN n.k AS k", Nil,
+      expectError = Some("read-only")),
+    Scenario("probe33 mixed UNION and UNION ALL is invalid",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN n.k AS k UNION MATCH (n:A) RETURN n.k AS k " +
+        "UNION ALL MATCH (n:A) RETURN n.k AS k",
+      Nil, expectError = Some("Invalid combination of UNION and UNION ALL")),
+    Scenario("probe33 aggregate in WHERE is invalid", "CREATE (:A {k: 1})",
+      "MATCH (n:A) WHERE count(n) > 0 RETURN n.k AS k", Nil,
+      expectError = Some("Invalid use of aggregating function")),
+    Scenario("probe33 aggregate inside a list comprehension is invalid",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN [x IN [1, 2] | count(*)] AS l", Nil,
+      expectError = Some("Invalid use of aggregating function")),
+    Scenario("probe33 node variable cannot be reused as a relationship",
+      "CREATE (:A {k: 1})-[:T]->(:B)",
+      "MATCH (n:A) MATCH ()-[n]->() RETURN 1 AS x", Nil,
+      expectError = Some("cannot reuse it as a relationship")),
+    Scenario("probe33 a path name cannot rebind",
+      "CREATE (:A {k: 1})-[:T]->(:B {k: 2})",
+      "MATCH p = (a:A)-->(b) MATCH p = (x:B)-->(y) RETURN 1 AS x", Nil,
+      expectError = Some("already declared")),
+    Scenario("probe33 MATCH cannot follow OPTIONAL MATCH",
+      "CREATE (:A {k: 1}), (:B {k: 2})",
+      "OPTIONAL MATCH (n:A) MATCH (m:B) RETURN m.k AS k", Nil,
+      expectError = Some("MATCH cannot follow OPTIONAL MATCH")),
+    Scenario("probe33 WITH resets the OPTIONAL MATCH restriction",
+      "CREATE (:A {k: 1}), (:B {k: 2})",
+      "OPTIONAL MATCH (n:A) WITH n MATCH (m:B) " +
+        "RETURN n.k AS nk, m.k AS mk",
+      Seq(row("nk" -> 1L, "mk" -> 2L))),
+    Scenario("probe33 toString on a list is invalid", "CREATE (:A)",
+      "RETURN toString([1, 2]) AS s", Nil,
+      expectError = Some("Invalid input for toString()")),
+    Scenario("probe33 toString on a map is invalid", "CREATE (:A)",
+      "RETURN toString({a: 1}) AS s", Nil,
+      expectError = Some("Invalid input for toString()")),
+    Scenario("probe33 IN requires a list on the right-hand side",
+      "CREATE (:A)", "RETURN 1 IN 'a' AS x", Nil,
+      expectError = Some("IN expects a list")),
+    Scenario("probe33 map index must be a string", "CREATE (:A)",
+      "WITH {a: 1} AS m RETURN m[0] AS x", Nil,
+      expectError = Some("map index must be a string")),
+    Scenario("probe33 size() on a path is invalid - length() is the path form",
+      "CREATE (:A)-[:T]->(:B)",
+      "MATCH p = (a:A)-->(b) RETURN size(p) AS s", Nil,
+      expectError = Some("use length(p)")),
+    Scenario("probe33 length() on a path still works",
+      "CREATE (:A)-[:T]->(:B)",
+      "MATCH p = (a:A)-->(b) RETURN length(p) AS s",
+      Seq(row("s" -> 1L))),
+    Scenario("probe33 NOT on a string is a type error", "CREATE (:A)",
+      "RETURN NOT 'foo' AS x", Nil,
+      expectError = Some("NOT expects a Boolean")),
+    Scenario("probe33 negative LIMIT is invalid", "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN n.k AS k LIMIT -1", Nil,
+      expectError = Some("non-negative")),
+    Scenario("probe33 negative SKIP is invalid", "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN n.k AS k SKIP -2", Nil,
+      expectError = Some("non-negative")),
+    Scenario(
+      "probe33 OPTIONAL MATCH WHERE over a null rel from a previous optional",
+      "CREATE (:A {v: 1}), (:A {v: 2})",
+      "MATCH (a:A) OPTIONAL MATCH (a)-[r:T]->(m) " +
+        "OPTIONAL MATCH (n:A) WHERE r IS NULL " +
+        "RETURN a.v AS v, count(n) AS c",
+      Seq(row("v" -> 1L, "c" -> 2L), row("v" -> 2L, "c" -> 2L))),
+    Scenario("probe33 EXISTS over a null rel from a previous optional",
+      "CREATE (:A {v: 1}), (:A {v: 2})",
+      "MATCH (a:A) OPTIONAL MATCH (a)-[r:T]->(m) " +
+        "WITH a, r WHERE EXISTS { MATCH (n:A) WHERE r IS NULL } " +
+        "RETURN count(a) AS c",
+      Seq(row("c" -> 2L))),
+    Scenario("probe33 NOT EXISTS over a null rel from a previous optional",
+      "CREATE (:A {v: 1}), (:A {v: 2})",
+      "MATCH (a:A) OPTIONAL MATCH (a)-[r:T]->(m) " +
+        "WITH a, r WHERE NOT EXISTS { MATCH (n:A) WHERE r IS NULL } " +
+        "RETURN count(a) AS c",
+      Seq(row("c" -> 0L))),
+    Scenario("probe33 pattern comprehension under a null shared rel",
+      "CREATE (a:A {v: 1})-[:S]->(:B), (:A {v: 2})",
+      "MATCH (a:A) OPTIONAL MATCH (a)-[r:T]->(m) " +
+        "RETURN a.v AS v, size([(a)-[:S]->(x) WHERE r IS NULL | 1]) AS s " +
+        "ORDER BY v",
+      Seq(row("v" -> 1L, "s" -> 1L), row("v" -> 2L, "s" -> 0L)),
+      ordered = true))
+
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
@@ -3175,7 +3282,7 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   test("scenario corpus is large enough to be meaningful") {
-    val all = scenarios ++ probeBatch16
+    val all = scenarios ++ probeBatch16 ++ probeBatch33
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -3184,7 +3291,7 @@ class TckStyleSpec extends AnyFunSuite {
       s"blacklist names not in the corpus: $staleBlacklist")
   }
 
-  (scenarios ++ probeBatch16).foreach { sc =>
+  (scenarios ++ probeBatch16 ++ probeBatch33).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }

@@ -1043,7 +1043,10 @@ object DiffGen {
     midKind <- Gen.frequency(4 -> Gen.const(0), 3 -> Gen.const(1),
       3 -> Gen.const(2))
     m2 <- (if (midKind == 1) for {
-      opt <- Gen.prob(0.4)
+      opt0 <- Gen.prob(0.4)
+      // a required MATCH cannot follow OPTIONAL MATCH in the same query
+      // part (Neo4j rule, planner-enforced): once optional, stay optional
+      opt = opt0 || firstOpt
       m <- genMatch(m1._2, optional = opt, m1._3)
       w <- Gen.prob(0.6)
       wb <- genBE(m._2, 2)
