@@ -161,6 +161,12 @@ object PipelineQueries {
     // train, assign, secondary-sort probe — runs end-to-end with a
     // DuckDB-checkable exact answer; partial-probe recall behavior is
     // covered by PipelineSpec
+    // nProbe = nClusters ON PURPOSE: probing every cell makes IVF exactly
+    // equal to brute-force top-k, which is what lets this gate be
+    // oracle-EXACT (hash-matched against DuckDB) instead of rows-only.
+    // That doubles the gate's cost vs a realistic partial probe — the
+    // honest price of exactness. Do NOT "optimize" this back to a partial
+    // probe: recall under partial probing is covered by PipelineSpec.
     "p15_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         nClusters = 32, nProbe = 32, trainSample = 5000)
