@@ -42,6 +42,18 @@ object CypherParser extends RegexParsers {
   def stringLit: Parser[String] =
     (sqStringRe | dqStringRe)
       .map(s => unescape(s.substring(1, s.length - 1)))
+  /** a malformed unicode escape is a typed parse error (TCK
+    * MiscellaneousErrorAcceptance "Failing on incorrect unicode
+    * literal"), not a StringIndexOutOfBoundsException. */
+  private def hexEscape(s: String, from: Int, len: Int): String = {
+    if (from + len > s.length ||
+        !s.substring(from, from + len).forall(c =>
+          Character.digit(c, 16) >= 0))
+      throw new IllegalArgumentException(
+        s"invalid unicode escape in string literal: \\u expects $len " +
+          s"hex digits, got '${s.substring(from.min(s.length))}'")
+    s.substring(from, from + len)
+  }
   private def unescape(s: String): String = {
     val b = new StringBuilder; var i = 0
     while (i < s.length) {
@@ -50,12 +62,12 @@ object CypherParser extends RegexParsers {
         s.charAt(i + 1) match {
           case 'n' => b += '\n'; case 't' => b += '\t'; case 'r' => b += '\r'
           case 'b' => b += '\b'; case 'f' => b += '\f'
-          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 4
+          case 'u' => b += Integer.parseInt(hexEscape(s, i + 2, 4), 16).toChar; i += 4
           // openCypher 32-bit escape \UXXXXXXXX (astral code points in one
           // escape; two \u surrogates also compose naturally)
           case 'U' =>
             b ++= Character.toChars(
-              Integer.parseInt(s.substring(i + 2, i + 10), 16))
+              Integer.parseInt(hexEscape(s, i + 2, 8), 16))
             i += 8
           case o => b += o
         }
@@ -67,7 +79,14 @@ object CypherParser extends RegexParsers {
 
   def floatLit: Parser[Double] =
     // (?!\.) keeps `1..3` range syntax out of the float token (`1.` + `.`)
-    """-?(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ (_.toDouble)
+    """-?(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ { s =>
+      val d = s.toDouble
+      // a literal that overflows to ±Infinity is an error (TCK
+      // SemanticErrorAcceptance "Failing when float value is too large")
+      if (d.isInfinite) throw new IllegalArgumentException(
+        s"floating point number is too large: $s")
+      d
+    }
   def intLit: Parser[Long] =
     // openCypher hex (0x1F) and octal (0o17) integer forms
     """-?0[xX][0-9a-fA-F]+""".r ^^ (s => java.lang.Long.parseLong(
@@ -198,7 +217,16 @@ object CypherParser extends RegexParsers {
       opt(K("where") ~> expression) <~ "}" ^^ {
       case p ~ w => PatternPredicate(p, where = w) }) |
     (K("exists") ~> "(" ~> (patternPart ^^ (p => PatternPredicate(p)) |
-      expression ^^ IsNotNull.apply) <~ ")")
+      expression ^^ {
+        // exists() takes a property access or a pattern, nothing else
+        // (TCK SemanticErrorAcceptance "Failing when checking existence
+        // of a non-property and non-pattern")
+        case p: Property => IsNotNull(p)
+        case ix: Index => IsNotNull(ix) // dynamic property access n[key]
+        case other => throw new IllegalArgumentException(
+          s"exists() expects a property access or a pattern, got $other " +
+            "(use `expr IS NOT NULL` for general expressions)")
+      }) <~ ")")
 
   /** bare pattern used as predicate: `(n)-[:T]->(m)` — needs ≥1 hop. */
   def patternPredicateExpr: Parser[Expr] =
@@ -398,9 +426,19 @@ object CypherParser extends RegexParsers {
         "(graphs are immutable; use CONSTRUCT to derive a new graph)")
     }
 
+  /** CALL gets a typed error: there is no procedure registry here (the
+    * TCK's ProcedureCallAcceptance scenarios all sit on the reference's
+    * failure_reporting_blacklist for the same reason). */
+  def callClause: Parser[Clause] =
+    K("call") >> { _ =>
+      err("CALL is not supported: this engine has no procedure registry " +
+        "(all ProcedureCallAcceptance shapes are invalid here)")
+    }
+
   def clause: Parser[Clause] =
     matchClause | unwindClause | withClause | fromGraphClause |
-      constructClause | returnGraphClause | writeClause | returnClause
+      constructClause | returnGraphClause | writeClause | callClause |
+      returnClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

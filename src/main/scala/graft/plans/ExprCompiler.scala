@@ -144,7 +144,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val types = items.map(typeOf)
       if (isMixedAtomicList(types))
         array(items.zip(types).map { case (e, t) => toMixed(compile(e), t) }: _*)
-      else array(items.map(compile): _*)
+      else {
+        // non-atomic mixes (a map next to an integer, a list next to a
+        // temporal) have no tagged encoding — a typed error beats the raw
+        // Spark DATA_DIFF_TYPES failure. The reference also rejects these
+        // (TCK "Handling property access on the Any type" sits on its
+        // failure_reporting_blacklist).
+        val fams = types.filterNot(_ == NullType).map(family).distinct
+        if (fams.size > 1)
+          throw new IllegalArgumentException(
+            "cannot build a list mixing " + fams.mkString("/") +
+              " values: heterogeneous lists are supported over atomic " +
+              "values only (integer/float/string/boolean)")
+        array(items.map(compile): _*)
+      }
     case MapLit(items) => struct(items.map { case (k, v) => compile(v).as(k) }: _*)
 
     case Property(Var(n), key) if !lambdaEnv.contains(n) => header(n) match {
@@ -273,6 +286,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
                 "(Neo4j: cannot index a map with a non-string)")
           }
           extractFieldDyn(c, compile(i), i, t2)
+        // a scalar base is not indexable at all (TCK ExpressionAcceptance
+        // "Fail at runtime when trying to index something which is not a
+        // map or collection") — typed error, not a raw DATATYPE_MISMATCH
+        case other @ (BooleanType | StringType | BinaryType | DateType |
+            TimestampType | TimestampNTZType | _: NumericType) =>
+          throw new IllegalArgumentException(
+            s"cannot index into a value of type ${other.simpleString} " +
+              "(expected a list or map)")
         case _ =>
           typeOf(i) match {
             case NullType | ByteType | ShortType | IntegerType | LongType =>
@@ -531,6 +552,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // a key the (closed) struct schema lacks is null in Cypher, not a
       // FIELD_NOT_FOUND analysis error
       case st: StructType if !st.fieldNames.contains(key) => lit(null)
+      // property access on an atomic value is a type error (TCK
+      // SemanticErrorAcceptance "Failing when performing property access
+      // on a non-map"), not a raw INVALID_EXTRACT_BASE_FIELD_TYPE failure
+      case t @ (BooleanType | StringType | BinaryType | _: NumericType) =>
+        throw new IllegalArgumentException(
+          s"property access on a value of type ${t.simpleString} " +
+            "(expected a node, relationship, map or temporal value)")
       case _ => c.getField(key) // struct/map lookup
     }
 
@@ -652,6 +680,41 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   /** openCypher comparability family: values from different families are
     * never equal (`1 = 'a'` → false) and never ordered (`'a' < 1` → null);
     * numeric widths/date-vs-timestamp compare within their family. */
+  /** conversion functions take atomic values only: entities, lists and
+    * maps are a type error in both the reference (okapi ToInteger/
+    * ToFloat/ToBoolean signatures, Expr.scala:758-796) and Neo4j — not
+    * a silent id-cast or a raw CAST_WITHOUT_SUGGESTION failure. */
+  private def convInputGuard(fn: String, arg: Expr): Unit = {
+    entityKindOf(arg).foreach { kind =>
+      throw new IllegalArgumentException(
+        s"Invalid input for $fn(): expected an atomic value, got $kind")
+    }
+    typeOf(arg) match {
+      case t @ (_: ArrayType | _: MapType) =>
+        throw new IllegalArgumentException(
+          s"Invalid input for $fn(): expected an atomic value, " +
+            s"got ${t.simpleString}")
+      case st: StructType if !isMixedStruct(st) =>
+        throw new IllegalArgumentException(
+          s"Invalid input for $fn(): expected an atomic value, " +
+            "got a map/entity")
+      case _ => ()
+    }
+  }
+
+  /** the entity kind of a bare entity-bound variable argument, for
+    * argument-type checks — an entity var otherwise compiles to its id
+    * column, so a plain typeOf check cannot tell a node from a BIGINT. */
+  private def entityKindOf(e: Expr): Option[String] = e match {
+    case Var(n) if !lambdaEnv.contains(n) => header.get(n) collect {
+      case _: NodeBinding => "a node"
+      case _: RelBinding => "a relationship"
+      case _: PathBinding => "a path"
+      case _: RelListBinding => "a var-length relationship list"
+    }
+    case _ => None
+  }
+
   private def family(t: DataType): String = t match {
     case _: NumericType => "num"
     case StringType => "str"
@@ -1266,6 +1329,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // bool/string/number; toFloat string/number (boolean → null);
       // toBoolean bool/string/integer (float → null).
       case "tostring" =>
+        entityKindOf(f.args(0)).foreach { kind =>
+          throw new IllegalArgumentException(
+            s"Invalid input for toString(): expected a String, Number, " +
+              s"Boolean or temporal value, got $kind")
+        }
         typeOf(f.args(0)) match {
           // toString's domain is atomic values (+ temporals/durations);
           // lists, maps and entities are a type error in Neo4j
@@ -1292,6 +1360,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case _ => a0.cast(StringType)
         }
       case "tointeger" =>
+        convInputGuard("toInteger", f.args(0))
         if (isMixedStruct(typeOf(f.args(0))))
           when(a0.getField("@k") === 1, a0.getField("i"))
             .when(a0.getField("@k") === 2, a0.getField("f").cast(LongType))
@@ -1305,6 +1374,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case _ => a0.try_cast(LongType)
         }
       case "tofloat" =>
+        convInputGuard("toFloat", f.args(0))
         if (isMixedStruct(typeOf(f.args(0))))
           when(a0.getField("@k") === 1, a0.getField("i").cast(DoubleType))
             .when(a0.getField("@k") === 2, a0.getField("f"))
@@ -1315,6 +1385,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case _ => a0.try_cast(DoubleType)
         }
       case "toboolean" =>
+        convInputGuard("toBoolean", f.args(0))
         // strict string form: ONLY case-insensitive 'true'/'false'
         // (Spark's cast also accepts 'y'/'1'/padded input — Neo4j doesn't)
         def strToBool(s: Column) =
@@ -1412,11 +1483,23 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           new IllegalArgumentException(
             "relationships() expects a named path variable"))
         ExprCompiler.pathRels(pb)
-      case "size" | "length" => typeOf(f.args(0)) match {
-        case StringType => length(a0).cast(LongType)
-        case NullType => lit(null).cast(LongType) // size(null) is null
-        case _ => size(a0).cast(LongType)
-      }
+      case "size" | "length" =>
+        // entities are a type error (TCK "Failing when using `length()`
+        // on a node"); a var-length rel VARIABLE is a legitimate list
+        entityKindOf(f.args(0))
+          .filterNot(_ == "a var-length relationship list").foreach { kind =>
+            throw new IllegalArgumentException(
+              s"${f.name}() cannot be applied to $kind " +
+                "(expected a string or a list)")
+          }
+        typeOf(f.args(0)) match {
+          case StringType => length(a0).cast(LongType)
+          case NullType => lit(null).cast(LongType) // size(null) is null
+          case _: ArrayType => size(a0).cast(LongType)
+          case other => throw new IllegalArgumentException(
+            s"${f.name}() expects a string or a list, " +
+              s"got ${other.simpleString}")
+        }
       case "isempty" => typeOf(f.args(0)) match {
         case StringType => length(a0) === 0
         case _: MapType => size(map_keys(a0)) === 0
@@ -1433,6 +1516,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "last" => try_element_at(a0, lit(-1))
       case "tail" => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "range" =>
+        f.args.foreach { ra =>
+          typeOf(ra) match {
+            case ByteType | ShortType | IntegerType | LongType | NullType =>
+            case st: StructType if isMixedStruct(st) => // runtime-typed
+            case other => throw new IllegalArgumentException(
+              s"range() expects integer arguments, got ${other.simpleString}")
+          }
+        }
         val step = if (f.args.size > 2) a(2) else lit(1L)
         // Cypher: an empty range (start past stop for the step's sign) is
         // [], where Spark's sequence() raises; step 0 raises in Neo4j
@@ -1724,8 +1815,54 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * compiled by the ordinary `compile` path of an aggregate-context
     * compiler, which routes inner aggregate calls through compileAggCall —
     * so every scalar operator/function composes over aggregates for free. */
+  /** percentileCont/Disc argument typing (TCK FunctionsAcceptance
+    * "`percentileCont()` failing on bad arguments"): both the value and
+    * the percentile must be numbers — typed error, not a raw
+    * CAST_INVALID_INPUT at execution time. */
+  private def checkPercentileArgs(fn: String, args: Seq[Expr]): Unit = {
+    typeOf(args.head) match {
+      case _: NumericType | NullType => ()
+      case st: StructType if isMixedStruct(st) => () // runtime-typed
+      case other => throw new IllegalArgumentException(
+        s"$fn() expects a numeric value expression, " +
+          s"got ${other.simpleString}")
+    }
+    typeOf(args(1)) match {
+      case _: NumericType | NullType => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn() percentile argument must be a number in [0.0, 1.0], " +
+          s"got ${other.simpleString}")
+    }
+  }
+
+  /** rand()/randomUUID() inside an aggregate's arguments is invalid (TCK
+    * SyntaxErrorAcceptance "Using `rand()` in aggregations") — caught
+    * here so the user sees a Cypher error, not Spark's
+    * AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION. Only aggregate
+    * ARGS are checked: `RETURN rand() + count(*)` stays legal. */
+  private def nondetInAggArgs(a: Any): Boolean = {
+    def containsNondet(x: Any): Boolean = x match {
+      case Func(n, _, as) =>
+        Set("rand", "randomuuid")(n) || as.exists(containsNondet)
+      case p: Product => p.productIterator.exists(containsNondet)
+      case it: Iterable[_] => it.exists(containsNondet)
+      case _ => false
+    }
+    a match {
+      case Func(n, _, args) if ExprCompiler.aggregateNames(n) =>
+        args.exists(containsNondet)
+      case p: Product => p.productIterator.exists(nondetInAggArgs)
+      case it: Iterable[_] => it.exists(nondetInAggArgs)
+      case _ => false
+    }
+  }
+
   def compileAggregate(e: Expr): Column =
-    if (isAggregate(e)) compileAggCall(e)
+    if (nondetInAggArgs(e))
+      throw new IllegalArgumentException(
+        "non-deterministic function (rand()/randomUUID()) cannot be " +
+          "used inside an aggregate function")
+    else if (isAggregate(e)) compileAggCall(e)
     else if (containsAggregate(e))
       new ExprCompiler(header, params, probe, lambdaEnv, lambdaTypes,
         aggCtx = true).compile(e)
@@ -1818,10 +1955,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // exact interpolated percentile (reference buffers all values in a
     // custom UDAF, PercentileUdafs.scala:39-96 — Spark ≥3.5 has it native)
     case Func("percentilecont", false, args) =>
+      checkPercentileArgs("percentileCont", args)
       percentile(compile(args.head), compile(args(1)))
     // DISTINCT variant: interpolate over the sorted distinct values
     // (Spark's native percentile has no DISTINCT form)
     case Func("percentilecont", true, args) =>
+      checkPercentileArgs("percentileCont", args)
       val arr = array_sort(collect_set(compile(args.head).cast(DoubleType)))
       val p = compile(args(1))
       val rank = lit(1.0) + p * (size(arr) - 1)
@@ -1833,6 +1972,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // discrete percentile = the value at rank ⌈p·n⌉ — exact via a sorted
     // group buffer (the reference's PercentileUdafs buffered the same way)
     case Func("percentiledisc", distinct, args) =>
+      checkPercentileArgs("percentileDisc", args)
       val c = compile(args.head)
       val p = compile(args(1))
       val arr = array_sort(

@@ -3269,6 +3269,95 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("v" -> 1L, "s" -> 1L), row("v" -> 2L, "s" -> 0L)),
       ordered = true))
 
+  // probe batch 34: the remaining failure_reporting families — typed
+  // errors for function argument types, invalid indexing, procedure
+  // calls, and literal exotica (reference failure_reporting_blacklist;
+  // full TCK-syntax twins live in features/ErrorReporting.feature)
+  // a def, not a val: the class initializer is at the JVM's 64KB method
+  // limit — each batch from here on compiles to its own method
+  def probeBatch34: Seq[Scenario] = Seq(
+    Scenario("probe34 rand() inside an aggregate is invalid", "CREATE (:A)",
+      "MATCH (n:A) RETURN count(rand()) AS x", Nil,
+      expectError = Some("cannot be used inside an aggregate")),
+    Scenario("probe34 rand() beside an aggregate stays legal", "CREATE (:A)",
+      "MATCH (n:A) RETURN count(*) AS c, rand() >= 0 AS r",
+      Seq(row("c" -> 1L, "r" -> true))),
+    Scenario("probe34 float literal overflow", empty,
+      "RETURN 1.34E999 AS x", Nil,
+      expectError = Some("floating point number is too large")),
+    Scenario("probe34 invalid unicode escape", empty,
+      "RETURN '\\uH' AS x", Nil,
+      expectError = Some("invalid unicode escape")),
+    Scenario("probe34 CALL is a typed unsupported error", empty,
+      "CALL db.labels() YIELD label RETURN label", Nil,
+      expectError = Some("CALL is not supported")),
+    Scenario("probe34 indexing a scalar is a type error", empty,
+      "WITH 100 AS i RETURN i[0] AS x", Nil,
+      expectError = Some("cannot index into a value of type bigint")),
+    Scenario("probe34 indexing a string is a type error", empty,
+      "WITH 'abc' AS s RETURN s[0] AS x", Nil,
+      expectError = Some("cannot index into a value of type string")),
+    Scenario("probe34 property access on an integer is a type error", empty,
+      "WITH 1 AS n RETURN n.prop AS x", Nil,
+      expectError = Some("property access on a value of type bigint")),
+    Scenario("probe34 property access on a string is a type error", empty,
+      "WITH 'a' AS n RETURN n.prop AS x", Nil,
+      expectError = Some("property access on a value of type string")),
+    Scenario("probe34 list indexed with a list is a type error", empty,
+      "WITH [1, 2] AS l RETURN l[[0]] AS x", Nil,
+      expectError = Some("list index must be an integer")),
+    Scenario("probe34 length() on a node is a type error", "CREATE (:A)",
+      "MATCH (n:A) RETURN length(n) AS x", Nil,
+      expectError = Some("length() cannot be applied to a node")),
+    Scenario("probe34 size() on a relationship is a type error",
+      "CREATE (:A)-[:T]->(:B)",
+      "MATCH ()-[r:T]->() RETURN size(r) AS x", Nil,
+      expectError = Some("size() cannot be applied to a relationship")),
+    Scenario("probe34 size() on a var-length rel list stays legal",
+      "CREATE (:A)-[:T]->(:B)",
+      "MATCH (:A)-[r:T*1..2]->() RETURN size(r) AS x",
+      Seq(row("x" -> 1L))),
+    Scenario("probe34 toInteger() on an entity is a type error", "CREATE (:A)",
+      "MATCH (n:A) RETURN toInteger(n) AS x", Nil,
+      expectError = Some("Invalid input for toInteger()")),
+    Scenario("probe34 toInteger() on a list is a type error", empty,
+      "RETURN toInteger([1]) AS x", Nil,
+      expectError = Some("Invalid input for toInteger()")),
+    Scenario("probe34 toFloat() on a list is a type error", empty,
+      "RETURN toFloat([1.0]) AS x", Nil,
+      expectError = Some("Invalid input for toFloat()")),
+    Scenario("probe34 toString() on an entity is a type error", "CREATE (:A)",
+      "MATCH (n:A) RETURN toString(n) AS x", Nil,
+      expectError = Some("Invalid input for toString()")),
+    Scenario("probe34 percentileCont() non-numeric percentile", "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN percentileCont(n.k, 'nope') AS x", Nil,
+      expectError = Some("percentile argument must be a number")),
+    Scenario("probe34 percentileCont() non-numeric input", "CREATE (:A {s: 'x'})",
+      "MATCH (n:A) RETURN percentileCont(n.s, 0.5) AS x", Nil,
+      expectError = Some("expects a numeric value expression")),
+    Scenario("probe34 range() with string arguments", empty,
+      "RETURN range('a', 'b') AS x", Nil,
+      expectError = Some("range() expects integer arguments")),
+    Scenario("probe34 exists() over a general expression", "CREATE (:A {k: 1})",
+      "MATCH (n:A) WHERE exists(n.k + 1) RETURN n.k AS x", Nil,
+      expectError = Some("exists() expects a property access or a pattern")),
+    Scenario("probe34 exists() over a property still works", "CREATE (:A {k: 1})",
+      "MATCH (n:A) WHERE exists(n.k) RETURN n.k AS x",
+      Seq(row("x" -> 1L))),
+    Scenario("probe34 heterogeneous map/atomic list literal", empty,
+      "RETURN [{prop: 1}, 1] AS x", Nil,
+      expectError = Some("cannot build a list mixing")),
+    Scenario("probe34 rel reuse in one pattern is invalid",
+      "CREATE (:A)-[:T]->(:B)",
+      "MATCH (a)-[r]->(b)-[r]->(c) RETURN 1 AS x", Nil,
+      expectError = Some("same relationship variable")),
+    Scenario("probe34 OR tolerates a null-poisoned disjunct",
+      "CREATE (:A {k: 1, s: 'x'})",
+      // the second disjunct is null for the row (no such property);
+      // true OR null must still be true per ternary logic
+      "MATCH (n:A) WHERE n.s = 'x' OR n.missing > 0 RETURN n.k AS x",
+      Seq(row("x" -> 1L))))
+
   // --------------------------------------------------------- blacklist
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
@@ -3282,7 +3371,7 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   test("scenario corpus is large enough to be meaningful") {
-    val all = scenarios ++ probeBatch16 ++ probeBatch33
+    val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -3291,7 +3380,7 @@ class TckStyleSpec extends AnyFunSuite {
       s"blacklist names not in the corpus: $staleBlacklist")
   }
 
-  (scenarios ++ probeBatch16 ++ probeBatch33).foreach { sc =>
+  (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }
