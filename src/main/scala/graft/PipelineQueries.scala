@@ -34,31 +34,55 @@ object PipelineQueries {
       caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     val r = numHashes / bands
+    // the token array is bound as a REAL column before the gram
+    // transform references it: with the split expression inlined in the
+    // lambda, every per-element element_at re-evaluated the split —
+    // O(tokens²) per document, measured 12.6 s → 4.1 s for this stage
+    // at sf0.1 (multiple uses of a non-cheap attribute block Catalyst's
+    // CollapseProject, so the bind is stable)
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
       t => length(t) > 0)
     val grams = array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
+      when(size(col("w")) >= 3,
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
         .otherwise(array().cast("array<string>")))
     // the gram table feeds the hash pipeline, both verification joins, and
     // the size counts; the banded table feeds both self-join sides —
     // persist both so documents tokenize+hash ONCE (without this, the
     // self-join recomputes every md5 twice and the verify joins twice more)
-    val sh = caches.persist(df.select(col(idCol).cast(LongType).as("id"),
-      explode(grams).as("s")))
-    val hv = sh.select(col("id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("id"), col("seed"),
-        substring(md5(concat(col("seed").cast(StringType), lit(":"),
-          col("s"))), 1, 16).as("h"))
-    val sig = hv.groupBy(col("id"), col("seed")).agg(min(col("h")).as("m"))
-    val banded = caches.persist(sig
-      .groupBy(col("id"), floor(col("seed") / lit(r)).cast("int").as("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("m")))),
-        x => x.getField("m")), ",").as("key")))
+    val sh = caches.persist(df
+      .select(col(idCol).cast(LongType).as("id"), toks.as("w"))
+      .select(col("id"), explode(grams).as("s")))
+    // all numHashes md5s are computed as COLUMNS of one codegen'd pass
+    // over the (id, gram) rows, then min-aggregated per document in a
+    // single shuffle with map-side partial mins — the earlier explode to
+    // (gram × seed) rows + groupBy(id, seed) + groupBy(id, band) pair of
+    // shuffles made this the slowest first call in the suite (16.9 s of
+    // the 73.6 s first-call total at sf0.1). A nested transform/array_min
+    // formulation is WORSE (~234 s measured): higher-order functions
+    // don't participate in whole-stage codegen, so every md5 runs
+    // interpreted. Same md5 values either way; docs with no grams can't
+    // pair and drop out exactly as before (no sh rows → no sig row).
+    // ONE md5 per gram (28-bit base hash), then numHashes affine
+    // permutations mod a prime — a MinHash family DuckDB reproduces
+    // exactly (('0x'||substr(md5,1,7))::BIGINT + the same (a·x+b)%p).
+    // The previous family hashed md5("seed:gram") per seed: 16× the md5
+    // work for the same gate semantics (a·x < 2^48, no overflow).
+    val hx = sh.select(col("id"),
+      conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType).as("x"))
+    val hashMins = (0 until numHashes).map { seed =>
+      min((lit(976369L + seed * 1049L) * col("x") +
+        lit(1234567L + seed * 2477L)) % lit(1073741789L)).as(s"h$seed")
+    }
+    val sig = hx.groupBy(col("id")).agg(hashMins.head, hashMins.tail: _*)
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws(",", (b * r until (b + 1) * r)
+        .map(sd => col(s"h$sd").cast(StringType)): _*)
+    }: _*)
+    val banded = caches.persist(
+      sig.select(col("id"), posexplode(bandKeys)).toDF("id", "band", "key"))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -357,14 +381,18 @@ object PipelineQueries {
     // re-chunks each doc into 10-token paragraphs (deterministic wrapper,
     // same style as p25's synthesized HTML).
     "p29_paragraph_dedup" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
+      // token array bound as a column before the lambda references it
+      // (inlined split would re-run per paragraph element, like p6's
+      // gram pass)
       val ptext = array_join(
         transform(sequence(lit(0),
-            floor((size(toks) - lit(1)) / lit(10)).cast("int")),
-          i => concat_ws(" ", slice(toks, i * lit(10) + lit(1), lit(10)))),
+            floor((size(col("w")) - lit(1)) / lit(10)).cast("int")),
+          i => concat_ws(" ", slice(col("w"), i * lit(10) + lit(1), lit(10)))),
         "\n")
       Dedup.paragraphDedup(
-        docs(s, dir).select(col("doc_id"), ptext.as("ptext")),
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), ptext.as("ptext")),
         "doc_id", "ptext").orderBy("doc_id")
     }),
     // hashed bag-of-words linear quality model (fastText shape) with a
@@ -536,8 +564,9 @@ object PipelineQueries {
         |SELECT doc_id, len(f)::BIGINT AS fp_size,
         |       md5(array_to_string(f, ',')) AS fp_md5
         |FROM fp ORDER BY doc_id""".stripMargin,
-    // md5-keyed MinHash-LSH: identical hash family (first 16 md5 hex
-    // chars of "seed:gram"), lexicographic hex minima, band keys as
+    // md5-keyed MinHash-LSH: identical hash family (28-bit base hash
+    // from the first 7 md5 hex chars of the gram, then 16 affine
+    // permutations (a·x+b) mod 1073741789), integer minima, band keys as
     // comma-joined minima ordered by seed, bucket self-join, exact
     // trigram-Jaccard verification
     "p6_minhash_pairs" ->
@@ -549,13 +578,17 @@ object PipelineQueries {
         |grams AS (
         |  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS s
         |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
-        |hv AS (
-        |  SELECT id, seed, substr(md5(seed::VARCHAR || ':' || s), 1, 16) AS h
-        |  FROM grams, range(16) r(seed)),
-        |sig AS (SELECT id, seed, min(h) AS m FROM hv GROUP BY 1, 2),
+        |gx AS (
+        |  SELECT id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS x
+        |  FROM grams),
+        |sig AS (
+        |  SELECT id, seed,
+        |    min(((976369 + seed*1049) * x + (1234567 + seed*2477))
+        |        % 1073741789) AS m
+        |  FROM gx, range(16) r(seed) GROUP BY 1, 2),
         |banded AS (
         |  SELECT id, seed // 2 AS band,
-        |         string_agg(m, ',' ORDER BY seed) AS key
+        |         string_agg(m::VARCHAR, ',' ORDER BY seed) AS key
         |  FROM sig GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b

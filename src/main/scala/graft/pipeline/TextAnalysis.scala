@@ -325,11 +325,14 @@ object TextAnalysis {
       textCol: String, maxVocab: Int = 1 << 20,
       caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     val backoff = 0.4
-    def bigrams(t: Column): Column = {
-      val toks = tokens(t)
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    // bigrams over a BOUND token column (not the tokens() expression
+    // inlined in the lambda — per-element element_at would re-split the
+    // text, O(tokens²) per document; same fix as the p6 gram pass)
+    val bigramsOfW: Column = {
+      val w = col("@w")
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
         .otherwise(array().cast(ArrayType(StringType)))
     }
     val uni = caches.persist(
@@ -337,7 +340,8 @@ object TextAnalysis {
         .groupBy(col("tok")).agg(count(lit(1)).as("ucnt")))
     val totals = uni.agg(sum(col("ucnt")).cast(LongType).as("n_total"))
     val uniTop = uni.orderBy(col("ucnt").desc, col("tok").asc).limit(maxVocab)
-    val bi = reference.select(explode(bigrams(col(textCol))).as("bg"))
+    val bi = reference.select(tokens(col(textCol)).as("@w"))
+      .select(explode(bigramsOfW).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("bcnt"))
       .orderBy(col("bcnt").desc, col("bg").asc).limit(maxVocab)
     val docIds = docs.select(col(idCol).cast(LongType).as("id")).distinct()

@@ -1,0 +1,164 @@
+package graft.differential
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.GraftSession
+import graft.graph.PropertyGraph
+
+/** Shared differential-test executor: generates (graph, query) cases by
+  * seed, runs both the engine and the naive interpreter, and reports a
+  * diagnostic on divergence. Used by DifferentialSpec (CI, cases
+  * 0..999) and DiffHuntMain (large out-of-CI hunts).
+  */
+final class DiffRunner(spark: SparkSession) {
+
+  val gs = GraftSession(spark)
+
+  private val graphCache =
+    scala.collection.mutable.HashMap.empty[Long, (Model.MGraph, PropertyGraph)]
+  // bound the cache: a long hunt visits thousands of graphs (one per 10
+  // cases) and each holds cached DataFrames
+  private val maxGraphs = 64
+  private def graphFor(seed: Long): (Model.MGraph, PropertyGraph) =
+    synchronized {
+      if (graphCache.size > maxGraphs) graphCache.clear()
+      graphCache.getOrElseUpdate(seed, {
+        val g = DiffGen.genGraph.pureApply(
+          org.scalacheck.Gen.Parameters.default,
+          org.scalacheck.rng.Seed(seed))
+        (g, gs.createGraphFromCypher(g.toCreate))
+      })
+    }
+
+  // ---- canonical value rendering (strict types: Long ≠ Double)
+  private def norm(v: Any): Any = v match {
+    case null => null
+    case n: Int => n.toLong
+    case n: Long => n
+    case f: Float => f.toDouble
+    case d: Double => d
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: BigDecimal => d.doubleValue
+    case s: String => s
+    case b: Boolean => b
+    case s: scala.collection.Seq[_] => s.map(norm).toList
+    case a: Array[_] => a.map(norm).toList
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
+    case other => other.toString
+  }
+
+  private def render(v: Any): String = v match {
+    case null => "null"
+    case l: Long => "i" + l
+    case d: Double =>
+      "f" + BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
+    case s: String => "s" + s
+    case b: Boolean => "b" + b
+    case xs: List[_] => xs.map(render).mkString("[", ",", "]")
+    case m: Map[_, _] => m.toSeq.map { case (k, x) => s"$k=${render(x)}" }
+      .sorted.mkString("{", ",", "}")
+    case other => "?" + other.toString
+  }
+
+  /** run one case; None = agreement, Some(diagnostic) = divergence */
+  def runCase(i: Long): Option[String] = {
+    val (model, pg) = graphFor(i / 10)
+    val q = DiffGen.genQuery.pureApply(
+      org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(i))
+    val text = q.render
+    val aliases = q.ret.items.map(_.alias)
+    val msAliases = q.multisetAliases
+    val numAliases = q.sumAliases
+    def diag(msg: String): Some[String] = Some(
+      s"case $i: $msg\n--- graph\n${model.toCreate}--- query\n$text\n")
+
+    val naive: List[List[Any]] = try NaiveEval.run(model, q) catch {
+      case e: Throwable => return diag(s"NAIVE EVAL CRASH: $e")
+    }
+    val (cols, engine): (Array[String], List[List[Any]]) = try {
+      val df = gs.cypher(pg, text)
+      (df.columns, df.collect().toList.map(_.toSeq.map(norm).toList))
+    } catch {
+      case e: Throwable =>
+        return diag(s"ENGINE ERROR: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(400)}")
+    }
+    if (cols.toList != aliases)
+      return diag(s"COLUMNS: engine ${cols.toList} vs $aliases")
+
+    // canonical row rendering; collect() columns element-sorted
+    def renderRow(r: List[Any]): String =
+      r.zip(aliases).map { case (v, a) =>
+        val vv = if (msAliases(a)) v match {
+          case xs: List[_] => xs.map(render).sorted
+          case other => other
+        } else if (numAliases(a)) v match {
+          // sum(): typed-zero corner — compare numerically (see
+          // Model.Query.sumAliases)
+          case l: Long => l.toDouble
+          case other => other
+        } else v
+        vv match {
+          case xs: List[_] if msAliases(a) => xs.mkString("[", ",", "]")
+          case other => render(other)
+        }
+      }.mkString("|")
+
+    val eRows = engine.map(renderRow)
+    val nRows = naive.map(renderRow)
+    if (eRows.sorted != nRows.sorted)
+      return diag(s"ROWS (multiset): engine ${eRows.sorted.take(25)} vs " +
+        s"naive ${nRows.sorted.take(25)} " +
+        s"(sizes ${eRows.size}/${nRows.size})")
+
+    if (q.ret.orderBy.nonEmpty) {
+      val keyIdx = q.ret.orderBy.map { case (a, _) => aliases.indexOf(a) }
+      def keys(rows: List[List[Any]]): List[String] =
+        rows.map(r => keyIdx.map { ix =>
+          // sum()'s typed zero (engine: integer 0 over no values; naive:
+          // 0.0 for a float column) compares numerically here exactly as
+          // in the multiset pass (hunt case 3900)
+          val v = r(ix) match {
+            case l: Long if numAliases(aliases(ix)) => l.toDouble
+            case other => other
+          }
+          render(v)
+        }.mkString("|"))
+      val (ek, nk) = (keys(engine), keys(naive))
+      if (ek != nk)
+        return diag(s"ORDER: engine keys ${ek.take(25)} vs naive ${nk.take(25)}")
+    }
+    None
+  }
+}
+
+/** Out-of-CI bug hunt: `Test/runMain graft.differential.DiffHuntMain
+  * <from> <to>` runs cases [from, to) and prints every divergence. */
+object DiffHuntMain {
+  def main(args: Array[String]): Unit = {
+    val from = if (args.length > 0) args(0).toLong else 1000L
+    val to = if (args.length > 1) args(1).toLong else 6000L
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val runner = new DiffRunner(spark)
+    var failures = 0
+    val t0 = System.nanoTime()
+    (from until to).foreach { i =>
+      runner.runCase(i) match {
+        case Some(d) => failures += 1; println(s"\nDIVERGENCE $d")
+        case None => ()
+      }
+      if ((i - from + 1) % 500 == 0) {
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[hunt] ${i - from + 1} cases, $failures divergences, " +
+          f"$dt%.0f s")
+      }
+    }
+    println(s"[hunt] DONE cases $from..$to: $failures divergences")
+    spark.stop()
+  }
+}

@@ -442,10 +442,14 @@ object NaiveEval {
             if (!nodeOk(nxt, np)) Nil
             else r.get(np.v) match {
               case Some(bound: MNode) if bound.id != nxt.id => Nil
-              case Some(_: MRel) | Some(_: List[_]) => Nil
-              case _ =>
+              case Some(_: MNode) | None =>
                 List((r + (rp.v -> value) + (np.v -> nxt),
                   usedNow ++ relsUsed.map(_.id)))
+              // anything else bound in node position — ESPECIALLY a null
+              // from a failed earlier OPTIONAL MATCH — never matches
+              // (hunt cases 2957/2984: the old wildcard rebound the null
+              // as if the variable were fresh; the ENGINE was right)
+              case Some(_) => Nil
             }
           rp.varLen match {
             case None =>
