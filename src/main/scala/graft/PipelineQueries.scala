@@ -119,27 +119,23 @@ object PipelineQueries {
     val h = toks.select(col("id"),
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType).as("hi"),
       conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType).as("lo"))
-    // one literal struct per bit: (bit index, half, mask) — masks are
-    // compile-time constants so no runtime variable shifts are needed
-    val bitsLit = array((0 until 64).map { b =>
-      struct(lit(b).as("b"), lit(b < 32).as("isLo"),
-        lit(if (b < 32) 1L << b else 1L << (b - 32)).as("mask"))
-    }: _*)
-    val votes = h.select(col("id"), col("hi"), col("lo"),
-        explode(bitsLit).as("bit"))
-      .groupBy(col("id"), col("bit.b").as("b"))
-      .agg(
-        first(col("bit.isLo")).as("isLo"), first(col("bit.mask")).as("mask"),
-        sum(when((when(col("bit.isLo"), col("lo")).otherwise(col("hi"))
-          .bitwiseAND(col("bit.mask"))) =!= 0L, 1L).otherwise(-1L)).as("vote"))
-    votes.groupBy(col("id"))
-      .agg(
-        sum(when(col("vote") > 0 && !col("isLo"), col("mask"))
-          .otherwise(0L)).as("hi_fp"),
-        sum(when(col("vote") > 0 && col("isLo"), col("mask"))
-          .otherwise(0L)).as("lo_fp"))
-      .select(col("id"),
-        shiftleft(col("hi_fp"), 32).bitwiseOR(col("lo_fp")).as("simhash"))
+    // all 64 bit votes as COLUMNS of one codegen'd aggregation pass —
+    // the earlier bit-struct explode amplified every token row 64× and
+    // paid a (id, bit) + (id) shuffle pair; this is a single shuffle of
+    // 64-column map-side partial sums (same trick as the p6 gate's
+    // per-seed minima). Vote values are identical, so the DuckDB oracle
+    // (which replays the vote model row-at-a-time) is unchanged.
+    val voteCols = (0 until 64).map { b =>
+      val half = if (b < 32) col("lo") else col("hi")
+      val mask = if (b < 32) 1L << b else 1L << (b - 32)
+      sum(when(half.bitwiseAND(lit(mask)) =!= 0L, 1L).otherwise(-1L))
+        .as(s"v$b")
+    }
+    val votes = h.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("id"), fp.as("simhash"))
   }
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read it as a Long of epoch-nanos (exact — no double round

@@ -72,6 +72,24 @@ object Model {
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k: ${renderLit(v)}" }
       .mkString("{", ", ", "}")
 
+  def renderNodeP(np: NodeP, showVar: Boolean): String = {
+    val v = if (showVar) np.v else ""
+    val lbl = np.label.map(":" + _).getOrElse("")
+    val pm = if (np.propEq.isEmpty) "" else " " + renderPropMap(np.propEq)
+    s"($v$lbl$pm)"
+  }
+
+  def renderRelP(rp: RelP, name: String): String = {
+    val typ = rp.typ.map(":" + _).getOrElse("")
+    val vl = rp.varLen.map { case (lo, hi) => s"*$lo..$hi" }.getOrElse("")
+    val inner = s"[$name$typ$vl]"
+    rp.dir match {
+      case Out => s"-$inner->"
+      case In => s"<-$inner-"
+      case Und => s"-$inner-"
+    }
+  }
+
   // ------------------------------------------------------------ query AST
   sealed trait Dir
   case object Out extends Dir
@@ -93,12 +111,35 @@ object Model {
   final case class ArithE(op: String, l: VE, r: VE) extends VE
   final case class FnE(fn: String, v: String) extends VE // labels | type
   final case class SizeE(v: String) extends VE // size(varLengthRelList)
+  /** searched CASE; all branch values share one type family */
+  final case class CaseE(whens: List[(BE, VE)], els: Option[VE]) extends VE
+  final case class CoalesceE(args: List[VE]) extends VE
+  /** string fns: toUpper | reverse | trim | strSize | left | right |
+    * substring | replace — extra args are literals
+    */
+  final case class StrFnE(fn: String, arg: VE, extra: List[Any]) extends VE
+  final case class NumFnE(fn: String, arg: VE) extends VE // abs | sign
+  /** a predicate as a boolean VALUE (unknown → null) */
+  final case class BoolVE(be: BE) extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
   final case class IsNullE(e: VE, not: Boolean) extends BE
   final case class InE(e: VE, list: List[Any]) extends BE
   final case class HasLabelE(v: String, label: String) extends BE
+  /** STARTS WITH | ENDS WITH | CONTAINS (ternary: null operand → null) */
+  final case class StrPredE(op: String, l: VE, r: VE) extends BE
+  /** one-chain existence test: `EXISTS { MATCH <chain> }` (block=true) or
+    * a bare pattern predicate with anonymous inner elements (block=false).
+    * Both lower to (anti-)joins, so both are DEFINITE true/false — a null
+    * outer var yields false, never null (the engine follows the
+    * reference's ExistsSubQuery relational lowering here; Neo4j's
+    * pattern-predicate-on-null → null is a documented divergence).
+    * outerVars: chain vars bound in the enclosing scope (rendered by name
+    * in the predicate form; everything else is anonymous there).
+    */
+  final case class ExistsE(chain: Chain, block: Boolean,
+      outerVars: Set[String]) extends BE
   final case class AndE(l: BE, r: BE) extends BE
   final case class OrE(l: BE, r: BE) extends BE
   final case class XorE(l: BE, r: BE) extends BE
@@ -130,13 +171,21 @@ object Model {
         case FnE(_, v) => b += v
         case SizeE(v) => b += v
         case ArithE(_, l, r) => ve(l); ve(r)
+        case CaseE(whens, els) =>
+          whens.foreach { case (c, x) => be(c); ve(x) }; els.foreach(ve)
+        case CoalesceE(args) => args.foreach(ve)
+        case StrFnE(_, a, _) => ve(a)
+        case NumFnE(_, a) => ve(a)
+        case BoolVE(x) => be(x)
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
+        case ExistsE(_, _, outer) => b ++= outer
         case CmpE(_, l, r) => ve(l); ve(r)
         case IsNullE(x, _) => ve(x)
         case InE(x, _) => ve(x)
         case HasLabelE(v, _) => b += v
+        case StrPredE(_, l, r) => ve(l); ve(r)
         case AndE(l, r) => be(l); be(r)
         case OrE(l, r) => be(l); be(r)
         case XorE(l, r) => be(l); be(r)
@@ -168,6 +217,18 @@ object Model {
       case ArithE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
       case FnE(fn, v) => s"$fn($v)"
       case SizeE(v) => s"size($v)"
+      case CaseE(whens, els) =>
+        "(CASE " + whens.map { case (c, v) =>
+          s"WHEN ${renderBE(c)} THEN ${renderVE(v)}"
+        }.mkString(" ") +
+          els.map(e => s" ELSE ${renderVE(e)}").getOrElse("") + " END)"
+      case CoalesceE(args) =>
+        args.map(renderVE).mkString("coalesce(", ", ", ")")
+      case StrFnE(fn, a, extra) =>
+        val name = if (fn == "strSize") "size" else fn
+        (renderVE(a) :: extra.map(renderLit)).mkString(s"$name(", ", ", ")")
+      case NumFnE(fn, a) => s"$fn(${renderVE(a)})"
+      case BoolVE(x) => renderBE(x)
     }
 
     private def renderBE(e: BE): String = e match {
@@ -177,6 +238,14 @@ object Model {
       case InE(x, xs) =>
         s"(${renderVE(x)} IN ${xs.map(renderLit).mkString("[", ", ", "]")})"
       case HasLabelE(v, l) => s"($v:$l)"
+      case StrPredE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
+      case ExistsE(chain, block, outer) =>
+        def show(v: String) = block || outer(v)
+        val cs = renderNodeP(chain.first, show(chain.first.v)) +
+          chain.hops.map { case (rp, np) =>
+            renderRelP(rp, "") + renderNodeP(np, show(np.v))
+          }.mkString
+        if (block) s"EXISTS { MATCH $cs }" else s"($cs)"
       case AndE(l, r) => s"(${renderBE(l)} AND ${renderBE(r)})"
       case OrE(l, r) => s"(${renderBE(l)} OR ${renderBE(r)})"
       case XorE(l, r) => s"(${renderBE(l)} XOR ${renderBE(r)})"
@@ -195,24 +264,11 @@ object Model {
 
     def render: String = {
       val refd = referencedVars
-      def nodeP(np: NodeP): String = {
-        val lbl = np.label.map(":" + _).getOrElse("")
-        val pm = if (np.propEq.isEmpty) "" else " " + renderPropMap(np.propEq)
-        s"(${np.v}$lbl$pm)"
-      }
-      def relP(rp: RelP): String = {
-        val name = if (refd(rp.v)) rp.v else ""
-        val typ = rp.typ.map(":" + _).getOrElse("")
-        val vl = rp.varLen.map { case (lo, hi) => s"*$lo..$hi" }.getOrElse("")
-        val inner = s"[$name$typ$vl]"
-        rp.dir match {
-          case Out => s"-$inner->"
-          case In => s"<-$inner-"
-          case Und => s"-$inner-"
-        }
-      }
       def chain(c: Chain): String =
-        nodeP(c.first) + c.hops.map { case (r, n) => relP(r) + nodeP(n) }.mkString
+        renderNodeP(c.first, showVar = true) + c.hops.map { case (r, n) =>
+          renderRelP(r, if (refd(r.v)) r.v else "") +
+            renderNodeP(n, showVar = true)
+        }.mkString
       val sb = new StringBuilder
       stages.foreach {
         case SMatch(mc) =>
@@ -331,6 +387,46 @@ object NaiveEval {
       case xs: List[_] => xs.size.toLong
       case _ => null
     }
+    case CaseE(whens, els) =>
+      whens.find { case (c, _) => evalB(r, c).contains(true) } match {
+        case Some((_, v)) => evalV(r, v)
+        case None => els.map(evalV(r, _)).orNull
+      }
+    case CoalesceE(args) =>
+      args.iterator.map(evalV(r, _)).find(_ != null).orNull
+    case StrFnE(fn, a, extra) => evalV(r, a) match {
+      case s: String => fn match {
+        case "toUpper" => s.toUpperCase
+        case "reverse" => s.reverse
+        case "trim" => s.trim
+        case "strSize" => s.length.toLong
+        case "left" => s.take(extra.head.asInstanceOf[Long].toInt)
+        case "right" => s.takeRight(extra.head.asInstanceOf[Long].toInt)
+        case "substring" =>
+          val from = extra.head.asInstanceOf[Long].toInt
+          extra.drop(1).headOption match {
+            case Some(n: Long) => s.drop(from).take(n.toInt)
+            case _ => s.drop(from)
+          }
+        case "replace" =>
+          s.replace(extra.head.asInstanceOf[String],
+            extra(1).asInstanceOf[String])
+      }
+      case _ => null
+    }
+    case NumFnE(fn, a) => evalV(r, a) match {
+      case null => null
+      case l: Long => fn match {
+        case "abs" => math.abs(l)
+        case "sign" => java.lang.Long.signum(l).toLong
+      }
+      case d: Double => fn match {
+        case "abs" => math.abs(d)
+        case "sign" => math.signum(d).toLong
+      }
+      case _ => null
+    }
+    case BoolVE(be) => evalB(r, be).map(Boolean.box).orNull
     case ArithE(op, le, re) =>
       (evalV(r, le), evalV(r, re)) match {
         case (null, _) | (_, null) => null
@@ -383,6 +479,18 @@ object NaiveEval {
       case null => None
       case _ => Some(false)
     }
+    case StrPredE(op, le, re) => (evalV(r, le), evalV(r, re)) match {
+      case (x: String, y: String) => Some(op match {
+        case "STARTS WITH" => x.startsWith(y)
+        case "ENDS WITH" => x.endsWith(y)
+        case "CONTAINS" => x.contains(y)
+      })
+      case _ => None // null (or non-string) operand → unknown
+    }
+    case ExistsE(chain, _, _) =>
+      // both forms lower to joins: DEFINITE true/false; a null outer var
+      // can never pair → false (never unknown; see the Model scaladoc)
+      Some(NaiveEval.matchChainsForExists(r, chain))
     case AndE(l, rr) => (evalB(r, l), evalB(r, rr)) match {
       case (Some(false), _) | (_, Some(false)) => Some(false)
       case (Some(true), Some(true)) => Some(true)
@@ -490,7 +598,17 @@ object NaiveEval {
     mc.chains.flatMap(c =>
       c.first.v :: c.hops.flatMap { case (r, n) => List(r.v, n.v) }).toSet
 
+  // the graph of the case being evaluated — set once per run(); lets
+  // ExistsE reach pattern matching from inside the (graph-less) evalB
+  // signature. Cases are evaluated one at a time (DiffRunner.runCase is
+  // sequential), so a field is safe here.
+  private var curG: MGraph = _
+  private[differential] def matchChainsForExists(r: Binding,
+      chain: Chain): Boolean =
+    matchChains(curG, r, List(chain)).nonEmpty
+
   def run(g: MGraph, q: Query): List[List[Any]] = {
+    curG = g
     var rows: List[Binding] = List(Map.empty)
     q.stages.foreach {
       case SUnwind(v, list) =>
@@ -522,23 +640,7 @@ object NaiveEval {
   }
 
   // ----------------------------------------------------------- projection
-  private def veFamily(e: VE): Char = e match {
-    case PropE(_, "f") => 'D'
-    case PropE(_, "s") => 'S'
-    case PropE(_, "b") => 'B'
-    case PropE(_, _) => 'L' // uid, k, w
-    case VarE(_, fam) => fam
-    case SizeE(_) => 'L'
-    case LitE(_: Double) => 'D'
-    case LitE(_: String) => 'S'
-    case LitE(_: Boolean) => 'B'
-    case LitE(_) => 'L'
-    case FnE("type", _) => 'S'
-    case FnE(_, _) => 'X'
-    case ArithE(_, l, r) =>
-      val (a, b) = (veFamily(l), veFamily(r))
-      if (a == 'S' || b == 'S') 'S' else if (a == 'D' || b == 'D') 'D' else 'L'
-  }
+  private def veFamily(e: VE): Char = NaiveEvalFamilies.family(e)
 
   private def dedupeByKey(vs: List[Any]): List[Any] = {
     val seen = scala.collection.mutable.HashSet.empty[Any]
@@ -659,7 +761,9 @@ object DiffGen {
 
   private val labels = Vector("A", "B")
   private val relTypes = Vector("T", "S")
-  private val strVals = Vector("a", "b", "c", "d")
+  // multi-char values give substring/left/right/replace/CONTAINS real work;
+  // all lowercase [a-z]+ (renderLit does no escaping, toUpper stays 1:1)
+  private val strVals = Vector("a", "b", "c", "d", "ab", "ba", "abc", "abab")
 
   // ------------------------------------------------------------- graph
   private def genProps(uid: Long): Gen[Map[String, Any]] = for {
@@ -755,6 +859,65 @@ object DiffGen {
     r <- genValueVE(ctx, rf)
   } yield ArithE(op, l, r)
 
+  private def genStrFnE(ctx: Ctx): Gen[VE] = for {
+    arg <- genValueVE(ctx, 'S')
+    fn <- Gen.oneOf("toUpper", "reverse", "trim", "left", "right",
+      "substring", "replace")
+    n1 <- Gen.choose(0L, 4L)
+    twoArg <- Gen.prob(0.6)
+    n2 <- Gen.choose(0L, 3L)
+    needle <- Gen.oneOf(strVals)
+    rep <- Gen.oneOf("", "x", "yz")
+  } yield fn match {
+    case "left" | "right" => StrFnE(fn, arg, List(n1))
+    case "substring" =>
+      StrFnE(fn, arg, if (twoArg) List(n1, n2) else List(n1))
+    case "replace" => StrFnE(fn, arg, List(needle, rep))
+    case other => StrFnE(other, arg, Nil)
+  }
+
+  private def genNumFnE(ctx: Ctx, resultFam: Char): Gen[VE] = for {
+    // sign always yields integer; abs preserves its argument family
+    p <- if (resultFam == 'D') Gen.const(("abs", 'D'))
+    else Gen.oneOf(("abs", 'L'), ("sign", 'L'), ("sign", 'D'))
+    neg <- Gen.prob(0.4) // corpus numbers are non-negative; force some
+    x <- genValueVE(ctx, p._2)
+    l <- genLit(p._2)
+  } yield NumFnE(p._1, if (neg) ArithE("-", LitE(l), x) else x)
+
+  /** searched CASE with same-family branch values; conditions are plain
+    * comparison / IS NULL leafs (never rich — bounds the recursion)
+    */
+  private def genCaseE(ctx: Ctx, fam: Char): Gen[VE] = for {
+    n <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
+    conds <- Gen.listOfN(n, genLeafPlain(ctx))
+    vals <- Gen.listOfN(n, genValueVE(ctx, fam))
+    hasEls <- Gen.prob(0.7) // no ELSE → null
+    els <- genValueVE(ctx, fam)
+  } yield CaseE(conds.zip(vals), if (hasEls) Some(els) else None)
+
+  private def genCoalesceE(ctx: Ctx, fam: Char): Gen[VE] = for {
+    a <- genValueVE(ctx, fam)
+    b <- genValueVE(ctx, fam)
+  } yield CoalesceE(List(a, b))
+
+  /** value expr that may wrap leafs in CASE / coalesce / string / numeric
+    * functions; wrapper args stay plain leafs so generation terminates
+    */
+  private def genRichVE(ctx: Ctx, fam: Char): Gen[VE] = {
+    val wrapped: List[(Int, Gen[VE])] = fam match {
+      case 'S' => List(3 -> genStrFnE(ctx))
+      case 'L' => List(2 -> genNumFnE(ctx, 'L'),
+        1 -> genValueVE(ctx, 'S').map(StrFnE("strSize", _, Nil)))
+      case 'D' => List(3 -> genNumFnE(ctx, 'D'))
+      // a whole predicate as a boolean value (unknown → null)
+      case _ => List(3 -> genLeafPlain(ctx).map(BoolVE))
+    }
+    Gen.frequency((10 -> genValueVE(ctx, fam)) ::
+      (2 -> genCaseE(ctx, fam)) ::
+      (1 -> genCoalesceE(ctx, fam)) :: wrapped: _*)
+  }
+
   private def genCmp(ctx: Ctx): Gen[BE] = for {
     fam <- Gen.frequency(5 -> Gen.const('L'), 2 -> Gen.const('S'),
       2 -> Gen.const('D'), 1 -> Gen.const('B'))
@@ -774,7 +937,12 @@ object DiffGen {
     }
   } yield CmpE(op, l, r)
 
-  private def genLeaf(ctx: Ctx): Gen[BE] = {
+  /** plain predicate leaf: the variant CASE conditions and BoolVE wrap.
+    * Deliberately excludes the rich-comparison and EXISTS arms — those
+    * reach back through genRichVE / genLeafPlain and would make generator
+    * CONSTRUCTION (not just sampling) infinitely recursive.
+    */
+  private def genLeafPlain(ctx: Ctx): Gen[BE] = {
     val isNullG: Gen[BE] = for {
       fam <- Gen.oneOf('L', 'S', 'D', 'B')
       e <- genValueVE(ctx, fam)
@@ -793,7 +961,64 @@ object DiffGen {
         v <- Gen.oneOf(ctx.nodeVars)
         l <- Gen.oneOf(labels)
       } yield HasLabelE(v, l)
-    Gen.frequency(6 -> genCmp(ctx), 2 -> isNullG, 2 -> inG, 1 -> hasLabelG)
+    val strPredG: Gen[BE] = for {
+      op <- Gen.oneOf("STARTS WITH", "ENDS WITH", "CONTAINS")
+      l <- Gen.frequency(7 -> genValueVE(ctx, 'S'), 3 -> genStrFnE(ctx))
+      r <- Gen.frequency(6 -> genValueVE(ctx, 'S'),
+        4 -> Gen.oneOf(strVals).map(LitE(_): VE))
+    } yield StrPredE(op, l, r)
+    Gen.frequency(6 -> genCmp(ctx), 2 -> isNullG, 2 -> inG, 1 -> hasLabelG,
+      2 -> strPredG)
+  }
+
+  /** one-hop existence test from a bound node var (block EXISTS or bare
+    * pattern predicate); falls back to a comparison when nothing is bound
+    */
+  private def genExistsE(ctx: Ctx): Gen[BE] =
+    if (ctx.nodeVars.isEmpty) genCmp(ctx)
+    else for {
+      anchor <- Gen.oneOf(ctx.nodeVars)
+      block <- Gen.prob(0.5)
+      anchorLbl <- Gen.frequency(7 -> Gen.const(None),
+        3 -> Gen.oneOf(labels).map(Some(_)))
+      typ <- Gen.frequency(4 -> Gen.const(None),
+        6 -> Gen.oneOf(relTypes).map(Some(_)))
+      dir <- Gen.frequency(5 -> Gen.const(Out: Dir), 3 -> Gen.const(In: Dir),
+        2 -> Gen.const(Und: Dir))
+      isVl <- Gen.prob(0.15)
+      lo <- Gen.oneOf(0, 1)
+      span <- Gen.choose(0, 1)
+      endBound <- Gen.prob(0.25)
+      endVar <- Gen.oneOf(ctx.nodeVars)
+      lbl <- Gen.frequency(5 -> Gen.const(None),
+        5 -> Gen.oneOf(labels).map(Some(_)))
+      hasProp <- Gen.prob(0.3)
+      pk <- Gen.oneOf("k", "s")
+      pv <- genLit(if (pk == "k") 'L' else 'S')
+    } yield {
+      // var-length only inside the block form (pattern predicates keep
+      // the single-hop shape)
+      val vl = if (isVl && block) Some((lo, math.max(lo + span, 1))) else None
+      val end =
+        if (endBound) NodeP(endVar, None, Map.empty)
+        else NodeP("qx", lbl, if (hasProp) Map(pk -> pv) else Map.empty)
+      val outer = Set(anchor) ++ (if (endBound) Set(endVar) else Set.empty)
+      ExistsE(Chain(NodeP(anchor, anchorLbl, Map.empty),
+        List((RelP("qr", typ, dir, vl), end))), block, outer)
+    }
+
+  private def genLeaf(ctx: Ctx): Gen[BE] = {
+    // a comparison with one function/CASE-wrapped side (genCmp itself
+    // stays plain: it seeds CASE conditions, which must not recurse)
+    val cmpRichG: Gen[BE] = for {
+      fam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
+        2 -> Gen.const('D'), 1 -> Gen.const('B'))
+      op <- if (fam == 'B') Gen.oneOf("=", "<>")
+      else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+      l <- genRichVE(ctx, fam)
+      r <- Gen.frequency(6 -> genValueVE(ctx, fam), 4 -> genLit(fam).map(LitE))
+    } yield CmpE(op, l, r)
+    Gen.frequency(9 -> genLeafPlain(ctx), 2 -> cmpRichG, 2 -> genExistsE(ctx))
   }
 
   private def genBE(ctx: Ctx, depth: Int): Gen[BE] =
@@ -883,9 +1108,9 @@ object DiffGen {
       2 -> Gen.const('D'), 1 -> Gen.const('B'))
     ordFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
       2 -> Gen.const('D'), 1 -> Gen.const('B'))
-    numArg <- genValueVE(ctx, numFam)
-    anyArg <- genValueVE(ctx, anyFam)
-    ordArg <- genValueVE(ctx, ordFam)
+    numArg <- genRichVE(ctx, numFam)
+    anyArg <- genRichVE(ctx, anyFam)
+    ordArg <- genRichVE(ctx, ordFam)
   } yield fn match {
     case "count*" => AggItem("count*", None, distinct = false, alias)
     case "count" => AggItem("count", Some(anyArg), distinct = false, alias)
@@ -914,7 +1139,7 @@ object DiffGen {
       2 -> Gen.const(2))
     projFams <- Gen.listOfN(nProj, Gen.frequency(4 -> Gen.const('L'),
       2 -> Gen.const('S'), 2 -> Gen.const('D'), 1 -> Gen.const('B')))
-    projVes <- Gen.sequence[List[VE], VE](projFams.map(genValueVE(ctx, _)))
+    projVes <- Gen.sequence[List[VE], VE](projFams.map(genRichVE(ctx, _)))
     nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
     aggs <- Gen.sequence[List[AggItem], AggItem](
       (0 until nAggs).map(i => genAgg(ctx, s"w${idx}a$i")))
@@ -958,7 +1183,7 @@ object DiffGen {
 
   private def genRet(ctx: Ctx): Gen[Ret] = {
     def genItemVE: Gen[VE] = Gen.frequency(
-      6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genValueVE(ctx, _)),
+      6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genRichVE(ctx, _)),
       2 -> genArith(ctx),
       (if (ctx.nodeVars.nonEmpty) 1 else 0) ->
         (if (ctx.nodeVars.nonEmpty)
@@ -978,7 +1203,7 @@ object DiffGen {
         nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
         keys <- Gen.listOfN(nKeys,
           Gen.frequency(8 -> Gen.oneOf('L', 'S', 'D', 'B')
-            .flatMap(genValueVE(ctx, _)), 2 -> genArith(ctx)))
+            .flatMap(genRichVE(ctx, _)), 2 -> genArith(ctx)))
         aggs <- Gen.sequence[List[AggItem], AggItem](
           (0 until nAggs).map(i => genAgg(ctx, s"a$i")))
       } yield keys.zipWithIndex.map { case (e, i) =>
@@ -1118,5 +1343,14 @@ object NaiveEvalFamilies {
     case ArithE(_, l, r) =>
       val (a, b) = (family(l), family(r))
       if (a == 'S' || b == 'S') 'S' else if (a == 'D' || b == 'D') 'D' else 'L'
+    // CASE/coalesce are generated with same-family branches
+    case CaseE((_, v) :: _, _) => family(v)
+    case CaseE(Nil, els) => els.map(family).getOrElse('L')
+    case CoalesceE(args) => family(args.head)
+    case StrFnE("strSize", _, _) => 'L'
+    case StrFnE(_, _, _) => 'S'
+    case NumFnE("sign", _) => 'L'
+    case NumFnE(_, arg) => family(arg)
+    case BoolVE(_) => 'B'
   }
 }

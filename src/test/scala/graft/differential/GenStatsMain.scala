@@ -1,0 +1,34 @@
+package graft.differential
+
+/** Prints construct-occurrence counts over a rendered query sample —
+  * sanity check that grammar extensions are actually sampled.
+  */
+object GenStatsMain {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 2000
+    val texts = (0 until n).map { i =>
+      DiffGen.genQuery.pureApply(
+        org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).render
+    }
+    val probes = List(
+      "CASE" -> "CASE WHEN", "coalesce" -> "coalesce(",
+      "toUpper" -> "toUpper(", "reverse" -> "reverse(",
+      "substring" -> "substring(", "left" -> "left(",
+      "right" -> "right(", "replace" -> "replace(",
+      "trim" -> "trim(", "strSize" -> "size(", "abs" -> "abs(",
+      "sign" -> "sign(", "STARTS" -> "STARTS WITH",
+      "ENDS" -> "ENDS WITH", "CONTAINS" -> "CONTAINS",
+      "EXISTS{}" -> "EXISTS {", "patpred" -> "]->()",
+      "OPTIONAL" -> "OPTIONAL", "UNWIND" -> "UNWIND",
+      "varlen" -> "*", "WITH" -> "WITH ", "ORDER" -> "ORDER BY",
+      "DISTINCT" -> "DISTINCT", "collect" -> "collect(")
+    probes.foreach { case (name, pat) =>
+      println(f"$name%-10s ${texts.count(_.contains(pat))}%5d / $n")
+    }
+    println("--- sample with EXISTS:")
+    texts.find(_.contains("EXISTS {")).foreach(println)
+    println("--- sample with CASE:")
+    texts.find(_.contains("CASE WHEN")).foreach(println)
+  }
+}
