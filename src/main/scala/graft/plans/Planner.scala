@@ -2101,6 +2101,17 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * widen a subquery seed, never miss a correlated outer variable. */
   private def freeExprVars(e: Any): Set[String] = e match {
     case Var(n) => Set(n)
+    // pattern elements inside an embedded PatternPredicate /
+    // PatternComprehension name their variables as plain strings, not
+    // Var nodes — without these cases a correlation that exists ONLY
+    // through the pattern (`OPTIONAL MATCH (n1) WHERE EXISTS {
+    // (n0)<-[]-(n1) }`) is invisible, and the clause wrongly plans as
+    // uncorrelated / a global existence test (differential cases
+    // 6277/6326/7536)
+    case np: NodePattern =>
+      np.variable.toSet ++ np.productIterator.flatMap(freeExprVars)
+    case rp: RelPattern =>
+      rp.variable.toSet ++ rp.productIterator.flatMap(freeExprVars)
     case s: Seq[_] => s.iterator.flatMap(freeExprVars).toSet
     case o: Option[_] => o.iterator.flatMap(freeExprVars).toSet
     case m: Map[_, _] => m.valuesIterator.flatMap(freeExprVars).toSet

@@ -3359,6 +3359,40 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("x" -> 1L))))
 
   // --------------------------------------------------------- blacklist
+  // differential-hunt batch 5: correlation reached ONLY through pattern
+  // elements of a WHERE-embedded pattern predicate / EXISTS (freeExprVars
+  // saw Var nodes but not NodePattern/RelPattern variable names, so the
+  // OPTIONAL MATCH planned uncorrelated — hunt cases 6277/6326/7536)
+  def diffBatch5: Seq[Scenario] = Seq(
+    Scenario("diff5 EXISTS correlates optional var to outer var",
+      """CREATE (a:P {uid: 1})
+        |CREATE (b:P {uid: 2})
+        |CREATE (c:P {uid: 3})
+        |CREATE (a)-[:T]->(c)""".stripMargin,
+      """MATCH (n0:P) OPTIONAL MATCH (n1:P)
+        |WHERE EXISTS { MATCH (n0)<-[]-(n1) }
+        |RETURN n0.uid AS u, n1.uid AS v ORDER BY u""".stripMargin,
+      Seq(row("u" -> 1L, "v" -> null), row("u" -> 2L, "v" -> null),
+        row("u" -> 3L, "v" -> 1L)), ordered = true),
+    Scenario("diff5 outer-only pattern predicate keeps optional cardinality",
+      """CREATE (a:N {k: 1})
+        |CREATE (b:N {k: 2})
+        |CREATE (:M {k: 9})
+        |CREATE (:M {k: 8})
+        |CREATE (a)-[:T]->(a)""".stripMargin,
+      """MATCH (n:N) OPTIONAL MATCH (m:M)
+        |WHERE NOT ((n)-[:T]->(n))
+        |RETURN n.k AS k ORDER BY k""".stripMargin,
+      Seq(row("k" -> 1L), row("k" -> 2L), row("k" -> 2L)), ordered = true),
+    Scenario("diff5 null outer var in pattern predicate filters all rows",
+      """CREATE (a:A {k: 1})
+        |CREATE (b:B {k: 2})
+        |CREATE (a)-[:T]->(b)""".stripMargin,
+      """OPTIONAL MATCH (z:Z) OPTIONAL MATCH (p)-[:T]->(q)
+        |WHERE (z)-[:T]->(q)
+        |RETURN p.k AS pk, q.k AS qk""".stripMargin,
+      Seq(row("pk" -> null, "qk" -> null))))
+
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
     if (in == null) Map.empty
@@ -3371,7 +3405,8 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   test("scenario corpus is large enough to be meaningful") {
-    val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34
+    val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
+      diffBatch5
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -3380,7 +3415,8 @@ class TckStyleSpec extends AnyFunSuite {
       s"blacklist names not in the corpus: $staleBlacklist")
   }
 
-  (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34).foreach { sc =>
+  (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
+    diffBatch5).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }

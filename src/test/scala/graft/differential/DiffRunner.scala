@@ -145,20 +145,32 @@ object DiffHuntMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val runner = new DiffRunner(spark)
-    var failures = 0
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()
-    (from until to).foreach { i =>
-      runner.runCase(i) match {
-        case Some(d) => failures += 1; println(s"\nDIVERGENCE $d")
-        case None => ()
-      }
-      if ((i - from + 1) % 500 == 0) {
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[hunt] ${i - from + 1} cases, $failures divergences, " +
-          f"$dt%.0f s")
+    // cases are independent; the engine is a shared thread-safe Spark
+    // session, NaiveEval keeps its per-case graph in a ThreadLocal, and
+    // consecutive seeds share graphs (i / 10) so chunks of 10 stay on one
+    // thread to keep the graph cache effective
+    import scala.collection.parallel.CollectionConverters._
+    val chunks = (from until to).grouped(10).toVector.par
+    chunks.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(8))
+    chunks.foreach { chunk =>
+      chunk.foreach { i =>
+        runner.runCase(i) match {
+          case Some(d) => failures.incrementAndGet()
+            println(s"\nDIVERGENCE $d")
+          case None => ()
+        }
+        val n = done.incrementAndGet()
+        if (n % 500 == 0) {
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[hunt] $n cases, ${failures.get} divergences, $dt%.0f s")
+        }
       }
     }
-    println(s"[hunt] DONE cases $from..$to: $failures divergences")
+    println(s"[hunt] DONE cases $from..$to: ${failures.get} divergences")
     spark.stop()
   }
 }

@@ -600,15 +600,15 @@ object NaiveEval {
 
   // the graph of the case being evaluated — set once per run(); lets
   // ExistsE reach pattern matching from inside the (graph-less) evalB
-  // signature. Cases are evaluated one at a time (DiffRunner.runCase is
-  // sequential), so a field is safe here.
-  private var curG: MGraph = _
+  // signature. ThreadLocal so parallel hunts can evaluate cases
+  // concurrently (each case runs start-to-finish on one thread).
+  private val curG = new ThreadLocal[MGraph]
   private[differential] def matchChainsForExists(r: Binding,
       chain: Chain): Boolean =
-    matchChains(curG, r, List(chain)).nonEmpty
+    matchChains(curG.get, r, List(chain)).nonEmpty
 
   def run(g: MGraph, q: Query): List[List[Any]] = {
-    curG = g
+    curG.set(g)
     var rows: List[Binding] = List(Map.empty)
     q.stages.foreach {
       case SUnwind(v, list) =>
