@@ -1062,9 +1062,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       : PState = {
     np.properties.foreach { case (k, e) => propPreds += Eq(Property(Var(v), k), e) }
     state.header.get(v) match {
-      case Some(_: NodeBinding) =>
+      case Some(nb: NodeBinding) =>
         if (np.labels.nonEmpty) propPreds += HasLabels(Var(v), np.labels)
-        state
+        // a null binding (failed earlier OPTIONAL MATCH) never matches a
+        // pattern: re-matching a bound var drops its null rows. Chains
+        // WITH hops already enforce this through the expansion equi-join;
+        // the bare zero-hop chain `(n0)` has no join to do it (hunt case
+        // 13380). On non-nullable id columns Catalyst prunes the filter.
+        state.copy(df = state.df.where(col(s"`${nb.idCol}`").isNotNull))
       case Some(other) =>
         throw new IllegalArgumentException(s"$v already bound to $other, not a node")
       case None =>

@@ -3384,6 +3384,24 @@ class TckStyleSpec extends AnyFunSuite {
         |WHERE NOT ((n)-[:T]->(n))
         |RETURN n.k AS k ORDER BY k""".stripMargin,
       Seq(row("k" -> 1L), row("k" -> 2L), row("k" -> 2L)), ordered = true),
+    Scenario("diff5 bare re-match of a null-bound var fails the pattern",
+      """CREATE (a:N {k: 1})
+        |CREATE (b:M {k: 2})
+        |CREATE (c:M {k: 3})
+        |CREATE (b)-[:T]->(c)""".stripMargin,
+      """OPTIONAL MATCH (z:Z)
+        |OPTIONAL MATCH (p:M)-[:T]->(q:M), (z)
+        |RETURN p.k AS pk, q.k AS qk""".stripMargin,
+      Seq(row("pk" -> null, "qk" -> null))),
+    Scenario("diff5 bare re-match of a bound var keeps matched rows",
+      """CREATE (a:N {k: 1})
+        |CREATE (b:M {k: 2})
+        |CREATE (c:M {k: 3})
+        |CREATE (b)-[:T]->(c)""".stripMargin,
+      """MATCH (z:N)
+        |OPTIONAL MATCH (p:M)-[:T]->(q:M), (z)
+        |RETURN z.k AS zk, p.k AS pk, q.k AS qk""".stripMargin,
+      Seq(row("zk" -> 1L, "pk" -> 2L, "qk" -> 3L))),
     Scenario("diff5 null outer var in pattern predicate filters all rows",
       """CREATE (a:A {k: 1})
         |CREATE (b:B {k: 2})
