@@ -801,9 +801,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   }
   /** 3VL comparison between a mixed-tagged element and a concrete value:
     * matching family compares the typed field, null tag/value → null,
-    * family mismatch → equality false, ordering null. */
+    * family mismatch → the caller's `mismatch` constant (false for `=`,
+    * TRUE for `<>` — an integer is definitely not a string), ordering
+    * (mismatch None) → null. */
   private def mixedCmp(m: Column, v: Column, vt: DataType,
-      op: (Column, Column) => Column, ordering: Boolean): Column = {
+      op: (Column, Column) => Column, mismatch: Option[Boolean]): Column = {
     val fam = family(vt)
     val matched = fam match {
       case "num" =>
@@ -813,12 +815,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "bool" => when(m.getField("@k") === 4, op(m.getField("b"), v))
       case _ => when(lit(false), lit(false))
     }
-    val mismatch =
-      if (ordering) lit(null).cast(BooleanType)
-      else when(m.getField("@k") === 0 || m.isNull || v.isNull,
-        lit(null).cast(BooleanType)).otherwise(lit(false))
+    val mismatchCol = mismatch match {
+      case None => lit(null).cast(BooleanType) // ordering: incomparable
+      case Some(const) =>
+        when(m.getField("@k") === 0 || m.isNull || v.isNull,
+          lit(null).cast(BooleanType)).otherwise(lit(const))
+    }
     if (fam == "null") lit(null).cast(BooleanType)
-    else matched.otherwise(mismatch)
+    else matched.otherwise(mismatchCol)
   }
 
   /** equality between two mixed-tagged values: numbers compare across the
@@ -895,9 +899,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     val structural = (tl, tr) match {
       // mixed-tagged element vs concrete value: dispatch on the tag
       case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
-        Some(mixedCmp(compile(l), compile(r), vt, op, ordering))
+        Some(mixedCmp(compile(l), compile(r), vt, op,
+          if (ordering) None else mismatch))
       case (vt, mt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
-        Some(mixedCmp(compile(r), compile(l), vt, (a, b) => op(b, a), ordering))
+        Some(mixedCmp(compile(r), compile(l), vt, (a, b) => op(b, a),
+          if (ordering) None else mismatch))
       // Cypher maps compare BY KEY; Spark struct comparison is positional
       // and ignores field names, so {a:1} = {b:1} would come back true.
       // Same key shape → compare with both sides reordered to sorted-key
@@ -1226,7 +1232,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         val lc = compile(list); val xc = compile(x); val xt = typeOf(x)
         when(lc.isNull, lit(null).cast(BooleanType))
           .otherwise(aggregate(lc, lit(false).cast(BooleanType),
-            (acc, e) => acc || mixedCmp(e, xc, xt, _ === _, ordering = false)))
+            (acc, e) => acc || mixedCmp(e, xc, xt, _ === _, Some(false))))
       // nested-list membership: element comparison is the TERNARY list
       // equality folded with 3VL OR — [1,null] IN [[1,2]] is null (no
       // definite mismatch, null element), not the binary false that
@@ -1256,7 +1262,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             .otherwise(when(exists(lc, e => e.isNull), lit(null))
               .otherwise(lit(false)))
         else if (fx == fe || fx == "other" || fe == "other")
-          array_contains(lc, compile(x))
+          // x IN [] is DEFINITE false even for a null x (nothing to be
+          // unknown about); array_contains alone would null-poison.
+          // size(null) is null → the guard falls through → null, right.
+          when(size(lc) === 0, lit(false))
+            .otherwise(array_contains(lc, compile(x)))
         else // family mismatch: no element can match; nulls still poison
           when(lc.isNull || compile(x).isNull, lit(null))
             .when(size(lc) === 0, lit(false))

@@ -3411,6 +3411,33 @@ class TckStyleSpec extends AnyFunSuite {
         |RETURN p.k AS pk, q.k AS qk""".stripMargin,
       Seq(row("pk" -> null, "qk" -> null))))
 
+  // differential-hunt batch 6 (list-grammar extension): a mixed-tagged
+  // element compared with <> against a cross-family value returned false
+  // instead of true (mixedCmp hardcoded the family-mismatch constant —
+  // hunt case 995), and a runtime-EMPTY list with a null needle
+  // null-poisoned IN via array_contains (hunt case 886)
+  def diffBatch6: Seq[Scenario] = Seq(
+    Scenario("diff6 tagged element <> cross-family value is true",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN [n.k, 'abc'][0] <> 'b' AS x",
+      Seq(row("x" -> true))),
+    Scenario("diff6 tagged element = cross-family value is false",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN [n.k, 'abc'][0] = 'b' AS x",
+      Seq(row("x" -> false))),
+    Scenario("diff6 tagged null element <> value is null",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN [n.missing, 'abc'][0] <> 'b' AS x",
+      Seq(row("x" -> null))),
+    Scenario("diff6 null needle IN runtime-empty list is false",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN n.missing IN [n.missing][0..-2] AS x",
+      Seq(row("x" -> false))),
+    Scenario("diff6 null needle IN non-empty list is null",
+      "CREATE (:A {k: 1})",
+      "MATCH (n:A) RETURN n.missing IN [n.k] AS x",
+      Seq(row("x" -> null))))
+
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
     if (in == null) Map.empty
@@ -3424,7 +3451,7 @@ class TckStyleSpec extends AnyFunSuite {
 
   test("scenario corpus is large enough to be meaningful") {
     val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
-      diffBatch5
+      diffBatch5 ++ diffBatch6
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -3434,7 +3461,7 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
-    diffBatch5).foreach { sc =>
+    diffBatch5 ++ diffBatch6).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }

@@ -43,6 +43,19 @@ final class DiffRunner(spark: SparkSession) {
     case b: Boolean => b
     case s: scala.collection.Seq[_] => s.map(norm).toList
     case a: Array[_] => a.map(norm).toList
+    // the engine's tagged-union struct for mixed-family values
+    // (@k: 0 null, 1 integer→i, 2 float→f, 3 string→s, 4 boolean→b) —
+    // decode back to the scalar the tag names
+    case r: org.apache.spark.sql.Row
+      if r.schema != null && r.schema.fieldNames.headOption.contains("@k") =>
+      if (r.isNullAt(0)) null
+      else r.getInt(0) match {
+        case 1 => norm(r.get(1))
+        case 2 => norm(r.get(2))
+        case 3 => norm(r.get(3))
+        case 4 => norm(r.get(4))
+        case _ => null
+      }
     case r: org.apache.spark.sql.Row =>
       r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
     case other => other.toString

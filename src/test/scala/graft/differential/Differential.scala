@@ -121,6 +121,18 @@ object Model {
   final case class NumFnE(fn: String, arg: VE) extends VE // abs | sign
   /** a predicate as a boolean VALUE (unknown → null) */
   final case class BoolVE(be: BE) extends VE
+  /** a node/rel binding used as a comparison operand (identity equality) */
+  final case class EntityE(v: String) extends VE
+  /** list literal; elemFam 'L' | 'S' | 'X' (mixed L+S, engine-tagged) */
+  final case class ListLitE(elems: List[VE], elemFam: Char) extends VE
+  /** list subscript: 0-based, negative from the end, out-of-range → null */
+  final case class IdxE(list: VE, idx: VE) extends VE
+  /** list slice `l[f..t]`: to-exclusive, negatives from the end, clamped */
+  final case class SliceE(list: VE, from: Option[VE], to: Option[VE])
+    extends VE
+  final case class HeadLastE(fn: String, list: VE) extends VE // head | last
+  final case class ListSizeE(list: VE) extends VE
+  final case class RangeE(lo: Long, hi: Long, step: Option[Long]) extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -140,6 +152,10 @@ object Model {
     */
   final case class ExistsE(chain: Chain, block: Boolean,
       outerVars: Set[String]) extends BE
+  /** membership against a list-valued EXPRESSION (ternary; null list →
+    * null, empty list → false even for a null needle)
+    */
+  final case class InVE(x: VE, list: VE) extends BE
   final case class AndE(l: BE, r: BE) extends BE
   final case class OrE(l: BE, r: BE) extends BE
   final case class XorE(l: BE, r: BE) extends BE
@@ -151,6 +167,8 @@ object Model {
       alias: String) extends RetItem
   /** WITH-only: carry a binding (entity or scalar) through unchanged */
   final case class PassItem(v: String) extends RetItem { def alias: String = v }
+  /** WITH-only: rebind an entity under a new name (`WITH n AS m`) */
+  final case class AliasItem(v: String, alias: String) extends RetItem
 
   final case class Ret(distinct: Boolean, items: List[RetItem],
       orderBy: List[(String, Boolean)], skip: Option[Int], limit: Option[Int])
@@ -158,6 +176,8 @@ object Model {
   sealed trait Stage
   final case class SMatch(mc: MatchC) extends Stage
   final case class SUnwind(v: String, list: List[Any]) extends Stage
+  /** UNWIND of a bound list variable (a WITH projection or collect alias) */
+  final case class SUnwindVar(v: String, src: String) extends Stage
   final case class SWith(distinct: Boolean, items: List[RetItem],
       where: Option[BE]) extends Stage
 
@@ -177,10 +197,18 @@ object Model {
         case StrFnE(_, a, _) => ve(a)
         case NumFnE(_, a) => ve(a)
         case BoolVE(x) => be(x)
+        case EntityE(v) => b += v
+        case ListLitE(es, _) => es.foreach(ve)
+        case IdxE(l, i) => ve(l); ve(i)
+        case SliceE(l, f, t) => ve(l); f.foreach(ve); t.foreach(ve)
+        case HeadLastE(_, l) => ve(l)
+        case ListSizeE(l) => ve(l)
+        case RangeE(_, _, _) =>
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
         case ExistsE(_, _, outer) => b ++= outer
+        case InVE(x, l) => ve(x); ve(l)
         case CmpE(_, l, r) => ve(l); ve(r)
         case IsNullE(x, _) => ve(x)
         case InE(x, _) => ve(x)
@@ -198,14 +226,17 @@ object Model {
             case ValItem(e, _) => ve(e)
             case AggItem(_, a, _, _) => a.foreach(ve)
             case PassItem(v) => b += v
+            case AliasItem(v, _) => b += v
           }
           where.foreach(be)
+        case SUnwindVar(_, src) => b += src
         case _ =>
       }
       ret.items.foreach {
         case ValItem(e, _) => ve(e)
         case AggItem(_, a, _, _) => a.foreach(ve)
         case PassItem(v) => b += v
+        case AliasItem(v, _) => b += v
       }
       b.result()
     }
@@ -229,6 +260,18 @@ object Model {
         (renderVE(a) :: extra.map(renderLit)).mkString(s"$name(", ", ", ")")
       case NumFnE(fn, a) => s"$fn(${renderVE(a)})"
       case BoolVE(x) => renderBE(x)
+      case EntityE(v) => v
+      case ListLitE(es, _) => es.map(renderVE).mkString("[", ", ", "]")
+      // list-valued operands are always atoms or postfix chains (variable,
+      // list literal, range() call, slice), so direct subscripting parses
+      case IdxE(l, i) => s"${renderVE(l)}[${renderVE(i)}]"
+      case SliceE(l, f, t) =>
+        s"${renderVE(l)}[${f.map(renderVE).getOrElse("")}.." +
+          s"${t.map(renderVE).getOrElse("")}]"
+      case HeadLastE(fn, l) => s"$fn(${renderVE(l)})"
+      case ListSizeE(l) => s"size(${renderVE(l)})"
+      case RangeE(lo, hi, step) =>
+        step.map(s => s"range($lo, $hi, $s)").getOrElse(s"range($lo, $hi)")
     }
 
     private def renderBE(e: BE): String = e match {
@@ -239,6 +282,7 @@ object Model {
         s"(${renderVE(x)} IN ${xs.map(renderLit).mkString("[", ", ", "]")})"
       case HasLabelE(v, l) => s"($v:$l)"
       case StrPredE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
+      case InVE(x, l) => s"(${renderVE(x)} IN ${renderVE(l)})"
       case ExistsE(chain, block, outer) =>
         def show(v: String) = block || outer(v)
         val cs = renderNodeP(chain.first, show(chain.first.v)) +
@@ -255,6 +299,7 @@ object Model {
     private def renderItems(items: List[RetItem]): String =
       items.map {
         case PassItem(v) => v
+        case AliasItem(v, a) => s"$v AS $a"
         case ValItem(e, a) => s"${renderVE(e)} AS $a"
         case AggItem("count*", _, _, a) => s"count(*) AS $a"
         case AggItem(fn, arg, d, a) =>
@@ -277,6 +322,8 @@ object Model {
           mc.where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
         case SUnwind(v, list) =>
           sb ++= s"UNWIND ${list.map(renderLit).mkString("[", ", ", "]")} AS $v\n"
+        case SUnwindVar(v, src) =>
+          sb ++= s"UNWIND $src AS $v\n"
         case SWith(d, items, where) =>
           sb ++= "WITH " + (if (d) "DISTINCT " else "") + renderItems(items) + "\n"
           where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
@@ -306,9 +353,20 @@ object Model {
       * dynamically-typed sum returns integer 0 for empty input — a
       * documented representation divergence, not a value divergence)
       */
-    def sumAliases: Set[String] = ret.items.collect {
-      case AggItem("sum", _, _, a) => a
-    }.toSet
+    def sumAliases: Set[String] = {
+      // sums computed in a WITH carry their typed empty-zero corner into
+      // any RETURN item that re-projects the alias directly (hunt 11618)
+      val withSums: Set[String] = stages.flatMap {
+        case SWith(_, items, _) => items.collect {
+          case AggItem("sum", _, _, a) => a
+        }
+        case _ => Nil
+      }.toSet
+      ret.items.collect {
+        case AggItem("sum", _, _, a) => a
+        case ValItem(VarE(v, _), a) if withSums(v) => a
+      }.toSet
+    }
   }
 }
 
@@ -326,6 +384,8 @@ object NaiveEval {
   // equality is definite false, null is unknown
   def valueEq(a: Any, b: Any): Option[Boolean] = (a, b) match {
     case (null, _) | (_, null) => None
+    case (x: MNode, y: MNode) => Some(x.id == y.id) // identity equality
+    case (x: MRel, y: MRel) => Some(x.id == y.id)
     case (x: Long, y: Long) => Some(x == y)
     case (x: Long, y: Double) => Some(x.toDouble == y)
     case (x: Double, y: Long) => Some(x == y.toDouble)
@@ -427,6 +487,46 @@ object NaiveEval {
       case _ => null
     }
     case BoolVE(be) => evalB(r, be).map(Boolean.box).orNull
+    case EntityE(v) => r.getOrElse(v, null)
+    case ListLitE(es, _) => es.map(evalV(r, _))
+    case RangeE(lo, hi, step) =>
+      val st = step.getOrElse(1L)
+      (lo to hi by st).toList.map(x => x: Any)
+    case IdxE(le, ie) => (evalV(r, le), evalV(r, ie)) match {
+      case (xs: List[_], i: Long) =>
+        val n = xs.size
+        val j = if (i < 0) n + i else i
+        if (j >= 0 && j < n) xs(j.toInt) else null
+      case _ => null
+    }
+    case SliceE(le, fe, te) => evalV(r, le) match {
+      case xs: List[_] =>
+        val n = xs.size
+        def bound(oe: Option[VE], dflt: Long): Option[Long] = oe match {
+          case None => Some(dflt)
+          case Some(e) => evalV(r, e) match {
+            case l: Long => Some(if (l < 0) n + l else l)
+            case _ => None // null (or non-integer) bound → null slice
+          }
+        }
+        (bound(fe, 0L), bound(te, n.toLong)) match {
+          case (Some(f0), Some(t0)) =>
+            val f = math.max(0L, math.min(f0, n.toLong)).toInt
+            val t = math.max(0L, math.min(t0, n.toLong)).toInt
+            if (t <= f) Nil else xs.slice(f, t)
+          case _ => null
+        }
+      case _ => null
+    }
+    case HeadLastE(fn, le) => evalV(r, le) match {
+      case xs: List[_] if xs.nonEmpty =>
+        if (fn == "head") xs.head else xs.last
+      case _ => null // empty or null list
+    }
+    case ListSizeE(le) => evalV(r, le) match {
+      case xs: List[_] => xs.size.toLong
+      case _ => null
+    }
     case ArithE(op, le, re) =>
       (evalV(r, le), evalV(r, re)) match {
         case (null, _) | (_, null) => null
@@ -478,6 +578,18 @@ object NaiveEval {
       case n: MNode => Some(n.labels.contains(l))
       case null => None
       case _ => Some(false)
+    }
+    case InVE(xe, le) => evalV(r, le) match {
+      case xs: List[_] =>
+        if (xs.isEmpty) Some(false) // even for a null needle
+        else {
+          val v = evalV(r, xe)
+          val elems = xs.map(valueEq(v, _))
+          if (elems.exists(_.contains(true))) Some(true)
+          else if (elems.exists(_.isEmpty)) None
+          else Some(false)
+        }
+      case _ => None // null list
     }
     case StrPredE(op, le, re) => (evalV(r, le), evalV(r, re)) match {
       case (x: String, y: String) => Some(op match {
@@ -613,6 +725,15 @@ object NaiveEval {
     q.stages.foreach {
       case SUnwind(v, list) =>
         rows = rows.flatMap(r => list.map(x => r + (v -> x)))
+      case SUnwindVar(v, src) =>
+        // UNWIND null / [] → no rows for that binding
+        rows = rows.flatMap { r =>
+          r.getOrElse(src, null) match {
+            case xs: List[_] => xs.map(x => r + (v -> x))
+            case null => Nil
+            case single => List(r + (v -> single))
+          }
+        }
       case SMatch(mc) =>
         rows = rows.flatMap { row =>
           val ext = matchChains(g, row, mc.chains)
@@ -685,6 +806,7 @@ object NaiveEval {
   private def itemValue(r: Binding, it: RetItem): Any = it match {
     case ValItem(e, _) => evalV(r, e)
     case PassItem(v) => r.getOrElse(v, null)
+    case AliasItem(v, _) => r.getOrElse(v, null)
     case _ => sys.error("unreachable")
   }
 
@@ -806,12 +928,28 @@ object DiffGen {
   } yield MGraph(nodes, rels)
 
   // ------------------------------------------------------------- query
-  /** valVars: projected/unwound scalars with their type family;
-    * vlVars: var-length rel-list variables (only size() may touch them)
+  /** valVars: projected/unwound scalars with their type family (list
+    * families 'M'/'T' for DETERMINISTICALLY-ordered projected lists);
+    * vlVars: var-length rel-list variables (only size() may touch them);
+    * bagVars: collect()-produced lists whose element ORDER is unspecified —
+    * only order-insensitive consumers may touch them (size, IN's list
+    * side, UNWIND)
     */
   private final case class Ctx(nodeVars: List[String], relVars: List[String],
-      valVars: List[(String, Char)], vlVars: List[String])
+      valVars: List[(String, Char)], vlVars: List[String],
+      bagVars: List[(String, Char)] = Nil)
   private val emptyCtx = Ctx(Nil, Nil, Nil, Nil)
+
+  /** list expression OR an unordered collect-list var, for consumers that
+    * don't observe element order
+    */
+  private def genListOrBag(ctx: Ctx, listFam: Char): Gen[VE] = {
+    val bags = ctx.bagVars.collect {
+      case (v, f) if f == listFam => VarE(v, f): VE
+    }
+    if (bags.isEmpty) genListVE(ctx, listFam)
+    else Gen.frequency(6 -> genListVE(ctx, listFam), 4 -> Gen.oneOf(bags))
+  }
 
   private def keysOf(ctx: Ctx, fam: Char): List[(String, String)] = {
     val nk = fam match {
@@ -901,14 +1039,89 @@ object DiffGen {
     b <- genValueVE(ctx, fam)
   } yield CoalesceE(List(a, b))
 
+  // --------------------------------------------------------------- lists
+  private def genListLit(ctx: Ctx, ef: Char): Gen[VE] = for {
+    n <- Gen.choose(1, 3)
+    elems <- Gen.listOfN(n, Gen.frequency(
+      8 -> genValueVE(ctx, ef),
+      1 -> Gen.const(LitE(null): VE))) // null elements survive in literals
+  } yield ListLitE(elems, ef)
+
+  /** mixed L+S list — engine-side this is the tagged-union encoding */
+  private def genMixedListLit(ctx: Ctx): Gen[VE] = for {
+    a <- genValueVE(ctx, 'L')
+    b <- genValueVE(ctx, 'S')
+    flip <- Gen.oneOf(true, false)
+  } yield ListLitE(if (flip) List(a, b) else List(b, a), 'X')
+
+  private val genRangeE: Gen[VE] = for {
+    lo <- Gen.choose(0L, 3L)
+    span <- Gen.choose(-1L, 4L) // negative → empty range
+    hasStep <- Gen.prob(0.3)
+    step <- Gen.oneOf(1L, 2L, 3L)
+  } yield RangeE(lo, lo + span, if (hasStep) Some(step) else None)
+
+  /** list-valued expression of family 'M' | 'T' (var / literal / range,
+    * optionally sliced)
+    */
+  private def genListVE(ctx: Ctx, listFam: Char): Gen[VE] = {
+    val ef = if (listFam == 'M') 'L' else 'S'
+    val vars = ctx.valVars.collect {
+      case (v, f) if f == listFam => VarE(v, f): VE
+    }
+    val base: List[(Int, Gen[VE])] =
+      (6 -> genListLit(ctx, ef)) ::
+        (if (listFam == 'M') List(3 -> genRangeE) else Nil)
+    val sliced: Gen[VE] = for {
+      b0 <- Gen.frequency(
+        ((if (vars.nonEmpty) List(4 -> Gen.oneOf(vars)) else Nil) ++
+          base): _*)
+      hasFrom <- Gen.prob(0.7); f <- Gen.choose(-2L, 3L)
+      hasTo <- Gen.prob(0.7); t <- Gen.choose(-2L, 4L)
+    } yield SliceE(b0, if (hasFrom) Some(LitE(f)) else None,
+      if (hasTo) Some(LitE(t)) else None)
+    Gen.frequency(
+      ((if (vars.nonEmpty) List(6 -> Gen.oneOf(vars)) else Nil) ++
+        base ++ List(2 -> sliced)): _*)
+  }
+
+  private def genIdxVE(ctx: Ctx, listFam: Char): Gen[VE] = for {
+    l <- genListVE(ctx, listFam)
+    kind <- Gen.frequency(5 -> Gen.const(0), 4 -> Gen.const(1),
+      1 -> Gen.const(2))
+    litIdx <- Gen.choose(-2L, 4L) // negative + out-of-range on purpose
+    varIdx <- genValueVE(ctx, 'L')
+  } yield kind match {
+    case 0 => IdxE(l, LitE(litIdx))
+    case 1 => IdxE(l, varIdx)
+    case _ => IdxE(l, LitE(null))
+  }
+
+  /** scalar-valued list consumers; resultFam 'L' additionally gets size()
+    * over either list family
+    */
+  private def genListConsumer(ctx: Ctx, resultFam: Char): Gen[VE] = {
+    val listFam = if (resultFam == 'L') 'M' else 'T'
+    val core = Gen.frequency(
+      5 -> genIdxVE(ctx, listFam),
+      3 -> genListVE(ctx, listFam).flatMap(l =>
+        Gen.oneOf("head", "last").map(HeadLastE(_, l))))
+    if (resultFam != 'L') core
+    else Gen.frequency(
+      7 -> core,
+      3 -> Gen.oneOf('M', 'T').flatMap(genListOrBag(ctx, _)).map(ListSizeE))
+  }
+
   /** value expr that may wrap leafs in CASE / coalesce / string / numeric
     * functions; wrapper args stay plain leafs so generation terminates
     */
   private def genRichVE(ctx: Ctx, fam: Char): Gen[VE] = {
+    if (NaiveEvalFamilies.isListFam(fam)) return genListVE(ctx, fam)
     val wrapped: List[(Int, Gen[VE])] = fam match {
-      case 'S' => List(3 -> genStrFnE(ctx))
+      case 'S' => List(3 -> genStrFnE(ctx), 2 -> genListConsumer(ctx, 'S'))
       case 'L' => List(2 -> genNumFnE(ctx, 'L'),
-        1 -> genValueVE(ctx, 'S').map(StrFnE("strSize", _, Nil)))
+        1 -> genValueVE(ctx, 'S').map(StrFnE("strSize", _, Nil)),
+        2 -> genListConsumer(ctx, 'L'))
       case 'D' => List(3 -> genNumFnE(ctx, 'D'))
       // a whole predicate as a boolean value (unknown → null)
       case _ => List(3 -> genLeafPlain(ctx).map(BoolVE))
@@ -967,8 +1180,26 @@ object DiffGen {
       r <- Gen.frequency(6 -> genValueVE(ctx, 'S'),
         4 -> Gen.oneOf(strVals).map(LitE(_): VE))
     } yield StrPredE(op, l, r)
+    val inVG: Gen[BE] = for {
+      listFam <- Gen.frequency(6 -> Gen.const('M'), 4 -> Gen.const('T'))
+      x <- genValueVE(ctx, if (listFam == 'M') 'L' else 'S')
+      l <- genListOrBag(ctx, listFam)
+    } yield InVE(x, l)
+    // identity equality between two same-kind entity vars (incl. v = v);
+    // a null operand (failed OPTIONAL) → unknown
+    val entityEqG: Gen[BE] =
+      if (ctx.nodeVars.size < 2 && ctx.relVars.size < 2) genCmp(ctx)
+      else for {
+        pool <- if (ctx.nodeVars.size >= 2 && ctx.relVars.size >= 2)
+          Gen.oneOf(ctx.nodeVars, ctx.relVars)
+        else Gen.const(
+          if (ctx.nodeVars.size >= 2) ctx.nodeVars else ctx.relVars)
+        a <- Gen.oneOf(pool)
+        b <- Gen.oneOf(pool)
+        op <- Gen.oneOf("=", "<>")
+      } yield CmpE(op, EntityE(a), EntityE(b))
     Gen.frequency(6 -> genCmp(ctx), 2 -> isNullG, 2 -> inG, 1 -> hasLabelG,
-      2 -> strPredG)
+      2 -> strPredG, 2 -> inVG, 1 -> entityEqG)
   }
 
   /** one-hop existence test from a bound node var (block EXISTS or bare
@@ -1018,7 +1249,17 @@ object DiffGen {
       l <- genRichVE(ctx, fam)
       r <- Gen.frequency(6 -> genValueVE(ctx, fam), 4 -> genLit(fam).map(LitE))
     } yield CmpE(op, l, r)
-    Gen.frequency(9 -> genLeafPlain(ctx), 2 -> cmpRichG, 2 -> genExistsE(ctx))
+    // a tagged (mixed L+S) list element compared against either family —
+    // = / <> only (cross-family equality is definite, ordering is not)
+    val mixedIdxG: Gen[BE] = for {
+      l <- genMixedListLit(ctx)
+      idx <- Gen.choose(0L, 2L) // sometimes out of range → null
+      fam <- Gen.oneOf('L', 'S')
+      rhs <- genValueVE(ctx, fam)
+      op <- Gen.oneOf("=", "<>")
+    } yield CmpE(op, IdxE(l, LitE(idx)), rhs)
+    Gen.frequency(9 -> genLeafPlain(ctx), 2 -> cmpRichG, 2 -> genExistsE(ctx),
+      1 -> mixedIdxG)
   }
 
   private def genBE(ctx: Ctx, depth: Int): Gen[BE] =
@@ -1134,23 +1375,37 @@ object DiffGen {
     // pass through a random non-empty subset of entity vars (node/rel)
     passNodes <- Gen.someOf(ctx.nodeVars)
     passRels <- Gen.someOf(ctx.relVars)
-    // projected scalars
+    // some passes become renames (`WITH n AS m`); a few keep BOTH names
+    renameFlags <- Gen.listOfN(passNodes.size + passRels.size,
+      Gen.frequency(7 -> Gen.const(0), 2 -> Gen.const(1), 1 -> Gen.const(2)))
+    // projected scalars (occasionally a deterministically-ordered list)
     nProj <- Gen.frequency(4 -> Gen.const(0), 4 -> Gen.const(1),
       2 -> Gen.const(2))
     projFams <- Gen.listOfN(nProj, Gen.frequency(4 -> Gen.const('L'),
-      2 -> Gen.const('S'), 2 -> Gen.const('D'), 1 -> Gen.const('B')))
+      2 -> Gen.const('S'), 2 -> Gen.const('D'), 1 -> Gen.const('B'),
+      1 -> Gen.const('M'), 1 -> Gen.const('T')))
     projVes <- Gen.sequence[List[VE], VE](projFams.map(genRichVE(ctx, _)))
     nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
     aggs <- Gen.sequence[List[AggItem], AggItem](
       (0 until nAggs).map(i => genAgg(ctx, s"w${idx}a$i")))
     distinct <- if (aggMode) Gen.const(false) else Gen.prob(0.25)
   } yield {
-    // exclude collect from WITH aggregates: list-valued scalars are not
-    // referenced downstream (size-only surface is covered by var-length)
-    val aggs2 = aggs.filterNot(_.fn == "collect")
+    // collect() stays ONLY for L/S args — its alias becomes a bagVar
+    // (unordered list) that downstream order-insensitive consumers and
+    // UNWIND may use; other collects are dropped as before
+    val aggs2 = aggs.filter(a => a.fn != "collect" ||
+      a.arg.exists(e => NaiveEvalFamilies.family(e) == 'L' ||
+        NaiveEvalFamilies.family(e) == 'S'))
     val aggs3 = if (aggMode && aggs2.isEmpty)
       List(AggItem("count*", None, distinct = false, s"w${idx}a0")) else aggs2
-    val passes = (passNodes.toList ++ passRels.toList).map(PassItem(_): RetItem)
+    val passes: List[RetItem] =
+      (passNodes.toList ++ passRels.toList).zip(renameFlags).zipWithIndex
+        .flatMap {
+          case ((v, 0), _) => List(PassItem(v): RetItem)
+          case ((v, 1), i) => List(AliasItem(v, s"w${idx}e$i"): RetItem)
+          case ((v, _), i) =>
+            List(PassItem(v): RetItem, AliasItem(v, s"w${idx}e$i"): RetItem)
+        }
     val projs = projVes.zipWithIndex.map { case (e, i) =>
       ValItem(e, s"w${idx}p$i"): RetItem
     }
@@ -1160,23 +1415,32 @@ object DiffGen {
     val items = if (items0.isEmpty)
       List(AggItem("count*", None, distinct = false, s"w${idx}a0"))
     else items0
+    def srcNode(v: String) = ctx.nodeVars.contains(v)
+    def srcRel(v: String) = ctx.relVars.contains(v)
     val ctxN = Ctx(
       nodeVars = items.collect {
-        case PassItem(v) if ctx.nodeVars.contains(v) => v
+        case PassItem(v) if srcNode(v) => v
+        case AliasItem(v, a) if srcNode(v) => a
       },
       relVars = items.collect {
-        case PassItem(v) if ctx.relVars.contains(v) => v
+        case PassItem(v) if srcRel(v) => v
+        case AliasItem(v, a) if srcRel(v) => a
       },
       valVars = items.collect {
         case ValItem(e, a) => (a, NaiveEvalFamilies.family(e))
-        case AggItem(fn, arg, _, a) =>
+        case AggItem(fn, arg, _, a) if fn != "collect" =>
           (a, fn match {
             case "count*" | "count" => 'L'
             case "avg" => 'D'
             case _ => arg.map(NaiveEvalFamilies.family).getOrElse('L')
           })
       },
-      vlVars = Nil)
+      vlVars = Nil,
+      bagVars = items.collect {
+        case AggItem("collect", arg, _, a) =>
+          (a, if (arg.exists(e => NaiveEvalFamilies.family(e) == 'S')) 'T'
+          else 'M')
+      })
     // WHERE is attached by the caller (it needs the post-WITH ctx)
     (SWith(distinct, items, None), ctxN)
   }
@@ -1185,6 +1449,8 @@ object DiffGen {
     def genItemVE: Gen[VE] = Gen.frequency(
       6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genRichVE(ctx, _)),
       2 -> genArith(ctx),
+      // raw deterministically-ordered list values (never bags)
+      1 -> Gen.oneOf('M', 'T').flatMap(genListVE(ctx, _)),
       (if (ctx.nodeVars.nonEmpty) 1 else 0) ->
         (if (ctx.nodeVars.nonEmpty)
           Gen.oneOf(ctx.nodeVars).map(FnE("labels", _): VE)
@@ -1221,6 +1487,10 @@ object DiffGen {
       items2 = if (!cut) items else items.filter {
         case AggItem("collect", _, _, _) => false
         case ValItem(FnE("labels", _), _) => false
+        // compound values are incomparable — no list item can order a cut
+        case ValItem(e, _)
+          if NaiveEvalFamilies.isListFam(NaiveEvalFamilies.family(e)) =>
+          false
         case _ => true
       } match {
         case Nil => List(AggItem("count*", None, distinct = false, "a0"))
@@ -1229,7 +1499,8 @@ object DiffGen {
       orderable = items2.collect {
         case ValItem(e, a) if (e match {
           case FnE("labels", _) => false
-          case _ => true
+          case _ =>
+            !NaiveEvalFamilies.isListFam(NaiveEvalFamilies.family(e))
         }) => a
         case AggItem(fn, _, _, a) if fn != "collect" => a
       }
@@ -1285,16 +1556,27 @@ object DiffGen {
       w <- genWith(m1._2, 0)
       hasWhere <- Gen.prob(0.45)
       wb <- genBE(w._2, 1)
-      afterMatch <- Gen.prob(0.55)
+      afterKind <- Gen.frequency(4 -> Gen.const(0), 4 -> Gen.const(1),
+        3 -> Gen.const(2)) // nothing | MATCH | UNWIND of a list binding
       m <- genMatch(w._2, optional = false, m1._3)
       mw <- Gen.prob(0.4)
       mwb <- genBE(m._2, 2)
-    } yield Some((
-      w._1.copy(where = if (hasWhere) Some(wb) else None),
-      if (afterMatch)
-        List(SMatch(m._1.copy(where = if (mw) Some(mwb) else None)))
-      else Nil,
-      if (afterMatch) m._2 else w._2))
+      unwindPick <- Gen.choose(0, 7)
+    } yield {
+      val sw = w._1.copy(where = if (hasWhere) Some(wb) else None)
+      val listCands = w._2.valVars.filter(p =>
+        NaiveEvalFamilies.isListFam(p._2)) ++ w._2.bagVars
+      if (afterKind == 2 && listCands.nonEmpty) {
+        val (src, lf) = listCands(unwindPick % listCands.size)
+        val elemFam = if (lf == 'M') 'L' else 'S'
+        Some((sw, List(SUnwindVar("u2", src): Stage),
+          w._2.copy(valVars = w._2.valVars :+ (("u2", elemFam)))))
+      } else if (afterKind == 1)
+        Some((sw,
+          List(SMatch(m._1.copy(where = if (mw) Some(mwb) else None)): Stage),
+          m._2))
+      else Some((sw, Nil: List[Stage], w._2))
+    }
     else Gen.const(None))
     hasTrailUnwind <- Gen.prob(0.08)
     trailList <- Gen.choose(2, 3).flatMap(n =>
@@ -1352,5 +1634,21 @@ object NaiveEvalFamilies {
     case NumFnE("sign", _) => 'L'
     case NumFnE(_, arg) => family(arg)
     case BoolVE(_) => 'B'
+    // list families: 'M' = list-of-L, 'T' = list-of-S, 'X' = mixed/tagged
+    case EntityE(_) => 'X'
+    case ListLitE(_, ef) => ef match {
+      case 'L' => 'M'; case 'S' => 'T'; case _ => 'X'
+    }
+    case RangeE(_, _, _) => 'M'
+    case SliceE(l, _, _) => family(l)
+    case IdxE(l, _) => family(l) match {
+      case 'M' => 'L'; case 'T' => 'S'; case _ => 'X'
+    }
+    case HeadLastE(_, l) => family(l) match {
+      case 'M' => 'L'; case 'T' => 'S'; case _ => 'X'
+    }
+    case ListSizeE(_) => 'L'
   }
+
+  def isListFam(f: Char): Boolean = f == 'M' || f == 'T'
 }
