@@ -492,7 +492,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case "all" => forall(c, p)
         case "any" => exists(c, p)
         case "none" => !exists(c, p)
-        case "single" => size(filter(c, p(_))) === 1
+        case "single" =>
+          // strict ternary: ≥2 definite matches → false regardless of
+          // unknowns; any unknown otherwise → the count itself is unknown
+          // (filter alone would drop null predicates and over-commit)
+          val trues = size(filter(c, x => coalesce(p(x), lit(false))))
+          val unknowns = size(filter(c, x => p(x).isNull))
+          when(trues >= 2, lit(false))
+            .when(unknowns > 0, lit(null).cast(BooleanType))
+            .otherwise(trues === 1)
       }
 
     case MapProjection(v, items) =>

@@ -56,10 +56,19 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(one("RETURN null + [1] AS x") == null)
     assert(one("RETURN [1] + [2, 3] AS x") == Seq(1L, 2L, 3L))
   }
-  test("single() counts TRUE predicates only (null elements dropped)") {
-    assert(one("RETURN single(x IN [true, null] WHERE x) AS s") == true)
+  test("single() is strict-ternary (DIVERGES from reference filter-count)") {
+    // the reference lowers single() to size(filter) === 1
+    // (SparkSQLExprMapper.scala:392 ListSingle), silently dropping unknown
+    // predicate outcomes; its all() size-compare drops them too — but our
+    // all()/any() already follow openCypher 3VL (Spark forall/exists), so
+    // single() follows the same rule: an unknown can tip the exactly-one
+    // count either way unless two definite matches already falsify
+    assert(one("RETURN single(x IN [true, null] WHERE x) AS s") == null)
     assert(one("RETURN single(x IN [true, true] WHERE x) AS s") == false)
-    assert(one("RETURN single(x IN [false, null] WHERE x) AS s") == false)
+    assert(one("RETURN single(x IN [false, null] WHERE x) AS s") == null)
+    assert(one("RETURN single(x IN [true, true, null] WHERE x) AS s") == false)
+    assert(one("RETURN single(x IN [true, false] WHERE x) AS s") == true)
+    assert(one("RETURN single(x IN [] WHERE x) AS s") == false)
   }
   test("simple CASE with null subject falls through to ELSE (null = null is null)") {
     assert(one("RETURN CASE null WHEN null THEN 'y' ELSE 'n' END AS x") == "n")

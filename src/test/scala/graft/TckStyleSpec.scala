@@ -3436,7 +3436,26 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("diff6 null needle IN non-empty list is null",
       "CREATE (:A {k: 1})",
       "MATCH (n:A) RETURN n.missing IN [n.k] AS x",
-      Seq(row("x" -> null))))
+      Seq(row("x" -> null))),
+    // probe batch 36: single() must be strict-ternary — an unknown
+    // predicate outcome can tip the exactly-one count either way, so it
+    // poisons unless two definite matches already falsify
+    Scenario("diff6 single with one true and one unknown is null",
+      "CREATE (:A {k: 1})",
+      "RETURN single(x IN [1, null] WHERE x = 1) AS r",
+      Seq(row("r" -> null))),
+    Scenario("diff6 single with zero true and one unknown is null",
+      "CREATE (:A {k: 1})",
+      "RETURN single(x IN [1, null] WHERE x = 9) AS r",
+      Seq(row("r" -> null))),
+    Scenario("diff6 single with two trues is false despite unknowns",
+      "CREATE (:A {k: 1})",
+      "RETURN single(x IN [1, 1, null] WHERE x = 1) AS r",
+      Seq(row("r" -> false))),
+    Scenario("diff6 single exact one definite match is true",
+      "CREATE (:A {k: 1})",
+      "RETURN single(x IN [1, 2] WHERE x = 1) AS r",
+      Seq(row("r" -> true))))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")

@@ -133,6 +133,17 @@ object Model {
   final case class HeadLastE(fn: String, list: VE) extends VE // head | last
   final case class ListSizeE(list: VE) extends VE
   final case class RangeE(lo: Long, hi: Long, step: Option[Long]) extends VE
+  /** list comprehension `[v IN list WHERE w | p]`; ef = ELEMENT family of
+    * the source list ('L'|'S'); result element family is family(proj)
+    * when proj is set, else ef
+    */
+  final case class ListCompE(v: String, list: VE, where: Option[BE],
+      proj: Option[VE], ef: Char) extends VE
+  /** size([(anchor)-[:T]->(x) | 1]) — counting pattern comprehension;
+    * inner vars are fresh, outerVars are bound in the enclosing scope
+    */
+  final case class PatCompSizeE(chain: Chain, outerVars: Set[String])
+    extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -156,6 +167,9 @@ object Model {
     * null, empty list → false even for a null needle)
     */
   final case class InVE(x: VE, list: VE) extends BE
+  /** all/any/none/single over a list expression, strict ternary */
+  final case class QuantBE(q: String, v: String, list: VE, pred: BE)
+    extends BE
   final case class AndE(l: BE, r: BE) extends BE
   final case class OrE(l: BE, r: BE) extends BE
   final case class XorE(l: BE, r: BE) extends BE
@@ -204,11 +218,14 @@ object Model {
         case HeadLastE(_, l) => ve(l)
         case ListSizeE(l) => ve(l)
         case RangeE(_, _, _) =>
+        case ListCompE(_, l, w, p, _) => ve(l); w.foreach(be); p.foreach(ve)
+        case PatCompSizeE(_, outer) => b ++= outer
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
         case ExistsE(_, _, outer) => b ++= outer
         case InVE(x, l) => ve(x); ve(l)
+        case QuantBE(_, _, l, p) => ve(l); be(p)
         case CmpE(_, l, r) => ve(l); ve(r)
         case IsNullE(x, _) => ve(x)
         case InE(x, _) => ve(x)
@@ -272,6 +289,16 @@ object Model {
       case ListSizeE(l) => s"size(${renderVE(l)})"
       case RangeE(lo, hi, step) =>
         step.map(s => s"range($lo, $hi, $s)").getOrElse(s"range($lo, $hi)")
+      case ListCompE(v, l, w, p, _) =>
+        s"[$v IN ${renderVE(l)}" +
+          w.map(x => s" WHERE ${renderBE(x)}").getOrElse("") +
+          p.map(x => s" | ${renderVE(x)}").getOrElse("") + "]"
+      case PatCompSizeE(chain, outer) =>
+        val cs = renderNodeP(chain.first, outer(chain.first.v)) +
+          chain.hops.map { case (rp, np) =>
+            renderRelP(rp, "") + renderNodeP(np, outer(np.v))
+          }.mkString
+        s"size([$cs | 1])"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -283,6 +310,8 @@ object Model {
       case HasLabelE(v, l) => s"($v:$l)"
       case StrPredE(op, l, r) => s"(${renderVE(l)} $op ${renderVE(r)})"
       case InVE(x, l) => s"(${renderVE(x)} IN ${renderVE(l)})"
+      case QuantBE(q, v, l, p) =>
+        s"$q($v IN ${renderVE(l)} WHERE ${renderBE(p)})"
       case ExistsE(chain, block, outer) =>
         def show(v: String) = block || outer(v)
         val cs = renderNodeP(chain.first, show(chain.first.v)) +
@@ -527,6 +556,14 @@ object NaiveEval {
       case xs: List[_] => xs.size.toLong
       case _ => null
     }
+    case ListCompE(v, le, w, p, _) => evalV(r, le) match {
+      case xs: List[_] =>
+        xs.filter(x => w.forall(c => evalB(r + (v -> x), c).contains(true)))
+          .map(x => p.map(e => evalV(r + (v -> x), e)).getOrElse(x))
+      case _ => null
+    }
+    case PatCompSizeE(chain, _) =>
+      NaiveEval.countChainMatches(r, chain).toLong
     case ArithE(op, le, re) =>
       (evalV(r, le), evalV(r, re)) match {
         case (null, _) | (_, null) => null
@@ -598,6 +635,27 @@ object NaiveEval {
         case "CONTAINS" => x.contains(y)
       })
       case _ => None // null (or non-string) operand → unknown
+    }
+    case QuantBE(q, v, le, pred) => evalV(r, le) match {
+      case xs: List[_] =>
+        val outcomes = xs.map(x => evalB(r + (v -> x), pred))
+        val trues = outcomes.count(_.contains(true))
+        val unknowns = outcomes.count(_.isEmpty)
+        q match {
+          case "any" =>
+            if (trues > 0) Some(true)
+            else if (unknowns > 0) None else Some(false)
+          case "all" =>
+            if (outcomes.exists(_.contains(false))) Some(false)
+            else if (unknowns > 0) None else Some(true)
+          case "none" =>
+            if (trues > 0) Some(false)
+            else if (unknowns > 0) None else Some(true)
+          case "single" =>
+            if (trues >= 2) Some(false)
+            else if (unknowns > 0) None else Some(trues == 1)
+        }
+      case _ => None // null list
     }
     case ExistsE(chain, _, _) =>
       // both forms lower to joins: DEFINITE true/false; a null outer var
@@ -718,6 +776,10 @@ object NaiveEval {
   private[differential] def matchChainsForExists(r: Binding,
       chain: Chain): Boolean =
     matchChains(curG.get, r, List(chain)).nonEmpty
+
+  private[differential] def countChainMatches(r: Binding,
+      chain: Chain): Int =
+    matchChains(curG.get, r, List(chain)).size
 
   def run(g: MGraph, q: Query): List[List[Any]] = {
     curG.set(g)
@@ -1080,9 +1142,26 @@ object DiffGen {
       hasTo <- Gen.prob(0.7); t <- Gen.choose(-2L, 4L)
     } yield SliceE(b0, if (hasFrom) Some(LitE(f)) else None,
       if (hasTo) Some(LitE(t)) else None)
+    // `[lcv IN <base> WHERE cmp | proj]`; proj stays in the REQUESTED
+    // element family so the result family is still listFam
+    val comprehended: Gen[VE] = for {
+      srcEf <- Gen.oneOf('L', 'S')
+      b0 <- Gen.frequency(
+        (6 -> genListLit(ctx, srcEf)) ::
+          (if (srcEf == 'L') List(3 -> genRangeE) else Nil): _*)
+      inner = ctx.copy(valVars = ctx.valVars :+ (("lcv", srcEf)))
+      hasWhere <- Gen.prob(0.6)
+      w <- genCmp(inner)
+      hasProj <- Gen.prob(0.7)
+      p <- genValueVE(inner, ef)
+    } yield {
+      // no-projection form only when the source family already matches
+      val proj = if (hasProj || srcEf != ef) Some(p) else None
+      ListCompE("lcv", b0, if (hasWhere) Some(w) else None, proj, srcEf)
+    }
     Gen.frequency(
       ((if (vars.nonEmpty) List(6 -> Gen.oneOf(vars)) else Nil) ++
-        base ++ List(2 -> sliced)): _*)
+        base ++ List(2 -> sliced, 2 -> comprehended)): _*)
   }
 
   private def genIdxVE(ctx: Ctx, listFam: Char): Gen[VE] = for {
@@ -1115,13 +1194,41 @@ object DiffGen {
   /** value expr that may wrap leafs in CASE / coalesce / string / numeric
     * functions; wrapper args stay plain leafs so generation terminates
     */
+  /** counting pattern comprehension from a bound node var:
+    * size([(anchor)-[:T]->(end) | 1])
+    */
+  private def genPatCompSize(ctx: Ctx): Gen[VE] =
+    if (ctx.nodeVars.isEmpty) Gen.const(LitE(0L))
+    else for {
+      anchor <- Gen.oneOf(ctx.nodeVars)
+      typ <- Gen.frequency(4 -> Gen.const(None),
+        6 -> Gen.oneOf(relTypes).map(Some(_)))
+      dir <- Gen.frequency(5 -> Gen.const(Out: Dir), 3 -> Gen.const(In: Dir),
+        2 -> Gen.const(Und: Dir))
+      endBound <- Gen.prob(0.2)
+      endVar <- Gen.oneOf(ctx.nodeVars)
+      lbl <- Gen.frequency(5 -> Gen.const(None),
+        5 -> Gen.oneOf(labels).map(Some(_)))
+      hasProp <- Gen.prob(0.25)
+      pk <- Gen.oneOf("k", "s")
+      pv <- genLit(if (pk == "k") 'L' else 'S')
+    } yield {
+      val end =
+        if (endBound) NodeP(endVar, None, Map.empty)
+        else NodeP("pcx", lbl, if (hasProp) Map(pk -> pv) else Map.empty)
+      val outer = Set(anchor) ++ (if (endBound) Set(endVar) else Set.empty)
+      PatCompSizeE(Chain(NodeP(anchor, None, Map.empty),
+        List((RelP("pcr", typ, dir, None), end))), outer)
+    }
+
   private def genRichVE(ctx: Ctx, fam: Char): Gen[VE] = {
     if (NaiveEvalFamilies.isListFam(fam)) return genListVE(ctx, fam)
     val wrapped: List[(Int, Gen[VE])] = fam match {
       case 'S' => List(3 -> genStrFnE(ctx), 2 -> genListConsumer(ctx, 'S'))
       case 'L' => List(2 -> genNumFnE(ctx, 'L'),
         1 -> genValueVE(ctx, 'S').map(StrFnE("strSize", _, Nil)),
-        2 -> genListConsumer(ctx, 'L'))
+        2 -> genListConsumer(ctx, 'L'),
+        (if (ctx.nodeVars.nonEmpty) 2 else 0) -> genPatCompSize(ctx))
       case 'D' => List(3 -> genNumFnE(ctx, 'D'))
       // a whole predicate as a boolean value (unknown → null)
       case _ => List(3 -> genLeafPlain(ctx).map(BoolVE))
@@ -1185,6 +1292,20 @@ object DiffGen {
       x <- genValueVE(ctx, if (listFam == 'M') 'L' else 'S')
       l <- genListOrBag(ctx, listFam)
     } yield InVE(x, l)
+    // all/any/none/single over a list; the predicate mostly tests the
+    // lambda var against a plain value of its family (order-insensitive,
+    // so bags are fair game)
+    val quantG: Gen[BE] = for {
+      q <- Gen.oneOf("all", "any", "none", "single")
+      listFam <- Gen.frequency(6 -> Gen.const('M'), 4 -> Gen.const('T'))
+      ef = if (listFam == 'M') 'L' else 'S'
+      l <- genListOrBag(ctx, listFam)
+      inner = ctx.copy(valVars = ctx.valVars :+ (("qv", ef)))
+      op <- if (ef == 'S') Gen.oneOf("=", "<>")
+      else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+      rhs <- Gen.frequency(6 -> genValueVE(ctx, ef),
+        4 -> genLit(ef).map(LitE(_): VE))
+    } yield QuantBE(q, "qv", l, CmpE(op, VarE("qv", ef), rhs))
     // identity equality between two same-kind entity vars (incl. v = v);
     // a null operand (failed OPTIONAL) → unknown
     val entityEqG: Gen[BE] =
@@ -1199,7 +1320,7 @@ object DiffGen {
         op <- Gen.oneOf("=", "<>")
       } yield CmpE(op, EntityE(a), EntityE(b))
     Gen.frequency(6 -> genCmp(ctx), 2 -> isNullG, 2 -> inG, 1 -> hasLabelG,
-      2 -> strPredG, 2 -> inVG, 1 -> entityEqG)
+      2 -> strPredG, 2 -> inVG, 1 -> entityEqG, 2 -> quantG)
   }
 
   /** one-hop existence test from a bound node var (block EXISTS or bare
@@ -1648,6 +1769,9 @@ object NaiveEvalFamilies {
       case 'M' => 'L'; case 'T' => 'S'; case _ => 'X'
     }
     case ListSizeE(_) => 'L'
+    case ListCompE(_, _, _, p, ef) =>
+      p.map(family).getOrElse(ef) match { case 'S' => 'T'; case _ => 'M' }
+    case PatCompSizeE(_, _) => 'L'
   }
 
   def isListFam(f: Char): Boolean = f == 'M' || f == 'T'
