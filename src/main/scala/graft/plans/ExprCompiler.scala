@@ -2046,6 +2046,55 @@ object ExprCompiler {
     "collect", "stdev", "stdevp", "percentilecont", "percentiledisc",
     "approxcountdistinct", "percentileapprox")
 
+  // ------------------------------------------- UNION column alignment
+  /** UNION branches may type the same column with different families
+    * (Cypher columns are dynamically typed; `RETURN n.k UNION ALL RETURN
+    * n.s` is legal). Columns whose branch types span more than one atomic
+    * family compile to the tagged-union struct on every branch, instead of
+    * letting unionByName insert a crashing cast. Numbers normalize to the
+    * float tag (one equivalence group), consistent with the engine's
+    * documented Long→Double widening for all-numeric unions — so UNION
+    * dedup collapses 1 and 1.0 exactly as untagged unions do. */
+  def unionAlignMixed(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    def fam(t: DataType): Option[String] = t match {
+      case NullType => Some("null")
+      case _: NumericType => Some("num")
+      case StringType => Some("str")
+      case BooleanType => Some("bool")
+      case _ => None
+    }
+    val names = dfs.head.columns.toSeq
+    val needMixed = names.filter { n =>
+      val fams = dfs.map(df => fam(df.schema(n).dataType))
+      fams.forall(_.isDefined) &&
+        fams.flatten.filterNot(_ == "null").distinct.size > 1
+    }.toSet
+    if (needMixed.isEmpty) return dfs
+    def tagged(c: Column, t: DataType): Column = {
+      def nl(dt: DataType) = lit(null).cast(dt)
+      val (tag, i, f, s, b) = t match {
+        case NullType =>
+          (lit(0), nl(LongType), nl(DoubleType), nl(StringType),
+            nl(BooleanType))
+        case _: NumericType =>
+          (lit(2), nl(LongType), c.cast(DoubleType), nl(StringType),
+            nl(BooleanType))
+        case StringType =>
+          (lit(3), nl(LongType), nl(DoubleType), c, nl(BooleanType))
+        case _ =>
+          (lit(4), nl(LongType), nl(DoubleType), nl(StringType), c)
+      }
+      struct(when(c.isNull, 0).otherwise(tag).as("@k"), i.as("i"),
+        f.as("f"), s.as("s"), b.as("b"))
+    }
+    dfs.map { df =>
+      df.select(df.columns.toSeq.map { n =>
+        val c = col(s"`$n`")
+        if (needMixed(n)) tagged(c, df.schema(n).dataType).as(n) else c
+      }: _*)
+    }
+  }
+
   // ------------------------------------------------------- named paths
   // A path is rendered from id columns the pattern already carries:
   // nodes(p)/relationships(p)/length(p) are pure column combinations —

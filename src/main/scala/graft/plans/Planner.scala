@@ -72,16 +72,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   // ================================================================ entry
   def plan(q: Query): DataFrame = {
     val first = planSingle(q.first)
-    q.unions.foldLeft(first) { case (acc, (all, sq)) =>
-      val next = planSingle(sq)
-      if (acc.columns.toSet != next.columns.toSet)
+    if (q.unions.isEmpty) return first
+    val rest = q.unions.map { case (all, sq) => (all, planSingle(sq)) }
+    rest.foreach { case (_, next) =>
+      if (first.columns.toSet != next.columns.toSet)
         throw new IllegalArgumentException(
           "All sub queries in a UNION must have the same column names " +
-            s"(${acc.columns.sorted.mkString(", ")} vs " +
+            s"(${first.columns.sorted.mkString(", ")} vs " +
             s"${next.columns.sorted.mkString(", ")})")
-      val u = acc.unionByName(next)
-      if (all) u else u.dropDuplicates()
     }
+    // branches typing a column with different families go through the
+    // tagged-union encoding instead of unionByName's crashing cast
+    val aligned = graft.plans.ExprCompiler.unionAlignMixed(
+      first +: rest.map(_._2))
+    var acc = aligned.head
+    aligned.tail.zip(rest.map(_._1)).foreach { case (next, all) =>
+      val u = acc.unionByName(next)
+      acc = if (all) u else u.dropDuplicates()
+    }
+    acc
   }
 
   /** Per-var count of expressions in the current query that read
@@ -2075,14 +2084,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // with null r must multiply by every matching n (differential case
     // 443). A null entity still never matches a PATTERN (expansion joins
     // on id equality inside the rhs); only the seed pairing is null-safe.
-    val joinCond = sharedBindings.map { case (v, b) =>
-      val idc = b match {
-        case nb: NodeBinding => nb.idCol
-        case rb: RelBinding => rb.idCol
-        case ValueBinding(c) => c
-        case rl: RelListBinding => rl.col
-      }
-      col(s"`$idc`") <=> col(s"`${renameMap(idc)}`")
+    val joinCond = sharedBindings.flatMap { case (_, b) =>
+      bindingIdCols(b).map(idc =>
+        col(s"`$idc`") <=> col(s"`${renameMap(idc)}`"))
     }.reduce(_ && _)
 
     val joined = lhsDf.join(rhsDf, joinCond, "left_outer")
@@ -2358,14 +2362,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // MATCH) and the subquery evaluated under exactly that null seed —
     // `EXISTS { (n) WHERE r.uid IS NULL }` with null r is true (same
     // reasoning as planOptionalMatch's join-back)
-    val joinCond = sharedBindings.map { case (v, b) =>
-      val idc = b match {
-        case nb: NodeBinding => nb.idCol
-        case rb: RelBinding => rb.idCol
-        case ValueBinding(c) => c
-        case rl: RelListBinding => rl.col
-      }
-      col(s"`$idc`") <=> col(s"`${renameMap(idc)}`")
+    val joinCond = sharedBindings.flatMap { case (_, b) =>
+      bindingIdCols(b).map(idc =>
+        col(s"`$idc`") <=> col(s"`${renameMap(idc)}`"))
     }.reduce(_ && _)
 
     val joined = state.df.join(rhsDf, joinCond,
@@ -2468,11 +2467,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     case leaf => leaf
   }
 
-  private def bindingIdCol(b: Binding): String = b match {
-    case nb: NodeBinding => nb.idCol
-    case rb: RelBinding => rb.idCol
-    case ValueBinding(c) => c
-    case rl: RelListBinding => rl.col
+  /** every physical column that constitutes a binding's identity — a path
+    * has several (its node ids and per-segment rel id / id-list columns),
+    * everything else has one
+    */
+  private def bindingIdCols(b: Binding): Seq[String] = b match {
+    case nb: NodeBinding => Seq(nb.idCol)
+    case rb: RelBinding => Seq(rb.idCol)
+    case ValueBinding(c) => Seq(c)
+    case rl: RelListBinding => Seq(rl.col)
+    case pb: PathBinding =>
+      pb.nodeIdCols ++ pb.segs.map {
+        case SingleSeg(r) => r
+        case VarSeg(l, _) => l
+      }
   }
 
   private def planPatternComprehension(graph: PropertyGraph, state: PState,
@@ -2515,7 +2523,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     val itemCol = fresh("pc_item")
     val rhsDf = rhs.df.withColumn(itemCol, compiler(rhs).compile(pc.projection))
-    val keyCols = sharedBindings.map(x => bindingIdCol(x._2)).distinct
+    val keyCols = sharedBindings.flatMap(x => bindingIdCols(x._2)).distinct
     val outCol = fresh("pc_list")
     val agged = rhsDf.groupBy(keyCols.map(c => col(s"`$c`")): _*)
       .agg(collect_list(col(s"`$itemCol`")).as(outCol))

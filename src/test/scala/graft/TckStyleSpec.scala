@@ -3455,7 +3455,55 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("diff6 single exact one definite match is true",
       "CREATE (:A {k: 1})",
       "RETURN single(x IN [1, 2] WHERE x = 1) AS r",
-      Seq(row("r" -> true))))
+      Seq(row("r" -> true))),
+    // cross-family UNION columns take the tagged-union encoding instead
+    // of unionByName's crashing cast; numbers normalize to the float tag
+    // (same equivalence group as the engine's documented Long→Double
+    // widening for all-numeric unions)
+    Scenario("diff6 cross-family UNION ALL keeps every branch value",
+      "CREATE (:A {k: 1, s: 'x'})",
+      "MATCH (n:A) RETURN n.k AS v UNION ALL MATCH (n:A) RETURN n.s AS v",
+      Seq(row("v" -> 1.0), row("v" -> "x"))),
+    Scenario("diff6 cross-family UNION dedups within each family",
+      "CREATE (:A {k: 1, s: 'x'})\nCREATE (:A {k: 1, s: 'x'})",
+      "MATCH (n:A) RETURN n.s AS v UNION MATCH (n:A) RETURN n.k AS v",
+      Seq(row("v" -> 1.0), row("v" -> "x"))),
+    Scenario("diff6 cross-family UNION null branch stays one null",
+      "CREATE (:A {k: 1})\nCREATE (:A {k: 2})",
+      "MATCH (n:A) RETURN n.missing AS v UNION MATCH (n:A) RETURN 'z' AS v",
+      Seq(row("v" -> null), row("v" -> "z"))),
+    // differential batch 7: a NAMED PATH shared into a later OPTIONAL
+    // MATCH / EXISTS crashed the null-safe join-back (the per-binding id
+    // column lookup had no PathBinding arm — hunt cases 475/704); a path
+    // identity joins on ALL its constituent columns
+    Scenario("diff7 path var consumed by a later OPTIONAL MATCH WHERE",
+      """CREATE (a:A {k: 1})
+        |CREATE (b:B {k: 2})
+        |CREATE (a)-[:T]->(b)""".stripMargin,
+      """MATCH p = (a:A)-[:T]->(b) OPTIONAL MATCH (z:B)
+        |WHERE length(p) > 9
+        |RETURN z.k AS k""".stripMargin,
+      Seq(row("k" -> null))),
+    Scenario("diff7 path var consumed by a matching later OPTIONAL MATCH",
+      """CREATE (a:A {k: 1})
+        |CREATE (b:B {k: 2})
+        |CREATE (a)-[:T]->(b)""".stripMargin,
+      """MATCH p = (a:A)-[:T]->(b) OPTIONAL MATCH (z:B)
+        |WHERE length(p) = 1
+        |RETURN z.k AS k""".stripMargin,
+      Seq(row("k" -> 2L))),
+    Scenario("diff7 single-node named path has length 0",
+      "CREATE (:A {k: 1})",
+      "MATCH p = (n:A) RETURN length(p) AS l, size(nodes(p)) AS n",
+      Seq(row("l" -> 0L, "n" -> 1L))),
+    Scenario("diff7 path var consumed inside EXISTS",
+      """CREATE (a:A {k: 1})
+        |CREATE (b:B {k: 2})
+        |CREATE (a)-[:T]->(b)""".stripMargin,
+      """MATCH p = (a:A)-[:T]->(b)
+        |WHERE EXISTS { MATCH (z:B) WHERE length(p) = 1 }
+        |RETURN b.k AS k""".stripMargin,
+      Seq(row("k" -> 2L))))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")

@@ -82,7 +82,8 @@ final class DiffRunner(spark: SparkSession) {
     val text = q.render
     val aliases = q.ret.items.map(_.alias)
     val msAliases = q.multisetAliases
-    val numAliases = q.sumAliases
+    // numeric-compared: typed empty sums + union-widened numeric columns
+    val numAliases = q.sumAliases ++ q.unionNumAliases
     def diag(msg: String): Some[String] = Some(
       s"case $i: $msg\n--- graph\n${model.toCreate}--- query\n$text\n")
 

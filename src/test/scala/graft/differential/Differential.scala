@@ -101,8 +101,11 @@ object Model {
   final case class RelP(v: String, typ: Option[String], dir: Dir,
       varLen: Option[(Int, Int)] = None)
   final case class Chain(first: NodeP, hops: List[(RelP, NodeP)])
+  /** pathVar (single-chain clauses only) names the whole pattern:
+    * `MATCH p = (...)-[...]->(...)`; only length(p) consumes it
+    */
   final case class MatchC(chains: List[Chain], optional: Boolean,
-      where: Option[BE])
+      where: Option[BE], pathVar: Option[String] = None)
 
   sealed trait VE
   final case class PropE(v: String, key: String) extends VE
@@ -144,6 +147,10 @@ object Model {
     */
   final case class PatCompSizeE(chain: Chain, outerVars: Set[String])
     extends VE
+  /** length(p) over a named path (relationship count; null on a failed
+    * OPTIONAL MATCH)
+    */
+  final case class PathLenE(p: String) extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -195,7 +202,8 @@ object Model {
   final case class SWith(distinct: Boolean, items: List[RetItem],
       where: Option[BE]) extends Stage
 
-  final case class Query(stages: List[Stage], ret: Ret) {
+  final case class Query(stages: List[Stage], ret: Ret,
+      unions: List[(Boolean, Query)] = Nil) {
 
     private def referencedVars: Set[String] = {
       val b = Set.newBuilder[String]
@@ -220,6 +228,7 @@ object Model {
         case RangeE(_, _, _) =>
         case ListCompE(_, l, w, p, _) => ve(l); w.foreach(be); p.foreach(ve)
         case PatCompSizeE(_, outer) => b ++= outer
+        case PathLenE(p) => b += p
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
@@ -299,6 +308,7 @@ object Model {
             renderRelP(rp, "") + renderNodeP(np, outer(np.v))
           }.mkString
         s"size([$cs | 1])"
+      case PathLenE(p) => s"length($p)"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -347,7 +357,8 @@ object Model {
       stages.foreach {
         case SMatch(mc) =>
           if (mc.optional) sb ++= "OPTIONAL "
-          sb ++= "MATCH " + mc.chains.map(chain).mkString(", ") + "\n"
+          sb ++= "MATCH " + mc.pathVar.map(p => s"$p = ").getOrElse("") +
+            mc.chains.map(chain).mkString(", ") + "\n"
           mc.where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
         case SUnwind(v, list) =>
           sb ++= s"UNWIND ${list.map(renderLit).mkString("[", ", ", "]")} AS $v\n"
@@ -366,6 +377,9 @@ object Model {
         }.mkString(", ")
       ret.skip.foreach(n => sb ++= s"\nSKIP $n")
       ret.limit.foreach(n => sb ++= s"\nLIMIT $n")
+      unions.foreach { case (all, sub) =>
+        sb ++= (if (all) "\nUNION ALL\n" else "\nUNION\n") + sub.render
+      }
       sb.toString
     }
 
@@ -394,8 +408,36 @@ object Model {
       ret.items.collect {
         case AggItem("sum", _, _, a) => a
         case ValItem(VarE(v, _), a) if withSums(v) => a
-      }.toSet
+      }.toSet ++ unions.flatMap(_._2.sumAliases)
     }
+
+    private def itemFam(it: RetItem): Char = it match {
+      case ValItem(e, _) => NaiveEvalFamilies.family(e)
+      case AggItem(fn, arg, _, _) => fn match {
+        case "count*" | "count" => 'L'
+        case "avg" => 'D'
+        case _ => arg.map(NaiveEvalFamilies.family).getOrElse('L')
+      }
+      case _ => 'X'
+    }
+
+    /** union aliases with ANY numeric side compare numerically: the
+      * engine widens Long→Double whenever a branch's STATIC column type
+      * is double — including a statically-absent property (NullType)
+      * wrapped in a numeric fn (hunt 20365), which the value-level family
+      * model cannot see — and cross-family tagged columns normalize
+      * numbers to the float tag
+      */
+    def unionNumAliases: Set[String] =
+      if (unions.isEmpty) Set.empty
+      else {
+        val bodies = this :: unions.map(_._2)
+        ret.items.map(_.alias).filter { a =>
+          val fams = bodies.flatMap(_.ret.items.find(_.alias == a))
+            .map(itemFam)
+          fams.exists(f => f == 'L' || f == 'D')
+        }.toSet
+      }
   }
 }
 
@@ -564,6 +606,7 @@ object NaiveEval {
     }
     case PatCompSizeE(chain, _) =>
       NaiveEval.countChainMatches(r, chain).toLong
+    case PathLenE(p) => r.getOrElse(p, null)
     case ArithE(op, le, re) =>
       (evalV(r, le), evalV(r, re)) match {
         case (null, _) | (_, null) => null
@@ -766,7 +809,8 @@ object NaiveEval {
 
   private def clauseVars(mc: MatchC): Set[String] =
     mc.chains.flatMap(c =>
-      c.first.v :: c.hops.flatMap { case (r, n) => List(r.v, n.v) }).toSet
+      c.first.v :: c.hops.flatMap { case (r, n) => List(r.v, n.v) }).toSet ++
+      mc.pathVar
 
   // the graph of the case being evaluated — set once per run(); lets
   // ExistsE reach pattern matching from inside the (graph-less) evalB
@@ -782,6 +826,18 @@ object NaiveEval {
     matchChains(curG.get, r, List(chain)).size
 
   def run(g: MGraph, q: Query): List[List[Any]] = {
+    val base = runBody(g, q)
+    q.unions.foldLeft(base) { case (acc, (all, sub)) =>
+      val combined = acc ++ runBody(g, sub)
+      if (all) combined
+      else { // UNION dedup by Cypher equivalence (1 ≡ 1.0)
+        val seen = scala.collection.mutable.HashSet.empty[Any]
+        combined.filter(r => seen.add(r.map(normKey)))
+      }
+    }
+  }
+
+  private def runBody(g: MGraph, q: Query): List[List[Any]] = {
     curG.set(g)
     var rows: List[Binding] = List(Map.empty)
     q.stages.foreach {
@@ -798,7 +854,22 @@ object NaiveEval {
         }
       case SMatch(mc) =>
         rows = rows.flatMap { row =>
-          val ext = matchChains(g, row, mc.chains)
+          val ext0 = matchChains(g, row, mc.chains)
+          // a named path binds its relationship count (the only path
+          // observable the grammar consumes, via length(p)) — BEFORE the
+          // clause's own WHERE, which may reference it (hunt 23694)
+          val ext = mc.pathVar match {
+            case None => ext0
+            case Some(p) => ext0.map { r =>
+              val len = mc.chains.head.hops.map { case (rp, _) =>
+                r(rp.v) match {
+                  case xs: List[_] => xs.size.toLong
+                  case _ => 1L
+                }
+              }.sum
+              r + (p -> len)
+            }
+          }
           val kept = mc.where match {
             case Some(w) => ext.filter(r => evalB(r, w).contains(true))
             case None => ext
@@ -999,7 +1070,8 @@ object DiffGen {
     */
   private final case class Ctx(nodeVars: List[String], relVars: List[String],
       valVars: List[(String, Char)], vlVars: List[String],
-      bagVars: List[(String, Char)] = Nil)
+      bagVars: List[(String, Char)] = Nil,
+      pathVars: List[String] = Nil)
   private val emptyCtx = Ctx(Nil, Nil, Nil, Nil)
 
   /** list expression OR an unordered collect-list var, for consumers that
@@ -1041,7 +1113,8 @@ object DiffGen {
     val props = keysOf(ctx, fam)
     val leafs = props.map { case (v, k) => PropE(v, k): VE } ++
       ctx.valVars.collect { case (v, f) if f == fam => VarE(v, f): VE } ++
-      (if (fam == 'L') ctx.vlVars.map(SizeE(_): VE) else Nil)
+      (if (fam == 'L') ctx.vlVars.map(SizeE(_): VE) ++
+        ctx.pathVars.map(PathLenE(_): VE) else Nil)
     if (leafs.isEmpty) genLit(fam).map(LitE)
     else Gen.frequency(
       7 -> Gen.oneOf(leafs),
@@ -1452,10 +1525,20 @@ object DiffGen {
       c1 <- genChain(ctx0, allowReuse = true)
       c2 <- if (twoChains) genChain(c1._2, allowReuse = true).map(Some(_))
       else Gen.const(None)
+      withPath <- Gen.prob(0.18)
     } yield {
-      val ctxN = c2.map(_._2).getOrElse(c1._2)
+      val ctxN0 = c2.map(_._2).getOrElse(c1._2)
       val chains = c1._1 :: c2.map(_._1).toList
-      (MatchC(chains, optional, None), ctxN, fid)
+      // a named path binds the single-chain pattern; length(p) is the
+      // consumable observable. The name consumes a fresh id of its own —
+      // a clause that reuses every var would otherwise repeat it
+      // (hunt 25474: "a path name cannot rebind")
+      val pathVar =
+        if (withPath && chains.size == 1) { val p = s"pth$fid"; fid += 1
+          Some(p) } else None
+      val ctxN = pathVar.fold(ctxN0)(p =>
+        ctxN0.copy(pathVars = ctxN0.pathVars :+ p))
+      (MatchC(chains, optional, None, pathVar), ctxN, fid)
     }
   }
 
@@ -1650,6 +1733,34 @@ object DiffGen {
     }
   }
 
+  /** a UNION branch: one fresh MATCH (own var ids — separate scope) and a
+    * RETURN with the MAIN body's aliases, each item freely re-typed so
+    * cross-family unions (tagged columns) arise naturally
+    */
+  private def genUnionBody(aliases: List[String]): Gen[Query] = for {
+    m <- genMatch(emptyCtx, optional = false, 500)
+    hasWhere <- Gen.prob(0.4)
+    wb <- genBE(m._2, 1)
+    aggLast <- Gen.prob(0.25)
+    agg <- genAgg(m._2, aliases.last)
+    ves <- Gen.sequence[List[VE], VE](
+      (if (aggLast) aliases.dropRight(1) else aliases).map(_ =>
+        Gen.oneOf('L', 'S', 'D', 'B').flatMap(genRichVE(m._2, _))))
+    distinct <- if (aggLast) Gen.const(false) else Gen.prob(0.2)
+  } yield {
+    val valItems = ves.zip(aliases).map { case (e, a) =>
+      ValItem(e, a): RetItem
+    }
+    val items =
+      if (!aggLast) valItems
+      else valItems :+ (if (agg.fn == "collect")
+        AggItem("count*", None, distinct = false, aliases.last): RetItem
+      else (agg: RetItem))
+    Query(
+      List(SMatch(m._1.copy(where = if (hasWhere) Some(wb) else None))),
+      Ret(distinct, items, Nil, None, None))
+  }
+
   def genQuery: Gen[Query] = for {
     hasLead <- Gen.prob(0.12)
     leadList <- Gen.choose(2, 4).flatMap(n =>
@@ -1707,6 +1818,27 @@ object DiffGen {
       ctxPreRet.copy(valVars = ctxPreRet.valVars :+ (("u1", 'L')))
     else ctxPreRet
     ret <- genRet(ctxR)
+    uni <- {
+      // UNION only when the main RETURN is a plain multiset surface:
+      // no cut/order (engine scopes them per body), no collect (the
+      // multiset-alias bookkeeping is main-body-only), no list/X items
+      val ok = ret.orderBy.isEmpty && ret.skip.isEmpty &&
+        ret.limit.isEmpty && ret.items.forall {
+          case ValItem(e, _) =>
+            val f = NaiveEvalFamilies.family(e)
+            !NaiveEvalFamilies.isListFam(f) && f != 'X'
+          case AggItem(fn, _, _, _) => fn != "collect"
+          case _ => false
+        }
+      if (!ok) Gen.const(None)
+      else Gen.prob(0.15).flatMap { want =>
+        if (!want) Gen.const(None: Option[(Boolean, Query)])
+        else for {
+          all <- Gen.oneOf(true, false)
+          body <- genUnionBody(ret.items.map(_.alias))
+        } yield Some((all, body))
+      }
+    }
   } yield {
     val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
     val stages = List.newBuilder[Stage]
@@ -1718,7 +1850,7 @@ object DiffGen {
       after.foreach(stages += _)
     }
     if (hasTrailUnwind) stages += SUnwind("u1", trailList)
-    Query(stages.result(), ret)
+    Query(stages.result(), ret, uni.toList)
   }
 
   val genCase: Gen[(MGraph, Query)] =
@@ -1772,6 +1904,7 @@ object NaiveEvalFamilies {
     case ListCompE(_, _, _, p, ef) =>
       p.map(family).getOrElse(ef) match { case 'S' => 'T'; case _ => 'M' }
     case PatCompSizeE(_, _) => 'L'
+    case PathLenE(_) => 'L'
   }
 
   def isListFam(f: Char): Boolean = f == 'M' || f == 'T'

@@ -22,13 +22,22 @@ object GenStatsMain {
       "EXISTS{}" -> "EXISTS {", "patpred" -> "]->()",
       "OPTIONAL" -> "OPTIONAL", "UNWIND" -> "UNWIND",
       "varlen" -> "*", "WITH" -> "WITH ", "ORDER" -> "ORDER BY",
-      "DISTINCT" -> "DISTINCT", "collect" -> "collect(")
+      "DISTINCT" -> "DISTINCT", "collect" -> "collect(",
+      // round-5 list/union/path extensions
+      "range" -> "range(", "slice" -> "..", "head" -> "head(",
+      "last" -> "last(", "IN-expr" -> " IN ", "quantAll" -> "all(qv",
+      "quantAny" -> "any(qv", "quantNone" -> "none(qv",
+      "quantSingle" -> "single(qv", "listComp" -> "[lcv IN",
+      "patCompSz" -> "size([(", "UNION" -> "UNION",
+      "UNION ALL" -> "UNION ALL", "namedPath" -> " = (",
+      "pathLen" -> "length(pth", "entityEq" -> "AS ", // placeholder
+      "rename" -> " AS w")
     probes.foreach { case (name, pat) =>
-      println(f"$name%-10s ${texts.count(_.contains(pat))}%5d / $n")
+      println(f"$name%-11s ${texts.count(_.contains(pat))}%5d / $n")
     }
-    println("--- sample with EXISTS:")
-    texts.find(_.contains("EXISTS {")).foreach(println)
-    println("--- sample with CASE:")
-    texts.find(_.contains("CASE WHEN")).foreach(println)
+    println("--- sample with UNION:")
+    texts.find(_.contains("UNION")).foreach(println)
+    println("--- sample with named path:")
+    texts.find(_.contains("length(pth")).foreach(println)
   }
 }
