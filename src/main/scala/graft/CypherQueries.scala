@@ -96,6 +96,20 @@ object CypherQueries {
       """MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
         |RETURN c.c_custkey AS ck, coalesce(x.n_name, x.r_name) AS xname
         |ORDER BY ck, xname""".stripMargin)),
+    // deep var-length auto-route (§2.2 BoundedVarLengthExpand): the
+    // declared bound 35 exceeds the 30-deep unroll cap, so the planner
+    // routes to the iterative frontier loop (Planner.scala expandVarLength
+    // → checkpointed loop, round-5 addition). The TPC-H FK topology is a
+    // DAG of depth ≤ 5, so the loop's empty-frontier early exit fires
+    // after five expansions; anchoring on one customer keeps the
+    // CONTAINS×SUPPLIED_BY fan-out gate-sized. Counts paths per depth —
+    // parallel CONTAINS/SUPPLIED_BY edges multiply path counts, which the
+    // oracle's UNION ALL walk reproduces exactly.
+    "c37_deep_varlength" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[rs*1..35]->(x)
+        |WHERE c.c_custkey = 1
+        |RETURN size(rs) AS depth, count(*) AS n
+        |ORDER BY depth""".stripMargin)),
     // expressions: CASE / substring / toUpper / arithmetic (§2.3)
     "c14_expressions" -> ((s, dir) => run(s, dir,
       """MATCH (p:Part)
@@ -407,6 +421,28 @@ object CypherQueries {
     "c12_unwind" ->
       """SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq
         |FROM (SELECT UNNEST([1, 2, 3, 5, 8]) AS x) ORDER BY x""".stripMargin,
+    "c37_deep_varlength" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'C' || o_custkey AS s, 'O' || o_orderkey AS d FROM orders
+        |  UNION ALL
+        |  SELECT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        |), walk AS (
+        |  SELECT 'C' || c_custkey AS node, 0 AS depth FROM customer
+        |  WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT e.d, w.depth + 1 FROM walk w JOIN edges e ON e.s = w.node
+        |  WHERE w.depth < 35
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n
+        |FROM walk WHERE depth >= 1 GROUP BY depth ORDER BY depth""".stripMargin,
     "c13_varlength" ->
       """SELECT ck, xname FROM (
         |  SELECT c_custkey AS ck, n_name AS xname

@@ -492,10 +492,16 @@ class PropertyGraph(
     * reuse; repeated pattern scans hit memory instead of re-reading). */
   def cache(storageLevel: org.apache.spark.storage.StorageLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): PropertyGraph = {
-    nodeTables.foreach(_.df.persist(storageLevel))
-    relTables.foreach(_.df.persist(storageLevel))
-    tripletTables.foreach(_.df.persist(storageLevel))
-    nodeRelTables.foreach(_.df.persist(storageLevel))
+    // guard on the CacheManager's plan-level lookup: a second cache()
+    // call (or a table shared with an already-cached graph) is a no-op
+    // instead of an "already cached" warning per table
+    def p(df: org.apache.spark.sql.DataFrame): Unit =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(storageLevel)
+    nodeTables.foreach(t => p(t.df))
+    relTables.foreach(t => p(t.df))
+    tripletTables.foreach(t => p(t.df))
+    nodeRelTables.foreach(t => p(t.df))
     this
   }
 

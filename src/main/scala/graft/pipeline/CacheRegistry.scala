@@ -16,9 +16,15 @@ final class CacheRegistry(track: Boolean = true) {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private[graft] def persist(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if (track) entries.add(p)
-    p
+    // storageLevel consults the CacheManager by canonicalized plan, so an
+    // equivalent frame persisted earlier (this registry or another) short-
+    // circuits instead of re-registering ("already cached" warning spam)
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      if (track) entries.add(p)
+      p
+    }
   }
 
   /** tracked entries, without draining (test/diagnostic visibility). */

@@ -19,6 +19,37 @@ object Sampling {
   private def bucket(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 2)
 
+  /** Exclusive prefix sums over PER-BUCKET AGGREGATE rows, computed on
+    * the driver and re-broadcast as a tiny (bucket, @off) frame. The
+    * collect is bounded by construction — bucket cardinality
+    * (≤ 16^bucketChars / ≤ `buckets`), never corpus rows — and replaces
+    * a single-partition WindowExec over the same rows: one less
+    * shuffle+sort, and no "No Partition Defined" warning in every log.
+    * Returns the offsets frame plus the grand total. */
+  private def driverOffsets(counts: DataFrame, keyCol: String,
+      nCol: String): (DataFrame, Long) = {
+    val spark = counts.sparkSession
+    val keyField = counts.schema(keyCol)
+    val rows = counts.select(col(keyCol), col(nCol).cast("long")).collect()
+    val sorted = keyField.dataType match {
+      case org.apache.spark.sql.types.StringType => rows.sortBy(_.getString(0))
+      case org.apache.spark.sql.types.IntegerType => rows.sortBy(_.getInt(0))
+      case other => throw new IllegalArgumentException(
+        s"unsupported bucket key type $other")
+    }
+    var acc = 0L
+    val data = sorted.map { r =>
+      val off = acc; acc += r.getLong(1)
+      org.apache.spark.sql.Row(r.get(0), off)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      keyField.copy(nullable = false),
+      org.apache.spark.sql.types.StructField("@off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema), acc)
+  }
+
   private def hexThreshold(pct: Double): String = {
     val v = math.round(256 * pct / 100.0)
     // 256 formats as the 3-char "100", which sorts BELOW "10".."ff" in
@@ -102,16 +133,9 @@ object Sampling {
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("@bucket", substring(col("shuffle_key"), 1, bucketChars))
     val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
-    // unpartitioned window — INTENTIONAL and benign: it runs over the
-    // per-bucket AGGREGATE rows only (<= 16^bucketChars of them, never
-    // the corpus), so the single-partition WindowExec warning in bench
-    // logs costs microseconds. The corpus-sized window below partitions
-    // by @bucket.
-    val wb = Window.orderBy("@bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("@off", coalesce(sum(col("@n")).over(wb), lit(0L)))
-      .select("@bucket", "@off")
+    // prefix sums over the per-bucket AGGREGATE rows (≤ 16^bucketChars,
+    // never the corpus) — driver-computed + re-broadcast, see driverOffsets
+    val (offsets, _) = driverOffsets(counts, "@bucket", "@n")
     val w = Window.partitionBy(col("@bucket"))
       .orderBy(col("shuffle_key"), col(idCol))
     keyed.join(broadcast(offsets), "@bucket")
@@ -140,16 +164,9 @@ object Sampling {
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
     val totals = keyed.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
-    // unpartitioned window — INTENTIONAL and benign: it runs over the
-    // per-bucket AGGREGATE rows only (<= 16^bucketChars of them, never
-    // the corpus), so the single-partition WindowExec warning in bench
-    // logs costs microseconds. The corpus-sized window below partitions
-    // by @bucket.
-    val wb = Window.orderBy("@bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("@off", coalesce(sum(col("@t")).over(wb), lit(0L)))
-      .select("@bucket", "@off")
+    // prefix sums over the per-bucket AGGREGATE rows (≤ 16^bucketChars,
+    // never the corpus) — driver-computed + re-broadcast, see driverOffsets
+    val (offsets, _) = driverOffsets(totals, "@bucket", "@t")
     val w = Window.partitionBy(col("@bucket"))
       .orderBy(col("@key"), col(idCol))
     keyed.join(broadcast(offsets), "@bucket")
@@ -245,26 +262,19 @@ object Sampling {
         .reduce(_ + _)
     val keyed = df.withColumn("@bucket", bucketIdx)
     val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
-    // unpartitioned window — INTENTIONAL and benign: it runs over the
-    // per-bucket AGGREGATE rows only (<= 16^bucketChars of them, never
-    // the corpus), so the single-partition WindowExec warning in bench
-    // logs costs microseconds. The corpus-sized window below partitions
-    // by @bucket.
-    val wb = Window.orderBy("@bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("@off", coalesce(sum(col("@n")).over(wb), lit(0L)))
-      .select("@bucket", "@off")
-    val total = counts.agg(sum(col("@n")).as("@total"))
+    // prefix sums over the per-bucket AGGREGATE rows (≤ `buckets`, never
+    // the corpus) — driver-computed + re-broadcast, see driverOffsets;
+    // the grand total comes from the same bounded collect (one less
+    // crossJoin + aggregate)
+    val (offsets, total) = driverOffsets(counts, "@bucket", "@n")
     val w = Window.partitionBy(col("@bucket"))
       .orderBy(col(scoreCol), col(idCol))
     keyed.join(broadcast(offsets), "@bucket")
-      .crossJoin(broadcast(total))
       .withColumn("rank",
         col("@off") + row_number().over(w).cast("long") - 1)
       .withColumn("bin",
-        integral_divide(col("rank") * nBins, col("@total")))
-      .drop("@bucket", "@off", "@total")
+        integral_divide(col("rank") * nBins, lit(total)))
+      .drop("@bucket", "@off")
   }
 
   /** Sequence packing for training: documents are concatenated in id
