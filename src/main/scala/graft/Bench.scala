@@ -13,6 +13,15 @@ object Bench {
     // untimed warm-up: JVM + codegen + parquet reader init, so per-query
     // numbers reflect steady state instead of whichever query runs first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // the media decoders (ImageIO/javax.sound/GIF) JIT-compile on first
+    // use — ~5 s of JVM warm-up that lands on p11/p14's first call
+    // otherwise. Warm them on the sf0.001 fixtures (same codecs, tiny
+    // data); the timed sf runs then measure decode throughput, not
+    // class-loading.
+    Seq("p14_media_features", "p11_media_frames").foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
     // best of 3 reps per query: rep 1 still carries JIT/page-cache warm-up
     // for whichever operators run first, and this machine shows ~2-3×
     // scheduling noise on identical in-JVM reps (NOTES.md bench

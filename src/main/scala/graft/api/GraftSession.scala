@@ -12,6 +12,16 @@ import graft.plans.Planner
   */
 class GraftSession(val spark: SparkSession) {
 
+  // In-memory columnar cache compression is a CPU tax on every
+  // materialization: encoding the consolidated CONTAINS triplet at sf0.1
+  // measured 11.4 s compressed vs 1.85 s uncompressed for a 0.18 s join
+  // (TripletMatProbeMain) — a 6× penalty on exactly the hot shared
+  // caches (pattern tables, planner shared subtrees, per-doc gram
+  // tables) this engine creates. Trade memory for that CPU: caches are
+  // bounded (maxTables-capped pattern tables, label-filtered scans) and
+  // MEMORY_AND_DISK spills under pressure instead of failing.
+  spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+
   private val catalog = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
   private val views =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[String], Query)]

@@ -64,10 +64,17 @@ object CypherParser extends RegexParsers {
           case 'b' => b += '\b'; case 'f' => b += '\f'
           case 'u' => b += Integer.parseInt(hexEscape(s, i + 2, 4), 16).toChar; i += 4
           // openCypher 32-bit escape \UXXXXXXXX (astral code points in one
-          // escape; two \u surrogates also compose naturally)
+          // escape; two \u surrogates also compose naturally). Parsed as
+          // a LONG: 8 valid hex digits >= 0x80000000 overflow
+          // Integer.parseInt into a raw NumberFormatException (ADVICE r5)
+          // — range-check against MAX_CODE_POINT with the typed error.
           case 'U' =>
-            b ++= Character.toChars(
-              Integer.parseInt(hexEscape(s, i + 2, 8), 16))
+            val cp = java.lang.Long.parseLong(hexEscape(s, i + 2, 8), 16)
+            if (cp > Character.MAX_CODE_POINT)
+              throw new IllegalArgumentException(
+                f"\\U escape 0x$cp%08X is outside the Unicode code point " +
+                  "range (max 0x10FFFF)")
+            b ++= Character.toChars(cp.toInt)
             i += 8
           case o => b += o
         }
@@ -217,16 +224,19 @@ object CypherParser extends RegexParsers {
       opt(K("where") ~> expression) <~ "}" ^^ {
       case p ~ w => PatternPredicate(p, where = w) }) |
     (K("exists") ~> "(" ~> (patternPart ^^ (p => PatternPredicate(p)) |
-      expression ^^ {
-        // exists() takes a property access or a pattern, nothing else
-        // (TCK SemanticErrorAcceptance "Failing when checking existence
-        // of a non-property and non-pattern")
-        case p: Property => IsNotNull(p)
-        case ix: Index => IsNotNull(ix) // dynamic property access n[key]
-        case other => throw new IllegalArgumentException(
+      // exists() takes a property access or a pattern, nothing else
+      // (TCK SemanticErrorAcceptance "Failing when checking existence
+      // of a non-property and non-pattern"). err() — a committed,
+      // positioned parser error — rather than throwing from the semantic
+      // action, which would abort the whole parse before any later
+      // alternative could run (ADVICE r5; same approach as callClause).
+      (expression >> {
+        case p: Property => success(IsNotNull(p): Expr)
+        case ix: Index => success(IsNotNull(ix): Expr) // dynamic access n[key]
+        case other => err(
           s"exists() expects a property access or a pattern, got $other " +
             "(use `expr IS NOT NULL` for general expressions)")
-      }) <~ ")")
+      })) <~ ")")
 
   /** bare pattern used as predicate: `(n)-[:T]->(m)` — needs ≥1 hop. */
   def patternPredicateExpr: Parser[Expr] =

@@ -369,6 +369,37 @@ case class LshBuckets(child: Expression, dim: Int, bits: Int, tables: Int,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Bloom-filter membership probe against a driver-broadcast sketch —
+  * replaces the engine's one remaining scalar UDF. The broadcast handle
+  * is a codegen reference object; the deserialized filter is hoisted
+  * into per-partition mutable state once, so the row loop is a single
+  * virtual call into BloomFilter.mightContainLong (branch-light hash
+  * probes) with no ScalaUDF boxing or row encoding. Broadcast (not an
+  * inline binary literal) keeps the ~MB filter off every task closure
+  * at 100 TB fan-out. */
+case class BloomMightContainLong(child: Expression,
+    bf: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(input: Any): Any =
+    bf.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bfCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val bfRef = ctx.addReferenceObj("bloomBroadcast", bf, bcCls)
+    val filter = ctx.addMutableState(bfCls, "bloomFilter",
+      v => s"$v = ($bfCls)((($bcCls)$bfRef).value());")
+    nullSafeCodeGen(ctx, ev, g =>
+      s"${ev.value} = $filter.mightContainLong($g);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   private implicit class RichCol(val c: Column) {
@@ -397,4 +428,8 @@ object VectorFunctions {
     * "/ by zero" runtime error. */
   def integral_divide(a: Column, b: Column): Column =
     ColumnBridge.column(IntegralDivide(a.toExpr, b.toExpr))
+  def bloom_might_contain(g: Column,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    ColumnBridge.column(BloomMightContainLong(g.toExpr, bf))
 }

@@ -427,7 +427,7 @@ object TextAnalysis {
     * corpus. */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
-    import graft.functions.VectorFunctions.word_ngram_hashes
+    import graft.functions.VectorFunctions.{bloom_might_contain, word_ngram_hashes}
     val spark = train.sparkSession
     val trainGrams = train.select(col(idCol).cast(LongType).as("id"),
       word_ngram_hashes(col(textCol), n).as("grams"))
@@ -439,10 +439,9 @@ object TextAnalysis {
     val nBench = math.max(benchGrams.count(), 1L)
     val bf = benchGrams.stat.bloomFilter("gram", nBench, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
     val candidates = trainGrams
       .select(col("id"), explode(col("grams")).as("gram"))
-      .where(mightContain(col("gram")))
+      .where(bloom_might_contain(col("gram"), bfB))
     val hits = candidates                  // exact verify: kill bloom FPs
       .join(benchGrams, Seq("gram"))
       .groupBy("id").agg(count(lit(1)).as("hits"))

@@ -206,10 +206,19 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
     case Property(b, key) =>
       typeOf(b) match {
-        case NullType => lit(null) // null.prop is null, not a type error
+        // null.prop is null, not a type error — but typeOf ALSO returns
+        // NullType as its analysis-error fallback, so force compilation
+        // of the base first: an unsupported function / malformed operand
+        // must surface its real error, not silently read as null
+        // (Probe45: time('..').hour returned null with time() unsupported)
+        case NullType => compile(b); lit(null)
         // a key absent from a struct value (e.g. a property the node/rel
-        // type never carries) is null per openCypher, not an analysis error
-        case st: StructType if !st.fieldNames.contains(key) => lit(null)
+        // type never carries) is null per openCypher, not an analysis
+        // error — but TIME-encoding structs dispatch accessors by NAME
+        // (.hour is not a field), so they must reach extractField
+        case st: StructType if !isLocalTimeStruct(st) &&
+          !isZonedTimeStruct(st) && !st.fieldNames.contains(key) =>
+          lit(null)
         case t => extractField(compile(b), key, t)
       }
 
@@ -354,9 +363,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case IsNull(x) => compile(x).isNull
     case IsNotNull(x) => compile(x).isNotNull
     case In(x, list) => compileIn(x, list)
-    case StartsWith(l, r) => compile(l).startsWith(compile(r))
-    case EndsWith(l, r) => compile(l).endsWith(compile(r))
-    case Contains(l, r) => compile(l).contains(compile(r))
+    // STARTS WITH / ENDS WITH / CONTAINS are null on NON-STRING operands
+    // (openCypher StartsWithAcceptance — a reference failing_blacklist
+    // area): Spark would implicitly cast (1 STARTS WITH '1' → true,
+    // true ENDS WITH 'e' → true), so guard on the static type; a
+    // runtime-typed mixed operand dispatches on its tag (string field
+    // when @k=3, null otherwise).
+    case StartsWith(l, r) =>
+      strPred(l, r, (a, b) => a.startsWith(b))
+    case EndsWith(l, r) =>
+      strPred(l, r, (a, b) => a.endsWith(b))
+    case Contains(l, r) =>
+      strPred(l, r, (a, b) => a.contains(b))
     // Cypher `=~` matches the WHOLE string (Matcher.matches); Spark's
     // regexp_like is a partial match (Matcher.find). Anchor with a
     // non-capturing group — constant-folded for literal patterns, and
@@ -380,12 +398,27 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           when(rc.isNull, lit(null)).otherwise(concat(lc, array(rc)))
         case (_, _: ArrayType) =>
           when(lc.isNull, lit(null)).otherwise(concat(array(lc), rc))
+        // a statically-absent temporal operand (NullType literal) nulls
+        // the arithmetic — Spark's coercion would otherwise try casting
+        // TIMESTAMP to VOID and fail analysis (differential hunt 32015)
+        case (NullType, t) if t == CalendarIntervalType ||
+          isIntervalType(t) || t == DateType || t == TimestampType ||
+          t == TimestampNTZType => lit(null)
+        case (t, NullType) if t == CalendarIntervalType ||
+          isIntervalType(t) || t == DateType || t == TimestampType ||
+          t == TimestampNTZType => lit(null)
         // Cypher: Date + Duration = Date with sub-day components IGNORED
         // (Neo4j temporal arithmetic) — Spark raises on adding a
         // micros-bearing calendar interval to a date, so apply the
         // month/day components directly
         case (DateType, CalendarIntervalType) => dateAddInterval(lc, rc, 1)
         case (CalendarIntervalType, DateType) => dateAddInterval(rc, lc, 1)
+        // TIME/LOCALTIME ± duration: only the duration's TIME components
+        // apply, wrapping within the day (Neo4j)
+        case (t, CalendarIntervalType) if isLocalTimeStruct(t) ||
+          isZonedTimeStruct(t) => timeAddInterval(lc, rc, 1, t)
+        case (CalendarIntervalType, t) if isLocalTimeStruct(t) ||
+          isZonedTimeStruct(t) => timeAddInterval(rc, lc, 1, t)
         // Spark widens date+interval to timestamp, so cast back
         case (DateType, t) if isIntervalType(t) => (lc + rc).cast(DateType)
         case (t, DateType) if isIntervalType(t) => (lc + rc).cast(DateType)
@@ -394,7 +427,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Sub(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
       (typeOf(l), typeOf(r)) match {
+        // see Add: NullType ± temporal must stay null, not a cast error
+        case (NullType, t) if t == CalendarIntervalType ||
+          isIntervalType(t) || t == DateType || t == TimestampType ||
+          t == TimestampNTZType => lit(null)
+        case (t, NullType) if t == CalendarIntervalType ||
+          isIntervalType(t) || t == DateType || t == TimestampType ||
+          t == TimestampNTZType => lit(null)
         case (DateType, CalendarIntervalType) => dateAddInterval(lc, rc, -1)
+        case (t, CalendarIntervalType) if isLocalTimeStruct(t) ||
+          isZonedTimeStruct(t) => timeAddInterval(lc, rc, -1, t)
         case (DateType, t) if isIntervalType(t) => (lc - rc).cast(DateType)
         case _ => lc - rc
       }
@@ -561,6 +603,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _: DayTimeIntervalType | _: YearMonthIntervalType =>
         durationAccessor(c, key, baseType)
       case CalendarIntervalType => calendarIntervalAccessor(c, key)
+      case st: StructType if isLocalTimeStruct(st) =>
+        localTimeAccessor(c, key)
+      case st: StructType if isZonedTimeStruct(st) =>
+        zonedTimeAccessor(c, key)
       // a key the (closed) struct schema lacks is null in Cypher, not a
       // FIELD_NOT_FOUND analysis error
       case st: StructType if !st.fieldNames.contains(key) => lit(null)
@@ -817,6 +863,120 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _ => None
     }
 
+  /** STARTS WITH / ENDS WITH / CONTAINS operand handling: strings apply
+    * `op`, mixed-tagged values dispatch on the tag at runtime, any other
+    * family (or NullType) is null — never Spark's implicit cast. */
+  private def strPred(l: Expr, r: Expr,
+      op: (Column, Column) => Column): Column = {
+    def side(e: Expr): Option[Column] = typeOf(e) match {
+      case StringType => Some(compile(e))
+      case st: StructType if isMixedStruct(st) =>
+        val c = compile(e)
+        Some(when(c.getField("@k") === 3, c.getField("s"))
+          .otherwise(lit(null).cast(StringType)))
+      case NullType => Some(lit(null).cast(StringType))
+      case _ => None // statically non-string → whole predicate is null
+    }
+    (side(l), side(r)) match {
+      case (Some(lc), Some(rc)) => op(lc, rc)
+      case _ => lit(null).cast(BooleanType)
+    }
+  }
+
+  // ---- TIME / LOCALTIME (Neo4j temporal types Spark lacks): encoded as
+  // single-purpose structs — localtime = {"@lt": micros-of-day},
+  // time = {"@zt": micros-of-day at UTC, "off": offset seconds}. Struct
+  // equality/ordering on "@lt"/"@zt" gives instant-based comparison
+  // (times with different offsets but one instant are EQUAL, per CIP);
+  // accessors render the LOCAL clock. Both are scalar encodings like the
+  // mixed-union struct — orderable, groupable, distinct-able.
+  private val localTimeFields = Array("@lt")
+  private val zonedTimeFields = Array("@zt", "off")
+  private def isLocalTimeStruct(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.sameElements(localTimeFields)
+    case _ => false
+  }
+  private def isZonedTimeStruct(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.sameElements(zonedTimeFields)
+    case _ => false
+  }
+  private val dayMicros = 86400000000L
+
+  private def timeOfDayAccessor(mic: Column, key: String): Column = {
+    def div(x: Column, k: Long) = (x / lit(k)).cast(LongType)
+    key.toLowerCase match {
+      case "hour" => div(mic, 3600000000L)
+      case "minute" => div(mic, 60000000L) % 60
+      case "second" => div(mic, 1000000L) % 60
+      case "millisecond" => div(mic, 1000L) % 1000
+      case "microsecond" => mic % 1000000L
+      case "nanosecond" => (mic % 1000000L) * 1000L
+      case other => throw new IllegalArgumentException(
+        s"unknown time accessor .$other")
+    }
+  }
+  private def localTimeAccessor(c: Column, key: String): Column =
+    timeOfDayAccessor(c.getField("@lt"), key)
+  private def zonedTimeAccessor(c: Column, key: String): Column = {
+    val off = c.getField("off").cast(LongType)
+    val localMic = pmod(c.getField("@zt") + off * 1000000L, lit(dayMicros))
+    key.toLowerCase match {
+      case "offset" => renderOffset(off)
+      case "offsetminutes" => off / 60L
+      case "offsetseconds" => off
+      case "timezone" => renderOffset(off)
+      case other => timeOfDayAccessor(localMic, other)
+    }
+  }
+  private def renderOffset(offSec: Column): Column = {
+    val a = abs(offSec)
+    when(offSec === 0, lit("Z")).otherwise(concat(
+      when(offSec < 0, lit("-")).otherwise(lit("+")),
+      format_string("%02d:%02d", (a / 3600L).cast(LongType),
+        ((a % 3600L) / 60L).cast(LongType))))
+  }
+  /** HH:MM:SS[.fraction] from micros-of-day (fraction trimmed, Neo4j). */
+  private def renderTimeOfDay(mic: Column): Column = {
+    def div(x: Column, k: Long) = (x / lit(k)).cast(LongType)
+    val base = format_string("%02d:%02d:%02d",
+      div(mic, 3600000000L), div(mic, 60000000L) % 60,
+      div(mic, 1000000L) % 60)
+    val frac = mic % 1000000L
+    when(frac === 0, base).otherwise(concat(base, lit("."),
+      regexp_replace(format_string("%06d", frac), lit("0+$"), lit(""))))
+  }
+  /** ISO-8601 duration rendering (Neo4j toString(duration)): per-digit
+    * mixed radix, zero duration is "PT0S", negatives per digit. */
+  private def isoDuration(c: Column): Column = {
+    import graft.functions.IntervalFunctions._
+    val m = intervalMonths(c); val d = intervalDays(c)
+    val us = intervalMicros(c)
+    def div(x: Column, k: Long) = (x / lit(k)).cast(LongType)
+    def piece(v: Column, suffix: String) =
+      when(v =!= 0, concat(v.cast(StringType), lit(suffix)))
+        .otherwise(lit(""))
+    val y = div(m, 12); val mm = m % 12
+    val h = div(us, 3600000000L)
+    val mi = div(us, 60000000L) % 60
+    val sec = div(us, 1000000L) % 60
+    val frac = us % 1000000L
+    val secStr =
+      when(frac =!= 0, concat(
+        when(sec === 0 && frac < 0, lit("-0")).otherwise(sec.cast(StringType)),
+        lit("."),
+        regexp_replace(format_string("%06d", abs(frac)), lit("0+$"), lit("")),
+        lit("S")))
+        .when(sec =!= 0, concat(sec.cast(StringType), lit("S")))
+        .otherwise(lit(""))
+    val datePart = concat(piece(y, "Y"), piece(mm, "M"), piece(d, "D"))
+    val timePart = concat(piece(h, "H"), piece(mi, "M"), secStr)
+    when(c.isNull, lit(null).cast(StringType)).otherwise(
+      when(length(datePart) === 0 && length(timePart) === 0, lit("PT0S"))
+        .otherwise(concat(lit("P"), datePart,
+          when(length(timePart) === 0, lit(""))
+            .otherwise(concat(lit("T"), timePart)))))
+  }
+
   private val mixedFields = Array("@k", "i", "f", "s", "b")
   private def isMixedStruct(t: DataType): Boolean = t match {
     case st: StructType => st.fieldNames.sameElements(mixedFields)
@@ -961,13 +1121,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     // Cypher (CIP comparability) — Spark would compare lexicographically
     def compound(t: DataType): Boolean = t match {
       case _: ArrayType | _: MapType => true
-      // the mixed-tagged struct ENCODES a scalar — still orderable
-      case st: StructType => !isMixedStruct(st)
+      // mixed-tagged / time structs ENCODE scalars — still orderable
+      case st: StructType =>
+        !isMixedStruct(st) && !isLocalTimeStruct(st) && !isZonedTimeStruct(st)
       case _ => false
     }
     if (ordering && (compound(tl) || compound(tr)))
       return lit(null).cast(BooleanType)
     val structural = (tl, tr) match {
+      // time scalars compare by their encoded instant field — struct
+      // comparison would also drag the offset in, making two renderings
+      // of ONE instant unequal (CIP: times compare by instant)
+      case (a, b) if isLocalTimeStruct(a) && isLocalTimeStruct(b) =>
+        Some(op(compile(l).getField("@lt"), compile(r).getField("@lt")))
+      case (a, b) if isZonedTimeStruct(a) && isZonedTimeStruct(b) =>
+        Some(op(compile(l).getField("@zt"), compile(r).getField("@zt")))
       // mixed-tagged element vs concrete value: dispatch on the tag
       case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
         Some(mixedCmp(compile(l), compile(r), vt, op,
@@ -1164,6 +1332,67 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * week dates (2015-W30-2, 2015W302, 2015-W30), ordinal dates
     * (2015-202, 2015202), compact (20150721), year-month (2015-07),
     * bare year. */
+  /** time ± duration: apply sign × the duration's TIME component only,
+    * wrapping within the day (Neo4j time arithmetic ignores the month and
+    * day groups of the amount). Preserves the zoned offset. */
+  private def timeAddInterval(timeC: Column, ivC: Column, sign: Int,
+      t: DataType): Column = {
+    import graft.functions.IntervalFunctions._
+    val delta = intervalMicros(ivC) * sign
+    if (isLocalTimeStruct(t))
+      struct(pmod(timeC.getField("@lt") + delta, lit(dayMicros)).as("@lt"))
+    else
+      struct(pmod(timeC.getField("@zt") + delta, lit(dayMicros)).as("@zt"),
+        timeC.getField("off").as("off"))
+  }
+
+  /** time-of-day micros from an hour/minute/second/…-component map. */
+  private def timeMicrosFromComponents(m: Map[String, Expr]): Column = {
+    def part(k: String) =
+      m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
+    (part("hour") * 3600L + part("minute") * 60L + part("second")) *
+      1000000L + part("millisecond") * 1000L + part("microsecond") +
+      (part("nanosecond") / lit(1000L)).cast(LongType)
+  }
+
+  private def parseTzOffset(tz: String): Int = tz.trim match {
+    case "Z" | "z" | "UTC" => 0
+    case o if o.matches("[+-]\\d{2}(:?\\d{2})?") =>
+      val sign = if (o.startsWith("-")) -1 else 1
+      val d = o.drop(1).replace(":", "")
+      sign * (d.take(2).toInt * 3600 +
+        (if (d.length > 2) d.drop(2).toInt * 60 else 0))
+    case other => throw new IllegalArgumentException(
+      s"unsupported timezone offset: $other (named zones need a tz " +
+        "database; use a numeric offset)")
+  }
+
+  /** ISO time-of-day string → (micros of day, offset seconds option).
+    * Accepts HH[:MM[:SS[.fff]]] [±HH[:MM] | Z]; also the compact HHMMSS
+    * forms Neo4j takes. */
+  private[plans] def parseIsoTime(s0: String): (Long, Option[Int]) = {
+    val s = s0.trim
+    val offRe = "([+-]\\d{2}(:?\\d{2})?|Z)$".r
+    val (body, off) = offRe.findFirstIn(s) match {
+      case Some("Z") => (s.dropRight(1), Some(0))
+      case Some(o) =>
+        val sign = if (o.startsWith("-")) -1 else 1
+        val digits = o.drop(1).replace(":", "")
+        val h = digits.take(2).toInt
+        val m = if (digits.length > 2) digits.drop(2).toInt else 0
+        (s.dropRight(o.length), Some(sign * (h * 3600 + m * 60)))
+      case None => (s, None)
+    }
+    val t = java.time.LocalTime.parse(
+      if (body.contains(":")) body
+      else body.length match { // compact: HH / HHMM / HHMMSS[.fff]
+        case 2 => body + ":00"
+        case 4 => body.take(2) + ":" + body.drop(2)
+        case _ => body.take(2) + ":" + body.slice(2, 4) + ":" + body.drop(4)
+      })
+    (t.toNanoOfDay / 1000L, off)
+  }
+
   private[plans] def parseIsoDate(s0: String): java.time.LocalDate = {
     import java.time.LocalDate
     import java.time.format.DateTimeFormatter
@@ -1215,6 +1444,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case DateType => 1
     case TimestampNTZType => 2
     case TimestampType => 3
+    case st: StructType if isLocalTimeStruct(st) => 4
+    case st: StructType if isZonedTimeStruct(st) => 5
     case _ => 0
   }
 
@@ -1422,7 +1653,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             throw new IllegalArgumentException(
               s"Invalid input for toString(): expected a String, Number, " +
                 s"Boolean or temporal value, got $t")
-          case st: StructType if !isMixedStruct(st) =>
+          case st: StructType if !isMixedStruct(st) &&
+            !isLocalTimeStruct(st) && !isZonedTimeStruct(st) =>
             throw new IllegalArgumentException(
               "Invalid input for toString(): expected a String, Number, " +
                 "Boolean or temporal value, got a map/entity")
@@ -1438,6 +1670,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           // Spark's cast uses a space
           case TimestampType | TimestampNTZType =>
             regexp_replace(a0.cast(StringType), lit(" "), lit("T"))
+          // durations render ISO-8601 (P…T…, Neo4j form) — Spark's cast
+          // renders "1 years 2 months …"
+          case CalendarIntervalType => isoDuration(a0)
+          case st: StructType if isLocalTimeStruct(st) =>
+            when(a0.isNull, lit(null).cast(StringType))
+              .otherwise(renderTimeOfDay(a0.getField("@lt")))
+          case st: StructType if isZonedTimeStruct(st) =>
+            val off = a0.getField("off").cast(LongType)
+            when(a0.isNull, lit(null).cast(StringType))
+              .otherwise(concat(renderTimeOfDay(
+                pmod(a0.getField("@zt") + off * 1000000L, lit(dayMicros))),
+                renderOffset(off)))
           case _ => a0.cast(StringType)
         }
       case "tointeger" =>
@@ -1577,6 +1821,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case StringType => length(a0).cast(LongType)
           case NullType => lit(null).cast(LongType) // size(null) is null
           case _: ArrayType => size(a0).cast(LongType)
+          // runtime-typed mixed value (ADVICE r5): dispatch on the tag at
+          // RUNTIME like Neo4j — string elements measure, null stays null,
+          // any other family raises per-row. A blanket compile-time throw
+          // made UNWIND ['ab', 1] AS x RETURN size(x) fail entirely where
+          // Neo4j returns 2 for 'ab' and errors only on the bad element.
+          case st: StructType if isMixedStruct(st) =>
+            when(a0.isNull || a0.getField("@k") === 0,
+              lit(null).cast(LongType))
+              .when(a0.getField("@k") === 3,
+                length(a0.getField("s")).cast(LongType))
+              .otherwise(raise_error(concat(
+                lit(s"${f.name}() expects a string or a list, got a "),
+                when(a0.getField("@k") === 1, lit("integer"))
+                  .when(a0.getField("@k") === 2, lit("float"))
+                  .otherwise(lit("boolean")))).cast(LongType))
           case other => throw new IllegalArgumentException(
             s"${f.name}() expects a string or a list, " +
               s"got ${other.simpleString}")
@@ -1739,6 +1998,51 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case MapLit(items) => dateFromMap(items.toMap)
           case StringLit(s) => lit(java.sql.Date.valueOf(parseIsoDate(s)))
           case _ => to_date(a0)
+        }
+      // TIME / LOCALTIME — struct-encoded time-of-day scalars (Spark has
+      // no TIME type; see the localTimeFields scaladoc). Construction is
+      // plan-time for literals, columnar for component maps.
+      case "localtime" =>
+        if (f.args.isEmpty)
+          struct(((hour(localtimestamp()).cast(LongType) * 3600L +
+            minute(localtimestamp()).cast(LongType) * 60L +
+            second(localtimestamp()).cast(LongType)) * 1000000L).as("@lt"))
+        else f.args.head match {
+          case StringLit(s) =>
+            struct(lit(parseIsoTime(s)._1).as("@lt"))
+          case MapLit(items) =>
+            struct(timeMicrosFromComponents(items.toMap).as("@lt"))
+          case other => throw new IllegalArgumentException(
+            s"localtime() expects a literal time string or a component " +
+              s"map, got $other")
+        }
+      case "time" =>
+        if (f.args.isEmpty)
+          // engine sessions pin UTC (spark.sql.session.timeZone)
+          struct(((hour(current_timestamp()).cast(LongType) * 3600L +
+            minute(current_timestamp()).cast(LongType) * 60L +
+            second(current_timestamp()).cast(LongType)) * 1000000L)
+            .as("@zt"), lit(0).as("off"))
+        else f.args.head match {
+          case StringLit(s) =>
+            val (mic, off) = parseIsoTime(s)
+            val o = off.getOrElse(0)
+            struct(lit(Math.floorMod(mic - o * 1000000L, dayMicros))
+              .as("@zt"), lit(o).as("off"))
+          case MapLit(items) =>
+            val m = items.toMap
+            val offSec = m.get("timezone") match {
+              case Some(StringLit(tz)) => parseTzOffset(tz)
+              case None => 0
+              case Some(other) => throw new IllegalArgumentException(
+                s"time() timezone must be a literal offset string, got $other")
+            }
+            struct(pmod(timeMicrosFromComponents(m - "timezone") -
+              lit(offSec.toLong) * 1000000L, lit(dayMicros)).as("@zt"),
+              lit(offSec).as("off"))
+          case other => throw new IllegalArgumentException(
+            s"time() expects a literal time string or a component map, " +
+              s"got $other")
         }
       // localdatetime is TIMESTAMP WITHOUT time zone, datetime is the
       // zoned instant — DIFFERENT Cypher types (cross-type comparison is
@@ -2177,7 +2481,7 @@ object ExprCompiler {
     val ids = pb.nodeIdCols.map(n => col(s"`$n`")) ++ pb.segs.map {
       case SingleSeg(r) => col(s"`$r`")
       case VarSeg(l, _) => col(s"`$l`")
-    }
+    } ++ pb.presenceCol.map(n => col(s"`$n`")) // optional-miss marker
     when(ids.map(_.isNull).reduce(_ || _), lit(null)).otherwise(c)
   }
 

@@ -45,8 +45,15 @@ case class RelBinding(idCol: String, srcCol: String, dstCol: String,
   * unroll. The id list stays the uniqueness/path currency; the struct
   * list is only materialized on demand (it widens every unrolled row). */
 case class RelListBinding(col: String, types: Set[String],
-    structCol: Option[String] = None) extends Binding {
-  def columns: Seq[String] = col +: structCol.toSeq
+    structCol: Option[String] = None,
+    innerNodesCol: Option[String] = None) extends Binding {
+  // innerNodesCol: interior node ids, materialized only for NAMED paths.
+  // It must live on the binding — the enclosing PathBinding exists only
+  // after the whole chain is planned, and a LATER var-length hop's
+  // select(header.columns ++ its-own-new-columns) would otherwise drop
+  // an earlier hop's inner list (differential hunt 32296: r1_inner
+  // unresolved once UNWIND re-selected the header columns).
+  def columns: Seq[String] = (col +: structCol.toSeq) ++ innerNodesCol
 }
 
 /** one relationship segment of a named path. */
@@ -70,9 +77,17 @@ case class VarSeg(relListCol: String, innerNodesCol: String) extends PathSeg {
   * (planner demand analysis) — an ordered (id, labels, props…) struct
   * list materialized by one explode→join→collect pass. */
 case class PathBinding(nodeIdCols: Seq[String], segs: Seq[PathSeg],
-    nodeValsCol: Option[String] = None) extends Binding {
+    nodeValsCol: Option[String] = None,
+    presenceCol: Option[String] = None) extends Binding {
+  // presenceCol: set by planOptionalMatch — lit(true) on the matched side
+  // of the left-outer join, null on a miss. Needed because a path over
+  // ALREADY-BOUND pattern elements shares only the outer row's (non-null)
+  // columns, so the miss would otherwise be invisible to the path null
+  // guard (differential hunt 31400: `OPTIONAL MATCH p = (bound)` with a
+  // false WHERE returned length(p) = 0 instead of null).
   def columns: Seq[String] =
-    (nodeIdCols ++ segs.flatMap(_.columns) ++ nodeValsCol).distinct
+    (nodeIdCols ++ segs.flatMap(_.columns) ++ nodeValsCol ++
+      presenceCol).distinct
 }
 
 case class Header(bindings: ListMap[String, Binding]) {

@@ -2027,7 +2027,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       propPreds += Eq(Property(Var(dstVar), k), e) }
     PState(quantFiltered,
       state.header + (relVar -> RelListBinding(listCol,
-        if (rel.types.isEmpty) Set.empty else rel.types.toSet, structCol)) +
+        if (rel.types.isEmpty) Set.empty else rel.types.toSet, structCol,
+        innerCol)) +
         (dstVar -> dstB))
   }
 
@@ -2072,9 +2073,29 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           m.pattern, m.where)
       }
 
+    // a named path over ALREADY-BOUND elements would share only the outer
+    // row's non-null columns, making a miss invisible to the path null
+    // guard — give every path bound by this optional a presence marker:
+    // lit(true) on the matched side, null after the left-outer join
+    // (differential hunt 31400)
+    val pathPresence = rhs.header.bindings.collect {
+      case (v, _: PathBinding) if !state.header.contains(v) =>
+        v -> fresh("@pathpresent")
+    }
+    val rhs2 =
+      if (pathPresence.isEmpty) rhs
+      else PState(
+        pathPresence.foldLeft(rhs.df) { case (df, (_, c)) =>
+          df.withColumn(c, lit(true)) },
+        Header(rhs.header.bindings.map {
+          case (v, pb: PathBinding) if pathPresence.contains(v) =>
+            v -> pb.copy(presenceCol = Some(pathPresence(v)))
+          case other => other
+        }))
+
     // rename ALL seed-visible columns in rhs to fresh names before joining
     val renameMap = seedCols.map(c => c -> fresh("opt")).toMap
-    val rhsDf = renameMap.foldLeft(rhs.df) { case (df, (from, to)) =>
+    val rhsDf = renameMap.foldLeft(rhs2.df) { case (df, (from, to)) =>
       df.withColumnRenamed(from, to) }
 
     // join back NULL-SAFELY on the shared bindings' id/value columns: a
@@ -2093,7 +2114,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       .drop(renameMap.values.toSeq.map(c => c): _*)
 
     // header: lhs bindings + rhs-new bindings (shared vars stay lhs-bound)
-    val newBindings = rhs.header.bindings.filterNot { case (v, _) =>
+    val newBindings = rhs2.header.bindings.filterNot { case (v, _) =>
       state.header.contains(v) }
     PState(joined, Header(state.header.bindings ++ newBindings))
   }
@@ -2121,6 +2142,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       np.variable.toSet ++ np.productIterator.flatMap(freeExprVars)
     case rp: RelPattern =>
       rp.variable.toSet ++ rp.productIterator.flatMap(freeExprVars)
+    // map projection names its subject as a plain string too — without
+    // this a correlation reaching the outer scope ONLY through
+    // `n {.k, ...}` is invisible and the optional plans uncorrelated
+    // (differential hunts 32530/32463/32408, same class as 6277)
+    case mp: MapProjection =>
+      Set(mp.variable) ++ mp.productIterator.flatMap(freeExprVars)
     case s: Seq[_] => s.iterator.flatMap(freeExprVars).toSet
     case o: Option[_] => o.iterator.flatMap(freeExprVars).toSet
     case m: Map[_, _] => m.valuesIterator.flatMap(freeExprVars).toSet
@@ -2480,7 +2507,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       pb.nodeIdCols ++ pb.segs.map {
         case SingleSeg(r) => r
         case VarSeg(l, _) => l
-      }
+      } ++ pb.presenceCol // identity includes the optional-miss marker
   }
 
   private def planPatternComprehension(graph: PropertyGraph, state: PState,
@@ -2585,8 +2612,38 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     case Div(l, r) => evalStaticInt(l) / evalStaticInt(r)
     case Mod(l, r) => evalStaticInt(l) % evalStaticInt(r)
     case Neg(x) => -evalStaticInt(x)
+    // variable-free numeric functions (TCK SkipLimitAcceptance — on the
+    // reference's failing_blacklist; supported here): LIMIT
+    // toInteger(ceil(1.7)) etc.
+    case Func("tointeger", _, Seq(a)) => evalStaticNum(a).toLong
+    case Func("ceil", _, Seq(a)) => math.ceil(evalStaticNum(a)).toLong
+    case Func("floor", _, Seq(a)) => math.floor(evalStaticNum(a)).toLong
+    case Func("round", _, Seq(a)) => math.round(evalStaticNum(a))
+    case Func("abs", _, Seq(a)) => math.abs(evalStaticNum(a)).toLong
     case other => throw new IllegalArgumentException(
       s"SKIP/LIMIT must be a static integer expression, got $other")
+  }
+
+  private def evalStaticNum(e: Expr): Double = e match {
+    case FloatLit(v) => v
+    case IntLit(v) => v.toDouble
+    case Neg(x) => -evalStaticNum(x)
+    case Param(n) => params(n) match {
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"SKIP/LIMIT parameter must be numeric, got $other")
+    }
+    case Add(l, r) => evalStaticNum(l) + evalStaticNum(r)
+    case Sub(l, r) => evalStaticNum(l) - evalStaticNum(r)
+    case Mul(l, r) => evalStaticNum(l) * evalStaticNum(r)
+    case Div(l, r) => evalStaticNum(l) / evalStaticNum(r)
+    case Func("ceil", _, Seq(a)) => math.ceil(evalStaticNum(a))
+    case Func("floor", _, Seq(a)) => math.floor(evalStaticNum(a))
+    case Func("abs", _, Seq(a)) => math.abs(evalStaticNum(a))
+    case Func("tointeger", _, Seq(a)) => evalStaticNum(a).toLong.toDouble
+    case other => evalStaticInt(other).toDouble
   }
 
   private case class OutItem(name: String, expr: Expr, binding: Binding)

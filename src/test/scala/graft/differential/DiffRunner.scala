@@ -41,6 +41,8 @@ final class DiffRunner(spark: SparkSession) {
     case d: BigDecimal => d.doubleValue
     case s: String => s
     case b: Boolean => b
+    case d: java.sql.Date => d.toLocalDate
+    case d: java.time.LocalDate => d
     case s: scala.collection.Seq[_] => s.map(norm).toList
     case a: Array[_] => a.map(norm).toList
     // the engine's tagged-union struct for mixed-family values
@@ -68,6 +70,7 @@ final class DiffRunner(spark: SparkSession) {
       "f" + BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
     case s: String => "s" + s
     case b: Boolean => "b" + b
+    case d: java.time.LocalDate => "e" + d
     case xs: List[_] => xs.map(render).mkString("[", ",", "]")
     case m: Map[_, _] => m.toSeq.map { case (k, x) => s"$k=${render(x)}" }
       .sorted.mkString("{", ",", "}")

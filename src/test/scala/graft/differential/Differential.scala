@@ -46,7 +46,10 @@ object Model {
       props: Map[String, Any])
 
   final case class MGraph(nodes: Vector[MNode], rels: Vector[MRel]) {
-    def node(id: Long): MNode = nodes(id.toInt)
+    // by-id lookup (NOT positional): a CONSTRUCTed subgraph keeps the
+    // original ids but not the original positions
+    private lazy val byId: Map[Long, MNode] = nodes.map(n => n.id -> n).toMap
+    def node(id: Long): MNode = byId(id)
     def toCreate: String = {
       val sb = new StringBuilder
       nodes.foreach { n =>
@@ -66,6 +69,7 @@ object Model {
     case d: Double => d.toString // dyadic values round-trip exactly
     case s: String => s"'$s'" // corpus strings are [a-z]+, no escaping
     case b: Boolean => b.toString
+    case d: java.time.LocalDate => s"date('$d')" // ISO round-trips exactly
   }
 
   def renderPropMap(m: Map[String, Any]): String =
@@ -151,6 +155,36 @@ object Model {
     * OPTIONAL MATCH)
     */
   final case class PathLenE(p: String) extends VE
+  /** `[pnv IN nodes(p) | pnv.uid]` — the node sequence of a named path
+    * projected to uids (deterministic path order, family 'M')
+    */
+  final case class PathNodesUidsE(p: String) extends VE
+  /** size(relationships(p)) — rel count via the rel-list surface */
+  final case class PathRelsSizeE(p: String) extends VE
+
+  /** the naive binding value of a named path: full node/rel sequences
+    * (PathLenE consumes rels.size; PathNodesUidsE walks nodes)
+    */
+  final case class PathVal(nodes: List[MNode], rels: List[MRel])
+
+  /** map literal `{a: <ve>, b: <ve>}` — family 'P'; entries carry their
+    * value family so consumers stay typed
+    */
+  final case class MapLitE(entries: List[(String, VE, Char)]) extends VE
+  /** map projection `v {.k, .s}` over a NODE var — every requested key is
+    * present in the result, missing properties as null; a null node (failed
+    * OPTIONAL MATCH) projects to null. Engine-verified (Probe41).
+    */
+  final case class MapProjE(v: String, keys: List[String]) extends VE
+  /** `<map>.key` extraction from an inline map (literal or projection) —
+    * fam is the extracted value's family
+    */
+  final case class MapIdxE(m: VE, key: String, fam: Char) extends VE
+
+  /** `<date> ± duration({days: k})` — calendar arithmetic, family 'E' */
+  final case class DateArithE(d: VE, plus: Boolean, days: Long) extends VE
+  /** `<date>.year|month|day` accessor, family 'L' */
+  final case class DatePartE(part: String, d: VE) extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -201,6 +235,14 @@ object Model {
   final case class SUnwindVar(v: String, src: String) extends Stage
   final case class SWith(distinct: Boolean, items: List[RetItem],
       where: Option[BE]) extends Stage
+  /** CONSTRUCT CLONE over matched vars: switches the working graph to the
+    * constructed one and RESETS the binding table (reference consecutive-
+    * construction semantics, Probe42). Cloned rels always travel with both
+    * endpoint node vars — the engine materializes property-less endpoints
+    * otherwise (Probe41), a corner the grammar avoids by construction.
+    * cloneRels entries are (relVar, srcNodeVar, dstNodeVar). */
+  final case class SConstruct(cloneNodes: List[String],
+      cloneRels: List[(String, String, String)]) extends Stage
 
   final case class Query(stages: List[Stage], ret: Ret,
       unions: List[(Boolean, Query)] = Nil) {
@@ -229,6 +271,13 @@ object Model {
         case ListCompE(_, l, w, p, _) => ve(l); w.foreach(be); p.foreach(ve)
         case PatCompSizeE(_, outer) => b ++= outer
         case PathLenE(p) => b += p
+        case PathNodesUidsE(p) => b += p
+        case PathRelsSizeE(p) => b += p
+        case MapLitE(entries) => entries.foreach { case (_, e, _) => ve(e) }
+        case MapProjE(v, _) => b += v
+        case MapIdxE(m, _, _) => ve(m)
+        case DateArithE(d, _, _) => ve(d)
+        case DatePartE(_, d) => ve(d)
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
@@ -256,6 +305,8 @@ object Model {
           }
           where.foreach(be)
         case SUnwindVar(_, src) => b += src
+        case SConstruct(ns, rs) =>
+          b ++= ns; rs.foreach { case (rv, sv, dv) => b += rv; b += sv; b += dv }
         case _ =>
       }
       ret.items.foreach {
@@ -309,6 +360,17 @@ object Model {
           }.mkString
         s"size([$cs | 1])"
       case PathLenE(p) => s"length($p)"
+      case PathNodesUidsE(p) => s"[pnv IN nodes($p) | pnv.uid]"
+      case PathRelsSizeE(p) => s"size(relationships($p))"
+      case MapLitE(entries) => entries.map { case (k, e, _) =>
+        s"$k: ${renderVE(e)}"
+      }.mkString("{", ", ", "}")
+      case MapProjE(v, keys) =>
+        keys.map("." + _).mkString(s"$v {", ", ", "}")
+      case MapIdxE(m, key, _) => s"${renderVE(m)}.$key"
+      case DateArithE(d, plus, days) =>
+        s"(${renderVE(d)} ${if (plus) "+" else "-"} duration({days: $days}))"
+      case DatePartE(part, d) => s"${renderVE(d)}.$part"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -367,6 +429,10 @@ object Model {
         case SWith(d, items, where) =>
           sb ++= "WITH " + (if (d) "DISTINCT " else "") + renderItems(items) + "\n"
           where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
+        case SConstruct(ns, rs) =>
+          val names = (ns ++ rs.flatMap { case (rv, sv, dv) =>
+            List(sv, rv, dv) }).distinct
+          sb ++= "CONSTRUCT CLONE " + names.mkString(", ") + "\n"
       }
       sb ++= "RETURN "
       if (ret.distinct) sb ++= "DISTINCT "
@@ -405,9 +471,23 @@ object Model {
         }
         case _ => Nil
       }.toSet
+      // ANY numeric item referencing a with-sum alias inherits the corner
+      // — not just a bare re-projection: abs(w0a0) wraps it (hunt 38418)
+      def refs(x: Any): Set[String] = x match {
+        case VarE(v, _) => Set(v)
+        case s: Seq[_] => s.iterator.flatMap(refs).toSet
+        case o: Option[_] => o.iterator.flatMap(refs).toSet
+        case p: Product => p.productIterator.flatMap(refs).toSet
+        case _ => Set.empty
+      }
       ret.items.collect {
         case AggItem("sum", _, _, a) => a
-        case ValItem(VarE(v, _), a) if withSums(v) => a
+        case AggItem(fn, arg, _, a) if fn != "collect" &&
+          arg.exists(e => refs(e).exists(withSums)) => a
+        case ValItem(e, a) if refs(e).exists(withSums) && {
+          val f = NaiveEvalFamilies.family(e)
+          f == 'L' || f == 'D'
+        } => a
       }.toSet ++ unions.flatMap(_._2.sumAliases)
     }
 
@@ -463,6 +543,7 @@ object NaiveEval {
     case (x: Double, y: Double) => Some(x == y)
     case (x: String, y: String) => Some(x == y)
     case (x: Boolean, y: Boolean) => Some(x == y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x == y)
     case (x: List[_], y: List[_]) =>
       if (x.size != y.size) Some(false)
       else {
@@ -471,6 +552,21 @@ object NaiveEval {
         else if (elems.exists(_.contains(false))) Some(false)
         else None
       }
+    // maps compare STRUCT-STYLE (engine/reference semantics, Probe42):
+    // binary per-key comparison where null values are ordinary values —
+    // {k: null} = {k: null} is TRUE and {k: null} <> {k: 1} is definite
+    // TRUE (Neo4j's ternary map equality would yield null for both; a
+    // documented columnar-representation divergence, same family as the
+    // reference's struct-backed maps)
+    case (x: Map[_, _], y: Map[_, _]) =>
+      val xm = x.asInstanceOf[Map[String, Any]]
+      val ym = y.asInstanceOf[Map[String, Any]]
+      if (xm.keySet != ym.keySet) Some(false)
+      else Some(xm.forall { case (k, v) =>
+        val w = ym(k)
+        if (v == null || w == null) v == null && w == null
+        else valueEq(v, w).contains(true)
+      })
     case _ => Some(false)
   }
 
@@ -484,6 +580,8 @@ object NaiveEval {
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+      Some(x.compareTo(y))
     case _ => None
   }
 
@@ -493,6 +591,9 @@ object NaiveEval {
     case n: MNode => ("node", n.id)
     case r: MRel => ("rel", r.id)
     case xs: List[_] => xs.map(normKey)
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq
+        .map { case (k, x) => (k, normKey(x)) }.sortBy(_._1)
     case other => other
   }
 
@@ -606,7 +707,42 @@ object NaiveEval {
     }
     case PatCompSizeE(chain, _) =>
       NaiveEval.countChainMatches(r, chain).toLong
-    case PathLenE(p) => r.getOrElse(p, null)
+    case PathLenE(p) => r.getOrElse(p, null) match {
+      case pv: PathVal => pv.rels.size.toLong
+      case _ => null // failed OPTIONAL MATCH
+    }
+    case PathNodesUidsE(p) => r.getOrElse(p, null) match {
+      case pv: PathVal => pv.nodes.map(_.props.getOrElse("uid", null))
+      case _ => null
+    }
+    case PathRelsSizeE(p) => r.getOrElse(p, null) match {
+      case pv: PathVal => pv.rels.size.toLong
+      case _ => null
+    }
+    case MapLitE(entries) =>
+      entries.map { case (k, e, _) => k -> evalV(r, e) }.toMap
+    case MapProjE(v, keys) => r.getOrElse(v, null) match {
+      case n: MNode => keys.map(k => k -> n.props.getOrElse(k, null)).toMap
+      case _ => null // failed OPTIONAL MATCH projects to null
+    }
+    case MapIdxE(m, key, _) => evalV(r, m) match {
+      case mm: Map[_, _] =>
+        mm.asInstanceOf[Map[String, Any]].getOrElse(key, null)
+      case _ => null
+    }
+    case DateArithE(d, plus, days) => evalV(r, d) match {
+      case ld: java.time.LocalDate =>
+        if (plus) ld.plusDays(days) else ld.minusDays(days)
+      case _ => null
+    }
+    case DatePartE(part, d) => evalV(r, d) match {
+      case ld: java.time.LocalDate => part match {
+        case "year" => ld.getYear.toLong
+        case "month" => ld.getMonthValue.toLong
+        case "day" => ld.getDayOfMonth.toLong
+      }
+      case _ => null
+    }
     case ArithE(op, le, re) =>
       (evalV(r, le), evalV(r, re)) match {
         case (null, _) | (_, null) => null
@@ -838,9 +974,32 @@ object NaiveEval {
   }
 
   private def runBody(g: MGraph, q: Query): List[List[Any]] = {
-    curG.set(g)
+    var curGraph = g
+    curG.set(curGraph)
     var rows: List[Binding] = List(Map.empty)
     q.stages.foreach {
+      case SConstruct(ns, rs) =>
+        // constructed graph: distinct cloned nodes + distinct cloned rels
+        // with their (topological) endpoints; binding table resets to unit
+        val nodesB =
+          scala.collection.mutable.LinkedHashMap.empty[Long, MNode]
+        val relsB = scala.collection.mutable.LinkedHashMap.empty[Long, MRel]
+        rows.foreach { r =>
+          ns.foreach { v => r.get(v) match {
+            case Some(n: MNode) => nodesB(n.id) = n
+            case _ => ()
+          } }
+          rs.foreach { case (rv, _, _) => r.get(rv) match {
+            case Some(rel: MRel) =>
+              relsB(rel.id) = rel
+              nodesB.getOrElseUpdate(rel.src, curGraph.node(rel.src))
+              nodesB.getOrElseUpdate(rel.dst, curGraph.node(rel.dst))
+            case _ => ()
+          } }
+        }
+        curGraph = MGraph(nodesB.values.toVector, relsB.values.toVector)
+        curG.set(curGraph)
+        rows = List(Map.empty)
       case SUnwind(v, list) =>
         rows = rows.flatMap(r => list.map(x => r + (v -> x)))
       case SUnwindVar(v, src) =>
@@ -854,20 +1013,34 @@ object NaiveEval {
         }
       case SMatch(mc) =>
         rows = rows.flatMap { row =>
-          val ext0 = matchChains(g, row, mc.chains)
-          // a named path binds its relationship count (the only path
-          // observable the grammar consumes, via length(p)) — BEFORE the
-          // clause's own WHERE, which may reference it (hunt 23694)
+          val ext0 = matchChains(curGraph, row, mc.chains)
+          // a named path binds its full node/rel sequence (PathVal) —
+          // BEFORE the clause's own WHERE, which may reference it
+          // (hunt 23694). Var-length hops reconstruct their intermediate
+          // nodes by walking each rel from the current endpoint.
           val ext = mc.pathVar match {
             case None => ext0
             case Some(p) => ext0.map { r =>
-              val len = mc.chains.head.hops.map { case (rp, _) =>
-                r(rp.v) match {
-                  case xs: List[_] => xs.size.toLong
-                  case _ => 1L
+              val chain = mc.chains.head
+              var cur = r(chain.first.v).asInstanceOf[MNode]
+              val nodes = List.newBuilder[MNode]
+              val rels = List.newBuilder[MRel]
+              nodes += cur
+              chain.hops.foreach { case (rp, np) =>
+                def step(rel: MRel): Unit = {
+                  cur = curGraph.node(
+                    if (rel.src == cur.id) rel.dst else rel.src)
+                  rels += rel
+                  nodes += cur
                 }
-              }.sum
-              r + (p -> len)
+                r(rp.v) match {
+                  case xs: List[_] => xs.foreach(x => step(x.asInstanceOf[MRel]))
+                  case rel: MRel => step(rel)
+                  case _ => ()
+                }
+                cur = r(np.v).asInstanceOf[MNode] // endpoint (walk lands here)
+              }
+              r + (p -> PathVal(nodes.result(), rels.result()))
             }
           }
           val kept = mc.where match {
@@ -1026,12 +1199,14 @@ object DiffGen {
     hasS <- Gen.prob(0.6); s <- Gen.oneOf(strVals)
     hasF <- Gen.prob(0.6); fn <- Gen.choose(1, 6)
     hasB <- Gen.prob(0.5); b <- Gen.oneOf(true, false)
+    hasD <- Gen.prob(0.5); dOff <- Gen.choose(0L, 40L)
   } yield {
     var m = Map[String, Any]("uid" -> uid)
     if (hasK) m += "k" -> k
     if (hasS) m += "s" -> s
     if (hasF) m += "f" -> (fn * 0.5)
     if (hasB) m += "b" -> b
+    if (hasD) m += "d" -> java.time.LocalDate.of(2024, 1, 1).plusDays(dOff)
     m
   }
 
@@ -1091,6 +1266,7 @@ object DiffGen {
       case 'S' => List("s")
       case 'D' => List("f")
       case 'B' => List("b")
+      case 'E' => List("d")
     }
     val rk = fam match {
       case 'L' => List("uid", "w")
@@ -1107,6 +1283,8 @@ object DiffGen {
     case 'S' => Gen.oneOf(strVals)
     case 'D' => Gen.choose(1, 6).map(_ * 0.5)
     case 'B' => Gen.oneOf(true, false)
+    case 'E' => Gen.choose(0L, 40L).map(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(_))
   }
 
   private def genValueVE(ctx: Ctx, fam: Char): Gen[VE] = {
@@ -1114,7 +1292,8 @@ object DiffGen {
     val leafs = props.map { case (v, k) => PropE(v, k): VE } ++
       ctx.valVars.collect { case (v, f) if f == fam => VarE(v, f): VE } ++
       (if (fam == 'L') ctx.vlVars.map(SizeE(_): VE) ++
-        ctx.pathVars.map(PathLenE(_): VE) else Nil)
+        ctx.pathVars.map(PathLenE(_): VE) ++
+        ctx.pathVars.map(PathRelsSizeE(_): VE) else Nil)
     if (leafs.isEmpty) genLit(fam).map(LitE)
     else Gen.frequency(
       7 -> Gen.oneOf(leafs),
@@ -1149,6 +1328,17 @@ object DiffGen {
     case other => StrFnE(other, arg, Nil)
   }
 
+  private def genDateArith(ctx: Ctx): Gen[VE] = for {
+    d <- genValueVE(ctx, 'E')
+    plus <- Gen.oneOf(true, false)
+    days <- Gen.choose(0L, 15L)
+  } yield DateArithE(d, plus, days)
+
+  private def genDatePart(ctx: Ctx): Gen[VE] = for {
+    d <- genValueVE(ctx, 'E')
+    part <- Gen.oneOf("year", "month", "day")
+  } yield DatePartE(part, d)
+
   private def genNumFnE(ctx: Ctx, resultFam: Char): Gen[VE] = for {
     // sign always yields integer; abs preserves its argument family
     p <- if (resultFam == 'D') Gen.const(("abs", 'D'))
@@ -1182,6 +1372,86 @@ object DiffGen {
       1 -> Gen.const(LitE(null): VE))) // null elements survive in literals
   } yield ListLitE(elems, ef)
 
+  // ------------------------------------------------------------- maps
+  private val nodePropFam =
+    Map("uid" -> 'L', "k" -> 'L', "s" -> 'S', "f" -> 'D', "b" -> 'B')
+  private def projKeysFor(fam: Char): List[String] =
+    nodePropFam.collect { case (k, f) if f == fam => k }.toList.sorted
+
+  private def genMapLit(ctx: Ctx): Gen[VE] = for {
+    n <- Gen.choose(1, 3)
+    fams <- Gen.listOfN(n, Gen.oneOf('L', 'S', 'D', 'B'))
+    ves <- Gen.sequence[List[VE], VE](fams.map(genValueVE(ctx, _)))
+  } yield MapLitE(List("a", "b", "c").take(n).lazyZip(ves).lazyZip(fams)
+    .map((k, v, f) => (k, v, f)))
+
+  private def genMapProj(ctx: Ctx): Gen[VE] =
+    if (ctx.nodeVars.isEmpty) genMapLit(ctx)
+    else for {
+      v <- Gen.oneOf(ctx.nodeVars)
+      n <- Gen.choose(1, 3)
+      keys <- Gen.pick(n, List("uid", "k", "s", "f", "b"))
+    } yield MapProjE(v, keys.toList.sorted)
+
+  /** map as a RETURN-item value */
+  private def genMapVE(ctx: Ctx): Gen[VE] =
+    Gen.frequency(5 -> genMapLit(ctx), 5 -> genMapProj(ctx))
+
+  /** scalar extraction `<map>.key` with a known result family */
+  private def genMapIdx(ctx: Ctx, fam: Char): Gen[VE] = {
+    val litG: Gen[VE] = for {
+      extraFam <- Gen.oneOf('L', 'S', 'D', 'B')
+      v1 <- genValueVE(ctx, fam)
+      v2 <- genValueVE(ctx, extraFam)
+      first <- Gen.oneOf(true, false)
+    } yield {
+      val entries = if (first) List(("a", v1, fam), ("b", v2, extraFam))
+      else List(("a", v2, extraFam), ("b", v1, fam))
+      MapIdxE(MapLitE(entries), if (first) "a" else "b", fam)
+    }
+    val projG: Gen[VE] =
+      if (ctx.nodeVars.isEmpty || projKeysFor(fam).isEmpty) litG
+      else for {
+        v <- Gen.oneOf(ctx.nodeVars)
+        key <- Gen.oneOf(projKeysFor(fam))
+        extra <- Gen.oneOf(nodePropFam.keys.toList.sorted)
+      } yield MapIdxE(MapProjE(v, (key :: extra :: Nil).distinct.sorted),
+        key, fam)
+    Gen.frequency(6 -> litG, 4 -> projG)
+  }
+
+  /** struct-style map equality: projection vs literal/projection over the
+    * SAME key template (keyset mismatches are trivially false)
+    */
+  private def genMapEq(ctx: Ctx): Gen[BE] = {
+    val projSide: Gen[BE] = for {
+      op <- Gen.oneOf("=", "<>")
+      v <- Gen.oneOf(ctx.nodeVars)
+      n <- Gen.choose(1, 2)
+      keys <- Gen.pick(n, List("uid", "k", "s", "f", "b"))
+      ks = keys.toList.sorted
+      lits <- Gen.sequence[List[VE], VE](
+        ks.map(k => genValueVE(ctx, nodePropFam(k))))
+      v2 <- Gen.oneOf(ctx.nodeVars)
+      litRhs <- Gen.prob(0.6)
+    } yield CmpE(op, MapProjE(v, ks),
+      if (litRhs) MapLitE(ks.zip(lits).map { case (k, e) =>
+        (k, e, nodePropFam(k))
+      }) else MapProjE(v2, ks))
+    val litSide: Gen[BE] = for {
+      op <- Gen.oneOf("=", "<>")
+      n <- Gen.choose(1, 2)
+      fams <- Gen.listOfN(n, Gen.oneOf('L', 'S', 'D', 'B'))
+      ks = List("a", "b").take(n)
+      l <- Gen.sequence[List[VE], VE](fams.map(genValueVE(ctx, _)))
+      r2 <- Gen.sequence[List[VE], VE](fams.map(genValueVE(ctx, _)))
+    } yield CmpE(op,
+      MapLitE(ks.lazyZip(l).lazyZip(fams).map((k, v, f) => (k, v, f))),
+      MapLitE(ks.lazyZip(r2).lazyZip(fams).map((k, v, f) => (k, v, f))))
+    if (ctx.nodeVars.isEmpty) litSide
+    else Gen.frequency(6 -> projSide, 4 -> litSide)
+  }
+
   /** mixed L+S list — engine-side this is the tagged-union encoding */
   private def genMixedListLit(ctx: Ctx): Gen[VE] = for {
     a <- genValueVE(ctx, 'L')
@@ -1203,7 +1473,8 @@ object DiffGen {
     val ef = if (listFam == 'M') 'L' else 'S'
     val vars = ctx.valVars.collect {
       case (v, f) if f == listFam => VarE(v, f): VE
-    }
+    } ++ (if (listFam == 'M') ctx.pathVars.map(PathNodesUidsE(_): VE)
+    else Nil)
     val base: List[(Int, Gen[VE])] =
       (6 -> genListLit(ctx, ef)) ::
         (if (listFam == 'M') List(3 -> genRangeE) else Nil)
@@ -1297,14 +1568,19 @@ object DiffGen {
   private def genRichVE(ctx: Ctx, fam: Char): Gen[VE] = {
     if (NaiveEvalFamilies.isListFam(fam)) return genListVE(ctx, fam)
     val wrapped: List[(Int, Gen[VE])] = fam match {
-      case 'S' => List(3 -> genStrFnE(ctx), 2 -> genListConsumer(ctx, 'S'))
+      case 'S' => List(3 -> genStrFnE(ctx), 2 -> genListConsumer(ctx, 'S'),
+        1 -> genMapIdx(ctx, 'S'))
       case 'L' => List(2 -> genNumFnE(ctx, 'L'),
         1 -> genValueVE(ctx, 'S').map(StrFnE("strSize", _, Nil)),
         2 -> genListConsumer(ctx, 'L'),
+        1 -> genMapIdx(ctx, 'L'),
+        1 -> genDatePart(ctx),
         (if (ctx.nodeVars.nonEmpty) 2 else 0) -> genPatCompSize(ctx))
-      case 'D' => List(3 -> genNumFnE(ctx, 'D'))
+      case 'D' => List(3 -> genNumFnE(ctx, 'D'), 1 -> genMapIdx(ctx, 'D'))
+      case 'E' => List(4 -> genDateArith(ctx))
       // a whole predicate as a boolean value (unknown → null)
-      case _ => List(3 -> genLeafPlain(ctx).map(BoolVE))
+      case _ => List(3 -> genLeafPlain(ctx).map(BoolVE),
+        1 -> genMapIdx(ctx, 'B'))
     }
     Gen.frequency((10 -> genValueVE(ctx, fam)) ::
       (2 -> genCaseE(ctx, fam)) ::
@@ -1313,18 +1589,25 @@ object DiffGen {
 
   private def genCmp(ctx: Ctx): Gen[BE] = for {
     fam <- Gen.frequency(5 -> Gen.const('L'), 2 -> Gen.const('S'),
-      2 -> Gen.const('D'), 1 -> Gen.const('B'))
+      2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'))
     op <- if (fam == 'B') Gen.oneOf("=", "<>")
     else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
     l <- genValueVE(ctx, fam)
-    kind <- Gen.frequency(88 -> Gen.const(0), 5 -> Gen.const(1),
+    kind0 <- Gen.frequency(88 -> Gen.const(0), 5 -> Gen.const(1),
       4 -> Gen.const(2), 3 -> Gen.const(3))
+    // dates keep same-family comparisons (cross-family date equality and
+    // numeric arithmetic have no date forms); ± duration replaces arith
+    kind = if (fam == 'E' && kind0 == 1) 0 else kind0
+    dplus <- Gen.oneOf(true, false)
+    ddays <- Gen.choose(0L, 15L)
     r <- kind match {
       case 1 =>
         // cross-family: = / <> are definite, orderings are null
         val other = Vector('L', 'S', 'D', 'B').filter(_ != fam)
         Gen.oneOf(other).flatMap(genLit).map(LitE(_): VE)
       case 2 => Gen.const(LitE(null): VE) // null literal: always unknown
+      case 3 if fam == 'E' =>
+        genValueVE(ctx, 'E').map(DateArithE(_, dplus, ddays): VE)
       case 3 => genArith(ctx)
       case _ => genValueVE(ctx, fam)
     }
@@ -1337,7 +1620,7 @@ object DiffGen {
     */
   private def genLeafPlain(ctx: Ctx): Gen[BE] = {
     val isNullG: Gen[BE] = for {
-      fam <- Gen.oneOf('L', 'S', 'D', 'B')
+      fam <- Gen.oneOf('L', 'S', 'D', 'B', 'E')
       e <- genValueVE(ctx, fam)
       not <- Gen.oneOf(true, false)
     } yield IsNullE(e, not)
@@ -1379,6 +1662,18 @@ object DiffGen {
       rhs <- Gen.frequency(6 -> genValueVE(ctx, ef),
         4 -> genLit(ef).map(LitE(_): VE))
     } yield QuantBE(q, "qv", l, CmpE(op, VarE("qv", ef), rhs))
+    // quantifier over a VAR-LENGTH REL LIST: the lambda var binds each
+    // relationship, tested through a property (w is optional → ternary)
+    val quantVlG: Gen[BE] =
+      if (ctx.vlVars.isEmpty) quantG
+      else for {
+        q <- Gen.oneOf("all", "any", "none", "single")
+        vl <- Gen.oneOf(ctx.vlVars)
+        key <- Gen.frequency(6 -> Gen.const("w"), 4 -> Gen.const("uid"))
+        op <- Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+        rhs <- genLit('L')
+      } yield QuantBE(q, "qv", VarE(vl, 'R'),
+        CmpE(op, PropE("qv", key), LitE(rhs)))
     // identity equality between two same-kind entity vars (incl. v = v);
     // a null operand (failed OPTIONAL) → unknown
     val entityEqG: Gen[BE] =
@@ -1393,7 +1688,9 @@ object DiffGen {
         op <- Gen.oneOf("=", "<>")
       } yield CmpE(op, EntityE(a), EntityE(b))
     Gen.frequency(6 -> genCmp(ctx), 2 -> isNullG, 2 -> inG, 1 -> hasLabelG,
-      2 -> strPredG, 2 -> inVG, 1 -> entityEqG, 2 -> quantG)
+      2 -> strPredG, 2 -> inVG, 1 -> entityEqG, 2 -> quantG,
+      (if (ctx.vlVars.nonEmpty) 4 else 0) -> quantVlG,
+      1 -> genMapEq(ctx))
   }
 
   /** one-hop existence test from a bound node var (block EXISTS or bare
@@ -1437,7 +1734,7 @@ object DiffGen {
     // stays plain: it seeds CASE conditions, which must not recurse)
     val cmpRichG: Gen[BE] = for {
       fam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
-        2 -> Gen.const('D'), 1 -> Gen.const('B'))
+        2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'))
       op <- if (fam == 'B') Gen.oneOf("=", "<>")
       else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
       l <- genRichVE(ctx, fam)
@@ -1552,7 +1849,7 @@ object DiffGen {
     anyFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
       2 -> Gen.const('D'), 1 -> Gen.const('B'))
     ordFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
-      2 -> Gen.const('D'), 1 -> Gen.const('B'))
+      2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'))
     numArg <- genRichVE(ctx, numFam)
     anyArg <- genRichVE(ctx, anyFam)
     ordArg <- genRichVE(ctx, ordFam)
@@ -1587,7 +1884,7 @@ object DiffGen {
       2 -> Gen.const(2))
     projFams <- Gen.listOfN(nProj, Gen.frequency(4 -> Gen.const('L'),
       2 -> Gen.const('S'), 2 -> Gen.const('D'), 1 -> Gen.const('B'),
-      1 -> Gen.const('M'), 1 -> Gen.const('T')))
+      1 -> Gen.const('E'), 1 -> Gen.const('M'), 1 -> Gen.const('T')))
     projVes <- Gen.sequence[List[VE], VE](projFams.map(genRichVE(ctx, _)))
     nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
     aggs <- Gen.sequence[List[AggItem], AggItem](
@@ -1652,9 +1949,11 @@ object DiffGen {
   private def genRet(ctx: Ctx): Gen[Ret] = {
     def genItemVE: Gen[VE] = Gen.frequency(
       6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genRichVE(ctx, _)),
+      1 -> genRichVE(ctx, 'E'),
       2 -> genArith(ctx),
       // raw deterministically-ordered list values (never bags)
       1 -> Gen.oneOf('M', 'T').flatMap(genListVE(ctx, _)),
+      1 -> genMapVE(ctx),
       (if (ctx.nodeVars.nonEmpty) 1 else 0) ->
         (if (ctx.nodeVars.nonEmpty)
           Gen.oneOf(ctx.nodeVars).map(FnE("labels", _): VE)
@@ -1691,10 +1990,12 @@ object DiffGen {
       items2 = if (!cut) items else items.filter {
         case AggItem("collect", _, _, _) => false
         case ValItem(FnE("labels", _), _) => false
-        // compound values are incomparable — no list item can order a cut
-        case ValItem(e, _)
-          if NaiveEvalFamilies.isListFam(NaiveEvalFamilies.family(e)) =>
-          false
+        // compound values are incomparable — no list/map item can order a
+        // cut
+        case ValItem(e, _) if {
+          val f = NaiveEvalFamilies.family(e)
+          NaiveEvalFamilies.isListFam(f) || f == 'P'
+        } => false
         case _ => true
       } match {
         case Nil => List(AggItem("count*", None, distinct = false, "a0"))
@@ -1704,7 +2005,8 @@ object DiffGen {
         case ValItem(e, a) if (e match {
           case FnE("labels", _) => false
           case _ =>
-            !NaiveEvalFamilies.isListFam(NaiveEvalFamilies.family(e))
+            val f = NaiveEvalFamilies.family(e)
+            !NaiveEvalFamilies.isListFam(f) && f != 'P'
         }) => a
         case AggItem(fn, _, _, a) if fn != "collect" => a
       }
@@ -1761,7 +2063,45 @@ object DiffGen {
       Ret(distinct, items, Nil, None, None))
   }
 
-  def genQuery: Gen[Query] = for {
+  /** (relVar, srcVar, dstVar) for every single-hop (non-var-length) rel
+    * of a clause, in chain order — the clonable units of a CONSTRUCT
+    */
+  private def clonableHops(mc: MatchC): List[(String, String, String)] =
+    mc.chains.flatMap { c =>
+      var prev = c.first.v
+      c.hops.flatMap { case (rp, np) =>
+        val out = if (rp.varLen.isEmpty) List((rp.v, prev, np.v)) else Nil
+        prev = np.v
+        out
+      }
+    }
+
+  /** MATCH → CONSTRUCT CLONE → MATCH-over-the-constructed-graph → RETURN:
+    * the multi-graph block form (reference consecutive construction)
+    */
+  private def genConstructQuery: Gen[Query] = for {
+    m1 <- genMatch(emptyCtx, optional = false, 0)
+    w1 <- Gen.prob(0.4)
+    where1 <- genBE(m1._2, 1)
+    pickRels <- Gen.someOf(clonableHops(m1._1))
+    extraNode <- Gen.prob(0.5)
+    m2 <- genMatch(emptyCtx, optional = false, 300)
+    w2 <- Gen.prob(0.5)
+    where2 <- genBE(m2._2, 1)
+    ret <- genRet(m2._2)
+  } yield {
+    val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
+    val rels = pickRels.toList
+    val nodes0 =
+      if (extraNode || rels.isEmpty) List(m1._1.chains.head.first.v) else Nil
+    val mc2 = m2._1.copy(where = if (w2) Some(where2) else None)
+    Query(List(SMatch(mc1), SConstruct(nodes0, rels), SMatch(mc2)), ret)
+  }
+
+  def genQuery: Gen[Query] = Gen.frequency(
+    9 -> genRegularQuery, 1 -> genConstructQuery)
+
+  private def genRegularQuery: Gen[Query] = for {
     hasLead <- Gen.prob(0.12)
     leadList <- Gen.choose(2, 4).flatMap(n =>
       Gen.listOfN(n, Gen.frequency(6 -> Gen.choose(0L, 5L).map(x => x: Any),
@@ -1826,8 +2166,18 @@ object DiffGen {
         ret.limit.isEmpty && ret.items.forall {
           case ValItem(e, _) =>
             val f = NaiveEvalFamilies.family(e)
-            !NaiveEvalFamilies.isListFam(f) && f != 'X'
-          case AggItem(fn, _, _, _) => fn != "collect"
+            // maps ('P') and dates ('E') sit outside the tagged-union
+            // encoding cross-family UNION columns take — keep them out
+            // of freely-retyped union surfaces
+            !NaiveEvalFamilies.isListFam(f) && f != 'X' && f != 'P' &&
+              f != 'E'
+          case AggItem(fn, arg, _, _) =>
+            // min/max over a date column can't union with the branch's
+            // freely-retyped numeric aggregate (hunt 32023)
+            fn != "collect" && !arg.exists { e =>
+              val f = NaiveEvalFamilies.family(e)
+              f == 'E' || f == 'P' || NaiveEvalFamilies.isListFam(f)
+            }
           case _ => false
         }
       if (!ok) Gen.const(None)
@@ -1866,12 +2216,14 @@ object NaiveEvalFamilies {
     case PropE(_, "f") => 'D'
     case PropE(_, "s") => 'S'
     case PropE(_, "b") => 'B'
+    case PropE(_, "d") => 'E'
     case PropE(_, _) => 'L'
     case VarE(_, fam) => fam
     case SizeE(_) => 'L'
     case LitE(_: Double) => 'D'
     case LitE(_: String) => 'S'
     case LitE(_: Boolean) => 'B'
+    case LitE(_: java.time.LocalDate) => 'E'
     case LitE(_) => 'L'
     case FnE("type", _) => 'S'
     case FnE(_, _) => 'X'
@@ -1905,6 +2257,13 @@ object NaiveEvalFamilies {
       p.map(family).getOrElse(ef) match { case 'S' => 'T'; case _ => 'M' }
     case PatCompSizeE(_, _) => 'L'
     case PathLenE(_) => 'L'
+    case PathNodesUidsE(_) => 'M'
+    case PathRelsSizeE(_) => 'L'
+    case MapLitE(_) => 'P'
+    case MapProjE(_, _) => 'P'
+    case MapIdxE(_, _, fam) => fam
+    case DateArithE(_, _, _) => 'E'
+    case DatePartE(_, _) => 'L'
   }
 
   def isListFam(f: Char): Boolean = f == 'M' || f == 'T'

@@ -31,7 +31,13 @@ object GenStatsMain {
       "patCompSz" -> "size([(", "UNION" -> "UNION",
       "UNION ALL" -> "UNION ALL", "namedPath" -> " = (",
       "pathLen" -> "length(pth", "entityEq" -> "AS ", // placeholder
-      "rename" -> " AS w")
+      "rename" -> " AS w",
+      // round-6 extensions: temporal, maps, path fns, vl quantifiers,
+      // CONSTRUCT blocks
+      "date" -> "date('", "durArith" -> "duration({days:",
+      "datePart" -> ".year", "mapLit" -> "{a:", "mapProj" -> " {.",
+      "pathNodes" -> "nodes(pth", "pathRels" -> "relationships(pth",
+      "quantVl" -> "(qv IN r", "CONSTRUCT" -> "CONSTRUCT CLONE")
     probes.foreach { case (name, pat) =>
       println(f"$name%-11s ${texts.count(_.contains(pat))}%5d / $n")
     }

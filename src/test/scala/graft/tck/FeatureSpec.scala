@@ -95,9 +95,9 @@ class FeatureSpec extends AnyFunSuite {
       val g = graphFor(sc.given)
       sc.expectError match {
         case Some(_) =>
-          intercept[Throwable] { gs.cypher(g, sc.query).collect() }
+          intercept[Throwable] { gs.cypher(g, sc.query, sc.params).collect() }
         case None =>
-          val df = gs.cypher(g, sc.query)
+          val df = gs.cypher(g, sc.query, sc.params)
           // `Then the result should be empty` carries no table at all
           if (sc.columns.isEmpty)
             assert(df.collect().isEmpty, s"\nquery: ${sc.query}")

@@ -21,17 +21,20 @@ package graft.tck
   *  - `Then the result should be, in any order:` / `, in order:` +
   *    result table; `Then the result should be empty`
   *  - `Then a <ErrorType> should be raised at <phase>: <detail>`
+  *  - `[And|Given] parameters are:` + a headerless name|value table —
+  *    values parse with the TCK cell syntax and bind as query parameters
   *  - `And no side effects` (read-only engine — always true, ignored)
   */
 object Gherkin {
 
   case class TckScenario(feature: String, name: String, given: String,
       query: String, columns: Seq[String], rows: Seq[Seq[String]],
-      ordered: Boolean, expectError: Option[String])
+      ordered: Boolean, expectError: Option[String],
+      params: Map[String, Any] = Map.empty)
 
   private case class Body(given: String, query: String,
       columns: Seq[String], rows: Seq[Seq[String]], ordered: Boolean,
-      expectError: Option[String])
+      expectError: Option[String], params: Map[String, Any])
 
   private def isHeader(s: String): Boolean =
     s.startsWith("Feature:") || s.startsWith("Background:") ||
@@ -76,12 +79,21 @@ object Gherkin {
     var rows: Seq[Seq[String]] = Nil
     var ordered = false
     var err: Option[String] = None
+    var params: Map[String, Any] = Map.empty
     while (i < lines.length) {
       val s = peek
       i += 1
       if (s == "Given an empty graph" || s == "Given any graph") ()
       else if (s.endsWith("having executed:"))
         given = (if (given.isEmpty) "" else given + "\n") + docString()
+      else if (s.endsWith("parameters are:")) {
+        // headerless name|value table, one parameter binding per row
+        val t = table()
+        (t._1 +: t._2).foreach { r =>
+          require(r.length == 2, s"parameter row needs 2 cells, got $r")
+          params += (r.head -> parseValue(r(1)))
+        }
+      }
       else if (s == "When executing query:" ||
         s == "When executing control query:") query = docString()
       else if (s.startsWith("Then the result should be, in any order:") ||
@@ -95,7 +107,7 @@ object Gherkin {
       }
       // `And no side effects`, comments, blanks: ignored
     }
-    Body(given, query, cols, rows, ordered, err)
+    Body(given, query, cols, rows, ordered, err, params)
   }
 
   def parseFile(text: String): Seq[TckScenario] = {
@@ -150,7 +162,7 @@ object Gherkin {
             val b = parseBody(substituted)
             out += TckScenario(feature, s"$name #$exampleNo",
               withBackground(b.given), b.query, b.columns, b.rows,
-              b.ordered, b.expectError)
+              b.ordered, b.expectError, b.params)
           }
         }
         require(exampleNo > 0, s"Scenario Outline '$name' has no Examples")
@@ -158,7 +170,7 @@ object Gherkin {
         val name = l.drop(9).trim; i += 1
         val b = parseBody(blockUntilHeader())
         out += TckScenario(feature, name, withBackground(b.given), b.query,
-          b.columns, b.rows, b.ordered, b.expectError)
+          b.columns, b.rows, b.ordered, b.expectError, b.params)
       } else i += 1
     }
     out.result()
