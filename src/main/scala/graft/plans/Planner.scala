@@ -709,14 +709,30 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }.groupBy(identity).view.mapValues(_.size).toMap
 
     val relIds = scala.collection.mutable.ArrayBuffer.empty[RelId]
+    // WHERE conjuncts not pushed as quantifiers: planPart drains any that
+    // become answerable BEFORE a var-length expansion — the deep frontier
+    // route localCheckpoints per depth, and Catalyst cannot push a filter
+    // below a checkpoint, so an anchor (`WHERE c.c_custkey = 1`) must
+    // shrink the SEED there instead of filtering the full closure after
+    val pendingWhere = scala.collection.mutable.ArrayBuffer(rest: _*)
     var st = state
     orderParts(m.pattern.parts, state).foreach { part =>
       st = planPart(graph, st, part, relIds, quantMap, structVars,
-        whereBonus) }
+        whereBonus, pendingWhere) }
     st = applyRelUniqueness(st, relIds.toSeq)
-    rest.reduceOption(And.apply).foreach { pred =>
+    pendingWhere.reduceOption(And.apply).foreach { pred =>
       st = applyWhere(graph, st, pred) }
     st
+  }
+
+  /** a conjunct safe to apply as a plain row filter (no subquery planning
+    * needed): free of pattern predicates/comprehensions. */
+  private def plainConjunct(e: Any): Boolean = e match {
+    case _: PatternPredicate | _: PatternComprehension => false
+    case s: Seq[_] => s.forall(plainConjunct)
+    case o: Option[_] => o.forall(plainConjunct)
+    case p: Product => p.productIterator.forall(plainConjunct)
+    case _ => true
   }
 
   /** Cross-part twin of [[maybeReversePart]]: plan the parts of one MATCH
@@ -817,7 +833,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       relIds: scala.collection.mutable.ArrayBuffer[RelId],
       quantPreds: Map[String, Seq[Quantified]] = Map.empty,
       structVars: Set[String] = Set.empty,
-      whereBonus: Map[String, Int] = Map.empty): PState = {
+      whereBonus: Map[String, Int] = Map.empty,
+      pendingWhere: scala.collection.mutable.ArrayBuffer[Expr] =
+        scala.collection.mutable.ArrayBuffer.empty): PState = {
     val part = maybeReversePart(part0, state, whereBonus)
     val propPreds = scala.collection.mutable.ArrayBuffer.empty[Expr]
     // named path (`p = ...`): record node vars and rel segments in order
@@ -904,6 +922,23 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             pathSegs += SingleSeg(rb1.idCol)
           st2
         case Some((lo, hi)) =>
+          // materialization barrier ahead: the deep route localCheckpoints
+          // every depth and Catalyst cannot push a filter below a
+          // checkpoint — drain every already-answerable plain WHERE
+          // conjunct NOW so the expansion seeds only qualifying rows
+          // (an unanchored seed computes the graph's full transitive
+          // closure before the filter ever runs)
+          if (pendingWhere.nonEmpty) {
+            val (ready, notReady) = pendingWhere.partition(p =>
+              plainConjunct(p) &&
+                freeExprVars(p).forall(st.header.contains))
+            if (ready.nonEmpty) {
+              st = ready.foldLeft(st)((s, p) =>
+                s.copy(df = s.df.where(compiler(s).compile(p))))
+              pendingWhere.clear()
+              pendingWhere ++= notReady
+            }
+          }
           val innerCol = if (named) Some(fresh(s"${relVar}_inner")) else None
           val st2 = expandVarLength(graph, st, prevVar, relVar, rel, dstVar,
             node, lo, hi.getOrElse(maxVarLength), propPreds, innerCol,
