@@ -3279,6 +3279,45 @@ class TckStyleSpec extends AnyFunSuite {
   // full TCK-syntax twins live in features/ErrorReporting.feature)
   // a def, not a val: the class initializer is at the JVM's 64KB method
   // limit — each batch from here on compiles to its own method
+  // probe batch 40 (round 6, Probe47Main): parser whitespace/syntax
+  // tolerance — the read-only LabelsAcceptance rows plus literal forms
+  def probeBatch40: Seq[Scenario] = {
+    val ab = "CREATE (:A:B {k: 1, s: 'x'})\nCREATE (:A {k: 2})"
+    Seq(
+      Scenario("probe40 space before label colon",
+        ab, "MATCH (n :A) RETURN count(*) AS c", Seq(row("c" -> 2L))),
+      Scenario("probe40 label conjunction predicate with spaces",
+        ab,
+        """MATCH (n) WHERE n:A:B RETURN n.k AS k
+          |UNION ALL MATCH (n) WHERE n : A RETURN count(*) AS k"""
+          .stripMargin,
+        Seq(row("k" -> 1L), row("k" -> 2L))),
+      Scenario("probe40 tight spacing around IN and keywords",
+        ab,
+        "MATCH (n:A) WHERE n.k IN[1,2] RETURN count(*) AS c",
+        Seq(row("c" -> 2L))),
+      Scenario("probe40 float and radix literal forms",
+        empty,
+        """RETURN .5 AS a, 5. AS b, 0x1F AS hex, 0o17 AS oct,
+          |1e3 AS e1, 1E-2 AS e2""".stripMargin,
+        Seq(row("a" -> 0.5, "b" -> 5.0, "hex" -> 31L, "oct" -> 15L,
+          "e1" -> 1000.0, "e2" -> 0.01))),
+      Scenario("probe40 mixed-case keywords",
+        ab, "mAtCh (n:A) rEtUrN count(*) AS c", Seq(row("c" -> 2L))),
+      Scenario("probe40 backtick-quoted variables",
+        ab,
+        """MATCH (`my var`:A) WITH `my var`.k AS `back tick`
+          |RETURN `back tick` AS k ORDER BY k""".stripMargin,
+        Seq(row("k" -> 1L), row("k" -> 2L)), ordered = true),
+      Scenario("probe40 undefined backtick variable errors",
+        empty, "RETURN `weird col` IS NULL AS x", Nil,
+        expectError = Some("not defined")),
+      Scenario("probe40 block and line comments",
+        ab,
+        "/* block comment */ MATCH (n:A) // line comment\nRETURN count(*) AS c",
+        Seq(row("c" -> 2L))))
+  }
+
   // probe batch 38 (round 6, Probe44/45Main): TIME and LOCALTIME — the
   // last two of Neo4j's five temporal types (the reference blacklists
   // its whole 920-scenario temporal area). Struct-encoded time-of-day
@@ -3494,7 +3533,35 @@ class TckStyleSpec extends AnyFunSuite {
       Scenario("probe39 dynamic key access on a map literal",
         g3,
         "MATCH (n:A {uid: 0}) RETURN {a: n.k, b: 2}['a'] AS v",
-        Seq(row("v" -> 1L))))
+        Seq(row("v" -> 1L))),
+      // CONSTRUCT NEW (Probe46): one NEW element per binding ROW
+      Scenario("probe39 construct NEW edge between cloned nodes",
+        g3,
+        """MATCH (a:A)-[:T]->(b)
+          |CONSTRUCT CLONE a, b NEW (a)-[:X {w: b.k}]->(b)
+          |MATCH (x)-[y:X]->(z) RETURN y.w AS w ORDER BY w""".stripMargin,
+        Seq(row("w" -> 1L), row("w" -> 2L)), ordered = true),
+      Scenario("probe39 construct NEW is per binding row",
+        """CREATE (a:A {uid: 0})
+          |CREATE (b:B {uid: 1})
+          |CREATE (a)-[:T {uid: 1000}]->(b)
+          |CREATE (a)-[:T {uid: 1001}]->(b)""".stripMargin,
+        """MATCH (a:A)-[:T]->(b:B)
+          |CONSTRUCT CLONE a, b NEW (a)-[:X]->(b)
+          |MATCH (x)-[y:X]->(z) RETURN count(*) AS n""".stripMargin,
+        Seq(row("n" -> 2L))),
+      Scenario("probe39 construct NEW standalone node per row",
+        g3, // g3 has TWO :A nodes → one Fresh node per binding row
+        """MATCH (a:A)
+          |CONSTRUCT CLONE a NEW (n:Fresh {v: 7})
+          |MATCH (m:Fresh) RETURN m.v AS v""".stripMargin,
+        Seq(row("v" -> 7L), row("v" -> 7L))),
+      Scenario("probe39 multiple NEW clauses per construct",
+        g3,
+        """MATCH (a:A {uid: 0})-[r:T]->(b:A {uid: 1})
+          |CONSTRUCT CLONE a, b NEW (a)-[:W]->(b) NEW (a)-[:V]->(b)
+          |MATCH (x)-[y]->(z) RETURN type(y) AS t ORDER BY t""".stripMargin,
+        Seq(row("t" -> "V"), row("t" -> "W")), ordered = true))
   }
 
   // probe batch 37 (round 6, Probe43Main): the remaining READ-ONLY
@@ -3897,7 +3964,7 @@ class TckStyleSpec extends AnyFunSuite {
 
   test("scenario corpus is large enough to be meaningful") {
     val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
-      probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ diffBatch5 ++ diffBatch6
+      probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -3907,7 +3974,7 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
-    probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ diffBatch5 ++ diffBatch6).foreach { sc =>
+    probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }

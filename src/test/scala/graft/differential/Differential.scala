@@ -242,7 +242,12 @@ object Model {
     * otherwise (Probe41), a corner the grammar avoids by construction.
     * cloneRels entries are (relVar, srcNodeVar, dstNodeVar). */
   final case class SConstruct(cloneNodes: List[String],
-      cloneRels: List[(String, String, String)]) extends Stage
+      cloneRels: List[(String, String, String)],
+      newRels: List[(String, String, String, Option[Long])] = Nil)
+    extends Stage
+  // newRels: (srcVar, relType, dstVar, w-literal) — one NEW edge PER
+  // BINDING ROW (engine-verified, Probe46: duplicate rows create
+  // duplicate edges), endpoints always drawn from the cloned node set
 
   final case class Query(stages: List[Stage], ret: Ret,
       unions: List[(Boolean, Query)] = Nil) {
@@ -305,8 +310,9 @@ object Model {
           }
           where.foreach(be)
         case SUnwindVar(_, src) => b += src
-        case SConstruct(ns, rs) =>
+        case SConstruct(ns, rs, nrs) =>
           b ++= ns; rs.foreach { case (rv, sv, dv) => b += rv; b += sv; b += dv }
+          nrs.foreach { case (sv, _, dv, _) => b += sv; b += dv }
         case _ =>
       }
       ret.items.foreach {
@@ -429,10 +435,15 @@ object Model {
         case SWith(d, items, where) =>
           sb ++= "WITH " + (if (d) "DISTINCT " else "") + renderItems(items) + "\n"
           where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
-        case SConstruct(ns, rs) =>
+        case SConstruct(ns, rs, nrs) =>
           val names = (ns ++ rs.flatMap { case (rv, sv, dv) =>
             List(sv, rv, dv) }).distinct
-          sb ++= "CONSTRUCT CLONE " + names.mkString(", ") + "\n"
+          sb ++= "CONSTRUCT CLONE " + names.mkString(", ")
+          nrs.foreach { case (sv, typ, dv, w) =>
+            val props = w.map(v => s" {w: $v}").getOrElse("")
+            sb ++= s" NEW ($sv)-[:$typ$props]->($dv)"
+          }
+          sb ++= "\n"
       }
       sb ++= "RETURN "
       if (ret.distinct) sb ++= "DISTINCT "
@@ -978,12 +989,15 @@ object NaiveEval {
     curG.set(curGraph)
     var rows: List[Binding] = List(Map.empty)
     q.stages.foreach {
-      case SConstruct(ns, rs) =>
+      case SConstruct(ns, rs, nrs) =>
         // constructed graph: distinct cloned nodes + distinct cloned rels
-        // with their (topological) endpoints; binding table resets to unit
+        // with their (topological) endpoints; NEW edges one PER BINDING
+        // ROW (duplicate rows duplicate edges — engine-verified, Probe46);
+        // binding table resets to unit
         val nodesB =
           scala.collection.mutable.LinkedHashMap.empty[Long, MNode]
         val relsB = scala.collection.mutable.LinkedHashMap.empty[Long, MRel]
+        var freshRelId = 10000000L
         rows.foreach { r =>
           ns.foreach { v => r.get(v) match {
             case Some(n: MNode) => nodesB(n.id) = n
@@ -996,6 +1010,16 @@ object NaiveEval {
               nodesB.getOrElseUpdate(rel.dst, curGraph.node(rel.dst))
             case _ => ()
           } }
+          nrs.foreach { case (sv, typ, dv, w) =>
+            (r.get(sv), r.get(dv)) match {
+              case (Some(sn: MNode), Some(dn: MNode)) =>
+                relsB(freshRelId) = MRel(freshRelId, sn.id, dn.id, typ,
+                  w.map(v => Map[String, Any]("w" -> v))
+                    .getOrElse(Map.empty[String, Any]))
+                freshRelId += 1
+              case _ => ()
+            }
+          }
         }
         curGraph = MGraph(nodesB.values.toVector, relsB.values.toVector)
         curG.set(curGraph)
@@ -2053,9 +2077,16 @@ object DiffGen {
     val valItems = ves.zip(aliases).map { case (e, a) =>
       ValItem(e, a): RetItem
     }
+    // collect has no scalar surface here, and a date/map/list-typed
+    // aggregate can't union with the main body's freely-typed column
+    // (hunt 46890: max(date - duration) vs min(1))
+    val aggUnionSafe = agg.fn != "collect" && !agg.arg.exists { e =>
+      val f = NaiveEvalFamilies.family(e)
+      f == 'E' || f == 'P' || NaiveEvalFamilies.isListFam(f)
+    }
     val items =
       if (!aggLast) valItems
-      else valItems :+ (if (agg.fn == "collect")
+      else valItems :+ (if (!aggUnionSafe)
         AggItem("count*", None, distinct = false, aliases.last): RetItem
       else (agg: RetItem))
     Query(
@@ -2085,6 +2116,12 @@ object DiffGen {
     where1 <- genBE(m1._2, 1)
     pickRels <- Gen.someOf(clonableHops(m1._1))
     extraNode <- Gen.prob(0.5)
+    wantNew <- Gen.prob(0.4)
+    newTyp <- Gen.oneOf("X", "Y")
+    si <- Gen.choose(0, 7)
+    di <- Gen.choose(0, 7)
+    hasW <- Gen.prob(0.5)
+    wv <- Gen.choose(0L, 4L)
     m2 <- genMatch(emptyCtx, optional = false, 300)
     w2 <- Gen.prob(0.5)
     where2 <- genBE(m2._2, 1)
@@ -2094,8 +2131,18 @@ object DiffGen {
     val rels = pickRels.toList
     val nodes0 =
       if (extraNode || rels.isEmpty) List(m1._1.chains.head.first.v) else Nil
+    // NEW edges draw endpoints from the CLONED node set only (the engine
+    // materializes implicit property-less endpoints otherwise)
+    val avail = (nodes0 ++ rels.flatMap { case (_, s, d) => List(s, d) })
+      .distinct
+    val newRels =
+      if (wantNew && avail.nonEmpty)
+        List((avail(si % avail.size), newTyp, avail(di % avail.size),
+          if (hasW) Some(wv) else None))
+      else Nil
     val mc2 = m2._1.copy(where = if (w2) Some(where2) else None)
-    Query(List(SMatch(mc1), SConstruct(nodes0, rels), SMatch(mc2)), ret)
+    Query(List(SMatch(mc1), SConstruct(nodes0, rels, newRels), SMatch(mc2)),
+      ret)
   }
 
   def genQuery: Gen[Query] = Gen.frequency(
