@@ -18,7 +18,11 @@ object Bench {
     // otherwise. Warm them on the sf0.001 fixtures (same codecs, tiny
     // data); the timed sf runs then measure decode throughput, not
     // class-loading.
-    Seq("p14_media_features", "p11_media_frames").foreach { q =>
+    // c37's iterative frontier route codegens one join stage per depth —
+    // a few seconds of data-independent whole-stage-compilation that the
+    // tiny-sf warm-up absorbs the same way
+    Seq("p14_media_features", "p11_media_frames",
+      "c37_deep_varlength").foreach { q =>
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
