@@ -1370,28 +1370,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   /** ISO time-of-day string → (micros of day, offset seconds option).
     * Accepts HH[:MM[:SS[.fff]]] [±HH[:MM] | Z]; also the compact HHMMSS
     * forms Neo4j takes. */
-  private[plans] def parseIsoTime(s0: String): (Long, Option[Int]) = {
-    val s = s0.trim
-    val offRe = "([+-]\\d{2}(:?\\d{2})?|Z)$".r
-    val (body, off) = offRe.findFirstIn(s) match {
-      case Some("Z") => (s.dropRight(1), Some(0))
-      case Some(o) =>
-        val sign = if (o.startsWith("-")) -1 else 1
-        val digits = o.drop(1).replace(":", "")
-        val h = digits.take(2).toInt
-        val m = if (digits.length > 2) digits.drop(2).toInt else 0
-        (s.dropRight(o.length), Some(sign * (h * 3600 + m * 60)))
-      case None => (s, None)
-    }
-    val t = java.time.LocalTime.parse(
-      if (body.contains(":")) body
-      else body.length match { // compact: HH / HHMM / HHMMSS[.fff]
-        case 2 => body + ":00"
-        case 4 => body.take(2) + ":" + body.drop(2)
-        case _ => body.take(2) + ":" + body.slice(2, 4) + ":" + body.drop(4)
-      })
-    (t.toNanoOfDay / 1000L, off)
-  }
+  private[plans] def parseIsoTime(s0: String): (Long, Option[Int]) =
+    ExprCompiler.parseIsoTime(s0)
 
   private[plans] def parseIsoDate(s0: String): java.time.LocalDate = {
     import java.time.LocalDate
@@ -2414,6 +2394,32 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 }
 
 object ExprCompiler {
+  /** ISO time-of-day string -> (micros of day, offset seconds option);
+    * shared by the expression compiler and the CREATE-fixture literal
+    * evaluator. */
+  private[graft] def parseIsoTime(s0: String): (Long, Option[Int]) = {
+    val s = s0.trim
+    val offRe = "([+-]\\d{2}(:?\\d{2})?|Z)$".r
+    val (body, off) = offRe.findFirstIn(s) match {
+      case Some("Z") => (s.dropRight(1), Some(0))
+      case Some(o) =>
+        val sign = if (o.startsWith("-")) -1 else 1
+        val digits = o.drop(1).replace(":", "")
+        val h = digits.take(2).toInt
+        val m = if (digits.length > 2) digits.drop(2).toInt else 0
+        (s.dropRight(o.length), Some(sign * (h * 3600 + m * 60)))
+      case None => (s, None)
+    }
+    val t = java.time.LocalTime.parse(
+      if (body.contains(":")) body
+      else body.length match { // compact: HH / HHMM / HHMMSS[.fff]
+        case 2 => body + ":00"
+        case 4 => body.take(2) + ":" + body.drop(2)
+        case _ => body.take(2) + ":" + body.slice(2, 4) + ":" + body.drop(4)
+      })
+    (t.toNanoOfDay / 1000L, off)
+  }
+
   val aggregateNames: Set[String] = Set("count", "sum", "avg", "min", "max",
     "collect", "stdev", "stdevp", "percentilecont", "percentiledisc",
     "approxcountdistinct", "percentileapprox")

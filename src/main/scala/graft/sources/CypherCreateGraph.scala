@@ -144,6 +144,34 @@ object CypherCreateGraph {
     case Func("date", _, List(StringLit(s))) => java.sql.Date.valueOf(s)
     case Func("localdatetime" | "datetime", _, List(StringLit(s))) =>
       java.time.LocalDateTime.parse(s)
+    // TIME/LOCALTIME use the engine's struct encoding ({"@lt": micros} /
+    // {"@zt": utc micros, "off": offset sec} — see ExprCompiler): a
+    // ListMap here widens to exactly that struct, so fixture-stored
+    // times flow through accessors/comparisons/toString unchanged
+    case Func("localtime", _, List(StringLit(s))) =>
+      scala.collection.immutable.ListMap(
+        "@lt" -> graft.plans.ExprCompiler.parseIsoTime(s)._1)
+    case Func("time", _, List(StringLit(s))) =>
+      val (mic, off) = graft.plans.ExprCompiler.parseIsoTime(s)
+      val o = off.getOrElse(0)
+      scala.collection.immutable.ListMap(
+        "@zt" -> java.lang.Math.floorMod(mic - o * 1000000L, 86400000000L),
+        "off" -> o)
+    // durations: the CalendarInterval triple, exactly the engine's
+    // duration({...}) columnar value
+    case Func("duration", _, List(MapLit(items))) =>
+      val m = items.toMap
+      def num(k: String): Double = m.get(k).map(literal).map {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"duration component $k must be numeric, got $other")
+      }.getOrElse(0.0)
+      new org.apache.spark.unsafe.types.CalendarInterval(
+        (num("years") * 12 + num("months")).toInt,
+        (num("weeks") * 7 + num("days")).toInt,
+        ((num("hours") * 3600 + num("minutes") * 60 + num("seconds")) *
+          1000000L).toLong)
     case other => throw new IllegalArgumentException(
       s"CREATE property values must be literals, got $other")
   }
@@ -151,11 +179,14 @@ object CypherCreateGraph {
   private def typeOfValue(v: Any): DataType = v match {
     case null => NullType
     case _: Long => LongType
+    case _: Int => IntegerType // time-struct offset field
     case _: Double => DoubleType
     case _: String => StringType
     case _: Boolean => BooleanType
     case _: java.sql.Date => DateType
     case _: java.time.LocalDateTime => TimestampNTZType
+    case _: org.apache.spark.unsafe.types.CalendarInterval =>
+      CalendarIntervalType
     case s: Seq[_] =>
       ArrayType(s.map(typeOfValue).reduceOption(SparkTypes.widen)
         .getOrElse(NullType))

@@ -3463,6 +3463,27 @@ class TckStyleSpec extends AnyFunSuite {
         |       localtime('09:00:00.000001') > localtime('09:00') AS c"""
         .stripMargin,
       Seq(row("a" -> true, "b" -> true, "c" -> true))),
+    // Probe48: TIME/LOCALTIME/duration values as fixture-stored node
+    // PROPERTIES (CREATE literal evaluator maps them onto the engine's
+    // struct / CalendarInterval encodings)
+    Scenario("probe38b localtime stored as a node property",
+      """CREATE (:E {t: localtime('09:05'), uid: 0})
+        |CREATE (:E {uid: 1})""".stripMargin,
+      "MATCH (n:E) RETURN toString(n.t) AS t ORDER BY n.uid",
+      Seq(row("t" -> "09:05:00"), row("t" -> null)), ordered = true),
+    Scenario("probe38b stored localtime filters in WHERE",
+      """CREATE (:E {t: localtime('09:05'), uid: 0})
+        |CREATE (:E {t: localtime('14:30'), uid: 1})""".stripMargin,
+      "MATCH (n:E) WHERE n.t < localtime('12:00') RETURN n.uid AS u",
+      Seq(row("u" -> 0L))),
+    Scenario("probe38b stored zoned time keeps its offset",
+      "CREATE (:E {t: time('09:05+02:00'), uid: 0})",
+      "MATCH (n:E) RETURN n.t.hour AS h, n.t.offset AS o",
+      Seq(row("h" -> 9L, "o" -> "+02:00"))),
+    Scenario("probe38b stored duration round-trips",
+      "CREATE (:E {d: duration({days: 2, hours: 3}), uid: 0})",
+      "MATCH (n:E) RETURN toString(n.d) AS d, n.d.days AS days",
+      Seq(row("d" -> "P2DT3H", "days" -> 2L))),
     Scenario("probe38b compact and fractional time parse forms",
       empty,
       """RETURN toString(localtime('0905')) AS a,
