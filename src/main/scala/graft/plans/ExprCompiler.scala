@@ -995,6 +995,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * tag wins, so DISTINCT over [1.0, 1] deterministically keeps the
     * integer encoding (members differ only in the number tag). */
   private[plans] def mixedReprKey(c: Column): Column = c.getField("@k")
+  /** Zoned TIME equality/ordering compare the @zt instant only (per CIP);
+    * grouping/DISTINCT must use the same equivalence, not the raw
+    * {@zt, off} struct — two equal times with different offsets are ONE
+    * group (ADVICE r7). The representative keeps the smallest offset,
+    * deterministically. */
+  private[plans] def isZonedTime(t: DataType): Boolean = isZonedTimeStruct(t)
+  private[plans] def zonedInstantKey(c: Column): Column = c.getField("@zt")
+  private[plans] def zonedReprKey(c: Column): Column = c.getField("off")
   /** element type encodable by [[toMixed]] */
   private def isMixedAtomic(t: DataType): Boolean = t match {
     case NullType | StringType | BooleanType => true
@@ -2065,13 +2073,25 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "duration" => f.args.head match {
         case MapLit(items) =>
           val m = items.toMap
+          val bad = m.keySet -- ExprCompiler.durationComponents
+          if (bad.nonEmpty) throw new IllegalArgumentException(
+            s"unknown duration component(s): ${bad.toSeq.sorted.mkString(", ")} " +
+              s"(supported: ${ExprCompiler.durationComponents.toSeq.sorted.mkString(", ")})")
           def part(k: String) = m.get(k).map(compile).getOrElse(lit(0L))
+          // sub-second components fold into the seconds decimal;
+          // nanoseconds truncate to the storage's microsecond resolution
+          val secs = part("seconds").cast(DecimalType(18, 6)) +
+            (part("milliseconds").cast(DecimalType(18, 6)) / 1000) +
+            (part("microseconds").cast(DecimalType(18, 6)) / 1000000) +
+            (floor(part("nanoseconds").cast(DecimalType(27, 6)) / 1000)
+              .cast(DecimalType(18, 6)) / 1000000)
           make_interval(part("years").cast(IntegerType),
-            part("months").cast(IntegerType),
+            (part("quarters").cast(IntegerType) * 3 +
+              part("months").cast(IntegerType)).cast(IntegerType),
             part("weeks").cast(IntegerType), part("days").cast(IntegerType),
             part("hours").cast(IntegerType),
             part("minutes").cast(IntegerType),
-            part("seconds").cast(DecimalType(18, 6)))
+            secs.cast(DecimalType(18, 6)))
         case StringLit(s) =>
           val p = IsoDuration.parse(s)
           make_interval(lit(p.years), lit(p.months), lit(0),
@@ -2247,6 +2267,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val c = compile(args.head)
       count_distinct(when(c.isNull || c.getField("@k") === 0, lit(null))
         .otherwise(mixedEquivKey(c)))
+    case Func("count", true, args) if isZonedTimeStruct(typeOf(args.head)) =>
+      // zoned times count by instant (equality ignores the offset)
+      count_distinct(compile(args.head).getField("@zt"))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
     // Cypher sum() over no (non-null) input is 0, not SQL's null.
@@ -2317,6 +2340,17 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           coalesce(mixedPairEq(x, y), lit(false))
       aggregate(lst, array().cast(ArrayType(typeOf(args.head))),
         (acc, x) => when(exists(acc, y => eqv(x, y)), acc)
+          .otherwise(concat(acc, array(x))))
+    case Func("collect", true, args)
+        if isZonedTimeStruct(typeOf(args.head)) =>
+      // collect_set over the raw {@zt, off} struct would keep two equal
+      // instants with different offsets — dedupe by instant, keeping the
+      // first-seen representative (same fold + bound as the mixed case)
+      val c = compile(args.head)
+      val lst = collect_list(c)
+      aggregate(lst, array().cast(ArrayType(typeOf(args.head))),
+        (acc, x) => when(
+          exists(acc, y => y.getField("@zt") === x.getField("@zt")), acc)
           .otherwise(concat(acc, array(x))))
     case Func("collect", true, args) => collect_set(entityValue(args.head))
     case Func("collect", false, args) => collect_list(entityValue(args.head))
@@ -2399,9 +2433,13 @@ object ExprCompiler {
     * evaluator. */
   private[graft] def parseIsoTime(s0: String): (Long, Option[Int]) = {
     val s = s0.trim
-    val offRe = "([+-]\\d{2}(:?\\d{2})?|Z)$".r
+    def bail(): Nothing = throw new IllegalArgumentException(
+      s"invalid ISO time-of-day: '$s0' (expected HH[:MM[:SS[.fff]]] " +
+        "or compact HHMMSS, with an optional Z or +/-HH[:MM] offset)")
+    // 'Z'/'z' both mean UTC (ISO-8601 is case-insensitive here)
+    val offRe = "([+-]\\d{2}(:?\\d{2})?|[Zz])$".r
     val (body, off) = offRe.findFirstIn(s) match {
-      case Some("Z") => (s.dropRight(1), Some(0))
+      case Some("Z") | Some("z") => (s.dropRight(1), Some(0))
       case Some(o) =>
         val sign = if (o.startsWith("-")) -1 else 1
         val digits = o.drop(1).replace(":", "")
@@ -2410,15 +2448,26 @@ object ExprCompiler {
         (s.dropRight(o.length), Some(sign * (h * 3600 + m * 60)))
       case None => (s, None)
     }
-    val t = java.time.LocalTime.parse(
+    val normalized =
       if (body.contains(":")) body
-      else body.length match { // compact: HH / HHMM / HHMMSS[.fff]
+      else body.takeWhile(_ != '.').length match {
+        // compact bodies: HH / HHMM / HHMMSS[.fff] only
         case 2 => body + ":00"
         case 4 => body.take(2) + ":" + body.drop(2)
-        case _ => body.take(2) + ":" + body.slice(2, 4) + ":" + body.drop(4)
-      })
+        case 6 => body.take(2) + ":" + body.slice(2, 4) + ":" + body.drop(4)
+        case _ => bail()
+      }
+    val t =
+      try java.time.LocalTime.parse(normalized)
+      catch { case _: java.time.format.DateTimeParseException => bail() }
     (t.toNanoOfDay / 1000L, off)
   }
+
+  /** duration({...}) map components (Neo4j's accepted set); unknown keys
+    * error instead of silently contributing nothing. */
+  private[graft] val durationComponents: Set[String] = Set("years",
+    "quarters", "months", "weeks", "days", "hours", "minutes", "seconds",
+    "milliseconds", "microseconds", "nanoseconds")
 
   val aggregateNames: Set[String] = Set("count", "sum", "avg", "min", "max",
     "collect", "stdev", "stdevp", "percentilecont", "percentiledisc",
@@ -2429,10 +2478,13 @@ object ExprCompiler {
     * (Cypher columns are dynamically typed; `RETURN n.k UNION ALL RETURN
     * n.s` is legal). Columns whose branch types span more than one atomic
     * family compile to the tagged-union struct on every branch, instead of
-    * letting unionByName insert a crashing cast. Numbers normalize to the
-    * float tag (one equivalence group), consistent with the engine's
-    * documented Long→Double widening for all-numeric unions — so UNION
-    * dedup collapses 1 and 1.0 exactly as untagged unions do. */
+    * letting unionByName insert a crashing cast. Integral branches keep
+    * the integer tag (`RETURN 1 UNION ALL RETURN 'a'` preserves `1`, not
+    * `1.0`); UNION-distinct still collapses 1 and 1.0 into one row because
+    * the dedup keys on the openCypher EQUIVALENCE struct (numbers
+    * normalized to double), keeping the lowest-tag (integer)
+    * representative — see [[Planner.plan]]. All-numeric unions stay on the
+    * documented Long→Double unionByName widening (no tagging). */
   def unionAlignMixed(dfs: Seq[DataFrame]): Seq[DataFrame] = {
     def fam(t: DataType): Option[String] = t match {
       case NullType => Some("null")
@@ -2454,8 +2506,11 @@ object ExprCompiler {
         case NullType =>
           (lit(0), nl(LongType), nl(DoubleType), nl(StringType),
             nl(BooleanType))
-        case _: NumericType =>
+        case DoubleType | FloatType | _: DecimalType =>
           (lit(2), nl(LongType), c.cast(DoubleType), nl(StringType),
+            nl(BooleanType))
+        case _: NumericType => // integral branches keep the integer tag
+          (lit(1), c.cast(LongType), nl(DoubleType), nl(StringType),
             nl(BooleanType))
         case StringType =>
           (lit(3), nl(LongType), nl(DoubleType), c, nl(BooleanType))

@@ -71,6 +71,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
   // ================================================================ entry
   def plan(q: Query): DataFrame = {
+    // a LEADING FROM GRAPH selects the statement's working graph for the
+    // WHOLE query: union branches without their own FROM inherit it
+    // (they would otherwise silently run against the session's empty
+    // ambient graph — found by the round-7 differential catalog mode)
+    q.first.clauses.headOption.foreach {
+      case FromGraphClause(ref) => ambientGraph = catalog(ref)
+      case _ => ()
+    }
     val first = planSingle(q.first)
     if (q.unions.isEmpty) return first
     val rest = q.unions.map { case (all, sq) => (all, planSingle(sq)) }
@@ -88,9 +96,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     var acc = aligned.head
     aligned.tail.zip(rest.map(_._1)).foreach { case (next, all) =>
       val u = acc.unionByName(next)
-      acc = if (all) u else u.dropDuplicates()
+      acc = if (all) u else unionDistinct(u)
     }
     acc
+  }
+
+  /** UNION-distinct dedup. Mixed-family (tagged) columns key on the
+    * openCypher EQUIVALENCE struct — 1 and 1.0 are ONE value even though
+    * their encodings differ (integer vs float tag) — and keep the
+    * lowest-tag representative, so `RETURN 1 UNION RETURN 1.0` collapses
+    * to the integer while `RETURN 1 UNION RETURN 'a'` preserves both.
+    * Zoned TIMEs key on their instant (equality ignores the offset). */
+  private def unionDistinct(u: DataFrame): DataFrame = {
+    val comp = new ExprCompiler(Header(ListMap.empty), params, () => u)
+    Planner.equivDistinct(u, u.columns.toSeq, comp)
   }
 
   /** Per-var count of expressions in the current query that read
@@ -249,11 +268,15 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     else patDefs.collect { case (v, 1) if !exprRefs(v) => v }.toSet
   }
 
+  /** the query-level working graph: `initialGraph` unless a leading
+    * FROM GRAPH re-selected it for the whole statement (see [[plan]]). */
+  private var ambientGraph: PropertyGraph = initialGraph
+
   def planSingle(sq: SingleQuery): DataFrame = {
     relValueDemand = countDemand(sq.clauses)
     nodeValueDemand = mergeNodeValueDemand(nodeValueDemandIn(sq.clauses))
     singleUsePatternVars = computeSingleUse(sq.clauses)
-    var graph = initialGraph
+    var graph = ambientGraph
     var state = startState
     var finalDf: Option[DataFrame] = None
     // within one query part, a required MATCH after an OPTIONAL MATCH is
@@ -334,12 +357,18 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         graph = buildGraph(st2, c)
         built = Some(graph)
         state = unitState
-      case ReturnGraphClause => // no-op: graph already built by CONSTRUCT
+      case ReturnGraphClause =>
+        // after CONSTRUCT: no-op (graph already built). Without one,
+        // `FROM g RETURN GRAPH` returns the WORKING graph unchanged —
+        // the reference's ReturnGraph over the ambient graph; identity
+        // views (`VIEW v($g) { FROM $g RETURN GRAPH }`) depend on it
+        if (built.isEmpty) built = Some(graph)
       case _: ReturnClause => throw new IllegalArgumentException(
         "a graph-returning query must end in CONSTRUCT [RETURN GRAPH], not RETURN")
     }
     built.getOrElse(
-      throw new IllegalArgumentException("graph query needs a CONSTRUCT clause"))
+      throw new IllegalArgumentException(
+        "graph query needs a CONSTRUCT clause or RETURN GRAPH"))
   }
 
   /** CLONE = dedup-by-id carry-over of matched entities; NEW = one fresh
@@ -2022,10 +2051,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         df = df.withColumn(posCol, col(s"`$tDst`"))
           .select(frontierCols.map(c => col(s"`$c`")): _*)
         // materialize + truncate lineage: the next step's plan starts from
-        // this checkpoint, so plan size is constant in depth. (local
-        // checkpoint = executor-resident; a fault-tolerant deep traversal
-        // would set a reliable checkpoint dir instead.)
-        frontier = df.localCheckpoint()
+        // this checkpoint, so plan size is constant in depth.
+        frontier = Planner.checkpointFrontier(df)
         if (k >= math.max(lo, 1)) acc += emitDepth(frontier)
         exhausted = frontier.isEmpty
         k += 1
@@ -2745,25 +2772,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     if (distinct) {
       // DISTINCT on projected values, then order/skip/limit over new header.
       // Mixed-family (tagged) columns dedupe by openCypher EQUIVALENCE —
-      // 1 and 1.0 are one value — so they key on the equivalence struct
-      // (numbers normalized to double) and keep the lowest-tag
-      // representative (the integer encoding) deterministically.
+      // 1 and 1.0 are one value (lowest-tag representative kept); zoned
+      // TIMEs dedupe by instant (offset is presentation, not identity).
       df = df.select(newHeader.columns.map(c => col(s"`$c`")): _*)
-      val mixedCols = newHeader.columns.filter(c =>
-        comp.isMixedTagged(df.schema(c).dataType))
-      df =
-        if (mixedCols.isEmpty) df.dropDuplicates()
-        else {
-          val keyCols = newHeader.columns.map { c =>
-            if (mixedCols.contains(c)) comp.mixedEquivKey(col(s"`$c`"))
-            else col(s"`$c`")
-          }
-          val reprs = mixedCols.map(c =>
-            min_by(col(s"`$c`"), comp.mixedReprKey(col(s"`$c`"))).as(c))
-          df.groupBy(keyCols: _*)
-            .agg(reprs.head, reprs.tail: _*)
-            .select(newHeader.columns.map(c => col(s"`$c`")): _*)
-        }
+      df = Planner.equivDistinct(df, newHeader.columns, comp)
       val ordered = applyOrder(df, newHeader, orderBy, state)
       val sliced = applySkipLimit(ordered, skip, limit)
       PState(sliced, newHeader)
@@ -2850,14 +2862,16 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     val allAggCols = aggCols ++ hiddenAggs
     // mixed-family (tagged) group keys group by openCypher EQUIVALENCE
-    // (1 and 1.0 are one group): key on the equivalence struct and keep
-    // the lowest-tag representative (the integer encoding) per group
-    val mixedKeys = groupCols.filter(c =>
-      comp.isMixedTagged(df.schema(c).dataType))
+    // (1 and 1.0 are one group, lowest-tag representative kept); zoned
+    // TIME keys group by instant (smallest-offset representative)
+    val equivKeys = groupCols.flatMap { c =>
+      Planner.equivKeyRepr(comp, df.schema(c).dataType, col(s"`$c`"))
+        .map(c -> _)
+    }.toMap
     val agged =
       if (groupCols.isEmpty && implicitKeys.isEmpty)
         df.agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
-      else if (mixedKeys.isEmpty) {
+      else if (equivKeys.isEmpty) {
         val out0 = df
           .groupBy(groupCols.map(c => col(s"`$c`")) ++ implicitKeys: _*)
           .agg(allAggCols.head._2, allAggCols.tail.map(_._2): _*)
@@ -2868,11 +2882,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       }
       else {
         val keyCols = groupCols.map { c =>
-          if (mixedKeys.contains(c)) comp.mixedEquivKey(col(s"`$c`"))
-          else col(s"`$c`")
+          equivKeys.get(c).map(_._1).getOrElse(col(s"`$c`"))
         } ++ implicitKeys
-        val reprs = mixedKeys.map(c =>
-          min_by(col(s"`$c`"), comp.mixedReprKey(col(s"`$c`"))).as(c))
+        val reprs = groupCols.filter(equivKeys.contains).map(c =>
+          min_by(col(s"`$c`"), equivKeys(c)._2).as(c))
         val allAgg = reprs ++ allAggCols.map(_._2)
         df.groupBy(keyCols: _*)
           .agg(allAgg.head, allAgg.tail: _*)
@@ -2969,5 +2982,70 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       }).as(name)
     }
     state.df.select(cols: _*)
+  }
+}
+
+object Planner {
+  /** (dedup key, representative-preference key) for columns whose
+    * equivalence differs from their raw encoding: mixed-family tagged
+    * structs (equivalence struct, lowest-tag representative) and zoned
+    * TIME structs (instant key, smallest-offset representative). None →
+    * the raw column IS its own key. */
+  private[plans] def equivKeyRepr(comp: ExprCompiler, t: DataType,
+      c: Column): Option[(Column, Column)] =
+    if (comp.isMixedTagged(t)) Some((comp.mixedEquivKey(c), comp.mixedReprKey(c)))
+    else if (comp.isZonedTime(t)) Some((comp.zonedInstantKey(c), comp.zonedReprKey(c)))
+    else None
+
+  /** DISTINCT over `names` (the frame's exact columns) by openCypher
+    * equivalence: plain dropDuplicates unless some column needs an
+    * equivalence key, in which case group by the keys and keep a
+    * deterministic representative per group. */
+  private[plans] def equivDistinct(df: DataFrame, names: Seq[String],
+      comp: ExprCompiler): DataFrame = {
+    val keyed = names.flatMap { c =>
+      equivKeyRepr(comp, df.schema(c).dataType, col(s"`$c`"))
+        .map(c -> _)
+    }.toMap
+    if (keyed.isEmpty) df.dropDuplicates()
+    else {
+      val keyCols = names.map(c =>
+        keyed.get(c).map(_._1).getOrElse(col(s"`$c`")))
+      val reprs = names.filter(keyed.contains).map(c =>
+        min_by(col(s"`$c`"), keyed(c)._2).as(c))
+      df.groupBy(keyCols: _*).agg(reprs.head, reprs.tail: _*)
+        .select(names.map(c => col(s"`$c`")): _*)
+    }
+  }
+
+  /** Spark conf key: when set to a directory (HDFS/S3-compatible URI),
+    * the deep var-length frontier loop routes its per-depth lineage
+    * truncation through a RELIABLE checkpoint instead of the default
+    * `localCheckpoint`. Local checkpoints are executor-resident — fast,
+    * but a lost executor kills a long traversal; on a 1000-executor
+    * cluster running hours-long 100 TB traversals, set this. */
+  val CheckpointDirKey = "graft.checkpoint.dir"
+
+  // setCheckpointDir qualifies the path (scheme + authority), so compare
+  // against the raw value we last applied rather than the resolved one
+  @volatile private var appliedCkptDir: Option[String] = None
+
+  /** Lineage-truncating per-depth materialization for the iterative
+    * frontier loop: reliable `checkpoint(eager)` when
+    * [[CheckpointDirKey]] is set, executor-resident `localCheckpoint`
+    * otherwise. */
+  private[plans] def checkpointFrontier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (!appliedCkptDir.contains(dir)) synchronized {
+          if (!appliedCkptDir.contains(dir)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            appliedCkptDir = Some(dir)
+          }
+        }
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint()
+    }
   }
 }

@@ -161,6 +161,12 @@ object CypherCreateGraph {
     // duration({...}) columnar value
     case Func("duration", _, List(MapLit(items))) =>
       val m = items.toMap
+      val bad = m.keySet -- graft.plans.ExprCompiler.durationComponents
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"unknown duration component(s): ${bad.toSeq.sorted.mkString(", ")} " +
+          "(supported: " +
+          graft.plans.ExprCompiler.durationComponents.toSeq.sorted
+            .mkString(", ") + ")")
       def num(k: String): Double = m.get(k).map(literal).map {
         case l: Long => l.toDouble
         case d: Double => d
@@ -168,10 +174,13 @@ object CypherCreateGraph {
           s"duration component $k must be numeric, got $other")
       }.getOrElse(0.0)
       new org.apache.spark.unsafe.types.CalendarInterval(
-        (num("years") * 12 + num("months")).toInt,
+        (num("years") * 12 + num("quarters") * 3 + num("months")).toInt,
         (num("weeks") * 7 + num("days")).toInt,
         ((num("hours") * 3600 + num("minutes") * 60 + num("seconds")) *
-          1000000L).toLong)
+          1000000L).toLong +
+          (num("milliseconds") * 1000L).toLong +
+          num("microseconds").toLong +
+          (num("nanoseconds") / 1000L).toLong)
     case other => throw new IllegalArgumentException(
       s"CREATE property values must be literals, got $other")
   }

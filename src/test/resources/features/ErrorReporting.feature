@@ -272,3 +272,31 @@ Feature: ErrorReporting
       RETURN [{prop: 1}, 1] AS x
       """
     Then a TypeError should be raised at compile time: InvalidArgumentValue
+
+  Scenario: Failing when integer literal is too large
+    When executing query:
+      """
+      RETURN 99999999999999999999999999 AS x
+      """
+    Then a SyntaxError should be raised at compile time: IntegerOverflow
+
+  Scenario: Failing when hexadecimal literal is too large
+    When executing query:
+      """
+      RETURN 0xFFFFFFFFFFFFFFFFFF AS x
+      """
+    Then a SyntaxError should be raised at compile time: IntegerOverflow
+
+  Scenario: Failing on a mix of UNION and UNION ALL
+    When executing query:
+      """
+      RETURN 1 AS x UNION RETURN 2 AS x UNION ALL RETURN 3 AS x
+      """
+    Then a SyntaxError should be raised at compile time: InvalidClauseComposition
+
+  Scenario: Failing on an invalid time-of-day literal
+    When executing query:
+      """
+      RETURN time('123') AS x
+      """
+    Then a TypeError should be raised at runtime: InvalidArgumentValue

@@ -326,6 +326,28 @@ class GraphIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gs.graphNames.contains("sn"))
   }
 
+  test("leading FROM GRAPH reaches every UNION branch") {
+    // round-7 differential catalog mode: a union branch without its own
+    // FROM used to run against the empty ambient graph — silent 0 rows
+    gs.register("fgu", graft.sources.CypherCreateGraph(gs.spark,
+      "CREATE (:A {k: 1})\nCREATE (:B {k: 2})"))
+    val rows = gs.cypher(
+      """FROM GRAPH fgu MATCH (n:A) RETURN n.k AS k
+        |UNION ALL MATCH (n:B) RETURN n.k AS k""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(1L, 2L), s"union branch lost the FROM graph: $rows")
+  }
+
+  test("RETURN GRAPH without CONSTRUCT returns the working graph (identity view)") {
+    gs.register("idg", graft.sources.CypherCreateGraph(gs.spark,
+      "CREATE (:A {k: 7})"))
+    gs.cypher("CATALOG CREATE VIEW idv($g) { FROM $g RETURN GRAPH }")
+    val rows = gs.cypher("FROM GRAPH idv(idg) MATCH (n:A) RETURN n.k AS k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(7L))
+    gs.cypher("CATALOG DROP VIEW idv")
+  }
+
   test("CATALOG CREATE VIEW: graph-valued function applied in FROM GRAPH") {
     gs.cypher(
       """CATALOG CREATE VIEW adults($g) {

@@ -597,6 +597,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(r => wide(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("null ids survive every hash-keyed primitive (sentinel bucket)") {
+    // a null id used to yield a null md5 bucket: NPE in the driver
+    // prefix-sum sort and silent row loss at the bucket join-back
+    import spark.implicits._
+    val withNull = docs.select(
+      when(col("doc_id") === docs.select(min("doc_id")).head.getLong(0),
+        lit(null)).otherwise(col("doc_id")).as("doc_id"),
+      col("text"))
+    val n = withNull.count()
+    val shuffled = Sampling.deterministicShuffle(withNull, "doc_id")
+    assert(shuffled.count() === n, "shuffle dropped the null-id row")
+    assert(shuffled.select("pos").as[Long].collect().sorted.toSeq
+      === (0L until n), "pos not a permutation with a null id")
+    val split = Sampling.deterministicSplit(withNull, "doc_id")
+    assert(split.count() === n)
+    assert(split.where(col("doc_id").isNull).count() === 1)
+    val budget = Sampling.takeTokenBudget(withNull, "doc_id", "text", 1L << 40)
+    assert(budget.count() === n, "token budget dropped the null-id row")
+  }
+
   test("token budget keeps exactly the affordable shuffle-order prefix") {
     val budget = 20000L
     val kept = Sampling.takeTokenBudget(docs, "doc_id", "text", budget,

@@ -327,6 +327,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(deep.max === 3L && deep.nonEmpty)
   }
 
+  test("deep var-length reliable-checkpoint knob: identical rows + " +
+      "ReliableCheckpointRDD marker") {
+    // default (localCheckpoint) baseline
+    val q = "MATCH (a:N {v: 1})-[rs*1..50]->(b) RETURN b.v AS v, size(rs) AS n"
+    val base = gs.cypher(chainGraph, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      spark.conf.set(graft.plans.Planner.CheckpointDirKey, dir)
+      val rel = gs.cypher(chainGraph, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      assert(rel === base, s"reliable-checkpoint rows diverged: $rel vs $base")
+      // marker: reliable checkpoints write rdd-<id> directories under the
+      // configured dir (localCheckpoint writes nothing there)
+      def rddDirs(p: java.io.File): Seq[java.io.File] =
+        Option(p.listFiles()).toSeq.flatten.flatMap { f =>
+          (if (f.isDirectory && f.getName.startsWith("rdd-")) Seq(f)
+           else Nil) ++ (if (f.isDirectory) rddDirs(f) else Nil)
+        }
+      val marks = rddDirs(new java.io.File(dir))
+      assert(marks.nonEmpty,
+        s"no ReliableCheckpointRDD data written under $dir")
+    } finally {
+      spark.conf.unset(graft.plans.Planner.CheckpointDirKey)
+      // later tests keep using localCheckpoint; scrub the temp dir
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).toSeq.flatten.foreach(rm); p.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   // ---- tagged-union list indexing stays fully code-generated ----
   // Round-5 judge finding: ElementAt with a foldable in-bounds ordinal
   // over CreateArray computed nullable=false but still emitted its

@@ -3850,17 +3850,104 @@ class TckStyleSpec extends AnyFunSuite {
       "RETURN single(x IN [1, 2] WHERE x = 1) AS r",
       Seq(row("r" -> true))),
     // cross-family UNION columns take the tagged-union encoding instead
-    // of unionByName's crashing cast; numbers normalize to the float tag
-    // (same equivalence group as the engine's documented Long→Double
-    // widening for all-numeric unions)
+    // of unionByName's crashing cast; integral branches KEEP the integer
+    // tag (round 7 — `1` stays `1`, not `1.0`), while UNION-distinct
+    // keys on equivalence so 1 and 1.0 still collapse to one row
     Scenario("diff6 cross-family UNION ALL keeps every branch value",
       "CREATE (:A {k: 1, s: 'x'})",
       "MATCH (n:A) RETURN n.k AS v UNION ALL MATCH (n:A) RETURN n.s AS v",
-      Seq(row("v" -> 1.0), row("v" -> "x"))),
+      Seq(row("v" -> 1L), row("v" -> "x"))),
     Scenario("diff6 cross-family UNION dedups within each family",
       "CREATE (:A {k: 1, s: 'x'})\nCREATE (:A {k: 1, s: 'x'})",
       "MATCH (n:A) RETURN n.s AS v UNION MATCH (n:A) RETURN n.k AS v",
-      Seq(row("v" -> 1.0), row("v" -> "x"))),
+      Seq(row("v" -> 1L), row("v" -> "x"))),
+    Scenario("r7 cross-family UNION ALL preserves the integer", empty,
+      "RETURN 1 AS x UNION ALL RETURN 'a' AS x",
+      Seq(row("x" -> 1L), row("x" -> "a"))),
+    Scenario("r7 cross-family UNION ALL keeps int and float distinct",
+      empty,
+      "RETURN 1 AS x UNION ALL RETURN 1.0 AS x UNION ALL RETURN 'a' AS x",
+      Seq(row("x" -> 1L), row("x" -> 1.0), row("x" -> "a"))),
+    Scenario("r7 cross-family UNION collapses equivalent int and float",
+      empty,
+      "RETURN 1 AS x UNION RETURN 1.0 AS x UNION RETURN 'a' AS x",
+      Seq(row("x" -> 1L), row("x" -> "a"))),
+    Scenario("r7 cross-family UNION float-first still keeps integer repr",
+      empty,
+      "RETURN 1.0 AS x UNION RETURN 1 AS x UNION RETURN true AS x",
+      Seq(row("x" -> 1L), row("x" -> true))),
+    Scenario("r7 all-numeric UNION still collapses via widening", empty,
+      "RETURN 1 AS x UNION RETURN 1.0 AS x",
+      Seq(row("x" -> 1.0))),
+    Scenario("r7 cross-family UNION negative and boolean branches", empty,
+      "RETURN -3 AS x UNION ALL RETURN false AS x UNION ALL RETURN -3 AS x",
+      Seq(row("x" -> -3L), row("x" -> false), row("x" -> -3L))),
+    Scenario("r7 cross-family UNION distinct multi-column mixed key", empty,
+      """RETURN 1 AS a, 'p' AS b UNION RETURN 1.0 AS a, 'p' AS b
+        |UNION RETURN 'q' AS a, 'p' AS b""".stripMargin,
+      Seq(row("a" -> 1L, "b" -> "p"), row("a" -> "q", "b" -> "p"))),
+    // round 7 (ADVICE): duration({...}) supports the full Neo4j component
+    // set including sub-second, and unknown keys error instead of
+    // silently contributing nothing
+    Scenario("r7 duration map sub-second components", empty,
+      "RETURN duration({seconds: 1, milliseconds: 500}).milliseconds AS ms",
+      Seq(row("ms" -> 1500L))),
+    Scenario("r7 duration map microseconds component", empty,
+      "RETURN duration({milliseconds: 2, microseconds: 500}).microseconds AS us",
+      Seq(row("us" -> 2500L))),
+    Scenario("r7 duration map nanoseconds truncate to micros", empty,
+      "RETURN duration({nanoseconds: 1500}).microseconds AS us",
+      Seq(row("us" -> 1L))),
+    Scenario("r7 duration map quarters fold into months", empty,
+      "RETURN duration({years: 1, quarters: 2}).months AS m",
+      Seq(row("m" -> 18L))),
+    Scenario("r7 duration map unknown component errors", empty,
+      "RETURN duration({secnds: 1}) AS d",
+      Nil, expectError = Some("unknown duration component")),
+    Scenario("r7 duration fixture literal sub-second + validation",
+      "CREATE (:A {d: duration({seconds: 2, milliseconds: 250})})",
+      "MATCH (n:A) RETURN n.d.milliseconds AS ms",
+      Seq(row("ms" -> 2250L))),
+    Scenario("r7 duration fixture literal quarters",
+      "CREATE (:A {d: duration({quarters: 3})})",
+      "MATCH (n:A) RETURN n.d.months AS m",
+      Seq(row("m" -> 9L))),
+    // round 7 (ADVICE): ISO time offset parsing accepts lowercase 'z'
+    // (case-insensitive per ISO-8601) and bad bodies get a typed error
+    Scenario("r7 time lowercase z offset parses as UTC", empty,
+      "RETURN time('12:00z').offset AS o",
+      Seq(row("o" -> "Z"))),
+    Scenario("r7 time odd-length compact body errors typed", empty,
+      "RETURN time('123') AS t",
+      Nil, expectError = Some("invalid ISO time-of-day")),
+    Scenario("r7 localtime compact body with fraction", empty,
+      "RETURN localtime('123045.5').second AS s",
+      Seq(row("s" -> 45L))),
+    // round 7 (ADVICE): zoned TIME grouping/DISTINCT use INSTANT
+    // equivalence, matching =/ordering (offset is presentation only)
+    Scenario("r7 zoned time count(DISTINCT) collapses equal instants",
+      empty,
+      """UNWIND [time('12:00+01:00'), time('11:00Z')] AS t
+        |RETURN count(DISTINCT t) AS c""".stripMargin,
+      Seq(row("c" -> 1L))),
+    Scenario("r7 zoned time collect(DISTINCT) collapses equal instants",
+      empty,
+      """UNWIND [time('12:00+01:00'), time('11:00Z'), time('09:30Z')] AS t
+        |RETURN size(collect(DISTINCT t)) AS n""".stripMargin,
+      Seq(row("n" -> 2L))),
+    Scenario("r7 zoned time GROUP BY key collapses equal instants", empty,
+      """UNWIND [time('12:00+01:00'), time('11:00Z')] AS t
+        |WITH t, count(*) AS c RETURN c""".stripMargin,
+      Seq(row("c" -> 2L))),
+    Scenario("r7 zoned time DISTINCT projection collapses equal instants",
+      empty,
+      """UNWIND [time('12:00+01:00'), time('11:00Z')] AS t
+        |WITH DISTINCT t RETURN count(t) AS n""".stripMargin,
+      Seq(row("n" -> 1L))),
+    Scenario("r7 zoned time distinct instants stay distinct", empty,
+      """UNWIND [time('12:00+01:00'), time('12:00Z')] AS t
+        |RETURN count(DISTINCT t) AS c""".stripMargin,
+      Seq(row("c" -> 2L))),
     Scenario("diff6 cross-family UNION null branch stays one null",
       "CREATE (:A {k: 1})\nCREATE (:A {k: 2})",
       "MATCH (n:A) RETURN n.missing AS v UNION MATCH (n:A) RETURN 'z' AS v",

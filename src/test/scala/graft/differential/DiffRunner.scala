@@ -19,6 +19,13 @@ final class DiffRunner(spark: SparkSession) {
   // bound the cache: a long hunt visits thousands of graphs (one per 10
   // cases) and each holds cached DataFrames
   private val maxGraphs = 64
+  private def gname(seed: Long): String = s"dg$seed"
+  // identity view: FROM GRAPH dview(g) must behave exactly like g —
+  // exercises catalog resolution + view-parameter binding on every query
+  // routed through it (round 7 catalog surface)
+  locally {
+    gs.cypher("CATALOG CREATE VIEW dview($g) { FROM $g RETURN GRAPH }")
+  }
   private def graphFor(seed: Long): (Model.MGraph, PropertyGraph) =
     synchronized {
       if (graphCache.size > maxGraphs) graphCache.clear()
@@ -26,7 +33,9 @@ final class DiffRunner(spark: SparkSession) {
         val g = DiffGen.genGraph.pureApply(
           org.scalacheck.Gen.Parameters.default,
           org.scalacheck.rng.Seed(seed))
-        (g, gs.createGraphFromCypher(g.toCreate))
+        val pg = gs.createGraphFromCypher(g.toCreate)
+        gs.register(gname(seed), pg)
+        (g, pg)
       })
     }
 
@@ -94,7 +103,26 @@ final class DiffRunner(spark: SparkSession) {
       case e: Throwable => return diag(s"NAIVE EVAL CRASH: $e")
     }
     val (cols, engine): (Array[String], List[List[Any]]) = try {
-      val df = gs.cypher(pg, text)
+      val df = q.driving match {
+        case Some((dcols, drows)) =>
+          // driving-table correlation: columns arrive as a real DataFrame
+          import org.apache.spark.sql.types._
+          val schema = StructType(dcols.map { case (n, f) =>
+            StructField(n, if (f == 'L') LongType else StringType,
+              nullable = true)
+          })
+          val ddf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              drows.map(r => org.apache.spark.sql.Row(r: _*)), 2), schema)
+          gs.cypher(pg, text, Map.empty, ddf)
+        case None => (i % 8) match {
+          // catalog surface: name resolution and identity-view
+          // invocation must not change any result
+          case 3 => gs.cypher(s"FROM GRAPH ${gname(i / 10)}\n" + text)
+          case 7 => gs.cypher(s"FROM GRAPH dview(${gname(i / 10)})\n" + text)
+          case _ => gs.cypher(pg, text)
+        }
+      }
       (df.columns, df.collect().toList.map(_.toSeq.map(norm).toList))
     } catch {
       case e: Throwable =>

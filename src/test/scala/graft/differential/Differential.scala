@@ -250,7 +250,12 @@ object Model {
   // duplicate edges), endpoints always drawn from the cloned node set
 
   final case class Query(stages: List[Stage], ret: Ret,
-      unions: List[(Boolean, Query)] = Nil) {
+      unions: List[(Boolean, Query)] = Nil,
+      /** driving-table correlation (round 7): (columns with family,
+        * rows). Not rendered — the runner passes a real DataFrame to the
+        * engine's drivingTable entry point; the naive evaluator seeds its
+        * binding table with the rows. Main body only (no unions). */
+      driving: Option[(List[(String, Char)], List[List[Any]])] = None) {
 
     private def referencedVars: Set[String] = {
       val b = Set.newBuilder[String]
@@ -987,7 +992,13 @@ object NaiveEval {
   private def runBody(g: MGraph, q: Query): List[List[Any]] = {
     var curGraph = g
     curG.set(curGraph)
-    var rows: List[Binding] = List(Map.empty)
+    // a driving table seeds the binding table with its rows (each row
+    // binds every column); otherwise the unit table
+    var rows: List[Binding] = q.driving match {
+      case Some((cols, data)) =>
+        data.map(r => cols.map(_._1).zip(r).toMap)
+      case None => List(Map.empty)
+    }
     q.stages.foreach {
       case SConstruct(ns, rs, nrs) =>
         // constructed graph: distinct cloned nodes + distinct cloned rels
@@ -1377,7 +1388,11 @@ object DiffGen {
     */
   private def genCaseE(ctx: Ctx, fam: Char): Gen[VE] = for {
     n <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
-    conds <- Gen.listOfN(n, genLeafPlain(ctx))
+    // round 7: EXISTS/pattern predicates as CASE conditions (genExistsE
+    // builds chains directly — no recursion back through genLeaf)
+    conds <- Gen.listOfN(n, Gen.frequency(
+      8 -> genLeafPlain(ctx),
+      (if (ctx.nodeVars.nonEmpty) 3 else 0) -> genExistsE(ctx)))
     vals <- Gen.listOfN(n, genValueVE(ctx, fam))
     hasEls <- Gen.prob(0.7) // no ELSE → null
     els <- genValueVE(ctx, fam)
@@ -2149,11 +2164,27 @@ object DiffGen {
     9 -> genRegularQuery, 1 -> genConstructQuery)
 
   private def genRegularQuery: Gen[Query] = for {
-    hasLead <- Gen.prob(0.12)
+    // driving-table correlation (round 7): pre-bound value columns the
+    // engine receives as an actual DataFrame; takes the lead-UNWIND slot
+    hasDriving <- Gen.prob(0.10)
+    drivingCols <- Gen.oneOf(List(("d0", 'L')), List(("d0", 'L'), ("d1", 'S')))
+    drivingRows <- Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.sequence[List[Any], Any](drivingCols.map {
+        case (_, 'L') => Gen.frequency(
+          6 -> Gen.choose(0L, 5L).map(x => x: Any),
+          1 -> Gen.const(null: Any))
+        case _ => Gen.frequency(
+          6 -> Gen.oneOf(strVals).map(x => x: Any),
+          1 -> Gen.const(null: Any))
+      })))
+    hasLead0 <- Gen.prob(0.12)
+    hasLead = hasLead0 && !hasDriving
     leadList <- Gen.choose(2, 4).flatMap(n =>
       Gen.listOfN(n, Gen.frequency(6 -> Gen.choose(0L, 5L).map(x => x: Any),
         1 -> Gen.const(null: Any))))
-    ctx0 = if (hasLead) emptyCtx.copy(valVars = List(("u0", 'L'))) else emptyCtx
+    ctx0 = if (hasDriving) emptyCtx.copy(valVars = drivingCols)
+      else if (hasLead) emptyCtx.copy(valVars = List(("u0", 'L')))
+      else emptyCtx
     firstOpt <- Gen.prob(0.08)
     m1 <- genMatch(ctx0, optional = firstOpt, 0)
     w1 <- Gen.prob(0.45)
@@ -2197,10 +2228,24 @@ object DiffGen {
       else Some((sw, Nil: List[Stage], w._2))
     }
     else Gen.const(None))
+    // nested OPTIONAL MATCH tail (round 7): 0-2 extra OPTIONAL clauses
+    // chained on the bound vars — correlation through possibly-null vars
+    // from an earlier failed OPTIONAL. Last in the query part, so the
+    // "once optional, stay optional" rule holds by construction.
+    ctxMid = wth.map(_._3).orElse(m2.map(_._2)).getOrElse(m1._2)
+    optTailN <- Gen.frequency(78 -> Gen.const(0), 14 -> Gen.const(1),
+      8 -> Gen.const(2))
+    ot1 <- genMatch(ctxMid, optional = true, 700)
+    otw1 <- Gen.prob(0.5)
+    otb1 <- genBE(ot1._2, 1)
+    ot2 <- genMatch(ot1._2, optional = true, 800)
+    otw2 <- Gen.prob(0.5)
+    otb2 <- genBE(ot2._2, 1)
     hasTrailUnwind <- Gen.prob(0.08)
     trailList <- Gen.choose(2, 3).flatMap(n =>
       Gen.listOfN(n, Gen.choose(0L, 5L).map(x => x: Any)))
-    ctxPreRet = wth.map(_._3).orElse(m2.map(_._2)).getOrElse(m1._2)
+    ctxPreRet =
+      if (optTailN >= 2) ot2._2 else if (optTailN == 1) ot1._2 else ctxMid
     ctxR = if (hasTrailUnwind)
       ctxPreRet.copy(valVars = ctxPreRet.valVars :+ (("u1", 'L')))
     else ctxPreRet
@@ -2209,7 +2254,7 @@ object DiffGen {
       // UNION only when the main RETURN is a plain multiset surface:
       // no cut/order (engine scopes them per body), no collect (the
       // multiset-alias bookkeeping is main-body-only), no list/X items
-      val ok = ret.orderBy.isEmpty && ret.skip.isEmpty &&
+      val ok = !hasDriving && ret.orderBy.isEmpty && ret.skip.isEmpty &&
         ret.limit.isEmpty && ret.items.forall {
           case ValItem(e, _) =>
             val f = NaiveEvalFamilies.family(e)
@@ -2246,8 +2291,13 @@ object DiffGen {
       stages += sw
       after.foreach(stages += _)
     }
+    if (optTailN >= 1)
+      stages += SMatch(ot1._1.copy(where = if (otw1) Some(otb1) else None))
+    if (optTailN >= 2)
+      stages += SMatch(ot2._1.copy(where = if (otw2) Some(otb2) else None))
     if (hasTrailUnwind) stages += SUnwind("u1", trailList)
-    Query(stages.result(), ret, uni.toList)
+    Query(stages.result(), ret, uni.toList,
+      driving = if (hasDriving) Some((drivingCols, drivingRows)) else None)
   }
 
   val genCase: Gen[(MGraph, Query)] =

@@ -6,11 +6,12 @@ package graft.differential
 object GenStatsMain {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 2000
-    val texts = (0 until n).map { i =>
+    val queries = (0 until n).map { i =>
       DiffGen.genQuery.pureApply(
         org.scalacheck.Gen.Parameters.default,
-        org.scalacheck.rng.Seed(i.toLong)).render
+        org.scalacheck.rng.Seed(i.toLong))
     }
+    val texts = queries.map(_.render)
     val probes = List(
       "CASE" -> "CASE WHEN", "coalesce" -> "coalesce(",
       "toUpper" -> "toUpper(", "reverse" -> "reverse(",
@@ -41,6 +42,18 @@ object GenStatsMain {
     probes.foreach { case (name, pat) =>
       println(f"$name%-11s ${texts.count(_.contains(pat))}%5d / $n")
     }
+    // round-7 families (AST-level where the text can't show them)
+    val nestedOpt = texts.count(t =>
+      "OPTIONAL MATCH".r.findAllIn(t).size >= 2)
+    val whenSpan = """(?s)WHEN (.+?) THEN""".r
+    val caseExists = texts.count(t => whenSpan.findAllMatchIn(t).exists(m =>
+      m.group(1).contains("EXISTS {") || m.group(1).contains("]-")))
+    val driving = queries.count(_.driving.isDefined)
+    println(f"nestedOPT   $nestedOpt%5d / $n (queries with >=2 OPTIONAL MATCH)")
+    println(f"caseEXISTS  $caseExists%5d / $n (EXISTS/pattern pred in a CASE condition)")
+    println(f"driving     $driving%5d / $n (driving-table cases)")
+    println("catalog     runner-side: i%8==3 -> FROM GRAPH, i%8==7 -> " +
+      "identity view (25% combined of non-driving cases)")
     println("--- sample with UNION:")
     texts.find(_.contains("UNION")).foreach(println)
     println("--- sample with named path:")
