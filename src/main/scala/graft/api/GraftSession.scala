@@ -78,18 +78,42 @@ class GraftSession(val spark: SparkSession) {
     * traversals drop from rel-join + node-join to a single probe.
     * `maxTables` caps session memory. Opt-in: consolidation trades
     * executor storage for join elimination, which is the caller's call. */
-  private case class ConsolidationConfig(threshold: Int, maxTables: Int)
+  private case class ConsolidationConfig(threshold: Int, maxTables: Int,
+      storageLevel: org.apache.spark.storage.StorageLevel,
+      compressed: Option[Boolean], maxRowEstimate: Long)
   @volatile private var consolidation: Option[ConsolidationConfig] = None
   private val expandMisses =
     scala.collection.concurrent.TrieMap.empty[(PropertyGraph, Set[String], String, Set[String]), Int]
   private val adaptedGraphs =
     scala.collection.concurrent.TrieMap.empty[PropertyGraph, PropertyGraph]
   private val autoTableCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val skippedShapes =
+    scala.collection.concurrent.TrieMap.empty[(PropertyGraph, Set[String], String, Set[String]), Long]
 
-  def enableAutoConsolidation(threshold: Int = 3, maxTables: Int = 16): Unit = {
-    require(threshold >= 1 && maxTables >= 1, "invalid consolidation config")
-    consolidation = Some(ConsolidationConfig(threshold, maxTables))
+  /** `storageLevel`/`compressed` set the cache tier for every
+    * auto-materialized pattern table (at 100 TB a triplet cache usually
+    * wants DISK_ONLY or compressed columnar rather than the local-mode
+    * uncompressed-memory default); `maxRowEstimate` is the size guard —
+    * a shape whose rel-scan row estimate exceeds it is never
+    * materialized (misses keep being counted and the skip is reported
+    * via [[consolidationSkips]], so an operator can raise the budget
+    * deliberately instead of the session silently caching a
+    * corpus-sized join). */
+  def enableAutoConsolidation(threshold: Int = 3, maxTables: Int = 16,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      compressed: Option[Boolean] = None,
+      maxRowEstimate: Long = Long.MaxValue): Unit = {
+    require(threshold >= 1 && maxTables >= 1 && maxRowEstimate >= 0,
+      "invalid consolidation config")
+    consolidation = Some(ConsolidationConfig(threshold, maxTables,
+      storageLevel, compressed, maxRowEstimate))
   }
+
+  /** shapes the size guard refused to materialize → the row estimate
+    * that exceeded the budget (srcLabels, relType, dstLabels). */
+  def consolidationSkips: Map[(Set[String], String, Set[String]), Long] =
+    skippedShapes.map { case ((_, s, r, d), n) => ((s, r, d), n) }.toMap
 
   def disableAutoConsolidation(): Unit = consolidation = None
 
@@ -101,6 +125,7 @@ class GraftSession(val spark: SparkSession) {
     }
     adaptedGraphs.clear()
     expandMisses.clear()
+    skippedShapes.clear()
     autoTableCount.set(0)
   }
 
@@ -120,19 +145,29 @@ class GraftSession(val spark: SparkSession) {
         case Some(c) => Some(c + 1)
         case None => Some(1)
       }.getOrElse(1)
-      if (n == cfg.threshold &&
-          autoTableCount.incrementAndGet() <= cfg.maxTables) {
+      if (n == cfg.threshold) {
         val base = adapted(g)
-        // both sides labeled → triplet (zero-join pattern starts, both
-        // directions). One side labeled → node-rel on that side (half the
-        // storage; the bound-probe expand is the same single join).
-        adaptedGraphs(g) =
-          if (srcLabels.nonEmpty && dstLabels.nonEmpty)
-            base.withTriplet(relType, srcLabels, dstLabels)
-          else if (dstLabels.nonEmpty)
-            base.withNodeRel(relType, dstLabels, nodeOnSrc = false)
-          else
-            base.withNodeRel(relType, srcLabels, nodeOnSrc = true)
+        // size guard BEFORE consuming a table slot: a pattern table whose
+        // rel scan alone exceeds the row budget would be a corpus-scale
+        // cache — skip it (and report), don't spend the materialization
+        val est = if (cfg.maxRowEstimate == Long.MaxValue) 0L
+          else base.relRowEstimate(relType)
+        if (est > cfg.maxRowEstimate) skippedShapes(key) = est
+        else if (autoTableCount.incrementAndGet() <= cfg.maxTables) {
+          // both sides labeled → triplet (zero-join pattern starts, both
+          // directions). One side labeled → node-rel on that side (half
+          // the storage; the bound-probe expand is the same single join).
+          adaptedGraphs(g) =
+            if (srcLabels.nonEmpty && dstLabels.nonEmpty)
+              base.withTriplet(relType, srcLabels, dstLabels,
+                storageLevel = cfg.storageLevel, compressed = cfg.compressed)
+            else if (dstLabels.nonEmpty)
+              base.withNodeRel(relType, dstLabels, nodeOnSrc = false,
+                storageLevel = cfg.storageLevel, compressed = cfg.compressed)
+            else
+              base.withNodeRel(relType, srcLabels, nodeOnSrc = true,
+                storageLevel = cfg.storageLevel, compressed = cfg.compressed)
+        }
       }
     }
 

@@ -400,6 +400,26 @@ case class BloomMightContainLong(child: Expression,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Identity over its child that reports `foldable = false` — hides a
+  * literal list-index ordinal from ConstantFolding so an `element_at`
+  * over a list LITERAL keeps evaluating every element. Cypher evaluates
+  * the whole list literal before indexing, so a raising sibling element
+  * (e.g. `[1/0, 2][1]`) must raise even though it is never selected;
+  * the static fast path (ExprCompiler.staticListSelect) would skip it,
+  * and the plain dynamic path with a foldable ordinal trips Spark
+  * 4.1.2's ElementAt-over-CreateArray codegen defect (see the
+  * staticListSelect scaladoc). A non-foldable ordinal takes the normal
+  * ElementAt codegen with `nullable = true` — defect-free. */
+case class OpaqueOrdinal(child: Expression) extends UnaryExpression {
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "opaque_ordinal"
+  override def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   private implicit class RichCol(val c: Column) {
@@ -428,6 +448,10 @@ object VectorFunctions {
     * "/ by zero" runtime error. */
   def integral_divide(a: Column, b: Column): Column =
     ColumnBridge.column(IntegralDivide(a.toExpr, b.toExpr))
+  /** a literal int ordinal wrapped so the optimizer cannot fold it (see
+    * [[OpaqueOrdinal]]). */
+  def opaque_ordinal(v: Int): Column =
+    ColumnBridge.column(OpaqueOrdinal(Literal(v)))
   def bloom_might_contain(g: Column,
       bf: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =

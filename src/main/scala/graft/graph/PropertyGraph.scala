@@ -268,9 +268,20 @@ class PropertyGraph(
     * LogicalOptimizer.replaceScansWithRecognizedPatterns). The planner
     * then answers covered one-hop expands with a single probe join.
     * Persisted MEMORY_AND_DISK by default; pass `persist = false` to
-    * keep it a lazy view (e.g. when writing it to parquet instead). */
+    * keep it a lazy view (e.g. when writing it to parquet instead).
+    *
+    * 100 TB knobs: `storageLevel` picks the cache tier (e.g.
+    * DISK_ONLY for a triplet that is hot but too wide for executor
+    * memory), and `compressed` overrides the session's in-memory
+    * columnar compression for THIS materialization only — the session
+    * default trades memory for CPU (GraftSession disables compression,
+    * measured 6× encode tax), which is wrong for a huge mostly-cold
+    * triplet where storage dominates. */
   def withTriplet(relType: String, srcLabels: Set[String],
-      dstLabels: Set[String], persist: Boolean = true): PropertyGraph = {
+      dstLabels: Set[String], persist: Boolean = true,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      compressed: Option[Boolean] = None): PropertyGraph = {
     def nm(p: String) = ScanNaming(s"${p}_id", s"${p}_src", s"${p}_dst",
       s"${p}_type", k => s"${p}_p_$k", l => s"${p}_l_$l")
     val s = nodeScan(srcLabels, nm("src"))
@@ -280,8 +291,8 @@ class PropertyGraph(
       .join(r.df, col("src_id") === col(r.srcCol), "inner")
       .join(d.df, col(r.dstCol) === col("dst_id"), "inner")
       .drop(r.srcCol, r.dstCol, r.typCol)
-    val df = if (persist) joined.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else joined
+    val df = if (persist) PropertyGraph.persistWith(
+      joined, storageLevel, compressed) else joined
     withTripletTable(TripletTable(relType, srcLabels, dstLabels, df,
       r.idCol, "src_id", "dst_id", r.propCols, s.propCols, d.propCols,
       s.labelCols, d.labelCols))
@@ -297,7 +308,10 @@ class PropertyGraph(
     * [[withTriplet]] at roughly half the storage cost — use it when only
     * one side of a hot traversal benefits from denormalization. */
   def withNodeRel(relType: String, nodeLabels: Set[String],
-      nodeOnSrc: Boolean = true, persist: Boolean = true): PropertyGraph = {
+      nodeOnSrc: Boolean = true, persist: Boolean = true,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      compressed: Option[Boolean] = None): PropertyGraph = {
     def nm(p: String) = ScanNaming(s"${p}_id", s"${p}_src", s"${p}_dst",
       s"${p}_type", k => s"${p}_p_$k", l => s"${p}_l_$l")
     val n = nodeScan(nodeLabels, nm("nr"))
@@ -306,8 +320,8 @@ class PropertyGraph(
     val joined = n.df
       .join(r.df, col("nr_id") === col(nearEnd), "inner")
       .drop(nearEnd, r.typCol)
-    val df = if (persist) joined.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else joined
+    val df = if (persist) PropertyGraph.persistWith(
+      joined, storageLevel, compressed) else joined
     val (srcId, dstId) =
       if (nodeOnSrc) ("nr_id", r.dstCol) else (r.srcCol, "nr_id")
     withNodeRelTable(NodeRelTable(relType, nodeLabels, nodeOnSrc, df,
@@ -541,6 +555,50 @@ class PropertyGraph(
             s"$k: ${normalize(dtOf(t.df, c)).simpleString}" }.mkString(", "))
       }
     rows.toDF("kind", "labels_or_type", "properties")
+  }
+
+  /** Upper-bound row estimate for a would-be pattern table over
+    * `relType`: the rel scan's Catalyst row-count stat when the source
+    * provides one, else one count job over the rel scan — cheap next to
+    * the materialization it gates (the triplet join only ever removes
+    * rows from the rel side, so this bounds the result). */
+  def relRowEstimate(relType: String): Long = {
+    val nm = ScanNaming("est_id", "est_src", "est_dst", "est_type",
+      k => s"est_p_$k", l => s"est_l_$l")
+    val df = relScan(Seq(relType), nm).df
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n.toLong
+      case None => df.count()
+    }
+  }
+}
+
+object PropertyGraph {
+  /** Persist `df` at `storageLevel`, optionally overriding the session's
+    * in-memory columnar compression for this one materialization
+    * (`spark.sql.inMemoryColumnarStorage.compressed` is captured by the
+    * CacheManager when the cache entry is REGISTERED, so a scoped
+    * set/restore around `persist` is sufficient). The toggle is
+    * session-visible for the duration of the call — catalog-style
+    * operations, not a per-row hot path. */
+  private[graft] def persistWith(df: DataFrame,
+      storageLevel: org.apache.spark.storage.StorageLevel,
+      compressed: Option[Boolean]): DataFrame = {
+    // Dataset.storageLevel looks the plan up in the CacheManager by its
+    // canonicalized form, so this also catches an EQUIVALENT plan cached
+    // through another graph over the same source tables (two graphs
+    // materializing the same triplet join) — re-persisting would only
+    // log "Asked to cache already cached data" and keep the first entry
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else compressed match {
+      case None => df.persist(storageLevel)
+      case Some(c) =>
+        val conf = df.sparkSession.conf
+        val key = "spark.sql.inMemoryColumnarStorage.compressed"
+        val prior = conf.get(key, "true")
+        conf.set(key, c.toString)
+        try df.persist(storageLevel) finally conf.set(key, prior)
+    }
   }
 }
 

@@ -843,14 +843,31 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * The element is cast to the list's unified element type so static and
     * dynamic indexing agree (numeric lists widen to double, mixed atomic
     * families take the tagged-union struct). Out-of-bounds is null, like
-    * try_element_at. */
+    * try_element_at.
+    *
+    * Error semantics: Cypher evaluates the whole list literal before
+    * indexing, so a raising NON-selected element (`[1/0, 2][1]`) must
+    * still raise. The fast path is therefore restricted to lists whose
+    * non-selected elements provably cannot raise; anything else builds
+    * the full array and selects through a non-foldable ordinal
+    * ([[graft.functions.OpaqueOrdinal]]) — which also keeps the shape
+    * out of the ElementAt foldable-ordinal codegen defect. */
   private def staticListSelect(b: Expr, idx: Option[Long]): Option[Column] =
     (b, idx) match {
       case (ListLit(items), Some(v)) =>
         val n = items.length
         val j = if (v < 0) v + n else v
         val et = elemTypeOf(b)
-        if (j < 0 || j >= n) Some(if (et == NullType) lit(null)
+        val forced = items.zipWithIndex.exists { case (e, k) =>
+          k != j && !cannotRaise(e) }
+        if (forced) {
+          // evaluate every element (a raising sibling raises, as Cypher
+          // requires), then select; an out-of-bounds static index maps to
+          // the always-out-of-bounds positive ordinal n+1 → null
+          val ord = if (j < 0 || j >= n) n + 1 else j.toInt + 1
+          Some(try_element_at(compileList(b),
+            graft.functions.VectorFunctions.opaque_ordinal(ord)))
+        } else if (j < 0 || j >= n) Some(if (et == NullType) lit(null)
           else lit(null).cast(et))
         else {
           val types = items.map(typeOf)
@@ -862,6 +879,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         }
       case _ => None
     }
+
+  /** Conservative "this expression can never raise at runtime"
+    * whitelist, used to keep the [[staticListSelect]] fast path honest:
+    * literals, variables, parameters, property access, and containers of
+    * the same. Anything arithmetic (`/`, `%` raise on zero, functions may
+    * raise typed errors) is treated as potentially raising. */
+  private def cannotRaise(e: Expr): Boolean = e match {
+    case _: IntLit | _: FloatLit | _: StringLit | _: BoolLit | NullLit |
+         _: Param | _: Var => true
+    case Property(base, _) => cannotRaise(base)
+    case ListLit(xs) => xs.forall(cannotRaise)
+    case MapLit(xs) => xs.forall(kv => cannotRaise(kv._2))
+    case _ => false
+  }
 
   /** STARTS WITH / ENDS WITH / CONTAINS operand handling: strings apply
     * `op`, mixed-tagged values dispatch on the tag at runtime, any other

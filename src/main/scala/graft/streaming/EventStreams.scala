@@ -265,7 +265,7 @@ object EventStreams {
 
   case class BudgetDoc(source: String, docId: Long, nTokens: Long,
       ts: Timestamp)
-  case class SourceBudget(taken: Long)
+  case class SourceBudget(taken: Long, closed: Boolean)
   case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long,
       ts: Timestamp)
 
@@ -276,11 +276,21 @@ object EventStreams {
     * sources use `defaultBudget`). Unlike the batch ops, admission is
     * ARRIVAL order (sorted by event time + id within each micro-batch for
     * per-batch determinism) — a stream cannot replay the md5 permutation.
-    * State is one Long per source: bounded by source cardinality, never
-    * the stream's history. */
+    * State is one (Long, Boolean) per source: bounded by source
+    * cardinality, never the stream's history.
+    *
+    * `strictPrefix` (default) reproduces the batch PREFIX semantics: the
+    * first document that would cross its source's budget closes the
+    * source, exactly like the batch `@cum <= budget` cut — so a stream
+    * fed in the batch ops' md5-shuffle order admits the IDENTICAL set
+    * (StreamingSpec parity locks). `strictPrefix = false` keeps
+    * greedy-continue admission instead: a later, smaller document that
+    * still fits is admitted — more tokens per budget, but no longer the
+    * batch twin. */
   def streamingTokenBudget(docs: DataFrame, tsCol: String, idCol: String,
       textCol: String, sourceCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L): Dataset[AdmittedDoc] = {
+      defaultBudget: Long = 0L,
+      strictPrefix: Boolean = true): Dataset[AdmittedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nTokens =
@@ -296,20 +306,40 @@ object EventStreams {
         state: GroupState[SourceBudget]): Iterator[AdmittedDoc] = {
       val budget = budgets.getOrElse(source, defaultBudget)
       var taken = state.getOption.map(_.taken).getOrElse(0L)
+      var closed = state.getOption.exists(_.closed)
       val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
       it.toArray.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
-        if (taken + d.nTokens <= budget) {
+        if (!closed && taken + d.nTokens <= budget) {
           taken += d.nTokens
           out += AdmittedDoc(d.docId, source, d.nTokens, d.ts)
-        }
+        } else if (strictPrefix) closed = true
       }
-      state.update(SourceBudget(taken))
+      state.update(SourceBudget(taken, closed))
       out.iterator
     }
 
     in.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming twin of [[graft.pipeline.Sampling.mixtureByTokens]]:
+    * per-source budgets are the same `floor(share · totalBudget)` token
+    * cuts the batch operator computes (sources absent from `shares` get
+    * `defaultShare`), admission is [[streamingTokenBudget]]. Fed in the
+    * batch md5-shuffle order with `strictPrefix` on, the admitted set is
+    * the batch operator's output exactly. */
+  def streamingMixtureByTokens(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, sourceCol: String, totalBudget: Long,
+      shares: Map[String, Double], defaultShare: Double = 0.0,
+      strictPrefix: Boolean = true): Dataset[AdmittedDoc] = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
+      "shares must be in [0, 1]")
+    streamingTokenBudget(docs, tsCol, idCol, textCol, sourceCol,
+      budgets = shares.map { case (k, s) => k -> (totalBudget * s).toLong },
+      defaultBudget = (totalBudget * defaultShare).toLong,
+      strictPrefix = strictPrefix)
   }
 
   case class WindowFp(h: Long, docId: Long, pos: Long, ts: Timestamp)

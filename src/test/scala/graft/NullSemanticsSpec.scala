@@ -90,6 +90,25 @@ class NullSemanticsSpec extends AnyFunSuite {
     intercept[Exception] { one("RETURN 5 / 0 AS dz") }
   }
 
+  test("a raising list-literal element raises even when not selected") {
+    // Cypher evaluates the whole list literal before indexing: the static
+    // fast path (which compiles only the selected element) must not
+    // swallow a sibling's runtime error, at any index position
+    intercept[Exception] { one("RETURN [1/0, 2][1] AS x") }
+    intercept[Exception] { one("RETURN [1, 1/0][0] AS x") }
+    intercept[Exception] { one("RETURN [1/0, 2][7] AS x") } // OOB still evaluates
+    intercept[Exception] { one("RETURN head([1, 1/0]) AS x") }
+    intercept[Exception] { one("RETURN last([1/0, 2]) AS x") }
+    // side-effect-free lists keep the static element selection: values
+    // unchanged, out-of-bounds null
+    val r = one("RETURN [1, 2][1] AS a, ['a', 'b'][-1] AS b, [1, 2][9] AS c")
+    assert(r.getLong(0) === 2L && r.getString(1) === "b" && r.isNullAt(2))
+    // mixed-family list with a raising sibling: forced path returns the
+    // tagged value for the selected element
+    val m = one("RETURN ([1, 'x'][1/1]) AS x")
+    assert(m.get(0) != null)
+  }
+
   test("boolean ternary logic: null AND false = false, null OR true = true") {
     val r = one(
       """RETURN (null AND false) AS a, (null OR true) AS b,

@@ -227,6 +227,103 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingTokenBudget in md5-shuffle order equals batch takeTokenBudget") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // varied token counts so the budget cut falls mid-corpus (asserted
+    // below); the strictPrefix-vs-greedy distinction has its own test
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "one two three four five"),
+      (3L, "x"), (4L, "lorem ipsum dolor sit"),
+      (5L, "aa bb"), (6L, "q w e r t y u"))
+    val docs = corpus.toDF("doc_id", "text")
+    val budget = 9L
+    val batch = graft.pipeline.Sampling
+      .takeTokenBudget(docs, "doc_id", "text", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the batch op's md5 permutation as event time
+    val pos = graft.pipeline.Sampling.deterministicShuffle(docs, "doc_id")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "source", "text")
+    val admitted = EventStreams.streamingTokenBudget(stream, "ts", "doc_id",
+      "text", "source", budgets = Map("src" -> budget))
+    val q = admitted.writeStream.format("memory").queryName("tbp")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.map { case (id, text) =>
+        (ts(pos(id) + 1), id, "src", text) })
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM tbp")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch,
+        s"stream $streamed vs batch $batch (order ${pos.toSeq.sortBy(_._2)})")
+      assert(batch.nonEmpty && batch.size < corpus.size,
+        s"degenerate corpus: batch admitted $batch")
+    } finally q.stop()
+  }
+
+  test("streamingMixtureByTokens in md5-shuffle order equals batch mixtureByTokens") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e f g h"), (3L, "web", "i j"),
+      (4L, "code", "k l m n"), (5L, "code", "o p"), (6L, "code", "q"),
+      (7L, "junk", "r s t"))
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val total = 12L
+    val shares = Map("web" -> 0.5, "code" -> 0.4)
+    val batch = graft.pipeline.Sampling.mixtureByTokens(docs, "doc_id",
+      "text", "source", total, shares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pos = graft.pipeline.Sampling
+      .deterministicShuffle(docs, "doc_id")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "source", "text")
+    val admitted = EventStreams.streamingMixtureByTokens(stream, "ts",
+      "doc_id", "text", "source", total, shares)
+    val q = admitted.writeStream.format("memory").queryName("mbp")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.map { case (id, src, text) =>
+        (ts(pos(id) + 1), id, src, text) })
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM mbp")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch, s"stream $streamed vs batch $batch")
+      assert(batch.nonEmpty && batch.size < corpus.size,
+        s"degenerate corpus: batch admitted $batch")
+    } finally q.stop()
+  }
+
+  test("strictPrefix=false keeps greedy-continue admission") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "source", "text")
+    val admitted = EventStreams.streamingTokenBudget(stream, "ts", "doc_id",
+      "text", "source", budgets = Map("src" -> 5L), strictPrefix = false)
+    val q = admitted.writeStream.format("memory").queryName("tbg")
+      .outputMode("append").start()
+    try {
+      // 3 tokens admit; 4 would cross (skip); 2 still fits → greedy admits
+      input.addData(
+        (ts(1), 1L, "src", "a b c"),
+        (ts(2), 2L, "src", "d e f g"),
+        (ts(3), 3L, "src", "h i"))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM tbg")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streamingSubstringDups matches the batch duplicated-window set") {
     val s = spark
     import s.implicits._

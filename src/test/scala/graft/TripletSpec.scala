@@ -213,6 +213,72 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("size guard skips corpus-scale shapes and reports the skip") {
+    val q = """MATCH (a:Person)-[:LIVES_IN]->(c:City)
+              |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin
+    val expected = rows(plain, q)
+    // LIVES_IN has 3 rels; a 1-row budget must refuse to materialize
+    gs.enableAutoConsolidation(threshold = 2, maxRowEstimate = 1L)
+    try {
+      assert(rows(plain, q) === expected)
+      assert(rows(plain, q) === expected)
+      val df = gs.cypher(plain, q)
+      // the shape took the skip branch (mutually exclusive with
+      // materializing an adapted graph) and recorded the over-budget
+      // estimate; results are untouched. No plan assertion: the
+      // CacheManager substitutes beforeAll's equivalent cached triplet
+      // join into ANY matching subplan, consolidated or not.
+      assert(gs.consolidationSkips ===
+        Map((Set("Person"), "LIVES_IN", Set("City")) -> 3L))
+      assert(df.collect().toSeq.map(_.toSeq) === expected)
+    } finally {
+      gs.disableAutoConsolidation()
+      gs.releaseAutoConsolidation()
+    }
+  }
+
+  test("storage-level knob routes auto tables to the configured tier") {
+    val q = """MATCH (a:Person)-[:LIVES_IN]->(c:City)
+              |RETURN a.name AS an, c.city AS cc ORDER BY an""".stripMargin
+    val expected = rows(plain, q)
+    gs.enableAutoConsolidation(threshold = 2,
+      storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      assert(rows(plain, q) === expected)
+      assert(rows(plain, q) === expected)
+      val df = gs.cypher(plain, q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("StorageLevel(disk, 1 replicas)"),
+        s"expected DISK_ONLY auto table:\n$plan")
+      assert(df.collect().toSeq.map(_.toSeq) === expected)
+    } finally {
+      gs.disableAutoConsolidation()
+      gs.releaseAutoConsolidation()
+    }
+  }
+
+  test("per-graph compression override scopes to one materialization") {
+    val key = "spark.sql.inMemoryColumnarStorage.compressed"
+    val prior = spark.conf.get(key)
+    // GraftSession sets the session default to uncompressed; a per-graph
+    // compressed=true pattern table must build compressed WITHOUT
+    // flipping the session default for everyone else (a KNOWS src-side
+    // node-rel: the one shape no other test materializes, so the
+    // already-cached-plan guard cannot short-circuit the persist)
+    val g = plain.withNodeRel("KNOWS", Set("Person"), nodeOnSrc = true,
+      storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+      compressed = Some(true))
+    assert(spark.conf.get(key) === prior,
+      "compression override must restore the session conf")
+    val t = g.nodeRelTables.last
+    assert(t.df.storageLevel ===
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val q = """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+              |RETURN a.name AS an, b.name AS bn ORDER BY an""".stripMargin
+    assert(rows(g, q) === rows(plain, q))
+    t.df.unpersist()
+  }
+
   test("one-side-labeled hot shape consolidates as a node-rel table") {
     // unlabeled bound src, labeled far side → node-rel on the dst side
     // (half a triplet's storage, same single probe join)
