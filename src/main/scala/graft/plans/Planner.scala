@@ -392,11 +392,45 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     // entities referenced by NEW patterns that are bound → implicit CLONE
     val newPatternVars = c.news.flatMap(p => collectPatternVars(Pattern(Seq(p))))
+    // A bound RELATIONSHIP var inside a NEW/CREATE pattern is an implicit
+    // CLONE too (reference usage: morpheus-examples yelp
+    // Part2_YelpGraphLibrary.scala — `CONSTRUCT CREATE
+    // (user1)-[r]->(business)` projects the matched rels into the new
+    // graph). The clone keeps the rel's id/type/properties and storage
+    // orientation, so the pattern must restate the MATCHED endpoints
+    // (either written order); re-attaching to other nodes needs a fresh
+    // typed rel instead.
+    val implicitRelClones: Seq[(String, String)] = c.news.flatMap { part =>
+      var prevVar = part.start.variable
+      part.chain.flatMap { case (rel, node) =>
+        val out = rel.variable.flatMap { v =>
+          state.header.get(v) match {
+            case Some(rb: RelBinding) =>
+              require(rel.properties.isEmpty,
+                s"bound relationship `$v` in CONSTRUCT cannot restate " +
+                  s"properties (use SET $v.key = …)")
+              require(rel.types.isEmpty,
+                s"bound relationship `$v` in CONSTRUCT cannot restate a " +
+                  "type (the clone keeps its matched type)")
+              val pat = Set(prevVar, node.variable).flatten
+              val matched = rb.endpointVars.map(ev => Set(ev._1, ev._2))
+              require(matched.contains(pat),
+                s"bound relationship `$v` in CONSTRUCT must restate its " +
+                  s"matched endpoints, got (${pat.mkString(", ")})")
+              Some(v -> v)
+            case _ => None
+          }
+        }
+        prevVar = node.variable
+        out
+      }
+    }
+    val allClones = c.clones ++ implicitRelClones
     // a cloned relationship cannot exist without its endpoints
     // (reference ConstructGraphPlanner: rel clones pull their endpoint
     // nodes in): endpoint node VARS become implicit clones here; truly
     // anonymous endpoints get bare id-only nodes synthesized below
-    val relEndpointVars = c.clones.map(_._2).flatMap { v =>
+    val relEndpointVars = allClones.map(_._2).flatMap { v =>
       state.header.get(v) match {
         case Some(rb: RelBinding) =>
           rb.endpointVars.toSeq.flatMap { case (s, d) => Seq(s, d) }
@@ -404,7 +438,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case _ => Nil
       }
     }
-    val cloneVars = (c.clones.map(_._2) ++ relEndpointVars ++
+    val cloneVars = (allClones.map(_._2) ++ relEndpointVars ++
       newPatternVars.filter(state.header.contains)).distinct
 
     val setsByVar: Map[String, Seq[(String, Expr)]] =
@@ -506,6 +540,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     c.news.foreach { part =>
       var prevIdCol = bindNewNode(part.start)
       part.chain.foreach { case (rel, node) =>
+        if (rel.variable.exists(v =>
+            state.header.get(v).exists(_.isInstanceOf[RelBinding]))) {
+          // bound rel: already carried over as an implicit CLONE above —
+          // advance the chain without creating anything
+          prevIdCol = bindNewNode(node)
+        } else {
         require(rel.varLength.isEmpty, "NEW cannot use var-length patterns")
         require(rel.types.size == 1,
           s"NEW relationship needs exactly one type, got ${rel.types}")
@@ -528,6 +568,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             .where(col(s"`$srcC`").isNotNull && col(s"`$dstC`").isNotNull),
           relIdCol, srcC, dstC, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
         prevIdCol = dstIdCol
+        }
       }
     }
 
@@ -2677,6 +2718,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // variable-free numeric functions (TCK SkipLimitAcceptance — on the
     // reference's failing_blacklist; supported here): LIMIT
     // toInteger(ceil(1.7)) etc.
+    // toInteger over a literal numeric string (Neo4j semantics)
+    case Func("tointeger", _, Seq(StringLit(s))) =>
+      try s.trim.toDouble.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SKIP/LIMIT toInteger('$s'): not a numeric string") }
     case Func("tointeger", _, Seq(a)) => evalStaticNum(a).toLong
     case Func("ceil", _, Seq(a)) => math.ceil(evalStaticNum(a)).toLong
     case Func("floor", _, Seq(a)) => math.floor(evalStaticNum(a)).toLong

@@ -4059,6 +4059,312 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("nk" -> List(1L, 2L, 3L), "l" -> 2L, "u" -> 1L),
         row("nk" -> List(1L, 2L, 3L), "l" -> 2L, "u" -> 2L))))
 
+  // round-7 fixtures: a yelp-flavoured review graph and a market graph
+  // shaped after the reference's example apps (morpheus-examples/.../
+  // integration/yelp/Part2_YelpGraphLibrary.scala,
+  // examples/RecommendationExample.scala, Customer360Example.scala)
+  val yelp: String = """
+    CREATE (b1:Business {name: 'Cafe', city: 'Berlin', rank: 2})
+    CREATE (b2:Business {name: 'Bar', city: 'Berlin', rank: 1})
+    CREATE (b3:Business {name: 'Shop', city: 'Paris', rank: 3})
+    CREATE (u1:User {name: 'Ann', since: 2015})
+    CREATE (u2:User {name: 'Ben', since: 2017})
+    CREATE (u3:User {name: 'Cyd', since: 2016})
+    CREATE (u1)-[:REVIEWS {stars: 5, year: 2017}]->(b1)
+    CREATE (u2)-[:REVIEWS {stars: 3, year: 2017}]->(b1)
+    CREATE (u3)-[:REVIEWS {stars: 5, year: 2017}]->(b1)
+    CREATE (u1)-[:REVIEWS {stars: 4, year: 2018}]->(b2)
+    CREATE (u2)-[:REVIEWS {stars: 2, year: 2018}]->(b3)
+    CREATE (u3)-[:REVIEWS {stars: 1, year: 2018}]->(b2)
+  """
+  val market: String = """
+    CREATE (u1:Person {name: 'Alice'})
+    CREATE (u2:Person {name: 'Bob'})
+    CREATE (c1:Customer {name: 'Alice'})
+    CREATE (c2:Customer {name: 'Bob'})
+    CREATE (p1:Product {title: 'Beans', category: 'coffee', rank: 2})
+    CREATE (p2:Product {title: 'Mug', category: 'coffee', rank: 1})
+    CREATE (p3:Product {title: 'Tea', category: 'tea', rank: 3})
+    CREATE (i1:Interest {name: 'coffee'})
+    CREATE (u1)-[:FRIEND_OF]->(u2)
+    CREATE (u1)-[:HAS_INTEREST]->(i1)
+    CREATE (c2)-[:BOUGHT {rating: 5, helpful: 4, votes: 5}]->(p1)
+    CREATE (c2)-[:BOUGHT {rating: 4, helpful: 1, votes: 9}]->(p2)
+    CREATE (c2)-[:BOUGHT {rating: 5, helpful: 9, votes: 10}]->(p3)
+  """
+  val optChain: String = """
+    CREATE (a:A {k: 1})-[:T]->(b:B {k: 2})
+    CREATE (c:A {k: 3})
+  """
+  val multiLabel: String = "CREATE (:P:Q {k: 1}) CREATE (:P {k: 2})"
+
+  /** Round-7 batch A: query shapes mined from the reference's example
+    * apps (yelp graph library, recommendation flow, customer-360 stats)
+    * re-run against small in-memory fixtures. */
+  private def r7Examples: Seq[Scenario] = Seq(
+    Scenario("r7ex co-reviewed business pairs with review counts", yelp,
+      """MATCH (x:Business)<-[r1:REVIEWS]-(u:User)-[r2:REVIEWS]->(y:Business)
+        |WHERE r1.year = 2017 AND r2.year = 2018
+        |WITH x, y, count(u) AS c
+        |RETURN x.name AS a, y.name AS b, c""".stripMargin,
+      Seq(row("a" -> "Cafe", "b" -> "Bar", "c" -> 2L),
+        row("a" -> "Cafe", "b" -> "Shop", "c" -> 1L))),
+    Scenario("r7ex co-reviews user pairs over a shared business", yelp,
+      """MATCH (b:Business)<-[r1:REVIEWS]-(u1:User),
+        |      (b)<-[r2:REVIEWS]-(u2:User)
+        |WHERE r1.year = 2017 AND r2.year = 2017 AND u1.name < u2.name
+        |WITH u1, u2, count(b) AS c
+        |RETURN u1.name AS a, u2.name AS b, c""".stripMargin,
+      Seq(row("a" -> "Ann", "b" -> "Ben", "c" -> 1L),
+        row("a" -> "Ann", "b" -> "Cyd", "c" -> 1L),
+        row("a" -> "Ben", "b" -> "Cyd", "c" -> 1L))),
+    Scenario("r7ex project filtered reviews via bound-rel clone", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business)
+        |WHERE r.year = 2017 AND u.since <= 2016
+        |CONSTRUCT CREATE (u)-[r]->(b)
+        |MATCH (x:User)-[e:REVIEWS]->(y:Business)
+        |RETURN x.name AS x, e.stars AS s, y.name AS y""".stripMargin,
+      Seq(row("x" -> "Ann", "s" -> 5L, "y" -> "Cafe"),
+        row("x" -> "Cyd", "s" -> 5L, "y" -> "Cafe"))),
+    Scenario("r7ex CONSTRUCT rel carrying an aggregate property", yelp,
+      """MATCH (x:Business)<-[:REVIEWS]-(u:User)-[:REVIEWS]->(y:Business)
+        |WHERE x.name < y.name
+        |WITH x, y, count(u) AS reviewCount
+        |CONSTRUCT CREATE (x)-[:CO_REVIEWED {reviewCount: reviewCount}]->(y)
+        |MATCH (a)-[e:CO_REVIEWED]->(b)
+        |RETURN a.name AS a, e.reviewCount AS c, b.name AS b""".stripMargin,
+      Seq(row("a" -> "Bar", "c" -> 2L, "b" -> "Cafe"),
+        row("a" -> "Cafe", "c" -> 1L, "b" -> "Shop"))),
+    Scenario("r7ex business trend via CLONE + SET of a computed score", yelp,
+      """MATCH (b:Business)<-[r:REVIEWS]-(:User)
+        |WITH b, sum(r.stars) AS totalStars
+        |CONSTRUCT CLONE b AS nb SET nb.delta = totalStars - b.rank
+        |MATCH (x:Business) RETURN x.name AS n, x.delta AS d""".stripMargin,
+      Seq(row("n" -> "Cafe", "d" -> 11L), row("n" -> "Bar", "d" -> 4L),
+        row("n" -> "Shop", "d" -> -1L))),
+    Scenario("r7ex top businesses by total stars", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business)
+        |WITH b.name AS name, sum(r.stars) AS totalStars
+        |RETURN name, totalStars ORDER BY totalStars DESC LIMIT 2""".stripMargin,
+      Seq(row("name" -> "Cafe", "totalStars" -> 13L),
+        row("name" -> "Bar", "totalStars" -> 5L)), ordered = true),
+    Scenario("r7ex recommendations from co-reviewers", yelp,
+      """MATCH (u:User)-[:REVIEWS]->(b:Business)<-[:REVIEWS]-(o:User),
+        |      (o)-[r:REVIEWS]->(b2:Business)
+        |WHERE NOT((u)-[:REVIEWS]->(b2)) AND r.stars > 1
+        |WITH u.name AS name, collect(DISTINCT b2.name) AS recs
+        |RETURN name, size(recs) AS n""".stripMargin,
+      Seq(row("name" -> "Ann", "n" -> 1L), row("name" -> "Ben", "n" -> 1L),
+        row("name" -> "Cyd", "n" -> 1L))),
+    Scenario("r7ex customer-360 interaction stats (undirected two-hop)", yelp,
+      """MATCH (u:User)--(b:Business)--(u2:User)
+        |WITH u, b.city AS city, count(*) AS cnt
+        |WHERE city IN ['Berlin']
+        |RETURN u.name AS n, city, cnt ORDER BY cnt DESC, n""".stripMargin,
+      Seq(row("n" -> "Ann", "city" -> "Berlin", "cnt" -> 3L),
+        row("n" -> "Cyd", "city" -> "Berlin", "cnt" -> 3L),
+        row("n" -> "Ben", "city" -> "Berlin", "cnt" -> 2L)), ordered = true),
+    Scenario("r7ex recommendation flow with rating-quality predicate", market,
+      """MATCH (person:Person)-[:FRIEND_OF]-(friend:Person),
+        |      (customer:Customer)-[b:BOUGHT]->(product:Product)
+        |WHERE customer.name = friend.name
+        |  AND b.rating >= 4 AND (b.helpful * 1.0) / b.votes > 0.6
+        |  AND person.name <> customer.name
+        |WITH person, product ORDER BY product.rank
+        |RETURN DISTINCT product.title AS rec, person.name AS who""".stripMargin,
+      Seq(row("rec" -> "Beans", "who" -> "Alice"),
+        row("rec" -> "Tea", "who" -> "Alice"))),
+    Scenario("r7ex inline property map referencing another match var", market,
+      """MATCH (u:Person)-[:HAS_INTEREST]->(i:Interest),
+        |      (c:Customer)-[:BOUGHT]->(p:Product {category: i.name})
+        |RETURN u.name AS u, p.title AS t""".stripMargin,
+      Seq(row("u" -> "Alice", "t" -> "Beans"),
+        row("u" -> "Alice", "t" -> "Mug"))),
+    Scenario("r7ex aggregate-then-filter WITH (HAVING shape)", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business)
+        |WITH b, count(r) AS cnt WHERE cnt > 1
+        |RETURN b.name AS n, cnt""".stripMargin,
+      Seq(row("n" -> "Cafe", "cnt" -> 3L), row("n" -> "Bar", "cnt" -> 2L))),
+    Scenario("r7ex WITH * ORDER BY then RETURN DISTINCT LIMIT", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business)
+        |WHERE r.stars >= 4
+        |WITH * ORDER BY b.rank
+        |RETURN DISTINCT b.name AS n LIMIT 2""".stripMargin,
+      Seq(row("n" -> "Bar"), row("n" -> "Cafe"))),
+    Scenario("r7ex label predicate as a WHERE expression", yelp,
+      "MATCH (n) WHERE n:User AND n.since >= 2016 RETURN n.name AS n",
+      Seq(row("n" -> "Ben"), row("n" -> "Cyd"))),
+    Scenario("r7ex degree table ordered by count", yelp,
+      """MATCH (:User)-[:REVIEWS]->(b:Business)
+        |WITH b, count(*) AS degree
+        |RETURN b.name AS n, degree ORDER BY degree DESC, n""".stripMargin,
+      Seq(row("n" -> "Cafe", "degree" -> 3L),
+        row("n" -> "Bar", "degree" -> 2L),
+        row("n" -> "Shop", "degree" -> 1L)), ordered = true))
+
+  /** Round-7 batch B: locks for the round-7 engine changes (integer-
+    * preserving mixed unions, implicit rel clones, duration components,
+    * TIME parsing/identity, list-literal error semantics) plus assorted
+    * read-side corners. */
+  private def r7Locks: Seq[Scenario] = Seq(
+    Scenario("r7 union all across families preserves integers", empty,
+      "RETURN 1 AS x UNION ALL RETURN 'a' AS x",
+      Seq(row("x" -> 1L), row("x" -> "a"))),
+    Scenario("r7 union all across four families", empty,
+      "RETURN 1 AS x UNION ALL RETURN 'a' AS x UNION ALL RETURN true AS x " +
+        "UNION ALL RETURN null AS x",
+      Seq(row("x" -> 1L), row("x" -> "a"), row("x" -> true),
+        row("x" -> null))),
+    Scenario("r7 union distinct collapses 1 and 1.0 to the integer", empty,
+      "RETURN 1 AS x UNION RETURN 'a' AS x UNION RETURN 1.0 AS x",
+      Seq(row("x" -> 1L), row("x" -> "a"))),
+    Scenario("r7 union distinct float-first still yields the integer", empty,
+      "RETURN 1.0 AS x UNION RETURN 'a' AS x UNION RETURN 1 AS x",
+      Seq(row("x" -> 1L), row("x" -> "a"))),
+    Scenario("r7 DISTINCT over a mixed list dedupes 1 and 1.0", empty,
+      "UNWIND [1, 1.0, 'a', 1] AS x RETURN count(DISTINCT x) AS c",
+      Seq(row("c" -> 2L))),
+    Scenario("r7 zoned times with one instant are one DISTINCT value", empty,
+      "UNWIND [time('13:00+01:00'), time('12:00Z')] AS t " +
+        "RETURN count(DISTINCT t) AS c",
+      Seq(row("c" -> 1L))),
+    Scenario("r7 min over zoned times picks the earliest instant", empty,
+      "UNWIND [time('13:00+01:00'), time('12:00Z'), time('01:00Z')] AS t " +
+        "RETURN min(t) = time('01:00Z') AS m",
+      Seq(row("m" -> true))),
+    Scenario("r7 duration sub-second components", empty,
+      "RETURN duration({seconds: 1, milliseconds: 500}) = " +
+        "duration({milliseconds: 1500}) AS eq",
+      Seq(row("eq" -> true))),
+    Scenario("r7 duration quarters normalize to months", empty,
+      "RETURN duration({quarters: 1}) = duration({months: 3}) AS eq",
+      Seq(row("eq" -> true))),
+    Scenario("r7 duration map rejects unknown components", empty,
+      "RETURN duration({lightyears: 1}) AS d", Nil,
+      expectError = Some("unknown duration component")),
+    Scenario("r7 time accepts a lowercase zulu suffix", empty,
+      "RETURN time('12:00z').hour AS h", Seq(row("h" -> 12L))),
+    Scenario("r7 odd-length compact time body is a typed error", empty,
+      "RETURN localtime('123') AS t", Nil,
+      expectError = Some("invalid ISO time-of-day")),
+    Scenario("r7 time arithmetic wraps within the day", empty,
+      "RETURN time('23:30Z') + duration({hours: 1}) = time('00:30Z') AS eq",
+      Seq(row("eq" -> true))),
+    Scenario("r7 localtime clock accessors", empty,
+      "RETURN localtime('12:34:56.789').minute AS m, " +
+        "localtime('12:34:56.789').second AS s",
+      Seq(row("m" -> 34L, "s" -> 56L))),
+    Scenario("r7 ISO-8601 duration rendering", empty,
+      "RETURN toString(duration({years: 1, months: 2, days: 3, " +
+        "minutes: 1, seconds: 30})) AS s",
+      Seq(row("s" -> "P1Y2M3DT1M30S"))),
+    Scenario("r7 raising list-literal sibling raises when another element is selected",
+      empty, "RETURN [1/0, 2][1] AS x", Nil,
+      expectError = Some("Division by zero")),
+    Scenario("r7 raising list-literal sibling raises under head()", empty,
+      "RETURN head([1, 1/0]) AS x", Nil,
+      expectError = Some("Division by zero")),
+    Scenario("r7 static list select over safe siblings", optChain,
+      "MATCH (n:A) RETURN [n.k, 5][0] AS x",
+      Seq(row("x" -> 1L), row("x" -> 3L))),
+    Scenario("r7 nested OPTIONAL MATCH chains propagate nulls", optChain,
+      """MATCH (n:A) OPTIONAL MATCH (n)-[:T]->(m:B)
+        |OPTIONAL MATCH (m)-[:T]->(z)
+        |RETURN n.k AS k, m.k AS mk, z.k AS zk""".stripMargin,
+      Seq(row("k" -> 1L, "mk" -> 2L, "zk" -> null),
+        row("k" -> 3L, "mk" -> null, "zk" -> null))),
+    Scenario("r7 EXISTS block inside CASE in RETURN", optChain,
+      """MATCH (n:A) RETURN n.k AS k,
+        |CASE WHEN EXISTS { MATCH (n)-[:T]->() } THEN 'yes' ELSE 'no' END AS e""".stripMargin,
+      Seq(row("k" -> 1L, "e" -> "yes"), row("k" -> 3L, "e" -> "no"))),
+    Scenario("r7 EXISTS block inside CASE in WHERE", optChain,
+      """MATCH (n:A)
+        |WHERE CASE WHEN n.k > 0 THEN EXISTS { MATCH (n)-[:T]->() }
+        |      ELSE false END
+        |RETURN n.k AS k""".stripMargin,
+      Seq(row("k" -> 1L))),
+    Scenario("r7 pattern predicate inside CASE in WITH", optChain,
+      """MATCH (n:A)
+        |WITH CASE WHEN (n)-[:T]->(:B) THEN n.k ELSE -1 END AS x
+        |RETURN x""".stripMargin,
+      Seq(row("x" -> 1L), row("x" -> -1L))),
+    Scenario("r7 SET on an implicit rel clone", yelp,
+      """MATCH (u:User {name: 'Ann'})-[r:REVIEWS]->(b:Business)
+        |WHERE r.year = 2017
+        |CONSTRUCT CREATE (u)-[r]->(b) SET r.flag = true
+        |MATCH ()-[e:REVIEWS]->()
+        |RETURN e.stars AS s, e.flag AS f""".stripMargin,
+      Seq(row("s" -> 5L, "f" -> true))),
+    Scenario("r7 bound rel clone accepts reversed pattern orientation", yelp,
+      """MATCH (u:User {name: 'Ann'})-[r:REVIEWS]->(b:Business)
+        |WHERE r.year = 2017
+        |CONSTRUCT CREATE (b)<-[r]-(u)
+        |MATCH (x)-[e:REVIEWS]->(y)
+        |RETURN x.name AS x, y.name AS y""".stripMargin,
+      Seq(row("x" -> "Ann", "y" -> "Cafe"))),
+    Scenario("r7 bound rel clone must keep its matched endpoints", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business), (o:User)
+        |WHERE o.name <> u.name
+        |CONSTRUCT CREATE (o)-[r]->(b)
+        |MATCH (x)-[e:REVIEWS]->(y) RETURN count(e) AS c""".stripMargin,
+      Nil, expectError = Some("must restate its matched endpoints")),
+    Scenario("r7 bound rel clone cannot restate a type", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business)
+        |CONSTRUCT CREATE (u)-[r:REVIEWS]->(b)
+        |MATCH (x)-[e]->(y) RETURN count(e) AS c""".stripMargin,
+      Nil, expectError = Some("cannot restate a type")),
+    Scenario("r7 bound rel clone cannot restate properties", yelp,
+      """MATCH (u:User)-[r:REVIEWS]->(b:Business)
+        |CONSTRUCT CREATE (u)-[r {stars: 1}]->(b)
+        |MATCH (x)-[e]->(y) RETURN count(e) AS c""".stripMargin,
+      Nil, expectError = Some("cannot restate properties")),
+    Scenario("r7 multi-label node passes a second label predicate", multiLabel,
+      "MATCH (n:P) WHERE n:Q RETURN n.k AS k", Seq(row("k" -> 1L))),
+    Scenario("r7 negated label predicate", multiLabel,
+      "MATCH (n:P) WHERE NOT n:Q RETURN n.k AS k", Seq(row("k" -> 2L))),
+    Scenario("r7 SKIP and LIMIT accept variable-free numeric functions", empty,
+      "UNWIND [1, 2, 3, 4] AS x RETURN x ORDER BY x " +
+        "SKIP toInteger('1') LIMIT abs(-2)",
+      Seq(row("x" -> 2L), row("x" -> 3L)), ordered = true),
+    Scenario("r7 list comprehension with filter and transform", empty,
+      "RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS l",
+      Seq(row("l" -> List(20L, 40L)))),
+    Scenario("r7 quantifier over a var-length rel list", chain,
+      """MATCH (a:N {v: 1})-[rs:R*1..3]->(x)
+        |RETURN x.v AS v, all(r IN rs WHERE r.w < 3) AS q""".stripMargin,
+      Seq(row("v" -> 2L, "q" -> true), row("v" -> 3L, "q" -> true),
+        row("v" -> 4L, "q" -> false))),
+    Scenario("r7 pattern comprehension sized per row", yelp,
+      """MATCH (u:User)
+        |RETURN u.name AS n, size([(u)-[:REVIEWS]->(b) | b.name]) AS c""".stripMargin,
+      Seq(row("n" -> "Ann", "c" -> 2L), row("n" -> "Ben", "c" -> 2L),
+        row("n" -> "Cyd", "c" -> 2L))),
+    Scenario("r7 map equality is struct-style over null values", empty,
+      "RETURN {a: 1, b: null} = {a: 1, b: null} AS eq",
+      Seq(row("eq" -> true))),
+    Scenario("r7 simple CASE null subject never matches (null = null is null)",
+      empty, "RETURN CASE null WHEN null THEN 'y' ELSE 'n' END AS c",
+      Seq(row("c" -> "n"))),
+    Scenario("r7 keys() of a map literal is sorted", empty,
+      "RETURN keys({b: 1, a: 2}) AS k",
+      Seq(row("k" -> List("a", "b")))),
+    Scenario("r7 split keeps interior empty strings", empty,
+      "RETURN split('a,b,,c', ',') AS s",
+      Seq(row("s" -> List("a", "b", "", "c")))),
+    Scenario("r7 reverse over strings and lists", empty,
+      "RETURN reverse('abc') AS r, reverse([1, 2, 3]) AS l",
+      Seq(row("r" -> "cba", "l" -> List(3L, 2L, 1L)))),
+    Scenario("r7 reduce over a literal list", empty,
+      "RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS s",
+      Seq(row("s" -> 6L))),
+    Scenario("r7 percentileCont interpolates between ranks", empty,
+      "UNWIND [1, 2, 3, 4] AS x RETURN percentileCont(x, 0.5) AS p",
+      Seq(row("p" -> 2.5))),
+    Scenario("r7 date.truncate to month start", empty,
+      "RETURN date.truncate('month', date('2026-08-15')) = " +
+        "date('2026-08-01') AS eq",
+      Seq(row("eq" -> true))))
+
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
     if (in == null) Map.empty
@@ -4072,7 +4378,8 @@ class TckStyleSpec extends AnyFunSuite {
 
   test("scenario corpus is large enough to be meaningful") {
     val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
-      probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6
+      probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6 ++
+      r7Examples ++ r7Locks
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -4082,7 +4389,8 @@ class TckStyleSpec extends AnyFunSuite {
   }
 
   (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
-    probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6).foreach { sc =>
+    probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6 ++
+    r7Examples ++ r7Locks).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }
