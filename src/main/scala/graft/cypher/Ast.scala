@@ -100,11 +100,14 @@ object Ast {
   case object Incoming extends Direction
   case object Undirected extends Direction
 
+  /** `copyOf`: CONSTRUCT-only `(v COPY OF src)` / `[v COPY OF r]` —
+    * a NEW element (fresh id) copying the source's labels/type and
+    * properties, unlike CLONE which carries the source id over. */
   case class NodePattern(variable: Option[String], labels: Seq[String],
-      properties: Seq[(String, Expr)])
+      properties: Seq[(String, Expr)], copyOf: Option[String] = None)
   case class RelPattern(variable: Option[String], types: Seq[String],
       properties: Seq[(String, Expr)], direction: Direction,
-      varLength: Option[(Int, Option[Int])])
+      varLength: Option[(Int, Option[Int])], copyOf: Option[String] = None)
 
   /** shortestPath(...) / allShortestPaths(...) wrapper mode. */
   sealed trait ShortestMode

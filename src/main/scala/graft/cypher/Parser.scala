@@ -308,9 +308,13 @@ object CypherParser extends RegexParsers {
       case acc ~ init ~ v ~ l ~ step => Reduce(acc, init, v, l, step) }
 
   // ------------------------------------------------------------- patterns
+  /** `COPY OF src` (CONSTRUCT NEW patterns; reference morpheus syntax,
+    * e.g. morpheus-examples yelp Part4: `CREATE (newB COPY OF b)`). */
+  private def copyOf: Parser[String] = K("copy") ~> K("of") ~> ident
+
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
-      case v ~ ls ~ props => NodePattern(v, ls, props.getOrElse(Nil)) }
+    "(" ~> opt(ident) ~ opt(copyOf) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
+      case v ~ co ~ ls ~ props => NodePattern(v, ls, props.getOrElse(Nil), co) }
 
   def propMap: Parser[Seq[(String, Expr)]] =
     "{" ~> repsep((anyIdent <~ ":") ~ expression, ",") <~ "}" ^^ {
@@ -323,20 +327,20 @@ object CypherParser extends RegexParsers {
       case lo ~ Some(hi) => (lo.map(_.toInt).getOrElse(1), hi.map(_.toInt))
     } ^^ { case (lo, hi) => (lo, hi) }
 
-  def relDetail: Parser[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])])] =
+  def relDetail: Parser[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])], Option[String])] =
     "[" ~> opt(ident) ~ (":" ~> rep1sep(anyIdent, "|" ~ opt(":"))) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
-      case v ~ ts ~ vl ~ props => (v, ts, props.getOrElse(Nil), vl) } |
-    "[" ~> opt(ident) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
-      case v ~ vl ~ props => (v, Nil, props.getOrElse(Nil), vl) }
+      case v ~ ts ~ vl ~ props => (v, ts, props.getOrElse(Nil), vl, None) } |
+    "[" ~> opt(ident) ~ opt(copyOf) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
+      case v ~ co ~ vl ~ props => (v, Nil, props.getOrElse(Nil), vl, co) }
 
   def relPattern: Parser[RelPattern] =
     ("<-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Incoming)) |
     ("-" ~> opt(relDetail) <~ "->") ^^ (d => mk(d, Outgoing)) |
     ("-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Undirected))
 
-  private def mk(d: Option[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])])],
+  private def mk(d: Option[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])], Option[String])],
       dir: Direction): RelPattern = d match {
-    case Some((v, ts, props, vl)) => RelPattern(v, ts, props, dir, vl)
+    case Some((v, ts, props, vl, co)) => RelPattern(v, ts, props, dir, vl, co)
     case None => RelPattern(None, Nil, Nil, dir, None)
   }
 

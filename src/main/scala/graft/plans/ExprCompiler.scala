@@ -225,8 +225,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case HasLabels(b, labels) => b match {
       case Var(n) => header(n) match {
         case nb: NodeBinding =>
-          labels.map(l => nb.labelCols.get(l).map(c => col(s"`$c`"))
+          val pred = labels.map(l => nb.labelCols.get(l).map(c => col(s"`$c`"))
             .getOrElse(lit(false))).reduce(_ && _)
+          // a null node (failed OPTIONAL MATCH) has no labels to test:
+          // null, not false — Neo4j `null:Label` is null. Matters even
+          // for statically-absent labels, where pred is lit(false)
+          // (differential hunt 69716).
+          when(col(s"`${nb.idCol}`").isNull, lit(null).cast(BooleanType))
+            .otherwise(pred)
         case _ => lit(false)
       }
       case _ => lit(false)

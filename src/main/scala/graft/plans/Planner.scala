@@ -310,6 +310,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         val (st2, c) = rewriteConstructComprehensions(graph, state, c0)
         graph = buildGraph(st2, c)
         state = unitState
+        // the binding table reset to unit also starts a new query part:
+        // a MATCH over the constructed graph is not "after" the earlier
+        // OPTIONAL MATCH in Neo4j's clause-order sense
+        sawOptional = false
       case ReturnGraphClause =>
         throw new IllegalArgumentException(
           "RETURN GRAPH must be executed via GraftSession.cypherGraph")
@@ -515,8 +519,48 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       cName
     }
 
+    // COPY OF targets: var → (fresh id col, source binding, extra labels
+    // from the pattern, extra prop cols from the pattern). Tables are
+    // built at the end (after SET merging) via the clone machinery with
+    // the id column swapped for the fresh one — labels/type stay
+    // per-row-accurate (reference COPY OF semantics: NEW identity,
+    // copied labels/type + properties; morpheus-examples yelp Part4
+    // `CREATE (newB COPY OF b) SET newB.trendRank = …`).
+    val copiedNodes = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, NodeBinding, Set[String], Map[String, String])]
+    val copiedRels = scala.collection.mutable.ArrayBuffer
+      .empty[(String, RelBinding, String, String, Map[String, String])]
+
     def bindNewNode(np: NodePattern): String = {
       val v = np.variable.getOrElse(fresh("@cn"))
+      np.copyOf.foreach { srcVar =>
+        require(!state.header.contains(v),
+          s"COPY OF target `$v` is already bound")
+        val nb = state.header.get(srcVar) match {
+          case Some(n: NodeBinding) => n
+          case other => throw new IllegalArgumentException(
+            s"$v COPY OF $srcVar: `$srcVar` is not a bound node " +
+              s"(${other.map(_.toString).getOrElse("unbound")})")
+        }
+        copiedNodes.get(v) match {
+          case Some((idCol, _, _, _)) => return idCol
+          case None =>
+        }
+        val idCol = freshIdCol(v.replaceAll("[^A-Za-z0-9_]", ""))
+        // a failed-OPTIONAL source row copies nothing
+        df = df.withColumn(idCol,
+          when(col(s"`${nb.idCol}`").isNotNull, col(s"`$idCol`")))
+        val props = np.properties.map { case (k2, e) =>
+          val cName = fresh(s"new_${v}_p_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+          df = df.withColumn(cName, comp.compile(e))
+          k2 -> cName
+        }.toMap
+        copiedNodes(v) = (idCol, nb, np.labels.toSet, props)
+        return idCol
+      }
+      // a later bare reference to an earlier COPY OF target in the same
+      // CONSTRUCT reuses the copy (NEW (c COPY OF b) NEW (c)-[:X]->(d))
+      copiedNodes.get(v).foreach { case (idCol, _, _, _) => return idCol }
       state.header.get(v) match {
         case Some(nb: NodeBinding) => return nb.idCol // implicit clone
         case Some(other) => throw new IllegalArgumentException(
@@ -545,6 +589,37 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           // bound rel: already carried over as an implicit CLONE above —
           // advance the chain without creating anything
           prevIdCol = bindNewNode(node)
+        } else if (rel.copyOf.isDefined) {
+          // [e COPY OF r]: fresh rel id per row; type + properties from
+          // the source rel; endpoints from THIS pattern (re-attachment
+          // between copies is the point — yelp Part4 copies a business
+          // into a new graph with recomputed rels)
+          val srcVar = rel.copyOf.get
+          val rb = state.header.get(srcVar) match {
+            case Some(r: RelBinding) => r
+            case other => throw new IllegalArgumentException(
+              s"COPY OF $srcVar: `$srcVar` is not a bound relationship " +
+                s"(${other.map(_.toString).getOrElse("unbound")})")
+          }
+          require(rel.types.isEmpty && rel.varLength.isEmpty,
+            "COPY OF relationship cannot restate a type or be var-length")
+          val dstIdCol = bindNewNode(node)
+          val relIdCol = freshIdCol("r")
+          df = df.withColumn(relIdCol,
+            when(col(s"`${rb.idCol}`").isNotNull &&
+              col(s"`$prevIdCol`").isNotNull &&
+              col(s"`$dstIdCol`").isNotNull, col(s"`$relIdCol`")))
+          val extraProps = rel.properties.map { case (k2, e) =>
+            val cName = fresh(s"new_r_p_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+            df = df.withColumn(cName, comp.compile(e))
+            k2 -> cName
+          }.toMap
+          val (srcC, dstC) = rel.direction match {
+            case Incoming => (dstIdCol, prevIdCol)
+            case _ => (prevIdCol, dstIdCol)
+          }
+          copiedRels += ((relIdCol, rb, srcC, dstC, extraProps))
+          prevIdCol = dstIdCol
         } else {
         require(rel.varLength.isEmpty, "NEW cannot use var-length patterns")
         require(rel.types.size == 1,
@@ -590,6 +665,28 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       nodeTables += graft.graph.NodeTable(labels,
         df.select((idCol +: propSel.map(_._2)).map(cn => col(s"`$cn`")): _*),
         idCol, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
+    }
+
+    // COPY OF tables: the clone machinery with the id column swapped for
+    // the fresh one keeps per-row labels/types accurate; pattern + SET
+    // properties overlay the copied ones
+    copiedNodes.foreach { case (v, (idCol, nb, extraLabels, patProps)) =>
+      val setExtras = setsByVar.getOrElse(v, Nil).map { case (k2, e) =>
+        val cName = fresh(s"set_${v}_$k2".replaceAll("[^A-Za-z0-9_#]", ""))
+        df = df.withColumn(cName, comp.compile(e))
+        k2 -> cName
+      }.toMap
+      val binding = nb.copy(idCol = idCol,
+        propCols = nb.propCols ++ patProps ++ setExtras)
+      val tbls = cloneNodeTables(state.copy(df = df), binding)
+      nodeTables ++= (if (extraLabels.isEmpty) tbls
+        else tbls.map(t => t.copy(labels = t.labels ++ extraLabels)))
+    }
+    copiedRels.foreach { case (idCol, rb, srcC, dstC, extraProps) =>
+      val binding = rb.copy(idCol = idCol, srcCol = srcC, dstCol = dstC,
+        propCols = rb.propCols ++ extraProps)
+      relTables ++= cloneRelTables(
+        state.copy(df = df.where(col(s"`$idCol`").isNotNull)), binding)
     }
 
     // ON graphs union by id-space: a clone of an element that an ON graph
@@ -728,6 +825,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   private case class RelId(col: String, isList: Boolean, types: Set[String])
 
   def planMatch(graph: PropertyGraph, state: PState, m: MatchClause): PState = {
+    m.pattern.parts.foreach { p =>
+      (p.start +: p.chain.map(_._2)).foreach(np => require(np.copyOf.isEmpty,
+        "COPY OF is only valid in CONSTRUCT NEW/CREATE patterns"))
+      p.chain.foreach { case (r, _) => require(r.copyOf.isEmpty,
+        "COPY OF is only valid in CONSTRUCT NEW/CREATE patterns") }
+    }
     if (m.optional) return planOptionalMatch(graph, state, m)
     // WHERE quantifiers over a var-length rel list of THIS pattern push
     // into the unroll (per-step filters / counters) when their predicate

@@ -4363,7 +4363,76 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("r7 date.truncate to month start", empty,
       "RETURN date.truncate('month', date('2026-08-15')) = " +
         "date('2026-08-01') AS eq",
-      Seq(row("eq" -> true))))
+      Seq(row("eq" -> true))),
+    // COPY OF (reference morpheus syntax, yelp Part4_BusinessTrends:
+    // CREATE (newB COPY OF b) SET newB.trendRank = ...): NEW identity,
+    // copied labels/type + properties
+    Scenario("r7 COPY OF copies labels and props under a fresh id", yelp,
+      """MATCH (b:Business {name: 'Cafe'})
+        |CONSTRUCT CREATE (nb COPY OF b)
+        |MATCH (x:Business) RETURN x.name AS n, id(x) < 0 AS fresh""".stripMargin,
+      Seq(row("n" -> "Cafe", "fresh" -> true))),
+    Scenario("r7 COPY OF + SET overlays computed properties", yelp,
+      """MATCH (b:Business)
+        |WITH b, b.rank * 10 AS trendRank
+        |CONSTRUCT CREATE (nb COPY OF b) SET nb.trendRank = trendRank
+        |MATCH (x:Business)
+        |RETURN x.name AS n, x.trendRank AS t, x.rank AS r""".stripMargin,
+      Seq(row("n" -> "Cafe", "t" -> 20L, "r" -> 2L),
+        row("n" -> "Bar", "t" -> 10L, "r" -> 1L),
+        row("n" -> "Shop", "t" -> 30L, "r" -> 3L))),
+    Scenario("r7 COPY OF rel re-attaches between node copies", yelp,
+      """MATCH (u:User {name: 'Ann'})-[r:REVIEWS]->(b:Business)
+        |WHERE r.year = 2017
+        |CONSTRUCT CREATE (cu COPY OF u)-[e COPY OF r]->(cb COPY OF b)
+        |MATCH (x:User)-[e2:REVIEWS]->(y:Business)
+        |RETURN x.name AS x, e2.stars AS s, y.name AS y""".stripMargin,
+      Seq(row("x" -> "Ann", "s" -> 5L, "y" -> "Cafe"))),
+    Scenario("r7 COPY OF pattern labels extend the copied ones", yelp,
+      """MATCH (b:Business {name: 'Bar'})
+        |CONSTRUCT CREATE (nb COPY OF b :Hot)
+        |MATCH (x:Hot) RETURN x.name AS n""".stripMargin,
+      Seq(row("n" -> "Bar"))),
+    Scenario("r7 COPY OF creates one element per driving row", yelp,
+      """MATCH (:User)-[:REVIEWS]->(b:Business {name: 'Cafe'})
+        |CONSTRUCT CREATE (nb COPY OF b)
+        |MATCH (x) RETURN count(x) AS c""".stripMargin,
+      Seq(row("c" -> 3L))),
+    Scenario("r7 CLONE of the same input dedups by id (contrast)", yelp,
+      """MATCH (:User)-[:REVIEWS]->(b:Business {name: 'Cafe'})
+        |CONSTRUCT CLONE b
+        |MATCH (x) RETURN count(x) AS c""".stripMargin,
+      Seq(row("c" -> 1L))),
+    Scenario("r7 COPY OF skips failed-optional source rows", optChain,
+      """MATCH (n:A) OPTIONAL MATCH (n)-[:T]->(m:B)
+        |CONSTRUCT CREATE (c COPY OF m)
+        |MATCH (x) RETURN count(x) AS c""".stripMargin,
+      Seq(row("c" -> 1L))),
+    Scenario("r7 COPY OF outside CONSTRUCT is a typed error", yelp,
+      "MATCH (n COPY OF m) RETURN 1 AS x", Nil,
+      expectError = Some("only valid in CONSTRUCT")),
+    Scenario("r7 COPY OF of an unbound source is a typed error", yelp,
+      """MATCH (b:Business)
+        |CONSTRUCT CREATE (nb COPY OF nope)
+        |MATCH (x) RETURN count(x) AS c""".stripMargin,
+      Nil, expectError = Some("is not a bound node")),
+    Scenario("r7 COPY OF rel of a non-relationship is a typed error", yelp,
+      """MATCH (u:User {name: 'Ann'})
+        |CONSTRUCT CREATE (a)-[e COPY OF u]->(c)
+        |MATCH (x) RETURN count(x) AS c""".stripMargin,
+      Nil, expectError = Some("is not a bound relationship")),
+    // differential hunt 69716: a label predicate over a failed-OPTIONAL
+    // (null) node is null, not false — including statically-absent labels
+    Scenario("r7 label predicate on a null node is null", optChain,
+      """MATCH (n:A) OPTIONAL MATCH (n)-[:T]->(m:B) WHERE n.k > 99
+        |RETURN n.k AS k, (m:B) AS hasB, (m:Nope) AS hasNope""".stripMargin,
+      Seq(row("k" -> 1L, "hasB" -> null, "hasNope" -> null),
+        row("k" -> 3L, "hasB" -> null, "hasNope" -> null))),
+    Scenario("r7 label predicate on a matched node stays ternary-false", optChain,
+      """MATCH (n:A) OPTIONAL MATCH (n)-[:T]->(m:B)
+        |RETURN n.k AS k, (m:B) AS hasB, (m:Nope) AS hasNope""".stripMargin,
+      Seq(row("k" -> 1L, "hasB" -> true, "hasNope" -> false),
+        row("k" -> 3L, "hasB" -> null, "hasNope" -> null))))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")

@@ -243,11 +243,19 @@ object Model {
     * cloneRels entries are (relVar, srcNodeVar, dstNodeVar). */
   final case class SConstruct(cloneNodes: List[String],
       cloneRels: List[(String, String, String)],
-      newRels: List[(String, String, String, Option[Long])] = Nil)
+      newRels: List[(String, String, String, Option[Long])] = Nil,
+      /** (newVar, srcVar): `NEW (newVar COPY OF srcVar)` — a fresh-id
+        * per-row copy of the matched node (round 7). */
+      copyNodes: List[(String, String)] = Nil,
+      /** render cloneRels as bound-rel NEW patterns
+        * (`NEW (sv)-[rv]->(dv)`, the implicit-clone form) instead of a
+        * CLONE list — identical semantics, different engine path. */
+      relCloneAsNew: Boolean = false)
     extends Stage
   // newRels: (srcVar, relType, dstVar, w-literal) — one NEW edge PER
   // BINDING ROW (engine-verified, Probe46: duplicate rows create
-  // duplicate edges), endpoints always drawn from the cloned node set
+  // duplicate edges), endpoints drawn from the cloned node set or a
+  // COPY OF target
 
   final case class Query(stages: List[Stage], ret: Ret,
       unions: List[(Boolean, Query)] = Nil,
@@ -315,9 +323,11 @@ object Model {
           }
           where.foreach(be)
         case SUnwindVar(_, src) => b += src
-        case SConstruct(ns, rs, nrs) =>
-          b ++= ns; rs.foreach { case (rv, sv, dv) => b += rv; b += sv; b += dv }
-          nrs.foreach { case (sv, _, dv, _) => b += sv; b += dv }
+        case sc: SConstruct =>
+          b ++= sc.cloneNodes
+          sc.cloneRels.foreach { case (rv, sv, dv) => b += rv; b += sv; b += dv }
+          sc.newRels.foreach { case (sv, _, dv, _) => b += sv; b += dv }
+          sc.copyNodes.foreach { case (_, sv) => b += sv }
         case _ =>
       }
       ret.items.foreach {
@@ -440,11 +450,17 @@ object Model {
         case SWith(d, items, where) =>
           sb ++= "WITH " + (if (d) "DISTINCT " else "") + renderItems(items) + "\n"
           where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
-        case SConstruct(ns, rs, nrs) =>
-          val names = (ns ++ rs.flatMap { case (rv, sv, dv) =>
-            List(sv, rv, dv) }).distinct
-          sb ++= "CONSTRUCT CLONE " + names.mkString(", ")
-          nrs.foreach { case (sv, typ, dv, w) =>
+        case sc: SConstruct =>
+          val cloneRelList = if (sc.relCloneAsNew) Nil else sc.cloneRels
+          val names = (sc.cloneNodes ++ cloneRelList.flatMap {
+            case (rv, sv, dv) => List(sv, rv, dv) }).distinct
+          sb ++= "CONSTRUCT"
+          if (names.nonEmpty) sb ++= " CLONE " + names.mkString(", ")
+          if (sc.relCloneAsNew) sc.cloneRels.foreach { case (rv, sv, dv) =>
+            sb ++= s" NEW ($sv)-[$rv]->($dv)" }
+          sc.copyNodes.foreach { case (nv, sv) =>
+            sb ++= s" NEW ($nv COPY OF $sv)" }
+          sc.newRels.foreach { case (sv, typ, dv, w) =>
             val props = w.map(v => s" {w: $v}").getOrElse("")
             sb ++= s" NEW ($sv)-[:$typ$props]->($dv)"
           }
@@ -1000,29 +1016,42 @@ object NaiveEval {
       case None => List(Map.empty)
     }
     q.stages.foreach {
-      case SConstruct(ns, rs, nrs) =>
+      case sc: SConstruct =>
         // constructed graph: distinct cloned nodes + distinct cloned rels
-        // with their (topological) endpoints; NEW edges one PER BINDING
-        // ROW (duplicate rows duplicate edges — engine-verified, Probe46);
-        // binding table resets to unit
+        // with their (topological) endpoints (rel clones are the same
+        // whether written as CLONE or as a bound-rel NEW pattern); COPY OF
+        // nodes and NEW edges one PER BINDING ROW (duplicate rows
+        // duplicate elements — engine-verified, Probe46); binding table
+        // resets to unit
         val nodesB =
           scala.collection.mutable.LinkedHashMap.empty[Long, MNode]
         val relsB = scala.collection.mutable.LinkedHashMap.empty[Long, MRel]
         var freshRelId = 10000000L
+        var freshNodeId = -10000000L
         rows.foreach { r =>
-          ns.foreach { v => r.get(v) match {
+          sc.cloneNodes.foreach { v => r.get(v) match {
             case Some(n: MNode) => nodesB(n.id) = n
             case _ => ()
           } }
-          rs.foreach { case (rv, _, _) => r.get(rv) match {
+          sc.cloneRels.foreach { case (rv, _, _) => r.get(rv) match {
             case Some(rel: MRel) =>
               relsB(rel.id) = rel
               nodesB.getOrElseUpdate(rel.src, curGraph.node(rel.src))
               nodesB.getOrElseUpdate(rel.dst, curGraph.node(rel.dst))
             case _ => ()
           } }
-          nrs.foreach { case (sv, typ, dv, w) =>
-            (r.get(sv), r.get(dv)) match {
+          val copies = scala.collection.mutable.Map.empty[String, MNode]
+          sc.copyNodes.foreach { case (nv, sv) => r.get(sv) match {
+            case Some(n: MNode) =>
+              val cp = MNode(freshNodeId, n.labels, n.props)
+              freshNodeId -= 1
+              nodesB(cp.id) = cp
+              copies(nv) = cp
+            case _ => ()
+          } }
+          sc.newRels.foreach { case (sv, typ, dv, w) =>
+            (r.get(sv).orElse(copies.get(sv)),
+              r.get(dv).orElse(copies.get(dv))) match {
               case (Some(sn: MNode), Some(dn: MNode)) =>
                 relsB(freshRelId) = MRel(freshRelId, sn.id, dn.id, typ,
                   w.map(v => Map[String, Any]("w" -> v))
@@ -2137,6 +2166,9 @@ object DiffGen {
     di <- Gen.choose(0, 7)
     hasW <- Gen.prob(0.5)
     wv <- Gen.choose(0L, 4L)
+    wantCopy <- Gen.prob(0.35)
+    cpIdx <- Gen.choose(0, 7)
+    relAsNew <- Gen.prob(0.35)
     m2 <- genMatch(emptyCtx, optional = false, 300)
     w2 <- Gen.prob(0.5)
     where2 <- genBE(m2._2, 1)
@@ -2146,18 +2178,25 @@ object DiffGen {
     val rels = pickRels.toList
     val nodes0 =
       if (extraNode || rels.isEmpty) List(m1._1.chains.head.first.v) else Nil
-    // NEW edges draw endpoints from the CLONED node set only (the engine
-    // materializes implicit property-less endpoints otherwise)
-    val avail = (nodes0 ++ rels.flatMap { case (_, s, d) => List(s, d) })
-      .distinct
+    // COPY OF a matched node var (round 7): fresh-id per-row copy
+    val copySources = (nodes0 ++ rels.flatMap { case (_, s, d) =>
+      List(s, d) }).distinct
+    val copies =
+      if (wantCopy && copySources.nonEmpty)
+        List(("cp0", copySources(cpIdx % copySources.size)))
+      else Nil
+    // NEW edges draw endpoints from the CLONED node set or a COPY target
+    // (the engine materializes implicit property-less endpoints otherwise)
+    val avail = copySources ++ copies.map(_._1)
     val newRels =
       if (wantNew && avail.nonEmpty)
         List((avail(si % avail.size), newTyp, avail(di % avail.size),
           if (hasW) Some(wv) else None))
       else Nil
     val mc2 = m2._1.copy(where = if (w2) Some(where2) else None)
-    Query(List(SMatch(mc1), SConstruct(nodes0, rels, newRels), SMatch(mc2)),
-      ret)
+    Query(List(SMatch(mc1),
+      SConstruct(nodes0, rels, newRels, copies, relAsNew && rels.nonEmpty),
+      SMatch(mc2)), ret)
   }
 
   def genQuery: Gen[Query] = Gen.frequency(

@@ -38,7 +38,9 @@ object GenStatsMain {
       "date" -> "date('", "durArith" -> "duration({days:",
       "datePart" -> ".year", "mapLit" -> "{a:", "mapProj" -> " {.",
       "pathNodes" -> "nodes(pth", "pathRels" -> "relationships(pth",
-      "quantVl" -> "(qv IN r", "CONSTRUCT" -> "CONSTRUCT CLONE")
+      "quantVl" -> "(qv IN r", "CONSTRUCT" -> "CONSTRUCT",
+      // round-7 construct forms
+      "COPY OF" -> "COPY OF", "relCloneNew" -> ")-[r")
     probes.foreach { case (name, pat) =>
       println(f"$name%-11s ${texts.count(_.contains(pat))}%5d / $n")
     }
