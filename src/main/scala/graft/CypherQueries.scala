@@ -361,6 +361,16 @@ object CypherQueries {
         |RETURN c.c_custkey AS ck, length(p) AS len,
         |       coalesce(x.n_name, x.r_name) AS xname
         |ORDER BY ck, xname""".stripMargin)),
+    // COPY OF (§2.5, round 7): per-row fresh-id copies re-attached by a
+    // NEW rel carrying a computed property, queried back over the
+    // constructed graph — the reference's yelp Part4 projection shape
+    "c38_copy_of" -> ((s, dir) => run(s, dir,
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |WITH n, r, n.n_nationkey * 10 AS score
+        |CONSTRUCT CREATE (cn COPY OF n)-[:IN_COPY {s: score}]->(cr COPY OF r)
+        |MATCH (n2:Nation)-[e:IN_COPY]->(r2:Region)
+        |RETURN n2.n_name AS nn, r2.r_name AS rn, e.s AS s
+        |ORDER BY nn""".stripMargin)),
     // CONSTRUCT (§2.5): derived graph queried back through the engine
     "c21_construct" -> ((s, dir) => {
       val gs = sessions.getOrElseUpdate(s, GraftSession(s))
@@ -492,6 +502,11 @@ object CypherQueries {
     "c21_construct" ->
       """SELECT o_custkey AS ck, count(*) AS n, min(o_totalprice) AS lo
         |FROM orders GROUP BY o_custkey ORDER BY ck""".stripMargin,
+    "c38_copy_of" ->
+      """SELECT n_name AS nn, r_name AS rn,
+        |       (n_nationkey * 10)::BIGINT AS s
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nn""".stripMargin,
     "c26_triplet" ->
       """SELECT c_mktsegment AS seg, count(*) AS n, max(o_totalprice) AS hi
         |FROM customer JOIN orders ON o_custkey = c_custkey

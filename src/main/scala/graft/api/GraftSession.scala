@@ -62,7 +62,10 @@ class GraftSession(val spark: SparkSession) {
   def releaseQueryCaches(): Unit = {
     var df = queryCaches.poll()
     while (df != null) {
-      df.unpersist()
+      // blocking: the async default removes blocks AFTER this returns,
+      // racing queries a caller starts next — observed on Spark 4.1.2 as
+      // BlockNotFoundException plus silently missing rows
+      df.unpersist(blocking = true)
       df = queryCaches.poll()
     }
   }

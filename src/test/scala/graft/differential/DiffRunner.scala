@@ -201,9 +201,24 @@ object DiffHuntMain {
     val chunks = (from until to).grouped(10).toVector.par
     chunks.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(8))
+    // Shared-subtree cache hygiene: the planner persists shared scans per
+    // case, and Spark's CacheManager does a LINEAR canonicalized-plan
+    // scan on every persist/lookup — left to accumulate, a 15k-case run
+    // crawled to a halt past ~10k cases (30+ min per 500, one thread
+    // parked in Dataset.persist). Caches only pay off WITHIN a chunk
+    // (cases i/10 share one graph), so drop them after each chunk — but
+    // NEVER while another case is mid-flight: unpersisting under a
+    // running query produced SILENTLY WRONG results on Spark 4.1.2
+    // (BlockNotFoundException + missing rows; three phantom hunt
+    // divergences that vanished solo). A read-write lock serializes
+    // releases against cases: cases hold the read lock, the release
+    // takes the write lock between cases.
+    val caseLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
     chunks.foreach { chunk =>
       chunk.foreach { i =>
-        runner.runCase(i) match {
+        caseLock.readLock().lock()
+        val res = try runner.runCase(i) finally caseLock.readLock().unlock()
+        res match {
           case Some(d) => failures.incrementAndGet()
             println(s"\nDIVERGENCE $d")
           case None => ()
@@ -214,6 +229,9 @@ object DiffHuntMain {
           println(f"[hunt] $n cases, ${failures.get} divergences, $dt%.0f s")
         }
       }
+      caseLock.writeLock().lock()
+      try runner.gs.releaseQueryCaches()
+      finally caseLock.writeLock().unlock()
     }
     println(s"[hunt] DONE cases $from..$to: ${failures.get} divergences")
     spark.stop()
