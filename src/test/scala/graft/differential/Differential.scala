@@ -233,8 +233,19 @@ object Model {
   final case class SUnwind(v: String, list: List[Any]) extends Stage
   /** UNWIND of a bound list variable (a WITH projection or collect alias) */
   final case class SUnwindVar(v: String, src: String) extends Stage
+  /** a WITH ORDER BY key: the item alias, optionally ordering on its
+    * `.uid` property — the portable total order for a passed entity
+    * (engine ids and model ids number independently; uids are shared).
+    * `pre` marks an UNPROJECTED entity var from the input scope (legal in
+    * a plain non-DISTINCT, non-aggregating WITH: ORDER BY sees both
+    * scopes — the engine's combined-header path, round 7c). Cut
+    * determinism holds because pre keys are always followed by keys over
+    * every projected item: full-key ties project to identical rows. */
+  final case class WithOrd(alias: String, uid: Boolean, asc: Boolean,
+      pre: Boolean = false)
   final case class SWith(distinct: Boolean, items: List[RetItem],
-      where: Option[BE]) extends Stage
+      where: Option[BE], orderBy: List[WithOrd] = Nil,
+      skip: Option[Int] = None, limit: Option[Int] = None) extends Stage
   /** CONSTRUCT CLONE over matched vars: switches the working graph to the
     * constructed one and RESETS the binding table (reference consecutive-
     * construction semantics, Probe42). Cloned rels always travel with both
@@ -314,13 +325,15 @@ object Model {
       }
       stages.foreach {
         case SMatch(mc) => mc.where.foreach(be)
-        case SWith(_, items, where) =>
+        case SWith(_, items, where, ord, _, _) =>
           items.foreach {
             case ValItem(e, _) => ve(e)
             case AggItem(_, a, _, _) => a.foreach(ve)
             case PassItem(v) => b += v
             case AliasItem(v, _) => b += v
           }
+          // pre (unprojected input-scope) sort keys reference their var
+          ord.foreach(o => if (o.pre) b += o.alias)
           where.foreach(be)
         case SUnwindVar(_, src) => b += src
         case sc: SConstruct =>
@@ -447,8 +460,15 @@ object Model {
           sb ++= s"UNWIND ${list.map(renderLit).mkString("[", ", ", "]")} AS $v\n"
         case SUnwindVar(v, src) =>
           sb ++= s"UNWIND $src AS $v\n"
-        case SWith(d, items, where) =>
+        case SWith(d, items, where, ord, skip, limit) =>
           sb ++= "WITH " + (if (d) "DISTINCT " else "") + renderItems(items) + "\n"
+          if (ord.nonEmpty)
+            sb ++= "ORDER BY " + ord.map { o =>
+              s"${o.alias}${if (o.uid) ".uid" else ""} " +
+                (if (o.asc) "ASC" else "DESC")
+            }.mkString(", ") + "\n"
+          skip.foreach(n => sb ++= s"SKIP $n\n")
+          limit.foreach(n => sb ++= s"LIMIT $n\n")
           where.foreach(w => sb ++= "WHERE " + renderBE(w) + "\n")
         case sc: SConstruct =>
           val cloneRelList = if (sc.relCloneAsNew) Nil else sc.cloneRels
@@ -498,7 +518,7 @@ object Model {
       // sums computed in a WITH carry their typed empty-zero corner into
       // any RETURN item that re-projects the alias directly (hunt 11618)
       val withSums: Set[String] = stages.flatMap {
-        case SWith(_, items, _) => items.collect {
+        case SWith(_, items, _, _, _, _) => items.collect {
           case AggItem("sum", _, _, a) => a
         }
         case _ => Nil
@@ -1116,11 +1136,52 @@ object NaiveEval {
             List(row ++ fresh.map(_ -> (null: Any)))
           } else kept
         }
-      case SWith(d, items, where) =>
+      case SWith(d, items, where, ord, skip, limit) =>
         val projected: List[List[Any]] = projectItems(rows, items, d,
           Nil, None, None)
         val aliases = items.map(_.alias)
-        rows = projected.map(vals => aliases.zip(vals).toMap)
+        // pre (unprojected) sort keys read the INPUT row — only generated
+        // for plain projections, where projectItems is 1:1 and in order
+        val plain = !d && !items.exists(_.isInstanceOf[AggItem])
+        var out: List[(Binding, Binding)] = {
+          val outs = projected.map(vals => aliases.zip(vals).toMap)
+          if (plain) rows.zip(outs)
+          else outs.map((Map.empty[String, Any], _))
+        }
+        // engine clause order: projection/agg → DISTINCT → ORDER BY →
+        // SKIP/LIMIT → WHERE (planProjection then applyWhere, Probe49)
+        if (ord.nonEmpty) {
+          def key(p: (Binding, Binding), o: WithOrd): Any = {
+            val v = (if (o.pre) p._1 else p._2).getOrElse(o.alias, null)
+            if (!o.uid) v
+            else v match {
+              case null => null
+              case n: MNode => n.props.getOrElse("uid", null)
+              case rel: MRel => rel.props.getOrElse("uid", null)
+              case _ => null
+            }
+          }
+          def cmpNullGreatest(a: Any, b: Any): Int = (a, b) match {
+            case (null, null) => 0
+            case (null, _) => 1
+            case (_, null) => -1
+            case _ => valueCmp(a, b).getOrElse(0)
+          }
+          out = out.sortWith { (r1, r2) =>
+            var res = 0
+            var i = 0
+            while (res == 0 && i < ord.length) {
+              val o = ord(i)
+              val c = cmpNullGreatest(key(r1, o), key(r2, o))
+              res = if (o.asc) c else -c
+              i += 1
+            }
+            res < 0
+          }
+        }
+        skip.foreach(n => out = out.drop(n))
+        limit.foreach(n => out = out.take(n))
+        rows = out.map(_._2)
         where.foreach { w =>
           rows = rows.filter(r => evalB(r, w).contains(true))
         }
@@ -1958,6 +2019,22 @@ object DiffGen {
     aggs <- Gen.sequence[List[AggItem], AggItem](
       (0 until nAggs).map(i => genAgg(ctx, s"w${idx}a$i")))
     distinct <- if (aggMode) Gen.const(false) else Gen.prob(0.25)
+    // mid-query cut (round 7c): WITH ... ORDER BY ... SKIP/LIMIT. Only
+    // when EVERY non-agg item is an entity (ordered portably by .uid) or
+    // an orderable-family scalar — then the ORDER BY totally orders the
+    // WITH output row, so tie groups hold interchangeable rows and any
+    // cut is deterministic. Aggregates never need ordering: in aggMode
+    // all non-agg items are the group keys, and agg values are functions
+    // of the keys.
+    cutRoll <- Gen.prob(0.35)
+    ordOnlyRoll <- Gen.prob(0.15)
+    preOrdRoll <- Gen.prob(0.9)
+    preOrdPick <- Gen.choose(0, 7)
+    dirRolls <- Gen.listOfN(12, Gen.oneOf(true, false))
+    skipRoll <- Gen.frequency(4 -> Gen.const(None),
+      6 -> Gen.choose(0, 3).map(Some(_)))
+    limitRoll <- Gen.frequency(3 -> Gen.const(None),
+      7 -> Gen.choose(0, 4).map(Some(_)))
   } yield {
     // collect() stays ONLY for L/S args — its alias becomes a bagVar
     // (unordered list) that downstream order-insensitive consumers and
@@ -2010,8 +2087,42 @@ object DiffGen {
           (a, if (arg.exists(e => NaiveEvalFamilies.family(e) == 'S')) 'T'
           else 'M')
       })
+    val orderableFams = Set('L', 'S', 'D', 'B', 'E')
+    val nonAgg = items.filterNot(_.isInstanceOf[AggItem])
+    val cutEligible = nonAgg.nonEmpty && nonAgg.forall {
+      case PassItem(_) | AliasItem(_, _) => true
+      case ValItem(e, _) =>
+        orderableFams.contains(NaiveEvalFamilies.family(e))
+      case _ => false
+    }
+    val wantOrd = cutEligible && (cutRoll || ordOnlyRoll)
+    val ord0: List[WithOrd] =
+      if (!wantOrd) Nil
+      else nonAgg.zipWithIndex.map { case (it, i) =>
+        val isEntity = it match {
+          case PassItem(_) | AliasItem(_, _) => true
+          case _ => false
+        }
+        WithOrd(it.alias, uid = isEntity, asc = dirRolls(i % 12))
+      }
+    // an UNPROJECTED input-scope entity as the leading sort key (plain
+    // projections only — ORDER BY sees both scopes in Neo4j; DISTINCT/
+    // aggregating projections see only the output scope). Dropped vars
+    // only (v ∉ aliases): exercises the engine's combined-header path.
+    val aliasSet = items.map(_.alias).toSet
+    val preCands =
+      (ctx.nodeVars ++ ctx.relVars).filterNot(aliasSet.contains)
+    val ord: List[WithOrd] =
+      if (ord0.isEmpty || aggMode || distinct || !preOrdRoll ||
+          preCands.isEmpty) ord0
+      else WithOrd(preCands(preOrdPick % preCands.size), uid = true,
+        asc = dirRolls(11), pre = true) :: ord0
+    val (sk, lm) =
+      if (!(cutEligible && cutRoll) || ord.isEmpty) (None, None)
+      else if (skipRoll.isEmpty && limitRoll.isEmpty) (Some(1), None)
+      else (skipRoll, limitRoll)
     // WHERE is attached by the caller (it needs the post-WITH ctx)
-    (SWith(distinct, items, None), ctxN)
+    (SWith(distinct, items, None, ord, sk, lm), ctxN)
   }
 
   private def genRet(ctx: Ctx): Gen[Ret] = {

@@ -41,6 +41,18 @@ object GenStatsMain {
       "quantVl" -> "(qv IN r", "CONSTRUCT" -> "CONSTRUCT",
       // round-7 construct forms
       "COPY OF" -> "COPY OF", "relCloneNew" -> ")-[r")
+    val withCut = queries.count(_.stages.exists {
+      case Model.SWith(_, _, _, _, sk, lm) => sk.isDefined || lm.isDefined
+      case _ => false
+    })
+    val withOrd = queries.count(_.stages.exists {
+      case Model.SWith(_, _, _, o, _, _) => o.nonEmpty
+      case _ => false
+    })
+    val withPreOrd = queries.count(_.stages.exists {
+      case Model.SWith(_, _, _, o, _, _) => o.exists(_.pre)
+      case _ => false
+    })
     probes.foreach { case (name, pat) =>
       println(f"$name%-11s ${texts.count(_.contains(pat))}%5d / $n")
     }
@@ -54,6 +66,9 @@ object GenStatsMain {
     println(f"nestedOPT   $nestedOpt%5d / $n (queries with >=2 OPTIONAL MATCH)")
     println(f"caseEXISTS  $caseExists%5d / $n (EXISTS/pattern pred in a CASE condition)")
     println(f"driving     $driving%5d / $n (driving-table cases)")
+    println(f"withCut     $withCut%5d / $n (WITH ... ORDER BY + SKIP/LIMIT)")
+    println(f"withOrd     $withOrd%5d / $n (WITH ... ORDER BY, cut or not)")
+    println(f"withPreOrd  $withPreOrd%5d / $n (ORDER BY an unprojected entity)")
     println("catalog     runner-side: i%8==3 -> FROM GRAPH, i%8==7 -> " +
       "identity view (25% combined of non-driving cases)")
     println("--- sample with UNION:")
