@@ -110,6 +110,17 @@ object CypherQueries {
         |WHERE c.c_custkey = 1
         |RETURN size(rs) AS depth, count(*) AS n
         |ORDER BY depth""".stripMargin)),
+    // mid-query cut (round 7c): WITH ... ORDER BY ... LIMIT takes the
+    // top-50 (customer, order) rows by price BEFORE the WHERE drains —
+    // openCypher clause order is projection → ORDER BY → SKIP/LIMIT →
+    // WHERE (probe batch 49); the unique-orderkey tiebreak keeps the cut
+    // deterministic for the oracle
+    "c39_with_cut" -> ((s, dir) => run(s, dir,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, o ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 50
+        |WHERE c.c_acctbal > 0.0
+        |RETURN c.c_custkey AS ck, count(*) AS n, min(o.o_orderkey) AS ok
+        |ORDER BY ck""".stripMargin)),
     // expressions: CASE / substring / toUpper / arithmetic (§2.3)
     "c14_expressions" -> ((s, dir) => run(s, dir,
       """MATCH (p:Part)
@@ -453,6 +464,12 @@ object CypherQueries {
         |)
         |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n
         |FROM walk WHERE depth >= 1 GROUP BY depth ORDER BY depth""".stripMargin,
+    "c39_with_cut" ->
+      """SELECT ck, count(*) AS n, min(ok0) AS ok FROM (
+        |  SELECT c_custkey AS ck, c_acctbal AS bal, o_orderkey AS ok0
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        |) WHERE bal > 0 GROUP BY ck ORDER BY ck""".stripMargin,
     "c13_varlength" ->
       """SELECT ck, xname FROM (
         |  SELECT c_custkey AS ck, n_name AS xname

@@ -144,6 +144,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       val types = items.map(typeOf)
       if (isMixedAtomicList(types))
         array(items.zip(types).map { case (e, t) => toMixed(compile(e), t) }: _*)
+      else if (isMixedListOfLists(types))
+        // one nesting level deeper (probe batch 50): a literal list of
+        // atomic LISTS whose element families differ ([[1], ['a']])
+        // promotes every inner element to the tagged encoding, making
+        // the outer array uniform (array<array<mixed>> — the same value
+        // type slices/tails of a mixed list already produce)
+        array(items.zip(types).map {
+          case (e, ArrayType(et, _)) =>
+            transform(compile(e), x => toMixed(x, et))
+          case (e, _) => // null item: a null list of mixed elements
+            compile(e).cast(ArrayType(mixedStructType))
+        }: _*)
       else {
         // non-atomic mixes (a map next to an integer, a list next to a
         // temporal) have no tagged encoding — a typed error beats the raw
@@ -880,6 +892,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           val sel =
             if (isMixedAtomicList(types))
               toMixed(compile(items(j.toInt)), types(j.toInt))
+            else if (isMixedListOfLists(types)) types(j.toInt) match {
+              // same promotion the full-array path applies: the selected
+              // inner list's elements take the tagged encoding
+              case ArrayType(ict, _) =>
+                transform(compile(items(j.toInt)), x => toMixed(x, ict))
+              case _ => lit(null).cast(ArrayType(mixedStructType))
+            }
             else compile(items(j.toInt))
           Some(if (et == NullType) sel else sel.cast(et))
         }
@@ -1047,6 +1066,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case _ => false
   }
 
+  /** items all atomic LISTS (or null) whose element families differ →
+    * inner elements take the mixed encoding ([[1], ['a']], probe 50) */
+  private def isMixedListOfLists(types: Seq[DataType]): Boolean = {
+    val inner = types.collect { case ArrayType(et, _) => et }
+    inner.size == types.count(_ != NullType) && inner.nonEmpty &&
+      inner.forall(isMixedAtomic) &&
+      inner.filterNot(_ == NullType).map(family).distinct.size > 1
+  }
+
+  private[plans] val mixedStructType: StructType = StructType(Seq(
+    StructField("@k", IntegerType), StructField("i", LongType),
+    StructField("f", DoubleType), StructField("s", StringType),
+    StructField("b", BooleanType)))
+
   /** atomics of >1 family (nulls don't count) → mixed encoding */
   private def isMixedAtomicList(types: Seq[DataType]): Boolean = {
     val atomic = types.forall {
@@ -1144,6 +1177,36 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       .otherwise(lit(if (nullsLargest) 9 else -1))
     struct(rank.as("r"), c.getField("s").as("s"), c.getField("b").as("b"),
       coalesce(c.getField("i").cast(DoubleType), c.getField("f")).as("d"))
+  }
+
+  /** true when a list type can hold values whose Spark ordering diverges
+    * from the CIP global sort order: nullable elements (Spark arrays sort
+    * null elements FIRST, Cypher's total order puts null after every
+    * value — `[1,1] < [null,3]`), tagged mixed elements (family rank, not
+    * struct field order), or a nested list with either. */
+  private[plans] def arrayNeedsOrderKey(t: ArrayType): Boolean =
+    t.containsNull || (t.elementType match {
+      case at: ArrayType => arrayNeedsOrderKey(at)
+      case st: StructType => isMixedStruct(st)
+      case _ => false
+    })
+
+  /** Cypher total-order sort key for a LIST value (probe batch 50): wrap
+    * each element as struct(n: isNull, v) — false < true puts null
+    * elements LAST under ASC and first under DESC, matching the CIP
+    * global sort order; prefix/length comparison is unchanged. Recurses
+    * into nested lists; tagged mixed elements order by family rank. */
+  private[plans] def arrayOrderKey(c: Column, t: ArrayType): Column = {
+    def key(x: Column, et: DataType): Column = {
+      val v = et match {
+        case at: ArrayType => transform(x, e => key(e, at.elementType))
+        case st: StructType if isMixedStruct(st) =>
+          mixedOrderKey(x, nullsLargest = true)
+        case _ => x
+      }
+      struct(x.isNull.as("n"), v.as("v"))
+    }
+    transform(c, x => key(x, t.elementType))
   }
 
   /** cross-family comparison: `mismatch` Some(v) → constant v unless an
@@ -2362,6 +2425,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("max", _, args) if isMixedStruct(typeOf(args.head)) =>
       val c = compile(args.head)
       max_by(c, mixedOrderKey(c, nullsLargest = false))
+    case Func("min", _, args) if (typeOf(args.head) match {
+      case at: ArrayType => arrayNeedsOrderKey(at); case _ => false
+    }) =>
+      // Spark's array min/max order null elements first; the CIP total
+      // order puts them last (min([1,1],[null,3]) = [1,1]). Whole-null
+      // lists yield a null key, which min_by/max_by skip — matching
+      // aggregate null-skipping.
+      val c = compile(args.head)
+      min_by(c, arrayOrderKey(c, typeOf(args.head).asInstanceOf[ArrayType]))
+    case Func("max", _, args) if (typeOf(args.head) match {
+      case at: ArrayType => arrayNeedsOrderKey(at); case _ => false
+    }) =>
+      val c = compile(args.head)
+      max_by(c, arrayOrderKey(c, typeOf(args.head).asInstanceOf[ArrayType]))
     case Func("min", _, args) => min(compile(args.head))
     case Func("max", _, args) => max(compile(args.head))
     case Func("collect", true, args) if isMixedStruct(typeOf(args.head)) =>

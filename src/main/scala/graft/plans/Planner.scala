@@ -2886,11 +2886,17 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       s.copy(expr = e) }
 
     val comp = compiler(state)
-    // an aggregate in a sort key alone also forces implicit grouping
-    // (`RETURN n.name ORDER BY count(m)` groups by n.name, openCypher §
-    // aggregation; the hidden sort aggregate is added in planAggregation)
-    val hasAgg = items.exists(i => comp.containsAggregate(i.expr)) ||
-      orderBy2.exists(si => comp.containsAggregate(si.expr))
+    // a sort-key aggregate is legal only when the projection itself
+    // aggregates (`RETURN k, count(*) ORDER BY sum(x)` — the hidden sort
+    // aggregate is added in planAggregation); over a NON-aggregating
+    // projection it would silently change the query's cardinality, so
+    // Neo4j (and the reference, which links Neo4j's front end) reject it
+    // (probe batch 50)
+    val hasAgg = items.exists(i => comp.containsAggregate(i.expr))
+    if (!hasAgg && orderBy2.exists(si => comp.containsAggregate(si.expr)))
+      throw new IllegalArgumentException(
+        "Cannot use aggregation in ORDER BY if there are no aggregate " +
+          "expressions in the preceding RETURN/WITH")
 
     if (hasAgg) planAggregation(state, items, distinct, orderBy2, skip, limit)
     else planSimpleProjection(state, items, distinct, orderBy2, skip, limit)
@@ -3081,6 +3087,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         case st: StructType
             if st.fieldNames.sameElements(Array("@k", "i", "f", "s", "b")) =>
           comp.mixedOrderKey(c0, nullsLargest = true)
+        // lists: Spark sorts null ELEMENTS first, the CIP total order
+        // puts null after every value — route through the wrapped key
+        case at: ArrayType if comp.arrayNeedsOrderKey(at) =>
+          comp.arrayOrderKey(c0, at)
         case _ => c0
       }
       // openCypher: null is the LARGEST value — last under ASC, first

@@ -90,8 +90,18 @@ class EdgeSemantics6Spec extends AnyFunSuite {
     assert(one("MATCH (n:P) RETURN toString(count(*)) AS s") == "3")
   }
 
-  test("shelled aggregate in ORDER BY (hidden aggregate)") {
-    val rs = rows("MATCH (n:P)-[:K]->(m) RETURN n.name AS nm " +
+  test("aggregate in ORDER BY over non-aggregating RETURN rejected") {
+    // Neo4j (and the reference's Neo4j front end): "Cannot use
+    // aggregation in ORDER BY if there are no aggregate expressions in
+    // the preceding RETURN" — implicit grouping from a sort key alone
+    // would silently change the cardinality (probe batch 50)
+    val e = intercept[Exception](rows(
+      "MATCH (n:P)-[:K]->(m) RETURN n.name AS nm ORDER BY count(m) DESC, nm"))
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
+  test("aggregate in ORDER BY with aggregating RETURN still legal") {
+    val rs = rows("MATCH (n:P)-[:K]->(m) RETURN n.name AS nm, count(*) AS c " +
       "ORDER BY count(m) DESC, nm")
     assert(rs.map(_("nm")) == Seq("Ann", "Bob"))
   }

@@ -4207,6 +4207,70 @@ class TckStyleSpec extends AnyFunSuite {
     * TIME parsing/identity, list-literal error semantics) plus assorted
     * read-side corners. */
   private def r7Locks: Seq[Scenario] = Seq(
+    // --- probe batch 50: ORDER BY scope + list total order ---
+    Scenario("r7 order by null list elements sort last under ASC", empty,
+      "UNWIND [[null, 3], [1, 1], [1, 2], [2, 0]] AS l " +
+        "RETURN l ORDER BY l ASC",
+      Seq(row("l" -> Seq(1L, 1L)), row("l" -> Seq(1L, 2L)),
+        row("l" -> Seq(2L, 0L)), row("l" -> Seq(null, 3L))),
+      ordered = true),
+    Scenario("r7 order by null list elements sort first under DESC", empty,
+      "UNWIND [[null, 3], [1, 1], [2, 0]] AS l RETURN l ORDER BY l DESC",
+      Seq(row("l" -> Seq(null, 3L)), row("l" -> Seq(2L, 0L)),
+        row("l" -> Seq(1L, 1L))), ordered = true),
+    Scenario("r7 list prefix order unchanged by the wrapped key", empty,
+      "UNWIND [[1, 2], [1], [], [1, null]] AS l RETURN l ORDER BY l ASC",
+      Seq(row("l" -> Seq.empty[Any]), row("l" -> Seq(1L)),
+        row("l" -> Seq(1L, 2L)), row("l" -> Seq(1L, null))),
+      ordered = true),
+    Scenario("r7 heterogeneous list-of-lists literal", empty,
+      "RETURN [[1], ['a'], null][1][0] = 'a' AS s, " +
+        "[[1], ['a']][0][0] = 1 AS i, [[1], ['a'], null][2] IS NULL AS z",
+      Seq(row("s" -> true, "i" -> true, "z" -> true))),
+    Scenario("r7 mixed-family lists order by the CIP global order", empty,
+      // per-element family rank: STRING < BOOLEAN < NUMBER, null last
+      "UNWIND [[1], ['a'], [true], [0.5], [null]] AS l " +
+        "RETURN l ORDER BY l ASC",
+      Seq(row("l" -> Seq("a")), row("l" -> Seq(true)),
+        row("l" -> Seq(0.5)), row("l" -> Seq(1L)),
+        row("l" -> Seq(null))), ordered = true),
+    Scenario("r7 min over lists treats null elements as largest", empty,
+      // list = with a null element is ternary-null — compare positionally
+      "UNWIND [[null, 3], [1, 1]] AS l RETURN min(l) = [1, 1] AS m, " +
+        "max(l)[0] IS NULL AS x0, max(l)[1] = 3 AS x1",
+      Seq(row("m" -> true, "x0" -> true, "x1" -> true))),
+    Scenario("r7 min/max over lists skip whole-null values", empty,
+      "UNWIND [null, [2], [1, null]] AS l " +
+        "RETURN min(l)[0] = 1 AS m0, min(l)[1] IS NULL AS m1, " +
+        "max(l) = [2] AS x",
+      Seq(row("m0" -> true, "m1" -> true, "x" -> true))),
+    Scenario("r7 WHERE after WITH sees only the projected scope", social,
+      "MATCH (n:Person) WITH n.city AS city WHERE n.age > 0 RETURN city",
+      Nil, expectError = Some("not defined")),
+    Scenario("r7 trailing ORDER BY binds to the last union branch", empty,
+      "UNWIND [2, 1] AS x RETURN x UNION ALL " +
+        "UNWIND [30, 10, 20] AS x RETURN x ORDER BY x ASC",
+      Seq(row("x" -> 2L), row("x" -> 1L), row("x" -> 10L),
+        row("x" -> 20L), row("x" -> 30L)), ordered = true),
+    Scenario("r7 double cut: WITH ORDER BY LIMIT then RETURN cut", social,
+      "MATCH (n:Person) WITH n ORDER BY n.age DESC LIMIT 2 " +
+        "RETURN n.name AS nm ORDER BY nm ASC LIMIT 1",
+      Seq(row("nm" -> "Carol"))),
+    Scenario("r7 aggregate in ORDER BY needs an aggregating RETURN", social,
+      "MATCH (n:Person) RETURN n.city AS city ORDER BY count(*) DESC",
+      Nil, expectError = Some("ORDER BY")),
+    Scenario("r7 aggregate in ORDER BY needs an aggregating WITH", social,
+      "MATCH (n:Person) WITH n.city AS city ORDER BY count(*) DESC " +
+        "RETURN city",
+      Nil, expectError = Some("ORDER BY")),
+    Scenario("r7 order by unprojected var through WITH", social,
+      "MATCH (n:Person) WITH n.city AS city ORDER BY n.age DESC LIMIT 1 " +
+        "RETURN city",
+      Seq(row("city" -> "Berlin"))),
+    Scenario("r7 order by expression mixing alias and unprojected var",
+      social,
+      "MATCH (n:Person) RETURN n.age AS a ORDER BY a + n.age ASC LIMIT 1",
+      Seq(row("a" -> 25L))),
     Scenario("r7 union all across families preserves integers", empty,
       "RETURN 1 AS x UNION ALL RETURN 'a' AS x",
       Seq(row("x" -> 1L), row("x" -> "a"))),
