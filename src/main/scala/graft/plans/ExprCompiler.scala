@@ -229,7 +229,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         // error — but TIME-encoding structs dispatch accessors by NAME
         // (.hour is not a field), so they must reach extractField
         case st: StructType if !isLocalTimeStruct(st) &&
-          !isZonedTimeStruct(st) && !st.fieldNames.contains(key) =>
+          !isZonedTimeStruct(st) && !isZonedDtStruct(st) &&
+          !st.fieldNames.contains(key) =>
           lit(null)
         case t => extractField(compile(b), key, t)
       }
@@ -437,6 +438,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           isZonedTimeStruct(t) => timeAddInterval(lc, rc, 1, t)
         case (CalendarIntervalType, t) if isLocalTimeStruct(t) ||
           isZonedTimeStruct(t) => timeAddInterval(rc, lc, 1, t)
+        // zoned datetime ± duration: local-clock arithmetic in the
+        // value's zone, offset re-resolved (DST-correct for named zones)
+        case (t, CalendarIntervalType) if isZonedDtStruct(t) =>
+          zonedDtAddInterval(lc, rc, 1)
+        case (CalendarIntervalType, t) if isZonedDtStruct(t) =>
+          zonedDtAddInterval(rc, lc, 1)
+        case (t, NullType) if isZonedDtStruct(t) => lit(null)
+        case (NullType, t) if isZonedDtStruct(t) => lit(null)
         // Spark widens date+interval to timestamp, so cast back
         case (DateType, t) if isIntervalType(t) => (lc + rc).cast(DateType)
         case (t, DateType) if isIntervalType(t) => (lc + rc).cast(DateType)
@@ -455,6 +464,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         case (DateType, CalendarIntervalType) => dateAddInterval(lc, rc, -1)
         case (t, CalendarIntervalType) if isLocalTimeStruct(t) ||
           isZonedTimeStruct(t) => timeAddInterval(lc, rc, -1, t)
+        case (t, CalendarIntervalType) if isZonedDtStruct(t) =>
+          zonedDtAddInterval(lc, rc, -1)
+        case (t, NullType) if isZonedDtStruct(t) => lit(null)
+        case (NullType, t) if isZonedDtStruct(t) => lit(null)
         case (DateType, t) if isIntervalType(t) => (lc - rc).cast(DateType)
         case _ => lc - rc
       }
@@ -625,6 +638,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         localTimeAccessor(c, key)
       case st: StructType if isZonedTimeStruct(st) =>
         zonedTimeAccessor(c, key)
+      case st: StructType if isZonedDtStruct(st) =>
+        zonedDtAccessor(c, key)
       // a key the (closed) struct schema lacks is null in Cypher, not a
       // FIELD_NOT_FOUND analysis error
       case st: StructType if !st.fieldNames.contains(key) => lit(null)
@@ -956,6 +971,62 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case st: StructType => st.fieldNames.sameElements(zonedTimeFields)
     case _ => false
   }
+  // ---- ZONED DATETIME (probe batch 53): the fifth temporal type gets
+  // the same treatment TIME got in round 6 — a single-purpose struct
+  // {"@zdt": UTC instant (TimestampType), "off": offset seconds AT that
+  // instant, "zid": zone id string ("Z", "+02:00", or a region like
+  // "Europe/Berlin")}. Equality/ordering/grouping use the instant;
+  // accessors read the LOCAL clock (instant + off); calendar arithmetic
+  // is evaluated in the value's zone so named zones cross DST correctly.
+  // localdatetime stays TIMESTAMP_NTZ — a DIFFERENT Cypher type.
+  private val zonedDtFields = Array("@zdt", "off", "zid")
+  private def isZonedDtStruct(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.sameElements(zonedDtFields)
+    case _ => false
+  }
+  private[plans] def isZonedDatetime(t: DataType): Boolean = isZonedDtStruct(t)
+  private[plans] def zonedDtInstantKey(c: Column): Column = c.getField("@zdt")
+  private[plans] def zonedDtReprKey(c: Column): Column =
+    struct(c.getField("off"), c.getField("zid"))
+  private def mkZonedDt(ts: Column, off: Column, zid: Column): Column =
+    struct(ts.as("@zdt"), off.cast(IntegerType).as("off"),
+      zid.cast(StringType).as("zid"))
+  /** the value's local wall clock as a session-UTC timestamp */
+  private def zonedDtLocal(c: Column): Column =
+    c.getField("@zdt") + make_interval(lit(0), lit(0), lit(0), lit(0),
+      lit(0), lit(0), c.getField("off").cast(DecimalType(18, 6)))
+  /** offset seconds of `zid` at instant `ts` (zone rules lookup) */
+  private def zoneOffsetAt(ts: Column, zid: Column): Column =
+    (unix_timestamp(from_utc_timestamp(ts, zid)) - unix_timestamp(ts))
+      .cast(IntegerType)
+  /** datetime ± duration: calendar components apply to the LOCAL clock in
+    * the value's zone (a +P1D across a DST gap keeps the wall time and
+    * shifts the offset, Neo4j semantics); the offset is re-resolved at
+    * the result instant. */
+  private def zonedDtAddInterval(dtC: Column, ivC: Column,
+      sign: Int): Column = {
+    val zid = dtC.getField("zid")
+    val local = from_utc_timestamp(dtC.getField("@zdt"), zid)
+    val local2 = if (sign > 0) local + ivC else local - ivC
+    val inst2 = to_utc_timestamp(local2, zid)
+    mkZonedDt(inst2, zoneOffsetAt(inst2, zid), zid)
+  }
+  private def zonedDtAccessor(c: Column, key: String): Column = {
+    val off = c.getField("off").cast(LongType)
+    key.toLowerCase match {
+      case "offset" => renderOffset(off)
+      case "offsetminutes" => off / 60L
+      case "offsetseconds" => off
+      case "timezone" => c.getField("zid")
+      // epoch accessors read the INSTANT, clock accessors the local time
+      case "epochmillis" | "epochseconds" =>
+        temporalAccessor(c.getField("@zdt"), key)
+      case other => temporalAccessor(zonedDtLocal(c), other)
+    }
+  }
+  /** a zone id that is NOT a plain offset renders as a [zone] suffix */
+  private def zidIsNamed(zid: Column): Column =
+    !(zid === "Z" || zid.rlike("^[+-]"))
   private val dayMicros = 86400000000L
 
   private def timeOfDayAccessor(mic: Column, key: String): Column = {
@@ -1231,7 +1302,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case _: ArrayType | _: MapType => true
       // mixed-tagged / time structs ENCODE scalars — still orderable
       case st: StructType =>
-        !isMixedStruct(st) && !isLocalTimeStruct(st) && !isZonedTimeStruct(st)
+        !isMixedStruct(st) && !isLocalTimeStruct(st) &&
+          !isZonedTimeStruct(st) && !isZonedDtStruct(st)
       case _ => false
     }
     if (ordering && (compound(tl) || compound(tr)))
@@ -1244,6 +1316,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         Some(op(compile(l).getField("@lt"), compile(r).getField("@lt")))
       case (a, b) if isZonedTimeStruct(a) && isZonedTimeStruct(b) =>
         Some(op(compile(l).getField("@zt"), compile(r).getField("@zt")))
+      // zoned datetimes compare by instant (offset/zone are presentation)
+      case (a, b) if isZonedDtStruct(a) && isZonedDtStruct(b) =>
+        Some(op(compile(l).getField("@zdt"), compile(r).getField("@zdt")))
       // mixed-tagged element vs concrete value: dispatch on the tag
       case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
         Some(mixedCmp(compile(l), compile(r), vt, op,
@@ -1481,27 +1556,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private[plans] def parseIsoTime(s0: String): (Long, Option[Int]) =
     ExprCompiler.parseIsoTime(s0)
 
-  private[plans] def parseIsoDate(s0: String): java.time.LocalDate = {
-    import java.time.LocalDate
-    import java.time.format.DateTimeFormatter
-    val s = s0.trim
-    if (s.matches("\\d{4}-?W\\d{2}(-?\\d)?")) {
-      val norm0 = if (s.contains("-W")) s
-        else s.substring(0, 4) + "-" + s.substring(4)
-      val norm1 = norm0.replaceAll("W(\\d{2})(\\d)$", "W$1-$2")
-      val norm = if (norm1.matches(".*W\\d{2}$")) norm1 + "-1" else norm1
-      LocalDate.parse(norm, DateTimeFormatter.ISO_WEEK_DATE)
-    }
-    else if (s.matches("\\d{4}-\\d{3}"))
-      LocalDate.ofYearDay(s.take(4).toInt, s.drop(5).toInt)
-    else if (s.matches("\\d{7}"))
-      LocalDate.ofYearDay(s.take(4).toInt, s.drop(4).toInt)
-    else if (s.matches("\\d{8}"))
-      LocalDate.parse(s, DateTimeFormatter.BASIC_ISO_DATE)
-    else if (s.matches("\\d{4}-\\d{2}")) LocalDate.parse(s + "-01")
-    else if (s.matches("\\d{4}")) LocalDate.of(s.toInt, 1, 1)
-    else LocalDate.parse(s)
-  }
+  private[plans] def parseIsoDate(s0: String): java.time.LocalDate =
+    ExprCompiler.parseIsoDate(s0)
 
   /** date ± calendar duration: months then days applied, sub-day
     * components ignored (Neo4j date arithmetic). */
@@ -1532,6 +1588,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case DateType => 1
     case TimestampNTZType => 2
     case TimestampType => 3
+    case st: StructType if isZonedDtStruct(st) => 3
     case st: StructType if isLocalTimeStruct(st) => 4
     case st: StructType if isZonedTimeStruct(st) => 5
     case _ => 0
@@ -1742,7 +1799,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
               s"Invalid input for toString(): expected a String, Number, " +
                 s"Boolean or temporal value, got $t")
           case st: StructType if !isMixedStruct(st) &&
-            !isLocalTimeStruct(st) && !isZonedTimeStruct(st) =>
+            !isLocalTimeStruct(st) && !isZonedTimeStruct(st) &&
+            !isZonedDtStruct(st) =>
             throw new IllegalArgumentException(
               "Invalid input for toString(): expected a String, Number, " +
                 "Boolean or temporal value, got a map/entity")
@@ -1770,6 +1828,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
               .otherwise(concat(renderTimeOfDay(
                 pmod(a0.getField("@zt") + off * 1000000L, lit(dayMicros))),
                 renderOffset(off)))
+          case st: StructType if isZonedDtStruct(st) =>
+            // local clock + offset, plus a [zone] suffix for named zones
+            val off = a0.getField("off").cast(LongType)
+            val zid = a0.getField("zid")
+            val base = regexp_replace(zonedDtLocal(a0).cast(StringType),
+              lit(" "), lit("T"))
+            when(a0.isNull, lit(null).cast(StringType))
+              .otherwise(concat(base, renderOffset(off),
+                when(zidIsNamed(zid), concat(lit("["), zid, lit("]")))
+                  .otherwise(lit(""))))
           case _ => a0.cast(StringType)
         }
       case "tointeger" =>
@@ -2085,6 +2153,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         else f.args.head match {
           case MapLit(items) => dateFromMap(items.toMap)
           case StringLit(s) => lit(java.sql.Date.valueOf(parseIsoDate(s)))
+          // selection from a zoned datetime: its LOCAL calendar date
+          case e if isZonedDtStruct(typeOf(e)) =>
+            zonedDtLocal(a0).cast(DateType)
           case _ => to_date(a0)
         }
       // TIME / LOCALTIME — struct-encoded time-of-day scalars (Spark has
@@ -2142,23 +2213,58 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             val m = items.toMap
             val dp = datePartsFromMap(m); val tp = timePartsFromMap(m)
             make_timestamp_ntz(dp(0), dp(1), dp(2), tp(0), tp(1), tp(2))
+          // selection from a zoned datetime: its LOCAL wall clock
+          case e if isZonedDtStruct(typeOf(e)) =>
+            zonedDtLocal(a0).cast(TimestampNTZType)
           case _ => to_timestamp_ntz(a0)
         }
       case "datetime" =>
-        if (f.args.isEmpty) current_timestamp()
+        if (f.args.isEmpty) mkZonedDt(current_timestamp(), lit(0), lit("Z"))
         else f.args.head match {
-          // epoch construction (Neo4j TemporalCreate epochMillis/Seconds)
+          // epoch construction (Neo4j TemporalCreate epochMillis/Seconds):
+          // instants, rendered in UTC
           case MapLit(items) if items.exists(_._1 == "epochMillis") =>
-            timestamp_millis(
-              compile(items.toMap.apply("epochMillis")).cast(LongType))
+            mkZonedDt(timestamp_millis(
+              compile(items.toMap.apply("epochMillis")).cast(LongType)),
+              lit(0), lit("Z"))
           case MapLit(items) if items.exists(_._1 == "epochSeconds") =>
-            timestamp_seconds(
-              compile(items.toMap.apply("epochSeconds")).cast(LongType))
+            mkZonedDt(timestamp_seconds(
+              compile(items.toMap.apply("epochSeconds")).cast(LongType)),
+              lit(0), lit("Z"))
           case MapLit(items) =>
             val m = items.toMap
-            val dp = datePartsFromMap(m); val tp = timePartsFromMap(m)
-            make_timestamp(dp(0), dp(1), dp(2), tp(0), tp(1), tp(2))
-          case _ => to_timestamp(a0)
+            val zidStr: String = m.get("timezone") match {
+              case Some(StringLit(z)) => z.trim
+              case None => "Z"
+              case Some(other) => throw new IllegalArgumentException(
+                s"datetime() timezone must be a literal string, got $other")
+            }
+            // validate plan-side (named zones AND offsets both resolve)
+            val zone = try java.time.ZoneId.of(zidStr)
+            catch { case e: java.time.DateTimeException =>
+              throw new IllegalArgumentException(
+                s"datetime() timezone '$zidStr' is not a valid zone id or " +
+                  s"offset: ${e.getMessage}") }
+            val zidNorm =
+              if (zone.isInstanceOf[java.time.ZoneOffset])
+                ExprCompiler.renderOffsetStr(
+                  zone.asInstanceOf[java.time.ZoneOffset].getTotalSeconds)
+              else zidStr
+            val m2 = m - "timezone"
+            val dp = datePartsFromMap(m2); val tp = timePartsFromMap(m2)
+            // the 7-arg make_timestamp interprets the wall-clock parts IN
+            // the given zone and yields the instant
+            val inst = make_timestamp(dp(0), dp(1), dp(2), tp(0), tp(1),
+              tp(2), lit(zidStr))
+            mkZonedDt(inst, zoneOffsetAt(inst, lit(zidNorm)), lit(zidNorm))
+          case StringLit(s) =>
+            val (inst, off, zid) = ExprCompiler.parseIsoZonedDatetime(s)
+            mkZonedDt(lit(inst), lit(off), lit(zid))
+          case e if isZonedDtStruct(typeOf(e)) => a0
+          case other => throw new IllegalArgumentException(
+            "datetime() expects a literal ISO string, a component map " +
+              s"(with optional timezone), or epochMillis/epochSeconds; " +
+              s"got $other")
         }
       // duration({...}) / duration('P1Y2M3DT4H5M6S') — ALWAYS
       // CalendarIntervalType: it stores the (months, days, micros) groups
@@ -2204,7 +2310,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // months, then complete days, then the sub-day remainder
       // (reference: TemporalUdfs durationBetween semantics)
       case "duration.between" => {
-        val from = a0.cast(TimestampType); val to = a(1).cast(TimestampType)
+        // zoned operands contribute their LOCAL clocks in the FIRST
+        // operand's zone (Neo4j computes calendar components there)
+        val zone1: Column = typeOf(f.args.head) match {
+          case st if isZonedDtStruct(st) => a0.getField("zid")
+          case _ => lit("Z")
+        }
+        def localOf(e: Expr, c: Column): Column = typeOf(e) match {
+          case st: StructType if isZonedDtStruct(st) =>
+            from_utc_timestamp(c.getField("@zdt"), zone1)
+          case _ => c.cast(TimestampType)
+        }
+        val from = localOf(f.args.head, a0); val to = localOf(f.args(1), a(1))
         val m = floor(months_between(to, from)).cast(IntegerType)
         val anchor = timestamp_add("MONTH", m, from)
         val secs = unix_timestamp(to) - unix_timestamp(anchor)
@@ -2212,27 +2329,58 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         make_interval(lit(0), m, lit(0), days, lit(0), lit(0),
           (secs - days.cast(LongType) * 86400).cast(DecimalType(18, 6)))
       }
-      case "duration.inmonths" =>
-        make_interval(lit(0),
-          floor(months_between(a(1).cast(TimestampType),
-            a0.cast(TimestampType))).cast(IntegerType),
-          lit(0), lit(0), lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
-      case "duration.indays" =>
-        make_interval(lit(0), lit(0), lit(0),
-          floor((unix_timestamp(a(1).cast(TimestampType)) -
-            unix_timestamp(a0.cast(TimestampType))) / 86400).cast(IntegerType),
-          lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
-      case "duration.inseconds" =>
-        make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
-          (unix_timestamp(a(1).cast(TimestampType)) -
-            unix_timestamp(a0.cast(TimestampType))).cast(DecimalType(18, 6)))
+      case "duration.inmonths" | "duration.indays" | "duration.inseconds" =>
+        // calendar units (months/days) read LOCAL clocks in the first
+        // operand's zone; seconds are the exact instant difference
+        val zone1: Column = typeOf(f.args.head) match {
+          case st if isZonedDtStruct(st) => a0.getField("zid")
+          case _ => lit("Z")
+        }
+        def localOf(e: Expr, c: Column): Column = typeOf(e) match {
+          case st: StructType if isZonedDtStruct(st) =>
+            from_utc_timestamp(c.getField("@zdt"), zone1)
+          case _ => c.cast(TimestampType)
+        }
+        def instOf(e: Expr, c: Column): Column = typeOf(e) match {
+          case st: StructType if isZonedDtStruct(st) => c.getField("@zdt")
+          case _ => c.cast(TimestampType)
+        }
+        f.name.toLowerCase match {
+          case "duration.inmonths" =>
+            make_interval(lit(0),
+              floor(months_between(localOf(f.args(1), a(1)),
+                localOf(f.args.head, a0))).cast(IntegerType),
+              lit(0), lit(0), lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
+          case "duration.indays" =>
+            make_interval(lit(0), lit(0), lit(0),
+              floor((unix_timestamp(localOf(f.args(1), a(1))) -
+                unix_timestamp(localOf(f.args.head, a0))) / 86400)
+                .cast(IntegerType),
+              lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
+          case _ =>
+            make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+              (unix_timestamp(instOf(f.args(1), a(1))) -
+                unix_timestamp(instOf(f.args.head, a0)))
+                .cast(DecimalType(18, 6)))
+        }
       case "date.truncate" =>
         val u = stringArg(f.args.head, "date.truncate")
         truncSpecial(u, a(1)).getOrElse(date_trunc(u, a(1))).cast(DateType)
       case "datetime.truncate" =>
         val u = stringArg(f.args.head, s"${f.name}")
-        truncSpecial(u, a(1)).map(_.cast(TimestampType))
-          .getOrElse(date_trunc(u, a(1)))
+        typeOf(f.args(1)) match {
+          case st if isZonedDtStruct(st) =>
+            // truncate the LOCAL clock in the value's zone, then rebuild
+            val zid = a(1).getField("zid")
+            val local = from_utc_timestamp(a(1).getField("@zdt"), zid)
+            val t = truncSpecial(u, local).map(_.cast(TimestampType))
+              .getOrElse(date_trunc(u, local))
+            val inst2 = to_utc_timestamp(t, zid)
+            mkZonedDt(inst2, zoneOffsetAt(inst2, zid), zid)
+          case _ =>
+            truncSpecial(u, a(1)).map(_.cast(TimestampType))
+              .getOrElse(date_trunc(u, a(1)))
+        }
       case "localdatetime.truncate" =>
         val u = stringArg(f.args.head, s"${f.name}")
         truncSpecial(u, a(1)).map(_.cast(TimestampNTZType))
@@ -2370,6 +2518,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     case Func("count", true, args) if isZonedTimeStruct(typeOf(args.head)) =>
       // zoned times count by instant (equality ignores the offset)
       count_distinct(compile(args.head).getField("@zt"))
+    case Func("count", true, args) if isZonedDtStruct(typeOf(args.head)) =>
+      count_distinct(compile(args.head).getField("@zdt"))
     case Func("count", true, args) => count_distinct(compile(args.head))
     case Func("count", false, args) => count(compile(args.head))
     // Cypher sum() over no (non-null) input is 0, not SQL's null.
@@ -2465,6 +2615,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       aggregate(lst, array().cast(ArrayType(typeOf(args.head))),
         (acc, x) => when(
           exists(acc, y => y.getField("@zt") === x.getField("@zt")), acc)
+          .otherwise(concat(acc, array(x))))
+    case Func("collect", true, args)
+        if isZonedDtStruct(typeOf(args.head)) =>
+      val c = compile(args.head)
+      val lst = collect_list(c)
+      aggregate(lst, array().cast(ArrayType(typeOf(args.head))),
+        (acc, x) => when(
+          exists(acc, y => y.getField("@zdt") === x.getField("@zdt")), acc)
           .otherwise(concat(acc, array(x))))
     case Func("collect", true, args) => collect_set(entityValue(args.head))
     case Func("collect", false, args) => collect_list(entityValue(args.head))
@@ -2575,6 +2733,78 @@ object ExprCompiler {
       try java.time.LocalTime.parse(normalized)
       catch { case _: java.time.format.DateTimeParseException => bail() }
     (t.toNanoOfDay / 1000L, off)
+  }
+
+  /** ISO date string → LocalDate: extended/compact calendar dates,
+    * ISO week dates (2015-W30-2, 2015W302, 2015-W30), ordinal dates
+    * (2015-202, 2015202), year-month, bare year. Shared by the compiler
+    * and the CREATE-fixture literal evaluator. */
+  private[graft] def parseIsoDate(s0: String): java.time.LocalDate = {
+    import java.time.LocalDate
+    import java.time.format.DateTimeFormatter
+    val s = s0.trim
+    if (s.matches("\\d{4}-?W\\d{2}(-?\\d)?")) {
+      val norm0 = if (s.contains("-W")) s
+        else s.substring(0, 4) + "-" + s.substring(4)
+      val norm1 = norm0.replaceAll("W(\\d{2})(\\d)$", "W$1-$2")
+      val norm = if (norm1.matches(".*W\\d{2}$")) norm1 + "-1" else norm1
+      LocalDate.parse(norm, DateTimeFormatter.ISO_WEEK_DATE)
+    }
+    else if (s.matches("\\d{4}-\\d{3}"))
+      LocalDate.ofYearDay(s.take(4).toInt, s.drop(5).toInt)
+    else if (s.matches("\\d{7}"))
+      LocalDate.ofYearDay(s.take(4).toInt, s.drop(4).toInt)
+    else if (s.matches("\\d{8}"))
+      LocalDate.parse(s, DateTimeFormatter.BASIC_ISO_DATE)
+    else if (s.matches("\\d{4}-\\d{2}")) LocalDate.parse(s + "-01")
+    else if (s.matches("\\d{4}")) LocalDate.of(s.toInt, 1, 1)
+    else LocalDate.parse(s)
+  }
+
+  /** offset seconds → "Z" / "+HH:MM" / "-HH:MM" (plan-side twin of the
+    * columnar renderOffset). */
+  private[graft] def renderOffsetStr(offSec: Int): String =
+    if (offSec == 0) "Z"
+    else {
+      val sign = if (offSec < 0) "-" else "+"
+      val a = math.abs(offSec)
+      f"$sign${a / 3600}%02d:${a % 3600 / 60}%02d"
+    }
+
+  /** ISO zoned datetime string → (UTC instant, offset seconds, zone id).
+    * Accepts `<date>[T<time>[<offset>]][\[<zone>\]]` where <date> takes
+    * every form [[parseIsoDate]] does and <time> every form
+    * [[parseIsoTime]] does. Zone resolution, like Neo4j: an explicit
+    * offset is authoritative for the instant (the zone is kept for
+    * rendering/arithmetic); a named zone alone resolves via its rules
+    * (gap/overlap → the zone's default offset); neither → UTC. */
+  private[graft] def parseIsoZonedDatetime(s0: String)
+      : (java.time.Instant, Int, String) = {
+    val s = s0.trim
+    val zoneRe = "^(.*?)\\[([^\\]]+)\\]$".r
+    val (body, zname) = s match {
+      case zoneRe(b, z) => (b, Some(z))
+      case _ => (s, None)
+    }
+    val ti = body.indexOf('T')
+    val (dStr, tStr) =
+      if (ti < 0) (body, "") else (body.take(ti), body.drop(ti + 1))
+    val ld = parseIsoDate(dStr)
+    val (mic, offOpt) =
+      if (tStr.isEmpty) (0L, None) else parseIsoTime(tStr)
+    val lt = java.time.LocalTime.ofNanoOfDay(mic * 1000L)
+    val ldt = java.time.LocalDateTime.of(ld, lt)
+    zname match {
+      case Some(z) =>
+        val zone = java.time.ZoneId.of(z)
+        val off = offOpt.map(java.time.ZoneOffset.ofTotalSeconds)
+          .getOrElse(zone.getRules.getOffset(ldt))
+        (ldt.toInstant(off), off.getTotalSeconds, z)
+      case None =>
+        val off = offOpt.getOrElse(0)
+        (ldt.toInstant(java.time.ZoneOffset.ofTotalSeconds(off)), off,
+          renderOffsetStr(off))
+    }
   }
 
   /** duration({...}) map components (Neo4j's accepted set); unknown keys

@@ -3091,6 +3091,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         // puts null after every value — route through the wrapped key
         case at: ArrayType if comp.arrayNeedsOrderKey(at) =>
           comp.arrayOrderKey(c0, at)
+        // durations are not orderable in Cypher (month lengths vary) —
+        // a typed error, not Spark's raw INVALID_ORDERING_TYPE
+        case CalendarIntervalType =>
+          throw new IllegalArgumentException(
+            "ORDER BY over durations: durations are not orderable " +
+              "(month lengths vary)")
         case _ => c0
       }
       // openCypher: null is the LARGEST value — last under ASC, first
@@ -3154,6 +3160,8 @@ object Planner {
       c: Column): Option[(Column, Column)] =
     if (comp.isMixedTagged(t)) Some((comp.mixedEquivKey(c), comp.mixedReprKey(c)))
     else if (comp.isZonedTime(t)) Some((comp.zonedInstantKey(c), comp.zonedReprKey(c)))
+    else if (comp.isZonedDatetime(t))
+      Some((comp.zonedDtInstantKey(c), comp.zonedDtReprKey(c)))
     else None
 
   /** DISTINCT over `names` (the frame's exact columns) by openCypher

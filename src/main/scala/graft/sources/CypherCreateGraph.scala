@@ -142,8 +142,17 @@ object CypherCreateGraph {
     // temporal constructors over literal strings — fixtures carrying
     // date-typed properties (TCK temporal scenarios, sink round-trips)
     case Func("date", _, List(StringLit(s))) => java.sql.Date.valueOf(s)
-    case Func("localdatetime" | "datetime", _, List(StringLit(s))) =>
+    case Func("localdatetime", _, List(StringLit(s))) =>
       java.time.LocalDateTime.parse(s)
+    // zoned datetime: the engine's struct encoding ({@zdt instant, off,
+    // zid} — see ExprCompiler zonedDtFields) so fixture-stored datetimes
+    // flow through accessors/comparisons/arithmetic unchanged
+    case Func("datetime", _, List(StringLit(s))) =>
+      val (inst, off, zid) =
+        graft.plans.ExprCompiler.parseIsoZonedDatetime(s)
+      scala.collection.immutable.ListMap(
+        "@zdt" -> java.sql.Timestamp.from(inst), "off" -> off,
+        "zid" -> zid)
     // TIME/LOCALTIME use the engine's struct encoding ({"@lt": micros} /
     // {"@zt": utc micros, "off": offset sec} — see ExprCompiler): a
     // ListMap here widens to exactly that struct, so fixture-stored
@@ -193,6 +202,7 @@ object CypherCreateGraph {
     case _: String => StringType
     case _: Boolean => BooleanType
     case _: java.sql.Date => DateType
+    case _: java.sql.Timestamp => TimestampType // zoned-datetime @zdt field
     case _: java.time.LocalDateTime => TimestampNTZType
     case _: org.apache.spark.unsafe.types.CalendarInterval =>
       CalendarIntervalType

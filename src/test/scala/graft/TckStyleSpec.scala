@@ -4102,6 +4102,25 @@ class TckStyleSpec extends AnyFunSuite {
     * apps (yelp graph library, recommendation flow, customer-360 stats)
     * re-run against small in-memory fixtures. */
   private def r7Examples: Seq[Scenario] = Seq(
+    // CensusHiveExample.scala:69-77 — untyped rel + entity RETURN ordered
+    // by a property of a projected entity
+    Scenario("r7ex census: untyped expand, entity return, prop order",
+      social,
+      """MATCH (n:Person)-[r]->(m) WHERE n.age >= 30
+        |RETURN n.name AS nm, m.name AS om ORDER BY n.age, om""".stripMargin,
+      Seq(row("nm" -> "Alice", "om" -> "Bob"),
+        row("nm" -> "Alice", "om" -> "Carol"),
+        row("nm" -> "Alice", "om" -> "R2"),
+        row("nm" -> "Carol", "om" -> "Dave")), ordered = true),
+    // LdbcHiveExample.scala:95-102 — UNALIASED property return items,
+    // ORDER BY those properties, LIMIT
+    Scenario("r7ex ldbc: unaliased property items + order + limit", social,
+      """MATCH (n:Person)-[:KNOWS]->(c:Person)
+        |RETURN n.name, c.name ORDER BY n.name, c.name
+        |LIMIT 3""".stripMargin,
+      Seq(row("n.name" -> "Alice", "c.name" -> "Bob"),
+        row("n.name" -> "Alice", "c.name" -> "Carol"),
+        row("n.name" -> "Bob", "c.name" -> "Carol")), ordered = true),
     Scenario("r7ex co-reviewed business pairs with review counts", yelp,
       """MATCH (x:Business)<-[r1:REVIEWS]-(u:User)-[r2:REVIEWS]->(y:Business)
         |WHERE r1.year = 2017 AND r2.year = 2018
@@ -4207,6 +4226,103 @@ class TckStyleSpec extends AnyFunSuite {
     * TIME parsing/identity, list-literal error semantics) plus assorted
     * read-side corners. */
   private def r7Locks: Seq[Scenario] = Seq(
+    // --- probe batch 54: ZONED DATETIME (struct-encoded, round 7) ---
+    Scenario("r7 zdt offset parse and toString round-trip", empty,
+      "RETURN toString(datetime('2024-01-01T13:00+02:00')) AS s",
+      Seq(row("s" -> "2024-01-01T13:00:00+02:00"))),
+    Scenario("r7 zdt named zone resolves its rules offset", empty,
+      "RETURN toString(datetime('2024-06-01T12:00[Europe/Berlin]')) AS s",
+      Seq(row("s" -> "2024-06-01T12:00:00+02:00[Europe/Berlin]"))),
+    Scenario("r7 zdt equality is by instant across offsets", empty,
+      "RETURN datetime('2024-06-01T12:00+02:00') = " +
+        "datetime('2024-06-01T10:00Z') AS eq, " +
+        "datetime('2024-06-01T12:00+02:00') < " +
+        "datetime('2024-06-01T10:01Z') AS lt",
+      Seq(row("eq" -> true, "lt" -> true))),
+    Scenario("r7 zdt orders by instant", empty,
+      "UNWIND [datetime('2024-01-01T13:00+02:00'), " +
+        "datetime('2024-01-01T12:30Z'), " +
+        "datetime('2024-01-01T11:00-01:00')] AS t " +
+        "RETURN t.offset AS o ORDER BY t ASC",
+      Seq(row("o" -> "+02:00"), row("o" -> "-01:00"), row("o" -> "Z")),
+      ordered = true),
+    Scenario("r7 zdt clock accessors are local, epoch is the instant",
+      empty,
+      "WITH datetime('2024-06-01T12:34:56.789+02:00') AS d " +
+        "RETURN d.year AS y, d.hour AS h, d.minute AS m, d.offset AS o, " +
+        "d.epochSeconds AS es, d.millisecond AS ms",
+      Seq(row("y" -> 2024L, "h" -> 12L, "m" -> 34L, "o" -> "+02:00",
+        "es" -> 1717238096L, "ms" -> 789L))),
+    Scenario("r7 zdt named-zone accessors and timezone", empty,
+      "WITH datetime('2024-06-01T05:00[America/New_York]') AS d " +
+        "RETURN d.hour AS h, d.offset AS o, d.timezone AS tz",
+      Seq(row("h" -> 5L, "o" -> "-04:00", "tz" -> "America/New_York"))),
+    Scenario("r7 zdt calendar day across a DST gap keeps the wall clock",
+      empty,
+      "RETURN toString(datetime('2024-03-30T21:00[Europe/Berlin]') + " +
+        "duration({days: 1})) AS s",
+      Seq(row("s" -> "2024-03-31T21:00:00+02:00[Europe/Berlin]"))),
+    Scenario("r7 zdt sub-day arithmetic is exact elapsed time", empty,
+      "RETURN toString(datetime('2024-03-31T01:30[Europe/Berlin]') + " +
+        "duration({hours: 1})) AS s",
+      Seq(row("s" -> "2024-03-31T03:30:00+02:00[Europe/Berlin]"))),
+    Scenario("r7 zdt fixed-offset arithmetic keeps the offset", empty,
+      "RETURN toString(datetime('2024-03-30T21:00+01:00') + " +
+        "duration({days: 1})) AS p, " +
+        "toString(datetime('2024-01-01T00:00Z') - " +
+        "duration({minutes: 90})) AS m",
+      Seq(row("p" -> "2024-03-31T21:00:00+01:00",
+        "m" -> "2023-12-31T22:30:00Z"))),
+    Scenario("r7 zdt component map with timezone", empty,
+      "RETURN toString(datetime({year: 2024, month: 6, day: 1, hour: 12, " +
+        "timezone: 'Europe/Berlin'})) AS s",
+      Seq(row("s" -> "2024-06-01T12:00:00+02:00[Europe/Berlin]"))),
+    Scenario("r7 zdt date-only string is midnight UTC", empty,
+      "RETURN toString(datetime('2024-01-01')) AS s, " +
+        "toString(datetime('2015-W30-2T12:00+02:00')) AS w",
+      Seq(row("s" -> "2024-01-01T00:00:00Z",
+        "w" -> "2015-07-21T12:00:00+02:00"))),
+    Scenario("r7 zdt DISTINCT and min/max use the instant", empty,
+      "UNWIND [datetime('2024-06-01T12:00+02:00'), " +
+        "datetime('2024-06-01T10:00Z'), " +
+        "datetime('2024-06-01T09:59Z')] AS d " +
+        "RETURN count(DISTINCT d) AS c, toString(min(d)) AS lo",
+      Seq(row("c" -> 2L, "lo" -> "2024-06-01T09:59:00Z"))),
+    Scenario("r7 zdt truncate works in the value's zone", empty,
+      "RETURN toString(datetime.truncate('day', " +
+        "datetime('2024-06-01T23:30[Europe/Berlin]'))) AS s",
+      Seq(row("s" -> "2024-06-01T00:00:00+02:00[Europe/Berlin]"))),
+    Scenario("r7 zdt duration.between and selection take local clocks",
+      empty,
+      "RETURN toString(duration.between(datetime('2024-01-01T00:00Z'), " +
+        "datetime('2024-03-01T12:00+02:00'))) AS b, " +
+        "toString(date(datetime('2024-06-01T23:30-04:00'))) AS d, " +
+        "toString(localdatetime(datetime('2024-06-01T23:30-04:00'))) AS l",
+      Seq(row("b" -> "P2MT10H", "d" -> "2024-06-01",
+        "l" -> "2024-06-01T23:30:00"))),
+    Scenario("r7 zdt fixture properties: order, accessors, equality",
+      """CREATE (:E {uid: 0, at: datetime('2024-06-01T12:00+02:00')})
+        |CREATE (:E {uid: 1, at: datetime('2024-06-01T10:30Z')})
+        |CREATE (:E {uid: 2, at: datetime('2024-06-01T05:00-04:00[America/New_York]')})
+        |""".stripMargin,
+      "MATCH (e:E) RETURN e.uid AS u, e.at.hour AS h, e.at.offset AS o " +
+        "ORDER BY e.at ASC, u ASC",
+      Seq(row("u" -> 2L, "h" -> 5L, "o" -> "-04:00"),
+        row("u" -> 0L, "h" -> 12L, "o" -> "+02:00"),
+        row("u" -> 1L, "h" -> 10L, "o" -> "Z")), ordered = true),
+    Scenario("r7 zdt never equals a localdatetime", empty,
+      "RETURN datetime('2024-01-01T00:00Z') = " +
+        "localdatetime('2024-01-01T00:00:00') AS x",
+      Seq(row("x" -> false))),
+    Scenario("r7 zdt epoch constructors and accessors", empty,
+      "RETURN datetime({epochSeconds: 120}).epochSeconds AS es, " +
+        "datetime({epochMillis: 86400000}).epochMillis AS em, " +
+        "(datetime('2024-01-01T00:00Z') + null) IS NULL AS n",
+      Seq(row("es" -> 120L, "em" -> 86400000L, "n" -> true))),
+    Scenario("r7 durations are not orderable in ORDER BY", empty,
+      "UNWIND [duration({days: 1}), duration({hours: 12})] AS d " +
+        "RETURN d ORDER BY d",
+      Nil, expectError = Some("not orderable")),
     // --- probe batch 50: ORDER BY scope + list total order ---
     Scenario("r7 order by null list elements sort last under ASC", empty,
       "UNWIND [[null, 3], [1, 1], [1, 2], [2, 0]] AS l " +
@@ -4244,6 +4360,20 @@ class TckStyleSpec extends AnyFunSuite {
         "RETURN min(l)[0] = 1 AS m0, min(l)[1] IS NULL AS m1, " +
         "max(l) = [2] AS x",
       Seq(row("m0" -> true, "m1" -> true, "x" -> true))),
+    Scenario("r7 hidden sort aggregate inside an expression", social,
+      "MATCH (n:Person) RETURN n.city AS city, count(*) AS c " +
+        "ORDER BY sum(n.age) + 1 DESC",
+      Seq(row("city" -> "Berlin", "c" -> 2), row("city" -> null, "c" -> 1),
+        row("city" -> "Paris", "c" -> 1)), ordered = true),
+    Scenario("r7 hidden percentile sort aggregate", social,
+      "MATCH (n:Person) RETURN n.city AS city, count(*) AS c " +
+        "ORDER BY percentileCont(n.age, 0.5) DESC, city ASC",
+      Seq(row("city" -> "Berlin", "c" -> 2), row("city" -> null, "c" -> 1),
+        row("city" -> "Paris", "c" -> 1)), ordered = true),
+    Scenario("r7 DISTINCT projection rejects a hidden sort aggregate",
+      social,
+      "MATCH (n:Person) RETURN DISTINCT n.city AS city ORDER BY count(*)",
+      Nil, expectError = Some("ORDER BY")),
     Scenario("r7 WHERE after WITH sees only the projected scope", social,
       "MATCH (n:Person) WITH n.city AS city WHERE n.age > 0 RETURN city",
       Nil, expectError = Some("not defined")),
