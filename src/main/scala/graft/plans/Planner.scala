@@ -2311,10 +2311,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // with null r must multiply by every matching n (differential case
     // 443). A null entity still never matches a PATTERN (expansion joins
     // on id equality inside the rhs); only the seed pairing is null-safe.
-    val joinCond = sharedBindings.flatMap { case (_, b) =>
-      bindingIdCols(b).map(idc =>
-        col(s"`$idc`") <=> col(s"`${renameMap(idc)}`"))
-    }.reduce(_ && _)
+    val joinCond = seedPairCond(lhsDf, sharedBindings.flatMap { case (_, b) =>
+      bindingIdCols(b).map(idc => idc -> renameMap(idc)) })
 
     val joined = lhsDf.join(rhsDf, joinCond, "left_outer")
       .drop(renameMap.values.toSeq.map(c => c): _*)
@@ -2429,6 +2427,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     * join), the distinct seed values cross in above it (Catalyst folds
     * the correlated equalities into hash joins), and only the conjuncts
     * that read the outer scope evaluate after the seed is in scope. */
+  /** Null-safe seed-pairing condition over (lhsCol, renamedRhsCol) pairs.
+    * VOID (NullType) columns pair VACUOUSLY — they are null on every row
+    * of both sides, and Spark 4.1.2's join execution silently matches
+    * NOTHING on a `void <=> void` key even though the expression alone
+    * evaluates true (differential hunt 92400: an `UNWIND [null, null]`
+    * correlation var made every correlated OPTIONAL MATCH row miss). */
+  private def seedPairCond(lhs: DataFrame,
+      pairs: Seq[(String, String)]): Column =
+    pairs.map { case (a, b) =>
+      if (lhs.schema(a).dataType == NullType) lit(true)
+      else col(s"`$a`") <=> col(s"`$b`")
+    }.reduce(_ && _)
+
   private def planValueCorrelated(graph: PropertyGraph, state: PState,
       seedDf: DataFrame, sharedBindings: Seq[(String, Binding)],
       pattern: Pattern, where: Option[Expr]): PState = {
@@ -2595,10 +2606,9 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // MATCH) and the subquery evaluated under exactly that null seed —
     // `EXISTS { (n) WHERE r.uid IS NULL }` with null r is true (same
     // reasoning as planOptionalMatch's join-back)
-    val joinCond = sharedBindings.flatMap { case (_, b) =>
-      bindingIdCols(b).map(idc =>
-        col(s"`$idc`") <=> col(s"`${renameMap(idc)}`"))
-    }.reduce(_ && _)
+    val joinCond = seedPairCond(state.df,
+      sharedBindings.flatMap { case (_, b) =>
+        bindingIdCols(b).map(idc => idc -> renameMap(idc)) })
 
     val joined = state.df.join(rhsDf, joinCond,
       if (anti) "left_anti" else "left_semi")
@@ -2768,8 +2778,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // null-safe for the same reason as planOptionalMatch's join-back: a
     // shared var may be null from an earlier OPTIONAL MATCH, and the
     // comprehension evaluated under that null seed row
-    val cond = keyCols.map(c =>
-      col(s"`$c`") <=> col(s"`${renames(c)}`")).reduce(_ && _)
+    val cond = seedPairCond(state.df, keyCols.map(c => c -> renames(c)))
     val joined = state.df.join(aggRenamed, cond, "left_outer")
       .drop(renames.values.toSeq: _*)
       .withColumn(outCol, coalesce(col(s"`$outCol`"), array().cast(listType)))

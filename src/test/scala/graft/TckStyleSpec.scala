@@ -4226,6 +4226,23 @@ class TckStyleSpec extends AnyFunSuite {
     * TIME parsing/identity, list-literal error semantics) plus assorted
     * read-side corners. */
   private def r7Locks: Seq[Scenario] = Seq(
+    // --- hunt 92400: VOID correlation vars (Spark joins match nothing
+    // on a void <=> void key — the pairing must be vacuous) ---
+    Scenario("r7 void-typed correlation var in OPTIONAL MATCH", social,
+      "UNWIND [null, null] AS u0 " +
+        "OPTIONAL MATCH (n:Person) WHERE u0 IS NULL AND n.age > 30 " +
+        "RETURN count(n) AS c",
+      Seq(row("c" -> 4L))),
+    Scenario("r7 void-typed correlation var in EXISTS", social,
+      "UNWIND [null] AS u0 MATCH (n:Person) " +
+        "WHERE EXISTS { MATCH (m:Person) WHERE u0 IS NULL AND " +
+        "m.age > n.age } RETURN count(n) AS c",
+      Seq(row("c" -> 3L))),
+    Scenario("r7 void-typed correlation var in a pattern comprehension",
+      social,
+      "UNWIND [null] AS u0 MATCH (n:Person {name: 'Alice'}) " +
+        "RETURN size([(n)-[:KNOWS]->(m) WHERE u0 IS NULL | m.name]) AS c",
+      Seq(row("c" -> 2L))),
     // --- probe batch 54: ZONED DATETIME (struct-encoded, round 7) ---
     Scenario("r7 zdt offset parse and toString round-trip", empty,
       "RETURN toString(datetime('2024-01-01T13:00+02:00')) AS s",

@@ -67,6 +67,16 @@ final class DiffRunner(spark: SparkSession) {
         case 4 => norm(r.get(4))
         case _ => null
       }
+    // the engine's zoned-datetime struct → the model's MZdt (zid is a
+    // deterministic rendering of off for the offset-only grammar pools)
+    case r: org.apache.spark.sql.Row
+      if r.schema != null && r.schema.fieldNames.headOption.contains("@zdt") =>
+      if (r.isNullAt(0)) null
+      else {
+        val ts = r.getTimestamp(0)
+        Model.MZdt(java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L, r.getInt(1))
+      }
     case r: org.apache.spark.sql.Row =>
       r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
     case other => other.toString
@@ -80,6 +90,7 @@ final class DiffRunner(spark: SparkSession) {
     case s: String => "s" + s
     case b: Boolean => "b" + b
     case d: java.time.LocalDate => "e" + d
+    case z: Model.MZdt => "z" + z.inst + "@" + z.off
     case xs: List[_] => xs.map(render).mkString("[", ",", "]")
     case m: Map[_, _] => m.toSeq.map { case (k, x) => s"$k=${render(x)}" }
       .sorted.mkString("{", ",", "}")

@@ -70,6 +70,7 @@ object Model {
     case s: String => s"'$s'" // corpus strings are [a-z]+, no escaping
     case b: Boolean => b.toString
     case d: java.time.LocalDate => s"date('$d')" // ISO round-trips exactly
+    case z: MZdt => s"datetime('${z.renderIso}')"
   }
 
   def renderPropMap(m: Map[String, Any]): String =
@@ -181,6 +182,24 @@ object Model {
     */
   final case class MapIdxE(m: VE, key: String, fam: Char) extends VE
 
+  /** zoned datetime model value (family 'Z'): UTC instant micros + offset
+    * seconds. The grammar generates OFFSET zones only (named zones live in
+    * TCK locks); instants are whole minutes and UNIQUE per pool — an
+    * instant-equal pair always carries the same offset, so equivalence
+    * collapse and ORDER-BY tie groups stay representation-identical. */
+  final case class MZdt(inst: Long, off: Int) {
+    def renderIso: String = {
+      val local = java.time.LocalDateTime.ofEpochSecond(
+        inst / 1000000L + off, 0, java.time.ZoneOffset.UTC)
+      val base = f"${local.getYear}%04d-${local.getMonthValue}%02d-" +
+        f"${local.getDayOfMonth}%02dT${local.getHour}%02d:" +
+        f"${local.getMinute}%02d"
+      base + graft.plans.ExprCompiler.renderOffsetStr(off)
+    }
+  }
+  /** `.hour/.minute/.epochSeconds/.offsetSeconds` over a zoned datetime —
+    * clock accessors read the LOCAL clock, epoch the instant (family 'L') */
+  final case class ZdtPartE(part: String, z: VE) extends VE
   /** `<date> ± duration({days: k})` — calendar arithmetic, family 'E' */
   final case class DateArithE(d: VE, plus: Boolean, days: Long) extends VE
   /** `<date>.year|month|day` accessor, family 'L' */
@@ -307,6 +326,7 @@ object Model {
         case MapIdxE(m, _, _) => ve(m)
         case DateArithE(d, _, _) => ve(d)
         case DatePartE(_, d) => ve(d)
+        case ZdtPartE(_, z) => ve(z)
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
@@ -405,6 +425,7 @@ object Model {
       case DateArithE(d, plus, days) =>
         s"(${renderVE(d)} ${if (plus) "+" else "-"} duration({days: $days}))"
       case DatePartE(part, d) => s"${renderVE(d)}.$part"
+      case ZdtPartE(part, z) => s"${renderVE(z)}.$part"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -596,6 +617,7 @@ object NaiveEval {
     case (x: String, y: String) => Some(x == y)
     case (x: Boolean, y: Boolean) => Some(x == y)
     case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x == y)
+    case (x: MZdt, y: MZdt) => Some(x.inst == y.inst) // instant equality
     case (x: List[_], y: List[_]) =>
       if (x.size != y.size) Some(false)
       else {
@@ -634,6 +656,7 @@ object NaiveEval {
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case (x: java.time.LocalDate, y: java.time.LocalDate) =>
       Some(x.compareTo(y))
+    case (x: MZdt, y: MZdt) => Some(java.lang.Long.compare(x.inst, y.inst))
     case _ => None
   }
 
@@ -642,6 +665,7 @@ object NaiveEval {
     case l: Long => l.toDouble
     case n: MNode => ("node", n.id)
     case r: MRel => ("rel", r.id)
+    case z: MZdt => ("zdt", z.inst) // instant equivalence
     case xs: List[_] => xs.map(normKey)
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq
@@ -785,6 +809,19 @@ object NaiveEval {
     case DateArithE(d, plus, days) => evalV(r, d) match {
       case ld: java.time.LocalDate =>
         if (plus) ld.plusDays(days) else ld.minusDays(days)
+      case _ => null
+    }
+    case ZdtPartE(part, z) => evalV(r, z) match {
+      case MZdt(inst, off) =>
+        val local = java.time.LocalDateTime.ofEpochSecond(
+          inst / 1000000L + off, 0, java.time.ZoneOffset.UTC)
+        part match {
+          case "hour" => local.getHour.toLong
+          case "minute" => local.getMinute.toLong
+          case "epochSeconds" => java.lang.Math.floorDiv(inst, 1000000L)
+          case "offsetSeconds" => off.toLong
+          case other => sys.error(s"naive: unknown zdt part $other")
+        }
       case _ => null
     }
     case DatePartE(part, d) => evalV(r, d) match {
@@ -1325,6 +1362,7 @@ object DiffGen {
     hasF <- Gen.prob(0.6); fn <- Gen.choose(1, 6)
     hasB <- Gen.prob(0.5); b <- Gen.oneOf(true, false)
     hasD <- Gen.prob(0.5); dOff <- Gen.choose(0L, 40L)
+    hasZ <- Gen.prob(0.45)
   } yield {
     var m = Map[String, Any]("uid" -> uid)
     if (hasK) m += "k" -> k
@@ -1332,8 +1370,18 @@ object DiffGen {
     if (hasF) m += "f" -> (fn * 0.5)
     if (hasB) m += "b" -> b
     if (hasD) m += "d" -> java.time.LocalDate.of(2024, 1, 1).plusDays(dOff)
+    // prop-pool zdt: unique instant per node (hour steps from a 2025
+    // base, disjoint from the literal pool), offset derived from the
+    // instant index — instant-equal ⇒ identical (inst, off)
+    if (hasZ) m += "zd" -> MZdt(propZdtBase + uid * 3600000000L,
+      zdtOffsets((uid % zdtOffsets.size).toInt))
     m
   }
+  /** 2025-01-01T00:00Z in epoch micros (zdt prop pool base) */
+  private val propZdtBase = 1735689600000000L
+  /** 2024-02-01T00:00Z in epoch micros (zdt literal pool base) */
+  private val litZdtBase = 1706745600000000L
+  private val zdtOffsets = Vector(0, 3600, -7200, 5400, -3600)
 
   private def genNode(id: Long): Gen[MNode] = for {
     hasA <- Gen.prob(0.6)
@@ -1392,6 +1440,7 @@ object DiffGen {
       case 'D' => List("f")
       case 'B' => List("b")
       case 'E' => List("d")
+      case 'Z' => List("zd")
     }
     val rk = fam match {
       case 'L' => List("uid", "w")
@@ -1410,6 +1459,11 @@ object DiffGen {
     case 'B' => Gen.oneOf(true, false)
     case 'E' => Gen.choose(0L, 40L).map(
       java.time.LocalDate.of(2024, 1, 1).plusDays(_))
+    // literal-pool zdt: minute steps from a 2024 base (disjoint from the
+    // prop pool); offset derived from the step so instant-equal literal
+    // pairs (which = / DISTINCT want) are representation-identical
+    case 'Z' => Gen.choose(0L, 30L).map(k =>
+      MZdt(litZdtBase + k * 60000000L, zdtOffsets((k % zdtOffsets.size).toInt)))
   }
 
   private def genValueVE(ctx: Ctx, fam: Char): Gen[VE] = {
@@ -1461,8 +1515,13 @@ object DiffGen {
 
   private def genDatePart(ctx: Ctx): Gen[VE] = for {
     d <- genValueVE(ctx, 'E')
-    part <- Gen.oneOf("year", "month", "day")
+    part <-Gen.oneOf("year", "month", "day")
   } yield DatePartE(part, d)
+
+  private def genZdtPart(ctx: Ctx): Gen[VE] = for {
+    z <- genValueVE(ctx, 'Z')
+    part <- Gen.oneOf("hour", "minute", "epochSeconds", "offsetSeconds")
+  } yield ZdtPartE(part, z)
 
   private def genNumFnE(ctx: Ctx, resultFam: Char): Gen[VE] = for {
     // sign always yields integer; abs preserves its argument family
@@ -1704,9 +1763,11 @@ object DiffGen {
         2 -> genListConsumer(ctx, 'L'),
         1 -> genMapIdx(ctx, 'L'),
         1 -> genDatePart(ctx),
+        1 -> genZdtPart(ctx),
         (if (ctx.nodeVars.nonEmpty) 2 else 0) -> genPatCompSize(ctx))
       case 'D' => List(3 -> genNumFnE(ctx, 'D'), 1 -> genMapIdx(ctx, 'D'))
       case 'E' => List(4 -> genDateArith(ctx))
+      case 'Z' => Nil // CASE/coalesce below are the only 'Z' wrappers
       // a whole predicate as a boolean value (unknown → null)
       case _ => List(3 -> genLeafPlain(ctx).map(BoolVE),
         1 -> genMapIdx(ctx, 'B'))
@@ -1718,15 +1779,17 @@ object DiffGen {
 
   private def genCmp(ctx: Ctx): Gen[BE] = for {
     fam <- Gen.frequency(5 -> Gen.const('L'), 2 -> Gen.const('S'),
-      2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'))
+      2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'),
+      1 -> Gen.const('Z'))
     op <- if (fam == 'B') Gen.oneOf("=", "<>")
     else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
     l <- genValueVE(ctx, fam)
     kind0 <- Gen.frequency(88 -> Gen.const(0), 5 -> Gen.const(1),
       4 -> Gen.const(2), 3 -> Gen.const(3))
-    // dates keep same-family comparisons (cross-family date equality and
-    // numeric arithmetic have no date forms); ± duration replaces arith
-    kind = if (fam == 'E' && kind0 == 1) 0 else kind0
+    // dates/zdts keep same-family comparisons (cross-family temporal
+    // equality and numeric arithmetic have no temporal forms); for dates
+    // ± duration replaces arith, zdts fall back to a plain rhs
+    kind = if ((fam == 'E' || fam == 'Z') && kind0 == 1) 0 else kind0
     dplus <- Gen.oneOf(true, false)
     ddays <- Gen.choose(0L, 15L)
     r <- kind match {
@@ -1737,6 +1800,7 @@ object DiffGen {
       case 2 => Gen.const(LitE(null): VE) // null literal: always unknown
       case 3 if fam == 'E' =>
         genValueVE(ctx, 'E').map(DateArithE(_, dplus, ddays): VE)
+      case 3 if fam == 'Z' => genValueVE(ctx, 'Z')
       case 3 => genArith(ctx)
       case _ => genValueVE(ctx, fam)
     }
@@ -1749,7 +1813,7 @@ object DiffGen {
     */
   private def genLeafPlain(ctx: Ctx): Gen[BE] = {
     val isNullG: Gen[BE] = for {
-      fam <- Gen.oneOf('L', 'S', 'D', 'B', 'E')
+      fam <- Gen.oneOf('L', 'S', 'D', 'B', 'E', 'Z')
       e <- genValueVE(ctx, fam)
       not <- Gen.oneOf(true, false)
     } yield IsNullE(e, not)
@@ -1863,7 +1927,8 @@ object DiffGen {
     // stays plain: it seeds CASE conditions, which must not recurse)
     val cmpRichG: Gen[BE] = for {
       fam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
-        2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'))
+        2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'),
+        1 -> Gen.const('Z'))
       op <- if (fam == 'B') Gen.oneOf("=", "<>")
       else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
       l <- genRichVE(ctx, fam)
@@ -1978,7 +2043,8 @@ object DiffGen {
     anyFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
       2 -> Gen.const('D'), 1 -> Gen.const('B'))
     ordFam <- Gen.frequency(4 -> Gen.const('L'), 3 -> Gen.const('S'),
-      2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'))
+      2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'),
+      1 -> Gen.const('Z'))
     numArg <- genRichVE(ctx, numFam)
     anyArg <- genRichVE(ctx, anyFam)
     ordArg <- genRichVE(ctx, ordFam)
@@ -2013,7 +2079,8 @@ object DiffGen {
       2 -> Gen.const(2))
     projFams <- Gen.listOfN(nProj, Gen.frequency(4 -> Gen.const('L'),
       2 -> Gen.const('S'), 2 -> Gen.const('D'), 1 -> Gen.const('B'),
-      1 -> Gen.const('E'), 1 -> Gen.const('M'), 1 -> Gen.const('T')))
+      1 -> Gen.const('E'), 1 -> Gen.const('Z'), 1 -> Gen.const('M'),
+      1 -> Gen.const('T')))
     projVes <- Gen.sequence[List[VE], VE](projFams.map(genRichVE(ctx, _)))
     nAggs <- Gen.frequency(6 -> Gen.const(1), 4 -> Gen.const(2))
     aggs <- Gen.sequence[List[AggItem], AggItem](
@@ -2087,7 +2154,7 @@ object DiffGen {
           (a, if (arg.exists(e => NaiveEvalFamilies.family(e) == 'S')) 'T'
           else 'M')
       })
-    val orderableFams = Set('L', 'S', 'D', 'B', 'E')
+    val orderableFams = Set('L', 'S', 'D', 'B', 'E', 'Z')
     val nonAgg = items.filterNot(_.isInstanceOf[AggItem])
     val cutEligible = nonAgg.nonEmpty && nonAgg.forall {
       case PassItem(_) | AliasItem(_, _) => true
@@ -2129,6 +2196,7 @@ object DiffGen {
     def genItemVE: Gen[VE] = Gen.frequency(
       6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genRichVE(ctx, _)),
       1 -> genRichVE(ctx, 'E'),
+      1 -> genRichVE(ctx, 'Z'),
       2 -> genArith(ctx),
       // raw deterministically-ordered list values (never bags)
       1 -> Gen.oneOf('M', 'T').flatMap(genListVE(ctx, _)),
@@ -2237,7 +2305,7 @@ object DiffGen {
     // (hunt 46890: max(date - duration) vs min(1))
     val aggUnionSafe = agg.fn != "collect" && !agg.arg.exists { e =>
       val f = NaiveEvalFamilies.family(e)
-      f == 'E' || f == 'P' || NaiveEvalFamilies.isListFam(f)
+      f == 'E' || f == 'Z' || f == 'P' || NaiveEvalFamilies.isListFam(f)
     }
     val items =
       if (!aggLast) valItems
@@ -2412,13 +2480,14 @@ object DiffGen {
             // encoding cross-family UNION columns take — keep them out
             // of freely-retyped union surfaces
             !NaiveEvalFamilies.isListFam(f) && f != 'X' && f != 'P' &&
-              f != 'E'
+              f != 'E' && f != 'Z'
           case AggItem(fn, arg, _, _) =>
             // min/max over a date column can't union with the branch's
             // freely-retyped numeric aggregate (hunt 32023)
             fn != "collect" && !arg.exists { e =>
               val f = NaiveEvalFamilies.family(e)
-              f == 'E' || f == 'P' || NaiveEvalFamilies.isListFam(f)
+              f == 'E' || f == 'Z' || f == 'P' ||
+                NaiveEvalFamilies.isListFam(f)
             }
           case _ => false
         }
@@ -2464,6 +2533,7 @@ object NaiveEvalFamilies {
     case PropE(_, "s") => 'S'
     case PropE(_, "b") => 'B'
     case PropE(_, "d") => 'E'
+    case PropE(_, "zd") => 'Z'
     case PropE(_, _) => 'L'
     case VarE(_, fam) => fam
     case SizeE(_) => 'L'
@@ -2471,6 +2541,7 @@ object NaiveEvalFamilies {
     case LitE(_: String) => 'S'
     case LitE(_: Boolean) => 'B'
     case LitE(_: java.time.LocalDate) => 'E'
+    case LitE(_: MZdt) => 'Z'
     case LitE(_) => 'L'
     case FnE("type", _) => 'S'
     case FnE(_, _) => 'X'
@@ -2511,6 +2582,7 @@ object NaiveEvalFamilies {
     case MapIdxE(_, _, fam) => fam
     case DateArithE(_, _, _) => 'E'
     case DatePartE(_, _) => 'L'
+    case ZdtPartE(_, _) => 'L'
   }
 
   def isListFam(f: Char): Boolean = f == 'M' || f == 'T'

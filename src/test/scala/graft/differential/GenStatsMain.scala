@@ -40,7 +40,10 @@ object GenStatsMain {
       "pathNodes" -> "nodes(pth", "pathRels" -> "relationships(pth",
       "quantVl" -> "(qv IN r", "CONSTRUCT" -> "CONSTRUCT",
       // round-7 construct forms
-      "COPY OF" -> "COPY OF", "relCloneNew" -> ")-[r")
+      "COPY OF" -> "COPY OF", "relCloneNew" -> ")-[r",
+      // round-7 zoned datetime family
+      "zdtLit" -> "datetime('", "zdtProp" -> ".zd",
+      "zdtPart" -> "epochSeconds")
     val withCut = queries.count(_.stages.exists {
       case Model.SWith(_, _, _, _, sk, lm) => sk.isDefined || lm.isDefined
       case _ => false
