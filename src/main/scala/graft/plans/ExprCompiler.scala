@@ -991,6 +991,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private def mkZonedDt(ts: Column, off: Column, zid: Column): Column =
     struct(ts.as("@zdt"), off.cast(IntegerType).as("off"),
       zid.cast(StringType).as("zid"))
+  /** UTC micros-of-day of a timestamp instant (sessions pin UTC) */
+  private def instantMicrosOfDay(ts: Column): Column =
+    (hour(ts).cast(LongType) * 3600L + minute(ts).cast(LongType) * 60L +
+      second(ts).cast(LongType)) * 1000000L +
+      (date_part(lit("SECOND"), ts) * 1000000 % 1000000).cast(LongType)
+
   /** the value's local wall clock as a session-UTC timestamp */
   private def zonedDtLocal(c: Column): Column =
     c.getField("@zdt") + make_interval(lit(0), lit(0), lit(0), lit(0),
@@ -1319,6 +1325,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       // zoned datetimes compare by instant (offset/zone are presentation)
       case (a, b) if isZonedDtStruct(a) && isZonedDtStruct(b) =>
         Some(op(compile(l).getField("@zdt"), compile(r).getField("@zdt")))
+      // a raw TIMESTAMP property (parquet/JDBC-sourced graphs) is an
+      // implicitly-UTC instant — compare it with zoned values by instant
+      case (a, TimestampType) if isZonedDtStruct(a) =>
+        Some(op(compile(l).getField("@zdt"), compile(r)))
+      case (TimestampType, b) if isZonedDtStruct(b) =>
+        Some(op(compile(l), compile(r).getField("@zdt")))
       // mixed-tagged element vs concrete value: dispatch on the tag
       case (mt, vt) if isMixedStruct(mt) && !isMixedStruct(vt) =>
         Some(mixedCmp(compile(l), compile(r), vt, op,
@@ -2171,6 +2183,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             struct(lit(parseIsoTime(s)._1).as("@lt"))
           case MapLit(items) =>
             struct(timeMicrosFromComponents(items.toMap).as("@lt"))
+          // selection from a zoned datetime: its LOCAL clock time-of-day
+          case e if isZonedDtStruct(typeOf(e)) =>
+            val off = a0.getField("off").cast(LongType)
+            struct(pmod(instantMicrosOfDay(a0.getField("@zdt")) +
+              off * 1000000L, lit(dayMicros)).as("@lt"))
           case other => throw new IllegalArgumentException(
             s"localtime() expects a literal time string or a component " +
               s"map, got $other")
@@ -2199,6 +2216,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             struct(pmod(timeMicrosFromComponents(m - "timezone") -
               lit(offSec.toLong) * 1000000L, lit(dayMicros)).as("@zt"),
               lit(offSec).as("off"))
+          // selection from a zoned datetime: time-of-day keeping the
+          // offset (@zt is the UTC micros-of-day, like time() strings)
+          case e if isZonedDtStruct(typeOf(e)) =>
+            struct(instantMicrosOfDay(a0.getField("@zdt")).as("@zt"),
+              a0.getField("off").as("off"))
           case other => throw new IllegalArgumentException(
             s"time() expects a literal time string or a component map, " +
               s"got $other")
@@ -2261,6 +2283,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             val (inst, off, zid) = ExprCompiler.parseIsoZonedDatetime(s)
             mkZonedDt(lit(inst), lit(off), lit(zid))
           case e if isZonedDtStruct(typeOf(e)) => a0
+          // upgrade a raw TIMESTAMP value (parquet/JDBC-sourced property)
+          // to the zoned encoding: an implicitly-UTC instant; a
+          // localdatetime selects into the default (UTC) zone, Neo4j
+          // datetime(localdatetime) semantics
+          case e if typeOf(e) == TimestampType =>
+            mkZonedDt(a0, lit(0), lit("Z"))
+          case e if typeOf(e) == TimestampNTZType =>
+            mkZonedDt(a0.cast(TimestampType), lit(0), lit("Z"))
           case other => throw new IllegalArgumentException(
             "datetime() expects a literal ISO string, a component map " +
               s"(with optional timezone), or epochMillis/epochSeconds; " +

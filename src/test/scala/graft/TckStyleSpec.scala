@@ -4327,6 +4327,17 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("u" -> 2L, "h" -> 5L, "o" -> "-04:00"),
         row("u" -> 0L, "h" -> 12L, "o" -> "+02:00"),
         row("u" -> 1L, "h" -> 10L, "o" -> "Z")), ordered = true),
+    Scenario("r7 zdt from a localdatetime selects the UTC zone", empty,
+      "RETURN datetime(localdatetime('2024-01-01T12:00:00')) = " +
+        "datetime('2024-01-01T12:00Z') AS eq, " +
+        "toString(datetime(localdatetime('2024-01-01T12:00:00'))) AS s",
+      Seq(row("eq" -> true, "s" -> "2024-01-01T12:00:00Z"))),
+    Scenario("r7 zdt time/localtime selection", empty,
+      "WITH datetime('2024-06-01T12:34:56.5+02:00') AS d " +
+        "RETURN toString(time(d)) AS t, toString(localtime(d)) AS lt, " +
+        "time(d) = time('12:34:56.5+02:00') AS eq",
+      Seq(row("t" -> "12:34:56.5+02:00", "lt" -> "12:34:56.5",
+        "eq" -> true))),
     Scenario("r7 zdt never equals a localdatetime", empty,
       "RETURN datetime('2024-01-01T00:00Z') = " +
         "localdatetime('2024-01-01T00:00:00') AS x",
