@@ -1455,10 +1455,17 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * (year/week/dayOfWeek), ordinal parts (year/ordinalDay), and
     * SELECTION — a `date` entry carries base components that explicit
     * entries override. */
+  /** a map-constructor `date:` base as a plain column — zoned datetimes
+    * contribute their LOCAL clock (Neo4j selection semantics) */
+  private def selectionBase(e: Expr): Column = typeOf(e) match {
+    case st: StructType if isZonedDtStruct(st) => zonedDtLocal(compile(e))
+    case _ => compile(e)
+  }
+
   private def dateFromMap(m: Map[String, Expr]): Column = {
     def p(k: String): Option[Column] =
       m.get(k).map(e => compile(e).cast(IntegerType))
-    val base = m.get("date").map(e => to_date(compile(e)))
+    val base = m.get("date").map(e => to_date(selectionBase(e)))
     def part(k: String, f: Column => Column, dflt: Int): Column =
       p(k).orElse(base.map(b => f(b).cast(IntegerType))).getOrElse(lit(dflt))
     if (m.contains("week") || m.contains("dayOfWeek"))
@@ -1489,6 +1496,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     val baseTs: Option[Column] = m.get("date").flatMap { e =>
       typeOf(e) match {
         case TimestampType | TimestampNTZType => Some(compile(e))
+        case st: StructType if isZonedDtStruct(st) =>
+          Some(zonedDtLocal(compile(e)))
         case _ => None
       }
     }

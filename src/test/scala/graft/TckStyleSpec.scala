@@ -4327,6 +4327,19 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("u" -> 2L, "h" -> 5L, "o" -> "-04:00"),
         row("u" -> 0L, "h" -> 12L, "o" -> "+02:00"),
         row("u" -> 1L, "h" -> 10L, "o" -> "Z")), ordered = true),
+    Scenario("r7 zdt component-map composition", empty,
+      "RETURN toString(datetime({date: date('2024-06-01'), hour: 12, " +
+        "timezone: '+02:00'})) AS a, " +
+        "toString(datetime({year: 2024, week: 23, dayOfWeek: 4})) AS b, " +
+        "toString(datetime({date: datetime('2024-06-01T08:30Z'), " +
+        "timezone: 'Europe/Berlin'})) AS c",
+      Seq(row("a" -> "2024-06-01T12:00:00+02:00",
+        "b" -> "2024-06-06T00:00:00Z",
+        "c" -> "2024-06-01T08:30:00+02:00[Europe/Berlin]"))),
+    Scenario("r7 zdt map constructor resolves a DST gap forward", empty,
+      "RETURN toString(datetime({year: 2024, month: 3, day: 31, hour: 2, " +
+        "minute: 30, timezone: 'Europe/Berlin'})) AS s",
+      Seq(row("s" -> "2024-03-31T03:30:00+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt from a localdatetime selects the UTC zone", empty,
       "RETURN datetime(localdatetime('2024-01-01T12:00:00')) = " +
         "datetime('2024-01-01T12:00Z') AS eq, " +
