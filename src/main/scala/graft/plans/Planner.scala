@@ -3048,13 +3048,21 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         val keyCols = groupCols.map { c =>
           equivKeys.get(c).map(_._1).getOrElse(col(s"`$c`"))
         } ++ implicitKeys
+        // representatives get FRESH output names: aliasing min_by back to
+        // the source column's own name makes any sibling aggregate that
+        // reads that column resolve it as a LATERAL alias — Spark rejects
+        // with LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC (hunt 110538: a
+        // zoned-datetime group key + an aggregate whose argument reads it)
+        val reprNames = groupCols.filter(equivKeys.contains)
+          .map(c => c -> fresh("repr")).toMap
         val reprs = groupCols.filter(equivKeys.contains).map(c =>
-          min_by(col(s"`$c`"), equivKeys(c)._2).as(c))
+          min_by(col(s"`$c`"), equivKeys(c)._2).as(reprNames(c)))
         val allAgg = reprs ++ allAggCols.map(_._2)
         df.groupBy(keyCols: _*)
           .agg(allAgg.head, allAgg.tail: _*)
-          .select((groupCols ++ allAggCols.map(_._1))
-            .map(c => col(s"`$c`")): _*)
+          .select((groupCols.map(c => reprNames.get(c)
+            .map(r => col(s"`$r`").as(c)).getOrElse(col(s"`$c`"))) ++
+            allAggCols.map { case (c, _) => col(s"`$c`") }): _*)
       }
 
     // restore item order in the header

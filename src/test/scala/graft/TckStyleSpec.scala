@@ -4327,6 +4327,17 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("u" -> 2L, "h" -> 5L, "o" -> "-04:00"),
         row("u" -> 0L, "h" -> 12L, "o" -> "+02:00"),
         row("u" -> 1L, "h" -> 10L, "o" -> "Z")), ordered = true),
+    Scenario("r7 aggregate reading an equivalence-keyed group column",
+      "CREATE (:A {uid: 0, zd: datetime('2025-01-01T00:00Z')})\n" +
+        "CREATE (:A {uid: 1})",
+      // the zd group key groups by instant with a min_by representative;
+      // the sibling count() reads the same column — must not resolve it
+      // as a lateral alias (hunt 110538)
+      "MATCH (n:A) WITH n, count([lcv IN range(0, 4) WHERE " +
+        "datetime('2024-01-31T22:07-02:00') <> n.zd | 'x'][1]) AS c " +
+        "RETURN n.uid AS u, c ORDER BY u",
+      Seq(row("u" -> 0L, "c" -> 1L), row("u" -> 1L, "c" -> 0L)),
+      ordered = true),
     Scenario("r7 zdt component-map composition", empty,
       "RETURN toString(datetime({date: date('2024-06-01'), hour: 12, " +
         "timezone: '+02:00'})) AS a, " +
