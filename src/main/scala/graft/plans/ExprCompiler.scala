@@ -1005,16 +1005,46 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private def zoneOffsetAt(ts: Column, zid: Column): Column =
     (unix_timestamp(from_utc_timestamp(ts, zid)) - unix_timestamp(ts))
       .cast(IntegerType)
-  /** datetime ± duration: calendar components apply to the LOCAL clock in
-    * the value's zone (a +P1D across a DST gap keeps the wall time and
-    * shifts the offset, Neo4j semantics); the offset is re-resolved at
-    * the result instant. */
+  private def secondsInterval(secs: Column): Column =
+    make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+      secs.cast(DecimalType(18, 6)))
+  /** resolve a local wall clock in `zid` to an instant, PREFERRING
+    * `prefOff` (the value's pre-arithmetic offset) when the zone rules
+    * admit it at that local time — java.time `ZonedDateTime.ofLocal`'s
+    * retain-offset rule, which Neo4j inherits: across a DST fall-back
+    * overlap a value keeps its original side of the transition instead
+    * of snapping to the zone default. Gaps (and any local time where the
+    * preferred offset is invalid) fall through to `to_utc_timestamp`'s
+    * zone-rule resolution. */
+  private def localToInstant(local: Column, zid: Column,
+      prefOff: Column): Column = {
+    val cand = local - secondsInterval(prefOff)
+    when(zoneOffsetAt(cand, zid) === prefOff.cast(IntegerType), cand)
+      .otherwise(to_utc_timestamp(local, zid))
+  }
+  /** datetime ± duration, java.time/Neo4j semantics: the CALENDAR
+    * components (months, days) apply to the LOCAL clock in the value's
+    * zone (a +P1D across a DST gap keeps the wall time and shifts the
+    * offset), resolving ambiguous results with the original offset
+    * preferred; the TIME components (micros) then add to the resulting
+    * INSTANT as exact elapsed time — so duration({hours: 1}) across a
+    * fall-back overlap lands one elapsed hour later (02:30+02:00 →
+    * 02:30+01:00 in Berlin), where a local-clock add would skip the
+    * repeated hour, and duration({hours: 24}) diverges from
+    * duration({days: 1}) across any transition. */
   private def zonedDtAddInterval(dtC: Column, ivC: Column,
       sign: Int): Column = {
+    import graft.functions.IntervalFunctions._
     val zid = dtC.getField("zid")
+    val m = (intervalMonths(ivC) * sign).cast(IntegerType)
+    val d = (intervalDays(ivC) * sign).cast(IntegerType)
+    val us = intervalMicros(ivC) * sign
     val local = from_utc_timestamp(dtC.getField("@zdt"), zid)
-    val local2 = if (sign > 0) local + ivC else local - ivC
-    val inst2 = to_utc_timestamp(local2, zid)
+    val localMD = local + make_interval(lit(0), m, lit(0), d, lit(0),
+      lit(0), lit(java.math.BigDecimal.ZERO))
+    val instMD = localToInstant(localMD, zid, dtC.getField("off"))
+    val inst2 = instMD +
+      secondsInterval(us.cast(DecimalType(27, 6)) / 1000000)
     mkZonedDt(inst2, zoneOffsetAt(inst2, zid), zid)
   }
   private def zonedDtAccessor(c: Column, key: String): Column = {
@@ -1850,11 +1880,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
                 pmod(a0.getField("@zt") + off * 1000000L, lit(dayMicros))),
                 renderOffset(off)))
           case st: StructType if isZonedDtStruct(st) =>
-            // local clock + offset, plus a [zone] suffix for named zones
+            // local clock + offset, plus a [zone] suffix for named zones.
+            // java.time ISO rendering (Neo4j): zero seconds with no
+            // fraction are OMITTED ("2024-01-01T13:00+02:00"), and a
+            // fraction prints in 3/6-digit groups (".500", not Spark's
+            // fully-trimmed ".5").
             val off = a0.getField("off").cast(LongType)
             val zid = a0.getField("zid")
-            val base = regexp_replace(zonedDtLocal(a0).cast(StringType),
+            val cast0 = regexp_replace(zonedDtLocal(a0).cast(StringType),
               lit(" "), lit("T"))
+            val noZeroSec =
+              regexp_replace(cast0, lit("(T\\d{2}:\\d{2}):00$"), lit("$1"))
+            val pad1 = regexp_replace(noZeroSec,
+              lit("(?<f>\\.\\d(\\d{3})?)$"), lit("${f}00"))
+            val base = regexp_replace(pad1,
+              lit("(?<f>\\.\\d{2}(\\d{3})?)$"), lit("${f}0"))
             when(a0.isNull, lit(null).cast(StringType))
               .otherwise(concat(base, renderOffset(off),
                 when(zidIsNamed(zid), concat(lit("["), zid, lit("]")))
@@ -2346,8 +2386,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           "duration() expects a map like {months: 1, days: 2} or an ISO-8601 string")
       }
       // duration.between(a, b): calendar-aware difference — complete
-      // months, then complete days, then the sub-day remainder
-      // (reference: TemporalUdfs durationBetween semantics)
+      // months, then complete days, computed on the LOCAL timeline; the
+      // sub-day remainder is the INSTANT difference from the month+day
+      // anchor (java.time/Neo4j: from.plusMonths(m).plusDays(d), then
+      // until(to, SECONDS) — so across a DST transition the seconds
+      // component reflects elapsed time, consistent with
+      // duration.inseconds on the same operands)
       case "duration.between" => {
         // zoned operands contribute their LOCAL clocks in the FIRST
         // operand's zone (Neo4j computes calendar components there)
@@ -2360,13 +2404,27 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             from_utc_timestamp(c.getField("@zdt"), zone1)
           case _ => c.cast(TimestampType)
         }
+        def instOf(e: Expr, c: Column): Column = typeOf(e) match {
+          case st: StructType if isZonedDtStruct(st) => c.getField("@zdt")
+          case _ => c.cast(TimestampType)
+        }
         val from = localOf(f.args.head, a0); val to = localOf(f.args(1), a(1))
         val m = floor(months_between(to, from)).cast(IntegerType)
         val anchor = timestamp_add("MONTH", m, from)
-        val secs = unix_timestamp(to) - unix_timestamp(anchor)
-        val days = floor(secs / 86400).cast(IntegerType)
+        val localSecs = unix_timestamp(to) - unix_timestamp(anchor)
+        val days = floor(localSecs / 86400).cast(IntegerType)
+        val anchor2 = timestamp_add("DAY", days, anchor)
+        // the anchor local resolves back to an instant with the FIRST
+        // operand's offset preferred (non-zoned operands: local = instant)
+        val anchorInst: Column = typeOf(f.args.head) match {
+          case st if isZonedDtStruct(st) =>
+            localToInstant(anchor2, zone1, a0.getField("off"))
+          case _ => anchor2
+        }
+        val secs = unix_timestamp(instOf(f.args(1), a(1))) -
+          unix_timestamp(anchorInst)
         make_interval(lit(0), m, lit(0), days, lit(0), lit(0),
-          (secs - days.cast(LongType) * 86400).cast(DecimalType(18, 6)))
+          secs.cast(DecimalType(18, 6)))
       }
       case "duration.inmonths" | "duration.indays" | "duration.inseconds" =>
         // calendar units (months/days) read LOCAL clocks in the first
@@ -2410,11 +2468,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         typeOf(f.args(1)) match {
           case st if isZonedDtStruct(st) =>
             // truncate the LOCAL clock in the value's zone, then rebuild
+            // (original offset preferred on ambiguity — java.time
+            // truncatedTo keeps the value's side of a fall-back overlap)
             val zid = a(1).getField("zid")
             val local = from_utc_timestamp(a(1).getField("@zdt"), zid)
             val t = truncSpecial(u, local).map(_.cast(TimestampType))
               .getOrElse(date_trunc(u, local))
-            val inst2 = to_utc_timestamp(t, zid)
+            val inst2 = localToInstant(t, zid, a(1).getField("off"))
             mkZonedDt(inst2, zoneOffsetAt(inst2, zid), zid)
           case _ =>
             truncSpecial(u, a(1)).map(_.cast(TimestampType))

@@ -4246,10 +4246,10 @@ class TckStyleSpec extends AnyFunSuite {
     // --- probe batch 54: ZONED DATETIME (struct-encoded, round 7) ---
     Scenario("r7 zdt offset parse and toString round-trip", empty,
       "RETURN toString(datetime('2024-01-01T13:00+02:00')) AS s",
-      Seq(row("s" -> "2024-01-01T13:00:00+02:00"))),
+      Seq(row("s" -> "2024-01-01T13:00+02:00"))),
     Scenario("r7 zdt named zone resolves its rules offset", empty,
       "RETURN toString(datetime('2024-06-01T12:00[Europe/Berlin]')) AS s",
-      Seq(row("s" -> "2024-06-01T12:00:00+02:00[Europe/Berlin]"))),
+      Seq(row("s" -> "2024-06-01T12:00+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt equality is by instant across offsets", empty,
       "RETURN datetime('2024-06-01T12:00+02:00') = " +
         "datetime('2024-06-01T10:00Z') AS eq, " +
@@ -4278,37 +4278,37 @@ class TckStyleSpec extends AnyFunSuite {
       empty,
       "RETURN toString(datetime('2024-03-30T21:00[Europe/Berlin]') + " +
         "duration({days: 1})) AS s",
-      Seq(row("s" -> "2024-03-31T21:00:00+02:00[Europe/Berlin]"))),
+      Seq(row("s" -> "2024-03-31T21:00+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt sub-day arithmetic is exact elapsed time", empty,
       "RETURN toString(datetime('2024-03-31T01:30[Europe/Berlin]') + " +
         "duration({hours: 1})) AS s",
-      Seq(row("s" -> "2024-03-31T03:30:00+02:00[Europe/Berlin]"))),
+      Seq(row("s" -> "2024-03-31T03:30+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt fixed-offset arithmetic keeps the offset", empty,
       "RETURN toString(datetime('2024-03-30T21:00+01:00') + " +
         "duration({days: 1})) AS p, " +
         "toString(datetime('2024-01-01T00:00Z') - " +
         "duration({minutes: 90})) AS m",
-      Seq(row("p" -> "2024-03-31T21:00:00+01:00",
-        "m" -> "2023-12-31T22:30:00Z"))),
+      Seq(row("p" -> "2024-03-31T21:00+01:00",
+        "m" -> "2023-12-31T22:30Z"))),
     Scenario("r7 zdt component map with timezone", empty,
       "RETURN toString(datetime({year: 2024, month: 6, day: 1, hour: 12, " +
         "timezone: 'Europe/Berlin'})) AS s",
-      Seq(row("s" -> "2024-06-01T12:00:00+02:00[Europe/Berlin]"))),
+      Seq(row("s" -> "2024-06-01T12:00+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt date-only string is midnight UTC", empty,
       "RETURN toString(datetime('2024-01-01')) AS s, " +
         "toString(datetime('2015-W30-2T12:00+02:00')) AS w",
-      Seq(row("s" -> "2024-01-01T00:00:00Z",
-        "w" -> "2015-07-21T12:00:00+02:00"))),
+      Seq(row("s" -> "2024-01-01T00:00Z",
+        "w" -> "2015-07-21T12:00+02:00"))),
     Scenario("r7 zdt DISTINCT and min/max use the instant", empty,
       "UNWIND [datetime('2024-06-01T12:00+02:00'), " +
         "datetime('2024-06-01T10:00Z'), " +
         "datetime('2024-06-01T09:59Z')] AS d " +
         "RETURN count(DISTINCT d) AS c, toString(min(d)) AS lo",
-      Seq(row("c" -> 2L, "lo" -> "2024-06-01T09:59:00Z"))),
+      Seq(row("c" -> 2L, "lo" -> "2024-06-01T09:59Z"))),
     Scenario("r7 zdt truncate works in the value's zone", empty,
       "RETURN toString(datetime.truncate('day', " +
         "datetime('2024-06-01T23:30[Europe/Berlin]'))) AS s",
-      Seq(row("s" -> "2024-06-01T00:00:00+02:00[Europe/Berlin]"))),
+      Seq(row("s" -> "2024-06-01T00:00+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt duration.between and selection take local clocks",
       empty,
       "RETURN toString(duration.between(datetime('2024-01-01T00:00Z'), " +
@@ -4344,18 +4344,18 @@ class TckStyleSpec extends AnyFunSuite {
         "toString(datetime({year: 2024, week: 23, dayOfWeek: 4})) AS b, " +
         "toString(datetime({date: datetime('2024-06-01T08:30Z'), " +
         "timezone: 'Europe/Berlin'})) AS c",
-      Seq(row("a" -> "2024-06-01T12:00:00+02:00",
-        "b" -> "2024-06-06T00:00:00Z",
-        "c" -> "2024-06-01T08:30:00+02:00[Europe/Berlin]"))),
+      Seq(row("a" -> "2024-06-01T12:00+02:00",
+        "b" -> "2024-06-06T00:00Z",
+        "c" -> "2024-06-01T08:30+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt map constructor resolves a DST gap forward", empty,
       "RETURN toString(datetime({year: 2024, month: 3, day: 31, hour: 2, " +
         "minute: 30, timezone: 'Europe/Berlin'})) AS s",
-      Seq(row("s" -> "2024-03-31T03:30:00+02:00[Europe/Berlin]"))),
+      Seq(row("s" -> "2024-03-31T03:30+02:00[Europe/Berlin]"))),
     Scenario("r7 zdt from a localdatetime selects the UTC zone", empty,
       "RETURN datetime(localdatetime('2024-01-01T12:00:00')) = " +
         "datetime('2024-01-01T12:00Z') AS eq, " +
         "toString(datetime(localdatetime('2024-01-01T12:00:00'))) AS s",
-      Seq(row("eq" -> true, "s" -> "2024-01-01T12:00:00Z"))),
+      Seq(row("eq" -> true, "s" -> "2024-01-01T12:00Z"))),
     Scenario("r7 zdt time/localtime selection", empty,
       "WITH datetime('2024-06-01T12:34:56.5+02:00') AS d " +
         "RETURN toString(time(d)) AS t, toString(localtime(d)) AS lt, " +
@@ -4680,6 +4680,89 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("k" -> 1L, "hasB" -> true, "hasNope" -> false),
         row("k" -> 3L, "hasB" -> null, "hasNope" -> null))))
 
+  // Round-8 locks: DST-correct zoned-datetime arithmetic (ADVICE r7 —
+  // time components apply to the INSTANT, calendar components to the
+  // local clock with the original offset preferred on ambiguity), the
+  // instant-based duration.between seconds remainder, and java.time ISO
+  // rendering. Ground truth hand-derived from java.time ZonedDateTime
+  // (R8Probe1Main prints both sides).
+  private def r8Locks: Seq[Scenario] = Seq(
+    Scenario("r8 zdt hour addition crosses a fall-back overlap by elapsed time",
+      empty,
+      // 02:30+02:00 is one hour of elapsed time before 02:30+01:00 —
+      // adding PT1H lands on the repeated hour's later side, not 03:30
+      "RETURN toString(datetime('2024-10-27T02:30+02:00[Europe/Berlin]') " +
+        "+ duration({hours: 1})) AS s",
+      Seq(row("s" -> "2024-10-27T02:30+01:00[Europe/Berlin]"))),
+    Scenario("r8 zdt hour subtraction crosses the overlap backwards", empty,
+      "RETURN toString(datetime('2024-10-27T02:30+01:00[Europe/Berlin]') " +
+        "- duration({hours: 1})) AS s",
+      Seq(row("s" -> "2024-10-27T02:30+02:00[Europe/Berlin]"))),
+    Scenario("r8 zdt day addition into the overlap retains the offset",
+      empty,
+      // java.time ofLocal: an ambiguous local result keeps the value's
+      // original offset (+02:00), not the zone default
+      "RETURN toString(datetime('2024-10-26T02:30+02:00[Europe/Berlin]') " +
+        "+ duration({days: 1})) AS s",
+      Seq(row("s" -> "2024-10-27T02:30+02:00[Europe/Berlin]"))),
+    Scenario("r8 zdt P1D and PT24H diverge across a transition", empty,
+      "WITH datetime('2024-10-26T03:30+02:00[Europe/Berlin]') AS b " +
+        "RETURN toString(b + duration({days: 1})) AS d1, " +
+        "toString(b + duration({hours: 24})) AS h24, " +
+        "b + duration({days: 1}) = b + duration({hours: 24}) AS eq",
+      Seq(row("d1" -> "2024-10-27T03:30+01:00[Europe/Berlin]",
+        "h24" -> "2024-10-27T02:30+01:00[Europe/Berlin]", "eq" -> false))),
+    Scenario("r8 zdt mixed duration: calendar first, then elapsed time",
+      empty,
+      // P1DT1H = (+P1D keeping the wall clock and offset) then one
+      // ELAPSED hour through the overlap
+      "RETURN toString(datetime('2024-10-26T02:30+02:00[Europe/Berlin]') " +
+        "+ duration({days: 1, hours: 1})) AS s",
+      Seq(row("s" -> "2024-10-27T02:30+01:00[Europe/Berlin]"))),
+    Scenario("r8 duration.between seconds are the instant difference",
+      empty,
+      // Berlin spring-forward: 01:00+01:00 .. 04:00+02:00 is 2 elapsed
+      // hours (the 02:00-03:00 local hour does not exist)
+      "RETURN toString(duration.between(" +
+        "datetime('2024-03-31T01:00+01:00[Europe/Berlin]'), " +
+        "datetime('2024-03-31T04:00+02:00[Europe/Berlin]'))) AS d",
+      Seq(row("d" -> "PT2H"))),
+    Scenario("r8 duration.between days are local, remainder is elapsed",
+      empty,
+      // one local day (01:00 to 01:00) spans 25 elapsed hours across the
+      // fall-back — P1D plus an instant-difference hour
+      "RETURN toString(duration.between(" +
+        "datetime('2024-10-26T01:00+02:00[Europe/Berlin]'), " +
+        "datetime('2024-10-27T01:00+01:00[Europe/Berlin]'))) AS d",
+      Seq(row("d" -> "P1DT1H"))),
+    Scenario("r8 duration.between is consistent with duration.inSeconds",
+      empty,
+      "WITH datetime('2024-03-31T01:00+01:00[Europe/Berlin]') AS a, " +
+        "datetime('2024-03-31T04:00+02:00[Europe/Berlin]') AS b " +
+        "RETURN duration.between(a, b) = duration.inSeconds(a, b) AS eq",
+      Seq(row("eq" -> true))),
+    Scenario("r8 zdt truncate retains the value's side of the overlap",
+      empty,
+      "RETURN toString(datetime.truncate('hour', " +
+        "datetime('2024-10-27T02:30+01:00[Europe/Berlin]'))) AS a, " +
+        "toString(datetime.truncate('hour', " +
+        "datetime('2024-10-27T02:30+02:00[Europe/Berlin]'))) AS b",
+      Seq(row("a" -> "2024-10-27T02:00+01:00[Europe/Berlin]",
+        "b" -> "2024-10-27T02:00+02:00[Europe/Berlin]"))),
+    Scenario("r8 zdt toString omits zero seconds, keeps nonzero", empty,
+      "RETURN toString(datetime('2024-01-01T13:00+02:00')) AS a, " +
+        "toString(datetime('2024-01-01T13:00:30+02:00')) AS b",
+      Seq(row("a" -> "2024-01-01T13:00+02:00",
+        "b" -> "2024-01-01T13:00:30+02:00"))),
+    Scenario("r8 zdt toString prints fractions in java.time digit groups",
+      empty,
+      "RETURN toString(datetime('2024-01-01T12:00:00.5Z')) AS a, " +
+        "toString(datetime('2024-01-01T12:00:00.1234Z')) AS b, " +
+        "toString(datetime('2024-01-01T12:00:00.123456Z')) AS c",
+      Seq(row("a" -> "2024-01-01T12:00:00.500Z",
+        "b" -> "2024-01-01T12:00:00.123400Z",
+        "c" -> "2024-01-01T12:00:00.123456Z"))))
+
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
     if (in == null) Map.empty
@@ -4694,7 +4777,7 @@ class TckStyleSpec extends AnyFunSuite {
   test("scenario corpus is large enough to be meaningful") {
     val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
       probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6 ++
-      r7Examples ++ r7Locks
+      r7Examples ++ r7Locks ++ r8Locks
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -4705,7 +4788,7 @@ class TckStyleSpec extends AnyFunSuite {
 
   (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
     probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6 ++
-    r7Examples ++ r7Locks).foreach { sc =>
+    r7Examples ++ r7Locks ++ r8Locks).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }
