@@ -121,6 +121,24 @@ object CypherQueries {
         |WHERE c.c_acctbal > 0.0
         |RETURN c.c_custkey AS ck, count(*) AS n, min(o.o_orderkey) AS ok
         |ORDER BY ck""".stripMargin)),
+    // column-valued temporal constructors (round 8): an ISO-8601 STRING
+    // column upgrades to zoned datetime / date / duration in-query —
+    // datetime(s) parses per row (codegen'd, TemporalParse), an offset
+    // suffix shifts the instant, date() reads the calendar part, and a
+    // CASE-selected duration string drives calendar-vs-elapsed
+    // arithmetic. The string round-trips through toString() so the gate
+    // exercises derived string columns, not just raw properties.
+    "c40_temporal_cast" -> ((s, dir) => run(s, dir,
+      """MATCH (o:Order)
+        |WITH o.o_orderkey AS ok, toString(o.o_orderdate) AS s
+        |RETURN ok,
+        |       datetime(s).epochSeconds AS es,
+        |       datetime(s + '+02:00').epochSeconds AS zes,
+        |       toString(date(substring(s, 0, 10))) AS d,
+        |       (datetime(s) + duration(
+        |         CASE WHEN ok % 2 = 0 THEN 'P1M' ELSE 'PT12H' END
+        |       )).epochSeconds AS es2
+        |ORDER BY ok""".stripMargin)),
     // expressions: CASE / substring / toUpper / arithmetic (§2.3)
     "c14_expressions" -> ((s, dir) => run(s, dir,
       """MATCH (p:Part)
@@ -470,6 +488,19 @@ object CypherQueries {
         |  FROM customer JOIN orders ON o_custkey = c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
         |) WHERE bal > 0 GROUP BY ck ORDER BY ck""".stripMargin,
+    "c40_temporal_cast" ->
+      """SELECT o_orderkey AS ok,
+        |  CAST(epoch(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP))
+        |    AS BIGINT) AS es,
+        |  CAST(epoch(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)) - 7200
+        |    AS BIGINT) AS zes,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0
+        |    THEN epoch(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)
+        |         + INTERVAL 1 MONTH)
+        |    ELSE epoch(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)
+        |         + INTERVAL 12 HOUR) END AS BIGINT) AS es2
+        |FROM orders ORDER BY ok""".stripMargin,
     "c13_varlength" ->
       """SELECT ck, xname FROM (
         |  SELECT c_custkey AS ck, n_name AS xname

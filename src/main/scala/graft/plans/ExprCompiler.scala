@@ -2217,6 +2217,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           // selection from a zoned datetime: its LOCAL calendar date
           case e if isZonedDtStruct(typeOf(e)) =>
             zonedDtLocal(a0).cast(DateType)
+          // column-valued ISO string (CSV/JDBC-ingested property): the
+          // literal path's parser runs per row, codegen'd — week/ordinal/
+          // compact forms included (plain to_date only reads yyyy-MM-dd)
+          case e if typeOf(e) == StringType =>
+            graft.functions.ParseTemporal.parse(a0, "date")
+          case e if typeOf(e) == NullType => lit(null).cast(DateType)
           case _ => to_date(a0)
         }
       // TIME / LOCALTIME — struct-encoded time-of-day scalars (Spark has
@@ -2237,8 +2243,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             val off = a0.getField("off").cast(LongType)
             struct(pmod(instantMicrosOfDay(a0.getField("@zdt")) +
               off * 1000000L, lit(dayMicros)).as("@lt"))
+          // column-valued ISO time string: per-row parse (offset, if
+          // present, is dropped — the literal path does the same). The
+          // struct shell must stay NULL for null input, not {null}.
+          case e if typeOf(e) == StringType =>
+            when(a0.isNull, lit(null).cast(StructType(Seq(
+              StructField("@lt", LongType)))))
+              .otherwise(struct(graft.functions.ParseTemporal
+                .parse(a0, "localtime").as("@lt")))
+          case e if typeOf(e) == NullType =>
+            lit(null).cast(StructType(Seq(StructField("@lt", LongType))))
           case other => throw new IllegalArgumentException(
-            s"localtime() expects a literal time string or a component " +
+            s"localtime() expects a time string or a component " +
               s"map, got $other")
         }
       case "time" =>
@@ -2270,8 +2286,15 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case e if isZonedDtStruct(typeOf(e)) =>
             struct(instantMicrosOfDay(a0.getField("@zdt")).as("@zt"),
               a0.getField("off").as("off"))
+          // column-valued ISO time string: per-row parse into the zoned
+          // encoding (missing offset reads as UTC, like the literal path)
+          case e if typeOf(e) == StringType =>
+            graft.functions.ParseTemporal.parse(a0, "time")
+          case e if typeOf(e) == NullType =>
+            lit(null).cast(StructType(Seq(StructField("@zt", LongType),
+              StructField("off", IntegerType))))
           case other => throw new IllegalArgumentException(
-            s"time() expects a literal time string or a component map, " +
+            s"time() expects a time string or a component map, " +
               s"got $other")
         }
       // localdatetime is TIMESTAMP WITHOUT time zone, datetime is the
@@ -2287,6 +2310,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           // selection from a zoned datetime: its LOCAL wall clock
           case e if isZonedDtStruct(typeOf(e)) =>
             zonedDtLocal(a0).cast(TimestampNTZType)
+          // column-valued ISO string: the full literal grammar (week/
+          // ordinal/compact dates, compact times) per row; an offset or
+          // zone suffix contributes its local clock
+          case e if typeOf(e) == StringType =>
+            graft.functions.ParseTemporal.parse(a0, "localdatetime")
+          case e if typeOf(e) == NullType =>
+            lit(null).cast(TimestampNTZType)
           case _ => to_timestamp_ntz(a0)
         }
       case "datetime" =>
@@ -2340,8 +2370,24 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             mkZonedDt(a0, lit(0), lit("Z"))
           case e if typeOf(e) == TimestampNTZType =>
             mkZonedDt(a0.cast(TimestampType), lit(0), lit("Z"))
+          // column-valued ISO string (the single most likely user-hit
+          // shape: a CSV/JDBC-ingested graph with ISO-8601 string
+          // properties upgraded in-query): the literal path's zoned
+          // parser runs per row, codegen'd — identical zone/offset
+          // resolution, malformed strings raise the same typed error
+          case e if typeOf(e) == StringType =>
+            graft.functions.ParseTemporal.parse(a0, "datetime")
+          case e if typeOf(e) == NullType =>
+            lit(null).cast(StructType(Seq(
+              StructField("@zdt", TimestampType),
+              StructField("off", IntegerType),
+              StructField("zid", StringType))))
+          // a DATE value selects midnight UTC (Neo4j datetime(date))
+          case e if typeOf(e) == DateType =>
+            mkZonedDt(a0.cast(TimestampNTZType).cast(TimestampType),
+              lit(0), lit("Z"))
           case other => throw new IllegalArgumentException(
-            "datetime() expects a literal ISO string, a component map " +
+            "datetime() expects an ISO string, a component map " +
               s"(with optional timezone), or epochMillis/epochSeconds; " +
               s"got $other")
         }
@@ -2382,6 +2428,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           make_interval(lit(p.years), lit(p.months), lit(0),
             lit(p.days), lit(p.hours), lit(p.minutes),
             lit(p.seconds).cast(DecimalType(18, 6)))
+        // column-valued ISO-8601 duration string: per-row parse into the
+        // same CalendarInterval storage
+        case e if typeOf(e) == StringType =>
+          graft.functions.ParseTemporal.parse(a0, "duration")
+        case e if typeOf(e) == NullType =>
+          lit(null).cast(CalendarIntervalType)
         case _ => throw new IllegalArgumentException(
           "duration() expects a map like {months: 1, days: 2} or an ISO-8601 string")
       }

@@ -4761,7 +4761,75 @@ class TckStyleSpec extends AnyFunSuite {
         "toString(datetime('2024-01-01T12:00:00.123456Z')) AS c",
       Seq(row("a" -> "2024-01-01T12:00:00.500Z",
         "b" -> "2024-01-01T12:00:00.123400Z",
-        "c" -> "2024-01-01T12:00:00.123456Z"))))
+        "c" -> "2024-01-01T12:00:00.123456Z"))),
+    // --- round 8: COLUMN-valued temporal constructor args (VERDICT r7
+    // item 1): ISO strings in data columns upgrade in-query, identical
+    // to the literal path's parse (TemporalParse codegen expression)
+    Scenario("r8 datetime over a string property column",
+      """CREATE (:D {uid: 0, iso: '2024-06-01T12:00+02:00[Europe/Berlin]'})
+        |CREATE (:D {uid: 1, iso: '2024-01-01T00:00Z'})
+        |CREATE (:D {uid: 2})
+        |""".stripMargin,
+      "MATCH (n:D) RETURN n.uid AS u, toString(datetime(n.iso)) AS s, " +
+        "datetime(n.iso).hour AS h ORDER BY u",
+      Seq(row("u" -> 0L, "s" -> "2024-06-01T12:00+02:00[Europe/Berlin]",
+        "h" -> 12L),
+        row("u" -> 1L, "s" -> "2024-01-01T00:00Z", "h" -> 0L),
+        row("u" -> 2L, "s" -> null, "h" -> null)), ordered = true),
+    Scenario("r8 date over string columns covers the full ISO grammar",
+      """CREATE (:D {uid: 0, d: '2024-03-05'})
+        |CREATE (:D {uid: 1, d: '2015-W30-2'})
+        |CREATE (:D {uid: 2, d: '20240229'})
+        |CREATE (:D {uid: 3, d: '2024-202'})
+        |""".stripMargin,
+      "MATCH (n:D) RETURN n.uid AS u, toString(date(n.d)) AS s ORDER BY u",
+      Seq(row("u" -> 0L, "s" -> "2024-03-05"),
+        row("u" -> 1L, "s" -> "2015-07-21"),
+        row("u" -> 2L, "s" -> "2024-02-29"),
+        row("u" -> 3L, "s" -> "2024-07-20")), ordered = true),
+    Scenario("r8 time and localtime over string columns",
+      """CREATE (:D {uid: 0, t: '13:30:15+01:00'})
+        |CREATE (:D {uid: 1, t: '091500'})
+        |CREATE (:D {uid: 2})
+        |""".stripMargin,
+      "MATCH (n:D) RETURN n.uid AS u, toString(time(n.t)) AS zt, " +
+        "toString(localtime(n.t)) AS lt, localtime(n.t) IS NULL AS z " +
+        "ORDER BY u",
+      Seq(row("u" -> 0L, "zt" -> "13:30:15+01:00", "lt" -> "13:30:15",
+        "z" -> false),
+        row("u" -> 1L, "zt" -> "09:15:00Z", "lt" -> "09:15:00",
+          "z" -> false),
+        row("u" -> 2L, "zt" -> null, "lt" -> null, "z" -> true)),
+      ordered = true),
+    Scenario("r8 duration over a string column drives arithmetic",
+      """CREATE (:D {uid: 0, dur: 'P1Y2MT3H'})
+        |CREATE (:D {uid: 1, dur: 'PT90S'})
+        |""".stripMargin,
+      "MATCH (n:D) RETURN n.uid AS u, toString(duration(n.dur)) AS s, " +
+        "toString(date('2024-01-01') + duration(n.dur)) AS d ORDER BY u",
+      Seq(row("u" -> 0L, "s" -> "P1Y2MT3H", "d" -> "2025-03-01"),
+        row("u" -> 1L, "s" -> "PT1M30S", "d" -> "2024-01-01")),
+      ordered = true),
+    Scenario("r8 localdatetime over derived string columns",
+      "CREATE (:D {uid: 0, iso: '2024-01-05T07:08:09'})",
+      "MATCH (n:D) RETURN toString(localdatetime(n.iso)) AS a, " +
+        "toString(date(substring(n.iso, 0, 10))) AS b, " +
+        "localdatetime(n.nope) IS NULL AS z",
+      Seq(row("a" -> "2024-01-05T07:08:09", "b" -> "2024-01-05",
+        "z" -> true))),
+    Scenario("r8 malformed temporal string column raises a typed error",
+      "CREATE (:D {iso: 'garbage'})",
+      "MATCH (n:D) RETURN datetime(n.iso) AS x",
+      Nil, expectError = Some("cannot parse")),
+    Scenario("r8 column-parsed datetimes group and order by instant",
+      """CREATE (:D {iso: '2024-06-01T12:00+02:00'})
+        |CREATE (:D {iso: '2024-06-01T10:00Z'})
+        |CREATE (:D {iso: '2024-06-01T09:00Z'})
+        |""".stripMargin,
+      "MATCH (n:D) WITH datetime(n.iso) AS dt " +
+        "RETURN count(DISTINCT dt) AS c, toString(min(dt)) AS lo, " +
+        "max(dt) = datetime('2024-06-01T10:00Z') AS hi",
+      Seq(row("c" -> 2L, "lo" -> "2024-06-01T09:00Z", "hi" -> true))))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
