@@ -139,6 +139,24 @@ object CypherQueries {
         |         CASE WHEN ok % 2 = 0 THEN 'P1M' ELSE 'PT12H' END
         |       )).epochSeconds AS es2
         |ORDER BY ok""".stripMargin)),
+    // POINT type + distance() (round 8): cartesian points from part
+    // price/size, geographic points from size/partkey-derived lat/lon —
+    // euclidean distance exact (sqrt/± are IEEE-correctly-rounded, so
+    // formula-for-formula parity with DuckDB is bit-identical),
+    // haversine rounded to 1e-4 m (libm sin/cos may differ by ulps
+    // between the JVM and DuckDB)
+    "c41_point" -> ((s, dir) => run(s, dir,
+      """MATCH (p:Part)
+        |WITH p.p_partkey AS pk,
+        |     point({x: p.p_retailprice, y: toFloat(p.p_size)}) AS c,
+        |     point({latitude: toFloat(p.p_size) - 25.0,
+        |            longitude: toFloat(p.p_partkey % 360) - 180.0}) AS g
+        |RETURN pk,
+        |       distance(c, point({x: 0.0, y: 0.0})) AS dc,
+        |       round(distance(g, point({latitude: 0.0, longitude: 0.0}))
+        |             * 10000.0) / 10000.0 AS dg,
+        |       g.srid AS srid
+        |ORDER BY pk""".stripMargin)),
     // expressions: CASE / substring / toUpper / arithmetic (§2.3)
     "c14_expressions" -> ((s, dir) => run(s, dir,
       """MATCH (p:Part)
@@ -488,6 +506,22 @@ object CypherQueries {
         |  FROM customer JOIN orders ON o_custkey = c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
         |) WHERE bal > 0 GROUP BY ck ORDER BY ck""".stripMargin,
+    "c41_point" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS pk, p_retailprice AS x,
+        |         CAST(p_size AS DOUBLE) AS y,
+        |         CAST(p_size AS DOUBLE) - 25.0 AS lata,
+        |         CAST(p_partkey % 360 AS DOUBLE) - 180.0 AS lona
+        |  FROM part)
+        |SELECT pk,
+        |  sqrt((x - 0.0)*(x - 0.0) + (y - 0.0)*(y - 0.0)) AS dc,
+        |  round(asin(sqrt(
+        |      sin(radians(0.0 - lata)/2) * sin(radians(0.0 - lata)/2)
+        |      + cos(radians(lata)) * cos(radians(0.0))
+        |        * sin(radians(0.0 - lona)/2) * sin(radians(0.0 - lona)/2)
+        |    )) * 12756280.0 * 10000.0) / 10000.0 AS dg,
+        |  CAST(4326 AS BIGINT) AS srid
+        |FROM t ORDER BY pk""".stripMargin,
     "c40_temporal_cast" ->
       """SELECT o_orderkey AS ok,
         |  CAST(epoch(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP))

@@ -230,7 +230,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         // (.hour is not a field), so they must reach extractField
         case st: StructType if !isLocalTimeStruct(st) &&
           !isZonedTimeStruct(st) && !isZonedDtStruct(st) &&
-          !st.fieldNames.contains(key) =>
+          !isPointStruct(st) && !st.fieldNames.contains(key) =>
           lit(null)
         case t => extractField(compile(b), key, t)
       }
@@ -640,6 +640,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         zonedTimeAccessor(c, key)
       case st: StructType if isZonedDtStruct(st) =>
         zonedDtAccessor(c, key)
+      case st: StructType if isPointStruct(st) =>
+        pointAccessor(c, key)
       // a key the (closed) struct schema lacks is null in Cypher, not a
       // FIELD_NOT_FOUND analysis error
       case st: StructType if !st.fieldNames.contains(key) => lit(null)
@@ -1064,6 +1066,56 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private def zidIsNamed(zid: Column): Column =
     !(zid === "Z" || zid.rlike("^[+-]"))
   private val dayMicros = 86400000000L
+
+  // ---- POINT (round 8): the last Cypher value type — the reference
+  // documents it UNSUPPORTED (cypher-cypher9-features.adoc:36-54).
+  // Encoded as a single-purpose struct {"@crs": "cartesian"|"wgs-84",
+  // "px": x/longitude, "py": y/latitude} like the temporal encodings:
+  // struct equality is component-wise (crs, x, y — Neo4j point
+  // equality), grouping/DISTINCT work natively, and ordering
+  // comparisons (< etc.) fall into the compound-value null rule
+  // (points are not in the CIP comparability table). 2D only; z/height
+  // maps raise a typed error.
+  private val pointFields = Array("@crs", "px", "py")
+  private def isPointStruct(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.sameElements(pointFields)
+    case _ => false
+  }
+  private val pointType = StructType(Seq(
+    StructField("@crs", StringType), StructField("px", DoubleType),
+    StructField("py", DoubleType)))
+  /** a null coordinate nulls the whole point (Neo4j) */
+  private def mkPoint(crs: Column, x: Column, y: Column): Column =
+    when(x.isNull || y.isNull, lit(null).cast(pointType))
+      .otherwise(struct(crs.cast(StringType).as("@crs"),
+        x.cast(DoubleType).as("px"), y.cast(DoubleType).as("py")))
+  private def pointAccessor(c: Column, key: String): Column =
+    key.toLowerCase match {
+      case "x" => c.getField("px")
+      case "y" => c.getField("py")
+      case "crs" => c.getField("@crs")
+      case "srid" =>
+        when(c.isNull, lit(null).cast(LongType))
+          .when(c.getField("@crs") === "wgs-84", lit(4326L))
+          .otherwise(lit(7203L))
+      // geographic names are only available on wgs-84 points (Neo4j
+      // raises per row on a cartesian point)
+      case "longitude" =>
+        when(c.isNull, lit(null).cast(DoubleType))
+          .when(c.getField("@crs") === "wgs-84", c.getField("px"))
+          .otherwise(raise_error(lit(
+            "field 'longitude' is not available on a cartesian point"))
+            .cast(DoubleType))
+      case "latitude" =>
+        when(c.isNull, lit(null).cast(DoubleType))
+          .when(c.getField("@crs") === "wgs-84", c.getField("py"))
+          .otherwise(raise_error(lit(
+            "field 'latitude' is not available on a cartesian point"))
+            .cast(DoubleType))
+      case other => throw new IllegalArgumentException(
+        s"unknown point accessor .$other (expected x, y, crs, srid, " +
+          "latitude, longitude)")
+    }
 
   private def timeOfDayAccessor(mic: Column, key: String): Column = {
     def div(x: Column, k: Long) = (x / lit(k)).cast(LongType)
@@ -1851,7 +1903,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
                 s"Boolean or temporal value, got $t")
           case st: StructType if !isMixedStruct(st) &&
             !isLocalTimeStruct(st) && !isZonedTimeStruct(st) &&
-            !isZonedDtStruct(st) =>
+            !isZonedDtStruct(st) && !isPointStruct(st) =>
             throw new IllegalArgumentException(
               "Invalid input for toString(): expected a String, Number, " +
                 "Boolean or temporal value, got a map/entity")
@@ -1899,6 +1951,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
               .otherwise(concat(base, renderOffset(off),
                 when(zidIsNamed(zid), concat(lit("["), zid, lit("]")))
                   .otherwise(lit(""))))
+          case st: StructType if isPointStruct(st) =>
+            // Neo4j-style map rendering
+            when(a0.isNull, lit(null).cast(StringType)).otherwise(concat(
+              lit("point({x: "), a0.getField("px").cast(StringType),
+              lit(", y: "), a0.getField("py").cast(StringType),
+              lit(", crs: '"), a0.getField("@crs"), lit("'})")))
           case _ => a0.cast(StringType)
         }
       case "tointeger" =>
@@ -2511,6 +2569,89 @@ class ExprCompiler(header: Header, params: Map[String, Any],
               (unix_timestamp(instOf(f.args(1), a(1))) -
                 unix_timestamp(instOf(f.args.head, a0)))
                 .cast(DecimalType(18, 6)))
+        }
+      // ---- point() / distance() (round 8; see the pointFields scaladoc)
+      case "point" =>
+        require(f.args.size == 1, "point() takes one map argument")
+        f.args.head match {
+          case MapLit(items) =>
+            val m = items.toMap
+            if (m.keySet.exists(k => k == "z" || k == "height"))
+              throw new IllegalArgumentException(
+                "3D points are not supported (z/height)")
+            // crs/srid select the coordinate system; must be literal
+            val crsOpt: Option[String] = (m.get("crs"), m.get("srid")) match {
+              case (Some(StringLit(c)), _) => Some(c)
+              case (Some(other), _) => throw new IllegalArgumentException(
+                s"point() crs must be a literal string, got $other")
+              case (None, Some(IntLit(4326))) => Some("wgs-84")
+              case (None, Some(IntLit(7203))) => Some("cartesian")
+              case (None, Some(other)) => throw new IllegalArgumentException(
+                s"point() srid must be 4326 or 7203, got $other")
+              case (None, None) => None
+            }
+            crsOpt.foreach { c =>
+              if (c != "cartesian" && c != "wgs-84")
+                throw new IllegalArgumentException(
+                  s"point() crs must be 'cartesian' or 'wgs-84', got '$c'")
+            }
+            val keys = m.keySet -- Set("crs", "srid")
+            def latGuarded(e: Expr): Column = {
+              val c = compile(e).cast(DoubleType)
+              when(abs(c) > 90.0, raise_error(lit(
+                "point() latitude must be in [-90, 90]")).cast(DoubleType))
+                .otherwise(c)
+            }
+            if (keys == Set("latitude", "longitude")) {
+              if (crsOpt.contains("cartesian"))
+                throw new IllegalArgumentException(
+                  "point() with latitude/longitude cannot be cartesian")
+              mkPoint(lit("wgs-84"), compile(m("longitude")),
+                latGuarded(m("latitude")))
+            } else if (keys == Set("x", "y")) {
+              val crs = crsOpt.getOrElse("cartesian")
+              if (crs == "wgs-84") // x = longitude, y = latitude (Neo4j)
+                mkPoint(lit(crs), compile(m("x")), latGuarded(m("y")))
+              else mkPoint(lit(crs), compile(m("x")), compile(m("y")))
+            } else throw new IllegalArgumentException(
+              "point() expects {x, y[, crs|srid]} or {latitude, " +
+                s"longitude}, got keys ${m.keySet.toSeq.sorted.mkString(", ")}")
+          case e if typeOf(e) == NullType => lit(null).cast(pointType)
+          case e if isPointStruct(typeOf(e)) => a0
+          case other => throw new IllegalArgumentException(
+            s"point() expects a map of coordinates, got $other")
+        }
+      case "distance" | "point.distance" =>
+        require(f.args.size == 2, s"${f.name}() takes two point arguments")
+        (typeOf(f.args.head), typeOf(f.args(1))) match {
+          case (ta, tb) if (isPointStruct(ta) || ta == NullType) &&
+              (isPointStruct(tb) || tb == NullType) =>
+            if (ta == NullType || tb == NullType) lit(null).cast(DoubleType)
+            else {
+              val (pa, pb) = (a0, a(1))
+              val dx = pa.getField("px") - pb.getField("px")
+              val dy = pa.getField("py") - pb.getField("py")
+              val cart = sqrt(dx * dx + dy * dy)
+              // haversine on Neo4j's earth radius (6378140 m); operand
+              // order mirrors the c41 oracle exactly so fp64 results are
+              // reproducible formula-for-formula
+              val lat1 = radians(pa.getField("py"))
+              val lat2 = radians(pb.getField("py"))
+              val sLat = sin(radians(pb.getField("py") -
+                pa.getField("py")) / 2)
+              val sLon = sin(radians(pb.getField("px") -
+                pa.getField("px")) / 2)
+              val h = sLat * sLat + cos(lat1) * cos(lat2) * sLon * sLon
+              val hav = asin(sqrt(h)) * lit(2.0 * 6378140.0)
+              // crs mismatch → null (Neo4j returns null, not an error)
+              when(pa.isNull || pb.isNull ||
+                pa.getField("@crs") =!= pb.getField("@crs"),
+                lit(null).cast(DoubleType))
+                .when(pa.getField("@crs") === "cartesian", cart)
+                .otherwise(hav)
+            }
+          case other => throw new IllegalArgumentException(
+            s"${f.name}() expects two point values, got $other")
         }
       case "date.truncate" =>
         val u = stringArg(f.args.head, "date.truncate")

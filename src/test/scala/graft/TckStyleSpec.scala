@@ -4829,7 +4829,62 @@ class TckStyleSpec extends AnyFunSuite {
       "MATCH (n:D) WITH datetime(n.iso) AS dt " +
         "RETURN count(DISTINCT dt) AS c, toString(min(dt)) AS lo, " +
         "max(dt) = datetime('2024-06-01T10:00Z') AS hi",
-      Seq(row("c" -> 2L, "lo" -> "2024-06-01T09:00Z", "hi" -> true))))
+      Seq(row("c" -> 2L, "lo" -> "2024-06-01T09:00Z", "hi" -> true))),
+    // --- round 8: POINT type + distance() (VERDICT r7 item 3; the
+    // reference documents Point unsupported,
+    // cypher-cypher9-features.adoc:36-54)
+    Scenario("r8 point construction, accessors and srid", empty,
+      "WITH point({x: 1.5, y: -2.0}) AS c, " +
+        "point({latitude: 52.5, longitude: 13.4}) AS g " +
+        "RETURN toString(c) AS s, c.crs AS ccrs, c.srid AS csrid, " +
+        "g.latitude AS lat, g.longitude AS lon, g.x AS gx, g.y AS gy, " +
+        "g.srid AS gsrid",
+      Seq(row("s" -> "point({x: 1.5, y: -2.0, crs: 'cartesian'})",
+        "ccrs" -> "cartesian", "csrid" -> 7203L, "lat" -> 52.5,
+        "lon" -> 13.4, "gx" -> 13.4, "gy" -> 52.5, "gsrid" -> 4326L))),
+    Scenario("r8 point equality is component-wise, ordering-null", empty,
+      "RETURN point({x: 1, y: 2}) = point({x: 1.0, y: 2.0}) AS eq, " +
+        "point({x: 1, y: 2}) = point({x: 2, y: 1}) AS ne, " +
+        "point({x: 1, y: 2}) = point({latitude: 2, longitude: 1}) AS crs, " +
+        "point({x: 1, y: 2}) < point({x: 2, y: 3}) AS lt",
+      Seq(row("eq" -> true, "ne" -> false, "crs" -> false, "lt" -> null))),
+    Scenario("r8 point DISTINCT and grouping", empty,
+      "UNWIND [point({x: 2, y: 1}), point({x: 1, y: 9}), " +
+        "point({x: 1, y: 9})] AS p " +
+        "RETURN count(DISTINCT p) AS c",
+      Seq(row("c" -> 2L))),
+    Scenario("r8 distance euclidean and haversine", empty,
+      "RETURN distance(point({x: 3.0, y: 4.0}), " +
+        "point({x: 0.0, y: 0.0})) AS dc, " +
+        // 1 degree of longitude at the equator on Neo4j's earth radius
+        // (6378140 m): R * pi / 180 ≈ 111320 m
+        "round(distance(point({latitude: 0, longitude: 0}), " +
+        "point({latitude: 0, longitude: 1}))) AS dg",
+      Seq(row("dc" -> 5.0, "dg" -> 111320.0))),
+    Scenario("r8 distance crs mismatch and null operands are null",
+      "CREATE (:P {uid: 0})",
+      "MATCH (n:P) RETURN distance(point({x: 1, y: 2}), " +
+        "point({latitude: 2, longitude: 1})) IS NULL AS mm, " +
+        "distance(point({x: n.nope, y: 0}), point({x: 0, y: 0})) " +
+        "IS NULL AS nn, point(null) IS NULL AS pn",
+      Seq(row("mm" -> true, "nn" -> true, "pn" -> true))),
+    Scenario("r8 WHERE distance filters matched rows",
+      """CREATE (:P {uid: 0, x: 0.3, y: 0.4})
+        |CREATE (:P {uid: 1, x: 30.0, y: 40.0})
+        |""".stripMargin,
+      "MATCH (n:P) WITH n, point({x: n.x, y: n.y}) AS p " +
+        "WHERE distance(p, point({x: 0.0, y: 0.0})) < 1.0 " +
+        "RETURN n.uid AS u",
+      Seq(row("u" -> 0L))),
+    Scenario("r8 latitude on a cartesian point raises", empty,
+      "RETURN point({x: 1, y: 2}).latitude AS l",
+      Nil, expectError = Some("not available on a cartesian point")),
+    Scenario("r8 out-of-range latitude raises", empty,
+      "RETURN point({latitude: 99, longitude: 0}) AS p",
+      Nil, expectError = Some("latitude must be in")),
+    Scenario("r8 3D points are a typed error", empty,
+      "RETURN point({x: 1, y: 2, z: 3}) AS p",
+      Nil, expectError = Some("3D points are not supported")))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
