@@ -87,7 +87,85 @@ object GraphXExport {
     * Returns (id, landmark, dist) rows for every vertex that reaches a
     * landmark following edge direction (or either way if `undirected`).
     */
+  /** last BFS route chosen ("graphx"/"sql") — test-observable so the
+    * route plumbing is lockable */
+  @volatile private[graft] var lastBfsRoute: String = ""
+
+  /** Route: `graft.bfs.route` = "graphx" (default — Pregel ships only
+    * frontier deltas and wins on deep, high-fan-in graphs) or "sql"
+    * (fully DataFrame-native BFS, [[shortestPathLengthsDf]] — AQE
+    * re-plans each round, no RDD lineage, no GraphX dependency at
+    * runtime). Identical (id, landmark, dist) rows either way
+    * (PipelineSpec route parity lock). */
   def shortestPathLengths(graph: PropertyGraph, landmarks: Seq[Long],
+      undirected: Boolean = false,
+      relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
+    val route = graph.spark.conf.get("graft.bfs.route", "graphx")
+    lastBfsRoute = route
+    if (route == "sql")
+      shortestPathLengthsDf(graph, landmarks, undirected, relTypes)
+    else
+      shortestPathLengthsGraphX(graph, landmarks, undirected, relTypes)
+  }
+
+  /** DataFrame-native BFS twin of [[shortestPathLengthsGraphX]]: a
+    * per-depth frontier loop — join the frontier backward over the edge
+    * list, dedupe, anti-join the reached set, checkpoint — exactly the
+    * shape of the planner's deep var-length frontier (Planner.scala),
+    * so the same scale arguments hold: one shuffle per depth, lineage
+    * truncated per round, early exit on an empty frontier. Use when the
+    * cluster bans RDD-based jobs or wants AQE skew handling per round;
+    * GraphX still wins when the frontier revisits most vertices each
+    * round (Pregel ships only CHANGED labels, the SQL loop re-shuffles
+    * the whole frontier). */
+  def shortestPathLengthsDf(graph: PropertyGraph, landmarks: Seq[Long],
+      undirected: Boolean = false,
+      relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val spark = graph.spark
+    import spark.implicits._
+    val tables =
+      if (relTypes.isEmpty) graph.relTables
+      else graph.relTables.filter(t => relTypes.contains(t.relType))
+    require(tables.nonEmpty, s"no relationship tables match $relTypes")
+    val edges0 = tables.map(t => t.df.select(
+      t.df.col(t.srcCol).cast(LongType).as("s"),
+      t.df.col(t.dstCol).cast(LongType).as("d"))).reduce(_ unionByName _)
+    val edges = (if (undirected)
+      edges0.union(edges0.select(col("d").as("s"), col("s").as("d")))
+    else edges0).localCheckpoint(true)
+    // GraphX ShortestPaths counts hops v → landmark ALONG edge
+    // direction, so expansion walks edges BACKWARD from the reached set;
+    // landmark vertices not present on any selected edge are omitted,
+    // matching the Pregel result's vertex set
+    val onEdges = edges.select(col("s").as("v"))
+      .union(edges.select(col("d").as("v"))).distinct()
+    var reached = landmarks.toDF("landmark")
+      .join(onEdges, col("landmark") === col("v"))
+      .select(col("landmark").as("id"), col("landmark"),
+        lit(0).cast(LongType).as("dist"))
+      .localCheckpoint(true)
+    var frontier = reached
+    var depth = 0L
+    while (frontier.count() > 0) {
+      depth += 1
+      val next = edges
+        .join(frontier.select(col("id").as("@d"), col("landmark")),
+          col("d") === col("@d"))
+        .select(col("s").as("id"), col("landmark")).distinct()
+        .join(reached.select("id", "landmark"), Seq("id", "landmark"),
+          "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      reached = reached.union(next)
+      frontier = next
+    }
+    edges.unpersist()
+    reached
+  }
+
+  def shortestPathLengthsGraphX(graph: PropertyGraph, landmarks: Seq[Long],
       undirected: Boolean = false,
       relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
     val spark = graph.spark

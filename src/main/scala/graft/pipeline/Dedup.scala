@@ -16,6 +16,10 @@ import TextOps._
   *  - candidate verification joins texts back by id (hash join on Long).
   */
 object Dedup {
+  /** last component-labeling route chosen ("auto"/"sql"/"graphx") —
+    * test-observable so route plumbing is lockable */
+  @volatile private[graft] var lastCcRoute: String = ""
+
 
   /** Exact dedup: group identical keys, keep the minimum id as the
     * representative. Map-side combine makes the shuffle proportional to
@@ -189,15 +193,30 @@ object Dedup {
     * propagates min ids by construction. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25,
-      singleTaskMax: Long = 5000000L): DataFrame = {
+      singleTaskMax: Long = 5000000L, route: String = ""): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
     val spark = ids.sparkSession
+    // Route selection (round 8): "auto" (default) size-routes between
+    // the single-task union-find and GraphX Pregel; "sql" forces the
+    // fully DataFrame-native pointer-jumping loop
+    // ([[connectedComponentsSql]] — AQE-planned, checkpointed rounds, no
+    // RDD lineage, works where GraphX's maintenance-mode RDD machinery
+    // is unwanted); "graphx" forces Pregel (still wins when components
+    // are deep: it ships only changed labels, where each SQL round
+    // re-joins the full label frame). All routes reach the same
+    // min-label fixpoint (spec-locked).
+    val chosen = if (route.nonEmpty) route
+      else spark.conf.get("graft.cc.route", "auto")
+    Dedup.lastCcRoute = chosen
+    if (chosen == "sql")
+      return connectedComponentsSql(ids, idCol, pairs, aCol, bCol, maxIter)
     import spark.implicits._
     // materialize the (possibly expensive) pair list once, as narrow id
     // pairs — vertices and edges both read it
     val e = pairs.select(col(aCol).cast(LongType).as("a"),
       col(bCol).cast(LongType).as("b")).localCheckpoint(true)
-    val paired: DataFrame = if (e.count() <= singleTaskMax) {
+    val paired: DataFrame = if (chosen != "graphx" &&
+        e.count() <= singleTaskMax) {
       e.select(col("a").as("_1"), col("b").as("_2")).as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>

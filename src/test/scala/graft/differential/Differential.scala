@@ -204,6 +204,26 @@ object Model {
   final case class DateArithE(d: VE, plus: Boolean, days: Long) extends VE
   /** `<date>.year|month|day` accessor, family 'L' */
   final case class DatePartE(part: String, d: VE) extends VE
+  /** `<zdt> ± duration({months, days, hours})` (round 8) — calendar
+    * components on the local clock (offset zones keep their offset),
+    * time components on the INSTANT. Family 'Z', but representation-
+    * UNSAFE: arithmetic can land two different sources on one instant
+    * with different offsets, breaking the pools' instant-equal ⇒
+    * representation-identical invariant — so this node only appears
+    * where representation is never observed post-collapse: comparison
+    * operands and accessor bases, never projections/ORDER BY/min-max. */
+  final case class ZdtArithE(z: VE, plus: Boolean, months: Long,
+      days: Long, hours: Long) extends VE
+  /** `duration.between/inDays/inSeconds(zdt, zdt).part` — family 'L'
+    * (round 8): months/days on the first operand's local clocks, the
+    * between seconds remainder as an instant difference */
+  final case class DurBetweenPartE(fn: String, part: String, a: VE,
+      b: VE) extends VE
+  /** `datetime(<node>.zs)` — the COLUMN-valued string parse path
+    * (round 8). The zs prop stores renderIso of the SAME (inst, off)
+    * pool value as zd, so parse results keep the uniqueness invariant
+    * and the node is representation-safe anywhere zd is. */
+  final case class DtParseE(v: String) extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -327,6 +347,9 @@ object Model {
         case DateArithE(d, _, _) => ve(d)
         case DatePartE(_, d) => ve(d)
         case ZdtPartE(_, z) => ve(z)
+        case ZdtArithE(z, _, _, _, _) => ve(z)
+        case DurBetweenPartE(_, _, x, y) => ve(x); ve(y)
+        case DtParseE(v) => b += v
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
@@ -426,6 +449,17 @@ object Model {
         s"(${renderVE(d)} ${if (plus) "+" else "-"} duration({days: $days}))"
       case DatePartE(part, d) => s"${renderVE(d)}.$part"
       case ZdtPartE(part, z) => s"${renderVE(z)}.$part"
+      case ZdtArithE(z, plus, mo, d, h) =>
+        val comps = List("months" -> mo, "days" -> d, "hours" -> h)
+          .filter(_._2 != 0)
+        val body =
+          if (comps.isEmpty) "{hours: 0}"
+          else comps.map { case (k, v) => s"$k: $v" }
+            .mkString("{", ", ", "}")
+        s"(${renderVE(z)} ${if (plus) "+" else "-"} duration($body))"
+      case DurBetweenPartE(fn, part, x, y) =>
+        s"duration.$fn(${renderVE(x)}, ${renderVE(y)}).$part"
+      case DtParseE(v) => s"datetime($v.zs)"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -824,6 +858,61 @@ object NaiveEval {
         }
       case _ => null
     }
+    case ZdtArithE(z, plus, mo, d, h) => evalV(r, z) match {
+      case MZdt(inst, off) =>
+        val sign = if (plus) 1L else -1L
+        // calendar components on the local clock (fixed-offset zones:
+        // the offset is always re-admitted), hours on the instant
+        val local = java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(inst, 1000000L) + off, 0,
+          java.time.ZoneOffset.UTC)
+        val l2 = local.plusMonths(sign * mo).plusDays(sign * d)
+        val instSec2 = l2.toEpochSecond(java.time.ZoneOffset.UTC) - off +
+          sign * h * 3600L
+        MZdt(instSec2 * 1000000L, off)
+      case _ => null
+    }
+    case DurBetweenPartE(fn, part, ae, be2) =>
+      (evalV(r, ae), evalV(r, be2)) match {
+        case (MZdt(i1, o1), MZdt(i2, _)) =>
+          // both locals read in the FIRST operand's zone, so for offset
+          // zones local differences equal instant differences
+          val s1 = java.lang.Math.floorDiv(i1, 1000000L)
+          val s2 = java.lang.Math.floorDiv(i2, 1000000L)
+          fn match {
+            case "inDays" => java.lang.Math.floorDiv(s2 - s1, 86400L)
+            case "inSeconds" => s2 - s1
+            case _ => // between: months on local clocks (Spark
+              // months_between incl. its /31 fraction + 8-digit HALF_UP
+              // round), then local days, then the INSTANT remainder
+              val from = java.time.LocalDateTime.ofEpochSecond(s1 + o1, 0,
+                java.time.ZoneOffset.UTC)
+              val to = java.time.LocalDateTime.ofEpochSecond(s2 + o1, 0,
+                java.time.ZoneOffset.UTC)
+              val m = math.floor(sparkMonthsBetween(to, from)).toLong
+              val anchor = from.plusMonths(m)
+              val remSec = to.toEpochSecond(java.time.ZoneOffset.UTC) -
+                anchor.toEpochSecond(java.time.ZoneOffset.UTC)
+              val days = java.lang.Math.floorDiv(remSec, 86400L)
+              part match {
+                case "months" => m
+                case "days" => days
+                case "seconds" => remSec - days * 86400L
+                case other => sys.error(s"naive: unknown part $other")
+              }
+          }
+        case _ => null
+      }
+    case DtParseE(v) => r.getOrElse(v, null) match {
+      case n: MNode => n.props.get("zs") match {
+        case Some(s: String) => // independent re-parse (java.time, not
+          // the engine's parser) of the renderIso string
+          val odt = java.time.OffsetDateTime.parse(s)
+          MZdt(odt.toEpochSecond * 1000000L, odt.getOffset.getTotalSeconds)
+        case _ => null
+      }
+      case _ => null
+    }
     case DatePartE(part, d) => evalV(r, d) match {
       case ld: java.time.LocalDate => part match {
         case "year" => ld.getYear.toLong
@@ -850,6 +939,29 @@ object NaiveEval {
             case "*" => x * y
           }
       }
+  }
+
+  /** Spark DateTimeUtils.monthsBetween semantics (roundOff = true):
+    * whole months when the days-of-month match or both are month-last;
+    * otherwise a /31-day fraction rounded HALF_UP to 8 digits. The
+    * engine's duration.between takes floor() of this. */
+  private def sparkMonthsBetween(t1: java.time.LocalDateTime,
+      t2: java.time.LocalDateTime): Double = {
+    val months = (t1.getYear - t2.getYear) * 12L +
+      (t1.getMonthValue - t2.getMonthValue)
+    val last1 = t1.getDayOfMonth == t1.toLocalDate.lengthOfMonth
+    val last2 = t2.getDayOfMonth == t2.toLocalDate.lengthOfMonth
+    if (t1.getDayOfMonth == t2.getDayOfMonth || (last1 && last2))
+      months.toDouble
+    else {
+      val sec1 = (t1.getDayOfMonth - 1) * 86400L +
+        t1.toLocalTime.toSecondOfDay
+      val sec2 = (t2.getDayOfMonth - 1) * 86400L +
+        t2.toLocalTime.toSecondOfDay
+      val diff = months + (sec1 - sec2).toDouble / (31L * 86400L)
+      BigDecimal(diff).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
   }
 
   def evalB(r: Binding, e: BE): Option[Boolean] = e match {
@@ -1363,6 +1475,7 @@ object DiffGen {
     hasB <- Gen.prob(0.5); b <- Gen.oneOf(true, false)
     hasD <- Gen.prob(0.5); dOff <- Gen.choose(0L, 40L)
     hasZ <- Gen.prob(0.45)
+    hasZS <- Gen.prob(0.35)
   } yield {
     var m = Map[String, Any]("uid" -> uid)
     if (hasK) m += "k" -> k
@@ -1375,6 +1488,11 @@ object DiffGen {
     // instant index — instant-equal ⇒ identical (inst, off)
     if (hasZ) m += "zd" -> MZdt(propZdtBase + uid * 3600000000L,
       zdtOffsets((uid % zdtOffsets.size).toInt))
+    // zs: the SAME pool value rendered as an ISO string — the
+    // column-valued datetime(n.zs) parse path (round 8); independent
+    // presence so missing-prop nulls get hunted too
+    if (hasZS) m += "zs" -> MZdt(propZdtBase + uid * 3600000000L,
+      zdtOffsets((uid % zdtOffsets.size).toInt)).renderIso
     m
   }
   /** 2025-01-01T00:00Z in epoch micros (zdt prop pool base) */
@@ -1472,7 +1590,10 @@ object DiffGen {
       ctx.valVars.collect { case (v, f) if f == fam => VarE(v, f): VE } ++
       (if (fam == 'L') ctx.vlVars.map(SizeE(_): VE) ++
         ctx.pathVars.map(PathLenE(_): VE) ++
-        ctx.pathVars.map(PathRelsSizeE(_): VE) else Nil)
+        ctx.pathVars.map(PathRelsSizeE(_): VE) else Nil) ++
+      // column-valued datetime(n.zs) parses are representation-safe
+      // anywhere a zd prop is (same pool value) — round 8
+      (if (fam == 'Z') ctx.nodeVars.map(DtParseE(_): VE) else Nil)
     if (leafs.isEmpty) genLit(fam).map(LitE)
     else Gen.frequency(
       7 -> Gen.oneOf(leafs),
@@ -1518,10 +1639,32 @@ object DiffGen {
     part <-Gen.oneOf("year", "month", "day")
   } yield DatePartE(part, d)
 
-  private def genZdtPart(ctx: Ctx): Gen[VE] = for {
+  private def genZdtArith(ctx: Ctx): Gen[VE] = for {
     z <- genValueVE(ctx, 'Z')
+    plus <- Gen.oneOf(true, false)
+    mo <- Gen.frequency(6 -> Gen.const(0L), 4 -> Gen.choose(1L, 3L))
+    d <- Gen.frequency(4 -> Gen.const(0L), 6 -> Gen.choose(1L, 20L))
+    h <- Gen.frequency(4 -> Gen.const(0L), 6 -> Gen.choose(1L, 40L))
+  } yield ZdtArithE(z, plus, mo, d, h)
+
+  private def genZdtPart(ctx: Ctx): Gen[VE] = for {
+    // accessor bases include ± duration arithmetic (read per row, so the
+    // representation-collision caveat doesn't bite)
+    z <- Gen.frequency(6 -> genValueVE(ctx, 'Z'), 4 -> genZdtArith(ctx))
     part <- Gen.oneOf("hour", "minute", "epochSeconds", "offsetSeconds")
   } yield ZdtPartE(part, z)
+
+  private def genDurBetween(ctx: Ctx): Gen[VE] = for {
+    fn <- Gen.frequency(5 -> Gen.const("between"),
+      3 -> Gen.const("inDays"), 2 -> Gen.const("inSeconds"))
+    a <- genValueVE(ctx, 'Z')
+    b <- genValueVE(ctx, 'Z')
+    part <- fn match {
+      case "between" => Gen.oneOf("months", "days", "seconds")
+      case "inDays" => Gen.const("days")
+      case _ => Gen.const("seconds")
+    }
+  } yield DurBetweenPartE(fn, part, a, b)
 
   private def genNumFnE(ctx: Ctx, resultFam: Char): Gen[VE] = for {
     // sign always yields integer; abs preserves its argument family
@@ -1764,6 +1907,7 @@ object DiffGen {
         1 -> genMapIdx(ctx, 'L'),
         1 -> genDatePart(ctx),
         1 -> genZdtPart(ctx),
+        2 -> genDurBetween(ctx),
         (if (ctx.nodeVars.nonEmpty) 2 else 0) -> genPatCompSize(ctx))
       case 'D' => List(3 -> genNumFnE(ctx, 'D'), 1 -> genMapIdx(ctx, 'D'))
       case 'E' => List(4 -> genDateArith(ctx))
@@ -1780,7 +1924,7 @@ object DiffGen {
   private def genCmp(ctx: Ctx): Gen[BE] = for {
     fam <- Gen.frequency(5 -> Gen.const('L'), 2 -> Gen.const('S'),
       2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'),
-      1 -> Gen.const('Z'))
+      2 -> Gen.const('Z'))
     op <- if (fam == 'B') Gen.oneOf("=", "<>")
     else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
     l <- genValueVE(ctx, fam)
@@ -1788,8 +1932,12 @@ object DiffGen {
       4 -> Gen.const(2), 3 -> Gen.const(3))
     // dates/zdts keep same-family comparisons (cross-family temporal
     // equality and numeric arithmetic have no temporal forms); for dates
-    // ± duration replaces arith, zdts fall back to a plain rhs
-    kind = if ((fam == 'E' || fam == 'Z') && kind0 == 1) 0 else kind0
+    // ± duration replaces arith; zdt comparisons lean on ± duration
+    // arithmetic (round 8 — the newest engine surface gets the miles)
+    zArith <- Gen.prob(0.4)
+    kind = if ((fam == 'E' || fam == 'Z') && kind0 == 1) 0
+      else if (fam == 'Z' && kind0 == 0 && zArith) 3
+      else kind0
     dplus <- Gen.oneOf(true, false)
     ddays <- Gen.choose(0L, 15L)
     r <- kind match {
@@ -1800,7 +1948,7 @@ object DiffGen {
       case 2 => Gen.const(LitE(null): VE) // null literal: always unknown
       case 3 if fam == 'E' =>
         genValueVE(ctx, 'E').map(DateArithE(_, dplus, ddays): VE)
-      case 3 if fam == 'Z' => genValueVE(ctx, 'Z')
+      case 3 if fam == 'Z' => genZdtArith(ctx) // zdt ± duration (round 8)
       case 3 => genArith(ctx)
       case _ => genValueVE(ctx, fam)
     }
@@ -2583,6 +2731,9 @@ object NaiveEvalFamilies {
     case DateArithE(_, _, _) => 'E'
     case DatePartE(_, _) => 'L'
     case ZdtPartE(_, _) => 'L'
+    case ZdtArithE(_, _, _, _, _) => 'Z'
+    case DurBetweenPartE(_, _, _, _) => 'L'
+    case DtParseE(_) => 'Z'
   }
 
   def isListFam(f: Char): Boolean = f == 'M' || f == 'T'

@@ -43,7 +43,11 @@ object GenStatsMain {
       "COPY OF" -> "COPY OF", "relCloneNew" -> ")-[r",
       // round-7 zoned datetime family
       "zdtLit" -> "datetime('", "zdtProp" -> ".zd",
-      "zdtPart" -> "epochSeconds")
+      "zdtPart" -> "epochSeconds",
+      // round-8: zdt ± duration arithmetic, duration.between/inX over
+      // zdts, column-valued datetime(string prop) parses
+      "zdtArith" -> "hours:", "durBetween" -> "duration.between(",
+      "durInX" -> "duration.in", "dtParse" -> ".zs)")
     val withCut = queries.count(_.stages.exists {
       case Model.SWith(_, _, _, _, sk, lm) => sk.isDefined || lm.isDefined
       case _ => false
