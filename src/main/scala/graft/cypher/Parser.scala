@@ -312,9 +312,17 @@ object CypherParser extends RegexParsers {
     * e.g. morpheus-examples yelp Part4: `CREATE (newB COPY OF b)`). */
   private def copyOf: Parser[String] = K("copy") ~> K("of") ~> ident
 
+  /** `(newB COPY OF b)` or ANONYMOUS `(COPY OF b)` (reference
+    * CatalogDDLTests row 424) — the bare form must try copyOf FIRST,
+    * else opt(ident) swallows the COPY keyword. */
+  private def varAndCopy: Parser[(Option[String], Option[String])] =
+    (copyOf ^^ (co => (None: Option[String], Some(co)))) |
+    (opt(ident) ~ opt(copyOf) ^^ { case v ~ co => (v, co) })
+
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ opt(copyOf) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
-      case v ~ co ~ ls ~ props => NodePattern(v, ls, props.getOrElse(Nil), co) }
+    "(" ~> varAndCopy ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
+      case ((v, co)) ~ ls ~ props =>
+        NodePattern(v, ls, props.getOrElse(Nil), co) }
 
   def propMap: Parser[Seq[(String, Expr)]] =
     "{" ~> repsep((anyIdent <~ ":") ~ expression, ",") <~ "}" ^^ {
@@ -330,8 +338,8 @@ object CypherParser extends RegexParsers {
   def relDetail: Parser[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])], Option[String])] =
     "[" ~> opt(ident) ~ (":" ~> rep1sep(anyIdent, "|" ~ opt(":"))) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
       case v ~ ts ~ vl ~ props => (v, ts, props.getOrElse(Nil), vl, None) } |
-    "[" ~> opt(ident) ~ opt(copyOf) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
-      case v ~ co ~ vl ~ props => (v, Nil, props.getOrElse(Nil), vl, co) }
+    "[" ~> varAndCopy ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
+      case ((v, co)) ~ vl ~ props => (v, Nil, props.getOrElse(Nil), vl, co) }
 
   def relPattern: Parser[RelPattern] =
     ("<-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Incoming)) |
@@ -518,9 +526,11 @@ object CypherParser extends RegexParsers {
       ("{" ~> query <~ "}") ^^ {
         case n ~ q => CreateGraphStatement(n, q) }) |
     (K("catalog") ~> K("create") ~> K("view") ~> graphName ~
-      ("(" ~> repsep("$" ~> anyIdent, ",") <~ ")") ~
+      // the parameter list is optional: parameterless views are legal
+      // (reference CatalogDDLTests "can drop a view")
+      opt("(" ~> repsep("$" ~> anyIdent, ",") <~ ")") ~
       ("{" ~> query <~ "}") ^^ {
-        case n ~ ps ~ q => CreateViewStatement(n, ps, q) }) |
+        case n ~ ps ~ q => CreateViewStatement(n, ps.getOrElse(Nil), q) }) |
     (K("catalog") ~> K("drop") ~> K("graph") ~> graphName ^^
       DropGraphStatement.apply) |
     (K("catalog") ~> K("drop") ~> K("view") ~> graphName ^^

@@ -504,16 +504,25 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // NEW: extend the driving table with fresh-id columns first so rels can
     // reference their endpoints' ids from the same row.
     var df = state.df
-    var freshCount = 0
     val comp = compiler(state)
     // var → (idCol, labels, props(key → col))
     val created = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, Set[String], Map[String, String])]
 
+    var mintedFreshIds = false
     def freshIdCol(prefix: String): String = {
+      mintedFreshIds = true
       val cName = fresh(s"new_${prefix}_id")
-      val k = freshCount; freshCount += 1
-      require(k < 127, "too many NEW elements in one CONSTRUCT")
+      // SESSION-global tag, not per-construct: a construct whose input
+      // graph already carries fresh (negative) ids from an EARLIER
+      // construct — nested views, consecutive construction — must mint
+      // ids disjoint from those too (round-8 find: the reference's
+      // CatalogDDLTests nested-view case got 40 ≠ 42 nodes because two
+      // constructs both started at tag 1 and their copies collided in
+      // the clone-dedup). The 7-bit tag wraps at 127: two graphs only
+      // collide when BOTH sit 127 construct-columns apart in one
+      // lineage, far beyond any real query chain.
+      val k = Planner.freshIdTag.getAndIncrement() % 127
       df = df.withColumn(cName,
         lit(-((k + 1).toLong << 56)) - monotonically_increasing_id())
       cName
@@ -530,6 +539,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       .empty[String, (String, NodeBinding, Set[String], Map[String, String])]
     val copiedRels = scala.collection.mutable.ArrayBuffer
       .empty[(String, RelBinding, String, String, Map[String, String])]
+    // NEW-rel table specs: (type, relIdCol, srcCol, dstCol, propSel) —
+    // built only after the driving frame is materialized (see below)
+    val newRelSpecs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Seq[(String, String)])]
 
     def bindNewNode(np: NodePattern): String = {
       val v = np.variable.getOrElse(fresh("@cn"))
@@ -636,15 +649,31 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           case _ => (prevIdCol, dstIdCol)
         }
         val propSel = relProps.toSeq.sortBy(_._1)
-        relTables += graft.graph.RelTable(rel.types.head,
-          df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))
-            .map(cn => col(s"`$cn`")): _*)
-            // an OPTIONAL-MATCH null endpoint means no rel for that row
-            .where(col(s"`$srcC`").isNotNull && col(s"`$dstC`").isNotNull),
-          relIdCol, srcC, dstC, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
+        // table derivation is DEFERRED until df is materialized below —
+        // deriving here would capture a pre-checkpoint plan
+        newRelSpecs += ((rel.types.head, relIdCol, srcC, dstC, propSel))
         prevIdCol = dstIdCol
         }
       }
+    }
+
+    // Fresh ids come from monotonically_increasing_id, whose values
+    // depend on partition layout and within-partition row order — NOT
+    // stable across the SEPARATE jobs that evaluate each derived
+    // node/rel table (hunt 112827: the copy-node table and the NEW-rel
+    // table disagreed on the copies' ids after a var-length driving
+    // match, so the constructed rels dangled). Materialize the driving
+    // frame ONCE and derive every table from the materialized rows;
+    // reliable-checkpoint when graft.checkpoint.dir is set, like the
+    // frontier loop.
+    if (mintedFreshIds) df = Planner.checkpointFrontier(df)
+    newRelSpecs.foreach { case (tpe, relIdCol, srcC, dstC, propSel) =>
+      relTables += graft.graph.RelTable(tpe,
+        df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))
+          .map(cn => col(s"`$cn`")): _*)
+          // an OPTIONAL-MATCH null endpoint means no rel for that row
+          .where(col(s"`$srcC`").isNotNull && col(s"`$dstC`").isNotNull),
+        relIdCol, srcC, dstC, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
     }
 
     // SET on NEW node vars: additional computed properties
@@ -3169,6 +3198,12 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 }
 
 object Planner {
+  /** session-global CONSTRUCT fresh-id namespace counter (see
+    * freshIdCol): consecutive/nested constructs mint ids from distinct
+    * 2^56 sub-spaces so a construct over an already-constructed graph
+    * never collides with inherited fresh ids */
+  private[plans] val freshIdTag = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** (dedup key, representative-preference key) for columns whose
     * equivalence differs from their raw encoding: mixed-family tagged
     * structs (equivalence struct, lowest-tag representative) and zoned

@@ -112,4 +112,58 @@ class MultiGraphSpec extends AnyFunSuite {
     gs.cypherStatement("CATALOG DROP GRAPH mgsnap", Map.empty)
     assert(!gs.graphNames.contains("mgsnap"))
   }
+
+  // --- round 8: shapes mined from the reference's CatalogDDLTests ---
+
+  test("nested view invocation with CLONE + anonymous COPY OF (42 nodes)") {
+    // CatalogDDLTests "supports nested CREATE VIEW with two parameters
+    // and empty constructed nodes": bar($g1,$g2) = |g1| clones +
+    // |g1|·|g2| per-row copies, so bar(bar(b,a), bar(a,b)) = 6 + 36 = 42
+    // — exercises anonymous `CREATE (COPY OF m)`, the CREATE synonym
+    // inside CONSTRUCT, and fresh-id disjointness across nested
+    // constructs (the round-8 session-global id-tag fix)
+    val ga = gs.createGraphFromCypher(
+      "CREATE ({name: 'A1'}) CREATE ({name: 'A2'})")
+    val gb = gs.createGraphFromCypher(
+      "CREATE ({name: 'B1'}) CREATE ({name: 'B2'})")
+    gs.register("cda", ga); gs.register("cdb", gb)
+    gs.cypherStatement(
+      """CATALOG CREATE VIEW cdbar($g1, $g2) {
+        | FROM GRAPH $g1
+        | MATCH (n)
+        | FROM GRAPH $g2
+        | MATCH (m)
+        | CONSTRUCT
+        |   CLONE n AS n
+        |   CREATE (COPY OF m)
+        | RETURN GRAPH
+        |}""".stripMargin, Map.empty)
+    def count(ref: String): Long = gs.cypherStatement(
+      s"FROM GRAPH $ref MATCH (x) RETURN count(*) AS c", Map.empty)
+      .collect().head.getLong(0)
+    assert(count("cdbar(cda, cdb)") == 6L)
+    assert(count("cdbar(cdbar(cdb, cda), cdbar(cda, cdb))") == 42L)
+  }
+
+  test("graph and view under the same name coexist; DROP VIEW is idempotent") {
+    // CatalogDDLTests "can still resolve a graph when a view with the
+    // same name exists" (+ the view via invocation syntax), "dropping a
+    // view is idempotent"
+    val ga = gs.createGraphFromCypher("CREATE ({name: 'GA'})")
+    val gb = gs.createGraphFromCypher("CREATE ({name: 'GB'})")
+    gs.register("colA", ga); gs.register("colB", gb)
+    gs.cypherStatement(
+      "CATALOG CREATE VIEW colA { FROM GRAPH colB RETURN GRAPH }",
+      Map.empty)
+    def names(ref: String): Seq[String] = gs.cypherStatement(
+      s"FROM GRAPH $ref MATCH (x) RETURN x.name AS n ORDER BY n",
+      Map.empty).collect().map(_.getString(0)).toSeq
+    assert(names("colA") == Seq("GA"), "bare name must resolve the GRAPH")
+    assert(names("colA()") == Seq("GB"),
+      "invocation must resolve the parameterless VIEW")
+    gs.cypherStatement("CATALOG DROP VIEW colA", Map.empty)
+    assert(names("colA") == Seq("GA"), "graph survives the view drop")
+    // idempotent: dropping an absent view is a no-op, not an error
+    gs.cypherStatement("CATALOG DROP VIEW colA", Map.empty)
+  }
 }

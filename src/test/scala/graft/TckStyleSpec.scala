@@ -4900,7 +4900,125 @@ class TckStyleSpec extends AnyFunSuite {
       Nil, expectError = Some("line 1, col")),
     Scenario("r8 integer overflow error is positioned on its line", empty,
       "RETURN 1 AS x\nUNION ALL RETURN 99999999999999999999999999 AS x",
-      Nil, expectError = Some("line 2, col")))
+      Nil, expectError = Some("line 2, col")),
+    // --- round 8b: corner locks from R8Probe4Main (java.time-verified)
+    Scenario("r8 half-hour DST zone arithmetic (Lord Howe)", empty,
+      // Lord Howe shifts 30 minutes: +11:00 -> +10:30 at the 2024-04-07
+      // overlap; one elapsed hour from 01:30+11:00 lands on 02:00+10:30
+      "RETURN toString(" +
+        "datetime('2024-04-07T01:30+11:00[Australia/Lord_Howe]') + " +
+        "duration({hours: 1})) AS s",
+      Seq(row("s" -> "2024-04-07T02:00+10:30[Australia/Lord_Howe]"))),
+    Scenario("r8 month-end clamp in zdt month arithmetic", empty,
+      "RETURN toString(datetime('2024-01-31T12:00Z') + " +
+        "duration({months: 1})) AS s",
+      Seq(row("s" -> "2024-02-29T12:00Z"))),
+    Scenario("r8 zdt minus a mixed-component duration", empty,
+      "RETURN toString(datetime('2024-03-15T12:00+01:00[Europe/Berlin]') " +
+        "- duration({months: 1, days: 2, hours: 3})) AS s",
+      Seq(row("s" -> "2024-02-13T09:00+01:00[Europe/Berlin]"))),
+    Scenario("r8 zdt fractional-second arithmetic renders 3-digit groups",
+      empty,
+      "RETURN toString(datetime('2024-01-01T00:00Z') + " +
+        "duration({seconds: 1.5})) AS s",
+      Seq(row("s" -> "2024-01-01T00:00:01.500Z"))),
+    Scenario("r8 duration.between component accessors over zdts", empty,
+      "WITH duration.between(datetime('2024-01-15T06:00Z'), " +
+        "datetime('2024-03-20T08:30:10Z')) AS d " +
+        "RETURN d.months AS m, d.days AS dd, d.minutes AS mi, " +
+        "d.seconds AS s",
+      Seq(row("m" -> 2L, "dd" -> 5L, "mi" -> 150L, "s" -> 9010L))),
+    Scenario("r8 duration.inMonths and inDays over zoned operands", empty,
+      "WITH datetime('2024-01-15T06:00+01:00[Europe/Berlin]') AS a, " +
+        "datetime('2024-03-20T08:30Z') AS b " +
+        "RETURN toString(duration.inMonths(a, b)) AS m, " +
+        "toString(duration.inDays(a, b)) AS d",
+      Seq(row("m" -> "P2M", "d" -> "P65D"))),
+    Scenario("r8 column-parsed datetime keeps its bracket zone",
+      "CREATE (:D {zb: '2024-06-01T12:00+02:00[Europe/Berlin]'})",
+      "MATCH (n:D) RETURN toString(datetime(n.zb)) AS s, " +
+        "datetime(n.zb).timezone AS tz",
+      Seq(row("s" -> "2024-06-01T12:00+02:00[Europe/Berlin]",
+        "tz" -> "Europe/Berlin"))),
+    Scenario("r8 column-parsed year-month and bare-year dates",
+      "CREATE (:D {ym: '2024-06', yo: '2024', ct: '0930'})",
+      "MATCH (n:D) RETURN toString(date(n.ym)) AS ym, " +
+        "toString(date(n.yo)) AS yo, toString(localtime(n.ct)) AS t",
+      Seq(row("ym" -> "2024-06-01", "yo" -> "2024-01-01",
+        "t" -> "09:30:00"))),
+    Scenario("r8 column-parsed fractional-second duration",
+      "CREATE (:D {dur: 'PT1.5S'})",
+      "MATCH (n:D) RETURN toString(duration(n.dur)) AS s, " +
+        "duration(n.dur).milliseconds AS ms",
+      Seq(row("s" -> "PT1.5S", "ms" -> 1500L))),
+    Scenario("r8 point membership in a list", empty,
+      "RETURN point({x: 1, y: 2}) IN [point({x: 3, y: 4}), " +
+        "point({x: 1.0, y: 2.0})] AS a, " +
+        "point({x: 9, y: 9}) IN [point({x: 1, y: 2})] AS b",
+      Seq(row("a" -> true, "b" -> false))),
+    Scenario("r8 points collect and unwind", empty,
+      "UNWIND [1, 2] AS i WITH point({x: i, y: 0}) AS p " +
+        "WITH collect(p) AS ps UNWIND ps AS q RETURN q.x AS x ORDER BY x",
+      Seq(row("x" -> 1.0), row("x" -> 2.0)), ordered = true),
+    Scenario("r8 point through CASE and coalesce", empty,
+      "RETURN coalesce(null, point({x: 1, y: 2})).x AS x, " +
+        "CASE WHEN true THEN point({x: 5, y: 6}) " +
+        "ELSE point({x: 0, y: 0}) END.y AS y",
+      Seq(row("x" -> 1.0, "y" -> 6.0))),
+    Scenario("r8 distance is symmetric and zero on equal points", empty,
+      "WITH point({latitude: 10, longitude: 20}) AS a, " +
+        "point({latitude: -5, longitude: 30}) AS b " +
+        "RETURN distance(a, b) = distance(b, a) AS sym, " +
+        "distance(a, a) AS zero",
+      Seq(row("sym" -> true, "zero" -> 0.0))),
+    Scenario("r8 srid key selects the geographic crs", empty,
+      "RETURN point({x: 1, y: 2, srid: 4326}).latitude AS lat",
+      Seq(row("lat" -> 2.0))),
+    Scenario("r8 unknown point accessor is a typed error", empty,
+      "RETURN point({x: 1, y: 2}).nope AS z",
+      Nil, expectError = Some("unknown point accessor")),
+    Scenario("r8 min/max over column-parsed dates", empty,
+      "UNWIND ['2024-03-05', '2015-W30-2', '20240229'] AS s " +
+        "RETURN toString(min(date(s))) AS lo, toString(max(date(s))) AS hi",
+      Seq(row("lo" -> "2015-07-21", "hi" -> "2024-03-05"))),
+    Scenario("r8 WHERE over column-parsed datetimes filters by instant",
+      empty,
+      "UNWIND ['2024-01-01T00:00Z', '2024-06-01T00:00Z'] AS s " +
+        "WITH datetime(s) AS d WHERE d > datetime('2024-03-01T00:00Z') " +
+        "RETURN count(*) AS c",
+      Seq(row("c" -> 1L))),
+    // --- round 8: hunt 112827 — constructed fresh ids must agree
+    // across every derived table (the copy-node table and the NEW-rel
+    // table previously re-evaluated monotonically_increasing_id in
+    // separate jobs; after a var-length driving match their row orders
+    // diverged and the constructed rels dangled)
+    Scenario("r8 construct fresh ids are stable across derived tables",
+      """CREATE (v4:A:B {f: 0.5, uid: 4})
+        |CREATE (v0:A {uid: 0})
+        |CREATE (v2:A {uid: 2})
+        |CREATE (v1:A {uid: 1})
+        |CREATE (v4)-[:S {uid: 1002}]->(v4)
+        |CREATE (v4)-[:S {uid: 1006}]->(v2)
+        |CREATE (v4)-[:S {uid: 1008}]->(v0)
+        |CREATE (v4)-[:S {uid: 1010}]->(v1)
+        |""".stripMargin,
+      // 3 two-hop S paths from v4 → 3 copies, each with one incoming Y
+      // edge from the v4 clone (:B); the direct match, the WHERE-EXISTS
+      // route and a projection EXISTS must all see the same 3 rels
+      "MATCH (n0:A)-[:S*2..2]->(n2) " +
+        "CONSTRUCT CLONE n0 NEW (cp0 COPY OF n0) NEW (n0)-[:Y]->(cp0) " +
+        "MATCH (m) WITH m, EXISTS { MATCH (m)<-[]-(q:B) } AS pe " +
+        "OPTIONAL MATCH (m)<-[r]-() " +
+        "RETURN pe, count(r) AS inc, count(*) AS n ORDER BY pe",
+      Seq(row("pe" -> false, "inc" -> 0L, "n" -> 1L),
+        row("pe" -> true, "inc" -> 3L, "n" -> 3L)), ordered = true),
+    Scenario("r8 anonymous COPY OF via the CREATE synonym",
+      "CREATE (:A {uid: 1})-[:T]->(:A {uid: 2})",
+      // CatalogDDLTests row 424 form: CREATE (COPY OF m) with no alias —
+      // one per-row copy carrying labels + props
+      "MATCH (n:A)-[:T]->(m:A) CONSTRUCT CLONE n CREATE (COPY OF m) " +
+        "MATCH (x:A) RETURN x.uid AS u ORDER BY u",
+      Seq(row("u" -> 1L), row("u" -> 2L)), ordered = true))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
