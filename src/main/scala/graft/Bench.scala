@@ -20,9 +20,11 @@ object Bench {
   }
 
   /** idle-host reference for the calibration probe (seconds), measured
-    * on this machine with nothing else running; override with
-    * SPARK_GRAFT_CALIB_REF after hardware changes */
-  private val calibRefDefault = 0.184
+    * on this machine with nothing else running at local[32] /
+    * shuffle=32 (CalibMain, two runs: medians 0.575 and 0.670 across
+    * 9 probes each); override with SPARK_GRAFT_CALIB_REF after hardware
+    * or default-cpus changes */
+  private val calibRefDefault = 0.60
 
   /** per-query seconds from a previous BENCH_LOCAL.json ("queries" map),
     * for outlier re-runs — best-of-N still admits a contended triple.

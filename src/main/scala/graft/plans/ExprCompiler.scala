@@ -151,6 +151,8 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         // the outer array uniform (array<array<mixed>> — the same value
         // type slices/tails of a mixed list already produce)
         array(items.zip(types).map {
+          // an already-tagged inner list passes through unchanged
+          case (e, ArrayType(et, _)) if isMixedStruct(et) => compile(e)
           case (e, ArrayType(et, _)) =>
             transform(compile(e), x => toMixed(x, et))
           case (e, _) => // null item: a null list of mixed elements
@@ -911,7 +913,10 @@ class ExprCompiler(header: Header, params: Map[String, Any],
               toMixed(compile(items(j.toInt)), types(j.toInt))
             else if (isMixedListOfLists(types)) types(j.toInt) match {
               // same promotion the full-array path applies: the selected
-              // inner list's elements take the tagged encoding
+              // inner list's elements take the tagged encoding (an
+              // already-tagged inner list passes through)
+              case ArrayType(ict, _) if isMixedStruct(ict) =>
+                compile(items(j.toInt))
               case ArrayType(ict, _) =>
                 transform(compile(items(j.toInt)), x => toMixed(x, ict))
               case _ => lit(null).cast(ArrayType(mixedStructType))
@@ -1236,9 +1241,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     * inner elements take the mixed encoding ([[1], ['a']], probe 50) */
   private def isMixedListOfLists(types: Seq[DataType]): Boolean = {
     val inner = types.collect { case ArrayType(et, _) => et }
+    // an inner list that is ALREADY tagged (a mixed literal like
+    // [1, 'a'] next to a single-family sibling: [[1, 'a'], [2]]) counts
+    // as promoted and forces promotion of the siblings (ADVICE r7)
     inner.size == types.count(_ != NullType) && inner.nonEmpty &&
-      inner.forall(isMixedAtomic) &&
-      inner.filterNot(_ == NullType).map(family).distinct.size > 1
+      inner.forall(et => isMixedAtomic(et) || isMixedStruct(et)) &&
+      (inner.exists(isMixedStruct(_)) ||
+        inner.filterNot(_ == NullType).map(family).distinct.size > 1)
   }
 
   private[plans] val mixedStructType: StructType = StructType(Seq(

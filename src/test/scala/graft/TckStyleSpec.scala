@@ -2880,9 +2880,14 @@ class TckStyleSpec extends AnyFunSuite {
       "MATCH (t:T) RETURN t[null] AS r", Seq(row("r" -> null))),
     // a nested heterogeneous list Spark cannot type must ERROR, not
     // silently plan UNWIND as zero rows (typeOf's NullType fallback)
-    Scenario("unwind-untypeable-nested-list-errors", empty,
-      "UNWIND [[1, 10], ['a', 5]] AS p RETURN p", Seq.empty,
-      expectError = Some("DATATYPE_MISMATCH")),
+    // r8 update: an already-mixed inner list now promotes its siblings
+    // (ADVICE r7), so this shape is a legal heterogeneous list-of-lists
+    // instead of the round-4 DATATYPE_MISMATCH error
+    Scenario("unwind-mixed-nested-list-promotes", empty,
+      "UNWIND [[1, 10], ['a', 5]] AS p " +
+        "RETURN p[0] = 1 AS a, p[1] = 10 AS b, size(p) AS n",
+      Seq(row("a" -> true, "b" -> true, "n" -> 2L),
+        row("a" -> false, "b" -> false, "n" -> 2L))),
     Scenario("unwind-null-still-no-rows", empty,
       "UNWIND null AS x RETURN count(x) AS n", Seq(row("n" -> 0L))),
     // a pure-time construction ≥ 24h keeps its groups: days stays 0
@@ -5012,6 +5017,14 @@ class TckStyleSpec extends AnyFunSuite {
         "RETURN pe, count(r) AS inc, count(*) AS n ORDER BY pe",
       Seq(row("pe" -> false, "inc" -> 0L, "n" -> 1L),
         row("pe" -> true, "inc" -> 3L, "n" -> 3L)), ordered = true),
+    Scenario("r8 already-mixed inner list promotes its siblings", empty,
+      // ADVICE r7: [[1, 'a'], [2]] — a mixed inner literal next to a
+      // single-family sibling must land on the tagged encoding, not
+      // Spark's raw DATA_DIFF_TYPES failure
+      "WITH [[1, 'a'], [2]] AS l " +
+        "RETURN l[0][1] = 'a' AS a, l[1][0] = 2 AS b, size(l) AS n, " +
+        "[[2], [1, 'a']][1][0] = 1 AS c",
+      Seq(row("a" -> true, "b" -> true, "n" -> 2L, "c" -> true))),
     Scenario("r8 anonymous COPY OF via the CREATE synonym",
       "CREATE (:A {uid: 1})-[:T]->(:A {uid: 2})",
       // CatalogDDLTests row 424 form: CREATE (COPY OF m) with no alias —
