@@ -156,7 +156,8 @@ object Ast {
     * `SET v.k = expr`. */
   case class ConstructClause(clones: Seq[(String, String)],
       news: Seq[PatternPart], onGraphs: Seq[String],
-      sets: Seq[(String, String, Expr)] = Seq.empty) extends Clause
+      sets: Seq[(String, String, Expr)] = Seq.empty,
+      setLabels: Seq[(String, String)] = Seq.empty) extends Clause
   /** `RETURN GRAPH` — the query's result is the constructed graph. */
   case object ReturnGraphClause extends Clause
 

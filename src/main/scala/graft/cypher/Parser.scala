@@ -338,8 +338,13 @@ object CypherParser extends RegexParsers {
   def relDetail: Parser[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Option[Int])], Option[String])] =
     "[" ~> opt(ident) ~ (":" ~> rep1sep(anyIdent, "|" ~ opt(":"))) ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
       case v ~ ts ~ vl ~ props => (v, ts, props.getOrElse(Nil), vl, None) } |
-    "[" ~> varAndCopy ~ opt(varLength) ~ opt(propMap) <~ "]" ^^ {
-      case ((v, co)) ~ vl ~ props => (v, Nil, props.getOrElse(Nil), vl, co) }
+    // copy branch: an optional SINGLE type OVERRIDES the copied rel's
+    // type (reference MultipleGraphTests "should copy a mean
+    // relationship": `[t COPY OF s :BAZ {…}]`)
+    "[" ~> varAndCopy ~ opt(":" ~> anyIdent) ~ opt(varLength) ~
+      opt(propMap) <~ "]" ^^ {
+      case ((v, co)) ~ t ~ vl ~ props =>
+        (v, t.toSeq, props.getOrElse(Nil), vl, co) }
 
   def relPattern: Parser[RelPattern] =
     ("<-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Incoming)) |
@@ -452,14 +457,24 @@ object CypherParser extends RegexParsers {
     ident ~ opt(K("as") ~> ident) ^^ {
       case src ~ alias => (src, alias.getOrElse(src)) }
 
+  /** `SET v:Label` inside CONSTRUCT (reference MultipleGraphTests
+    * "should set a node label") */
+  private def setLabelItem: Parser[(String, String)] =
+    ident ~ (":" ~> anyIdent) ^^ { case v ~ l => (v, l) }
+
   def constructClause: Parser[Clause] =
     K("construct") ~> opt(K("on") ~> rep1sep(anyIdent, ",")) ~
       rep(K("clone") ~> rep1sep(cloneItem, ",")) ~
       rep((K("new") | K("create")) ~> patternPart) ~
-      rep(K("set") ~> rep1sep(setItem, ",")) ^^ {
+      rep(K("set") ~> rep1sep(
+        (setItem ^^ (Left(_): Either[(String, String, Expr), (String, String)])) |
+        (setLabelItem ^^ (Right(_): Either[(String, String, Expr), (String, String)])),
+        ",")) ^^ {
       case on ~ clones ~ news ~ sets =>
+        val flat = sets.flatten
         ConstructClause(clones.flatten, news, on.getOrElse(Nil),
-          sets.flatten) }
+          flat.collect { case Left(x) => x },
+          flat.collect { case Right(x) => x }) }
 
   def returnGraphClause: Parser[Clause] =
     K("return") ~> K("graph") ^^^ ReturnGraphClause

@@ -453,6 +453,19 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         c.news.exists(_.chain.exists(_._2.variable.contains(v))),
         s"SET $v.…: `$v` is not cloned or created by this CONSTRUCT")
     }
+    // SET v:Label (reference MultipleGraphTests "should set a node
+    // label"): extra labels merge into the target's label set — clones,
+    // NEW nodes and COPY OF targets alike; node-only
+    val labelSetsByVar: Map[String, Set[String]] =
+      c.setLabels.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    c.setLabels.foreach { case (v, _) =>
+      require(cloneVars.contains(v) ||
+        c.news.exists(_.start.variable.contains(v)) ||
+        c.news.exists(_.chain.exists(_._2.variable.contains(v))),
+        s"SET $v:…: `$v` is not cloned or created by this CONSTRUCT")
+      require(!state.header.get(v).exists(_.isInstanceOf[RelBinding]),
+        s"SET $v:…: labels can only be set on nodes")
+    }
 
     // SET on cloned vars: materialize the value per driving row and extend
     // the binding's property map BEFORE dedup-by-id
@@ -476,7 +489,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
 
     cloneVars.foreach { v =>
       setBindings.getOrElse(v, state.header(v)) match {
-        case nb: NodeBinding => nodeTables ++= cloneNodeTables(cloneState, nb)
+        case nb: NodeBinding =>
+          val extra = labelSetsByVar.getOrElse(v, Set.empty)
+          val ts = cloneNodeTables(cloneState, nb)
+          nodeTables ++= (if (extra.isEmpty) ts
+            else ts.map(t => t.copy(labels = t.labels ++ extra)))
         case rb: RelBinding => relTables ++= cloneRelTables(cloneState, rb)
         case other => throw new IllegalArgumentException(
           s"CLONE $v: expected node or relationship, got $other")
@@ -538,7 +555,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val copiedNodes = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, NodeBinding, Set[String], Map[String, String])]
     val copiedRels = scala.collection.mutable.ArrayBuffer
-      .empty[(String, RelBinding, String, String, Map[String, String])]
+      .empty[(String, RelBinding, String, String, Map[String, String],
+        Option[String])]
     // NEW-rel table specs: (type, relIdCol, srcCol, dstCol, propSel) —
     // built only after the driving frame is materialized (see below)
     val newRelSpecs = scala.collection.mutable.ArrayBuffer
@@ -614,8 +632,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
               s"COPY OF $srcVar: `$srcVar` is not a bound relationship " +
                 s"(${other.map(_.toString).getOrElse("unbound")})")
           }
-          require(rel.types.isEmpty && rel.varLength.isEmpty,
-            "COPY OF relationship cannot restate a type or be var-length")
+          require(rel.varLength.isEmpty,
+            "COPY OF relationship cannot be var-length")
+          // a single restated type OVERRIDES the copied rel's type
+          // (reference MultipleGraphTests "should copy a mean
+          // relationship"); more than one is meaningless
+          require(rel.types.size <= 1,
+            s"COPY OF relationship takes at most one override type, " +
+              s"got ${rel.types}")
           val dstIdCol = bindNewNode(node)
           val relIdCol = freshIdCol("r")
           df = df.withColumn(relIdCol,
@@ -631,7 +655,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
             case Incoming => (dstIdCol, prevIdCol)
             case _ => (prevIdCol, dstIdCol)
           }
-          copiedRels += ((relIdCol, rb, srcC, dstC, extraProps))
+          copiedRels += ((relIdCol, rb, srcC, dstC, extraProps,
+            rel.types.headOption))
           prevIdCol = dstIdCol
         } else {
         require(rel.varLength.isEmpty, "NEW cannot use var-length patterns")
@@ -689,9 +714,10 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       }
     }
 
-    created.foreach { case (_, (idCol, labels, props)) =>
+    created.foreach { case (v, (idCol, labels, props)) =>
       val propSel = props.toSeq.sortBy(_._1)
-      nodeTables += graft.graph.NodeTable(labels,
+      nodeTables += graft.graph.NodeTable(
+        labels ++ labelSetsByVar.getOrElse(v, Set.empty),
         df.select((idCol +: propSel.map(_._2)).map(cn => col(s"`$cn`")): _*),
         idCol, propSel.map { case (k2, cn) => k2 -> cn }.toMap)
     }
@@ -708,12 +734,20 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       val binding = nb.copy(idCol = idCol,
         propCols = nb.propCols ++ patProps ++ setExtras)
       val tbls = cloneNodeTables(state.copy(df = df), binding)
-      nodeTables ++= (if (extraLabels.isEmpty) tbls
-        else tbls.map(t => t.copy(labels = t.labels ++ extraLabels)))
+      val allExtra = extraLabels ++ labelSetsByVar.getOrElse(v, Set.empty)
+      nodeTables ++= (if (allExtra.isEmpty) tbls
+        else tbls.map(t => t.copy(labels = t.labels ++ allExtra)))
     }
-    copiedRels.foreach { case (idCol, rb, srcC, dstC, extraProps) =>
-      val binding = rb.copy(idCol = idCol, srcCol = srcC, dstCol = dstC,
-        propCols = rb.propCols ++ extraProps)
+    copiedRels.foreach { case (idCol, rb, srcC, dstC, extraProps, typeOv) =>
+      val rb1 = typeOv match {
+        case Some(t) => // override type: a constant column per copy
+          val tc = fresh("copy_type")
+          df = df.withColumn(tc, lit(t))
+          rb.copy(typCol = tc, types = Set(t))
+        case None => rb
+      }
+      val binding = rb1.copy(idCol = idCol, srcCol = srcC, dstCol = dstC,
+        propCols = rb1.propCols ++ extraProps)
       relTables ++= cloneRelTables(
         state.copy(df = df.where(col(s"`$idCol`").isNotNull)), binding)
     }

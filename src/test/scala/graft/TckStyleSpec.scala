@@ -5031,7 +5031,41 @@ class TckStyleSpec extends AnyFunSuite {
       // one per-row copy carrying labels + props
       "MATCH (n:A)-[:T]->(m:A) CONSTRUCT CLONE n CREATE (COPY OF m) " +
         "MATCH (x:A) RETURN x.uid AS u ORDER BY u",
-      Seq(row("u" -> 1L), row("u" -> 2L)), ordered = true))
+      Seq(row("u" -> 1L), row("u" -> 2L)), ordered = true),
+    // --- round 8: MultipleGraphTests-mined construct shapes ---
+    Scenario("r8 two copies of one node joined by a NEW rel",
+      "CREATE (:N {uid: 1})",
+      // reference "creates multiple copies of the same node"
+      "MATCH (a:N) CONSTRUCT CREATE (f COPY OF a)-[:FOO]->(g COPY OF a) " +
+        "MATCH (s)-[:FOO]->(t) " +
+        "RETURN s.uid AS su, t.uid AS tu, s = t AS same",
+      Seq(row("su" -> 1L, "tu" -> 1L, "same" -> false))),
+    Scenario("r8 rel copy with a type override and prop overlay",
+      """CREATE ()-[:FOO {val: 1, val2: 2}]->()
+        |CREATE ()-[:BAR {val: 1, val2: 3}]->()
+        |""".stripMargin,
+      // reference "should copy a mean relationship": restated type
+      // OVERRIDES, the prop map overlays (val2 2/3 → 'Donald'), val
+      // copies through
+      "MATCH ()-[s]->() CONSTRUCT " +
+        "CREATE ()-[t COPY OF s :BAZ {val2: 'Donald'}]->() " +
+        "MATCH ()-[r]->() RETURN r.val AS v, r.val2 AS v2, type(r) AS tp",
+      Seq(row("v" -> 1L, "v2" -> "Donald", "tp" -> "BAZ"),
+        row("v" -> 1L, "v2" -> "Donald", "tp" -> "BAZ"))),
+    Scenario("r8 SET label on a NEW node", empty,
+      // reference "should set a node label"
+      "CONSTRUCT CREATE (a) SET a: FOO MATCH (n) " +
+        "RETURN labels(n) AS ls",
+      Seq(row("ls" -> Seq("FOO")))),
+    Scenario("r8 SET label merges into a clone's labels",
+      "CREATE (:N {uid: 1})",
+      "MATCH (a:N) CONSTRUCT CLONE a AS b SET b: Extra, b.k = 7 " +
+        "MATCH (n:Extra) RETURN labels(n) AS ls, n.k AS k, n.uid AS u",
+      Seq(row("ls" -> Seq("Extra", "N"), "k" -> 7L, "u" -> 1L))),
+    Scenario("r8 SET label on a relationship is a typed error",
+      "CREATE (:N)-[:T]->(:N)",
+      "MATCH (:N)-[r:T]->(:N) CONSTRUCT CLONE r SET r: Nope RETURN GRAPH",
+      Nil, expectError = Some("labels can only be set on nodes")))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
