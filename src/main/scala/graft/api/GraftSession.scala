@@ -182,8 +182,13 @@ class GraftSession(val spark: SparkSession) {
       bound: Map[String, PropertyGraph],
       values: Map[String, Any]): PropertyGraph = ref match {
     case GraphByName(n) => graph(n)
-    case GraphParamRef(p) => bound.getOrElse(p,
-      throw new IllegalArgumentException(s"unbound graph parameter $$$p"))
+    // a top-level `FROM GRAPH $p` (outside a view body) reads the graph
+    // NAME from the statement's value parameters (reference
+    // MultipleGraphTests "can read graph via parameter")
+    case GraphParamRef(p) => bound.get(p)
+      .orElse(values.get(p).collect { case s: String => graph(s) })
+      .getOrElse(
+        throw new IllegalArgumentException(s"unbound graph parameter $$$p"))
     case ViewInvocation(n, args) =>
       val (ps, body) = views.getOrElse(n, throw new IllegalArgumentException(
         s"view `$n` not in catalog (have: ${views.keys.mkString(", ")})"))

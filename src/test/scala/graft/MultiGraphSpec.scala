@@ -166,4 +166,18 @@ class MultiGraphSpec extends AnyFunSuite {
     // idempotent: dropping an absent view is a no-op, not an error
     gs.cypherStatement("CATALOG DROP VIEW colA", Map.empty)
   }
+
+  test("FROM GRAPH $param reads the graph name from value parameters") {
+    // MultipleGraphTests "can read graph via parameter"
+    registered
+    val rows = gs.cypherStatement(
+      "FROM GRAPH $graphParam MATCH (n) RETURN count(*) AS c",
+      Map("graphParam" -> "mg2")).collect()
+    assert(rows.head.getLong(0) == 3L)
+    val err = intercept[IllegalArgumentException] {
+      gs.cypherStatement("FROM GRAPH $nope MATCH (n) RETURN 1 AS x",
+        Map.empty).collect()
+    }
+    assert(err.getMessage.contains("unbound graph parameter"))
+  }
 }

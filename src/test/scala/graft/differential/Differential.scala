@@ -300,7 +300,11 @@ object Model {
       /** render cloneRels as bound-rel NEW patterns
         * (`NEW (sv)-[rv]->(dv)`, the implicit-clone form) instead of a
         * CLONE list — identical semantics, different engine path. */
-      relCloneAsNew: Boolean = false)
+      relCloneAsNew: Boolean = false,
+      /** (copyVar, label): `SET copyVar: Label` — extra label merged
+        * into the copy's label set (round 8). Copies only: fresh ids
+        * keep the dedup semantics unambiguous. */
+      copyLabels: List[(String, String)] = Nil)
     extends Stage
   // newRels: (srcVar, relType, dstVar, w-literal) — one NEW edge PER
   // BINDING ROW (engine-verified, Probe46: duplicate rows create
@@ -539,6 +543,7 @@ object Model {
             val props = w.map(v => s" {w: $v}").getOrElse("")
             sb ++= s" NEW ($sv)-[:$typ$props]->($dv)"
           }
+          sc.copyLabels.foreach { case (v, l) => sb ++= s" SET $v: $l" }
           sb ++= "\n"
       }
       sb ++= "RETURN "
@@ -1212,7 +1217,9 @@ object NaiveEval {
           val copies = scala.collection.mutable.Map.empty[String, MNode]
           sc.copyNodes.foreach { case (nv, sv) => r.get(sv) match {
             case Some(n: MNode) =>
-              val cp = MNode(freshNodeId, n.labels, n.props)
+              val extraLbls = sc.copyLabels
+                .collect { case (v, l) if v == nv => l }.toSet
+              val cp = MNode(freshNodeId, n.labels ++ extraLbls, n.props)
               freshNodeId -= 1
               nodesB(cp.id) = cp
               copies(nv) = cp
@@ -2496,6 +2503,8 @@ object DiffGen {
     wantCopy <- Gen.prob(0.35)
     cpIdx <- Gen.choose(0, 7)
     relAsNew <- Gen.prob(0.35)
+    wantSetLbl <- Gen.prob(0.3)
+    setLbl <- Gen.oneOf("B", "C")
     m2 <- genMatch(emptyCtx, optional = false, 300)
     w2 <- Gen.prob(0.5)
     where2 <- genBE(m2._2, 1)
@@ -2521,8 +2530,12 @@ object DiffGen {
           if (hasW) Some(wv) else None))
       else Nil
     val mc2 = m2._1.copy(where = if (w2) Some(where2) else None)
+    val copyLbls =
+      if (wantSetLbl && copies.nonEmpty) List((copies.head._1, setLbl))
+      else Nil
     Query(List(SMatch(mc1),
-      SConstruct(nodes0, rels, newRels, copies, relAsNew && rels.nonEmpty),
+      SConstruct(nodes0, rels, newRels, copies, relAsNew && rels.nonEmpty,
+        copyLbls),
       SMatch(mc2)), ret)
   }
 
