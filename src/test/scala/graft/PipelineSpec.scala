@@ -283,6 +283,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lastCcRoute === "sql")
   }
 
+  test("p18 and p22 gates are green through BOTH engine routes (round 8)") {
+    // the actual driver-gate functions, run once per route — identical
+    // output rows either way
+    def rows(name: String): Seq[Seq[Any]] =
+      SparkEntry.queries(name)(spark, dir).collect().toSeq.map(_.toSeq)
+    val p18Default = rows("p18_dedup_clusters")
+    val p22Default = rows("p22_graph_distances")
+    spark.conf.set("graft.cc.route", "sql")
+    spark.conf.set("graft.bfs.route", "sql")
+    try {
+      assert(rows("p18_dedup_clusters") === p18Default,
+        "p18 diverged on the DataFrame-native CC route")
+      assert(Dedup.lastCcRoute === "sql")
+      assert(rows("p22_graph_distances") === p22Default,
+        "p22 diverged on the DataFrame-native BFS route")
+      assert(graft.interop.GraphXExport.lastBfsRoute === "sql")
+    } finally {
+      spark.conf.unset("graft.cc.route")
+      spark.conf.unset("graft.bfs.route")
+    }
+  }
+
   test("DataFrame-native BFS equals GraphX Pregel distances (round 8)") {
     import graft.graph.{NodeTable, PropertyGraph, RelTable}
     // two landmarks, a diamond, an unreachable vertex, a self-loop
