@@ -2413,6 +2413,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             mkZonedDt(timestamp_seconds(
               compile(items.toMap.apply("epochSeconds")).cast(LongType)),
               lit(0), lit("Z"))
+          // component map with a COLUMN-valued timezone (round 8): the
+          // zone id is data — make_timestamp resolves the wall clock per
+          // row in it (an invalid zone raises Spark's per-row error),
+          // the offset re-derives at the instant, and the zid column
+          // rides along for rendering/arithmetic
+          case MapLit(items) if items.toMap.get("timezone").exists(e =>
+              !e.isInstanceOf[StringLit] && typeOf(e) == StringType) =>
+            val m = items.toMap
+            val zc = compile(m("timezone"))
+            val m2 = m - "timezone"
+            val dp = datePartsFromMap(m2); val tp = timePartsFromMap(m2)
+            val inst = make_timestamp(dp(0), dp(1), dp(2), tp(0), tp(1),
+              tp(2), zc)
+            mkZonedDt(inst, zoneOffsetAt(inst, zc), zc)
           case MapLit(items) =>
             val m = items.toMap
             val zidStr: String = m.get("timezone") match {

@@ -190,6 +190,38 @@ object CypherCreateGraph {
           (num("milliseconds") * 1000L).toLong +
           num("microseconds").toLong +
           (num("nanoseconds") / 1000L).toLong)
+    // point (round 8): the engine's {@crs, px, py} struct encoding so
+    // fixture-stored points flow through accessors/equality/distance()
+    case Func("point", _, List(MapLit(items))) =>
+      val m = items.toMap
+      if (m.keySet.exists(k => k == "z" || k == "height"))
+        throw new IllegalArgumentException(
+          "3D points are not supported (z/height)")
+      def num(k: String): Double = m.get(k).map(literal).map {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"point component $k must be numeric, got $other")
+      }.getOrElse(throw new IllegalArgumentException(
+        s"point() fixture literal needs component $k"))
+      if (m.contains("latitude")) {
+        val lat = num("latitude")
+        require(math.abs(lat) <= 90.0,
+          "point() latitude must be in [-90, 90]")
+        scala.collection.immutable.ListMap(
+          "@crs" -> "wgs-84", "px" -> num("longitude"), "py" -> lat)
+      } else {
+        val crs = m.get("crs") match {
+          case Some(StringLit(c)) => c
+          case None => "cartesian"
+          case Some(other) => throw new IllegalArgumentException(
+            s"point() crs must be a literal string, got $other")
+        }
+        require(crs == "cartesian" || crs == "wgs-84",
+          s"point() crs must be 'cartesian' or 'wgs-84', got '$crs'")
+        scala.collection.immutable.ListMap(
+          "@crs" -> crs, "px" -> num("x"), "py" -> num("y"))
+      }
     case other => throw new IllegalArgumentException(
       s"CREATE property values must be literals, got $other")
   }

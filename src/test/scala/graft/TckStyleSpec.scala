@@ -5065,7 +5065,31 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("r8 SET label on a relationship is a typed error",
       "CREATE (:N)-[:T]->(:N)",
       "MATCH (:N)-[r:T]->(:N) CONSTRUCT CLONE r SET r: Nope RETURN GRAPH",
-      Nil, expectError = Some("labels can only be set on nodes")))
+      Nil, expectError = Some("labels can only be set on nodes")),
+    Scenario("r8 fixture-stored point properties",
+      """CREATE (:P {uid: 0, loc: point({x: 3.0, y: 4.0})})
+        |CREATE (:P {uid: 1, loc: point({latitude: 0.0, longitude: 1.0})})
+        |""".stripMargin,
+      "MATCH (n:P) RETURN n.uid AS u, n.loc.crs AS crs, " +
+        "round(distance(n.loc, point({x: 0.0, y: 0.0, " +
+        "crs: 'cartesian'}))) AS dc ORDER BY u",
+      // the wgs-84 row's distance vs a cartesian point is null (crs
+      // mismatch) — only the cartesian row measures 5
+      Seq(row("u" -> 0L, "crs" -> "cartesian", "dc" -> 5.0),
+        row("u" -> 1L, "crs" -> "wgs-84", "dc" -> null)), ordered = true),
+    Scenario("r8 datetime map constructor with a column timezone",
+      """CREATE (:D {uid: 0, tz: 'Europe/Berlin'})
+        |CREATE (:D {uid: 1, tz: '+05:00'})
+        |CREATE (:D {uid: 2})
+        |""".stripMargin,
+      "MATCH (n:D) WITH n, datetime({year: 2024, month: 6, day: 1, " +
+        "hour: 12, timezone: n.tz}) AS dt " +
+        "RETURN n.uid AS u, toString(dt) AS s, dt.offsetSeconds AS off " +
+        "ORDER BY u",
+      Seq(row("u" -> 0L, "s" -> "2024-06-01T12:00+02:00[Europe/Berlin]",
+        "off" -> 7200L),
+        row("u" -> 1L, "s" -> "2024-06-01T12:00+05:00", "off" -> 18000L),
+        row("u" -> 2L, "s" -> null, "off" -> null)), ordered = true))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
