@@ -3167,6 +3167,40 @@ object ExprCompiler {
       case _ => None
     }
     val names = dfs.head.columns.toSeq
+    // a UNION column mixing a single-purpose-encoded value (point,
+    // temporal struct, duration) with a DIFFERENT family has no common
+    // encoding — a typed error beats Spark's raw
+    // INCOMPATIBLE_COLUMN_TYPE (round 8; atomic mixes take the tagged
+    // union below, all-numeric columns widen)
+    def specialName(t: DataType): Option[String] = t match {
+      case st: StructType if st.fieldNames.sameElements(
+        Array("@crs", "px", "py")) => Some("POINT")
+      case st: StructType if st.fieldNames.headOption.contains("@zdt") =>
+        Some("DATETIME")
+      case st: StructType if st.fieldNames.headOption.contains("@zt") =>
+        Some("TIME")
+      case st: StructType if st.fieldNames.headOption.contains("@lt") =>
+        Some("LOCALTIME")
+      case CalendarIntervalType => Some("DURATION")
+      case DateType => Some("DATE")
+      case TimestampNTZType => Some("LOCALDATETIME")
+      case _ => None
+    }
+    names.foreach { n =>
+      val ts = dfs.map(_.schema(n).dataType).filterNot(_ == NullType)
+        .distinct
+      if (ts.size > 1) {
+        // same special kind on every branch is fine (nullability may
+        // differ); a special kind next to anything else is not
+        val specials = ts.map(specialName)
+        if (specials.exists(_.isDefined) && specials.distinct.size > 1)
+          throw new IllegalArgumentException(
+            s"UNION column `$n` mixes incompatible value types: " +
+              ts.map(t => specialName(t).getOrElse(t.simpleString))
+                .mkString(" vs ") +
+              " (points/temporals only union with their own type)")
+      }
+    }
     val needMixed = names.filter { n =>
       val fams = dfs.map(df => fam(df.schema(n).dataType))
       fams.forall(_.isDefined) &&

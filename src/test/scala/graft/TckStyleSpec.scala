@@ -5089,7 +5089,14 @@ class TckStyleSpec extends AnyFunSuite {
       Seq(row("u" -> 0L, "s" -> "2024-06-01T12:00+02:00[Europe/Berlin]",
         "off" -> 7200L),
         row("u" -> 1L, "s" -> "2024-06-01T12:00+05:00", "off" -> 18000L),
-        row("u" -> 2L, "s" -> null, "off" -> null)), ordered = true))
+        row("u" -> 2L, "s" -> null, "off" -> null)), ordered = true),
+    Scenario("r8 union mixing a point with another family is typed", empty,
+      "RETURN point({x: 1, y: 2}) AS v UNION ALL RETURN 1.5 AS v",
+      Nil, expectError = Some("mixes incompatible value types")),
+    Scenario("r8 union of same-type points dedups component-wise", empty,
+      "RETURN point({x: 1, y: 2}).x AS x UNION " +
+        "RETURN point({x: 1.0, y: 2.0}).x AS x",
+      Seq(row("x" -> 1.0))))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")

@@ -77,6 +77,11 @@ final class DiffRunner(spark: SparkSession) {
         Model.MZdt(java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
           ts.getNanos / 1000L, r.getInt(1))
       }
+    // the engine's point struct → the model's MPoint
+    case r: org.apache.spark.sql.Row
+      if r.schema != null && r.schema.fieldNames.headOption.contains("@crs") =>
+      if (r.isNullAt(0)) null
+      else Model.MPoint(r.getString(0), r.getDouble(1), r.getDouble(2))
     case r: org.apache.spark.sql.Row =>
       r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
     case other => other.toString
@@ -91,6 +96,7 @@ final class DiffRunner(spark: SparkSession) {
     case b: Boolean => "b" + b
     case d: java.time.LocalDate => "e" + d
     case z: Model.MZdt => "z" + z.inst + "@" + z.off
+    case p: Model.MPoint => "g" + p.crs + "@" + p.x + "," + p.y
     case xs: List[_] => xs.map(render).mkString("[", ",", "]")
     case m: Map[_, _] => m.toSeq.map { case (k, x) => s"$k=${render(x)}" }
       .sorted.mkString("{", ",", "}")

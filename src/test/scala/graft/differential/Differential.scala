@@ -71,6 +71,8 @@ object Model {
     case b: Boolean => b.toString
     case d: java.time.LocalDate => s"date('$d')" // ISO round-trips exactly
     case z: MZdt => s"datetime('${z.renderIso}')"
+    case p: MPoint =>
+      s"point({x: ${p.x}, y: ${p.y}, crs: '${p.crs}'})"
   }
 
   def renderPropMap(m: Map[String, Any]): String =
@@ -224,6 +226,14 @@ object Model {
     * pool value as zd, so parse results keep the uniqueness invariant
     * and the node is representation-safe anywhere zd is. */
   final case class DtParseE(v: String) extends VE
+  /** point model value (family 'G', round 8): crs + coordinates —
+    * representation IS identity, so points are safe everywhere */
+  final case class MPoint(crs: String, x: Double, y: Double)
+  /** `<point>.x|y|crs` accessor (x/y family 'D', crs 'S') */
+  final case class PointPartE(part: String, p: VE) extends VE
+  /** `distance(a, b)` — euclidean/haversine per crs, null on mismatch;
+    * both engines run the same JVM libm, so doubles compare exactly */
+  final case class DistanceE(a: VE, b: VE) extends VE
 
   sealed trait BE
   final case class CmpE(op: String, l: VE, r: VE) extends BE
@@ -354,6 +364,8 @@ object Model {
         case ZdtArithE(z, _, _, _, _) => ve(z)
         case DurBetweenPartE(_, _, x, y) => ve(x); ve(y)
         case DtParseE(v) => b += v
+        case PointPartE(_, pe) => ve(pe)
+        case DistanceE(x, y) => ve(x); ve(y)
         case LitE(_) =>
       }
       def be(e: BE): Unit = e match {
@@ -464,6 +476,9 @@ object Model {
       case DurBetweenPartE(fn, part, x, y) =>
         s"duration.$fn(${renderVE(x)}, ${renderVE(y)}).$part"
       case DtParseE(v) => s"datetime($v.zs)"
+      case PointPartE(part, pe) => s"${renderVE(pe)}.$part"
+      case DistanceE(x, y) =>
+        s"distance(${renderVE(x)}, ${renderVE(y)})"
     }
 
     private def renderBE(e: BE): String = e match {
@@ -657,6 +672,7 @@ object NaiveEval {
     case (x: Boolean, y: Boolean) => Some(x == y)
     case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x == y)
     case (x: MZdt, y: MZdt) => Some(x.inst == y.inst) // instant equality
+    case (x: MPoint, y: MPoint) => Some(x == y) // component equality
     case (x: List[_], y: List[_]) =>
       if (x.size != y.size) Some(false)
       else {
@@ -916,6 +932,31 @@ object NaiveEval {
           MZdt(odt.toEpochSecond * 1000000L, odt.getOffset.getTotalSeconds)
         case _ => null
       }
+      case _ => null
+    }
+    case PointPartE(part, pe) => evalV(r, pe) match {
+      case MPoint(crs, x, y) => part match {
+        case "x" => x
+        case "y" => y
+        case "crs" => crs
+        case other => sys.error(s"naive: unknown point part $other")
+      }
+      case _ => null
+    }
+    case DistanceE(ae, be3) => (evalV(r, ae), evalV(r, be3)) match {
+      case (MPoint(c1, x1, y1), MPoint(c2, x2, y2)) =>
+        if (c1 != c2) null
+        else if (c1 == "cartesian") {
+          val dx = x1 - x2; val dy = y1 - y2
+          math.sqrt(dx * dx + dy * dy)
+        } else { // haversine, operand order EXACTLY as the engine's
+          val lat1 = math.toRadians(y1); val lat2 = math.toRadians(y2)
+          val sLat = math.sin(math.toRadians(y2 - y1) / 2)
+          val sLon = math.sin(math.toRadians(x2 - x1) / 2)
+          val h = sLat * sLat +
+            math.cos(lat1) * math.cos(lat2) * sLon * sLon
+          math.asin(math.sqrt(h)) * 12756280.0
+        }
       case _ => null
     }
     case DatePartE(part, d) => evalV(r, d) match {
@@ -1483,6 +1524,7 @@ object DiffGen {
     hasD <- Gen.prob(0.5); dOff <- Gen.choose(0L, 40L)
     hasZ <- Gen.prob(0.45)
     hasZS <- Gen.prob(0.35)
+    hasPt <- Gen.prob(0.4)
   } yield {
     var m = Map[String, Any]("uid" -> uid)
     if (hasK) m += "k" -> k
@@ -1495,6 +1537,11 @@ object DiffGen {
     // instant index — instant-equal ⇒ identical (inst, off)
     if (hasZ) m += "zd" -> MZdt(propZdtBase + uid * 3600000000L,
       zdtOffsets((uid % zdtOffsets.size).toInt))
+    // pt: point prop (family 'G', round 8) — coordinates overlap the
+    // literal pool so equality comparisons hit both ways
+    if (hasPt) m += "pt" -> MPoint(
+      if (uid % 3 == 0) "wgs-84" else "cartesian",
+      (uid % 3) * 1.5, (uid % 5).toDouble - 2.0)
     // zs: the SAME pool value rendered as an ISO string — the
     // column-valued datetime(n.zs) parse path (round 8); independent
     // presence so missing-prop nulls get hunted too
@@ -1566,6 +1613,7 @@ object DiffGen {
       case 'B' => List("b")
       case 'E' => List("d")
       case 'Z' => List("zd")
+      case 'G' => List("pt")
     }
     val rk = fam match {
       case 'L' => List("uid", "w")
@@ -1589,6 +1637,11 @@ object DiffGen {
     // pairs (which = / DISTINCT want) are representation-identical
     case 'Z' => Gen.choose(0L, 30L).map(k =>
       MZdt(litZdtBase + k * 60000000L, zdtOffsets((k % zdtOffsets.size).toInt)))
+    // literal points overlap the prop pool's coordinate grid
+    case 'G' => for {
+      crs <- Gen.oneOf("cartesian", "wgs-84")
+      xi <- Gen.choose(0L, 2L); yi <- Gen.choose(0L, 4L)
+    } yield MPoint(crs, xi * 1.5, yi.toDouble - 2.0)
   }
 
   private def genValueVE(ctx: Ctx, fam: Char): Gen[VE] = {
@@ -1660,6 +1713,16 @@ object DiffGen {
     z <- Gen.frequency(6 -> genValueVE(ctx, 'Z'), 4 -> genZdtArith(ctx))
     part <- Gen.oneOf("hour", "minute", "epochSeconds", "offsetSeconds")
   } yield ZdtPartE(part, z)
+
+  private def genPointPart(ctx: Ctx, fam: Char): Gen[VE] = for {
+    pe <- genValueVE(ctx, 'G')
+    part <- if (fam == 'S') Gen.const("crs") else Gen.oneOf("x", "y")
+  } yield PointPartE(part, pe)
+
+  private def genDistance(ctx: Ctx): Gen[VE] = for {
+    a <- genValueVE(ctx, 'G')
+    b <- genValueVE(ctx, 'G')
+  } yield DistanceE(a, b)
 
   private def genDurBetween(ctx: Ctx): Gen[VE] = for {
     fn <- Gen.frequency(5 -> Gen.const("between"),
@@ -1916,9 +1979,11 @@ object DiffGen {
         1 -> genZdtPart(ctx),
         2 -> genDurBetween(ctx),
         (if (ctx.nodeVars.nonEmpty) 2 else 0) -> genPatCompSize(ctx))
-      case 'D' => List(3 -> genNumFnE(ctx, 'D'), 1 -> genMapIdx(ctx, 'D'))
+      case 'D' => List(3 -> genNumFnE(ctx, 'D'), 1 -> genMapIdx(ctx, 'D'),
+        1 -> genPointPart(ctx, 'D'), 1 -> genDistance(ctx))
       case 'E' => List(4 -> genDateArith(ctx))
       case 'Z' => Nil // CASE/coalesce below are the only 'Z' wrappers
+      case 'G' => Nil // CASE/coalesce below are the only 'G' wrappers
       // a whole predicate as a boolean value (unknown → null)
       case _ => List(3 -> genLeafPlain(ctx).map(BoolVE),
         1 -> genMapIdx(ctx, 'B'))
@@ -1931,7 +1996,7 @@ object DiffGen {
   private def genCmp(ctx: Ctx): Gen[BE] = for {
     fam <- Gen.frequency(5 -> Gen.const('L'), 2 -> Gen.const('S'),
       2 -> Gen.const('D'), 1 -> Gen.const('B'), 1 -> Gen.const('E'),
-      2 -> Gen.const('Z'))
+      2 -> Gen.const('Z'), 1 -> Gen.const('G'))
     op <- if (fam == 'B') Gen.oneOf("=", "<>")
     else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
     l <- genValueVE(ctx, fam)
@@ -1944,6 +2009,7 @@ object DiffGen {
     zArith <- Gen.prob(0.4)
     kind = if ((fam == 'E' || fam == 'Z') && kind0 == 1) 0
       else if (fam == 'Z' && kind0 == 0 && zArith) 3
+      else if (fam == 'G' && kind0 == 3) 0 // no point arithmetic
       else kind0
     dplus <- Gen.oneOf(true, false)
     ddays <- Gen.choose(0L, 15L)
@@ -1968,7 +2034,7 @@ object DiffGen {
     */
   private def genLeafPlain(ctx: Ctx): Gen[BE] = {
     val isNullG: Gen[BE] = for {
-      fam <- Gen.oneOf('L', 'S', 'D', 'B', 'E', 'Z')
+      fam <- Gen.oneOf('L', 'S', 'D', 'B', 'E', 'Z', 'G')
       e <- genValueVE(ctx, fam)
       not <- Gen.oneOf(true, false)
     } yield IsNullE(e, not)
@@ -2352,6 +2418,7 @@ object DiffGen {
       6 -> Gen.oneOf('L', 'S', 'D', 'B').flatMap(genRichVE(ctx, _)),
       1 -> genRichVE(ctx, 'E'),
       1 -> genRichVE(ctx, 'Z'),
+      1 -> genRichVE(ctx, 'G'),
       2 -> genArith(ctx),
       // raw deterministically-ordered list values (never bags)
       1 -> Gen.oneOf('M', 'T').flatMap(genListVE(ctx, _)),
@@ -2641,13 +2708,13 @@ object DiffGen {
             // encoding cross-family UNION columns take — keep them out
             // of freely-retyped union surfaces
             !NaiveEvalFamilies.isListFam(f) && f != 'X' && f != 'P' &&
-              f != 'E' && f != 'Z'
+              f != 'E' && f != 'Z' && f != 'G'
           case AggItem(fn, arg, _, _) =>
             // min/max over a date column can't union with the branch's
             // freely-retyped numeric aggregate (hunt 32023)
             fn != "collect" && !arg.exists { e =>
               val f = NaiveEvalFamilies.family(e)
-              f == 'E' || f == 'Z' || f == 'P' ||
+              f == 'E' || f == 'Z' || f == 'P' || f == 'G' ||
                 NaiveEvalFamilies.isListFam(f)
             }
           case _ => false
@@ -2695,6 +2762,7 @@ object NaiveEvalFamilies {
     case PropE(_, "b") => 'B'
     case PropE(_, "d") => 'E'
     case PropE(_, "zd") => 'Z'
+    case PropE(_, "pt") => 'G'
     case PropE(_, _) => 'L'
     case VarE(_, fam) => fam
     case SizeE(_) => 'L'
@@ -2703,6 +2771,7 @@ object NaiveEvalFamilies {
     case LitE(_: Boolean) => 'B'
     case LitE(_: java.time.LocalDate) => 'E'
     case LitE(_: MZdt) => 'Z'
+    case LitE(_: MPoint) => 'G'
     case LitE(_) => 'L'
     case FnE("type", _) => 'S'
     case FnE(_, _) => 'X'
@@ -2747,6 +2816,9 @@ object NaiveEvalFamilies {
     case ZdtArithE(_, _, _, _, _) => 'Z'
     case DurBetweenPartE(_, _, _, _) => 'L'
     case DtParseE(_) => 'Z'
+    case PointPartE("crs", _) => 'S'
+    case PointPartE(_, _) => 'D'
+    case DistanceE(_, _) => 'D'
   }
 
   def isListFam(f: Char): Boolean = f == 'M' || f == 'T'
