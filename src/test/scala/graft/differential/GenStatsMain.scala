@@ -47,7 +47,10 @@ object GenStatsMain {
       // round-8: zdt ± duration arithmetic, duration.between/inX over
       // zdts, column-valued datetime(string prop) parses
       "zdtArith" -> "hours:", "durBetween" -> "duration.between(",
-      "durInX" -> "duration.in", "dtParse" -> ".zs)")
+      "durInX" -> "duration.in", "dtParse" -> ".zs)",
+      // round-8 point family
+      "pointLit" -> "point({", "pointProp" -> ".pt",
+      "distance" -> "distance(", "setLabel" -> " SET cp")
     val withCut = queries.count(_.stages.exists {
       case Model.SWith(_, _, _, _, sk, lm) => sk.isDefined || lm.isDefined
       case _ => false
