@@ -1479,11 +1479,24 @@ object NaiveEval {
       val keys = orderBy.map { case (a, asc) => (aliasIdx(a), asc) }
       // asc = nulls LAST, desc = nulls FIRST (Neo4j / engine semantics:
       // reverse of the null-greatest ascending order)
+      // ORDER BY totally orders even values that are NOT '<'-comparable:
+      // points sort by their struct encoding (crs, then x, then y) —
+      // the engine's Spark struct order (round-8 hunt 139560)
+      def orderOnlyCmp(a: Any, b: Any): Int = (a, b) match {
+        case (x: MPoint, y: MPoint) =>
+          val c = x.crs.compareTo(y.crs)
+          if (c != 0) c
+          else {
+            val cx = java.lang.Double.compare(x.x, y.x)
+            if (cx != 0) cx else java.lang.Double.compare(x.y, y.y)
+          }
+        case _ => 0
+      }
       def cmpNullGreatest(a: Any, b: Any): Int = (a, b) match {
         case (null, null) => 0
         case (null, _) => 1
         case (_, null) => -1
-        case _ => valueCmp(a, b).getOrElse(0)
+        case _ => valueCmp(a, b).getOrElse(orderOnlyCmp(a, b))
       }
       out = out.sortWith { (r1, r2) =>
         var i = 0
