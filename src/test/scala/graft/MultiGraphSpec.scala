@@ -167,6 +167,24 @@ class MultiGraphSpec extends AnyFunSuite {
     gs.cypherStatement("CATALOG DROP VIEW colA", Map.empty)
   }
 
+  test("escaped qualified graph names (QualifiedGraphNameAcceptance)") {
+    // backtick-escaped namespaces and graph names, incl. spaces and
+    // dots inside segments; CATALOG CREATE with an escaped target
+    val g = gs.createGraphFromCypher("CREATE (:A {k: 1}) CREATE (:A {k: 2})")
+    gs.register("my best graph", g)
+    gs.register("foo.bar.my graph", g)
+    def cnt(ref: String): Long = gs.cypherStatement(
+      s"FROM GRAPH $ref MATCH (n) RETURN count(n) AS cnt", Map.empty)
+      .collect().head.getLong(0)
+    assert(cnt("`my best graph`") == 2L)
+    assert(cnt("`foo.bar`.`my graph`") == 2L)
+    gs.cypherStatement("CATALOG CREATE GRAPH `snap shot` { " +
+      "FROM GRAPH `my best graph` RETURN GRAPH }", Map.empty)
+    assert(cnt("`snap shot`") == 2L)
+    gs.cypherStatement("CATALOG DROP GRAPH `snap shot`", Map.empty)
+    assert(!gs.graphNames.contains("snap shot"))
+  }
+
   test("FROM GRAPH $param reads the graph name from value parameters") {
     // MultipleGraphTests "can read graph via parameter"
     registered
