@@ -1992,8 +1992,12 @@ object DiffGen {
         1 -> genZdtPart(ctx),
         2 -> genDurBetween(ctx),
         (if (ctx.nodeVars.nonEmpty) 2 else 0) -> genPatCompSize(ctx))
+      // NOTE: no genDistance here — this pool feeds sum/avg arguments,
+      // and accumulating irrational doubles is fp-association-sensitive
+      // (engine partial aggregation vs the model's sequential fold —
+      // hunt 138026); point x/y stay (the pools are exact halves)
       case 'D' => List(3 -> genNumFnE(ctx, 'D'), 1 -> genMapIdx(ctx, 'D'),
-        1 -> genPointPart(ctx, 'D'), 1 -> genDistance(ctx))
+        1 -> genPointPart(ctx, 'D'))
       case 'E' => List(4 -> genDateArith(ctx))
       case 'Z' => Nil // CASE/coalesce below are the only 'Z' wrappers
       case 'G' => Nil // CASE/coalesce below are the only 'G' wrappers
@@ -2165,7 +2169,9 @@ object DiffGen {
         1 -> Gen.const('Z'))
       op <- if (fam == 'B') Gen.oneOf("=", "<>")
       else Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
-      l <- genRichVE(ctx, fam)
+      l <- if (fam == 'D')
+        Gen.frequency(7 -> genRichVE(ctx, 'D'), 3 -> genDistance(ctx))
+      else genRichVE(ctx, fam)
       r <- Gen.frequency(6 -> genValueVE(ctx, fam), 4 -> genLit(fam).map(LitE))
     } yield CmpE(op, l, r)
     // a tagged (mixed L+S) list element compared against either family —
@@ -2432,6 +2438,7 @@ object DiffGen {
       1 -> genRichVE(ctx, 'E'),
       1 -> genRichVE(ctx, 'Z'),
       1 -> genRichVE(ctx, 'G'),
+      1 -> genDistance(ctx),
       2 -> genArith(ctx),
       // raw deterministically-ordered list values (never bags)
       1 -> Gen.oneOf('M', 'T').flatMap(genListVE(ctx, _)),
