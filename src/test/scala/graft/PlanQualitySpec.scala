@@ -38,6 +38,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"filter not pushed:\n$plan")
   }
 
+  test("WHERE distance() filters below the expand join (round 8)") {
+    // a point-distance predicate over one pattern node is a
+    // deterministic scalar filter — Catalyst must keep it on the scan
+    // side of the join, not above it, so at scale the join sees only
+    // surviving rows
+    spark.catalog.clearCache()
+    val df = gs.cypher(g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE distance(point({x: c.c_acctbal, y: 0.0}),
+        |               point({x: 0.0, y: 0.0})) < 1000.0
+        |RETURN o.o_orderkey AS ok""".stripMargin)
+    val plan = planOf(df)
+    val joinAt = plan.indexOf("Join")
+    val sqrtAt = plan.indexOf("SQRT")
+    assert(joinAt >= 0 && sqrtAt >= 0,
+      s"expected a join and the distance filter in the plan:\n$plan")
+    // executedPlan prints operators top-down: the filter BELOW the join
+    // appears AFTER it in the string
+    assert(sqrtAt > joinAt,
+      s"distance filter did not stay below the join:\n$plan")
+  }
+
   test("anchored regex constant-folds to a literal RLIKE pattern") {
     // =~ anchors with concat('\A(?:', pattern, ')\z'); for literal patterns
     // Catalyst must fold the concat so the comparison stays a literal
