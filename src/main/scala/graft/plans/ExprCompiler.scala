@@ -2556,10 +2556,14 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case _ => c.cast(TimestampType)
         }
         val from = localOf(f.args.head, a0); val to = localOf(f.args(1), a(1))
-        val m = floor(months_between(to, from)).cast(IntegerType)
+        // components TRUNCATE toward zero (java.time until / Neo4j: all
+        // components share the difference's sign — round 8; floor()
+        // previously gave P-1DT23H59M58.75S shapes for small negative
+        // diffs), and the remainder keeps MICROSECOND precision
+        val m = months_between(to, from).cast(IntegerType)
         val anchor = timestamp_add("MONTH", m, from)
-        val localSecs = unix_timestamp(to) - unix_timestamp(anchor)
-        val days = floor(localSecs / 86400).cast(IntegerType)
+        val localMicros = unix_micros(to) - unix_micros(anchor)
+        val days = (localMicros / lit(86400000000L)).cast(IntegerType)
         val anchor2 = timestamp_add("DAY", days, anchor)
         // the anchor local resolves back to an instant with the FIRST
         // operand's offset preferred (non-zoned operands: local = instant)
@@ -2568,10 +2572,11 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             localToInstant(anchor2, zone1, a0.getField("off"))
           case _ => anchor2
         }
-        val secs = unix_timestamp(instOf(f.args(1), a(1))) -
-          unix_timestamp(anchorInst)
+        val micros = unix_micros(instOf(f.args(1), a(1))) -
+          unix_micros(anchorInst)
         make_interval(lit(0), m, lit(0), days, lit(0), lit(0),
-          secs.cast(DecimalType(18, 6)))
+          (micros.cast(DecimalType(27, 6)) / 1000000)
+            .cast(DecimalType(18, 6)))
       }
       case "duration.inmonths" | "duration.indays" | "duration.inseconds" =>
         // calendar units (months/days) read LOCAL clocks in the first
@@ -2589,22 +2594,25 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case st: StructType if isZonedDtStruct(st) => c.getField("@zdt")
           case _ => c.cast(TimestampType)
         }
+        // like duration.between: whole units TRUNCATE toward zero and
+        // inSeconds keeps microsecond precision (round 8)
         f.name.toLowerCase match {
           case "duration.inmonths" =>
             make_interval(lit(0),
-              floor(months_between(localOf(f.args(1), a(1)),
-                localOf(f.args.head, a0))).cast(IntegerType),
+              months_between(localOf(f.args(1), a(1)),
+                localOf(f.args.head, a0)).cast(IntegerType),
               lit(0), lit(0), lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
           case "duration.indays" =>
             make_interval(lit(0), lit(0), lit(0),
-              floor((unix_timestamp(localOf(f.args(1), a(1))) -
-                unix_timestamp(localOf(f.args.head, a0))) / 86400)
-                .cast(IntegerType),
+              ((unix_micros(localOf(f.args(1), a(1))) -
+                unix_micros(localOf(f.args.head, a0))) /
+                lit(86400000000L)).cast(IntegerType),
               lit(0), lit(0), lit(java.math.BigDecimal.ZERO))
           case _ =>
             make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
-              (unix_timestamp(instOf(f.args(1), a(1))) -
-                unix_timestamp(instOf(f.args.head, a0)))
+              ((unix_micros(instOf(f.args(1), a(1))) -
+                unix_micros(instOf(f.args.head, a0)))
+                .cast(DecimalType(27, 6)) / 1000000)
                 .cast(DecimalType(18, 6)))
         }
       // ---- point() / distance() (round 8; see the pointFields scaladoc)

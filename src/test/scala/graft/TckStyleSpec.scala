@@ -5096,7 +5096,24 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("r8 union of same-type points dedups component-wise", empty,
       "RETURN point({x: 1, y: 2}).x AS x UNION " +
         "RETURN point({x: 1.0, y: 2.0}).x AS x",
-      Seq(row("x" -> 1.0))))
+      Seq(row("x" -> 1.0))),
+    // --- round 8: duration.between sub-second precision + same-sign
+    // components (truncate toward zero, java.time/Neo4j)
+    Scenario("r8 duration.between keeps sub-second precision", empty,
+      "RETURN toString(duration.between(datetime('2024-01-01T00:00:00.5Z'), " +
+        "datetime('2024-01-01T00:00:01.75Z'))) AS d, " +
+        "toString(duration.inSeconds(datetime('2024-01-01T00:00:00.5Z'), " +
+        "datetime('2024-01-01T00:00:01.75Z'))) AS s",
+      Seq(row("d" -> "PT1.25S", "s" -> "PT1.25S"))),
+    Scenario("r8 negative duration.between components share the sign",
+      empty,
+      "RETURN toString(duration.between(datetime('2024-01-01T00:00:01.75Z'), " +
+        "datetime('2024-01-01T00:00:00.5Z'))) AS a, " +
+        "toString(duration.between(localdatetime('2024-03-15T12:00'), " +
+        "localdatetime('2024-01-10T06:30'))) AS b, " +
+        "toString(duration.inDays(date('2024-03-05'), date('2024-01-01'))) AS c",
+      Seq(row("a" -> "PT-1.25S", "b" -> "P-2M-5DT-5H-30M",
+        "c" -> "P-64D"))))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")

@@ -900,8 +900,10 @@ object NaiveEval {
           // zones local differences equal instant differences
           val s1 = java.lang.Math.floorDiv(i1, 1000000L)
           val s2 = java.lang.Math.floorDiv(i2, 1000000L)
+          // whole units TRUNCATE toward zero (round 8 — java.time/Neo4j
+          // same-sign components; Scala Long division truncates)
           fn match {
-            case "inDays" => java.lang.Math.floorDiv(s2 - s1, 86400L)
+            case "inDays" => (s2 - s1) / 86400L
             case "inSeconds" => s2 - s1
             case _ => // between: months on local clocks (Spark
               // months_between incl. its /31 fraction + 8-digit HALF_UP
@@ -910,11 +912,11 @@ object NaiveEval {
                 java.time.ZoneOffset.UTC)
               val to = java.time.LocalDateTime.ofEpochSecond(s2 + o1, 0,
                 java.time.ZoneOffset.UTC)
-              val m = math.floor(sparkMonthsBetween(to, from)).toLong
+              val m = sparkMonthsBetween(to, from).toLong
               val anchor = from.plusMonths(m)
               val remSec = to.toEpochSecond(java.time.ZoneOffset.UTC) -
                 anchor.toEpochSecond(java.time.ZoneOffset.UTC)
-              val days = java.lang.Math.floorDiv(remSec, 86400L)
+              val days = remSec / 86400L
               part match {
                 case "months" => m
                 case "days" => days
