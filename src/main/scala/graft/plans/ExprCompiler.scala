@@ -408,9 +408,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
     case Add(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
+      def isInstantA(t: DataType): Boolean = t == DateType ||
+        t == TimestampType || t == TimestampNTZType ||
+        isZonedDtStruct(t) || isLocalTimeStruct(t) || isZonedTimeStruct(t)
       (typeOf(l), typeOf(r)) match {
         case (StringType, _) | (_, StringType) =>
           concat(lc.cast(StringType), rc.cast(StringType))
+        // adding two temporal instants (or points) is meaningless —
+        // typed error instead of a raw Spark analysis failure (round 8)
+        case (tl, tr) if isInstantA(tl) && isInstantA(tr) =>
+          throw new IllegalArgumentException(
+            "temporal instants cannot be added — add a duration instead")
+        case (tl, tr) if isPointStruct(tl) || isPointStruct(tr) =>
+          throw new IllegalArgumentException(
+            "points do not support arithmetic — use distance(a, b)")
         case (_: ArrayType, _: ArrayType) => concat(lc, rc)
         // element append/prepend: a NULL operand nulls the whole result
         // (Cypher ternary logic; Spark's concat only propagates null for
@@ -455,7 +466,21 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       }
     case Sub(l, r) =>
       val (lc, rc) = (compile(l), compile(r))
+      def isInstant(t: DataType): Boolean = t == DateType ||
+        t == TimestampType || t == TimestampNTZType ||
+        isZonedDtStruct(t) || isLocalTimeStruct(t) || isZonedTimeStruct(t)
       (typeOf(l), typeOf(r)) match {
+        // temporal instants cannot be subtracted (Neo4j: use
+        // duration.between) — previously date - date silently produced
+        // a Spark day-time interval while zoned types crashed analysis
+        case (tl, tr) if isInstant(tl) && isInstant(tr) =>
+          throw new IllegalArgumentException(
+            "temporal instants cannot be subtracted — use " +
+              "duration.between(a, b) / duration.inDays / " +
+              "duration.inSeconds")
+        case (tl, tr) if isPointStruct(tl) || isPointStruct(tr) =>
+          throw new IllegalArgumentException(
+            "points do not support arithmetic — use distance(a, b)")
         // see Add: NullType ± temporal must stay null, not a cast error
         case (NullType, t) if t == CalendarIntervalType ||
           isIntervalType(t) || t == DateType || t == TimestampType ||

@@ -5113,7 +5113,20 @@ class TckStyleSpec extends AnyFunSuite {
         "localdatetime('2024-01-10T06:30'))) AS b, " +
         "toString(duration.inDays(date('2024-03-05'), date('2024-01-01'))) AS c",
       Seq(row("a" -> "PT-1.25S", "b" -> "P-2M-5DT-5H-30M",
-        "c" -> "P-64D"))))
+        "c" -> "P-64D"))),
+    Scenario("r8 subtracting temporal instants is a typed error", empty,
+      // Neo4j: instants cannot be subtracted; previously date - date
+      // silently produced a Spark interval while zoned types crashed
+      // analysis with a raw DATATYPE_MISMATCH
+      "RETURN date('2024-01-05') - date('2024-01-01') AS d",
+      Nil, expectError = Some("cannot be subtracted")),
+    Scenario("r8 adding temporal instants is a typed error", empty,
+      "RETURN datetime('2024-01-02T00:00Z') + " +
+        "datetime('2024-01-01T00:00Z') AS d",
+      Nil, expectError = Some("cannot be added")),
+    Scenario("r8 point arithmetic is a typed error", empty,
+      "RETURN point({x: 1, y: 2}) + point({x: 1, y: 2}) AS d",
+      Nil, expectError = Some("points do not support arithmetic")))
 
   private val blacklist: Map[String, String] = {
     val in = getClass.getResourceAsStream("/tck_blacklist.txt")
