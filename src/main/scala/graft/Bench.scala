@@ -26,6 +26,28 @@ object Bench {
     * or default-cpus changes */
   private val calibRefDefault = 0.60
 
+  /** idle-host reference for the FORKED pure-JVM host probe
+    * (HostProbeMain median seconds at 32 threads on an idle machine);
+    * override with SPARK_GRAFT_HOST_REF after hardware changes */
+  private val hostRefDefault = 0.62
+
+  /** Run HostProbeMain in a fresh forked JVM: host contention without
+    * this JVM's GC/code-cache state (round 9, VERDICT item 5). Returns
+    * None when forking fails — normalization then falls back to the
+    * in-bench Spark probe alone, as in round 8. */
+  private def forkHostProbe(threads: Int): Option[Double] = try {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val pb = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"), "graft.HostProbeMain",
+      threads.toString)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    p.waitFor()
+    "HOSTPROBE ([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+  } catch { case _: Throwable => None }
+
   /** per-query seconds from a previous BENCH_LOCAL.json ("queries" map),
     * for outlier re-runs — best-of-N still admits a contended triple.
     * Only comparable at the SAME scale factor. */
@@ -66,6 +88,9 @@ object Bench {
       catch { case _: Throwable => }
     }
     val nCpus = cpus.toInt
+    // host factor, sample 1 of 2: forked fresh-JVM probe (pure CPU, no
+    // Spark) — host contention isolated from this JVM's accumulated state
+    val hostStart = forkHostProbe(nCpus)
     // warm the probe's own codegen before its timings count
     calibProbe(spark, nCpus)
     val probes = scala.collection.mutable.ArrayBuffer(
@@ -138,9 +163,26 @@ object Bench {
     val calibRef = sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble)
       .getOrElse(calibRefDefault)
     val factor = math.max(1.0, probeMedian / calibRef)
-    val normalized = total / factor
+    // host factor, sample 2 of 2, then split the in-bench factor:
+    //   factor        = host contention × bench-JVM state   (Spark probe)
+    //   factor_host   = host contention alone               (forked probe)
+    //   factor_jvm    = factor / factor_host                (residual)
+    // Normalize with factor_host ONLY — JVM wear inflates the probe more
+    // than it inflates the (mostly shuffle/IO-bound) queries, which is
+    // why round 8's normalized total was a floor rather than an estimate.
+    val hostEnd = forkHostProbe(nCpus)
+    val hostSamples = Seq(hostStart, hostEnd).flatten
+    val hostRef = sys.env.get("SPARK_GRAFT_HOST_REF").map(_.toDouble)
+      .getOrElse(hostRefDefault)
+    val factorHost = hostSamples match {
+      case Nil => factor // fork failed: round-8 behavior
+      case s => math.max(1.0, (s.sum / s.size) / hostRef)
+    }
+    val factorJvm = math.max(1.0, factor / factorHost)
+    val normalized = total / factorHost
     val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
-    val calibJson = s"""{"probes":$probesJson,"median":${f"$probeMedian%.3f"},"ref":$calibRef,"factor":${f"$factor%.3f"},"reruns":$reruns}"""
+    val hostJson = hostSamples.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val calibJson = s"""{"probes":$probesJson,"median":${f"$probeMedian%.3f"},"ref":$calibRef,"factor":${f"$factor%.3f"},"host_probes":$hostJson,"host_ref":$hostRef,"factor_host":${f"$factorHost%.3f"},"factor_jvm":${f"$factorJvm%.3f"},"reruns":$reruns}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f"$normalized%.3f"},"calibration":$calibJson,"queries":$qs,"first_call":$firsts,"max":$maxes,"first_call_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
     // The full per-query map (~2 kB for 80+ queries) goes to the file

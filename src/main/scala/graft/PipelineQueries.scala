@@ -504,6 +504,21 @@ object PipelineQueries {
         .select(col("event_id").as("cid"), col("r_event_id").as("pid"))
         .orderBy("cid", "pid")
     }),
+    // grid-bucketed euclidean distance join: AUTOMOBILE×BUILDING customer
+    // points within radius 2 — no cartesian (9-cell neighbor equi-join)
+    "e7_distance_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") / 100.0).as("px"),
+          ((col("c_custkey") % 1000).cast("double") / 10.0).as("py"))
+      val a = c.where(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("ck"), col("px"), col("py"))
+      val b = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("ck"), col("px"), col("py"))
+      graft.operators.DistanceJoin.within(a, b, "px", "py", radius = 2.0)
+        .select(col("ck").as("aid"), col("r_ck").as("bid"))
+        .orderBy("aid", "bid")
+    }),
     // sessionization via window functions (30-minute inactivity gap)
     "e2_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -1236,6 +1251,17 @@ object PipelineQueries {
         |  ON l.user_id = r.user_id
         | AND abs(epoch_ns(l.ts) - epoch_ns(r.ts)) <= 1800000000000
         |ORDER BY cid, pid""".stripMargin,
+    "e7_distance_join" ->
+      """SELECT a.c_custkey AS aid, b.c_custkey AS bid
+        |FROM customer a, customer b
+        |WHERE a.c_mktsegment = 'AUTOMOBILE'
+        |  AND b.c_mktsegment = 'BUILDING'
+        |  AND ((a.c_acctbal/100.0 - b.c_acctbal/100.0)
+        |       * (a.c_acctbal/100.0 - b.c_acctbal/100.0)
+        |     + ((a.c_custkey % 1000)/10.0 - (b.c_custkey % 1000)/10.0)
+        |       * ((a.c_custkey % 1000)/10.0 - (b.c_custkey % 1000)/10.0))
+        |      < 4.0
+        |ORDER BY aid, bid""".stripMargin,
     "e2_sessions" ->
       """WITH g AS (
         |  SELECT user_id,

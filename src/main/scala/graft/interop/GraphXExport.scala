@@ -91,21 +91,40 @@ object GraphXExport {
     * route plumbing is lockable */
   @volatile private[graft] var lastBfsRoute: String = ""
 
-  /** Route: `graft.bfs.route` = "graphx" (default — Pregel ships only
-    * frontier deltas and wins on deep, high-fan-in graphs) or "sql"
-    * (fully DataFrame-native BFS, [[shortestPathLengthsDf]] — AQE
-    * re-plans each round, no RDD lineage, no GraphX dependency at
-    * runtime). Identical (id, landmark, dist) rows either way
-    * (PipelineSpec route parity lock). */
+  /** the engine the last call actually used: "sql" | "graphx" (differs
+    * from [[lastBfsRoute]] under measured auto-routing) */
+  @volatile private[graft] var lastBfsResolved: String = ""
+
+  /** Route: `graft.bfs.route` = "auto" (default, round 9 — starts the
+    * DataFrame-native frontier loop and escapes to Pregel if the frontier
+    * saturates: by round 2 it already covers more than `escapeFrac` of
+    * the edge-touching vertices, the high-fan-in regime where Pregel's
+    * co-partitioned delta shipping beats per-round Catalyst planning),
+    * "graphx" (force Pregel) or "sql" (force the fully DataFrame-native
+    * BFS, [[shortestPathLengthsDf]] — AQE re-plans each round, no RDD
+    * lineage, no GraphX dependency at runtime). Identical (id, landmark,
+    * dist) rows on every route (PipelineSpec parity locks). */
   def shortestPathLengths(graph: PropertyGraph, landmarks: Seq[Long],
       undirected: Boolean = false,
       relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
-    val route = graph.spark.conf.get("graft.bfs.route", "graphx")
+    val route = graph.spark.conf.get("graft.bfs.route", "auto")
     lastBfsRoute = route
-    if (route == "sql")
-      shortestPathLengthsDf(graph, landmarks, undirected, relTypes)
-    else
-      shortestPathLengthsGraphX(graph, landmarks, undirected, relTypes)
+    route match {
+      case "sql" =>
+        lastBfsResolved = "sql"
+        shortestPathLengthsDf(graph, landmarks, undirected, relTypes)
+      case "graphx" =>
+        lastBfsResolved = "graphx"
+        shortestPathLengthsGraphX(graph, landmarks, undirected, relTypes)
+      case _ =>
+        bfsDf(graph, landmarks, undirected, relTypes,
+            escapeDepth = 2, escapeFrac = 0.5) match {
+          case Some(df) => lastBfsResolved = "sql"; df
+          case None =>
+            lastBfsResolved = "graphx"
+            shortestPathLengthsGraphX(graph, landmarks, undirected, relTypes)
+        }
+    }
   }
 
   /** DataFrame-native BFS twin of [[shortestPathLengthsGraphX]]: a
@@ -120,7 +139,18 @@ object GraphXExport {
     * the whole frontier). */
   def shortestPathLengthsDf(graph: PropertyGraph, landmarks: Seq[Long],
       undirected: Boolean = false,
-      relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
+      relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame =
+    bfsDf(graph, landmarks, undirected, relTypes,
+      escapeDepth = 0, escapeFrac = 1.0).get
+
+  /** Frontier-loop body. With `escapeDepth > 0` (measured auto-routing),
+    * returns None when the frontier at depth ≤ `escapeDepth` already
+    * covers more than `escapeFrac` of the edge-touching vertices — the
+    * saturated-frontier regime Pregel handles better. */
+  private def bfsDf(graph: PropertyGraph, landmarks: Seq[Long],
+      undirected: Boolean, relTypes: Set[String],
+      escapeDepth: Int, escapeFrac: Double)
+      : Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val spark = graph.spark
@@ -141,6 +171,7 @@ object GraphXExport {
     // matching the Pregel result's vertex set
     val onEdges = edges.select(col("s").as("v"))
       .union(edges.select(col("d").as("v"))).distinct()
+    val nV = if (escapeDepth > 0) math.max(1L, onEdges.count()) else 1L
     var reached = landmarks.toDF("landmark")
       .join(onEdges, col("landmark") === col("v"))
       .select(col("landmark").as("id"), col("landmark"),
@@ -148,7 +179,13 @@ object GraphXExport {
       .localCheckpoint(true)
     var frontier = reached
     var depth = 0L
-    while (frontier.count() > 0) {
+    var frontierSize = frontier.count()
+    while (frontierSize > 0) {
+      if (depth > 0 && depth <= escapeDepth &&
+          frontierSize.toDouble / nV > escapeFrac) {
+        edges.unpersist()
+        return None
+      }
       depth += 1
       val next = edges
         .join(frontier.select(col("id").as("@d"), col("landmark")),
@@ -160,9 +197,10 @@ object GraphXExport {
         .localCheckpoint(true)
       reached = reached.union(next)
       frontier = next
+      frontierSize = frontier.count()
     }
     edges.unpersist()
-    reached
+    Some(reached)
   }
 
   def shortestPathLengthsGraphX(graph: PropertyGraph, landmarks: Seq[Long],

@@ -19,6 +19,9 @@ object Dedup {
   /** last component-labeling route chosen ("auto"/"sql"/"graphx") —
     * test-observable so route plumbing is lockable */
   @volatile private[graft] var lastCcRoute: String = ""
+  /** the engine the last call actually used: "unionfind" | "sql" |
+    * "graphx" (differs from [[lastCcRoute]] under measured auto-routing) */
+  @volatile private[graft] var lastCcResolved: String = ""
 
 
   /** Exact dedup: group identical keys, keep the minimum id as the
@@ -208,8 +211,10 @@ object Dedup {
     val chosen = if (route.nonEmpty) route
       else spark.conf.get("graft.cc.route", "auto")
     Dedup.lastCcRoute = chosen
-    if (chosen == "sql")
+    if (chosen == "sql") {
+      Dedup.lastCcResolved = "sql"
       return connectedComponentsSql(ids, idCol, pairs, aCol, bCol, maxIter)
+    }
     import spark.implicits._
     // materialize the (possibly expensive) pair list once, as narrow id
     // pairs — vertices and edges both read it
@@ -217,6 +222,7 @@ object Dedup {
       col(bCol).cast(LongType).as("b")).localCheckpoint(true)
     val paired: DataFrame = if (chosen != "graphx" &&
         e.count() <= singleTaskMax) {
+      Dedup.lastCcResolved = "unionfind"
       e.select(col("a").as("_1"), col("b").as("_2")).as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
@@ -237,25 +243,66 @@ object Dedup {
           // them cluster = id, which IS the component minimum
           parent.keys.toArray.iterator.map(k => (k, find(k)))
         }.toDF("id", "cluster")
+    } else if (chosen == "graphx") {
+      Dedup.lastCcResolved = "graphx"
+      ccGraphX(e, maxIter)
     } else {
+      // auto, past the single-task bound: MEASURED delta-fraction routing
+      // (round 9, VERDICT item 7). Start the DataFrame-native
+      // pointer-jumping loop (converges in O(log diameter) heavy rounds,
+      // each re-joining the FULL label frame). If after 2 rounds the
+      // still-changing fraction is SMALL but nonzero — a settled majority
+      // with a sparse active tail — those full-frame rounds are mostly
+      // wasted motion, exactly the regime where Pregel's delta shipping
+      // wins (it messages only changed vertices). Escape by SEEDING a
+      // min-propagation Pregel with the partial labels and running it
+      // uncapped: no progress is discarded and the fixpoint is exact
+      // regardless of remaining depth (an unseeded restart under a
+      // maxIter cap can return UNCONVERGED labels on deep chains — found
+      // by the round-9 regime test). A high changed fraction stays SQL:
+      // the full-frame joins are then useful work, and log-round
+      // doubling finishes deep chains in ~6 rounds where plain
+      // min-propagation needs diameter rounds.
       val vertices = e.select(col("a")).union(e.select(col("b")))
-        .distinct().rdd.map(r => (r.getLong(0), ()))
-      val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-      val g = XGraph(vertices, edges)
-      val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
-      // eagerly materialize BEFORE unpersisting — otherwise the Pregel
-      // result can be evicted and the whole fixpoint recomputed from
-      // lineage when the caller's join-back finally runs
-      val out = cc.vertices.map { case (id, c) => (id, c) }
-        .toDF("id", "cluster").localCheckpoint(true)
-      g.unpersist(blocking = false)
-      cc.unpersist(blocking = false)
-      out
+        .toDF("id").distinct()
+      val edges2 = e.select(col("a").as("s"), col("b").as("d"))
+        .union(e.select(col("b").as("s"), col("a").as("d")))
+        .localCheckpoint(true)
+      ccSqlLoop(vertices, edges2, maxIter,
+          escapeRounds = 2, escapeFrac = 0.10) match {
+        case Right(labels) =>
+          Dedup.lastCcResolved = "sql"
+          edges2.unpersist(); labels
+        case Left(partial) =>
+          Dedup.lastCcResolved = "graphx"
+          edges2.unpersist(); ccGraphXSeeded(e, partial)
+      }
     }
     ids.select(col(idCol).cast(LongType).as("id"))
       .join(paired, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
       .localCheckpoint(true)
+  }
+
+  /** GraphX Pregel route body, shared by the explicit and measured-auto
+    * paths. `e` is the materialized narrow (a, b) pair frame. */
+  private def ccGraphX(e: DataFrame, maxIter: Int): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val spark = e.sparkSession
+    import spark.implicits._
+    val vertices = e.select(col("a")).union(e.select(col("b")))
+      .distinct().rdd.map(r => (r.getLong(0), ()))
+    val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = XGraph(vertices, edges)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g, maxIter)
+    // eagerly materialize BEFORE unpersisting — otherwise the Pregel
+    // result can be evicted and the whole fixpoint recomputed from
+    // lineage when the caller's join-back finally runs
+    val out = cc.vertices.map { case (id, c) => (id, c) }
+      .toDF("id", "cluster").localCheckpoint(true)
+    g.unpersist(blocking = false)
+    cc.unpersist(blocking = false)
+    out
   }
 
   /** Quality-aware dedup winner election: near-dup pairs → connected
@@ -292,9 +339,26 @@ object Dedup {
       .union(pairs.select(col(bCol).cast(LongType).as("s"),
         col(aCol).cast(LongType).as("d")))
       .localCheckpoint(true)
-    var labels = ids.select(col(idCol).cast(LongType).as("id"))
-      .withColumn("cluster", col("id"))
+    val out = ccSqlLoop(ids.select(col(idCol).cast(LongType).as("id")),
+      edges, maxIter, escapeRounds = 0, escapeFrac = 0.0)
+      .fold(identity, identity)
+    edges.unpersist()
+    out
+  }
+
+  /** Pointer-jumping min-label fixpoint over (vertices, bidirectional
+    * edges). With `escapeRounds > 0` (the measured-auto route) the first
+    * `escapeRounds` rounds count changed labels exactly; if at round
+    * `escapeRounds` the loop has NOT converged but the changed fraction
+    * has dropped below `escapeFrac` (sparse active tail), returns
+    * Left(partial labels) — the caller seeds Pregel with them. Returns
+    * Right(id, cluster) on convergence. */
+  private def ccSqlLoop(vertices: DataFrame, edges: DataFrame, maxIter: Int,
+      escapeRounds: Int, escapeFrac: Double)
+      : Either[DataFrame, DataFrame] = {
+    var labels = vertices.withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    val nV = if (escapeRounds > 0) math.max(1L, labels.count()) else 1L
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -317,14 +381,46 @@ object Dedup {
           least(col("cluster"), coalesce(col("ccluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      val changed = updated.where(col("cluster") =!= col("old")).limit(1).count()
+      iter += 1
+      val measuring = iter <= escapeRounds
+      val changed =
+        if (measuring) updated.where(col("cluster") =!= col("old")).count()
+        else updated.where(col("cluster") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = updated
       converged = changed == 0L
-      iter += 1
+      if (!converged && iter == escapeRounds &&
+          changed.toDouble / nV < escapeFrac)
+        return Left(labels.select("id", "cluster"))
     }
-    edges.unpersist()
-    labels.select("id", "cluster")
+    Right(labels.select("id", "cluster"))
+  }
+
+  /** Min-propagation Pregel SEEDED with partial labels from the SQL
+    * loop's measured-auto escape — no restart, no iteration cap, so the
+    * fixpoint is exact however deep the remaining tail is. Pregel
+    * messages only vertices whose label still shrinks: the sparse active
+    * tail costs messages proportional to the tail, not the corpus. */
+  private def ccGraphXSeeded(e: DataFrame, seed: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val spark = e.sparkSession
+    import spark.implicits._
+    val vertices = seed.select(col("id"), col("cluster")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = XGraph(vertices, edges, Long.MaxValue)
+    val cc = g.pregel(Long.MaxValue)(
+      (_, attr, msg) => math.min(attr, msg),
+      t =>
+        if (t.srcAttr < t.dstAttr) Iterator((t.dstId, t.srcAttr))
+        else if (t.dstAttr < t.srcAttr) Iterator((t.srcId, t.dstAttr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    val out = cc.vertices.map { case (id, c) => (id, c) }
+      .toDF("id", "cluster").localCheckpoint(true)
+    g.unpersist(blocking = false)
+    cc.unpersist(blocking = false)
+    out
   }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):

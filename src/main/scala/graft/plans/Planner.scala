@@ -378,10 +378,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
   /** CLONE = dedup-by-id carry-over of matched entities; NEW = one fresh
     * element per driving row (bound endpoint vars are implicit clones); ON =
     * union in whole catalog graphs. Fresh ids live in the negative Long
-    * space — `-((k+1) << 56) - monotonically_increasing_id()` — disjoint
-    * from any source id-space tag (positive) and from each other; valid up
-    * to 2^23 partitions (reference generates partition-offset ids the same
-    * way, MorpheusFunctions.scala partitioned_id_assignment).
+    * space — `-1 - (xxhash64(salt, rowKey, rowSeq) >>> 1)` — disjoint from
+    * any source id-space tag (positive), and a pure function of the
+    * driving ROW so every derived table computes identical ids with no
+    * materialization barrier (the reference generates partition-offset
+    * ids instead, MorpheusFunctions.scala partitioned_id_assignment —
+    * those are NOT stable across re-evaluation, which is exactly hunt
+    * 112827).
     */
   private def buildGraph(state0: PState, c: ConstructClause): PropertyGraph = {
     // CLONE src AS alias: the alias names src's binding inside this
@@ -527,21 +530,57 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       .empty[String, (String, Set[String], Map[String, String])]
 
     var mintedFreshIds = false
+    // Deterministic fresh ids (round 9; removes the hunt-112827
+    // materialize-once barrier): every derived node/rel table re-evaluates
+    // the driving frame in its own Spark job, so fresh ids must be a pure
+    // function of the ROW, never of partition layout or fetch order
+    // (monotonically_increasing_id was neither). Scheme:
+    //   rowKey = xxhash64(base columns)   (map-typed cols via to_json)
+    //   rowSeq = row_number within the rowKey group — disambiguates
+    //            byte-identical driving rows (UNWIND [1,1] AS x must NEW
+    //            two nodes); which physical duplicate gets which seq is
+    //            unobservable, so the derived-table MULTISET is stable.
+    //            Ties are ordered by a second independent hash so two
+    //            DISTINCT rows colliding in the 64-bit key cannot swap
+    //            seqs between jobs (joint collision ~2^-95).
+    //   id     = -1 - (xxhash64(salt, rowKey, rowSeq) >>> 1)
+    // Ids are negative (disjoint from every positive source id space);
+    // the SESSION-global salt makes ids from different constructs —
+    // including nested/derived-view constructs whose input graph already
+    // carries fresh ids (the r8 CatalogDDLTests 42-node case) — distinct
+    // w.h.p. (63-bit birthday). Cost: one hash shuffle of the driving
+    // frame, instead of checkpointing the whole frame at 100 TB.
+    val baseCols = state.df.columns.toSeq
+    def hashSafe(cn: String): Column = {
+      def hasMap(t: DataType): Boolean = t match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      if (hasMap(state.df.schema(cn).dataType)) to_json(col(s"`$cn`"))
+      else col(s"`$cn`")
+    }
+    var rowKeySeq: Option[(String, String)] = None
+    def ensureRowKey(): (String, String) = rowKeySeq.getOrElse {
+      val kCol = fresh("@rowkey")
+      val sCol = fresh("@rowseq")
+      val keys = baseCols.map(hashSafe)
+      df = df.withColumn(kCol,
+        if (keys.isEmpty) lit(42L) else xxhash64(keys: _*))
+      val tie = if (keys.isEmpty) lit(0) else hash(keys: _*)
+      val w = Window.partitionBy(col(s"`$kCol`")).orderBy(tie)
+      df = df.withColumn(sCol, (row_number().over(w) - 1).cast(LongType))
+      rowKeySeq = Some((kCol, sCol))
+      (kCol, sCol)
+    }
     def freshIdCol(prefix: String): String = {
       mintedFreshIds = true
+      val (kCol, sCol) = ensureRowKey()
+      val salt = Planner.freshIdTag.getAndIncrement()
       val cName = fresh(s"new_${prefix}_id")
-      // SESSION-global tag, not per-construct: a construct whose input
-      // graph already carries fresh (negative) ids from an EARLIER
-      // construct — nested views, consecutive construction — must mint
-      // ids disjoint from those too (round-8 find: the reference's
-      // CatalogDDLTests nested-view case got 40 ≠ 42 nodes because two
-      // constructs both started at tag 1 and their copies collided in
-      // the clone-dedup). The 7-bit tag wraps at 127: two graphs only
-      // collide when BOTH sit 127 construct-columns apart in one
-      // lineage, far beyond any real query chain.
-      val k = Planner.freshIdTag.getAndIncrement() % 127
-      df = df.withColumn(cName,
-        lit(-((k + 1).toLong << 56)) - monotonically_increasing_id())
+      df = df.withColumn(cName, lit(-1L) - shiftrightunsigned(
+        xxhash64(lit(salt.toLong), col(s"`$kCol`"), col(s"`$sCol`")), 1))
       cName
     }
 
@@ -674,24 +713,24 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           case _ => (prevIdCol, dstIdCol)
         }
         val propSel = relProps.toSeq.sortBy(_._1)
-        // table derivation is DEFERRED until df is materialized below —
-        // deriving here would capture a pre-checkpoint plan
+        // table derivation is DEFERRED until the frame is final below —
+        // deriving here would capture a pre-barrier plan when the
+        // nondeterministic-input checkpoint applies
         newRelSpecs += ((rel.types.head, relIdCol, srcC, dstC, propSel))
         prevIdCol = dstIdCol
         }
       }
     }
 
-    // Fresh ids come from monotonically_increasing_id, whose values
-    // depend on partition layout and within-partition row order — NOT
-    // stable across the SEPARATE jobs that evaluate each derived
-    // node/rel table (hunt 112827: the copy-node table and the NEW-rel
-    // table disagreed on the copies' ids after a var-length driving
-    // match, so the constructed rels dangled). Materialize the driving
-    // frame ONCE and derive every table from the materialized rows;
-    // reliable-checkpoint when graft.checkpoint.dir is set, like the
-    // frontier loop.
-    if (mintedFreshIds) df = Planner.checkpointFrontier(df)
+    // Fresh ids are a pure function of the row (hash scheme above), so
+    // derived tables agree with no barrier — EXCEPT when the driving
+    // frame itself contains a nondeterministic expression (rand(),
+    // randomUUID()): re-evaluation then changes the hashed row content,
+    // so materialize once (hunt-112827 discipline) for that rare case.
+    if (mintedFreshIds && {
+      val analyzed = state.df.queryExecution.analyzed
+      analyzed.exists(_.expressions.exists(_.exists(!_.deterministic)))
+    }) df = Planner.checkpointFrontier(df)
     newRelSpecs.foreach { case (tpe, relIdCol, srcC, dstC, propSel) =>
       relTables += graft.graph.RelTable(tpe,
         df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))

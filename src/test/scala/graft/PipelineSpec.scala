@@ -283,6 +283,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lastCcRoute === "sql")
   }
 
+  test("measured auto-routing: busy fixpoints stay SQL, sparse active " +
+      "tails escape to seeded Pregel (round 9)") {
+    // regime 1 — one deep chain: MOST labels still change at round 2, so
+    // the full-frame pointer-jumping rounds are useful work and the loop
+    // stays SQL — which also converges in O(log 64) rounds where plain
+    // min-propagation Pregel under the default maxIter=25 cap would
+    // return UNCONVERGED labels (the bug the first version of this test
+    // caught). singleTaskMax = 0 forces past union-find.
+    val n = 64L
+    val chainNodes = (1L to n).toDF("id")
+    val chainPairs = (1L until n).map(i => (i, i + 1L)).toDF("a", "b")
+    val chainCc = Dedup.connectedComponents(chainNodes, "id", chainPairs,
+        "a", "b", singleTaskMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(i => chainCc(i) == 1L), s"wrong fixpoint: $chainCc")
+    assert(Dedup.lastCcResolved === "sql",
+      s"busy fixpoint should stay SQL, got ${Dedup.lastCcResolved}")
+    // regime 2 — a settled majority (150 star components, done after
+    // round 1) plus one sparse deep tail (a 50-chain): at round 2 under
+    // 10% of vertices still change → escape; Pregel is SEEDED with the
+    // partial labels and runs uncapped, so the deep tail still reaches
+    // the exact fixpoint.
+    val starPairs = (0 until 150).flatMap { i =>
+      val c = 1000L + 10L * i
+      (1L to 4L).map(k => (c, c + k))
+    }
+    val tailPairs = (1L until 50L).map(i => (i, i + 1L))
+    val mixedPairs = (starPairs ++ tailPairs).toDF("a", "b")
+    val mixedNodes = mixedPairs.select(col("a").as("id"))
+      .union(mixedPairs.select(col("b").as("id"))).distinct()
+    val mixedCc = Dedup.connectedComponents(mixedNodes, "id", mixedPairs,
+        "a", "b", singleTaskMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastCcResolved === "graphx",
+      s"sparse tail should escape to seeded Pregel, got ${Dedup.lastCcResolved}")
+    assert((1L to 50L).forall(i => mixedCc(i) == 1L),
+      "seeded Pregel left the deep tail unconverged")
+    assert((0 until 150).forall { i =>
+      val c = 1000L + 10L * i
+      (0L to 4L).forall(k => mixedCc(c + k) == c)
+    }, "star components mislabeled")
+    // small default: single-task union-find
+    Dedup.connectedComponents(chainNodes, "id", chainPairs, "a", "b").count()
+    assert(Dedup.lastCcResolved === "unionfind")
+  }
+
+  test("measured BFS auto-routing: sparse frontier stays SQL, saturated " +
+      "frontier escapes to Pregel (round 9)") {
+    import graft.graph.{NodeTable, PropertyGraph, RelTable}
+    def graphOf(es: Seq[(Long, Long, Long)], vmax: Long) = new PropertyGraph(
+      Seq(NodeTable(Set("V"), (1L to vmax).toDF("id"), "id", Map.empty)),
+      Seq(RelTable("E", es.toDF("rid", "src", "dst"),
+        "rid", "src", "dst", Map.empty)), spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // chain toward the landmark: frontier is 1 vertex per round → SQL
+    val chain = graphOf((1L until 8L).map(i => (100L + i, i, i + 1L)), 8L)
+    val viaAuto = rows(graft.interop.GraphXExport
+      .shortestPathLengths(chain, Seq(8L)))
+    assert(graft.interop.GraphXExport.lastBfsRoute === "auto")
+    assert(graft.interop.GraphXExport.lastBfsResolved === "sql",
+      s"sparse frontier should stay SQL, got " +
+        graft.interop.GraphXExport.lastBfsResolved)
+    assert(viaAuto === rows(graft.interop.GraphXExport
+      .shortestPathLengthsGraphX(chain, Seq(8L))))
+    // star into the landmark: depth-1 frontier covers ~all vertices →
+    // escapes to Pregel; identical rows
+    val star = graphOf((2L to 40L).map(i => (200L + i, i, 1L)), 40L)
+    val viaAuto2 = rows(graft.interop.GraphXExport
+      .shortestPathLengths(star, Seq(1L)))
+    assert(graft.interop.GraphXExport.lastBfsResolved === "graphx",
+      s"saturated frontier should escape, got " +
+        graft.interop.GraphXExport.lastBfsResolved)
+    assert(viaAuto2 === rows(graft.interop.GraphXExport
+      .shortestPathLengthsDf(star, Seq(1L))))
+  }
+
   test("p18 and p22 gates are green through BOTH engine routes (round 8)") {
     // the actual driver-gate functions, run once per route — identical
     // output rows either way
