@@ -250,6 +250,9 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             .otherwise(pred)
         case _ => lit(false)
       }
+      // label predicate over a null value is null, not false (reference
+      // NullTests "null:FOO"; same rule as the bound-var branch above)
+      case e if typeOf(e) == NullType => lit(null).cast(BooleanType)
       case _ => lit(false)
     }
 
@@ -2085,8 +2088,12 @@ class ExprCompiler(header: Header, params: Map[String, Any],
       case "atan" => atan(a0)
       case "atan2" => atan2(a0, a(1))
       case "haversin" => (lit(1.0) - cos(a0)) / 2
-      case "degrees" => degrees(a0)
-      case "radians" => radians(a0)
+      // java.lang.Math.toDegrees/toRadians operation ORDER — (x·180)/π
+      // and (x/180)·π — not Spark's precomputed-constant multiply, whose
+      // last bit differs (reference FunctionTests: degrees(3.14159) =
+      // 179.99984796050427, the Math.toDegrees value)
+      case "degrees" => a0.cast(DoubleType) * lit(180.0) / lit(math.Pi)
+      case "radians" => a0.cast(DoubleType) / lit(180.0) * lit(math.Pi)
       case "e" => lit(math.E)
       case "pi" => lit(math.Pi)
       case "rand" => rand()
@@ -2194,9 +2201,13 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         }
         val step = if (f.args.size > 2) a(2) else lit(1L)
         // Cypher: an empty range (start past stop for the step's sign) is
-        // [], where Spark's sequence() raises; step 0 raises in Neo4j
-        when(step === 0, raise_error(
-          lit("range(): step must not be zero")).cast(ArrayType(LongType)))
+        // [], where Spark's sequence() raises; step 0 raises in Neo4j;
+        // any null argument yields null (reference NullTests
+        // "range(null, null)"), not []
+        when(a0.isNull || a(1).isNull || step.isNull,
+          lit(null).cast(ArrayType(LongType)))
+          .when(step === 0, raise_error(
+            lit("range(): step must not be zero")).cast(ArrayType(LongType)))
           .when((step > 0 && a0 <= a(1)) || (step < 0 && a0 >= a(1)),
             sequence(a0, a(1), step))
           .otherwise(array().cast(ArrayType(LongType)))
@@ -2266,10 +2277,20 @@ class ExprCompiler(header: Header, params: Map[String, Any],
             if (entries.isEmpty) array()
             else filter(array(entries: _*), x => x.isNotNull)
           when(col(s"`$idc`").isNull, lit(null)).otherwise(arr)
-        // keys of a map/struct value
+        // keys of a map/struct value: INSERTION order (reference
+        // FunctionTests "works with literal maps2" — name, age, address;
+        // entity keys above stay sorted), and entries whose value is
+        // null are absent (reference CypherMap drops null values —
+        // "works with null keys in maps": {key: null} → [])
         case e => typeOf(e) match {
-          case s: StructType => array(s.fieldNames.sorted.map(lit): _*)
-          case _: MapType => array_sort(map_keys(a0))
+          case s: StructType =>
+            if (s.fields.isEmpty) array().cast(ArrayType(StringType))
+            else when(a0.isNull, lit(null).cast(ArrayType(StringType)))
+              .otherwise(filter(array(s.fieldNames.map(k =>
+                when(a0.getField(k).isNotNull, lit(k))): _*),
+                x => x.isNotNull))
+          case _: MapType =>
+            map_keys(map_filter(a0, (_, v) => v.isNotNull))
           case other => throw new IllegalArgumentException(
             s"keys() expects an entity or map, got $other")
         }

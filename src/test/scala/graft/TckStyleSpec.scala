@@ -464,7 +464,9 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("fn-mod-pow", empty,
       "RETURN 7 % 3 AS m, 2 ^ 10 AS p", Seq(row("m" -> 1, "p" -> 1024.0))),
     Scenario("fn-keys-of-map", empty,
-      "RETURN keys({b: 1, a: 2}) AS ks", Seq(row("ks" -> List("a", "b")))),
+      // INSERTION order, not sorted (reference FunctionTests "works with
+      // literal maps2"; r9 flip — entity keys stay sorted)
+      "RETURN keys({b: 1, a: 2}) AS ks", Seq(row("ks" -> List("b", "a")))),
     Scenario("fn-element-identities", social,
       """MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b {name: 'Bob'})
         |RETURN id(a) <> id(b) AS diff, startNode(r) = id(a) AS s,
@@ -4596,9 +4598,12 @@ class TckStyleSpec extends AnyFunSuite {
     Scenario("r7 simple CASE null subject never matches (null = null is null)",
       empty, "RETURN CASE null WHEN null THEN 'y' ELSE 'n' END AS c",
       Seq(row("c" -> "n"))),
-    Scenario("r7 keys() of a map literal is sorted", empty,
+    Scenario("r7 keys() of a map literal keeps insertion order", empty,
+      // r9 flip: the reference's FunctionTests pin INSERTION order for
+      // map keys ({name, age, address} → that order); only entity keys
+      // are sorted
       "RETURN keys({b: 1, a: 2}) AS k",
-      Seq(row("k" -> List("a", "b")))),
+      Seq(row("k" -> List("b", "a")))),
     Scenario("r7 split keeps interior empty strings", empty,
       "RETURN split('a,b,,c', ',') AS s",
       Seq(row("s" -> List("a", "b", "", "c")))),
@@ -5139,10 +5144,43 @@ class TckStyleSpec extends AnyFunSuite {
       }.toMap
   }
 
+  /** Round 9 (VERDICT item 2): the last two unmined reference acceptance
+    * suites, ported case-for-case — NullTests.scala (83 cases) and
+    * FunctionTests.scala (≈110 engine-relevant cases; id-encoding and
+    * "point is unimplemented" negatives excluded). The case tables live
+    * in R9Probe4Main (the probe that found the round's five real
+    * divergences: null:FOO, range(null,…), degrees fp order, map-key
+    * insertion order, null-valued map entries in keys()). Two KEPT
+    * divergences are locked at openCypher/Neo4j behavior instead and
+    * documented in README: sum(all-null) = 0 and tail([]) = []. */
+  private def r9RefSuites: Seq[Scenario] = {
+    val nullCalls = R9Probe4Main.nullToNull.map(c =>
+      Scenario(s"r9 NullTests: $c", empty, s"RETURN $c AS res",
+        Seq(row("res" -> null))))
+    val valueCalls = R9Probe4Main.nullToValue.map { case (c, e) =>
+      Scenario(s"r9 NullTests value: $c", empty, s"RETURN $c AS res",
+        Seq(row("res" -> e)))
+    }
+    val fns = R9Probe4Main.fnCases.map { case (c, e) =>
+      Scenario(s"r9 FunctionTests: $c", empty, s"RETURN $c AS res",
+        Seq(row("res" -> e)))
+    }
+    val queries = R9Probe4Main.queryCases
+      .filterNot(_._1 == "keys literal map").map { case (n, f, q, exp) =>
+        val outCol = if (q.contains("AS trimmed")) "trimmed" else "res"
+        Scenario(s"r9 FunctionTests: $n", f, q, exp.map(v => row(outCol -> v)))
+      }
+    val keysTwoCols = Scenario("r9 FunctionTests: keys literal map", empty,
+      "WITH {person: {name: 'Anne', age: 25}} AS p " +
+        "RETURN keys(p) AS k1, keys(p['person']) AS k2",
+      Seq(row("k1" -> List("person"), "k2" -> List("name", "age"))))
+    nullCalls ++ valueCalls ++ fns ++ queries :+ keysTwoCols
+  }
+
   test("scenario corpus is large enough to be meaningful") {
     val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
       probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6 ++
-      r7Examples ++ r7Locks ++ r8Locks
+      r7Examples ++ r7Locks ++ r8Locks ++ r9RefSuites
     assert(all.size >= 100, s"only ${all.size} scenarios")
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate scenario names: $dupes")
@@ -5153,7 +5191,7 @@ class TckStyleSpec extends AnyFunSuite {
 
   (scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
     probeBatch37 ++ probeBatch38 ++ probeBatch39 ++ probeBatch40 ++ diffBatch5 ++ diffBatch6 ++
-    r7Examples ++ r7Locks ++ r8Locks).foreach { sc =>
+    r7Examples ++ r7Locks ++ r8Locks ++ r9RefSuites).foreach { sc =>
     blacklist.get(sc.name) match {
       case Some(reason) =>
         ignore(s"[tck] ${sc.name} (blacklisted: $reason)") { check(sc) }

@@ -1232,6 +1232,13 @@ object NaiveEval {
         data.map(r => cols.map(_._1).zip(r).toMap)
       case None => List(Map.empty)
     }
+    // fresh-id counters span ALL construct stages of the query: ids
+    // minted by consecutive constructs must be disjoint (the engine's
+    // session-global salt guarantee; round-9 consecutive-construct
+    // grammar would otherwise collide a construct-2 copy with a cloned
+    // construct-1 copy at the same counter value)
+    var freshRelId = 10000000L
+    var freshNodeId = -10000000L
     q.stages.foreach {
       case sc: SConstruct =>
         // constructed graph: distinct cloned nodes + distinct cloned rels
@@ -1243,8 +1250,6 @@ object NaiveEval {
         val nodesB =
           scala.collection.mutable.LinkedHashMap.empty[Long, MNode]
         val relsB = scala.collection.mutable.LinkedHashMap.empty[Long, MRel]
-        var freshRelId = 10000000L
-        var freshNodeId = -10000000L
         rows.foreach { r =>
           sc.cloneNodes.foreach { v => r.get(v) match {
             case Some(n: MNode) => nodesB(n.id) = n
@@ -2203,7 +2208,7 @@ object DiffGen {
 
   // one MATCH clause; returns clause + updated ctx + next fresh id
   private def genMatch(ctx0: Ctx, optional: Boolean,
-      freshId: Int): Gen[(MatchC, Ctx, Int)] = {
+      freshId: Int, vlProb: Double = 0.18): Gen[(MatchC, Ctx, Int)] = {
     var fid = freshId
     def freshNode: String = { val v = s"n$fid"; fid += 1; v }
     def freshRel: String = { val v = s"r$fid"; fid += 1; v }
@@ -2234,7 +2239,7 @@ object DiffGen {
                 6 -> Gen.oneOf(relTypes).map(Some(_)))
               dir <- Gen.frequency(5 -> Gen.const(Out: Dir),
                 3 -> Gen.const(In: Dir), 2 -> Gen.const(Und: Dir))
-              isVl <- Gen.prob(0.18)
+              isVl <- Gen.prob(vlProb)
               vl <- if (!isVl) Gen.const(None)
               else for {
                 lo <- Gen.frequency(1 -> Gen.const(0), 2 -> Gen.const(1),
@@ -2574,14 +2579,12 @@ object DiffGen {
       }
     }
 
-  /** MATCH → CONSTRUCT CLONE → MATCH-over-the-constructed-graph → RETURN:
-    * the multi-graph block form (reference consecutive construction)
-    */
-  private def genConstructQuery: Gen[Query] = for {
-    m1 <- genMatch(emptyCtx, optional = false, 0)
-    w1 <- Gen.prob(0.4)
-    where1 <- genBE(m1._2, 1)
-    pickRels <- Gen.someOf(clonableHops(m1._1))
+  /** One CONSTRUCT block over a bound match: CLONEs, COPY OF, NEW edges,
+    * SET labels — shared by the single and CONSECUTIVE construct shapes.
+    * `cpVar` names the COPY target uniquely per block. */
+  private def genConstructStage(mc: MatchC, cpVar: String)
+      : Gen[SConstruct] = for {
+    pickRels <- Gen.someOf(clonableHops(mc))
     extraNode <- Gen.prob(0.5)
     wantNew <- Gen.prob(0.4)
     newTyp <- Gen.oneOf("X", "Y")
@@ -2594,21 +2597,16 @@ object DiffGen {
     relAsNew <- Gen.prob(0.35)
     wantSetLbl <- Gen.prob(0.3)
     setLbl <- Gen.oneOf("B", "C")
-    m2 <- genMatch(emptyCtx, optional = false, 300)
-    w2 <- Gen.prob(0.5)
-    where2 <- genBE(m2._2, 1)
-    ret <- genRet(m2._2)
   } yield {
-    val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
     val rels = pickRels.toList
     val nodes0 =
-      if (extraNode || rels.isEmpty) List(m1._1.chains.head.first.v) else Nil
+      if (extraNode || rels.isEmpty) List(mc.chains.head.first.v) else Nil
     // COPY OF a matched node var (round 7): fresh-id per-row copy
     val copySources = (nodes0 ++ rels.flatMap { case (_, s, d) =>
       List(s, d) }).distinct
     val copies =
       if (wantCopy && copySources.nonEmpty)
-        List(("cp0", copySources(cpIdx % copySources.size)))
+        List((cpVar, copySources(cpIdx % copySources.size)))
       else Nil
     // NEW edges draw endpoints from the CLONED node set or a COPY target
     // (the engine materializes implicit property-less endpoints otherwise)
@@ -2618,18 +2616,48 @@ object DiffGen {
         List((avail(si % avail.size), newTyp, avail(di % avail.size),
           if (hasW) Some(wv) else None))
       else Nil
-    val mc2 = m2._1.copy(where = if (w2) Some(where2) else None)
     val copyLbls =
       if (wantSetLbl && copies.nonEmpty) List((copies.head._1, setLbl))
       else Nil
-    Query(List(SMatch(mc1),
-      SConstruct(nodes0, rels, newRels, copies, relAsNew && rels.nonEmpty,
-        copyLbls),
-      SMatch(mc2)), ret)
+    SConstruct(nodes0, rels, newRels, copies, relAsNew && rels.nonEmpty,
+      copyLbls)
+  }
+
+  /** MATCH → CONSTRUCT CLONE → MATCH-over-the-constructed-graph → RETURN:
+    * the multi-graph block form (reference consecutive construction).
+    * Round 9 extensions (VERDICT item 4): the driving match leans on
+    * var-length hops (the exact hunt-112827 shape — fresh ids minted
+    * after a var-length frontier); with prob 0.35 a SECOND construct
+    * follows the middle match (nested/consecutive construction, where
+    * cross-construct fresh-id namespaces must stay disjoint — the r8
+    * CatalogDDLTests 42-node family). */
+  private def genConstructQuery: Gen[Query] = for {
+    m1 <- genMatch(emptyCtx, optional = false, 0, vlProb = 0.45)
+    w1 <- Gen.prob(0.4)
+    where1 <- genBE(m1._2, 1)
+    c1 <- genConstructStage(m1._1, "cp0")
+    m2 <- genMatch(emptyCtx, optional = false, 300)
+    w2 <- Gen.prob(0.5)
+    where2 <- genBE(m2._2, 1)
+    wantSecond <- Gen.prob(0.35)
+    c2 <- genConstructStage(m2._1, "cp1")
+    m3 <- genMatch(emptyCtx, optional = false, 600)
+    w3 <- Gen.prob(0.5)
+    where3 <- genBE(m3._2, 1)
+    retTail <- genRet(if (wantSecond) m3._2 else m2._2)
+  } yield {
+    val mc1 = m1._1.copy(where = if (w1) Some(where1) else None)
+    val mc2 = m2._1.copy(where = if (w2) Some(where2) else None)
+    if (!wantSecond)
+      Query(List(SMatch(mc1), c1, SMatch(mc2)), retTail)
+    else {
+      val mc3 = m3._1.copy(where = if (w3) Some(where3) else None)
+      Query(List(SMatch(mc1), c1, SMatch(mc2), c2, SMatch(mc3)), retTail)
+    }
   }
 
   def genQuery: Gen[Query] = Gen.frequency(
-    9 -> genRegularQuery, 1 -> genConstructQuery)
+    8 -> genRegularQuery, 2 -> genConstructQuery)
 
   private def genRegularQuery: Gen[Query] = for {
     // driving-table correlation (round 7): pre-bound value columns the

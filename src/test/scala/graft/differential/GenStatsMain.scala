@@ -73,6 +73,17 @@ object GenStatsMain {
     val caseExists = texts.count(t => whenSpan.findAllMatchIn(t).exists(m =>
       m.group(1).contains("EXISTS {") || m.group(1).contains("]-")))
     val driving = queries.count(_.driving.isDefined)
+    // round-9 construct families (VERDICT item 4)
+    val consecutive = texts.count(t => "CONSTRUCT".r.findAllIn(t).size >= 2)
+    val vlConstruct = texts.count { t =>
+      val ci = t.indexOf("CONSTRUCT")
+      ci > 0 && t.substring(0, ci).contains("*")
+    }
+    val ptConstruct = texts.count(t => t.contains("CONSTRUCT") &&
+      (t.contains(".pt") || t.contains("distance(")))
+    println(f"consecCons  $consecutive%5d / $n (two CONSTRUCT blocks)")
+    println(f"vlConstruct $vlConstruct%5d / $n (var-length driving match before CONSTRUCT)")
+    println(f"ptConstruct $ptConstruct%5d / $n (point exprs in a CONSTRUCT query)")
     println(f"nestedOPT   $nestedOpt%5d / $n (queries with >=2 OPTIONAL MATCH)")
     println(f"caseEXISTS  $caseExists%5d / $n (EXISTS/pattern pred in a CASE condition)")
     println(f"driving     $driving%5d / $n (driving-table cases)")
