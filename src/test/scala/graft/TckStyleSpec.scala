@@ -5174,8 +5174,42 @@ class TckStyleSpec extends AnyFunSuite {
       "WITH {person: {name: 'Anne', age: 25}} AS p " +
         "RETURN keys(p) AS k1, keys(p['person']) AS k2",
       Seq(row("k1" -> List("person"), "k2" -> List("name", "age"))))
-    nullCalls ++ valueCalls ++ fns ++ queries :+ keysTwoCols
+    nullCalls ++ valueCalls ++ fns ++ queries ++ Seq(keysTwoCols) ++ r9Locks
   }
+
+  /** Round-9 engine locks: deterministic fresh-id semantics through
+    * consecutive constructs (cross-construct id disjointness without the
+    * r8 materialization barrier) and duplicate-row NEW multiplicity. */
+  private def r9Locks: Seq[Scenario] = Seq(
+    Scenario("r9 consecutive constructs mint disjoint fresh ids",
+      "CREATE (:N {uid: 1})-[:T]->(:N {uid: 2})",
+      // construct 1 copies each matched node once (2 copies + 2 clones);
+      // construct 2 copies EVERY node of graph 1 (4 copies + 4 clones).
+      // A cross-construct id collision would dedupe nodes and shrink the
+      // final count below 8.
+      "MATCH (a:N)-[:T]->(b:N) CONSTRUCT CLONE a, b " +
+        "CREATE (COPY OF a) CREATE (COPY OF b) " +
+        "MATCH (m) CONSTRUCT CLONE m CREATE (COPY OF m) " +
+        "MATCH (x) RETURN count(*) AS n, count(DISTINCT x) AS d",
+      Seq(row("n" -> 8L, "d" -> 8L))),
+    Scenario("r9 duplicate driving rows create one NEW element per row",
+      empty,
+      "UNWIND [1, 1, 1] AS x CONSTRUCT CREATE (:M)-[:R]->(:K) " +
+        "MATCH (a:M)-[:R]->(b:K) " +
+        "RETURN count(*) AS pairs, count(DISTINCT a) AS da, " +
+        "count(DISTINCT b) AS db",
+      Seq(row("pairs" -> 3L, "da" -> 3L, "db" -> 3L))),
+    Scenario("r9 construct over a var-length match keeps tables aligned",
+      """CREATE (a:V {uid: 1})-[:E]->(b:V {uid: 2})-[:E]->(c:V {uid: 3})
+        |""".stripMargin,
+      // two 2-hop paths start/end pairs? one: a->b->c. COPY the far end,
+      // NEW edge from the start clone to the copy; the rel table and the
+      // copy table must agree on the copy's id (hunt-112827 shape, now
+      // barrier-free)
+      "MATCH (s:V)-[:E*2..2]->(t:V) CONSTRUCT CLONE s " +
+        "CREATE (cp COPY OF t) CREATE (s)-[:LINK]->(cp) " +
+        "MATCH (x)-[:LINK]->(y) RETURN x.uid AS xu, y.uid AS yu",
+      Seq(row("xu" -> 1L, "yu" -> 3L))))
 
   test("scenario corpus is large enough to be meaningful") {
     val all = scenarios ++ probeBatch16 ++ probeBatch33 ++ probeBatch34 ++
