@@ -571,15 +571,48 @@ object Dedup {
         word_ngram_hashes(col(textCol), n).as("grams")))
     // inverted index over 8-byte gram hashes (narrow shuffle)
     val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
-    val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    // persisted: read by the pruning join AND by the pair-population
+    // estimate below — both are tiny post-aggregation, but computing the
+    // doc-frequency aggregate means a full explode+shuffle pass, which
+    // must not run twice
+    val rare = caches.persist(
+      inverted.groupBy("gram").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocFreq && col("df") >= 2))
     // the pruned index is the self-join's both sides: persist the narrow
     // (gram, id) pairs so the doc-frequency aggregation runs once
     val pruned = caches.persist(
       inverted.join(rare.select("gram"), Seq("gram")))
-    val a = pruned.as("a"); val b = pruned.as("b")
-    val candidates = a.join(b,
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+    // --- output-aware partitioning guard -------------------------------
+    // The candidate self-join emits ~df²/2 pairs PER GRAM, so its output
+    // size is unrelated to its (small, persisted) input size. Planned
+    // naively, Catalyst broadcasts the index and AQE coalesces the probe
+    // side by INPUT bytes — on an adversarial corpus (measured: a 10×
+    // replica fixture whose shuffled word order made trigrams collide at
+    // random, sum df²/2 ≈ 1.7e9) that put billions of pairs plus their
+    // dedup on ONE task. The pair population is known EXACTLY before the
+    // join from the doc-frequency table (one tiny driver-side aggregate
+    // over the already-persisted `rare`), so size the join's partitioning
+    // for its OUTPUT: explicit repartition counts are exempt from AQE
+    // coalescing, and the shuffle_hash hint keeps the plan out of
+    // broadcast. Below the guard threshold the original broadcast-friendly
+    // plan stays (it is the right plan when pairs are few).
+    val estPairs = rare
+      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
+      .first().getLong(0) / 2
+    val guardAt = java.lang.Long.parseLong(
+      df.sparkSession.conf.get("graft.ngram.pairGuard", "50000000"))
+    val a0 = pruned.as("a"); val b0 = pruned.as("b")
+    val pairCond =
+      col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
+    val joined = if (estPairs <= guardAt) a0.join(b0, pairCond) else {
+      val parts = math.max(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        math.min(2048L, estPairs / 2000000L + 1).toInt)
+      val part = pruned.repartition(parts, col("gram"))
+      part.as("a").hint("shuffle_hash")
+        .join(part.as("b"), pairCond)
+    }
+    val candidates = joined
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     candidates

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * dataset (~6M lineitems, 50k documents) from the driver's sf0.1
   * parquet by replicating each table 10× with key offsets that preserve
   * referential structure (each copy is a disjoint subgraph wired exactly
-  * like the original). Documents get a per-copy deterministic word
-  * shuffle so cross-copy texts are NOT near-duplicates — the dedup
-  * gates' pair population scales ~linearly with the corpus instead of
-  * quadratically with the copy count. Writes to /root/repo/testdata_sf1
+  * like the original). Documents get a per-copy ALPHABET ROTATION so
+  * copies share zero word-grams and zero character shingles: the
+  * per-copy gram statistics are exactly sf0.1's and the dedup gates'
+  * pair population scales linearly with the corpus (details at the
+  * rotation below). Writes to /root/repo/testdata_sf1
   * (never touches /root/testdata). Used by R9BenchSf1Main as a cliff
   * detector only — no oracle runs at this scale.
   */
@@ -59,20 +60,34 @@ object GenSf1Main {
       Map("l_orderkey" -> OK, "l_partkey" -> PK, "l_suppkey" -> SK)),
       "lineitem")
 
-    // documents: copy 0 verbatim; copies ≥1 shuffle words by a
-    // copy-salted hash so shingle sets diverge across copies
+    // documents: copy 0 verbatim; copy k ≥ 1 rotates the alphabet by k
+    // (translate a→a+k). A bijection on letters preserves EVERY per-copy
+    // statistic — word lengths, token boundaries, gram/shingle doc-freq
+    // distributions are exactly sf0.1's — while making word-grams AND
+    // character shingles disjoint across copies, so the near-dup pair
+    // population scales linearly with the corpus. (Earlier variants
+    // failed instructively: shuffling word order made trigrams
+    // semi-random over a small vocab — pairs went 1.27M → 1.69e9; a "~k"
+    // word suffix split into its own token under the engine's
+    // non-alphanumeric tokenizer, interleaving a copy digit whose grams
+    // had word-level doc frequencies; and any suffix leaves most
+    // word-interior character shingles shared, so MinHash-LSH cross-copy
+    // candidates exploded. Those runs exposed — and now lock — the
+    // output-aware partitioning guard in ngramJaccard.)
     val docs = t("documents")
     val repl = docs.select(col("*"),
       explode(sequence(lit(0), lit(Copies - 1))).as("_copy"))
-    val shuffled = repl.select(
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    def rot(k: Int): String = az.drop(k) + az.take(k)
+    val rotated = (1 until Copies).foldLeft(col("text")) { (acc, k) =>
+      when(col("_copy") === k, translate(col("text"), az, rot(k)))
+        .otherwise(acc)
+    }
+    val salted = repl.select(
       (col("doc_id") + col("_copy") * lit(DOC)).as("doc_id"),
-      when(col("_copy") === 0, col("text")).otherwise(
-        array_join(transform(
-          array_sort(transform(split(col("text"), " "),
-            w => struct(xxhash64(w, col("_copy")).as("h"), w.as("w")))),
-          s => s.getField("w")), " ")).as("text"),
+      rotated.as("text"),
       col("lang"), col("source"), col("n_chars"))
-    write(shuffled, "documents")
+    write(salted, "documents")
     spark.stop()
   }
 }
