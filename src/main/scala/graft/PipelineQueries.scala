@@ -83,10 +83,7 @@ object PipelineQueries {
     }: _*)
     val banded = caches.persist(
       sig.select(col("id"), posexplode(bandKeys)).toDF("id", "band", "key"))
-    val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+    val cand = Dedup.bucketPairJoin(banded, Seq("band", "key"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val nsz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = cand

@@ -24,6 +24,44 @@ object Dedup {
   @volatile private[graft] var lastCcResolved: String = ""
 
 
+  /** Candidate self-join shared by every banded/bucketed near-dup
+    * operator (MinHash bands, SimHash bands, n-gram inverted index):
+    * join `keyed` with itself on `keyCols` and `a.id < b.id`, returning
+    * the joined frame with sides aliased "a"/"b" for the caller's select.
+    *
+    * Output-size aware: the join emits ~Σ c·(c-1)/2 rows for bucket
+    * sizes c — unrelated to its (typically tiny, persisted) INPUT.
+    * Planned naively, Catalyst broadcasts one side and AQE coalesces the
+    * probe side by input bytes; on an adversarial corpus (round 9,
+    * measured: 1.7e9 candidate pairs) that put the entire pair
+    * generation on ONE task. The pair population is known exactly
+    * before the join from one cheap aggregate over the bucket table, so
+    * past `graft.dedup.pairGuard` (default 5e7) the table is
+    * repartitioned by key to an output-sized partition count (explicit
+    * repartition counts are exempt from AQE coalescing) and the join is
+    * forced to shuffle-hash. Below the threshold the broadcast-friendly
+    * plan stays — it is the right plan when pairs are few. */
+  private[graft] def bucketPairJoin(keyed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val spark = keyed.sparkSession
+    val kc = keyCols.map(col)
+    val estPairs = keyed.groupBy(kc: _*).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt") * (col("cnt") - lit(1))), lit(0L)))
+      .first().getLong(0) / 2
+    val guardAt = java.lang.Long.parseLong(
+      spark.conf.get("graft.dedup.pairGuard", "50000000"))
+    val cond = keyCols.map(k => col("a." + k) === col("b." + k))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    if (estPairs <= guardAt) keyed.as("a").join(keyed.as("b"), cond)
+    else {
+      val parts = math.max(
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        math.min(2048L, estPairs / 2000000L + 1).toInt)
+      val part = keyed.repartition(parts, kc: _*)
+      part.as("a").hint("shuffle_hash").join(part.as("b"), cond)
+    }
+  }
+
   /** Exact dedup: group identical keys, keep the minimum id as the
     * representative. Map-side combine makes the shuffle proportional to
     * the number of DISTINCT keys, not rows. */
@@ -79,11 +117,8 @@ object Dedup {
     // the verification join — true near-dups share many bands (up to all
     // b of them), and letting those duplicates fan out a join that carries
     // shingle arrays costs more than this shuffle (measured at sf0.1).
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
+    // bucketPairJoin sizes the join's partitioning for its OUTPUT.
+    val candidates = bucketPairJoin(banded, Seq("band_idx", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
@@ -540,11 +575,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
       }: _*)))
       .toDF("id", "simhash", "band_idx", "band_val"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.id") < col("b.id"))
+    bucketPairJoin(banded, Seq("band_idx", "band_val"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -571,48 +602,16 @@ object Dedup {
         word_ngram_hashes(col(textCol), n).as("grams")))
     // inverted index over 8-byte gram hashes (narrow shuffle)
     val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
-    // persisted: read by the pruning join AND by the pair-population
-    // estimate below — both are tiny post-aggregation, but computing the
-    // doc-frequency aggregate means a full explode+shuffle pass, which
-    // must not run twice
-    val rare = caches.persist(
-      inverted.groupBy("gram").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxDocFreq && col("df") >= 2))
+    val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
     // the pruned index is the self-join's both sides: persist the narrow
-    // (gram, id) pairs so the doc-frequency aggregation runs once
+    // (gram, id) pairs so the doc-frequency aggregation runs once.
+    // bucketPairJoin sizes the join's partitioning for its OUTPUT
+    // (round 9: ~1.7e9 candidate pairs landed on ONE AQE-coalesced task
+    // on a corpus whose shuffled word order made trigrams collide).
     val pruned = caches.persist(
       inverted.join(rare.select("gram"), Seq("gram")))
-    // --- output-aware partitioning guard -------------------------------
-    // The candidate self-join emits ~df²/2 pairs PER GRAM, so its output
-    // size is unrelated to its (small, persisted) input size. Planned
-    // naively, Catalyst broadcasts the index and AQE coalesces the probe
-    // side by INPUT bytes — on an adversarial corpus (measured: a 10×
-    // replica fixture whose shuffled word order made trigrams collide at
-    // random, sum df²/2 ≈ 1.7e9) that put billions of pairs plus their
-    // dedup on ONE task. The pair population is known EXACTLY before the
-    // join from the doc-frequency table (one tiny driver-side aggregate
-    // over the already-persisted `rare`), so size the join's partitioning
-    // for its OUTPUT: explicit repartition counts are exempt from AQE
-    // coalescing, and the shuffle_hash hint keeps the plan out of
-    // broadcast. Below the guard threshold the original broadcast-friendly
-    // plan stays (it is the right plan when pairs are few).
-    val estPairs = rare
-      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
-      .first().getLong(0) / 2
-    val guardAt = java.lang.Long.parseLong(
-      df.sparkSession.conf.get("graft.ngram.pairGuard", "50000000"))
-    val a0 = pruned.as("a"); val b0 = pruned.as("b")
-    val pairCond =
-      col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
-    val joined = if (estPairs <= guardAt) a0.join(b0, pairCond) else {
-      val parts = math.max(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
-        math.min(2048L, estPairs / 2000000L + 1).toInt)
-      val part = pruned.repartition(parts, col("gram"))
-      part.as("a").hint("shuffle_hash")
-        .join(part.as("b"), pairCond)
-    }
-    val candidates = joined
+    val candidates = bucketPairJoin(pruned, Seq("gram"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     candidates

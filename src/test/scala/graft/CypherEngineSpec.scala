@@ -243,7 +243,9 @@ class CypherEngineSpec extends AnyFunSuite {
     val r = gs.cypher(g,
       """RETURN keys({b: 1, a: 2}) AS ks, round(3.14159, 2) AS r2,
         |       round(2.5) AS r0""".stripMargin).head
-    assert(r.getSeq[String](0) == Seq("a", "b"))
+    // round 9: map keys() preserves INSERTION order (reference
+    // FunctionTests); entity keys stay sorted
+    assert(r.getSeq[String](0) == Seq("b", "a"))
     assert(r.getDouble(1) === 3.14)
     assert(r.getDouble(2) === 3.0)
   }

@@ -74,27 +74,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(expectedExact.subsetOf(found))
   }
 
-  test("ngram jaccard pair guard: identical results, no broadcast, " +
+  test("bucket pair-join guard: identical results, no broadcast, " +
       "output-sized partitioning") {
-    // round 9: the candidate self-join's output is quadratic per gram
-    // (sum df²/2 pairs) while its input is tiny — AQE-coalesced broadcast
-    // plans put the whole pair population on ONE task at scale. Forcing
-    // the guard (threshold 0) must (a) keep results identical, (b) plan
-    // the candidate join as a shuffle join, not broadcast.
-    val base = Dedup.ngramJaccard(planted, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDocFreq = 100)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    spark.conf.set("graft.ngram.pairGuard", "0")
+    // round 9: every banded/bucketed near-dup candidate self-join's
+    // output is quadratic per bucket (sum c²/2 pairs) while its input is
+    // tiny — AQE-coalesced broadcast plans put the whole pair population
+    // on ONE task at scale. Forcing the guard (threshold 0) must
+    // (a) keep results identical for all three operator families,
+    // (b) plan the candidate join as a shuffle join, not broadcast.
+    def run() = (
+      Dedup.ngramJaccard(planted, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      Dedup.minhashLsh(planted, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      Dedup.simhashNearDup(planted, "doc_id", "text", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    val (ngramBase, lshBase, shBase) = run()
+    spark.conf.set("graft.dedup.pairGuard", "0")
     try {
       val guarded = Dedup.ngramJaccard(planted, "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100)
       val plan = guarded.queryExecution.executedPlan.toString
       assert(plan.contains("ShuffledHashJoin"),
         s"guard route did not shuffle-hash the candidate join:\n$plan")
-      val got = guarded.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(got === base, "guard route changed the result set")
-    } finally spark.conf.unset("graft.ngram.pairGuard")
+      val (ngramG, lshG, shG) = run()
+      assert(ngramG === ngramBase, "ngram guard route changed the result set")
+      assert(lshG === lshBase, "minhash guard route changed the result set")
+      assert(shG === shBase, "simhash guard route changed the result set")
+    } finally spark.conf.unset("graft.dedup.pairGuard")
   }
 
   test("brute-force cosine top-k is sane and symmetric on identical vectors") {
