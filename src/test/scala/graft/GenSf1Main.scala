@@ -88,6 +88,38 @@ object GenSf1Main {
       rotated.as("text"),
       col("lang"), col("source"), col("n_chars"))
     write(salted, "documents")
+
+    // events: copies are disjoint user populations (sessionization /
+    // as-of joins see 10× users, same per-user density — the realistic
+    // scale-up for behavioral streams)
+    val EV = 10000000L; val EU = 1000000L
+    write(replicate(t("events"),
+      Map("event_id" -> EV, "user_id" -> EU)), "events")
+
+    // embeddings: copy k circularly shifts the coordinate axes by k.
+    // A shift preserves norms and all WITHIN-copy similarities exactly
+    // (per-copy statistics = sf0.1's), while cross-copy similarities
+    // collapse to noise — so LSH buckets / IVF cells / k-means cells
+    // partition the 10× corpus into ~10× cells of unchanged size and the
+    // ANN/semantic-dedup gates scale linearly. (Verbatim copies made
+    // every bucket hold 10× near-identical vectors: candidate work went
+    // quadratic — 10× queries × 10× bucket occupancy — and the sweep
+    // read 26-42× on the whole embedding family. Fixture regime, not a
+    // planning defect: the exact all-pairs baselines p4/p12 stay
+    // quadratic BY DESIGN either way.)
+    val VK = 1000000L
+    val emb = replicate(t("embeddings"), Map("vec_id" -> VK))
+      .withColumn("_copy",
+        (col("vec_id") / lit(VK)).cast("long").cast("int"))
+    val dim = t("embeddings").select(size(col("embedding")))
+      .head().getInt(0)
+    val shifted = emb.select(col("vec_id"),
+      when(col("_copy") === 0, col("embedding")).otherwise(concat(
+        slice(col("embedding"), col("_copy") + lit(1),
+          lit(dim) - col("_copy")),
+        slice(col("embedding"), lit(1), col("_copy")))).as("embedding"),
+      col("label"))
+    write(shifted, "embeddings")
     spark.stop()
   }
 }

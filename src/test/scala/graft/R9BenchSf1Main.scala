@@ -16,8 +16,13 @@ object R9BenchSf1Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val gates = Seq("c21_construct", "c30_varlength_quantifier",
-      "c37_deep_varlength", "p8_ngram_jaccard", "p35_dedup_keep_best")
+    // default: the five heaviest gates; "all" sweeps EVERY driver gate
+    // (the complete cliff audit — any query >20× its sf0.1 time is a
+    // planning cliff, not data growth)
+    val gates =
+      if (args.contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      else Seq("c21_construct", "c30_varlength_quantifier",
+        "c37_deep_varlength", "p8_ngram_jaccard", "p35_dedup_keep_best")
     val reps = 2
     val results = gates.map { name =>
       // codegen warm at sf0.01 so sf1 timings measure data work

@@ -105,6 +105,17 @@ final class DiffRunner(spark: SparkSession) {
 
   /** run one case; None = agreement, Some(diagnostic) = divergence */
   def runCase(i: Long): Option[String] = {
+    val t0 = System.nanoTime()
+    try runCaseInner(i)
+    finally {
+      // surface pathological DRIVER-side cases (planning blowups): the
+      // hunt's per-500 cadence hides a single 10-minute case entirely
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec > 30) println(f"[hunt] SLOW case $i: $sec%.1f s")
+    }
+  }
+
+  private def runCaseInner(i: Long): Option[String] = {
     val (model, pg) = graphFor(i / 10)
     val q = DiffGen.genQuery.pureApply(
       org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(i))
