@@ -104,6 +104,19 @@ object GraphXExport {
     * BFS, [[shortestPathLengthsDf]] — AQE re-plans each round, no RDD
     * lineage, no GraphX dependency at runtime). Identical (id, landmark,
     * dist) rows on every route (PipelineSpec parity locks). */
+  /** auto-route decisions memoized by the selected edge tables'
+    * canonical plans + orientation: the FIRST auto call pays the
+    * measured probe (SQL frontier rounds 1-2); identical later calls —
+    * bench reps, retry loops, per-landmark-batch pipelines over the same
+    * graph — go straight to the measured winner instead of re-probing
+    * and, on escape, discarding the probe rounds. A stale hit only
+    * affects the route choice (both routes are exact). */
+  private val bfsRouteCache =
+    new java.util.LinkedHashMap[AnyRef, String](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, String]): Boolean = size > 64
+    }
+
   def shortestPathLengths(graph: PropertyGraph, landmarks: Seq[Long],
       undirected: Boolean = false,
       relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
@@ -117,12 +130,31 @@ object GraphXExport {
         lastBfsResolved = "graphx"
         shortestPathLengthsGraphX(graph, landmarks, undirected, relTypes)
       case _ =>
-        bfsDf(graph, landmarks, undirected, relTypes,
-            escapeDepth = 2, escapeFrac = 0.5) match {
-          case Some(df) => lastBfsResolved = "sql"; df
-          case None =>
+        val tables =
+          if (relTypes.isEmpty) graph.relTables
+          else graph.relTables.filter(t => relTypes.contains(t.relType))
+        val key = (tables.map(_.df.queryExecution.analyzed.canonicalized),
+          undirected)
+        bfsRouteCache.synchronized { Option(bfsRouteCache.get(key)) } match {
+          case Some("sql") =>
+            lastBfsResolved = "sql"
+            shortestPathLengthsDf(graph, landmarks, undirected, relTypes)
+          case Some(_) =>
             lastBfsResolved = "graphx"
             shortestPathLengthsGraphX(graph, landmarks, undirected, relTypes)
+          case None =>
+            bfsDf(graph, landmarks, undirected, relTypes,
+                escapeDepth = 2, escapeFrac = 0.5) match {
+              case Some(df) =>
+                lastBfsResolved = "sql"
+                bfsRouteCache.synchronized { bfsRouteCache.put(key, "sql") }
+                df
+              case None =>
+                lastBfsResolved = "graphx"
+                bfsRouteCache.synchronized { bfsRouteCache.put(key, "graphx") }
+                shortestPathLengthsGraphX(graph, landmarks, undirected,
+                  relTypes)
+            }
         }
     }
   }
