@@ -24,6 +24,24 @@ class ExprCompiler(header: Header, params: Map[String, Any],
     new ExprCompiler(header, params, probe, lambdaEnv ++ env,
       lambdaTypes ++ types, aggCtx)
 
+  /** Schema-only probe twin: an EMPTY LocalRelation with the probe
+    * frame's schema. Every type probe analyzes `select(expr)` —
+    * against the live frame that analysis walks the WHOLE logical plan,
+    * and after consecutive CONSTRUCTs + var-length unrolls (derived
+    * union/window trees) a single 3-node differential case spent 80+
+    * SECONDS of driver time in repeated O(plan-size) analyses (case 734,
+    * round 9). Resolution only needs the OUTPUT attributes, which the
+    * leaf twin carries — typing cost drops to O(schema + expr). Compiled
+    * columns resolve by NAME, so the twin's fresh expression ids are
+    * irrelevant; `Dataset.schema` is already computed on the live frame,
+    * so building the twin triggers no extra analysis of it. */
+  private lazy val probeSchemaOnly: DataFrame = {
+    val df = probe()
+    df.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      df.schema)
+  }
+
   /** a comprehension/reduce/quantifier body cannot aggregate — the lambda
     * runs per element, not over a group (Neo4j rejects the shape) */
   private def noAggInLambda(e: Expr): Unit =
@@ -46,7 +64,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
         if (stand.isEmpty) this
         else new ExprCompiler(header, params, probe, stand, lambdaTypes,
           aggCtx)
-      probe().select(tc.compile(e)).schema.head.dataType
+      probeSchemaOnly.select(tc.compile(e)).schema.head.dataType
     } catch { case _: Exception => NullType }
 
   /** element type of a list-typed expression (NullType when unknown). */
@@ -86,7 +104,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
   /** result type of an aggregate column (schema-only global-agg probe). */
   private def typeOfAgg(c: Column): DataType =
-    try probe().select(c).schema.head.dataType
+    try probeSchemaOnly.select(c).schema.head.dataType
     catch { case _: Exception => LongType }
 
   private def isIntegral(t: DataType): Boolean = t match {
@@ -651,7 +669,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 
   // ------------------------------------------------------------ functions
   private def typeOfCol(c: String): DataType =
-    try probe().select(col(s"`$c`")).schema.head.dataType
+    try probeSchemaOnly.select(col(s"`$c`")).schema.head.dataType
     catch { case _: Exception => NullType }
 
   /** `.key` access: struct/map field lookup, or — when the base is a

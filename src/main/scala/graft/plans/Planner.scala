@@ -727,10 +727,31 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // frame itself contains a nondeterministic expression (rand(),
     // randomUUID()): re-evaluation then changes the hashed row content,
     // so materialize once (hunt-112827 discipline) for that rare case.
-    if (mintedFreshIds && {
+    val nondetBarrier = mintedFreshIds && {
       val analyzed = state.df.queryExecution.analyzed
       analyzed.exists(_.expressions.exists(_.exists(!_.deterministic)))
-    }) df = Planner.checkpointFrontier(df)
+    }
+    // Plan-SIZE barrier (round 9, differential case 734): consecutive
+    // CONSTRUCTs driven by var-length matches stack derived union/window
+    // trees, and every downstream Dataset construction re-analyzes a
+    // logical plan that grows multiplicatively — a single 3-node case
+    // spent 80+ s of pure DRIVER time with zero data cost. Past
+    // `graft.construct.planBarrier` logical nodes (default 400, -1
+    // disables) materialize the driving frame once: correctness is
+    // unchanged either way (ids are deterministic), only the planning
+    // cost of everything derived from this graph is bounded. The
+    // threshold is far above any hand-written query's driving plan, so
+    // typical CONSTRUCTs never pay the materialization.
+    val sizeBarrier = {
+      val limit = java.lang.Long.parseLong(state.df.sparkSession.conf
+        .get("graft.construct.planBarrier", "400"))
+      limit >= 0 && {
+        var n = 0
+        df.queryExecution.analyzed.foreach(_ => n += 1)
+        n > limit
+      }
+    }
+    if (nondetBarrier || sizeBarrier) df = Planner.checkpointFrontier(df)
     newRelSpecs.foreach { case (tpe, relIdCol, srcC, dstC, propSel) =>
       relTables += graft.graph.RelTable(tpe,
         df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))
