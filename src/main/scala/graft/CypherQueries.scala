@@ -157,6 +157,22 @@ object CypherQueries {
         |             * 10000.0) / 10000.0 AS dg,
         |       g.srid AS srid
         |ORDER BY pk""".stripMargin)),
+    // disconnected-pattern distance window → grid DistanceJoin (round 10):
+    // the planner lowers `MATCH (a), (b) WHERE distance(..a.., ..b..) < $r`
+    // to the cell-bucketed equi-join (planPartViaDistanceJoin) instead of
+    // crossJoin + filter; results are formula-identical to the oracle's
+    // cross join because the ORIGINAL predicate re-runs after the grid.
+    // sqrt and ± are IEEE-exact, so the boundary comparison is
+    // bit-identical cross-engine. DistanceRewriteSpec locks the
+    // no-cartesian plan.
+    "c42_distance_join" -> ((s, dir) => run(s, dir,
+      """MATCH (s:Supplier), (c:Customer)
+        |WHERE distance(point({x: s.s_acctbal, y: toFloat(s.s_nationkey)}),
+        |               point({x: c.c_acctbal, y: toFloat(c.c_nationkey)}))
+        |      < $r
+        |RETURN s.s_suppkey AS sk, c.c_custkey AS ck
+        |ORDER BY sk, ck""".stripMargin,
+      params = Map("r" -> 10.0))),
     // expressions: CASE / substring / toUpper / arithmetic (§2.3)
     "c14_expressions" -> ((s, dir) => run(s, dir,
       """MATCH (p:Part)
@@ -522,6 +538,15 @@ object CypherQueries {
         |    )) * 12756280.0 * 10000.0) / 10000.0 AS dg,
         |  CAST(4326 AS BIGINT) AS srid
         |FROM t ORDER BY pk""".stripMargin,
+    "c42_distance_join" ->
+      """SELECT s.s_suppkey AS sk, c.c_custkey AS ck
+        |FROM supplier s, customer c
+        |WHERE sqrt(
+        |    (s.s_acctbal - c.c_acctbal) * (s.s_acctbal - c.c_acctbal)
+        |  + (CAST(s.s_nationkey AS DOUBLE) - CAST(c.c_nationkey AS DOUBLE))
+        |    * (CAST(s.s_nationkey AS DOUBLE) - CAST(c.c_nationkey AS DOUBLE))
+        |  ) < 10.0
+        |ORDER BY sk, ck""".stripMargin,
     "c40_temporal_cast" ->
       """SELECT o_orderkey AS ok,
         |  CAST(epoch(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP))

@@ -59,4 +59,57 @@ object DistanceJoin {
       .where(if (inclusive) d2 <= r2 else d2 < r2)
       .drop("_cx", "_cy")
   }
+
+  /** Grid SUPERSET-prefilter join over Cypher point structs
+    * (`{@crs, px, py}`) — the planner's lowering target for
+    * `MATCH (a), (b) WHERE distance(a.p, b.p) < r` on DISCONNECTED
+    * patterns. Returns every pair that COULD be within `radius`; the
+    * caller re-applies the original exact predicate after the join, so
+    * this only has to be a superset and never has to reproduce
+    * crs-mismatch/null semantics (it still prunes those pairs: the join
+    * key leads with crs and drops null coordinates).
+    *
+    * Cell scheme is crs-aware per row:
+    *  - `cartesian`: 2-D grid of cell size `radius`, left explodes its
+    *    3×3 neighborhood (same superset argument as [[within]]).
+    *  - `wgs-84`: 1-D LATITUDE bands of `radius / 110000` degrees —
+    *    haversine(a, b) < r meters bounds Δlat to r/110574° (meridian
+    *    arc ≥ 110574 m/° everywhere), so matching pairs sit in the same
+    *    or an adjacent band. Longitude is deliberately NOT bucketed: a
+    *    2-D geo grid needs per-band cos(lat) cell widths and
+    *    antimeridian wrap to stay a superset, and degenerates near the
+    *    poles anyway; the 1-D band is conservative at every latitude and
+    *    still cuts candidates by ~(Δlat band / 180°). Pairs straddling
+    *    the antimeridian share a band, so wrap is handled for free.
+    * Mixed-crs inputs route each row by its own tag; cross-crs pairs
+    * never join (distance() would return null for them anyway). */
+  def gridJoinPoints(left: DataFrame, right: DataFrame,
+      leftPoint: Column, rightPoint: Column, radius: Double): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    val latCell = radius / 110000.0
+    def cells(p: Column, neighborhood: Boolean): Column = {
+      val crs = p.getField("@crs")
+      val cx = floor(p.getField("px") / lit(radius)).cast("long")
+      val cy = floor(p.getField("py") / lit(radius)).cast("long")
+      val band = floor(p.getField("py") / lit(latCell)).cast("long")
+      def k(c1: Column, c2: Column): Column =
+        struct(crs.as("crs"), c1.as("c1"), c2.as("c2"))
+      val cart =
+        if (!neighborhood) array(k(cx, cy))
+        else array((for { i <- -1 to 1; j <- -1 to 1 }
+          yield k(cx + i, cy + j)): _*)
+      val geo =
+        if (!neighborhood) array(k(band, lit(0L)))
+        else array((for (i <- -1 to 1) yield k(band + i, lit(0L))): _*)
+      when(crs === "cartesian", cart).otherwise(geo)
+    }
+    def nonNull(p: Column): Column =
+      p.isNotNull && p.getField("@crs").isNotNull &&
+        p.getField("px").isNotNull && p.getField("py").isNotNull
+    val l = left.where(nonNull(leftPoint))
+      .withColumn("__dj_cell", explode(cells(leftPoint, neighborhood = true)))
+    val r = right.where(nonNull(rightPoint))
+      .withColumn("__dj_cell", cells(rightPoint, neighborhood = false)(0))
+    l.join(r, Seq("__dj_cell")).drop("__dj_cell")
+  }
 }

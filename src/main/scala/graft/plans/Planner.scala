@@ -1013,12 +1013,119 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val pendingWhere = scala.collection.mutable.ArrayBuffer(rest: _*)
     var st = state
     orderParts(m.pattern.parts, state).foreach { part =>
-      st = planPart(graph, st, part, relIds, quantMap, structVars,
-        whereBonus, pendingWhere) }
+      st = planPartViaDistanceJoin(graph, st, part, relIds, quantMap,
+        structVars, whereBonus, pendingWhere)
+        .getOrElse(planPart(graph, st, part, relIds, quantMap, structVars,
+          whereBonus, pendingWhere)) }
     st = applyRelUniqueness(st, relIds.toSeq)
     pendingWhere.reduceOption(And.apply).foreach { pred =>
       st = applyWhere(graph, st, pred) }
     st
+  }
+
+  /** Disconnected-pattern distance rewrite: `MATCH (a:X), (b:Y) WHERE
+    * distance(a.p, b.p) < $r` would otherwise plan as crossJoin + filter
+    * (BroadcastNestedLoop — O(|L|·|R|) at any scale). When the upcoming
+    * part shares NO variable with the already-planned state but a pending
+    * WHERE conjunct `distance(ea, eb) < r` (or `<=`, or the flipped
+    * `r > distance(...)` forms) splits across the two sides with a
+    * CONSTANT radius, plan the part in isolation and combine through the
+    * grid-bucketed [[graft.operators.DistanceJoin.gridJoinPoints]] —
+    * the same recognize-and-lower the planner relies on for id-equality →
+    * hash join, applied to the one predicate shape Catalyst cannot turn
+    * into an equi-join itself. The grid is a strict SUPERSET prefilter
+    * keyed by (crs, cell); the ORIGINAL conjunct is re-applied on the
+    * joined frame, so strict-vs-inclusive bounds, crs-mismatch → null and
+    * null-coordinate semantics are byte-identical to the filter form.
+    * wgs-84 rows ride 1-D latitude bands (see gridJoinPoints scaladoc);
+    * cartesian rows the full 2-D grid. Non-window shapes (`=`, `>=`,
+    * vary-by-row radius, distance on connected patterns) keep the plain
+    * filter plan. */
+  private def planPartViaDistanceJoin(graph: PropertyGraph, state: PState,
+      part: PatternPart, relIds: scala.collection.mutable.ArrayBuffer[RelId],
+      quantMap: Map[String, Seq[Quantified]], structVars: Set[String],
+      whereBonus: Map[String, Int],
+      pendingWhere: scala.collection.mutable.ArrayBuffer[Expr])
+      : Option[PState] = {
+    if (state.isUnit || pendingWhere.isEmpty) return None
+    val partVars = (part.start.variable.toSeq ++ part.chain.flatMap {
+      case (r, n) => r.variable.toSeq ++ n.variable.toSeq }).toSet
+    if (partVars.isEmpty || partVars.exists(state.header.contains))
+      return None // connected → the normal expand/value-join machinery
+    // inline property expressions reading outer vars pin the part to the
+    // state frame — isolated planning would leave them unresolved
+    val outerPropRefs = freeExprVars(
+      part.start.properties.map(_._2) ++ part.chain.flatMap { case (r, n) =>
+        r.properties.map(_._2) ++ n.properties.map(_._2) }) -- partVars
+    if (outerPropRefs.nonEmpty) return None
+    val stVars = state.header.vars.toSet
+
+    def isDist(n: String): Boolean = {
+      val l = n.toLowerCase; l == "distance" || l == "point.distance"
+    }
+    // (state-side expr, part-side expr, radius expr, original conjunct)
+    def shape(c: Expr): Option[(Expr, Expr, Expr)] = c match {
+      case Lt(Func(n, false, Seq(ea, eb)), r) if isDist(n) => orient(ea, eb, r)
+      case Lte(Func(n, false, Seq(ea, eb)), r) if isDist(n) => orient(ea, eb, r)
+      case Gt(r, Func(n, false, Seq(ea, eb))) if isDist(n) => orient(ea, eb, r)
+      case Gte(r, Func(n, false, Seq(ea, eb))) if isDist(n) => orient(ea, eb, r)
+      case _ => None
+    }
+    def orient(ea: Expr, eb: Expr, r: Expr): Option[(Expr, Expr, Expr)] = {
+      if (freeExprVars(r).nonEmpty) return None // row-varying radius
+      val (va, vb) = (freeExprVars(ea), freeExprVars(eb))
+      if (va.nonEmpty && va.subsetOf(stVars) &&
+        vb.nonEmpty && vb.subsetOf(partVars)) Some((ea, eb, r))
+      else if (vb.nonEmpty && vb.subsetOf(stVars) &&
+        va.nonEmpty && va.subsetOf(partVars)) Some((eb, ea, r))
+      else None
+    }
+    val hit = pendingWhere.iterator.map(c => c -> shape(c)).collectFirst {
+      case (c, Some(t)) => (c, t) }
+    hit.flatMap { case (conjunct, (stExpr, partExpr, rExpr)) =>
+      // radius must be a positive finite constant, known at plan time
+      val radius =
+        try {
+          val rc = new ExprCompiler(Header.empty, params, () => unitState.df)
+            .compile(rExpr).cast(DoubleType)
+          val row = spark.range(1).select(rc).head()
+          if (row.isNullAt(0)) return None else row.getDouble(0)
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      if (!(radius > 0) || radius.isInfinite) return None
+      // both sides must be point-typed (else fall through: the plain
+      // filter path raises the typed distance() argument error)
+      def pointTyped(st2: PState, e: Expr): Boolean =
+        compiler(st2).typeOf(e) match {
+          case s: StructType =>
+            s.fieldNames.sameElements(Array("@crs", "px", "py"))
+          case _ => false
+        }
+      if (!pointTyped(state, stExpr)) return None
+      // planPart mutates the shared relIds/pendingWhere buffers; snapshot
+      // them so a bail here leaves the fallback path's inputs untouched
+      // (a duplicate RelId for the same column would self-filter to zero
+      // rows, and a conjunct drained into the discarded isolated frame
+      // would silently vanish)
+      val relIdsMark = relIds.length
+      val pendingSnapshot = pendingWhere.toList
+      val ps = planPart(graph, unitState, part, relIds, quantMap,
+        structVars, whereBonus, pendingWhere)
+      if (!pointTyped(ps, partExpr)) {
+        relIds.remove(relIdsMark, relIds.length - relIdsMark)
+        pendingWhere.clear()
+        pendingWhere ++= pendingSnapshot
+        return None
+      }
+      val joined = graft.operators.DistanceJoin.gridJoinPoints(
+        state.df, ps.df,
+        compiler(state).compile(stExpr), compiler(ps).compile(partExpr),
+        radius)
+      val combined = PState(joined,
+        Header(state.header.bindings ++ ps.header.bindings))
+      pendingWhere -= conjunct
+      Some(combined.copy(
+        df = combined.df.where(compiler(combined).compile(conjunct))))
+    }
   }
 
   /** a conjunct safe to apply as a plain row filter (no subquery planning
