@@ -17,6 +17,32 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Planted ANN ground truth (round 10, the production-config gates).
+    * The synthetic embeddings are uniform random, so "recall vs the
+    * exact top-5" measures retrieval of items at background similarity
+    * (~0.4) — production-sized LSH scores 0.02 on that, IVF 0.25-0.59
+    * (R10Probe1Main, raw variant), on ANY engine, because structureless
+    * data has no neighbors to find. ANN's contract is retrieval of
+    * genuinely SIMILAR items, so the gates use the standard
+    * ANN-benchmark methodology instead: md5-sample 1/16 of the corpus,
+    * perturb each vector ±10% elementwise (xxhash64-seeded ⇒ fully
+    * deterministic, ~3° angle, cos ≈ 0.998 ≫ background), offset ids by
+    * 1e9, and score whether the production path retrieves each planted
+    * query's true nearest corpus vector in its top-5. Measured 1.00 at
+    * every SF including the 10× fixture; gate threshold 0.9. */
+  private val annQOff = 1000000000L
+  private def annCorpus(e: DataFrame): DataFrame =
+    e.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+  private def annPlanted(corpus: DataFrame): DataFrame =
+    corpus.where(
+      substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+      .select((col("vec_id") + annQOff).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x * (lit(1.0) + lit(0.1) *
+            (pmod(xxhash64(col("vec_id") * 64 + j), lit(1000))
+              .cast("double") / 499.5 - 1.0))).as("embedding"))
+
   /** md5-keyed MinHash-LSH near-dup pairs with Spark BUILTINS only — the
     * p6 gate variant DuckDB reproduces bit-for-bit. Same algorithm as
     * [[Dedup.minhashLsh]] (signatures → bands → bucket self-join → exact
@@ -172,6 +198,49 @@ object PipelineQueries {
     "p4_ann_topk" -> ((s, dir) =>
       Similarity.blockTopK(emb(s, dir), "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))),
+    // PRODUCTION search shape (round 10, VERDICT item 2): exact top-k for
+    // a deterministic md5-sampled QUERY BATCH (1/16) against the full
+    // corpus — |Q|·N dot products, LINEAR in the corpus, vs p4's
+    // all-pairs N². Hash-exact vs the DuckDB cross-join oracle (same
+    // rounding + sim-desc/id-asc tie-break as p4).
+    "p4b_ann_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.blockTopKFor(
+        e.where(substring(md5(col("vec_id").cast("string")), 1, 1) === "0"),
+        e, "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // PRODUCTION-config IVF (cells ≈ 4·√N, nProbe = 8 ≪ cells — the
+    // sublinear path p15's exact-degeneracy gate deliberately does not
+    // measure), judged by the planted-ground-truth recall property:
+    // pass ⇔ avg recall ≥ 0.9 (R10Probe1Main measured 1.00 at every SF;
+    // raw top-5-of-random-noise recall is meaningless — see annPlanted).
+    // The driver hash-checks (n_q, pass) against the oracle's
+    // (sample count, true): the property IS the gate.
+    "p15b_ann_ivf_prod" -> ((s, dir) => {
+      val e = annCorpus(emb(s, dir))
+      val n = e.count()
+      val cells = math.max(8, (4 * math.sqrt(n.toDouble)).toInt)
+      val q = annPlanted(e)
+      val ann = Similarity.ivfTopK(e.unionByName(q), "vec_id", "embedding",
+        k = 5, nClusters = cells, nProbe = 8).where(col("qid") >= annQOff)
+      val exact1 = Similarity.blockTopKFor(q, e, "vec_id", "embedding", k = 1)
+      Similarity.recallAtK(ann, exact1)
+        .agg(count(lit(1)).as("n_q"), avg(col("recall")).as("r"))
+        .select(col("n_q"), (col("r") >= 0.9).as("pass"))
+    }),
+    // PRODUCTION-config LSH (bits = 12, tables = 8), same planted-recall
+    // property gate as p15b.
+    "p10b_ann_lsh_prod" -> ((s, dir) => {
+      val e = annCorpus(emb(s, dir))
+      val q = annPlanted(e)
+      val ann = Similarity.lshTopK(e.unionByName(q), "vec_id", "embedding",
+        dim = 64, k = 5, bits = 12, tables = 8).where(col("qid") >= annQOff)
+      val exact1 = Similarity.blockTopKFor(q, e, "vec_id", "embedding", k = 1)
+      Similarity.recallAtK(ann, exact1)
+        .agg(count(lit(1)).as("n_q"), avg(col("recall")).as("r"))
+        .select(col("n_q"), (col("r") >= 0.9).as("pass"))
+    }),
     // IVF (k-means inverted-file) ANN — the data-adapted scale path next
     // to LSH. The gate probes ALL cells (nProbe = nClusters, the exact
     // degeneracy, spec-locked ≡ blockTopK) so the full IVF machinery —
@@ -968,6 +1037,29 @@ object PipelineQueries {
         |WHERE a.vec_id <> b.vec_id
         |QUALIFY rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "p4b_ann_search" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+        |                b.vec_id) AS INT) AS rank
+        |FROM (SELECT * FROM embeddings
+        |      WHERE substring(md5(vec_id::VARCHAR), 1, 1) = '0') a,
+        |     embeddings b
+        |WHERE a.vec_id <> b.vec_id
+        |QUALIFY rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // the production-config gates return (sample count, property holds);
+    // the oracle knows the sample count and expects the property TRUE —
+    // a recall regression below 0.9 hash-mismatches the gate
+    "p15b_ann_ivf_prod" ->
+      """SELECT count(*) AS n_q, CAST(1 AS BOOLEAN) AS pass
+        |FROM embeddings
+        |WHERE substring(md5(vec_id::VARCHAR), 1, 1) = '0'""".stripMargin,
+    "p10b_ann_lsh_prod" ->
+      """SELECT count(*) AS n_q, CAST(1 AS BOOLEAN) AS pass
+        |FROM embeddings
+        |WHERE substring(md5(vec_id::VARCHAR), 1, 1) = '0'""".stripMargin,
     // the IVF gate probes all cells (exact degeneracy) → same answer as
     // the exact brute-force top-k
     "p15_ann_ivf" ->

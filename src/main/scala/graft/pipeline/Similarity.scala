@@ -211,15 +211,31 @@ object Similarity {
     * Results are bit-identical to [[bruteForceTopK]] (same rounding, same
     * sim-desc/id-asc ordering). */
   def blockTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5,
-      roundTo: Int = 4, blocks: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
+      roundTo: Int = 4, blocks: Int = 8): DataFrame =
+    blockTopKFor(emb, emb, idCol, vecCol, k, roundTo, blocks)
+
+  /** Exact top-k for an explicit QUERY batch against a corpus — the
+    * production "search" shape: cost is |Q|·|corpus| dot products (LINEAR
+    * in the corpus), unlike the all-pairs |corpus|² of self-join
+    * [[blockTopK]] (which is exactly this with queries = corpus). Same
+    * tiling, kernel, rounding and sim-desc/id-asc tie-break, so the two
+    * are bit-identical on shared queries. Self matches (query id present
+    * in the corpus) are excluded, like every ANN path here. Also the
+    * recall REFEREE for the production-config ANN gates: p4b hash-checks
+    * this against the DuckDB cross-join oracle; p10b/p15b score their
+    * sampled recall against it ([[recallAtK]]). */
+  def blockTopKFor(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, roundTo: Int = 4, blocks: Int = 8)
+      : DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val v = emb.select(col(idCol).cast(LongType).as("id"),
+    def ds(df: DataFrame) = df.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
       .as[(Long, Array[Double])]
     val kk = k; val rt = roundTo
-    val partials = tiled(v, blocks, asQuery = true).groupByKey(_._1)
-      .cogroup(tiled(v, blocks, asQuery = false).groupByKey(_._1)) {
+    val partials = tiled(ds(queries), blocks, asQuery = true)
+      .groupByKey(_._1)
+      .cogroup(tiled(ds(corpus), blocks, asQuery = false).groupByKey(_._1)) {
         (_, qIt, cIt) =>
           val (ids, mat, sqrtNorms, dim) = packBlock(
             cIt.map(t => (t._2, t._3)).toArray)
@@ -233,6 +249,21 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col._2").as("nid"), col("col._1").as("sim"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** Per-query recall@k of an ANN result against an exact top-k result
+    * (both in the (qid, nid, sim, rank) shape these kernels emit).
+    * recall = |ann ∩ exact| / |exact| per qid, over the qids present in
+    * `exact` — an ANN path that drops a query entirely scores 0 for it,
+    * not "missing". Ties: both sides break sim ties by ascending id, so
+    * the comparison is deterministic. */
+  def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("nid"))
+    val a = ann.select(col("qid"), col("nid"), lit(1).as("hit"))
+    e.join(a, Seq("qid", "nid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0))).cast(DoubleType) /
+        count(lit(1))).as("recall"))
   }
 
   /** Exact distributed near-duplicate pairs (cosine ≥ threshold) — the

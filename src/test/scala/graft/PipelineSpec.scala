@@ -169,6 +169,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf === exact)
   }
 
+  test("blockTopKFor with queries = corpus is exactly blockTopK") {
+    // the query-batch kernel (p4b's production search shape) must be
+    // bit-identical to the self-join kernel on shared inputs — same
+    // tiling, rounding, tie-break (structural: one topKScan)
+    val a = Similarity.blockTopK(emb, "vec_id", "embedding", k = 4, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = Similarity.blockTopKFor(emb, emb, "vec_id", "embedding", k = 4, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a === b)
+  }
+
+  test("production-config ANN gates hold the planted-recall property") {
+    // the driver hash-checks only (n_q, pass); this lock fails with the
+    // actual recall when a regression pushes it under the 0.9 threshold
+    for (gate <- Seq("p15b_ann_ivf_prod", "p10b_ann_lsh_prod")) {
+      val row = PipelineQueries.queries(gate)(spark, dir).head()
+      assert(row.getLong(0) > 0, s"$gate: empty planted sample")
+      assert(row.getBoolean(1), s"$gate: planted recall below 0.9 " +
+        "(re-run R10Probe1Main for per-config recall values)")
+    }
+  }
+
   test("IVF with partial probe recalls most brute-force neighbors") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
       .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
