@@ -47,9 +47,9 @@ object Dedup {
     * estimate job again. A stale hit only affects the ROUTE choice —
     * both routes are correct — so underlying-data drift is benign. */
   private val pairEstCache =
-    new java.util.LinkedHashMap[AnyRef, java.lang.Long](16, 0.75f, true) {
+    new java.util.LinkedHashMap[AnyRef, (Long, Long)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[AnyRef, java.lang.Long]): Boolean =
+          e: java.util.Map.Entry[AnyRef, (Long, Long)]): Boolean =
         size > 64
     }
 
@@ -65,18 +65,55 @@ object Dedup {
     // KNOW their bucket population is small and want zero extra jobs)
     if (guardAt < 0) return keyed.as("a").join(keyed.as("b"), cond)
     val estKey = (keyed.queryExecution.analyzed.canonicalized, keyCols)
-    val estPairs: Long = pairEstCache.synchronized {
+    val (estPairs, estRows): (Long, Long) = pairEstCache.synchronized {
       Option(pairEstCache.get(estKey))
     } match {
       case Some(v) => v
       case None =>
-        val v = keyed.groupBy(kc: _*).agg(count(lit(1)).as("cnt"))
-          .agg(coalesce(sum(col("cnt") * (col("cnt") - lit(1))), lit(0L)))
-          .first().getLong(0) / 2
+        // DECIMAL accumulation (round-10, ADVICE): cnt·(cnt-1) in Long
+        // silently overflows negative past ~3e9 rows in one bucket, which
+        // would DISABLE the guard exactly when it matters; decimal sums
+        // are exact and the final clamp keeps pathological populations at
+        // Long.MaxValue instead of wrapping. Input rows ride along for
+        // free (same aggregate) — the mid-band route below needs them.
+        val row = keyed.groupBy(kc: _*).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt").cast(DecimalType(38, 0)) * (col("cnt") - lit(1))),
+            sum(col("cnt")))
+          .first()
+        val v = (
+          if (row.isNullAt(0)) 0L
+          else row.getDecimal(0)
+            .divide(java.math.BigDecimal.valueOf(2))
+            .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue(),
+          if (row.isNullAt(1)) 0L else row.getLong(1))
         pairEstCache.synchronized { pairEstCache.put(estKey, v) }
         v
     }
-    if (estPairs <= guardAt) keyed.as("a").join(keyed.as("b"), cond)
+    if (estPairs <= guardAt) {
+      // Broadcast-friendly regime — but parallelism must still be sized
+      // by the join's OUTPUT (round 10, guide §2.5): the bucket table is
+      // often a tiny cached relation AQE already coalesced to ONE
+      // partition, so a naive plan expands every candidate pair on one
+      // task (measured at sf0.1: 1.27M pairs serialized on one core =
+      // 1.5 s of the p8 gate, ~0.15 s spread over the cores). The
+      // estimate is already paid/memoized; use it: past
+      // `graft.dedup.pairsPerTask` (default 250k) output pairs,
+      // hash-repartition the probe side by the bucket key — explicit
+      // repartitions are exempt from AQE coalescing, the join STRATEGY
+      // stays Catalyst's choice (broadcast when the build side is small;
+      // for a large build side the sort-merge/shuffled-hash exchange on
+      // the same keys reuses this partitioning). Input rows floor the
+      // partition count so a large-input/few-pairs table is never
+      // squeezed through a handful of partitions.
+      val perTask = math.max(1L, java.lang.Long.parseLong(
+        spark.conf.get("graft.dedup.pairsPerTask", "250000")))
+      val parts = math.min(
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+        math.max(estPairs / perTask, estRows / 1000000L) + 1).toInt
+      if (parts <= 1) keyed.as("a").join(keyed.as("b"), cond)
+      else keyed.repartition(parts, kc: _*).as("a")
+        .join(keyed.as("b"), cond)
+    }
     else {
       val parts = math.max(
         spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
@@ -616,18 +653,18 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDocFreq: Long = 200,
       caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
-    import graft.functions.VectorFunctions.{word_ngram_hashes, sorted_jaccard}
-    // persisted: read once for the index build and twice more by the
-    // verification joins — re-tokenizing every document 3× costs more
-    // than caching the (id, gram-hash array) table, which is the same
-    // order of size as the input corpus (MEMORY_AND_DISK spills at scale)
+    import graft.functions.VectorFunctions.word_ngram_hashes
+    // persisted: the gram table feeds the inverted index, the per-doc
+    // set sizes and (rarely) the heavy-gram arrays — re-tokenizing every
+    // document costs more than caching the (id, gram-hash array) table
+    // (MEMORY_AND_DISK spills at scale)
     val grams = caches.persist(
       df.select(col(idCol).cast(LongType).as("id"),
         word_ngram_hashes(col(textCol), n).as("grams")))
     // inverted index over 8-byte gram hashes (narrow shuffle)
     val inverted = grams.select(col("id"), explode(col("grams")).as("gram"))
-    val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val dfs = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
+    val rare = dfs.where(col("df") <= maxDocFreq && col("df") >= 2)
     // the pruned index is the self-join's both sides: persist the narrow
     // (gram, id) pairs so the doc-frequency aggregation runs once.
     // bucketPairJoin sizes the join's partitioning for its OUTPUT
@@ -635,14 +672,39 @@ object Dedup {
     // on a corpus whose shuffled word order made trigrams collide).
     val pruned = caches.persist(
       inverted.join(rare.select("gram"), Seq("gram")))
-    val candidates = bucketPairJoin(pruned, Seq("gram"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(grams.toDF("id_a", "grams_a"), "id_a")
-      .join(grams.toDF("id_b", "grams_b"), "id_b")
+    // Exact Jaccard WITHOUT re-attaching the gram arrays (round 10,
+    // guide §8 "decide with small rows"): gram sets are distinct per doc
+    // (word_ngram_hashes is sorted-distinct), so
+    //   |A ∩ B| = |A ∩ B ∩ pruned grams| + |A ∩ B ∩ heavy grams|
+    // — a shared gram has df ≥ 2 by definition, so every shared gram is
+    // either in the pruned index (df ≤ maxDocFreq) or heavy. The first
+    // term is a map-side-combined COUNT over the candidate join (the
+    // distinct pass the old plan paid anyway, now producing the
+    // intersection for free); the second joins the (normally empty)
+    // per-doc heavy-gram arrays. The old plan then joined every
+    // candidate pair back to BOTH full gram arrays — at sf0.1 that was
+    // 1.13M pairs × two ~52-element arrays of row copying to keep 256
+    // survivors; sizes join the same decision with one long per side.
+    val inter = bucketPairJoin(pruned, Seq("gram"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("@i"))
+    val heavyPerDoc = inverted
+      .join(dfs.where(col("df") > maxDocFreq).select("gram"), Seq("gram"))
+      .groupBy(col("id")).agg(collect_list(col("gram")).as("@hg"))
+    val sizes = grams.select(col("id"), size(col("grams")).cast(LongType).as("@n"))
+    val iFull = col("@i") + when(col("@hga").isNull || col("@hgb").isNull,
+      lit(0L)).otherwise(
+        size(array_intersect(col("@hga"), col("@hgb"))).cast(LongType))
+    inter
+      .join(heavyPerDoc.toDF("id_a", "@hga"), Seq("id_a"), "left_outer")
+      .join(heavyPerDoc.toDF("id_b", "@hgb"), Seq("id_b"), "left_outer")
+      .withColumn("@if", iFull)
+      .join(sizes.toDF("id_a", "@na"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "@nb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        sorted_jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+        (col("@if").cast(DoubleType) /
+          (col("@na") + col("@nb") - col("@if")).cast(DoubleType))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -74,6 +74,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(expectedExact.subsetOf(found))
   }
 
+  test("ngram jaccard count-based verification equals the array-join " +
+      "formulation, including the heavy-gram correction") {
+    // round 10: verification was reformulated from joining full gram
+    // arrays per candidate pair to index-side intersection counts +
+    // per-doc set sizes (i / (na + nb - i)). A LOW maxDocFreq forces
+    // grams into the heavy (> maxDocFreq) class, exercising the
+    // correction term that keeps the jaccard exact over the FULL gram
+    // sets while candidates still come from the pruned index only.
+    import graft.functions.VectorFunctions.{word_ngram_hashes, sorted_jaccard}
+    for (mdf <- Seq(3L, 100L)) {
+      val got = Dedup.ngramJaccard(planted, "doc_id", "text",
+        n = 3, threshold = 0.4, maxDocFreq = mdf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // reference: same candidate generation, old array-join verification
+      val grams = planted.select($"doc_id".cast("long").as("id"),
+        word_ngram_hashes($"text", 3).as("grams"))
+      val inverted = grams.select($"id", explode($"grams").as("gram"))
+      val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
+        .where($"df" <= mdf && $"df" >= 2)
+      val pruned = inverted.join(rare.select("gram"), Seq("gram"))
+      val cand = pruned.as("a").join(pruned.as("b"),
+          col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      val want = cand
+        .join(grams.toDF("id_a", "grams_a"), "id_a")
+        .join(grams.toDF("id_b", "grams_b"), "id_b")
+        .select($"id_a", $"id_b",
+          sorted_jaccard($"grams_a", $"grams_b").as("jaccard"))
+        .where($"jaccard" >= 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, s"maxDocFreq=$mdf: count-based vs array-join")
+      assert(want.nonEmpty, s"maxDocFreq=$mdf: vacuous fixture")
+    }
+  }
+
   test("bucket pair-join guard: identical results, no broadcast, " +
       "output-sized partitioning") {
     // round 9: every banded/bucketed near-dup candidate self-join's
