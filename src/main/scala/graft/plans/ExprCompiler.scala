@@ -2736,29 +2736,7 @@ class ExprCompiler(header: Header, params: Map[String, Any],
           case (ta, tb) if (isPointStruct(ta) || ta == NullType) &&
               (isPointStruct(tb) || tb == NullType) =>
             if (ta == NullType || tb == NullType) lit(null).cast(DoubleType)
-            else {
-              val (pa, pb) = (a0, a(1))
-              val dx = pa.getField("px") - pb.getField("px")
-              val dy = pa.getField("py") - pb.getField("py")
-              val cart = sqrt(dx * dx + dy * dy)
-              // haversine on Neo4j's earth radius (6378140 m); operand
-              // order mirrors the c41 oracle exactly so fp64 results are
-              // reproducible formula-for-formula
-              val lat1 = radians(pa.getField("py"))
-              val lat2 = radians(pb.getField("py"))
-              val sLat = sin(radians(pb.getField("py") -
-                pa.getField("py")) / 2)
-              val sLon = sin(radians(pb.getField("px") -
-                pa.getField("px")) / 2)
-              val h = sLat * sLat + cos(lat1) * cos(lat2) * sLon * sLon
-              val hav = asin(sqrt(h)) * lit(2.0 * 6378140.0)
-              // crs mismatch → null (Neo4j returns null, not an error)
-              when(pa.isNull || pb.isNull ||
-                pa.getField("@crs") =!= pb.getField("@crs"),
-                lit(null).cast(DoubleType))
-                .when(pa.getField("@crs") === "cartesian", cart)
-                .otherwise(hav)
-            }
+            else ExprCompiler.pointDistance(a0, a(1))
           case other => throw new IllegalArgumentException(
             s"${f.name}() expects two point values, got $other")
         }
@@ -3101,6 +3079,30 @@ class ExprCompiler(header: Header, params: Map[String, Any],
 }
 
 object ExprCompiler {
+  /** Cypher distance() over two point-struct ({@crs, px, py}) columns —
+    * the single source of truth for the formula, shared by the compile()
+    * case and the planner's distance-join lowering (which re-applies the
+    * exact predicate over ALREADY-BOUND struct columns so the grid-join
+    * plan carries attribute references, not a re-inlined expression
+    * tree). crs mismatch → null (Neo4j semantics); haversine on Neo4j's
+    * earth radius with the c41 oracle's exact operand order. */
+  private[graft] def pointDistance(pa: Column, pb: Column): Column = {
+    val dx = pa.getField("px") - pb.getField("px")
+    val dy = pa.getField("py") - pb.getField("py")
+    val cart = sqrt(dx * dx + dy * dy)
+    val lat1 = radians(pa.getField("py"))
+    val lat2 = radians(pb.getField("py"))
+    val sLat = sin(radians(pb.getField("py") - pa.getField("py")) / 2)
+    val sLon = sin(radians(pb.getField("px") - pa.getField("px")) / 2)
+    val h = sLat * sLat + cos(lat1) * cos(lat2) * sLon * sLon
+    val hav = asin(sqrt(h)) * lit(2.0 * 6378140.0)
+    when(pa.isNull || pb.isNull ||
+      pa.getField("@crs") =!= pb.getField("@crs"),
+      lit(null).cast(DoubleType))
+      .when(pa.getField("@crs") === "cartesian", cart)
+      .otherwise(hav)
+  }
+
   /** ISO time-of-day string -> (micros of day, offset seconds option);
     * shared by the expression compiler and the CREATE-fixture literal
     * evaluator. */

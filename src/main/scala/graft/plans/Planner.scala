@@ -1083,11 +1083,17 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val hit = pendingWhere.iterator.map(c => c -> shape(c)).collectFirst {
       case (c, Some(t)) => (c, t) }
     hit.flatMap { case (conjunct, (stExpr, partExpr, rExpr)) =>
-      // radius must be a positive finite constant, known at plan time
+      // radius must be a positive finite constant, known at plan time —
+      // and DETERMINISTIC (round 10): the grid is built from ONE
+      // plan-time evaluation, so a rand()-valued radius would make the
+      // cell prefilter a non-superset of the per-row predicate; bail to
+      // the plain filter plan for those.
       val radius =
         try {
           val rc = new ExprCompiler(Header.empty, params, () => unitState.df)
             .compile(rExpr).cast(DoubleType)
+          if (!org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(rc).deterministic) return None
           val row = spark.range(1).select(rc).head()
           if (row.isNullAt(0)) return None else row.getDouble(0)
         } catch { case scala.util.control.NonFatal(_) => return None }
@@ -1116,15 +1122,35 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         pendingWhere ++= pendingSnapshot
         return None
       }
+      // Bind each side's point STRUCT as a real column before bucketing
+      // (round 10): gridJoinPoints reads the point ~20 times (9 grid
+      // cells × 3 struct fields + null guards), and a compiled point
+      // expression carries the full null-guard CASE tree — inlining it
+      // per reference blew the plan up ~20× (measured: 1.7 s of pure
+      // Catalyst analysis per c42 planning, and a join condition the
+      // size of a page). An attribute reference is O(1) to analyze and
+      // lets codegen evaluate the point once per row.
+      val lPt = fresh("@dj_lpt"); val rPt = fresh("@dj_rpt")
+      val lDf = state.df.withColumn(lPt, compiler(state).compile(stExpr))
+      val rDf = ps.df.withColumn(rPt, compiler(ps).compile(partExpr))
       val joined = graft.operators.DistanceJoin.gridJoinPoints(
-        state.df, ps.df,
-        compiler(state).compile(stExpr), compiler(ps).compile(partExpr),
-        radius)
+        lDf, rDf, col(s"`$lPt`"), col(s"`$rPt`"), radius)
       val combined = PState(joined,
         Header(state.header.bindings ++ ps.header.bindings))
       pendingWhere -= conjunct
-      Some(combined.copy(
-        df = combined.df.where(compiler(combined).compile(conjunct))))
+      // Exact predicate over the BOUND struct columns (the same values
+      // the conjunct's point expressions produce per row — they ARE the
+      // compiled expressions, projected once) with the shared distance
+      // formula: re-compiling the conjunct would re-inline both point
+      // trees into the join condition, which every downstream action
+      // re-analyzes. Strictness follows the conjunct's comparator; the
+      // radius is the plan-time constant (deterministic, checked above).
+      val distC = ExprCompiler.pointDistance(col(s"`$lPt`"), col(s"`$rPt`"))
+      val exact = conjunct match {
+        case Lte(_, _) | Gte(_, _) => distC <= lit(radius)
+        case _ => distC < lit(radius)
+      }
+      Some(combined.copy(df = combined.df.where(exact).drop(lPt, rPt)))
     }
   }
 
