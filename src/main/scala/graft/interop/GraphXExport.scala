@@ -145,15 +145,19 @@ object GraphXExport {
           case None =>
             bfsDf(graph, landmarks, undirected, relTypes,
                 escapeDepth = 2, escapeFrac = 0.5) match {
-              case Some(df) =>
+              case Right(df) =>
                 lastBfsResolved = "sql"
                 bfsRouteCache.synchronized { bfsRouteCache.put(key, "sql") }
                 df
-              case None =>
+              case Left((reached, frontier, depth, edges)) =>
+                // SEED Pregel with the probe rounds' exact partial
+                // distances (round 10, VERDICT item 5) instead of
+                // restarting from the landmarks — the escape's first-call
+                // cost drops by roughly the probe cost, exactly like
+                // ccGraphXSeeded does for the CC escape.
                 lastBfsResolved = "graphx"
                 bfsRouteCache.synchronized { bfsRouteCache.put(key, "graphx") }
-                shortestPathLengthsGraphX(graph, landmarks, undirected,
-                  relTypes)
+                shortestPathLengthsGraphXSeeded(graph, reached, edges)
             }
         }
     }
@@ -173,16 +177,22 @@ object GraphXExport {
       undirected: Boolean = false,
       relTypes: Set[String] = Set.empty): org.apache.spark.sql.DataFrame =
     bfsDf(graph, landmarks, undirected, relTypes,
-      escapeDepth = 0, escapeFrac = 1.0).get
+      escapeDepth = 0, escapeFrac = 1.0)
+      .getOrElse(throw new IllegalStateException("bfsDf escaped at depth 0"))
 
   /** Frontier-loop body. With `escapeDepth > 0` (measured auto-routing),
-    * returns None when the frontier at depth ≤ `escapeDepth` already
-    * covers more than `escapeFrac` of the edge-touching vertices — the
-    * saturated-frontier regime Pregel handles better. */
+    * returns Left((reached, frontier, depth, edges)) when the frontier at
+    * depth ≤ `escapeDepth` already covers more than `escapeFrac` of the
+    * edge-touching vertices — the saturated-frontier regime Pregel
+    * handles better; the partial state seeds the Pregel continuation so
+    * the probe rounds are never discarded (`edges` stays checkpointed
+    * for the continuation to consume and unpersist). */
   private def bfsDf(graph: PropertyGraph, landmarks: Seq[Long],
       undirected: Boolean, relTypes: Set[String],
       escapeDepth: Int, escapeFrac: Double)
-      : Option[org.apache.spark.sql.DataFrame] = {
+      : Either[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Long, org.apache.spark.sql.DataFrame),
+        org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val spark = graph.spark
@@ -215,8 +225,7 @@ object GraphXExport {
     while (frontierSize > 0) {
       if (depth > 0 && depth <= escapeDepth &&
           frontierSize.toDouble / nV > escapeFrac) {
-        edges.unpersist()
-        return None
+        return Left((reached, frontier, depth, edges))
       }
       depth += 1
       val next = edges
@@ -232,7 +241,53 @@ object GraphXExport {
       frontierSize = frontier.count()
     }
     edges.unpersist()
-    Some(reached)
+    Right(reached)
+  }
+
+  /** Pregel continuation of an escaped [[bfsDf]] run: vertices start from
+    * the probe rounds' exact partial distance maps (everything at
+    * dist ≤ `depth` is final BFS truth) and only the frontier keeps
+    * expanding — min-merge Pregel over (landmark → dist) maps, messages
+    * flowing dst → src like `graphx.lib.ShortestPaths` (hop counts TO the
+    * landmarks along edge direction). Identical results to a fresh
+    * ShortestPaths run (PipelineSpec parity): seeding with correct
+    * partial minima cannot change a min fixpoint. */
+  private def shortestPathLengthsGraphXSeeded(graph: PropertyGraph,
+      reached: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    type SPMap = Map[Long, Long]
+    def mergeMaps(a: SPMap, b: SPMap): SPMap =
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        k -> math.min(a.getOrElse(k, Long.MaxValue),
+          b.getOrElse(k, Long.MaxValue))
+      }.toMap
+    // seed attr: the exact (landmark → dist) entries found so far
+    val seedRdd = reached.select("id", "landmark", "dist").rdd
+      .map(r => (r.getLong(0), Map(r.getLong(1) -> r.getLong(2))))
+      .reduceByKey(mergeMaps)
+    // the SQL loop walked edges BACKWARD (s reaches landmark via d), so
+    // Pregel messages flow dst → src with dst's map incremented
+    val edgeRdd = edges.select("s", "d").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = XGraph(seedRdd, edgeRdd, Map.empty[Long, Long])
+    val res = g.pregel(Map.empty[Long, Long])(
+      (_, attr, msg) => mergeMaps(attr, msg),
+      t => {
+        val inc = t.dstAttr.map { case (k, v) => k -> (v + 1L) }
+        if (mergeMaps(t.srcAttr, inc) != t.srcAttr) Iterator((t.srcId, inc))
+        else Iterator.empty
+      },
+      mergeMaps)
+    val out = res.vertices
+      .flatMap { case (id, m) => m.map { case (lm, d) => (id, lm, d) } }
+      .toDF("id", "landmark", "dist").localCheckpoint(true)
+    g.unpersist(blocking = false)
+    res.unpersist(blocking = false)
+    edges.unpersist()
+    out
   }
 
   def shortestPathLengthsGraphX(graph: PropertyGraph, landmarks: Seq[Long],
