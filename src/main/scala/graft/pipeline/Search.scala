@@ -40,14 +40,27 @@ object Search {
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       (sum(size(col("w")).cast(LongType)).as("total_len") +: dfAggs): _*)
 
+    // Bind each term's tf ONCE as a real column (round 10): the tf
+    // filter is a higher-order function (interpreted, no codegen) and
+    // the score references it three times per term (guard, numerator,
+    // denominator); with the score inlined into a pushed-down filter AND
+    // the top-k sort key, that was ~6 interpreted array scans per
+    // (row, term). Bound columns are O(1) attribute references —
+    // CollapseProject keeps the binding because a non-cheap alias used
+    // three times is not inlined.
+    val tfCols = queryTerms.indices.map { i =>
+      size(filter(col("w"), x => x === lit(queryTerms(i))))
+        .cast(DoubleType).as(s"tf_$i")
+    }
     val withStats = toks
-      .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("len"))
+      .select(Seq(col("doc_id"),
+        size(col("w")).cast(LongType).as("len")) ++ tfCols: _*)
       .crossJoin(broadcast(stats))
 
     val avgdl = col("total_len").cast(DoubleType) / col("n_docs").cast(DoubleType)
     val lenD = col("len").cast(DoubleType)
     val termScores: Seq[Column] = queryTerms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("w"), x => x === lit(t))).cast(DoubleType)
+      val tf = col(s"tf_$i")
       val dfD = col(s"df_$i").cast(DoubleType)
       val idf = (col("n_docs").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5))
       val score = (idf * (tf * lit(k1 + 1.0))) /
@@ -56,11 +69,16 @@ object Search {
     }
     val total = termScores.reduce(_ + _)
 
+    // where AFTER the top-k (round 10): positive scores always sort
+    // before non-positive ones, so filtering the k ordered rows yields
+    // exactly the filter-then-top-k set — and the score is no longer
+    // pushed into the join condition, where it was evaluated once as a
+    // predicate and again as the sort key.
     withStats
       .select(col("doc_id"), total.as("score"))
-      .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+      .where(col("score") > 0.0)
   }
 
   /** TF-IDF document vectors restricted to a fixed vocabulary: one row
