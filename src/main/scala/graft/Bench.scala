@@ -182,7 +182,12 @@ object Bench {
     val normalized = total / factorHost
     val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val hostJson = hostSamples.map(p => f"$p%.3f").mkString("[", ",", "]")
-    val calibJson = s"""{"probes":$probesJson,"median":${f"$probeMedian%.3f"},"ref":$calibRef,"factor":${f"$factor%.3f"},"host_probes":$hostJson,"host_ref":$hostRef,"factor_host":${f"$factorHost%.3f"},"factor_jvm":${f"$factorJvm%.3f"},"reruns":$reruns}"""
+    // calibration_version 2 (round 10, VERDICT item 6): version 1 (r8)
+    // normalized by the single in-bench Spark-probe factor; version 2
+    // (r9+) splits host vs JVM factors and normalizes by factor_host
+    // ONLY. Cross-round comparisons must match versions or re-derive:
+    // v1_normalized = value / factor, v2_normalized = value / factor_host.
+    val calibJson = s"""{"calibration_version":2,"probes":$probesJson,"median":${f"$probeMedian%.3f"},"ref":$calibRef,"factor":${f"$factor%.3f"},"host_probes":$hostJson,"host_ref":$hostRef,"factor_host":${f"$factorHost%.3f"},"factor_jvm":${f"$factorJvm%.3f"},"reruns":$reruns}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f"$normalized%.3f"},"calibration":$calibJson,"queries":$qs,"first_call":$firsts,"max":$maxes,"first_call_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
     // The full per-query map (~2 kB for 80+ queries) goes to the file

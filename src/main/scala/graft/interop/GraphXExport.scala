@@ -104,17 +104,24 @@ object GraphXExport {
     * BFS, [[shortestPathLengthsDf]] — AQE re-plans each round, no RDD
     * lineage, no GraphX dependency at runtime). Identical (id, landmark,
     * dist) rows on every route (PipelineSpec parity locks). */
-  /** auto-route decisions memoized by the selected edge tables'
-    * canonical plans + orientation: the FIRST auto call pays the
-    * measured probe (SQL frontier rounds 1-2); identical later calls —
-    * bench reps, retry loops, per-landmark-batch pipelines over the same
-    * graph — go straight to the measured winner instead of re-probing
-    * and, on escape, discarding the probe rounds. A stale hit only
+  /** auto-route decisions memoized by the selected edge tables' SEMANTIC
+    * HASHES + orientation (round 10, ADVICE: plan-object keys pinned
+    * LocalRelation row data and session state; the Int digests hold no
+    * references): the FIRST auto call pays the measured probe (SQL
+    * frontier rounds 1-2); identical later calls — bench reps, retry
+    * loops, per-landmark-batch pipelines over the same graph — go
+    * straight to the measured winner instead of re-probing and, on
+    * escape, discarding the probe rounds. The key deliberately OMITS the
+    * landmark set: frontier-saturation is a property of the graph's
+    * degree structure far more than of the seed set, so the first
+    * landmark set's measured decision is reused for all later sets on
+    * the same edge tables. A stale/collided/landmark-mismatched hit only
     * affects the route choice (both routes are exact). */
   private val bfsRouteCache =
-    new java.util.LinkedHashMap[AnyRef, String](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(Seq[Int], Boolean), String](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[AnyRef, String]): Boolean = size > 64
+          e: java.util.Map.Entry[(Seq[Int], Boolean), String]): Boolean =
+        size > 64
     }
 
   def shortestPathLengths(graph: PropertyGraph, landmarks: Seq[Long],
@@ -133,7 +140,7 @@ object GraphXExport {
         val tables =
           if (relTypes.isEmpty) graph.relTables
           else graph.relTables.filter(t => relTypes.contains(t.relType))
-        val key = (tables.map(_.df.queryExecution.analyzed.canonicalized),
+        val key = (tables.map(_.df.queryExecution.analyzed.semanticHash()),
           undirected)
         bfsRouteCache.synchronized { Option(bfsRouteCache.get(key)) } match {
           case Some("sql") =>

@@ -41,30 +41,41 @@ object Dedup {
     * repartition counts are exempt from AQE coalescing) and the join is
     * forced to shuffle-hash. Below the threshold the broadcast-friendly
     * plan stays — it is the right plan when pairs are few. */
-  /** pair-population estimates memoized by the bucket table's canonical
-    * plan: re-invoking the same operator (bench reps, retry loops,
-    * incremental pipelines re-deriving the same stage) must not pay the
-    * estimate job again. A stale hit only affects the ROUTE choice —
-    * both routes are correct — so underlying-data drift is benign. */
+  /** pair-population estimates memoized by the bucket table's SEMANTIC
+    * HASH (round 10, ADVICE: retaining canonicalized plan objects pinned
+    * LocalRelation row data and session-tied state across sessions; the
+    * compact digest holds no references). A hash collision or stale hit
+    * only affects the ROUTE choice — both routes are correct — so both
+    * digest collisions and underlying-data drift are benign. */
   private val pairEstCache =
-    new java.util.LinkedHashMap[AnyRef, (Long, Long)](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, Seq[String]), (Long, Long)](
+        16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[AnyRef, (Long, Long)]): Boolean =
+          e: java.util.Map.Entry[(Int, Seq[String]), (Long, Long)]): Boolean =
         size > 64
+    }
+
+  /** parse a long-valued graft conf, naming the key on a malformed value
+    * (a raw NumberFormatException mid-planning names neither). */
+  private[graft] def longConf(spark: org.apache.spark.sql.SparkSession,
+      key: String, default: String): Long =
+    try java.lang.Long.parseLong(spark.conf.get(key, default))
+    catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a long, got '${spark.conf.get(key, default)}'", e)
     }
 
   private[graft] def bucketPairJoin(keyed: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val spark = keyed.sparkSession
     val kc = keyCols.map(col)
-    val guardAt = java.lang.Long.parseLong(
-      spark.conf.get("graft.dedup.pairGuard", "50000000"))
+    val guardAt = longConf(spark, "graft.dedup.pairGuard", "50000000")
     val cond = keyCols.map(k => col("a." + k) === col("b." + k))
       .reduce(_ && _) && col("a.id") < col("b.id")
     // guardAt < 0 opts out of the estimate job entirely (callers that
     // KNOW their bucket population is small and want zero extra jobs)
     if (guardAt < 0) return keyed.as("a").join(keyed.as("b"), cond)
-    val estKey = (keyed.queryExecution.analyzed.canonicalized, keyCols)
+    val estKey = (keyed.queryExecution.analyzed.semanticHash(), keyCols)
     val (estPairs, estRows): (Long, Long) = pairEstCache.synchronized {
       Option(pairEstCache.get(estKey))
     } match {
@@ -105,8 +116,8 @@ object Dedup {
       // the same keys reuses this partitioning). Input rows floor the
       // partition count so a large-input/few-pairs table is never
       // squeezed through a handful of partitions.
-      val perTask = math.max(1L, java.lang.Long.parseLong(
-        spark.conf.get("graft.dedup.pairsPerTask", "250000")))
+      val perTask = math.max(1L,
+        longConf(spark, "graft.dedup.pairsPerTask", "250000"))
       val parts = math.min(
         spark.conf.get("spark.sql.shuffle.partitions", "200").toLong,
         math.max(estPairs / perTask, estRows / 1000000L) + 1).toInt

@@ -252,17 +252,25 @@ object Sampling {
     * (score, id) order for any monotone bucketing. Bin arithmetic is exact
     * long division (no double round-trip). */
   def quantileBins(df: DataFrame, idCol: String, scoreCol: String,
-      nBins: Int = 10, buckets: Int = 64): DataFrame = {
+      nBins: Int = 10, buckets: Int = 64,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     require(buckets >= 1, "buckets must be positive")
     import graft.functions.VectorFunctions.integral_divide
     import org.apache.spark.sql.expressions.Window
+    // three passes read (id, score): the boundary sample, the per-bucket
+    // counts, and the final ranked join. Callers typically derive the
+    // score from text (p33: an interpreted tokenize per row), so persist
+    // the narrow 16-byte projection once instead of re-deriving it per
+    // pass (round 10).
+    val scored = caches.persist(
+      df.select(col(s"`$idCol`"), col(s"`$scoreCol`")))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
       // loose relative error: boundaries only decide bucket BALANCE — the
       // rank output is exact for any monotone bucketing (see above)
-      else df.stat.approxQuantile(scoreCol, probs, 0.05).distinct.sorted
+      else scored.stat.approxQuantile(scoreCol, probs, 0.05).distinct.sorted
     // monotone: equal scores share a bucket; casting to double for the
     // boundary compare cannot reorder ranks (ranking uses the raw column).
     // A sum of codegen'd comparisons, NOT filter() over a literal array —
@@ -273,7 +281,7 @@ object Sampling {
       else bounds.map(b =>
         when(lit(b) < col(scoreCol).cast("double"), 1).otherwise(0))
         .reduce(_ + _)
-    val keyed = df.withColumn("@bucket", bucketIdx)
+    val keyed = scored.withColumn("@bucket", bucketIdx)
     val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
     // prefix sums over the per-bucket AGGREGATE rows (≤ `buckets`, never
     // the corpus) — driver-computed + re-broadcast, see driverOffsets;
@@ -282,12 +290,21 @@ object Sampling {
     val (offsets, total) = driverOffsets(counts, "@bucket", "@n")
     val w = Window.partitionBy(col("@bucket"))
       .orderBy(col(scoreCol), col(idCol))
-    keyed.join(broadcast(offsets), "@bucket")
+    val ranked = keyed.join(broadcast(offsets), "@bucket")
       .withColumn("rank",
         col("@off") + row_number().over(w).cast("long") - 1)
       .withColumn("bin",
         integral_divide(col("rank") * nBins, lit(total)))
       .drop("@bucket", "@off")
+    // contract: every input column rides through (+ rank, bin). When the
+    // input carried more than (id, score), attach them back by id so the
+    // ranking passes still only read the narrow projection.
+    val extra = df.columns.filterNot(c => c == idCol || c == scoreCol)
+    if (extra.isEmpty) ranked
+    else df.join(ranked.select(col(s"`$idCol`"), col("rank"), col("bin")),
+        Seq(idCol))
+      .select((df.columns.map(c => col(s"`$c`")) :+ col("rank") :+
+        col("bin")): _*)
   }
 
   /** Sequence packing for training: documents are concatenated in id

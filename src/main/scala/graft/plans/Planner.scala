@@ -743,8 +743,8 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     // threshold is far above any hand-written query's driving plan, so
     // typical CONSTRUCTs never pay the materialization.
     val sizeBarrier = {
-      val limit = java.lang.Long.parseLong(state.df.sparkSession.conf
-        .get("graft.construct.planBarrier", "400"))
+      val limit = graft.pipeline.Dedup.longConf(state.df.sparkSession,
+        "graft.construct.planBarrier", "400")
       limit >= 0 && {
         var n = 0
         df.queryExecution.analyzed.foreach(_ => n += 1)

@@ -77,10 +77,19 @@ object GenSf1Main {
     val docs = t("documents")
     val repl = docs.select(col("*"),
       explode(sequence(lit(0), lit(Copies - 1))).as("_copy"))
+    // rotate BOTH cases and digits (round 10, ADVICE): lowercase-only
+    // rotation left uppercase/digit-bearing tokens shared verbatim
+    // across copies, weakening the "zero shared grams" claim on
+    // mixed-case text. Digits rotate too (0-9 cycle) so numeric tokens
+    // also diverge per copy.
     val az = "abcdefghijklmnopqrstuvwxyz"
-    def rot(k: Int): String = az.drop(k) + az.take(k)
+    val aZ = az.toUpperCase; val dg = "0123456789"
+    def rot(k: Int): String =
+      az.drop(k) + az.take(k) + aZ.drop(k) + aZ.take(k) +
+        dg.drop(k % 10) + dg.take(k % 10)
+    val alphabet = az + aZ + dg
     val rotated = (1 until Copies).foldLeft(col("text")) { (acc, k) =>
-      when(col("_copy") === k, translate(col("text"), az, rot(k)))
+      when(col("_copy") === k, translate(col("text"), alphabet, rot(k)))
         .otherwise(acc)
     }
     val salted = repl.select(
