@@ -490,6 +490,31 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       }
     }.toMap
 
+    // Plan-SIZE barrier for the CLONE path (round 10): every clone table
+    // is a select over the driving frame, and a downstream MATCH over
+    // the derived graph unions k of them — k copies of the driving plan
+    // in every planner step. Past `graft.construct.planBarrier` logical
+    // nodes, re-root the frame on its lazily-planned RDD lineage
+    // (PlanBridge.lazyLineage — a LEAF; no row materialization, stages
+    // reused across the tables' actions), so stacked CONSTRUCT → MATCH →
+    // CONSTRUCT chains stop compounding per-Dataset analysis cost
+    // (differential case 734: the 3rd MATCH planned over 1301-node clone
+    // tables for 22-28 s of pure driver time; over leaf tables it is
+    // sub-second). The NEW machinery below shares the wrapped frame when
+    // no SET column diverged the two.
+    val planLimit = graft.pipeline.Dedup.longConf(
+      state.df.sparkSession, "graft.construct.planBarrier", "400")
+    def overLimit(d: DataFrame): Boolean = planLimit >= 0 && {
+      var n = 0
+      d.queryExecution.analyzed.foreach(_ => n += 1)
+      n > planLimit
+    }
+    val cloneWasState = cloneState.df eq state.df
+    if ((cloneVars.nonEmpty || c.news.nonEmpty) && overLimit(cloneState.df))
+      cloneState = cloneState.copy(
+        df = org.apache.spark.sql.graftbridge.PlanBridge
+          .lazyLineage(cloneState.df))
+
     cloneVars.foreach { v =>
       setBindings.getOrElse(v, state.header(v)) match {
         case nb: NodeBinding =>
@@ -522,8 +547,11 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     }
 
     // NEW: extend the driving table with fresh-id columns first so rels can
-    // reference their endpoints' ids from the same row.
-    var df = state.df
+    // reference their endpoints' ids from the same row. Start from the
+    // clone path's wrapped frame when the two were the same frame (no
+    // SET columns diverged them): column names are preserved by the
+    // re-root, so the compiled expressions below resolve identically.
+    var df = if (cloneWasState) cloneState.df else state.df
     val comp = compiler(state)
     // var → (idCol, labels, props(key → col))
     val created = scala.collection.mutable.LinkedHashMap
@@ -751,7 +779,16 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         n > limit
       }
     }
-    if (nondetBarrier || sizeBarrier) df = Planner.checkpointFrontier(df)
+    // nondet: materialize ONCE (a lazy re-root would re-roll rand() per
+    // action). Size: re-root on the lazily-planned RDD lineage instead
+    // (round 10) — no row materialization or block storage, every
+    // derived table and downstream match then plans against a LEAF, so
+    // stacked CONSTRUCTs stop compounding per-Dataset analysis cost
+    // (differential case 734: 35 s of driver time at the old eager
+    // barrier, see OPTIMIZATION_r10.md).
+    if (nondetBarrier) df = Planner.checkpointFrontier(df)
+    else if (sizeBarrier)
+      df = org.apache.spark.sql.graftbridge.PlanBridge.lazyLineage(df)
     newRelSpecs.foreach { case (tpe, relIdCol, srcC, dstC, propSel) =>
       relTables += graft.graph.RelTable(tpe,
         df.select((Seq(relIdCol, srcC, dstC) ++ propSel.map(_._2))
@@ -2174,20 +2211,24 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         col(s"`${baseScan.dstCol}`").as(dst), col(s"`${baseScan.typCol}`").as(typ)) ++
         baseScan.propCols.toSeq.map { case (k2, c) =>
           col(s"`$c`").as(propRename(k2)) }
-      val renamed = baseDf.select(sel: _*)
       val rb = RelBinding(id, src, dst, typ, propRename, baseScan.types)
       val tSrc = fresh(s"${rv}_tsrc"); val tDst = fresh(s"${rv}_tdst")
+      // ONE select per orientation (round 10): each withColumn was a
+      // full Dataset construction — O(plan size) of Catalyst analysis —
+      // and the unroll calls this per step per branch.
+      val fwdEnds = Seq(col(s"`${baseScan.srcCol}`").as(tSrc),
+        col(s"`${baseScan.dstCol}`").as(tDst))
+      val bwdEnds = Seq(col(s"`${baseScan.dstCol}`").as(tSrc),
+        col(s"`${baseScan.srcCol}`").as(tDst))
       val oriented = rel2.direction match {
-        case Outgoing => renamed
-          .withColumn(tSrc, col(s"`$src`")).withColumn(tDst, col(s"`$dst`"))
-        case Incoming => renamed
-          .withColumn(tSrc, col(s"`$dst`")).withColumn(tDst, col(s"`$src`"))
-        case Undirected => renamed
-          .withColumn(tSrc, col(s"`$src`")).withColumn(tDst, col(s"`$dst`"))
+        case Outgoing => baseDf.select(sel ++ fwdEnds: _*)
+        case Incoming => baseDf.select(sel ++ bwdEnds: _*)
+        case Undirected => baseDf.select(sel ++ fwdEnds: _*)
           // self-loops: both orientations are the same binding — forward
           // copy only (same rule as orientedRelScan)
-          .unionByName(renamed.where(col(s"`$src`") =!= col(s"`$dst`"))
-            .withColumn(tSrc, col(s"`$dst`")).withColumn(tDst, col(s"`$src`")))
+          .unionByName(baseDf
+            .where(col(s"`${baseScan.srcCol}`") =!= col(s"`${baseScan.dstCol}`"))
+            .select(sel ++ bwdEnds: _*))
       }
       (oriented, rb, tSrc, tDst)
     }
@@ -2199,11 +2240,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           StructField(k, baseScan.df.schema(c).dataType) })
 
     // zero traversed steps / branch prefix: every counter starts at 0 and
-    // the value list (when demanded) starts empty
+    // the value list (when demanded) starts empty. One withColumns call —
+    // per-column withColumn chains each re-analyze the whole plan.
     def withCnt0(df: DataFrame): DataFrame = {
-      val base = cntColNames.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
-      structCol.fold(base)(c =>
-        base.withColumn(c, array().cast(ArrayType(relStructType))))
+      val cols: Seq[(String, Column)] =
+        cntColNames.map(_ -> lit(0L)) ++
+          structCol.map(_ -> array().cast(ArrayType(relStructType))).toSeq
+      if (cols.isEmpty) df
+      else df.withColumns(cols.toMap)
     }
 
     def branch(k: Int): DataFrame = {
@@ -2231,11 +2275,21 @@ class Planner(spark: SparkSession, params: Map[String, Any],
               .select(outCols.map(c => col(s"`$c`")): _*)
         }
       } else {
+        // Batched Dataset construction (round 10): the k-step unroll
+        // previously interleaved a where/withColumn per predicate per
+        // step, each a full Catalyst analysis of the growing join tree —
+        // the dominant driver cost on stacked var-length queries
+        // (differential case 734). Joins still chain one per step (they
+        // must), but ALL predicates collect into one where() and ALL
+        // derived columns into one withColumns() at the end; the
+        // optimizer pushes them back down, so the executed plan is
+        // unchanged.
         var df = state.df
         var prevOut: Column = col(s"`${srcB.idCol}`")
         val stepIds = scala.collection.mutable.ArrayBuffer.empty[String]
         val stepDsts = scala.collection.mutable.ArrayBuffer.empty[String]
         val stepStructs = scala.collection.mutable.ArrayBuffer.empty[Column]
+        val preds = scala.collection.mutable.ArrayBuffer.empty[Column]
         var cntAcc: Seq[Column] = countedQuants.flatMap { case (_, _, n) =>
           lit(0L) +: n.map(_ => lit(0L)).toSeq }
         (1 to k).foreach { _ =>
@@ -2245,13 +2299,15 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           // inline {k: v} property map applies to EVERY traversed step
           // (reference: VarLengthExpandPlanner.scala:107-135). Already
           // folded into the cached scan when self-contained; otherwise
-          // compiled against this step's rel binding.
+          // compiled against this step's rel binding. (Filters are
+          // deferred to one where(); the compiler probe only reads the
+          // schema, which filters don't change.)
           if (rel.properties.nonEmpty && !prefilterProps) {
             val stepHeader = state.header + (relVar -> rb2)
             val probeDf = df
             val stepComp = new ExprCompiler(stepHeader, params, () => probeDf)
             rel.properties.foreach { case (k2, e) =>
-              df = df.where(stepComp.compile(Eq(Property(Var(relVar), k2), e)))
+              preds += stepComp.compile(Eq(Property(Var(relVar), k2), e))
             }
           }
           // pushed WHERE quantifiers: evaluate against this step's binding
@@ -2262,7 +2318,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
           }
           stepFilterQuants.foreach { q =>
             val p = stepPred(q)
-            df = df.where(
+            preds += (
               if (q.quantifier == "all") p <=> lit(true)
               else p <=> lit(false)) // none
           }
@@ -2292,13 +2348,14 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         }
         // per-path edge uniqueness
         for (i <- stepIds.indices; j <- (i + 1) until stepIds.size)
-          df = df.where(col(s"`${stepIds(i)}`") =!= col(s"`${stepIds(j)}`"))
-        df = df.withColumn(listCol, array(stepIds.toSeq.map(c => col(s"`$c`")): _*))
-        structCol.foreach { c =>
-          df = df.withColumn(c,
-            array(stepStructs.toSeq: _*).cast(ArrayType(relStructType))) }
-        df = cntColNames.zip(cntAcc).foldLeft(df) { case (d, (c, e)) =>
-          d.withColumn(c, e) }
+          preds += (col(s"`${stepIds(i)}`") =!= col(s"`${stepIds(j)}`"))
+        if (preds.nonEmpty) df = df.where(preds.reduce(_ && _))
+        val derived: Seq[(String, Column)] =
+          Seq(listCol -> array(stepIds.toSeq.map(c => col(s"`$c`")): _*)) ++
+            structCol.map(c => c ->
+              array(stepStructs.toSeq: _*).cast(ArrayType(relStructType))) ++
+            cntColNames.zip(cntAcc)
+        df = df.withColumns(derived.toMap)
         df = withInner(df,
           stepDsts.toSeq.dropRight(1).map(c => col(s"`$c`")))
         // terminal node
@@ -2402,55 +2459,56 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       var exhausted = false
       while (k <= hi && !exhausted) {
         val (relDf, rb2, tSrc, tDst) = orientedStep(rel, relVar)
-        var df = frontier
+        // one join + one where + one select per depth (round 10): the
+        // same batching as branch(k) — each interleaved where/withColumn
+        // was a full analysis of the frontier plan.
+        val joined = frontier
           .join(relDf, col(s"`$posCol`") === col(s"`$tSrc`"), "inner")
-          // per-path edge uniqueness against the running id list
-          .where(!array_contains(col(s"`$listCol`"), col(s"`${rb2.idCol}`")))
+        // per-path edge uniqueness against the running id list
+        val preds = scala.collection.mutable.ArrayBuffer[Column](
+          !array_contains(col(s"`$listCol`"), col(s"`${rb2.idCol}`")))
         if (rel.properties.nonEmpty && !prefilterProps) {
           val stepHeader = state.header + (relVar -> rb2)
-          val probeDf = df
-          val stepComp = new ExprCompiler(stepHeader, params, () => probeDf)
+          val stepComp = new ExprCompiler(stepHeader, params, () => joined)
           rel.properties.foreach { case (k2, e) =>
-            df = df.where(stepComp.compile(Eq(Property(Var(relVar), k2), e)))
+            preds += stepComp.compile(Eq(Property(Var(relVar), k2), e))
           }
         }
-        def stepPred(q: Quantified): Column = {
-          val probeDf = df
+        def stepPred(q: Quantified): Column =
           new ExprCompiler(state.header + (q.variable -> rb2), params,
-            () => probeDf).compile(q.predicate)
-        }
+            () => joined).compile(q.predicate)
         stepFilterQuants.foreach { q =>
           val p = stepPred(q)
-          df = df.where(
+          preds += (
             if (q.quantifier == "all") p <=> lit(true)
             else p <=> lit(false)) // none
         }
-        countedQuants.foreach { case (q, t, n) =>
-          val p = stepPred(q)
-          df = df.withColumn(t,
-            col(s"`$t`") + when(p <=> lit(true), lit(1L)).otherwise(lit(0L)))
-          n.foreach { nn =>
-            df = df.withColumn(nn,
-              col(s"`$nn`") + when(p.isNull, lit(1L)).otherwise(lit(0L)))
+        val updated: Map[String, Column] = {
+          val cnt = countedQuants.flatMap { case (q, t, n) =>
+            val p = stepPred(q)
+            (t -> (col(s"`$t`") +
+              when(p <=> lit(true), lit(1L)).otherwise(lit(0L)))) +:
+              n.map { nn => nn -> (col(s"`$nn`") +
+                when(p.isNull, lit(1L)).otherwise(lit(0L))) }.toSeq
           }
+          val st = structCol.map { c =>
+            val s2 = struct(
+              col(s"`${rb2.idCol}`").as("id") +:
+                col(s"`${rb2.typCol}`").as("type") +:
+                rb2.propCols.toSeq.sortBy(_._1).map { case (k2, cc) =>
+                  col(s"`$cc`").as(k2) }: _*)
+            c -> concat(col(s"`$c`"), array(s2).cast(ArrayType(relStructType)))
+          }
+          val lst = Seq(listCol ->
+            concat(col(s"`$listCol`"), array(col(s"`${rb2.idCol}`"))))
+          val dsts = dstsCol.map(c =>
+            c -> concat(col(s"`$c`"), array(col(s"`$tDst`")))).toSeq
+          val pos = Seq(posCol -> col(s"`$tDst`"))
+          (cnt ++ st ++ lst ++ dsts ++ pos).toMap
         }
-        structCol.foreach { c =>
-          val st = struct(
-            col(s"`${rb2.idCol}`").as("id") +:
-              col(s"`${rb2.typCol}`").as("type") +:
-              rb2.propCols.toSeq.sortBy(_._1).map { case (k2, cc) =>
-                col(s"`$cc`").as(k2) }: _*)
-          df = df.withColumn(c,
-            concat(col(s"`$c`"), array(st).cast(ArrayType(relStructType))))
-        }
-        df = df.withColumn(listCol,
-          concat(col(s"`$listCol`"), array(col(s"`${rb2.idCol}`"))))
-        dstsCol.foreach { c =>
-          df = df.withColumn(c,
-            concat(col(s"`$c`"), array(col(s"`$tDst`"))))
-        }
-        df = df.withColumn(posCol, col(s"`$tDst`"))
-          .select(frontierCols.map(c => col(s"`$c`")): _*)
+        val df = joined.where(preds.reduce(_ && _))
+          .select(frontierCols.map(c =>
+            updated.getOrElse(c, col(s"`$c`")).as(c)): _*)
         // materialize + truncate lineage: the next step's plan starts from
         // this checkpoint, so plan size is constant in depth.
         frontier = Planner.checkpointFrontier(df)

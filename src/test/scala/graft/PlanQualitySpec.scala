@@ -497,6 +497,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("stacked CONSTRUCT chains keep derived-table plans bounded " +
+      "(case-734 planning budget, round 10)") {
+    // Consecutive CONSTRUCTs driven by (var-length) matches previously
+    // compounded: every clone table re-embedded the driving frame, so
+    // the NEXT match planned over k copies of an ever-growing tree
+    // (differential case 734 burned 35 s of pure driver time; the 3rd
+    // match alone was 22-28 s). Past graft.construct.planBarrier the
+    // frame is re-rooted on its lazy RDD lineage, so derived tables are
+    // leaf-sized no matter how deep the stack. Locked structurally
+    // (table plan sizes stay bounded) plus a loose wall-clock ceiling
+    // that still fails on a 30-second-class regression.
+    def planSize(d: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0; d.queryExecution.analyzed.foreach(_ => n += 1); n
+    }
+    val limit = 400 // graft.construct.planBarrier default
+    val t0 = System.nanoTime()
+    val g2 = gs.cypherGraph(g,
+      """MATCH (c:Customer)-[p:PLACED]->(o:Order)
+        |CONSTRUCT CLONE c, p, o NEW (cp COPY OF c)
+        |MATCH (c2:Customer)-[p2:PLACED]->(o2:Order), (x)-[*1..2]->(y)
+        |CONSTRUCT CLONE c2, p2, o2 NEW (c2)-[:X2]->(o2)
+        |RETURN GRAPH""".stripMargin)
+    val df = gs.cypher(g2,
+      """MATCH (a)-[r*1..2]->(b)
+        |RETURN count(*) AS n""".stripMargin)
+    val planSecs = (System.nanoTime() - t0) / 1e9
+    (g2.nodeTables.map(t => t.labels.toString -> planSize(t.df)) ++
+      g2.relTables.map(t => t.relType -> planSize(t.df))).foreach {
+      case (name, n) =>
+        assert(n <= limit + 50,
+          s"derived table $name plan has $n nodes — the construct " +
+            s"plan-size barrier did not bound it")
+    }
+    assert(planSecs < 30.0,
+      f"stacked-construct planning took $planSecs%.1f s — case-734-class " +
+        "driver blowup is back")
+    assert(df.head().getLong(0) > 0)
+  }
+
   test("static list indexing emits no CreateArray in the plan") {
     val mixed2 = gs.createGraphFromCypher("CREATE (:B {k: 2, s: 'y'})")
     val df = gs.cypher(mixed2,
