@@ -171,4 +171,45 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(rows.map(_.getLong(3)).distinct.size == 1)
     }
   }
+
+  test("production-config ANN planted-recall holds across seeds and " +
+      "configs (round 10, VERDICT item 7 family)") {
+    // The p15b/p10b gates pin ONE config at the gate corpus; this is the
+    // differential-family version: several corpus seeds × production
+    // configs, planted ground truth (each query = a corpus vector
+    // perturbed ±10% elementwise, cos ≈ 0.998 vs ~0.4 background), the
+    // recall property as the oracle. Catches config-sensitive recall
+    // regressions the single gate config would miss.
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Similarity
+    val dim = 16
+    for (seed <- Seq(1L, 77L, 2026L)) {
+      val r2 = new scala.util.Random(seed)
+      val corpus = (0 until 600).map { i =>
+        (i.toLong, Array.fill(dim)(r2.nextDouble() * 2 - 1))
+      }.toDF("vec_id", "embedding")
+      val queries = (0 until 600 by 16).map { i =>
+        val base = corpus.where($"vec_id" === i.toLong)
+          .head.getSeq[Double](1).toArray
+        val qr = new scala.util.Random(seed * 31 + i)
+        (1000000L + i,
+          base.map(x => x * (1.0 + 0.1 * (qr.nextDouble() * 2 - 1))))
+      }.toDF("vec_id", "embedding")
+      val both = corpus.unionByName(queries)
+      val exact1 = Similarity.blockTopKFor(queries, corpus,
+        "vec_id", "embedding", k = 1)
+      def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallAtK(ann.where($"qid" >= 1000000L), exact1)
+          .agg(avg($"recall")).head.getDouble(0)
+      val ivf = Similarity.ivfTopK(both, "vec_id", "embedding", k = 5,
+        nClusters = 96, nProbe = 8, trainSample = 600)
+      val rIvf = recallOf(ivf)
+      assert(rIvf >= 0.9, s"seed $seed: IVF planted recall $rIvf < 0.9")
+      val lsh = Similarity.lshTopK(both, "vec_id", "embedding", dim = dim,
+        k = 5, bits = 12, tables = 8)
+      val rLsh = recallOf(lsh)
+      assert(rLsh >= 0.9, s"seed $seed: LSH planted recall $rLsh < 0.9")
+    }
+  }
 }

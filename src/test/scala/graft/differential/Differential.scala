@@ -2190,8 +2190,23 @@ object DiffGen {
       rhs <- genValueVE(ctx, fam)
       op <- Gen.oneOf("=", "<>")
     } yield CmpE(op, IdxE(l, LitE(idx)), rhs)
+    // distance-join shape (round 10, VERDICT item 7): the planner lowers
+    // `distance(a.pt, b.pt) < r` over DISCONNECTED parts to the grid
+    // join — target that conjunct form directly (two node-var point
+    // properties, constant radius, window/non-window comparators; the
+    // occasional non-positive radius exercises the filter fallback)
+    val distJoinG: Gen[BE] =
+      if (ctx.nodeVars.size < 2) genCmp(ctx)
+      else for {
+        v1 <- Gen.oneOf(ctx.nodeVars)
+        v2 <- Gen.oneOf(ctx.nodeVars.filterNot(_ == v1))
+        op <- Gen.oneOf("<", "<=", ">", ">=")
+        r <- Gen.frequency(
+          6 -> Gen.choose(0.5, 400000.0),
+          1 -> Gen.oneOf(0.0, -1.5))
+      } yield CmpE(op, DistanceE(PropE(v1, "pt"), PropE(v2, "pt")), LitE(r))
     Gen.frequency(9 -> genLeafPlain(ctx), 2 -> cmpRichG, 2 -> genExistsE(ctx),
-      1 -> mixedIdxG)
+      1 -> mixedIdxG, 1 -> distJoinG)
   }
 
   private def genBE(ctx: Ctx, depth: Int): Gen[BE] =
