@@ -165,35 +165,27 @@ object Sampling {
     * (bucket offset + intra-bucket cumulative) fits. Deterministic across
     * engines/runs/partitionings via the md5 shuffle key. */
   def takeTokenBudget(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, seed: String = "42", bucketChars: Int = 4,
-      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
+      budget: Long, seed: String = "42", bucketChars: Int = 4): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
     val nTokens =
       size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
         .cast("long")
-    // two passes read (id, n_tokens, key, bucket): the per-bucket totals
-    // and the final cumulative filter — persist the narrow projection so
-    // the corpus is tokenized (an interpreted HOF per row) and md5'd
-    // ONCE (round 10); survivors re-attach the remaining columns by id.
-    val keyed = caches.persist(df.select(col(s"`$idCol`"),
-      nTokens.as("n_tokens"),
-      md5(concat(idStr(col(s"`$idCol`")), lit(":" + seed))).as("@key"))
-      .withColumn("@bucket", substring(col("@key"), 1, bucketChars)))
+    val keyed = df
+      .withColumn("n_tokens", nTokens)
+      .withColumn("@key",
+        md5(concat(idStr(col(idCol)), lit(":" + seed))))
+      .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
     val totals = keyed.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
     // prefix sums over the per-bucket AGGREGATE rows (≤ 16^bucketChars,
     // never the corpus) — driver-computed + re-broadcast, see driverOffsets
     val (offsets, _) = driverOffsets(totals, "@bucket", "@t")
     val w = Window.partitionBy(col("@bucket"))
-      .orderBy(col("@key"), col(s"`$idCol`"))
-    val kept = keyed.join(broadcast(offsets), "@bucket")
+      .orderBy(col("@key"), col(idCol))
+    keyed.join(broadcast(offsets), "@bucket")
       .withColumn("@cum", col("@off") + sum(col("n_tokens")).over(w))
       .where(col("@cum") <= budget)
-      .select(col(s"`$idCol`"), col("n_tokens"))
-    val extra = df.columns.filterNot(_ == idCol)
-    if (extra.isEmpty) kept
-    else df.join(kept, Seq(idCol))
-      .select((df.columns.map(c => col(s"`$c`")) :+ col("n_tokens")): _*)
+      .drop("@bucket", "@key", "@off", "@cum")
   }
 
   /** Token-share corpus mixture: each source contributes (up to) its
@@ -210,8 +202,7 @@ object Sampling {
   def mixtureByTokens(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, totalBudget: Long, shares: Map[String, Double],
       defaultShare: Double = 0.0, seed: String = "42",
-      bucketChars: Int = 4,
-      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
+      bucketChars: Int = 4): DataFrame = {
     require(totalBudget >= 0, "totalBudget must be non-negative")
     require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
       "shares must be in [0, 1]")
@@ -222,31 +213,27 @@ object Sampling {
     val budget = shares.toSeq.sortBy(_._1)
       .foldLeft(lit((totalBudget * defaultShare).toLong)) {
         case (acc, (src, sh)) =>
-          when(col(s"`$sourceCol`") === src, lit((totalBudget * sh).toLong))
+          when(col(sourceCol) === src, lit((totalBudget * sh).toLong))
             .otherwise(acc)
       }
-    // same narrow-persist shape as takeTokenBudget: tokenize + md5 once
-    val keyed = caches.persist(df.select(col(s"`$idCol`"),
-      col(s"`$sourceCol`"), nTokens.as("n_tokens"),
-      md5(concat(idStr(col(s"`$idCol`")), lit(":" + seed))).as("@key"))
-      .withColumn("@bucket", substring(col("@key"), 1, bucketChars)))
-    val totals = keyed.groupBy(col(s"`$sourceCol`"), col("@bucket"))
+    val keyed = df
+      .withColumn("n_tokens", nTokens)
+      .withColumn("@key",
+        md5(concat(idStr(col(idCol)), lit(":" + seed))))
+      .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
+    val totals = keyed.groupBy(col(sourceCol), col("@bucket"))
       .agg(sum(col("n_tokens")).as("@t"))
-    val wb = Window.partitionBy(col(s"`$sourceCol`")).orderBy(col("@bucket"))
+    val wb = Window.partitionBy(col(sourceCol)).orderBy(col("@bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("@off", coalesce(sum(col("@t")).over(wb), lit(0L)))
-      .select(col(s"`$sourceCol`"), col("@bucket"), col("@off"))
-    val w = Window.partitionBy(col(s"`$sourceCol`"), col("@bucket"))
-      .orderBy(col("@key"), col(s"`$idCol`"))
-    val kept = keyed.join(broadcast(offsets), Seq(sourceCol, "@bucket"))
+      .select(col(sourceCol), col("@bucket"), col("@off"))
+    val w = Window.partitionBy(col(sourceCol), col("@bucket"))
+      .orderBy(col("@key"), col(idCol))
+    keyed.join(broadcast(offsets), Seq(sourceCol, "@bucket"))
       .withColumn("@cum", col("@off") + sum(col("n_tokens")).over(w))
       .where(col("@cum") <= budget)
-      .select(col(s"`$idCol`"), col("n_tokens"))
-    val extra = df.columns.filterNot(_ == idCol)
-    if (extra.isEmpty) kept
-    else df.join(kept, Seq(idCol))
-      .select((df.columns.map(c => col(s"`$c`")) :+ col("n_tokens")): _*)
+      .drop("@bucket", "@key", "@off", "@cum")
   }
 
   /** Exact global quantile binning: every row gets its exact 0-based rank
