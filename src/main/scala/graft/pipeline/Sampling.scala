@@ -260,9 +260,11 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     // three passes read (id, score): the boundary sample, the per-bucket
     // counts, and the final ranked join. Callers typically derive the
-    // score from text (p33: an interpreted tokenize per row), so persist
-    // the narrow 16-byte projection once instead of re-deriving it per
-    // pass (round 10).
+    // score from text (p33: an interpreted tokenize per row), so the two
+    // AGGREGATE passes read a persisted narrow 16-byte projection instead
+    // of re-deriving the score each (round 10). The FINAL pass stays on
+    // the original frame — a join-back by id would silently drop null-id
+    // rows and multiply duplicate ids.
     val scored = caches.persist(
       df.select(col(s"`$idCol`"), col(s"`$scoreCol`")))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -281,30 +283,22 @@ object Sampling {
       else bounds.map(b =>
         when(lit(b) < col(scoreCol).cast("double"), 1).otherwise(0))
         .reduce(_ + _)
-    val keyed = scored.withColumn("@bucket", bucketIdx)
-    val counts = keyed.groupBy("@bucket").agg(count(lit(1)).as("@n"))
+    val counts = scored.withColumn("@bucket", bucketIdx)
+      .groupBy("@bucket").agg(count(lit(1)).as("@n"))
     // prefix sums over the per-bucket AGGREGATE rows (≤ `buckets`, never
     // the corpus) — driver-computed + re-broadcast, see driverOffsets;
     // the grand total comes from the same bounded collect (one less
     // crossJoin + aggregate)
     val (offsets, total) = driverOffsets(counts, "@bucket", "@n")
     val w = Window.partitionBy(col("@bucket"))
-      .orderBy(col(scoreCol), col(idCol))
-    val ranked = keyed.join(broadcast(offsets), "@bucket")
+      .orderBy(col(s"`$scoreCol`"), col(s"`$idCol`"))
+    df.withColumn("@bucket", bucketIdx)
+      .join(broadcast(offsets), "@bucket")
       .withColumn("rank",
         col("@off") + row_number().over(w).cast("long") - 1)
       .withColumn("bin",
         integral_divide(col("rank") * nBins, lit(total)))
       .drop("@bucket", "@off")
-    // contract: every input column rides through (+ rank, bin). When the
-    // input carried more than (id, score), attach them back by id so the
-    // ranking passes still only read the narrow projection.
-    val extra = df.columns.filterNot(c => c == idCol || c == scoreCol)
-    if (extra.isEmpty) ranked
-    else df.join(ranked.select(col(s"`$idCol`"), col("rank"), col("bin")),
-        Seq(idCol))
-      .select((df.columns.map(c => col(s"`$c`")) :+ col("rank") :+
-        col("bin")): _*)
   }
 
   /** Sequence packing for training: documents are concatenated in id
