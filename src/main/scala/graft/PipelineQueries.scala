@@ -66,8 +66,8 @@ object PipelineQueries {
     // O(tokens²) per document, measured 12.6 s → 4.1 s for this stage
     // at sf0.1 (multiple uses of a non-cheap attribute block Catalyst's
     // CollapseProject, so the bind is stable)
-    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      t => length(t) > 0)
+    val toks = graft.functions.TextFunctions.split_tokens(
+      lower(col(textCol)), graft.functions.TokenMode.AsciiAlnum)
     val grams = array_distinct(
       when(size(col("w")) >= 3,
         transform(sequence(lit(1), size(col("w")) - 2),
@@ -137,8 +137,8 @@ object PipelineQueries {
       textCol: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val toks = df.select(col(idCol).cast(LongType).as("id"),
-      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        t => length(t) > 0)).as("tok"))
+      explode(graft.functions.TextFunctions.split_tokens(
+        lower(col(textCol)), graft.functions.TokenMode.AsciiAlnum)).as("tok"))
     val h = toks.select(col("id"),
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType).as("hi"),
       conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType).as("lo"))
@@ -475,7 +475,8 @@ object PipelineQueries {
     // range-bucketed two-phase rank — no single-partition window
     "p33_quality_bins" -> ((s, dir) => {
       val scored = docs(s, dir).select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+        graft.functions.TextFunctions
+          .count_tokens(col("text"), graft.functions.TokenMode.Whitespace)
           .cast("long").as("n_tokens"))
       Sampling.quantileBins(scored, "doc_id", "n_tokens", nBins = 10)
         .select(col("doc_id"), col("n_tokens"), col("rank"), col("bin"))

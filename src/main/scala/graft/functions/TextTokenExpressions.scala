@@ -1,0 +1,250 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-stage-codegen tokenizers for the text hot paths.
+  *
+  * The composed form `filter(split(text, regex), t => length(t) > 0)` has
+  * two hidden costs at corpus scale: `ArrayFilter` is a higher-order
+  * function (CodegenFallback — the WHOLE subtree, split and lower
+  * included, evaluates interpreted, one lambda dispatch per element), and
+  * `UTF8String.split` compiles its `java.util.regex.Pattern` on every
+  * row. These expressions produce the identical token arrays / counts in
+  * one generated-code pass over the string, no regex, no lambda.
+  *
+  * Exactness contract (locked by TextKernelSpec property tests against
+  * the composed expressions):
+  *  - [[TokenMode.UnicodeAlnum]] ≡ `filter(split(s, "[^\\p{L}\\p{N}]+", -1),
+  *    length > 0)`. Java's `\p{L}` is general category L* — exactly
+  *    `Character.isLetter`; `\p{N}` is Nd|Nl|No — `getType` against those
+  *    three constants. Both regex and kernel walk code points with
+  *    `codePointAt` semantics (unpaired surrogates classify as
+  *    non-word in both).
+  *  - [[TokenMode.AsciiAlnum]] ≡ `filter(split(s, "[^a-z0-9]+", -1), ...)`:
+  *    byte-level walk is exact because every token byte is ASCII and
+  *    UTF-8 continuation bytes are ≥ 0x80.
+  *  - [[TokenMode.Whitespace]] ≡ `filter(split(s, "\\s+", -1), ...)`:
+  *    Java regex `\s` (no UNICODE_CHARACTER_CLASS) is exactly
+  *    `[ \t\n\x0B\f\r]` — all ASCII, so the byte walk is exact.
+  *  - [[TokenMode.SingleSpace]] ≡ `filter(split(s, " ", -1), ...)`.
+  *
+  * `split(..., -1)` only ever yields empty strings at the two ends (the
+  * `+`-quantified separator classes absorb interior runs; for the
+  * single-char classes each separator starts a new element), and the
+  * `length > 0` filter drops every empty element — so in all four modes
+  * the result is precisely the maximal runs of token characters, which
+  * is what the kernels emit.
+  */
+object TokenMode {
+  val UnicodeAlnum = 0
+  val AsciiAlnum = 1
+  val Whitespace = 2
+  val SingleSpace = 3
+}
+
+object TextKernels {
+
+  /** `\p{L}` ∪ `\p{N}` per java.util.regex (which classifies via
+    * java.lang.Character, same Unicode tables as this). */
+  @inline def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  @inline private def isAsciiWordByte(b: Byte, mode: Int): Boolean =
+    if (mode == TokenMode.AsciiAlnum)
+      (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+    else if (mode == TokenMode.Whitespace)
+      !(b == ' ' || (b >= '\t' && b <= '\r'))
+    else b != ' ' // SingleSpace
+
+  /** UnicodeAlnum classification for a byte known to be ASCII. */
+  @inline private def isAsciiUnicodeWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  /** token split — maximal runs of word characters (see TokenMode). */
+  def splitTokens(s: UTF8String, mode: Int): ArrayData = {
+    if (mode == TokenMode.UnicodeAlnum && !s.isFullAscii)
+      return splitUnicode(s)
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // count first so the output array is exact-sized (no buffer growth)
+    var n = 0
+    var in = false
+    var i = 0
+    while (i < nb) {
+      val w =
+        if (mode == TokenMode.UnicodeAlnum) isAsciiUnicodeWordByte(bytes(i))
+        else isAsciiWordByte(bytes(i), mode)
+      if (w && !in) { n += 1; in = true } else if (!w) in = false
+      i += 1
+    }
+    val out = new Array[AnyRef](n)
+    var k = 0
+    var start = -1
+    i = 0
+    while (i < nb) {
+      val w =
+        if (mode == TokenMode.UnicodeAlnum) isAsciiUnicodeWordByte(bytes(i))
+        else isAsciiWordByte(bytes(i), mode)
+      if (w) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out(k) = UTF8String.fromBytes(bytes, start, i - start); k += 1
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) { out(k) = UTF8String.fromBytes(bytes, start, nb - start) }
+    new GenericArrayData(out)
+  }
+
+  /** non-ASCII UnicodeAlnum path: code-point walk over the decoded string
+    * (regex `[^\p{L}\p{N}]+` walks code points identically). */
+  private def splitUnicode(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    var start = -1
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (isWordCp(cp)) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out.add(UTF8String.fromString(str.substring(start, i)))
+        start = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out.add(UTF8String.fromString(str.substring(start)))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** token COUNT without materializing the array (for
+    * `size(filter(split(...), ...))` call sites). */
+  def countTokens(s: UTF8String, mode: Int): Int = {
+    if (mode == TokenMode.UnicodeAlnum && !s.isFullAscii)
+      return countUnicode(s)
+    val nb = s.numBytes()
+    var n = 0
+    var in = false
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      val w =
+        if (mode == TokenMode.UnicodeAlnum) isAsciiUnicodeWordByte(b)
+        else isAsciiWordByte(b, mode)
+      if (w && !in) { n += 1; in = true } else if (!w) in = false
+      i += 1
+    }
+    n
+  }
+
+  private def countUnicode(s: UTF8String): Int = {
+    val str = s.toString
+    val len = str.length
+    var n = 0
+    var in = false
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val w = isWordCp(cp)
+      if (w && !in) { n += 1; in = true } else if (!w) in = false
+      i += Character.charCount(cp)
+    }
+    n
+  }
+}
+
+/** `filter(split(child, <mode regex>, -1), t => length(t) > 0)` as one
+  * codegen pass — see [[TextKernels]] for the exactness contract. The
+  * data type matches `StringSplit`'s `ArrayType(StringType,
+  * containsNull = false)`, which `ArrayFilter` preserves. */
+case class SplitTokens(child: Expression, mode: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "split_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.splitTokens(input.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.splitTokens($c, $mode)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `size(filter(split(child, <mode regex>, -1), t => length(t) > 0))`
+  * without building the array. IntegerType like `size`; null → null like
+  * the composed form (split is null-intolerant and `size(null)` is null
+  * with legacy sizeOfNull off — Spark 3+ default). */
+case class CountTokens(child: Expression, mode: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countTokens(input.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.countTokens($c, $mode)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `size(filter(arr, x => x === term))` — occurrences of `term` in a
+  * string array — as a codegen loop (binary UTF8String equality, the
+  * UTF8_BINARY `=` semantics the composed form lowers to). */
+case class ArrayCountEq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_count_eq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val t = b.asInstanceOf[UTF8String]
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { if (t.equals(arr.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |int c = 0;
+         |for (int i = 0; i < n; i++) {
+         |  if ($b.equals($a.getUTF8String(i))) c++;
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Column-API wrappers. */
+object TextFunctions {
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** tokens of `c` split on non-(Unicode letter/number) runs — pair with
+    * `lower(c)` at the call site when the composed form lowered first. */
+  def split_tokens(c: Column, mode: Int): Column =
+    ColumnBridge.column(SplitTokens(expr(c), mode))
+
+  def count_tokens(c: Column, mode: Int): Column =
+    ColumnBridge.column(CountTokens(expr(c), mode))
+
+  def array_count_eq(arr: Column, term: Column): Column =
+    ColumnBridge.column(ArrayCountEq(expr(arr), expr(term)))
+}

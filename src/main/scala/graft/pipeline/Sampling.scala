@@ -168,9 +168,9 @@ object Sampling {
       budget: Long, seed: String = "42", bucketChars: Int = 4): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
-    val nTokens =
-      size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
-        .cast("long")
+    val nTokens = graft.functions.TextFunctions
+      .count_tokens(col(textCol), graft.functions.TokenMode.Whitespace)
+      .cast("long")
     val keyed = df
       .withColumn("n_tokens", nTokens)
       .withColumn("@key",
@@ -207,9 +207,9 @@ object Sampling {
     require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
       "shares must be in [0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val nTokens =
-      size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
-        .cast("long")
+    val nTokens = graft.functions.TextFunctions
+      .count_tokens(col(textCol), graft.functions.TokenMode.Whitespace)
+      .cast("long")
     val budget = shares.toSeq.sortBy(_._1)
       .foldLeft(lit((totalBudget * defaultShare).toLong)) {
         case (acc, (src, sh)) =>
@@ -316,9 +316,9 @@ object Sampling {
     require(capacity > 0, "capacity must be positive")
     import graft.functions.VectorFunctions.integral_divide
     import org.apache.spark.sql.expressions.Window
-    val nTokens =
-      size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
-        .cast("long")
+    val nTokens = graft.functions.TextFunctions
+      .count_tokens(col(textCol), graft.functions.TokenMode.Whitespace)
+      .cast("long")
     val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
     df.select(col(idCol), col(partitionCol), nTokens.as("n_tokens"))
       .withColumn("tok_offset",

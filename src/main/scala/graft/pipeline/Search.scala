@@ -48,8 +48,11 @@ object Search {
     // (row, term). Bound columns are O(1) attribute references —
     // CollapseProject keeps the binding because a non-cheap alias used
     // three times is not inlined.
+    // round 11: occurrence count as a codegen loop (array_count_eq) —
+    // size(filter(w, ===)) was the one interpreted HOF left on this path
     val tfCols = queryTerms.indices.map { i =>
-      size(filter(col("w"), x => x === lit(queryTerms(i))))
+      graft.functions.TextFunctions
+        .array_count_eq(col("w"), lit(queryTerms(i)))
         .cast(DoubleType).as(s"tf_$i")
     }
     val withStats = toks
@@ -99,7 +102,8 @@ object Search {
 
     val perTerm = vocabulary.zipWithIndex.map { case (t, i) =>
       struct(lit(t).as("term"),
-        size(filter(col("w"), x => x === lit(t))).cast(LongType).as("tf"),
+        graft.functions.TextFunctions.array_count_eq(col("w"), lit(t))
+          .cast(LongType).as("tf"),
         col(s"df_$i").cast(LongType).as("df"))
     }
     withStats

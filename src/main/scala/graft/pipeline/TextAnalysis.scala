@@ -18,7 +18,8 @@ object TextAnalysis {
     val t = col(textCol)
     df.select(
       col(idCol),
-      size(filter(split(t, "\\s+"), x => length(x) > 0)).cast(LongType)
+      graft.functions.TextFunctions
+        .count_tokens(t, graft.functions.TokenMode.Whitespace).cast(LongType)
         .as("ws_tokens"),
       regexp_count(t, lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]")).cast(LongType)
         .as("bpe_tokens"),
@@ -74,8 +75,12 @@ object TextAnalysis {
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     val normLines = transform(split(decoded, "\n"),
       l => trim(regexp_replace(l, "[ \\t]+", " ")))
+    // the outer filter stays a HOF (per-line lambda), but the per-line
+    // word count no longer recompiles a regex Pattern per line
     val kept = filter(normLines, l =>
-      size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords)
+      graft.functions.TextFunctions
+        .count_tokens(l, graft.functions.TokenMode.SingleSpace)
+        >= minLineWords)
     df.select(col(idCol), array_join(kept, "\n").as("clean_text"),
       size(kept).cast(LongType).as("n_lines"))
   }
@@ -398,7 +403,8 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
     val step = maxTokens - overlap
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val toks = graft.functions.TextFunctions
+      .split_tokens(col(textCol), graft.functions.TokenMode.Whitespace)
     val n = size(toks)
     val nChunks = when(n <= maxTokens, lit(1L))
       .otherwise(floor((n - maxTokens + step - 1).cast(DoubleType) / step)

@@ -17,9 +17,14 @@ object TextOps {
       sequence(lit(0), greatest(length(c) - n, lit(0))),
       i => c.substr(i + 1, lit(n))))
 
-  /** lowercase word tokens (non-empty). */
+  /** lowercase word tokens (non-empty). Round 11: the composed
+    * `filter(split(lower(c), "[^\\p{L}\\p{N}]+"), length > 0)` form ran
+    * interpreted (ArrayFilter is CodegenFallback) and recompiled the
+    * regex per row; [[graft.functions.SplitTokens]] is the same token
+    * array (TextKernelSpec equivalence lock) in one codegen pass. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    graft.functions.TextFunctions.split_tokens(
+      lower(c), graft.functions.TokenMode.UnicodeAlnum)
 
   /** word n-grams over the token array. */
   def wordNgrams(toks: Column, n: Int): Column =

@@ -293,9 +293,9 @@ object EventStreams {
       strictPrefix: Boolean = true): Dataset[AdmittedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nTokens =
-      size(filter(split(col(s"`$textCol`"), "\\s+"), x => length(x) > 0))
-        .cast("long")
+    val nTokens = graft.functions.TextFunctions
+      .count_tokens(col(s"`$textCol`"), graft.functions.TokenMode.Whitespace)
+      .cast("long")
     val in = docs.select(
       col(s"`$sourceCol`").cast("string").as("source"),
       col(s"`$idCol`").cast("long").as("docId"),
