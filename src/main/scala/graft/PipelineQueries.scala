@@ -443,18 +443,17 @@ object PipelineQueries {
     // re-chunks each doc into 10-token paragraphs (deterministic wrapper,
     // same style as p25's synthesized HTML).
     "p29_paragraph_dedup" -> ((s, dir) => {
-      // token array bound as a column before the lambda references it
-      // (inlined split would re-run per paragraph element, like p6's
-      // gram pass)
-      val ptext = array_join(
-        transform(sequence(lit(0),
-            floor((size(col("w")) - lit(1)) / lit(10)).cast("int")),
-          i => concat_ws(" ", slice(col("w"), i * lit(10) + lit(1), lit(10)))),
-        "\n")
+      // round 11: the 10-token re-chunking is "replace every 10th space
+      // with \n" — split(text, " ") partitions at every single space, so
+      // the earlier split + interpreted transform/slice/concat_ws/join
+      // pipeline (O(tokens) lambda dispatches per doc, evaluated on BOTH
+      // sides of paragraphDedup's winner join) collapses to one codegen
+      // byte pass (ReplaceNthDelim scaladoc carries the identity proof;
+      // TextKernelSpec locks it elementwise, oracle unchanged).
       Dedup.paragraphDedup(
-        docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), ptext.as("ptext")),
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.TextFunctions
+            .replace_nth_delim(col("text"), 10, ' ', '\n').as("ptext")),
         "doc_id", "ptext").orderBy("doc_id")
     }),
     // hashed bag-of-words linear quality model (fastText shape) with a

@@ -147,6 +147,26 @@ object TextKernels {
     n
   }
 
+  /** see [[graft.functions.ReplaceNthDelim]]. */
+  def replaceNthDelim(s: UTF8String, n: Int, from: Byte, to: Byte): UTF8String = {
+    val bytes = s.getBytes
+    var out: Array[Byte] = null // copy-on-first-hit: no-delim rows alias input
+    var seen = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == from) {
+        seen += 1
+        if (seen == n) {
+          if (out == null) out = java.util.Arrays.copyOf(bytes, bytes.length)
+          out(i) = to
+          seen = 0
+        }
+      }
+      i += 1
+    }
+    if (out == null) s else UTF8String.fromBytes(out)
+  }
+
   private def countUnicode(s: UTF8String): Int = {
     val str = s.toString
     val len = str.length
@@ -233,6 +253,41 @@ case class ArrayCountEq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Replaces every `n`-th occurrence of the single-byte delimiter `from`
+  * with the single-byte `to` — the codegen form of "re-chunk a
+  * space-separated token stream into n-token paragraphs":
+  *
+  *   array_join(transform(sequence(0, floor((size(w)-1)/n)),
+  *     i => concat_ws(" ", slice(w, i*n+1, n))), "\n")
+  *   where w = split(text, " ")
+  *
+  * is identical to this expression with (n, ' ', '\n'): `split(text, " ",
+  * -1)` partitions the text at every single space (empty elements
+  * included), `concat_ws(" ", slice(...))` reproduces each n-element run
+  * byte-for-byte with its interior spaces, and the "\n" join lands
+  * exactly at gaps n, 2n, ... — i.e. at every n-th space. The composed
+  * form walks the document O(tokens) times through interpreted
+  * higher-order lambdas (and twice more when the consumer joins the
+  * frame back on itself); this is one codegen byte pass. Locked
+  * elementwise by TextKernelSpec. Bytes ≥ 0x80 are UTF-8 continuation /
+  * lead bytes, never 0x20, so the byte walk is exact. */
+case class ReplaceNthDelim(child: Expression, n: Int, from: Byte, to: Byte)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  require(from >= 0 && to >= 0, "single-byte (ASCII) delimiters only")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "replace_nth_delim"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.replaceNthDelim(input.asInstanceOf[UTF8String], n, from, to)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.replaceNthDelim($c, $n, (byte) $from, (byte) $to)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object TextFunctions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -247,4 +302,7 @@ object TextFunctions {
 
   def array_count_eq(arr: Column, term: Column): Column =
     ColumnBridge.column(ArrayCountEq(expr(arr), expr(term)))
+
+  def replace_nth_delim(c: Column, n: Int, from: Char, to: Char): Column =
+    ColumnBridge.column(ReplaceNthDelim(expr(c), n, from.toByte, to.toByte))
 }

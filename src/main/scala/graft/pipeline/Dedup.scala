@@ -729,9 +729,12 @@ object Dedup {
     * Scale shape: winner election groups by the 8-byte xxhash64 of the
     * paragraph — with map-side combine only (hash, min-position, count)
     * triples shuffle, never paragraph text; the join back is a hash join
-    * on the same narrow key; reconstruction moves each paragraph exactly
-    * once into its document's group. Nothing is corpus-global except the
-    * per-hash aggregation. */
+    * on the same narrow key (AQE can split a skewed hash partition here,
+    * which is why this is NOT a window over h: a boilerplate paragraph
+    * duplicated 10⁸ times would serialize one window task, while the
+    * join splits). Reconstruction moves each paragraph exactly once into
+    * its document's group. Nothing is corpus-global except the per-hash
+    * aggregation. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val paras = df.select(col(idCol).cast(LongType).as("id"),

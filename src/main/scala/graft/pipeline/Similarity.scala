@@ -58,6 +58,20 @@ object Similarity {
     java.math.BigDecimal.valueOf(v)
       .setScale(digits, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Conservative guard band for SKIPPING the BigDecimal rounding on
+    * non-competitive candidates (round 11). `roundHalfUp(x, d)` moves x
+    * by at most 0.5·10⁻ᵈ (the decimal half-step) plus two sub-ulp
+    * conversion errors, so whenever `x < bound - 10⁻ᵈ` it is certain
+    * that `roundHalfUp(x, d) < bound` — the candidate cannot reach a
+    * threshold/kth-place at `bound` and the (allocation-heavy) exact
+    * rounding can be skipped without changing any emitted value. The
+    * full band 10⁻ᵈ is 2× the mathematical bound — margin for the two
+    * double conversions (≤ 1 ulp ≈ 2·10⁻¹⁶ here, sims are in [-1, 1]).
+    * NaN/±Inf compare false against the band and fall through to the
+    * rounding path, preserving the pre-guard behavior exactly. */
+  @inline private[pipeline] def roundGuard(digits: Int): Double =
+    math.pow(10.0, -digits)
+
   /** Exact top-k cosine neighbors for every vector (excludes self-matches).
     * Ranking uses the rounded similarity (stable across engines/accumulation
     * orders) with id tiebreak, so results are deterministic.
@@ -154,6 +168,7 @@ object Similarity {
     var qnorm = 0.0; var j = 0
     while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
     val qsqrt = math.sqrt(qnorm)
+    val g = roundGuard(rt)
     val simBuf = new Array[Double](kk); val nidBuf = new Array[Long](kk)
     var filled = 0
     val n = ids.length
@@ -164,17 +179,24 @@ object Similarity {
         val off = i * dim
         while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
         val denom = qsqrt * sqrtNorms(i)
-        val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
-        val nid = ids(i)
-        if (filled < kk || sim > simBuf(filled - 1) ||
-            (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
-          var p = math.min(filled, kk - 1)
-          while (p > 0 && (sim > simBuf(p - 1) ||
-              (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
-            simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
+        val raw = if (denom == 0.0) 0.0 else dot / denom
+        // guard band: once the buffer is full, a raw sim more than one
+        // decimal step below the kth rounded sim cannot round into
+        // admission — skip the BigDecimal entirely (see roundGuard; this
+        // is the O(n²) allocation of the all-pairs kernels)
+        if (!(filled == kk && raw < simBuf(kk - 1) - g)) {
+          val sim = roundHalfUp(raw, rt)
+          val nid = ids(i)
+          if (filled < kk || sim > simBuf(filled - 1) ||
+              (sim == simBuf(filled - 1) && nid < nidBuf(filled - 1))) {
+            var p = math.min(filled, kk - 1)
+            while (p > 0 && (sim > simBuf(p - 1) ||
+                (sim == simBuf(p - 1) && nid < nidBuf(p - 1)))) {
+              simBuf(p) = simBuf(p - 1); nidBuf(p) = nidBuf(p - 1); p -= 1
+            }
+            simBuf(p) = sim; nidBuf(p) = nid
+            if (filled < kk) filled += 1
           }
-          simBuf(p) = sim; nidBuf(p) = nid
-          if (filled < kk) filled += 1
         }
       }
       i += 1
@@ -289,6 +311,7 @@ object Similarity {
             var qnorm = 0.0; var j = 0
             while (j < dim) { val x = qv(j); qnorm += x * x; j += 1 }
             val qsqrt = math.sqrt(qnorm)
+            val g = roundGuard(rt)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             var i = 0
             while (i < n) {
@@ -297,8 +320,14 @@ object Similarity {
                 val off = i * dim
                 while (j2 < dim) { dot += qv(j2) * mat(off + j2); j2 += 1 }
                 val denom = qsqrt * sqrtNorms(i)
-                val sim = roundHalfUp(if (denom == 0.0) 0.0 else dot / denom, rt)
-                if (sim >= th) out += ((qid, ids(i), sim))
+                val raw = if (denom == 0.0) 0.0 else dot / denom
+                // guard band: a raw sim more than one decimal step below
+                // the threshold cannot round up to it (see roundGuard) —
+                // skip the BigDecimal for the (overwhelming) non-pair bulk
+                if (!(raw < th - g)) {
+                  val sim = roundHalfUp(raw, rt)
+                  if (sim >= th) out += ((qid, ids(i), sim))
+                }
               }
               i += 1
             }

@@ -170,6 +170,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(blk.nonEmpty)
   }
 
+  test("rounding guard band: kernels stay bit-identical on sims packed " +
+      "at the rounding/threshold boundary") {
+    // round 11: the production kernels skip the BigDecimal round for
+    // candidates provably below (kth | threshold) − 10⁻⁴ (roundGuard).
+    // This fixture densely packs raw sims INSIDE and AROUND that band —
+    // offsets of ±0.5·10⁻⁴/±10⁻⁴ around the 0.4 threshold and a top-k
+    // cluster spaced 10⁻⁵ apart (every candidate within one guard band
+    // of the kth place) — so skip/no-skip decisions and half-up rounding
+    // boundaries are both exercised; the unguarded broadcast baselines
+    // are the reference.
+    def vec(s: Double): Array[Double] =
+      Array(s, math.sqrt(math.max(0.0, 1.0 - s * s)))
+    val sims = Seq(
+      0.4 - 3e-4, 0.4 - 1.1e-4, 0.4 - 1e-4, 0.4 - 0.9e-4, 0.4 - 0.5e-4,
+      0.39995, 0.39995000001, 0.4 - 1e-9, 0.4, 0.4 + 0.5e-4, 0.40005,
+      0.4001, 0.41) ++
+      (0 until 20).map(i => 0.8 + i * 1e-5) ++
+      (0 until 10).map(i => 0.79995 + i * 1e-5)
+    val rows = (1L, Array(1.0, 0.0)) +: sims.zipWithIndex.map {
+      case (s, i) => (i + 2L, vec(s)) }
+    val dense = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(dense, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val blk = Similarity.blockTopK(dense, "vec_id", "embedding", k = 5,
+      blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(blk === bf, "guarded blockTopK diverged from unguarded baseline")
+    val bcPairs = Dedup.embeddingNearDupBroadcast(dense, "vec_id",
+      "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blkPairs = Similarity.blockNearDupPairs(dense, "vec_id", "embedding",
+      threshold = 0.4, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blkPairs === bcPairs,
+      "guarded blockNearDupPairs diverged from unguarded baseline")
+    // vacuity: the threshold band must actually contain boundary pairs
+    assert(bcPairs.exists(p => p._3 == 0.4) &&
+      bcPairs.exists(p => p._3 == 0.4001))
+  }
+
   test("LSH top-k recalls most brute-force neighbors") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
       .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -107,6 +107,36 @@ class TextKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("replace_nth_delim ≡ split + n-token regroup + newline join") {
+    val s = spark
+    import s.implicits._
+    // adversarial: consecutive/leading/trailing spaces (empty split
+    // elements), existing newlines, exact-multiple-of-n token counts
+    val texts = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "one two three four five six seven eight nine ten eleven twelve",
+      (1 to 25).map("w" + _).mkString(" "),
+      (1 to 20).map("w" + _).mkString(" ") + " ",
+      "pre\nexisting newline " + (1 to 15).mkString(" ")) ++
+      (0 until 200).map(_ => randomString(10))
+    for (n <- Seq(1, 3, 10)) {
+      val composed = array_join(
+        transform(sequence(lit(0),
+            floor((size(col("w")) - lit(1)) / lit(n)).cast("int")),
+          i => concat_ws(" ", slice(col("w"), i * lit(n) + lit(1), lit(n)))),
+        "\n")
+      val rows = texts.toDF("t")
+        .select(col("t"), split(col("t"), " ").as("w"))
+        .select(col("t"), composed.as("expected"),
+          TextFunctions.replace_nth_delim(col("t"), n, ' ', '\n')
+            .as("actual"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"n=$n mismatch on <${r.getString(0)}>")
+      }
+    }
+  }
+
   test("tokenizers run inside whole-stage codegen (no fallback)") {
     // spark.range (not a local relation — those fold to LocalTableScan
     // and bypass codegen entirely) so the Project actually generates code
