@@ -48,12 +48,15 @@ object Bench {
     "HOSTPROBE ([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
   } catch { case _: Throwable => None }
 
-  /** per-query seconds from a previous BENCH_LOCAL.json ("queries" map),
+  /** per-query seconds from a previous detail artifact ("queries" map),
     * for outlier re-runs — best-of-N still admits a contended triple.
-    * Only comparable at the SAME scale factor. */
-  private def previousBest(sfDir: String): Map[String, Double] = {
-    val f = new java.io.File("BENCH_LOCAL.json")
-    if (!f.exists()) return Map.empty
+    * Only comparable at the SAME scale factor; prefers the per-core-count
+    * file (round 11, VERDICT item 6: an 8-core scaling run used to
+    * clobber the 32-core detail AND feed wrong outlier baselines). */
+  private def previousBest(sfDir: String, cpus: String): Map[String, Double] = {
+    val f = Seq(new java.io.File(s"BENCH_LOCAL_c$cpus.json"),
+      new java.io.File("BENCH_LOCAL.json")).find(_.exists())
+      .getOrElse(return Map.empty)
     try {
       val text = scala.io.Source.fromFile(f).mkString
       val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text)
@@ -136,7 +139,7 @@ object Bench {
     // almost always host noise (best-of-N still loses when every rep is
     // contended) — one more rep at the very end, minutes later, usually
     // lands in a different contention window
-    val prev = previousBest(sfDir)
+    val prev = previousBest(sfDir, cpus)
     val byName = ordered.toMap
     val results = results0.map { case r @ (name, b, f0, x) =>
       prev.get(name) match {
@@ -189,16 +192,21 @@ object Bench {
     // v1_normalized = value / factor, v2_normalized = value / factor_host.
     val calibJson = s"""{"calibration_version":2,"probes":$probesJson,"median":${f"$probeMedian%.3f"},"ref":$calibRef,"factor":${f"$factor%.3f"},"host_probes":$hostJson,"host_ref":$hostRef,"factor_host":${f"$factorHost%.3f"},"factor_jvm":${f"$factorJvm%.3f"},"reruns":$reruns}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f"$normalized%.3f"},"calibration":$calibJson,"queries":$qs,"first_call":$firsts,"max":$maxes,"first_call_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
-    // The full per-query map (~2 kB for 80+ queries) goes to the file
-    // artifact ONLY; the harness captures a stdout TAIL, so stdout gets
-    // a single compact line that always arrives whole.
-    val slowest = best.toSeq.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f"$normalized%.3f"},"calibration":$calibJson,"cpus":$nCpus,"queries":$qs,"first_call":$firsts,"max":$maxes,"first_call_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
+    // stdout gets one JSON line; round 11 (VERDICT item 6) it carries the
+    // FULL per-query map (~2.5 kB for 102 queries, well inside the
+    // harness's stdout-tail capture) — the former 5-slowest digest made
+    // queries that merely LEFT the top 5 look dropped to the driver's
+    // round-over-round comparison.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f"$normalized%.3f"},"calibration":$calibJson,"n_queries":${best.size},"first_call_total":${f"$firstTotal%.2f"},"queries":$slowest,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
-    val pw = new java.io.PrintWriter("BENCH_LOCAL.json")
-    try pw.println(fullJson) finally pw.close()
+      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f"$normalized%.3f"},"calibration":$calibJson,"cpus":$nCpus,"n_queries":${best.size},"first_call_total":${f"$firstTotal%.2f"},"queries":$qs,"sf":"$sfDir","detail":"BENCH_LOCAL_c$cpus.json"}"""
+    // per-core-count detail file so a scaling run at another
+    // $SPARK_GRAFT_CPUS never clobbers this run's per-query map;
+    // BENCH_LOCAL.json stays as the latest-run pointer for older tooling
+    for (path <- Seq(s"BENCH_LOCAL_c$cpus.json", "BENCH_LOCAL.json")) {
+      val pw = new java.io.PrintWriter(path)
+      try pw.println(fullJson) finally pw.close()
+    }
     println(compact)
     spark.stop()
   }

@@ -65,6 +65,14 @@ object Dedup {
         s"$key must be a long, got '${spark.conf.get(key, default)}'", e)
     }
 
+  /** spark.sql.shuffle.partitions parsed defensively: platforms may set
+    * it to a non-numeric value like "auto" (ADVICE r10 — .toLong threw
+    * mid-planning); fall back to Spark's own default then. */
+  private def shufflePartitions(spark: org.apache.spark.sql.SparkSession): Long =
+    try java.lang.Long.parseLong(
+      spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    catch { case _: NumberFormatException => 200L }
+
   private[graft] def bucketPairJoin(keyed: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val spark = keyed.sparkSession
@@ -91,8 +99,12 @@ object Dedup {
           .agg(sum(col("cnt").cast(DecimalType(38, 0)) * (col("cnt") - lit(1))),
             sum(col("cnt")))
           .first()
+        // a null pair-sum WITH rows present is a (non-ANSI) decimal
+        // overflow, not an empty input — treat it as "more pairs than
+        // countable" so the guard engages instead of silently disabling
+        // in exactly the pathological case it exists for (ADVICE r10)
         val v = (
-          if (row.isNullAt(0)) 0L
+          if (row.isNullAt(0)) { if (row.isNullAt(1)) 0L else Long.MaxValue }
           else row.getDecimal(0)
             .divide(java.math.BigDecimal.valueOf(2))
             .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue(),
@@ -119,7 +131,7 @@ object Dedup {
       val perTask = math.max(1L,
         longConf(spark, "graft.dedup.pairsPerTask", "250000"))
       val parts = math.min(
-        spark.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+        shufflePartitions(spark),
         math.max(estPairs / perTask, estRows / 1000000L) + 1).toInt
       if (parts <= 1) keyed.as("a").join(keyed.as("b"), cond)
       else keyed.repartition(parts, kc: _*).as("a")
@@ -127,7 +139,7 @@ object Dedup {
     }
     else {
       val parts = math.max(
-        spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        shufflePartitions(spark).toInt,
         math.min(2048L, estPairs / 2000000L + 1).toInt)
       val part = keyed.repartition(parts, kc: _*)
       part.as("a").hint("shuffle_hash").join(part.as("b"), cond)

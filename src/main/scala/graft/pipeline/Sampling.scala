@@ -165,7 +165,8 @@ object Sampling {
     * (bucket offset + intra-bucket cumulative) fits. Deterministic across
     * engines/runs/partitionings via the md5 shuffle key. */
   def takeTokenBudget(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, seed: String = "42", bucketChars: Int = 4): DataFrame = {
+      budget: Long, seed: String = "42", bucketChars: Int = 4,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
     val nTokens = graft.functions.TextFunctions
@@ -176,7 +177,16 @@ object Sampling {
       .withColumn("@key",
         md5(concat(idStr(col(idCol)), lit(":" + seed))))
       .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
-    val totals = keyed.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
+    // the totals pass reads a persisted narrow (@bucket, n_tokens)
+    // projection (~16 bytes/row) instead of re-scanning the text column
+    // and re-deriving tokenize+md5 — the quantileBins compromise
+    // (round 11): aggregate passes on the narrow persist, the FINAL pass
+    // stays on the original frame, so there is no join-back by id that
+    // could drop null-id rows or multiply duplicate ids (the round-10
+    // revert hazard).
+    val narrow = caches.persist(
+      keyed.select(col("@bucket"), col("n_tokens")))
+    val totals = narrow.groupBy("@bucket").agg(sum(col("n_tokens")).as("@t"))
     // prefix sums over the per-bucket AGGREGATE rows (≤ 16^bucketChars,
     // never the corpus) — driver-computed + re-broadcast, see driverOffsets
     val (offsets, _) = driverOffsets(totals, "@bucket", "@t")
@@ -202,7 +212,8 @@ object Sampling {
   def mixtureByTokens(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, totalBudget: Long, shares: Map[String, Double],
       defaultShare: Double = 0.0, seed: String = "42",
-      bucketChars: Int = 4): DataFrame = {
+      bucketChars: Int = 4,
+      caches: CacheRegistry = CacheRegistry.lru): DataFrame = {
     require(totalBudget >= 0, "totalBudget must be non-negative")
     require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
       "shares must be in [0, 1]")
@@ -221,7 +232,11 @@ object Sampling {
       .withColumn("@key",
         md5(concat(idStr(col(idCol)), lit(":" + seed))))
       .withColumn("@bucket", substring(col("@key"), 1, bucketChars))
-    val totals = keyed.groupBy(col(sourceCol), col("@bucket"))
+    // narrow persist for the totals pass — same shape and rationale as
+    // takeTokenBudget (final pass stays on the original frame)
+    val narrow = caches.persist(
+      keyed.select(col(sourceCol), col("@bucket"), col("n_tokens")))
+    val totals = narrow.groupBy(col(sourceCol), col("@bucket"))
       .agg(sum(col("n_tokens")).as("@t"))
     val wb = Window.partitionBy(col(sourceCol)).orderBy(col("@bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

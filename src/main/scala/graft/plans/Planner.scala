@@ -509,6 +509,13 @@ class Planner(spark: SparkSession, params: Map[String, Any],
       d.queryExecution.analyzed.foreach(_ => n += 1)
       n > planLimit
     }
+    // No nondet guard here, unlike the NEW-path barrier below (ADVICE
+    // round 10): that path CHECKPOINTS nondeterministic frames only
+    // because freshly-minted ids hash the row content — a re-rolled
+    // rand() would re-mint different ids per action. CLONE tables carry
+    // the ORIGINAL ids, so a rand()-bearing clone re-evaluating per
+    // action is exactly the unwrapped lazy baseline's semantics; the
+    // lazy re-root neither adds nor removes that nondeterminism.
     val cloneWasState = cloneState.df eq state.df
     if ((cloneVars.nonEmpty || c.news.nonEmpty) && overLimit(cloneState.df))
       cloneState = cloneState.copy(

@@ -33,15 +33,21 @@ object TpchGraph {
     * Bounded LRU so long-lived multi-session processes don't pin
     * sessions. */
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(SparkSession, String), PropertyGraph](
+    new java.util.LinkedHashMap[(SparkSession, String, Long), PropertyGraph](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), PropertyGraph])
+          e: java.util.Map.Entry[(SparkSession, String, Long), PropertyGraph])
           : Boolean = size > 8
     })
 
   def load(spark: SparkSession, dir: String): PropertyGraph = {
-    val key = (spark, dir)
+    // mtime in the key (ADVICE r10): a dataset regenerated in-process
+    // (GenSf1Main overwrites these dirs) must not serve stale file
+    // listings; stopped sessions are evicted rather than LRU-pinned
+    cache.synchronized {
+      cache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    }
+    val key = (spark, dir, new java.io.File(dir).lastModified())
     val hit = cache.get(key)
     if (hit != null) return hit
     val g = loadFresh(spark, dir)
