@@ -167,6 +167,48 @@ object TextKernels {
     if (out == null) s else UTF8String.fromBytes(out)
   }
 
+  /** see [[graft.functions.WindowHashes]]. Hash values equal
+    * `xxhash64(substr(s, pos+1, window))`: XXH64.hashUnsafeBytes over the
+    * window's byte range is what XxHash64 computes over the (copied)
+    * substring's bytes. */
+  def windowHashes(s: UTF8String, window: Int, stride: Int): ArrayData = {
+    val nChars = s.numChars()
+    if (nChars < window) return new GenericArrayData(Array.empty[AnyRef])
+    val nb = s.numBytes()
+    // char index -> byte offset (identity when pure ASCII; one linear
+    // walk otherwise), so every window slices bytes directly
+    val ascii = nb == nChars
+    val charOff: Array[Int] =
+      if (ascii) null
+      else {
+        val off = new Array[Int](nChars + 1)
+        var b = 0; var c = 0
+        while (b < nb) {
+          off(c) = b
+          b += UTF8String.numBytesForFirstByte(s.getByte(b))
+          c += 1
+        }
+        off(nChars) = nb
+        off
+      }
+    val base = s.getBaseObject
+    val baseOff = s.getBaseOffset
+    val k = (nChars - window) / stride
+    val out = new Array[AnyRef](k + 1)
+    var i = 0
+    while (i <= k) {
+      val cs = i * stride
+      val b0 = if (ascii) cs else charOff(cs)
+      val b1 = if (ascii) cs + window else charOff(cs + window)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, baseOff + b0, b1 - b0, 42L)
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](cs.toLong, h))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def countUnicode(s: UTF8String): Int = {
     val str = s.toString
     val len = str.length
@@ -288,6 +330,40 @@ case class ReplaceNthDelim(child: Expression, n: Int, from: Byte, to: Byte)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Stride-aligned window hashes — the codegen form of
+  *
+  *   transform(sequence(0, floor((numChars - window)/stride)),
+  *     k => struct((k*stride)::long AS pos,
+  *                 xxhash64(substr(text, k*stride + 1, window)) AS h))
+  *
+  * (the shared front end of duplicate-span detection). The composed form
+  * is an interpreted higher-order function that COPIES a `window`-char
+  * substring per element before hashing; this walks the char→byte
+  * offsets once and feeds each window's byte range straight into the
+  * same XXH64 kernel (seed 42) Spark's `xxhash64` uses — identical
+  * hashes, zero per-window copies, whole-stage codegen. Callers filter
+  * `length(text) >= window` first (matching the composed form's guard
+  * against Spark's descending `sequence(0, -1)`); shorter inputs here
+  * yield an empty array. Locked elementwise by TextKernelSpec. */
+case class WindowHashes(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window > 0 && stride > 0 && stride <= window,
+    "need 0 < stride <= window")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.windowHashes(input.asInstanceOf[UTF8String], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.windowHashes($c, $window, $stride)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object TextFunctions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -305,4 +381,7 @@ object TextFunctions {
 
   def replace_nth_delim(c: Column, n: Int, from: Char, to: Char): Column =
     ColumnBridge.column(ReplaceNthDelim(expr(c), n, from.toByte, to.toByte))
+
+  def window_hashes(c: Column, window: Int, stride: Int): Column =
+    ColumnBridge.column(WindowHashes(expr(c), window, stride))
 }

@@ -807,16 +807,17 @@ object Dedup {
   private[graft] def windowHashes(df: DataFrame, idCol: String,
       textCol: String, window: Int, stride: Int,
       keep: Seq[String] = Nil): DataFrame = {
+    // round 11: the sequence+transform+substr+xxhash64 composition was an
+    // interpreted higher-order function copying a window-sized substring
+    // per element; window_hashes emits the identical (pos, h) structs
+    // (same XXH64 kernel over the same byte ranges — TextKernelSpec lock)
+    // in one codegen pass with zero per-window copies.
     val text = col(textCol)
     df.where(length(text) >= window)
       .select(Seq(col(idCol).cast(LongType).as("id"),
-        explode(transform(
-          sequence(lit(0),
-            floor((length(text) - lit(window)) / lit(stride)).cast(IntegerType)),
-          k => struct(
-            (k.cast(LongType) * stride).as("pos"),
-            xxhash64(text.substr(k * lit(stride) + lit(1), lit(window)))
-              .as("h")))).as("w")) ++ keep.map(c => col(s"`$c`")): _*)
+        explode(graft.functions.TextFunctions
+          .window_hashes(text, window, stride)).as("w")) ++
+        keep.map(c => col(s"`$c`")): _*)
       .select(Seq(col("id"), col("w.pos").as("pos"), col("w.h").as("h")) ++
         keep.map(c => col(s"`$c`")): _*)
   }

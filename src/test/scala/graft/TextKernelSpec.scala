@@ -137,6 +137,36 @@ class TextKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("window_hashes ≡ sequence + transform + substr + xxhash64") {
+    val s = spark
+    import s.implicits._
+    // multibyte chars shift byte offsets off char offsets — the kernel's
+    // char→byte table must land every window on the regex path's chars
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwxyz0123456789",
+      "ü" * 40, "aü" * 30, "中文混合ascii text " * 5,
+      "𝔸𝔹" * 20, "exact", "") ++
+      (0 until 100).map(_ => randomString(14))
+    for ((w, st) <- Seq((8, 3), (16, 16), (64, 16), (5, 1))) {
+      val composed = transform(
+        sequence(lit(0),
+          floor((length(col("t")) - lit(w)) / lit(st)).cast("int")),
+        k => struct((k.cast("long") * st).as("pos"),
+          xxhash64(col("t").substr(k * lit(st) + lit(1), lit(w))).as("h")))
+      val rows = texts.toDF("t").where(length(col("t")) >= w)
+        .select(col("t"), composed.as("expected"),
+          graft.functions.TextFunctions.window_hashes(col("t"), w, st)
+            .as("actual"))
+        .collect()
+      assert(rows.nonEmpty, s"vacuous fixture for window=$w")
+      rows.foreach { r =>
+        val exp = r.getSeq[org.apache.spark.sql.Row](1)
+        val act = r.getSeq[org.apache.spark.sql.Row](2)
+        assert(exp == act, s"w=$w st=$st mismatch on <${r.getString(0)}>")
+      }
+    }
+  }
+
   test("tokenizers run inside whole-stage codegen (no fallback)") {
     // spark.range (not a local relation — those fold to LocalTableScan
     // and bypass codegen entirely) so the Project actually generates code
