@@ -48,10 +48,11 @@ object Dedup {
     * only affects the ROUTE choice — both routes are correct — so both
     * digest collisions and underlying-data drift are benign. */
   private val pairEstCache =
-    new java.util.LinkedHashMap[(Int, Seq[String]), (Long, Long)](
+    new java.util.LinkedHashMap[(Int, Seq[String]), (Long, Long, Long)](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Seq[String]), (Long, Long)]): Boolean =
+          e: java.util.Map.Entry[(Int, Seq[String]), (Long, Long, Long)])
+          : Boolean =
         size > 64
     }
 
@@ -84,33 +85,79 @@ object Dedup {
     // KNOW their bucket population is small and want zero extra jobs)
     if (guardAt < 0) return keyed.as("a").join(keyed.as("b"), cond)
     val estKey = (keyed.queryExecution.analyzed.semanticHash(), keyCols)
-    val (estPairs, estRows): (Long, Long) = pairEstCache.synchronized {
-      Option(pairEstCache.get(estKey))
-    } match {
+    val (estPairs, estRows, maxBucketPairs): (Long, Long, Long) =
+      pairEstCache.synchronized {
+        Option(pairEstCache.get(estKey))
+      } match {
       case Some(v) => v
       case None =>
         // DECIMAL accumulation (round-10, ADVICE): cnt·(cnt-1) in Long
         // silently overflows negative past ~3e9 rows in one bucket, which
         // would DISABLE the guard exactly when it matters; decimal sums
         // are exact and the final clamp keeps pathological populations at
-        // Long.MaxValue instead of wrapping. Input rows ride along for
-        // free (same aggregate) — the mid-band route below needs them.
+        // Long.MaxValue instead of wrapping. Input rows and the LARGEST
+        // single bucket's pair count ride along for free (same
+        // aggregate) — the mid-band route needs the former, the salted
+        // hot-bucket route (round 11) the latter.
         val row = keyed.groupBy(kc: _*).agg(count(lit(1)).as("cnt"))
           .agg(sum(col("cnt").cast(DecimalType(38, 0)) * (col("cnt") - lit(1))),
-            sum(col("cnt")))
+            sum(col("cnt")),
+            max(col("cnt").cast(DecimalType(38, 0)) * (col("cnt") - lit(1))))
           .first()
         // a null pair-sum WITH rows present is a (non-ANSI) decimal
         // overflow, not an empty input — treat it as "more pairs than
         // countable" so the guard engages instead of silently disabling
         // in exactly the pathological case it exists for (ADVICE r10)
-        val v = (
-          if (row.isNullAt(0)) { if (row.isNullAt(1)) 0L else Long.MaxValue }
-          else row.getDecimal(0)
+        def halfClamped(i: Int): Long =
+          if (row.isNullAt(i)) { if (row.isNullAt(1)) 0L else Long.MaxValue }
+          else row.getDecimal(i)
             .divide(java.math.BigDecimal.valueOf(2))
-            .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue(),
-          if (row.isNullAt(1)) 0L else row.getLong(1))
+            .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
+        val v = (halfClamped(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1),
+          halfClamped(2))
         pairEstCache.synchronized { pairEstCache.put(estKey, v) }
         v
+    }
+    val perTask = math.max(1L,
+      longConf(spark, "graft.dedup.pairsPerTask", "250000"))
+    // Hot-bucket salted tiling (round 11, guide §2.5): ONE bucket key
+    // owning `maxBucketPairs` pairs cannot be parallelized by ANY
+    // partitioning on the bucket key — AQE splits oversized partitions,
+    // never a single key — so that key's c²/2-pair expansion serializes
+    // on one task no matter what the routes below do. Past
+    // `graft.dedup.hotBucketPairs` single-bucket pairs (default 2M ≈ 8
+    // tasks' worth; -1 disables), tile the self-join instead (blockTopK's
+    // tiling): each row gets a deterministic sub-block
+    // o = pmod(xxhash64(id), s); the a-side replicates across tiles
+    // (o, 0..s-1), the b-side across (0..s-1, o), and tile equality joins
+    // each (a, b) pair in EXACTLY one tile — the result multiset is
+    // unchanged (PipelineSpec parity + spread lock) while the hot key's
+    // pairs spread over s² tasks. Cost: s× replication of the narrow
+    // bucket rows, the right trade when one bucket holds task-minutes.
+    // Default 25M ≈ the measured 32-core break-even (R11Probe1Main: at
+    // 32M single-bucket pairs the routes tie, 3.4 vs 4.4 s; at 200M the
+    // tiling wins 11-13 s → 2.2-2.4 s) — below it the lone task is
+    // cheaper than the s× replication overhead.
+    val hotAt = longConf(spark, "graft.dedup.hotBucketPairs", "25000000")
+    if (hotAt >= 0 && maxBucketPairs > hotAt) {
+      val s = math.max(2L, math.min(16L,
+        math.ceil(math.sqrt(maxBucketPairs.toDouble / perTask)).toLong)).toInt
+      val tiles = array((0 until s).map(lit): _*)
+      val own = pmod(xxhash64(col("id")), lit(s)).cast("int")
+      val aT = keyed.withColumn("@ti", own)
+        .withColumn("@tj", explode(tiles))
+      val bT = keyed.withColumn("@ti", explode(tiles))
+        .withColumn("@tj", own)
+      val parts = math.max(
+        shufflePartitions(spark).toInt,
+        math.min(2048L, estPairs / perTask + 1).toInt)
+      val tileKeys = kc :+ col("@ti") :+ col("@tj")
+      val condT = cond &&
+        col("a.@ti") === col("b.@ti") && col("a.@tj") === col("b.@tj")
+      return aT.repartition(parts, tileKeys: _*).as("a")
+        .hint("shuffle_hash")
+        .join(bT.repartition(parts, tileKeys: _*).as("b"), condT)
     }
     if (estPairs <= guardAt) {
       // Broadcast-friendly regime — but parallelism must still be sized
@@ -128,8 +175,6 @@ object Dedup {
       // the same keys reuses this partitioning). Input rows floor the
       // partition count so a large-input/few-pairs table is never
       // squeezed through a handful of partitions.
-      val perTask = math.max(1L,
-        longConf(spark, "graft.dedup.pairsPerTask", "250000"))
       val parts = math.min(
         shufflePartitions(spark),
         math.max(estPairs / perTask, estRows / 1000000L) + 1).toInt

@@ -141,6 +141,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.pairGuard")
   }
 
+  test("hot-bucket salted tiling: identical pair set, pairs spread " +
+      "across tasks (round 11, guide §2.5)") {
+    // One bucket key owning 3000 rows = 4.5M pairs. No partitioning on
+    // the bucket key can split a single key (AQE splits partitions, not
+    // keys), so without the salted route every one of those pairs
+    // expands on ONE task. Threshold forced under the fixture (the
+    // production default 25M sits at the measured 32-core break-even);
+    // the route must (a) produce exactly the baseline pair multiset,
+    // (b) spread the expansion over many output partitions.
+    val hot = spark.range(0, 3000).select(lit("HOT").as("k"), $"id")
+    val rest = spark.range(10000, 12000).select(
+      concat(lit("u"), ($"id" % 500).cast("string")).as("k"), $"id")
+    val keyed = hot.unionByName(rest)
+    def checksum(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a.id".as("ia"), $"b.id".as("ib"))
+        .agg(count(lit(1)),
+          sum(xxhash64($"ia", $"ib").cast("decimal(38,0)"))).head()
+    spark.conf.set("graft.dedup.hotBucketPairs", "-1")
+    val base =
+      try checksum(Dedup.bucketPairJoin(keyed, Seq("k")))
+      finally spark.conf.unset("graft.dedup.hotBucketPairs")
+    spark.conf.set("graft.dedup.hotBucketPairs", "1000000")
+    val salted =
+      try Dedup.bucketPairJoin(keyed, Seq("k"))
+      finally spark.conf.unset("graft.dedup.hotBucketPairs")
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("@ti"), s"salted route did not engage:\n$plan")
+    assert(checksum(salted) === base,
+      "salted tiling changed the pair multiset")
+    val dist = salted
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("pid").count().collect().map(_.getLong(1))
+    val total = dist.sum
+    assert(dist.max < total / 4,
+      s"hot bucket still concentrated: max partition ${dist.max} of $total")
+  }
+
   test("brute-force cosine top-k is sane and symmetric on identical vectors") {
     val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
     val n = emb.count()

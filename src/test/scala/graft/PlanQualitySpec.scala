@@ -536,6 +536,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.head().getLong(0) > 0)
   }
 
+  test("fresh-plan budget per gate family (round 11, VERDICT item 8)") {
+    // First-call latency is real user cost: force full analysis +
+    // physical planning (no execution) for one representative of every
+    // expensive-planning family and hold a loose per-gate ceiling that
+    // still fails on an order-of-magnitude planning regression (the
+    // case-734 class — 22-28 s of pure driver time for ONE gate). The
+    // stacked-construct lock above bounds the worst known shape; this
+    // one watches the rest of the surface.
+    val reps = Seq(
+      "c42_distance_join",  // grid lowering (two compiled point sides)
+      "c30_varlength_quantifier", // unrolled quantifier union
+      "c37_deep_varlength", // frontier route
+      "c21_construct",      // construct planning
+      "c17_expand_into",    // multi-expand join chain
+      "p35_dedup_keep_best", // dedup composition (pair estimate job runs)
+      "q10_window")
+    // untimed warm-up: the FIRST plan in a JVM pays one-time analyzer /
+    // catalog / JIT costs that belong to the JVM, not the gate
+    SparkEntry.queries("c3_expand2")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val budgets = reps.map { name =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.queryExecution.executedPlan // forces analysis + planning
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> secs
+    }
+    budgets.foreach { case (name, secs) =>
+      assert(secs < 10.0,
+        f"$name fresh planning took $secs%.1f s — planning-cost regression")
+    }
+    val total = budgets.map(_._2).sum
+    assert(total < 30.0,
+      f"family fresh-plan total $total%.1f s exceeds the 30 s budget: " +
+        budgets.map { case (n, s) => f"$n=$s%.1f" }.mkString(", "))
+  }
+
   test("hub-skewed expand join is split by AQE; uniform twin is not " +
       "(round 10, VERDICT item 8)") {
     // Regime lock for skew handling on the EXPAND join (guide §2.5): one
