@@ -2203,20 +2203,48 @@ class Planner(spark: SparkSession, params: Map[String, Any],
         rel.properties.foldLeft(baseScan.df) { case (d, (k2, e)) =>
           d.where(comp.compile(Eq(Property(Var(relVar), k2), e))) }
       } else baseScan.df
+    // Column pruning must reach the CACHE, not just its reads (round 11,
+    // guide §6): the shared scan used to persist EVERY rel property
+    // column while the unroll only reads the keys the pushed quantifiers
+    // / per-step predicates / inline property map mention — none at all
+    // for a bare `[:T*1..2]` hop. Prune the cached projection to those
+    // keys (rel-VALUE demand keeps everything): c30's 12-prop lineitem
+    // edge cache drops to l_quantity + the id/src/dst/type spine.
+    // Conservative: ANY Property(_, key) anywhere in a pushed predicate
+    // keeps `key`, so per-step compiles can never miss a column.
+    val keptProps: Map[String, String] =
+      if (needStructs) baseScan.propCols
+      else {
+        val keys = scala.collection.mutable.Set[String]()
+        def collect(e: Expr): Unit = e match {
+          case Property(inner, k) => keys += k; collect(inner)
+          case other => mapChildren(other) { c => collect(c); c }
+        }
+        quants.foreach(q => collect(q.predicate))
+        propPreds.foreach(collect)
+        rel.properties.foreach { case (k, v) => keys += k; collect(v) }
+        baseScan.propCols.filter { case (k, _) => keys.contains(k) }
+      }
+    val prunedDf =
+      if (keptProps.size == baseScan.propCols.size) scanDf
+      else scanDf.select(
+        (Seq(baseScan.idCol, baseScan.srcCol, baseScan.dstCol,
+          baseScan.typCol) ++ keptProps.values.toSeq)
+          .map(c => col(s"`$c`")): _*)
     val baseDf =
-      if (hi - math.max(lo, 1) >= 1 || hi >= 2) cacheShared(scanDf)
-      else scanDf
+      if (hi - math.max(lo, 1) >= 1 || hi >= 2) cacheShared(prunedDf)
+      else prunedDf
 
     def orientedStep(rel2: RelPattern, rv: String)
         : (DataFrame, RelBinding, String, String) = {
       val id = fresh(s"${rv}_id"); val src = fresh(s"${rv}_src")
       val dst = fresh(s"${rv}_dst"); val typ = fresh(s"${rv}_type")
-      val propRename = baseScan.propCols.map { case (k2, _) =>
+      val propRename = keptProps.map { case (k2, _) =>
         k2 -> fresh(s"${rv}_p_$k2") }
       val sel: Seq[Column] = Seq(
         col(s"`${baseScan.idCol}`").as(id), col(s"`${baseScan.srcCol}`").as(src),
         col(s"`${baseScan.dstCol}`").as(dst), col(s"`${baseScan.typCol}`").as(typ)) ++
-        baseScan.propCols.toSeq.map { case (k2, c) =>
+        keptProps.toSeq.map { case (k2, c) =>
           col(s"`$c`").as(propRename(k2)) }
       val rb = RelBinding(id, src, dst, typ, propRename, baseScan.types)
       val tSrc = fresh(s"${rv}_tsrc"); val tDst = fresh(s"${rv}_tdst")
@@ -2243,7 +2271,7 @@ class Planner(spark: SparkSession, params: Map[String, Any],
     val relStructType = StructType(
       StructField("id", LongType) +:
         StructField("type", StringType) +:
-        baseScan.propCols.toSeq.sortBy(_._1).map { case (k, c) =>
+        keptProps.toSeq.sortBy(_._1).map { case (k, c) =>
           StructField(k, baseScan.df.schema(c).dataType) })
 
     // zero traversed steps / branch prefix: every counter starts at 0 and
